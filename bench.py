@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing uses the noop sink so we measure the full distributed compute
+(scan → shuffle → agg) without driver-collect serialization noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan/agg, join chain, window,
+# interval join, pivot, upsert, dedup-ish group, text analytics.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_revenue_per_nation",
+    "p3_semi_filter",
+    "a3_pivot_counts",
+    "a8_merge_duplicates",
+    "j7_upsert_diff",
+    "w1_adjacent_events",
+    "j3_interval_join",
+    "j6_max_overlap_remap",
+    "phi_redaction",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from genie_spark.session import get_spark
+    from genie_spark.workload import QUERIES
+
+    spark = get_spark("genie_spark_bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.count()  # warm: file listing + schema; also validates the plan
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Everything here is a thin, named composition of built-in Spark
+aggregates — partial (map-side) aggregation, spill, and AQE coalescing
+come free.  The names track the reference's dashboard/validation
+aggregations so the parity mapping stays auditable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def counts_with_total(
+    df: DataFrame, group_col: str, total_label: str = "Total"
+) -> DataFrame:
+    """Per-group counts plus a Total row — the reference's center
+    count tables (genie/dashboard_table_updater.py:113-175)."""
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(
+        F.lit(total_label).alias(group_col), F.count(F.lit(1)).alias("n")
+    )
+    return per.unionByName(total)
+
+
+def distinct_counts(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """Distinct-id counts per group (reference
+    genie/dashboard_table_updater.py:143-156, unique samples per center)."""
+    return df.groupBy(group_col).agg(F.countDistinct(id_col).alias("n_distinct"))
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    pivot_values: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row × column count matrix — the oncotree-by-center pivot
+    (genie/dashboard_table_updater.py:297-395).  Passing ``pivot_values``
+    avoids the extra distinct-values job Spark otherwise runs."""
+    p = df.groupBy(row_col).pivot(pivot_col, list(pivot_values) if pivot_values else None)
+    return p.count().na.fill(0)
+
+
+def completeness_ratio(
+    df: DataFrame, group_col: str, cols: Sequence[str], missing_sentinels: Sequence[str] = ()
+) -> DataFrame:
+    """Per group, per column: fraction of informative (non-null,
+    non-sentinel) values — reference ``get_center_data_completion``
+    (genie/dashboard_table_updater.py:16-50).  Emits long form
+    (group, column, completeness); one pass over the data."""
+    aggs = []
+    for c in cols:
+        informative = F.col(c).isNotNull()
+        for s in missing_sentinels:
+            informative = informative & (F.col(c) != s)
+        aggs.append(F.avg(informative.cast("double")).alias(c))
+    wide = df.groupBy(group_col).agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return wide.selectExpr(
+        group_col, f"stack({len(cols)}, {stack_expr}) as (column, completeness)"
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key combinations occurring more than once (reference duplicate
+    checks, e.g. genie_registry/maf.py:274-299 5-column variant key)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def merge_duplicate_values(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """CNA duplicate-gene merge (reference ``mergeCNAvalues``
+    genie_registry/cna.py:86-105): per key, 1 distinct value → keep it;
+    2 distinct values one of which is 0 → the nonzero one; else null.
+    Long-form groupBy + collect_set replaces the per-column pandas loop.
+    """
+    vals = F.array_sort(F.collect_set(value_col))
+    merged = (
+        F.when(F.size(F.col("__vals")) == 1, F.col("__vals")[0])
+        .when(
+            (F.size(F.col("__vals")) == 2) & F.array_contains("__vals", 0.0),
+            F.when(F.col("__vals")[0] != 0.0, F.col("__vals")[0]).otherwise(
+                F.col("__vals")[1]
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(vals.alias("__vals"))
+        .withColumn("merged_value", merged)
+        .drop("__vals")
+    )
+
+
+def median(df: DataFrame, col: str):
+    """Exact median expression — the AGE sanity rule (reference
+    genie_registry/clinical.py:953-961, ``median(AGE) < 100`` ⇒ days not
+    years).  Exact ``percentile`` matches the pandas/duckdb interpolated
+    median; swap to ``percentile_approx`` when the column is huge and
+    the rule only needs an order-of-magnitude check."""
+    return F.expr(f"percentile({col}, 0.5)")
+
+
+def fill_count_algebra(
+    df: DataFrame, depth: str, ref: str, alt: str
+) -> DataFrame:
+    """Fill any one missing member of depth = ref + alt (reference
+    ``calculate_missing_variant_counts``
+    genie/database_to_staging.py:406-442)."""
+    return (
+        df.withColumn(depth, F.coalesce(F.col(depth), F.col(ref) + F.col(alt)))
+        .withColumn(ref, F.coalesce(F.col(ref), F.col(depth) - F.col(alt)))
+        .withColumn(alt, F.coalesce(F.col(alt), F.col(depth) - F.col(ref)))
+    )
+
+
+def group_concat(
+    df: DataFrame, group_col: str, value_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Deterministic group-concat (reference error-report assembly,
+    genie/write_invalid_reasons.py:70-89): sort the collected list so
+    output is stable under Spark's unordered shuffles."""
+    return df.groupBy(group_col).agg(
+        F.array_join(F.array_sort(F.collect_list(value_col)), sep).alias("combined")
+    )

@@ -1,0 +1,105 @@
+"""Window / neighbor analytics (SURVEY.md §2.5).
+
+The reference's only neighbor computation is mutation-in-cis
+("mergeCheck", R/mergecheck_functions.R:80-192): per sample, variants
+sorted by genomic position; adjacent pairs closer than a few bases with
+similar VAF are flagged as one merged variant reported as two.  In
+Spark that is a single window pass — ``lag()`` over
+(partitionBy=sample, orderBy=position) — no R subprocess, no per-sample
+loop, and it scales to any number of samples because the shuffle is
+hash-partitioned on the sample id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def adjacent_pairs(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: str | list[str],
+    lag_cols: dict[str, str],
+) -> DataFrame:
+    """Attach each row's predecessor values within a partition.
+
+    ``lag_cols`` maps source column → new column holding the previous
+    row's value.  This is the spine of mutation-in-cis (reference
+    R/mergecheck_functions.R:150-168, adjacent variants with
+    ``0 < dBP < 6`` and ``|dVAF| < 0.05``).
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*parts).orderBy(*orders)
+    out = df
+    for src, dst in lag_cols.items():
+        out = out.withColumn(dst, F.lag(src).over(w))
+    return out
+
+
+def flag_variants_to_merge(
+    maf: DataFrame,
+    sample_col: str = "Tumor_Sample_Barcode",
+    chrom_col: str = "Chromosome",
+    pos_col: str = "Start_Position",
+    alt_col: str = "t_alt_count",
+    depth_col: str = "t_depth",
+    protein_pos_col: str = "Protein_position",
+    max_dbp: int = 6,
+    max_dvaf: float = 0.05,
+) -> DataFrame:
+    """Mutation-in-cis detection as one window pass.
+
+    Criteria from the reference (R/mergecheck_functions.R:150-168):
+    within a sample + chromosome, sort by position; flag a pair when
+    ``0 < dBP < max_dbp``, ``|dVAF| < max_dvaf`` and the codon numbers
+    are equal or adjacent (or unparseable).  VAF = alt/depth with
+    zero/null depth treated as 1/1 (mergecheck_functions.R:120-135).
+
+    Returns rows that participate in a flagged pair, with the pair
+    metrics attached.
+    """
+    vaf = F.when(
+        F.coalesce(F.col(depth_col), F.lit(0)) == 0, F.lit(1.0)
+    ).otherwise(F.col(alt_col) / F.col(depth_col))
+    # "123/456" or "12" → leading integer; null if unparseable
+    codon = F.regexp_extract(F.col(protein_pos_col), r"^(\d+)", 1).cast("long")
+    w = Window.partitionBy(sample_col, chrom_col).orderBy(pos_col)
+    paired = (
+        maf.withColumn("__vaf", vaf)
+        .withColumn("__codon", codon)
+        .withColumn("__prev_pos", F.lag(pos_col).over(w))
+        .withColumn("__prev_vaf", F.lag("__vaf").over(w))
+        .withColumn("__prev_codon", F.lag("__codon").over(w))
+    )
+    dbp = F.col(pos_col) - F.col("__prev_pos")
+    dvaf = F.abs(F.col("__vaf") - F.col("__prev_vaf"))
+    dcodon = F.col("__codon") - F.col("__prev_codon")
+    flagged = (dbp > 0) & (dbp < max_dbp) & (dvaf < max_dvaf) & (
+        dcodon.isNull() | dcodon.isin(0, 1)
+    )
+    return (
+        paired.withColumn("__flag", F.coalesce(flagged, F.lit(False)))
+        .withColumn("__next_flag", F.lead("__flag").over(w))
+        .where(F.col("__flag") | F.coalesce(F.col("__next_flag"), F.lit(False)))
+        .drop("__next_flag")
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: list,
+) -> DataFrame:
+    """Keep the latest row per key — the reference's "current release per
+    major version" dedup (genie/extract.py:152-159).  ``order_by`` should
+    end with a tiebreaker column for determinism."""
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*parts).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("__gs_rn", F.row_number().over(w))
+        .where(F.col("__gs_rn") == 1)
+        .drop("__gs_rn")
+    )

@@ -1,0 +1,905 @@
+"""Demonstration workload: every SURVEY.md §2 operator expressed as a
+query over the driver-provided testdata tables, paired with an ANSI-SQL
+oracle that DuckDB runs on the same parquet files.
+
+Determinism rules used throughout (so the driver's value-hash compare
+is stable across engines):
+  * monetary aggregates are computed in exact integer cents
+    (``sum(floor(x*100 + 0.5))`` as BIGINT) — float addition order
+    differs between engines, integer addition doesn't;
+  * timestamps are emitted as epoch microseconds (BIGINT), never as
+    raw timestamp types;
+  * per-row float expressions are fine (IEEE ops are deterministic
+    given identical inputs); cross-row float aggregation is not.
+
+Each query function takes (spark, sf_dir) and returns a DataFrame whose
+column names match the oracle SQL's aliases exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genie_spark.functions.redact import redact_phi
+from genie_spark.operators.aggregations import (
+    counts_with_total,
+    distinct_counts,
+    duplicate_keys,
+    fill_count_algebra,
+    group_concat,
+    merge_duplicate_values,
+    pivot_counts,
+)
+from genie_spark.operators.filters import (
+    anti_filter,
+    greatest_threshold_predicate,
+    group_count_filter,
+    semi_filter,
+)
+from genie_spark.operators.intervals import (
+    containment_join,
+    interval_join,
+    max_overlap_remap,
+)
+from genie_spark.operators.upsert import upsert_diff
+from genie_spark.operators.windows import adjacent_pairs, latest_per_key
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a ``ts_us`` epoch-microseconds column.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS); with
+    ``nanosAsLong`` Spark reads it as epoch-nanos bigint.  Integer
+    ``div`` (not float division — 1e18 ns overflows a double mantissa)
+    truncates to µs exactly like DuckDB's ns→µs conversion."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        ev = ev.withColumn("ts_us", F.unix_micros("ts"))
+    return ev.withColumn("ts_t", F.timestamp_micros(F.col("ts_us")))
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents: floor(x*100 + 0.5) — identical in Spark and
+    DuckDB (avoids round() half-up vs half-even divergence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship + scans
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped groupBy aggregation over lineitem — the engine's
+    flagship scan+agg path (partial aggregation, codegen, pushdown)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(F.floor(disc_price * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_disc_price_cents"
+            ),
+            F.sum(F.floor(charge * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_charge_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE)                                            AS sum_qty,
+       sum({_CENTS_SQL.format(x='l_extendedprice')})                              AS sum_base_price_cents,
+       sum({_CENTS_SQL.format(x='l_extendedprice * (1 - l_discount)')})           AS sum_disc_price_cents,
+       sum({_CENTS_SQL.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS sum_charge_cents,
+       count(*)                                                                   AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def s12_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown scan (reference S12: SQL-on-table
+    with WHERE/SELECT pushed to storage, genie/extract.py:176-189)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents"))
+    )
+
+
+S12_SQL = f"""
+SELECT o_orderkey, o_custkey, {_CENTS_SQL.format(x='o_totalprice')} AS price_cents
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def j1_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join chain with broadcast dims (reference J1
+    patient⋈sample join + J8 broadcast lookup)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+J1_SQL = f"""
+SELECT n_name,
+       sum({_CENTS_SQL.format(x='o_totalprice')}) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def j9_code_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code→label remap via a literal map (reference J9
+    ``remap_clinical_values`` genie_registry/clinical.py:321-382)."""
+    mapping = F.create_map(
+        F.lit("R"), F.lit("Returned"), F.lit("A"), F.lit("Accepted"), F.lit("N"), F.lit("NotReturned")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("return_label", F.coalesce(mapping[F.col("l_returnflag")], F.lit("Unknown")))
+        .groupBy("return_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+J9_SQL = """
+SELECT CASE l_returnflag WHEN 'R' THEN 'Returned' WHEN 'A' THEN 'Accepted'
+            WHEN 'N' THEN 'NotReturned' ELSE 'Unknown' END AS return_label,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def j11_containment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-file id-containment check (reference J11
+    ``check_values_between_two_df`` genie/validate.py:308-368): ids of
+    the child file must all exist in the parent; emit violations."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    violations = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .join(orders.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    return violations.agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+J11_SQL = """
+SELECT count(*) AS n_violations FROM (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates
+# ---------------------------------------------------------------------------
+
+def p3_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-samples semi filter (reference P3 ``remove_maf_samples``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return semi_filter(li, urgent, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+P3_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def p4_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-diff anti filter (reference P4 ``_get_left_diff_df``):
+    customers with no urgent orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_filter(cust, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+P4_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def p6_greatest_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise max-over-columns predicate (reference P6 gnomAD germline
+    filter, max(8 AF cols) > 0.0005 → drop)."""
+    li = _t(spark, sf_dir, "lineitem")
+    keep = greatest_threshold_predicate(["l_discount", "l_tax"], 0.07)
+    return li.where(keep).select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+
+
+P6_SQL = """
+SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+WHERE greatest(l_discount, l_tax) IS NULL OR greatest(l_discount, l_tax) <= 0.07
+"""
+
+
+def p12_date_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-window release filter (reference P12 ``seqDateFilter``:
+    keep rows within N days of the processing date)."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff_days = 184
+    processing = F.lit("1995-06-01").cast("timestamp")
+    return (
+        orders.where(
+            (F.datediff(processing, F.col("o_orderdate")) <= cutoff_days)
+            & (F.datediff(processing, F.col("o_orderdate")) >= 0)
+        )
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+    )
+
+
+P12_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders
+WHERE date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-06-01') BETWEEN 0 AND 184
+"""
+
+
+def p14_group_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-group filter via window count (reference P14
+    ``seq_assay_id_filter``: assays with <50 samples dropped)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return group_count_filter(li, "l_partkey", 40).select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+P14_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         count(*) OVER (PARTITION BY l_partkey) AS n
+  FROM lineitem
+) WHERE n >= 40
+"""
+
+
+def p15_retract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction with cascade (reference P15 genie/toRetract.py:9-84):
+    retracting parents (customers in BUILDING segment) removes their
+    child orders."""
+    orders = _t(spark, sf_dir, "orders")
+    retracted = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    from genie_spark.operators.filters import retract_cascade
+
+    return retract_cascade(orders, retracted, "o_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+P15_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def a1_counts_with_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group counts + Total row (reference A1 dashboard center
+    counts)."""
+    return counts_with_total(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+A1_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'Total' AS o_orderpriority, count(*) AS n FROM orders
+"""
+
+
+def a2_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-id counts per group (reference A2)."""
+    return distinct_counts(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey")
+
+
+A2_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def a3_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group × category count matrix (reference A3 oncotree-by-center
+    pivot).  Pivot values passed explicitly to skip the discovery job."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return pivot_counts(joined, "n_name", "c_mktsegment", segs)
+
+
+A3_SQL = """
+SELECT n_name,
+       sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS "AUTOMOBILE",
+       sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS "BUILDING",
+       sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS "FURNITURE",
+       sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS "HOUSEHOLD",
+       sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS "MACHINERY"
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def a7_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (reference A7 AGE median sanity rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty")
+    )
+
+
+A7_SQL = """
+SELECT l_returnflag, CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a8_merge_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNA duplicate-value merge semantics (reference A8
+    ``mergeCNAvalues``): 1 distinct → keep; 2 distinct incl. 0 → the
+    nonzero; else null."""
+    li = _t(spark, sf_dir, "lineitem")
+    return merge_duplicate_values(li, ["l_partkey", "l_suppkey"], "l_discount")
+
+
+A8_SQL = """
+SELECT l_partkey, l_suppkey,
+       CASE WHEN count(DISTINCT l_discount) = 1 THEN min(l_discount)
+            WHEN count(DISTINCT l_discount) = 2 AND min(l_discount) = 0 THEN max(l_discount)
+            ELSE NULL END AS merged_value
+FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def a9_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key detection (reference A9, e.g. the MAF 5-column
+    variant key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_partkey", "l_suppkey"])
+
+
+A9_SQL = """
+SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem
+GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+"""
+
+
+def a11_fill_count_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """depth = ref + alt null-filling (reference A11
+    ``calculate_missing_variant_counts``).  Nulls are synthesized
+    deterministically (orderkey mod 3 picks which member is missing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("l_quantity") + F.col("l_linenumber")
+        ).alias("t_depth"),
+        F.when(F.col("l_orderkey") % 3 == 1, F.lit(None)).otherwise(
+            F.col("l_quantity")
+        ).alias("t_ref_count"),
+        F.when(F.col("l_orderkey") % 3 == 2, F.lit(None)).otherwise(
+            F.col("l_linenumber").cast("double")
+        ).alias("t_alt_count"),
+    )
+    return fill_count_algebra(base, "t_depth", "t_ref_count", "t_alt_count")
+
+
+A11_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_quantity + l_linenumber END AS t_depth,
+         CASE WHEN l_orderkey % 3 = 1 THEN NULL ELSE l_quantity END AS t_ref_count,
+         CASE WHEN l_orderkey % 3 = 2 THEN NULL ELSE CAST(l_linenumber AS DOUBLE) END AS t_alt_count
+  FROM lineitem
+), s1 AS (
+  SELECT l_orderkey, l_linenumber,
+         coalesce(t_depth, t_ref_count + t_alt_count) AS t_depth,
+         t_ref_count, t_alt_count
+  FROM base
+), s2 AS (
+  SELECT l_orderkey, l_linenumber, t_depth,
+         coalesce(t_ref_count, t_depth - t_alt_count) AS t_ref_count, t_alt_count
+  FROM s1
+)
+SELECT l_orderkey, l_linenumber, t_depth, t_ref_count,
+       coalesce(t_alt_count, t_depth - t_ref_count) AS t_alt_count
+FROM s2
+"""
+
+
+def a13_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-concat (reference A13 error-report
+    assembly)."""
+    nation = _t(spark, sf_dir, "nation")
+    return group_concat(nation, "n_regionkey", "n_name", sep=";")
+
+
+A13_SQL = """
+SELECT n_regionkey, string_agg(n_name, ';' ORDER BY n_name) AS combined
+FROM nation GROUP BY n_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Upsert / MERGE
+# ---------------------------------------------------------------------------
+
+def j7_upsert_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-based MERGE classification (reference J7/S15
+    genie/load.py:255-296): new batch vs existing table → insert /
+    update / delete sets."""
+    orders = _t(spark, sf_dir, "orders")
+    existing = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+    )
+    new = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (_cents("o_totalprice") + (F.col("o_orderkey") % 5)).alias("price_cents"),
+    )
+    return upsert_diff(new, existing, keys=["o_orderkey"])
+
+
+J7_SQL = f"""
+WITH existing AS (
+  SELECT o_orderkey, o_custkey, {_CENTS_SQL.format(x='o_totalprice')} AS price_cents
+  FROM orders WHERE o_orderkey % 2 = 0
+), new AS (
+  SELECT o_orderkey, o_custkey,
+         {_CENTS_SQL.format(x='o_totalprice')} + (o_orderkey % 5) AS price_cents
+  FROM orders WHERE o_orderkey % 3 = 0
+), j AS (
+  SELECT coalesce(n.o_orderkey, e.o_orderkey) AS o_orderkey,
+         coalesce(n.o_custkey, e.o_custkey)   AS o_custkey,
+         coalesce(n.price_cents, e.price_cents) AS price_cents,
+         CASE WHEN e.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN n.o_custkey IS DISTINCT FROM e.o_custkey
+                OR n.price_cents IS DISTINCT FROM e.price_cents THEN 'update'
+              END AS __change
+  FROM new n FULL OUTER JOIN existing e ON n.o_orderkey = e.o_orderkey
+)
+SELECT * FROM j WHERE __change IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+def w1_adjacent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair neighbor analytics — the mutation-in-cis shape
+    (reference W1 R/mergecheck_functions.R:150-168): per user, events
+    sorted by time; flag pairs <5 min apart with |Δvalue| < 10."""
+    ev = _events(spark, sf_dir)
+    paired = adjacent_pairs(
+        ev,
+        partition_by="user_id",
+        order_by=["ts_us", "event_id"],
+        lag_cols={"ts_us": "prev_ts_us", "value": "prev_value", "event_id": "prev_event_id"},
+    )
+    return (
+        paired.where(
+            (F.col("ts_us") - F.col("prev_ts_us") < 300_000_000)
+            & (F.abs(F.col("value") - F.col("prev_value")) < 10)
+        )
+        .select("user_id", "event_id", "prev_event_id",
+                (F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"))
+    )
+
+
+W1_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER w AS prev_ts_us,
+         lag(value)        OVER w AS prev_value,
+         lag(event_id)     OVER w AS prev_event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id, event_id, prev_event_id, ts_us - prev_ts_us AS gap_us
+FROM ev
+WHERE ts_us - prev_ts_us < 300000000 AND abs(value - prev_value) < 10
+"""
+
+
+def w2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key dedup (reference W2 current-release pick,
+    genie/extract.py:152-159)."""
+    ev = _events(spark, sf_dir)
+    return latest_per_key(ev, "user_id", ["ts_us", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+W2_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def a5_lag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-vs-prior-release difference via lag (reference A5
+    ``update_sample_difference_table``): monthly event counts per type,
+    delta vs previous month."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    monthly = ev.groupBy(
+        "event_type", F.date_format("ts_t", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("month")
+    return monthly.withColumn(
+        "delta", F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))
+    )
+
+
+A5_SQL = """
+WITH monthly AS (
+  SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, month, n,
+       n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY month), 0) AS delta
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval joins (the genomic-range machinery, §2.3 J3-J6)
+# ---------------------------------------------------------------------------
+# Intervals are derived from `part`, points from `lineitem`, with a shared
+# group key — the same shape as (chromosome, position) vs BED panels.
+
+_IV_SQL = """
+  SELECT p_partkey AS iv_id, p_partkey % 7 AS grp,
+         (p_partkey * 37) % 50000 AS istart,
+         (p_partkey * 37) % 50000 + p_size * 20 AS iend
+  FROM part
+"""
+_PT_SQL = """
+  SELECT l_orderkey, l_linenumber, l_partkey % 7 AS grp,
+         (l_orderkey * 13 + l_linenumber * 997) % 50000 AS pos
+  FROM lineitem
+"""
+
+
+def _intervals(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("iv_id"),
+        (F.col("p_partkey") % 7).alias("grp"),
+        ((F.col("p_partkey") * 37) % 50000).alias("istart"),
+        (((F.col("p_partkey") * 37) % 50000) + F.col("p_size") * 20).alias("iend"),
+    )
+
+
+def _points(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # The driver's parquet files are single-row-group → one scan task.
+    # Round-robin repartition (cheap: MBs) so the interval-join fan-out
+    # uses every core.  On a real cluster the input arrives pre-split.
+    return li.repartition(spark.sparkContext.defaultParallelism).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 7).alias("grp"),
+        ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 997) % 50000).alias("pos"),
+    )
+
+
+def j3_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join — MAF-in-BED overlap (reference J3
+    R/MAFinBED.R:126-161).  The bin-bucketed equi key makes this a
+    hash join instead of a nested-loop; see operators/intervals.py."""
+    out = interval_join(
+        _points(spark, sf_dir),
+        _intervals(spark, sf_dir),
+        on=["grp"],
+        pos="pos",
+        start="istart",
+        end="iend",
+        bin_size=1000,
+    )
+    return out.select("l_orderkey", "l_linenumber", "pos", "iv_id")
+
+
+J3_SQL = f"""
+WITH iv AS ({_IV_SQL}), pt AS ({_PT_SQL})
+SELECT l_orderkey, l_linenumber, pos, iv_id
+FROM pt JOIN iv ON pt.grp = iv.grp AND pt.pos BETWEEN iv.istart AND iv.iend
+"""
+
+
+def j3_interval_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAFinBED *remove* set: points overlapping no interval
+    (reference R/MAFinBED.R:133-136)."""
+    from genie_spark.operators.intervals import interval_anti_join
+
+    out = interval_anti_join(
+        _points(spark, sf_dir),
+        _intervals(spark, sf_dir),
+        on=["grp"],
+        pos="pos",
+        start="istart",
+        end="iend",
+        bin_size=1000,
+    )
+    return out.select("l_orderkey", "l_linenumber", "pos")
+
+
+J3_ANTI_SQL = f"""
+WITH iv AS ({_IV_SQL}), pt AS ({_PT_SQL})
+SELECT l_orderkey, l_linenumber, pos FROM pt
+WHERE NOT EXISTS (
+  SELECT 1 FROM iv WHERE pt.grp = iv.grp AND pt.pos BETWEEN iv.istart AND iv.iend
+)
+"""
+
+
+def j4_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join — whitelist variant check (reference J4
+    pyranges ``intersect(how="containment")``,
+    genie/database_to_staging.py:253-292): left ranges fully inside a
+    right interval."""
+    pts = _points(spark, sf_dir).withColumn("pos_end", F.col("pos") + 25)
+    out = containment_join(
+        pts,
+        _intervals(spark, sf_dir),
+        on=["grp"],
+        start_left="pos",
+        end_left="pos_end",
+        start="istart",
+        end="iend",
+        bin_size=1000,
+        how="left_semi",
+    )
+    return out.select("l_orderkey", "l_linenumber", "pos")
+
+
+J4_SQL = f"""
+WITH iv AS ({_IV_SQL}), pt AS (SELECT *, pos + 25 AS pos_end FROM ({_PT_SQL}))
+SELECT l_orderkey, l_linenumber, pos FROM pt
+WHERE EXISTS (
+  SELECT 1 FROM iv
+  WHERE pt.grp = iv.grp AND pt.pos >= iv.istart AND pt.pos_end <= iv.iend
+)
+"""
+
+
+def j6_max_overlap_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-overlap symbol remap (reference J6 genie_registry/bed.py:
+    250-393): each segment maps to the overlapping gene with the largest
+    overlap ratio when unambiguous and ratio > 0.9."""
+    segs = (
+        _t(spark, sf_dir, "orders")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("o_orderkey").alias("seg_id"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            ((F.col("o_orderkey") * 53) % 50000).alias("sstart"),
+        )
+        .withColumn("send", F.col("sstart") + 30)
+    )
+    genes = _intervals(spark, sf_dir).select(
+        "grp", "istart", "iend", F.concat(F.lit("G"), F.col("iv_id")).alias("symbol")
+    )
+    out = max_overlap_remap(
+        segs,
+        genes,
+        on=["grp"],
+        seg_start="sstart",
+        seg_end="send",
+        gene_start="istart",
+        gene_end="iend",
+        gene_symbol="symbol",
+        min_ratio=0.9,
+        bin_size=1000,
+        seg_id="seg_id",
+    )
+    return out.select("seg_id", "remapped_symbol")
+
+
+J6_SQL = f"""
+WITH genes AS (SELECT grp, istart, iend, 'G' || CAST(iv_id AS VARCHAR) AS symbol FROM ({_IV_SQL})),
+segs AS (
+  SELECT o_orderkey AS seg_id, o_orderkey % 7 AS grp,
+         (o_orderkey * 53) % 50000 AS sstart,
+         (o_orderkey * 53) % 50000 + 30 AS send
+  FROM orders
+),
+hits AS (
+  SELECT s.seg_id, g.symbol,
+         CAST(least(s.send, g.iend) - greatest(s.sstart, g.istart) + 1 AS DOUBLE)
+           / (s.send - s.sstart + 1) AS ratio
+  FROM segs s JOIN genes g
+    ON s.grp = g.grp AND s.sstart <= g.iend AND s.send >= g.istart
+),
+best AS (
+  SELECT seg_id, symbol, ratio,
+         max(ratio) OVER (PARTITION BY seg_id) AS max_ratio
+  FROM hits
+),
+chosen AS (
+  SELECT seg_id,
+         CASE WHEN count(DISTINCT symbol) = 1 AND max(ratio) > 0.9
+              THEN min(symbol) ELSE NULL END AS remapped_symbol
+  FROM best WHERE ratio = max_ratio
+  GROUP BY seg_id
+)
+SELECT s.seg_id, c.remapped_symbol
+FROM segs s LEFT JOIN chosen c ON s.seg_id = c.seg_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PHI redaction (§2.9)
+# ---------------------------------------------------------------------------
+
+def phi_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHI redaction pass (reference genie/database_to_staging.py:109-233)
+    applied to a synthesized patient table derived from customer."""
+    cust = _t(spark, sf_dir, "customer")
+    patients = cust.select(
+        F.col("c_custkey").alias("PATIENT_ID"),
+        F.floor(F.col("c_acctbal") * 4).cast("long").cast("string").alias("AGE_AT_SEQ_REPORT"),
+        (F.lit(1900) + F.col("c_custkey") % 120).cast("string").alias("BIRTH_YEAR"),
+        (F.lit(1990) + F.col("c_custkey") % 40).cast("string").alias("YEAR_CONTACT"),
+    )
+    return redact_phi(
+        patients,
+        interval_cols=("AGE_AT_SEQ_REPORT",),
+        birth_year_col="BIRTH_YEAR",
+        year_cols=("YEAR_CONTACT",),
+    )
+
+
+PHI_SQL = """
+WITH p AS (
+  SELECT c_custkey AS PATIENT_ID,
+         CAST(CAST(floor(c_acctbal * 4) AS BIGINT) AS VARCHAR) AS age,
+         CAST(1900 + c_custkey % 120 AS VARCHAR) AS byr,
+         CAST(1990 + c_custkey % 40 AS VARCHAR) AS yct
+  FROM customer
+), flags AS (
+  SELECT PATIENT_ID, age, byr, yct,
+         (age LIKE '>%' OR TRY_CAST(age AS DOUBLE) > 32485) AS over89,
+         (age LIKE '<%' OR TRY_CAST(age AS DOUBLE) < 6570)  AS under18,
+         (TRY_CAST(yct AS DOUBLE) - TRY_CAST(byr AS DOUBLE) > 89) AS yeardiff
+  FROM p
+)
+SELECT PATIENT_ID,
+       CASE WHEN over89 THEN '>32485' WHEN under18 THEN '<6570' ELSE age END AS AGE_AT_SEQ_REPORT,
+       CASE WHEN byr LIKE '>%' OR byr LIKE '<%' THEN 'cannotReleaseHIPAA'
+            WHEN coalesce(over89, FALSE) THEN 'cannotReleaseHIPAA'
+            WHEN coalesce(yeardiff, FALSE) THEN 'cannotReleaseHIPAA'
+            WHEN coalesce(under18, FALSE) THEN 'withheld'
+            ELSE byr END AS BIRTH_YEAR,
+       yct AS YEAR_CONTACT
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "s12_pushdown_scan": s12_pushdown_scan,
+    "j1_revenue_per_nation": j1_revenue_per_nation,
+    "j9_code_remap": j9_code_remap,
+    "j11_containment_check": j11_containment_check,
+    "p3_semi_filter": p3_semi_filter,
+    "p4_anti_filter": p4_anti_filter,
+    "p6_greatest_threshold": p6_greatest_threshold,
+    "p12_date_window_filter": p12_date_window_filter,
+    "p14_group_count_filter": p14_group_count_filter,
+    "p15_retract_cascade": p15_retract_cascade,
+    "a1_counts_with_total": a1_counts_with_total,
+    "a2_distinct_counts": a2_distinct_counts,
+    "a3_pivot_counts": a3_pivot_counts,
+    "a5_lag_difference": a5_lag_difference,
+    "a7_median": a7_median,
+    "a8_merge_duplicates": a8_merge_duplicates,
+    "a9_duplicate_keys": a9_duplicate_keys,
+    "a11_fill_count_algebra": a11_fill_count_algebra,
+    "a13_group_concat": a13_group_concat,
+    "j7_upsert_diff": j7_upsert_diff,
+    "w1_adjacent_events": w1_adjacent_events,
+    "w2_latest_per_key": w2_latest_per_key,
+    "j3_interval_join": j3_interval_join,
+    "j3_interval_anti": j3_interval_anti,
+    "j4_containment_join": j4_containment_join,
+    "j6_max_overlap_remap": j6_max_overlap_remap,
+    "phi_redaction": phi_redaction,
+}
+
+ORACLES: dict = {
+    "q1_pricing_summary": Q1_SQL,
+    "s12_pushdown_scan": S12_SQL,
+    "j1_revenue_per_nation": J1_SQL,
+    "j9_code_remap": J9_SQL,
+    "j11_containment_check": J11_SQL,
+    "p3_semi_filter": P3_SQL,
+    "p4_anti_filter": P4_SQL,
+    "p6_greatest_threshold": P6_SQL,
+    "p12_date_window_filter": P12_SQL,
+    "p14_group_count_filter": P14_SQL,
+    "p15_retract_cascade": P15_SQL,
+    "a1_counts_with_total": A1_SQL,
+    "a2_distinct_counts": A2_SQL,
+    "a3_pivot_counts": A3_SQL,
+    "a5_lag_difference": A5_SQL,
+    "a7_median": A7_SQL,
+    "a8_merge_duplicates": A8_SQL,
+    "a9_duplicate_keys": A9_SQL,
+    "a11_fill_count_algebra": A11_SQL,
+    "a13_group_concat": A13_SQL,
+    "j7_upsert_diff": J7_SQL,
+    "w1_adjacent_events": W1_SQL,
+    "w2_latest_per_key": W2_SQL,
+    "j3_interval_join": J3_SQL,
+    "j3_interval_anti": J3_ANTI_SQL,
+    "j4_containment_join": J4_SQL,
+    "j6_max_overlap_remap": J6_SQL,
+    "phi_redaction": PHI_SQL,
+}

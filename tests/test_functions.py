@@ -1,0 +1,86 @@
+"""Scalar-function and redaction tests (reference: redaction
+parametrized cases tests/test_database_to_staging.py:1151-1786)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genie_spark.functions.redact import redact_phi
+from genie_spark.functions.scalars import (
+    allele_ok,
+    chromosome_ok,
+    genie_id_ok,
+    is_integer_string,
+    parse_month_year,
+    standardize_for_compare,
+    strip_chr_prefix,
+    days_to_years,
+)
+
+
+def _eval(spark, col, values, input_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"x {input_type}")
+    return [r[0] for r in df.select(col).collect()]
+
+
+def test_is_integer_string(spark):
+    got = _eval(spark, is_integer_string("x"), ["3", "3.0", "3.5", "abc", None, "-7"])
+    assert got == [True, True, False, False, False, True]
+
+
+def test_genie_id(spark):
+    ids = ["GENIE-SAGE-1-1", "GENIE-TEST-1", "SAGE-1", "GENIE-SAGE-" + "x" * 50]
+    got = _eval(spark, genie_id_ok("x", "SAGE"), ids)
+    assert got == [True, False, False, False]
+
+
+def test_allele_charset(spark):
+    # literal "NA" is a VALID allele (N+A) — genie_registry/maf.py:513-551
+    got = _eval(spark, allele_ok("x"), ["ATCG", "atcg", "NA", "-", "--", "A-T", "XYZ", ""])
+    assert got == [True, True, True, True, True, False, False, False]
+
+
+def test_chromosome_domain(spark):
+    got = _eval(spark, chromosome_ok("x", allow_chr_prefix=True),
+                ["1", "22", "X", "MT", "chr5", "23", "chr23"])
+    assert got == [True, True, True, True, True, False, False]
+
+
+def test_strip_chr_and_standardize(spark):
+    assert _eval(spark, strip_chr_prefix("x"), ["chr1", "1chr", "chrX"]) == ["1", "1chr", "X"]
+    assert _eval(spark, standardize_for_compare("x"), ["A_B", "a-b"]) == ["a-b", "a-b"]
+
+
+def test_parse_month_year(spark):
+    got = _eval(spark, parse_month_year("x").cast("string"), ["Jan-2017", "jUL-1999", "bogus"])
+    assert got == ["2017-01-01", "1999-07-01", None]
+
+
+def test_days_to_years(spark):
+    got = _eval(spark, days_to_years("x"), ["36500", "365", "0"])
+    assert got == [99, 0, 0]
+
+
+def test_redact_phi_interval_and_birth_year(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "40000", "1930", "2020"),   # >89y → redact age + birth year
+            ("p2", "1000", "2010", "2020"),    # <18y → withheld birth year
+            ("p3", "20000", "1980", "2020"),   # fine
+            ("p4", ">32485", "1930", "2020"),  # already marked
+            ("p5", "20000", "1920", "2015"),   # year diff 95 > 89 → redact BY
+            ("p6", "20000", ">89", "2020"),    # sentinel birth year → redact
+        ],
+        ["PATIENT_ID", "AGE_AT_SEQ_REPORT", "BIRTH_YEAR", "YEAR_CONTACT"],
+    )
+    out = redact_phi(
+        df, interval_cols=("AGE_AT_SEQ_REPORT",), birth_year_col="BIRTH_YEAR",
+        year_cols=("YEAR_CONTACT",),
+    )
+    got = {r["PATIENT_ID"]: (r["AGE_AT_SEQ_REPORT"], r["BIRTH_YEAR"]) for r in out.collect()}
+    assert got["p1"] == (">32485", "cannotReleaseHIPAA")
+    assert got["p2"] == ("<6570", "withheld")
+    assert got["p3"] == ("20000", "1980")
+    assert got["p4"] == (">32485", "cannotReleaseHIPAA")
+    assert got["p5"] == ("20000", "cannotReleaseHIPAA")
+    assert got["p6"][1] == "cannotReleaseHIPAA"

@@ -1,0 +1,178 @@
+"""Operator unit tests on tiny inline DataFrames — mirrors the
+reference's test strategy (small fixtures, exact expected frames;
+tests/test_load.py, tests/test_process_functions.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genie_spark.operators.aggregations import (
+    duplicate_keys,
+    fill_count_algebra,
+    merge_duplicate_values,
+)
+from genie_spark.operators.filters import anti_filter, group_count_filter, semi_filter
+from genie_spark.operators.intervals import (
+    interval_anti_join,
+    interval_join,
+    interval_semi_join,
+    max_overlap_remap,
+)
+from genie_spark.operators.upsert import apply_upsert, upsert_diff
+from genie_spark.operators.windows import flag_variants_to_merge, latest_per_key
+
+
+def rows(df, *cols):
+    out = [tuple(r) for r in df.select(*cols).collect()]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def test_semi_anti_filter(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    keys = spark.createDataFrame([(1,), (3,)], ["k"])
+    assert rows(semi_filter(left, keys, "k"), "k") == [(1,), (3,)]
+    assert rows(anti_filter(left, keys, "k"), "k") == [(2,)]
+
+
+def test_group_count_filter(spark):
+    df = spark.createDataFrame([("a", i) for i in range(5)] + [("b", 0)], ["g", "x"])
+    out = group_count_filter(df, "g", 3)
+    assert rows(out, "g") == [("a",)] * 5
+
+
+def test_interval_join_matches_naive(spark):
+    pts = spark.createDataFrame(
+        [(i, i % 2, (i * 997) % 1000) for i in range(200)], ["pid", "grp", "pos"]
+    )
+    ivs = spark.createDataFrame(
+        [(j, j % 2, (j * 313) % 900, (j * 313) % 900 + 37) for j in range(40)],
+        ["iid", "grp", "s", "e"],
+    )
+    fast = interval_join(pts, ivs, ["grp"], "pos", "s", "e", bin_size=50)
+    naive = pts.alias("p").join(
+        ivs.alias("i"),
+        (F.col("p.grp") == F.col("i.grp"))
+        & (F.col("p.pos") >= F.col("i.s"))
+        & (F.col("p.pos") <= F.col("i.e")),
+    )
+    assert rows(fast, "pid", "iid") == rows(naive, "pid", "iid")
+    semi = interval_semi_join(pts, ivs, ["grp"], "pos", "s", "e", bin_size=50)
+    anti = interval_anti_join(pts, ivs, ["grp"], "pos", "s", "e", bin_size=50)
+    assert semi.count() + anti.count() == pts.count()
+    assert semi.count() == naive.select("pid").distinct().count()
+
+
+def test_interval_join_with_pad(spark):
+    pts = spark.createDataFrame([(1, 0, 89), (2, 0, 121), (3, 0, 150)], ["pid", "g", "pos"])
+    ivs = spark.createDataFrame([(10, 0, 100, 110)], ["iid", "g", "s", "e"])
+    hit = interval_semi_join(pts, ivs, ["g"], "pos", "s", "e", bin_size=10, pad=15)
+    # pad 15: [85, 125] → pids 1 and 2 overlap, 3 does not
+    assert rows(hit, "pid") == [(1,), (2,)]
+
+
+def test_max_overlap_remap(spark):
+    # seg 1 overlaps gene A fully (ratio 1.0 > 0.9) → A
+    # seg 2 overlaps A and B equally at max → ambiguous → null
+    # seg 3 overlaps nothing → null
+    # seg 4 best overlap (gene B, ratio 20/30) < 0.9 → null
+    segs = spark.createDataFrame(
+        [(1, 0, 100, 109), (2, 0, 195, 204), (3, 0, 900, 909), (4, 0, 190, 219)],
+        ["seg_id", "g", "s", "e"],
+    )
+    genes = spark.createDataFrame(
+        [(0, 50, 199, "A"), (0, 200, 300, "B")], ["g", "gs", "ge", "sym"]
+    )
+    out = max_overlap_remap(
+        segs, genes, ["g"], "s", "e", "gs", "ge", "sym", min_ratio=0.9,
+        bin_size=100, seg_id="seg_id",
+    )
+    got = {r["seg_id"]: r["remapped_symbol"] for r in out.collect()}
+    assert got == {1: "A", 2: None, 3: None, 4: None}
+
+
+def test_upsert_diff(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "x"]
+    )
+    new = spark.createDataFrame([(2, "b", 20), (3, "C", 30), (4, "d", 40)], ["k", "v", "x"])
+    diff = upsert_diff(new, existing, keys=["k"])
+    got = {r["k"]: r["__change"] for r in diff.collect()}
+    assert got == {1: "delete", 3: "update", 4: "insert"}
+    merged = apply_upsert(new, existing, keys=["k"])
+    assert rows(merged, "k", "v") == [(1, "a"), (2, "b"), (3, "C"), (4, "d")]
+    replaced = apply_upsert(new, existing, keys=["k"], delete_missing=True)
+    assert rows(replaced, "k") == [(2,), (3,), (4,)]
+
+
+def test_upsert_diff_null_vs_empty(spark):
+    existing = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, "")], "k int, v string")
+    diff = upsert_diff(new, existing, keys=["k"])
+    assert [r["__change"] for r in diff.collect()] == ["update"]
+
+
+def test_merge_duplicate_values(spark):
+    df = spark.createDataFrame(
+        [("g1", "s1", 1.0), ("g1", "s1", 1.0),   # 1 distinct → 1.0
+         ("g2", "s1", 0.0), ("g2", "s1", 2.0),   # 2 distinct with 0 → 2.0
+         ("g3", "s1", 1.0), ("g3", "s1", 2.0),   # 2 distinct no 0 → null
+         ("g4", "s1", 1.0), ("g4", "s1", 2.0), ("g4", "s1", 3.0)],  # 3 → null
+        ["gene", "sample", "value"],
+    )
+    out = merge_duplicate_values(df, ["gene", "sample"], "value")
+    got = {r["gene"]: r["merged_value"] for r in out.collect()}
+    assert got == {"g1": 1.0, "g2": 2.0, "g3": None, "g4": None}
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    assert rows(duplicate_keys(df, ["k", "v"]), "k", "n") == [(1, 2)]
+
+
+def test_fill_count_algebra(spark):
+    df = spark.createDataFrame(
+        [(1, None, 3.0, 7.0), (2, 10.0, None, 4.0), (3, 10.0, 6.0, None)],
+        "id int, d double, r double, a double",
+    )
+    out = fill_count_algebra(df, "d", "r", "a")
+    got = {r["id"]: (r["d"], r["r"], r["a"]) for r in out.collect()}
+    assert got == {1: (10.0, 3.0, 7.0), 2: (10.0, 6.0, 4.0), 3: (10.0, 6.0, 4.0)}
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")], ["k", "t", "v"]
+    )
+    out = latest_per_key(df, "k", ["t"])
+    assert rows(out, "k", "v") == [(1, "new"), (2, "only")]
+
+
+def test_flag_variants_to_merge(spark):
+    # sample S: variants at 100 and 103 (dBP=3) with close VAF and codons
+    # 12 → flagged pair; variant at 500 isolated → not flagged.
+    df = spark.createDataFrame(
+        [
+            ("S", "1", 100, 30.0, 100.0, "12/400"),
+            ("S", "1", 103, 32.0, 100.0, "12/400"),
+            ("S", "1", 500, 30.0, 100.0, "99/400"),
+            ("T", "1", 104, 30.0, 100.0, "12/400"),
+        ],
+        ["Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+         "t_alt_count", "t_depth", "Protein_position"],
+    )
+    out = flag_variants_to_merge(df)
+    got = sorted((r["Tumor_Sample_Barcode"], r["Start_Position"]) for r in out.collect())
+    assert got == [("S", 100), ("S", 103)]
+
+
+def test_flag_variants_zero_depth_vaf(spark):
+    # zero depth → VAF treated as 1/1 (R/mergecheck_functions.R:120-135)
+    df = spark.createDataFrame(
+        [
+            ("S", "1", 100, 5.0, 0.0, "1"),
+            ("S", "1", 102, 5.0, 0.0, "1"),
+        ],
+        ["Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+         "t_alt_count", "t_depth", "Protein_position"],
+    )
+    assert flag_variants_to_merge(df).count() == 2
