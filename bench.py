@@ -30,6 +30,9 @@ HEADLINE = [
     "j3_interval_join",
     "j6_max_overlap_remap",
     "phi_redaction",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "text_quality",
 ]
 
 
@@ -48,10 +51,14 @@ def main() -> None:
         if fn is None:
             continue
         df = fn(spark, sf_dir)
-        df.count()  # warm: file listing + schema; also validates the plan
+        _ = df.schema  # resolve the plan (no execution)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # nudge the ContextCleaner: old executions' shuffle state is only
+        # released on driver GC; letting it pile up degrades later
+        # queries (observed 30×: high sys-CPU, shuffle-file churn)
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

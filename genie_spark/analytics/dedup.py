@@ -1,0 +1,243 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale posture (the reason each variant exists):
+  * exact — one hash-groupBy; O(n) shuffle of (hash, id) pairs only.
+  * n-gram Jaccard — exact near-dup metric via a shingle self-join;
+    correct but the join fans out quadratically on hot shingles.  Use
+    long shingles (k≈20) and/or a document-frequency cap; this is the
+    oracle/verification path, not the 100 TB path.
+  * MinHash+LSH — the 100 TB path: constant-size signature per doc,
+    banding turns near-dup search into an equi-join on (band, sig);
+    only candidate pairs are verified.  Everything is derived from
+    md5, so results are deterministic and engine-reproducible.
+  * SimHash — constant-size bit fingerprint; near-dups have small
+    Hamming distance; pairs found by XOR+popcount.
+
+No Python UDFs anywhere — shingling, hashing, minhashing and banding
+are all built-in column expressions, so the hot path stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1; h is reduced mod p before a*h+b so products
+# stay < 2^62 (no ANSI long overflow).
+MERSENNE_P = 2_147_483_647
+
+# (a, b) parameters for the minhash permutation family h_i = (a*h+b)%p.
+# Fixed constants (not random) so Spark and the SQL oracle agree.
+def perm_params(n: int) -> list[tuple[int, int]]:
+    return [((2 * i + 1) * 40_503 % MERSENNE_P, (i * 1_299_721 + 7) % MERSENNE_P) for i in range(n)]
+
+
+def shingle_hash(col: Column) -> Column:
+    """60-bit integer hash of a shingle: first 15 hex chars of md5.
+    (15 hex digits = 60 bits < long range; same formula expressible in
+    DuckDB as CAST('0x'||substr(md5(s),1,15) AS BIGINT).)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Distinct character k-shingles per document, exploded long-form.
+    Shingling via sequence+substring stays JVM-side."""
+    idx = F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1)))
+    return (
+        df.select(id_col, F.col(text_col))
+        .where(F.length(text_col) >= k)
+        .withColumn("__i", idx)
+        .select(id_col, F.expr(f"substring({text_col}, __i, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct
+    content with the surviving (minimum) id and the copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with shingle-set Jaccard ≥ threshold.
+
+    Self-join on the shingle column; ``max_df`` drops shingles present
+    in more than that many documents (hot-key guard — at corpus scale a
+    ubiquitous shingle would fan out quadratically).  Jaccard =
+    |∩| / (|A|+|B|−|∩|), exact integers → deterministic double.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: n_perm min-aggregates over the
+    permuted shingle hashes — one groupBy, partial-aggregated map-side
+    (each doc's signature never exceeds n_perm longs in flight)."""
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
+    )
+    aggs = [
+        F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perm_params(n_perm))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs: docs sharing any
+    band signature.  Equi-join on (band, band_sig) — hash-partitioned,
+    skew-safe under AQE, no quadratic scan."""
+    rows_per_band = n_perm // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.concat_ws("_", *cols).alias("sig"))
+        )
+    banded = signatures.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = banded.select(F.col(id_col).alias("a"), "band", "sig")
+    right = banded.select(F.col(id_col).alias("b"), "band", "sig")
+    return (
+        left.join(right, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded
+    candidates → exact Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n_perm)
+    cand = lsh_candidate_pairs(sigs, id_col, n_perm, bands)
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        cand.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens: per bit, sum ±1
+    across token hashes; bit set where the sum is positive.  One
+    explode + one groupBy with n_bits sum-aggregates (partial agg
+    collapses map-side)."""
+    from genie_spark.analytics.text import tokens
+
+    tok = df.select(id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    h = shingle_hash(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    summed = tok.groupBy(id_col).agg(*bit_sums)
+    value = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = term if value is None else (value + term)
+    return summed.select(id_col, value.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_distance.
+
+    All-pairs XOR+popcount — fine to a few hundred thousand docs; at
+    corpus scale swap the cross join for banding on bit-chunks (same
+    LSH trick as minhash) before the verify."""
+    s = simhash(df, id_col, text_col, n_bits)
+    a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", dist)
+        .where(F.col("hamming") <= max_distance)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (array<float>).
+
+Determinism note: cosine over floats is NOT engine-stable (summation
+order).  We quantize to integers (round(x*1000)) first — integer dot
+products are exact in any order, and the final divide is a single
+deterministic IEEE op — so Spark and the DuckDB oracle agree bit-for-bit.
+
+Scale path: ``cosine_topk`` is the brute-force baseline (fine for a
+broadcastable query set); ``lsh_cosine_candidates`` buckets vectors by
+random-hyperplane signs so candidate generation is an equi-join, the
+same banding idea as MinHash — that is the 1000-executor shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+
+
+def quantized(col: str | Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> → array<long>, x → floor(x*scale + 0.5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    q = quantized(vec_col)
+    return df.select(
+        F.col(id_col).alias(prefix),
+        q.alias(f"{prefix}_v"),
+    ).withColumn(f"{prefix}_n", dot(F.col(f"{prefix}_v"), F.col(f"{prefix}_v")))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All pairs with quantized cosine similarity above threshold.
+    O(n²) compare — the exact baseline the LSH variant approximates."""
+    a = _with_norm(df, id_col, vec_col, "a")
+    b = _with_norm(df, id_col, vec_col, "b")
+    cos = F.try_divide(
+        dot(F.col("a_v"), F.col("b_v")), F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n"))
+    )  # zero-norm vector → null similarity, not an ANSI error
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") > threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Brute-force top-k neighbors for each query vector (queries =
+    rows matching ``query_filter``, broadcast against the corpus).
+    Rank is deterministic: (cosine desc, neighbor id asc)."""
+    queries = df.where(query_filter) if query_filter is not None else df
+    q = _with_norm(queries, id_col, vec_col, "q")
+    c = _with_norm(df, id_col, vec_col, "c")
+    cos = F.try_divide(
+        dot(F.col("q_v"), F.col("c_v")), F.sqrt(F.col("q_n")) * F.sqrt(F.col("c_n"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q") != F.col("c"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cosine").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q").alias("query_id"), F.col("c").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+N_HYPERPLANES = 8
+
+
+def _hyperplane(dim: int, seed: int) -> list[int]:
+    """Deterministic ±1 hyperplane from a tiny LCG (no RNG API — results
+    must be reproducible across engines and rounds)."""
+    out, state = [], seed * 2_654_435_761 % 2**32
+    for _ in range(dim):
+        state = (1_103_515_245 * state + 12_345) % 2**31
+        out.append(1 if state % 2 else -1)
+    return out
+
+
+def lsh_cosine_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = N_HYPERPLANES,
+) -> DataFrame:
+    """Random-hyperplane LSH bucketing: sign-bit signature per vector;
+    vectors sharing the signature are candidate neighbors.  Turns ANN
+    candidate generation into a groupBy/equi-join on the signature —
+    the scale path (no cross join)."""
+    q = quantized(vec_col)
+    sig = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p + 1)])
+        proj = dot(q, plane)
+        bit = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else (sig + bit)
+    sigs = df.select(F.col(id_col).alias("vid"), sig.alias("bucket"))
+    a = sigs.select(F.col("vid").alias("a"), "bucket")
+    b = sigs.select(F.col("vid").alias("b"), "bucket")
+    return a.join(b, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "bucket")

@@ -1,0 +1,111 @@
+"""Text analysis over a document table: tokenization stats, quality
+scoring, language identification, fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions (codegen'd, Arrow-free).
+Ratios are computed as int/int divisions — deterministic across
+engines, so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tokens: maximal runs of non-whitespace (empty strings filtered — Java
+# split keeps trailing empties, DuckDB differs; the filter normalizes)
+def tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+# marker words per language for the n-gram/stopword language-ID
+# heuristic; priority order breaks ties deterministically
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "se"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokenization + a BPE-ish
+    subword estimate (4 chars ≈ 1 token, the common LLM heuristic)."""
+    t = tokens(text_col)
+    return df.select(
+        id_col,
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars_trim"),
+        (F.floor(F.length(F.col(text_col)) / 4)).cast("long").alias("n_subword_est"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals (length / punctuation / stopword
+    ratios) of the kind used to filter LLM pretraining corpora."""
+    t = tokens(text_col)
+    text = F.col(text_col)
+    n_tok = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        # int/int division → bitwise-identical across engines
+        (n_stop / F.greatest(n_tok, F.lit(1))).alias("stop_ratio"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (
+            (n_tok >= 10)
+            & ((n_stop / F.greatest(n_tok, F.lit(1))) > 0.01)
+            & ((n_alpha / F.greatest(n_chars, F.lit(1))) > 0.5)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count per-language marker hits over the
+    token set; fixed priority order (en, es, fr, de) breaks ties; zero
+    hits everywhere → 'unknown'."""
+    t = tokens(text_col)
+
+    def _hit(arr):
+        # single-arg lambda factory: a default-arg closure would make
+        # Spark treat it as the two-arg (element, index) filter form
+        return lambda x: F.array_contains(arr, F.lower(x))
+
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(t, _hit(arr)))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # build when-chain so earlier langs win ties
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select(
+        id_col,
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: md5 over lowercased,
+    whitespace-collapsed text (a cheap rolling-hash stand-in usable as
+    a dedup key at any scale)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

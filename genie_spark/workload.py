@@ -842,6 +842,8 @@ FROM flags
 # Registry
 # ---------------------------------------------------------------------------
 
+from genie_spark.workload_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
+
 QUERIES: dict = {
     "q1_pricing_summary": q1_pricing_summary,
     "s12_pushdown_scan": s12_pushdown_scan,
@@ -871,6 +873,7 @@ QUERIES: dict = {
     "j4_containment_join": j4_containment_join,
     "j6_max_overlap_remap": j6_max_overlap_remap,
     "phi_redaction": phi_redaction,
+    **ANALYTICS_QUERIES,
 }
 
 ORACLES: dict = {
@@ -902,4 +905,5 @@ ORACLES: dict = {
     "j4_containment_join": J4_SQL,
     "j6_max_overlap_remap": J6_SQL,
     "phi_redaction": PHI_SQL,
+    **ANALYTICS_ORACLES,
 }

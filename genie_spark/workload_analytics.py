@@ -1,0 +1,357 @@
+"""Training-data analytics queries over documents/embeddings, with
+DuckDB oracles.
+
+The minhash/simhash oracle SQL is GENERATED from the same constants the
+Spark implementation uses (perm_params, bit counts) so the two sides
+cannot drift.  Determinism rules are as in workload.py: every hash is
+md5/sha-derived, every similarity is computed from exact quantized
+integers, every ratio is an int/int divide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genie_spark.analytics.dedup import (
+    MERSENNE_P,
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    perm_params,
+    simhash,
+    SIMHASH_BITS,
+)
+from genie_spark.analytics.similarity import cosine_pairs, cosine_topk, lsh_cosine_candidates
+from genie_spark.analytics.text import fingerprint, lang_id, quality_score, token_stats
+from genie_spark.analytics.multimodal import extract_features
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-row-group parquet → repartition for parallel fan-out
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+# shared SQL fragments -------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, substr(text, i, 20) AS shingle
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 18)) AS i
+        FROM documents WHERE length(text) >= 20)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, min-id survivor."""
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 20-char shingle sets, Jaccard ≥ 0.5."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=20, threshold=0.5)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common,
+       n_common * 1.0 / (na.n + nb.n - n_common) AS jaccard
+FROM common JOIN sizes na ON common.a = na.doc_id
+            JOIN sizes nb ON common.b = nb.doc_id
+WHERE n_common * 1.0 / (na.n + nb.n - n_common) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (signatures → band buckets →
+    verified candidates) — the 100 TB dedup path."""
+    return minhash_dedup_pairs(_docs(spark, sf_dir), k=20, n_perm=16, bands=4, threshold=0.5)
+
+
+def _minhash_sql() -> str:
+    params = perm_params(16)
+    mh_exprs = ",\n         ".join(
+        f"min((h * {a} + {b}) % {MERSENNE_P}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    band_rows = []
+    for bi in range(4):
+        cols = ", ".join(f"mh_{bi * 4 + r}" for r in range(4))
+        band_rows.append(
+            f"SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS sig FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MERSENNE_P} AS h FROM sh),
+sig AS (SELECT doc_id,
+         {mh_exprs}
+        FROM h GROUP BY doc_id),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT common.a, common.b,
+       n_common * 1.0 / (na.n + nb.n - n_common) AS jaccard
+FROM common JOIN sizes na ON common.a = na.doc_id
+            JOIN sizes nb ON common.b = nb.doc_id
+WHERE n_common * 1.0 / (na.n + nb.n - n_common) >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprint."""
+    return simhash(_docs(spark, sf_dir))
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+s AS (SELECT doc_id,
+         {sums}
+      FROM h GROUP BY doc_id)
+SELECT doc_id, {value} AS simhash FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = "list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+
+
+def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with quantized cosine > 0.35 (exact baseline)."""
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+ANN_PAIRS_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(list_dot_product(a.v, b.v) AS BIGINT) / (sqrt(a.nn) * sqrt(b.nn)) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) / (sqrt(a.nn) * sqrt(b.nn)) > 0.35
+"""
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id < 20)."""
+    return cosine_topk(_emb(spark, sf_dir), k=10, query_filter=F.col("vec_id") < 20)
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
+s AS (
+  SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(qa.v, c.v) AS BIGINT) / (sqrt(qa.nn) * sqrt(c.nn)) AS cosine
+  FROM n qa JOIN n c ON qa.vec_id != c.vec_id
+  WHERE qa.vec_id < 20
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs — the ANN scale path
+    (equi-join on sign-bit bucket, no cross join).  Rows-only check:
+    the bucket construction is verified by the unit tests instead."""
+    return lsh_cosine_candidates(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       length(trim(text)) AS n_chars_trim,
+       CAST(length(text) // 4 AS BIGINT) AS n_subword_est
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+_STOPLIST = "['the','a','and','of','to','in','is','it','for','on']"
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+  FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({_STOPLIST}, lower(x)))) AS n_stopwords,
+         n_chars, n_alpha, n_digit, n_punct
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       n_stopwords * 1.0 / greatest(n_tokens, 1) AS stop_ratio,
+       n_alpha * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+       n_digit * 1.0 / greatest(n_chars, 1) AS digit_ratio,
+       n_punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+       (n_tokens >= 10 AND n_stopwords * 1.0 / greatest(n_tokens, 1) > 0.01
+        AND n_alpha * 1.0 / greatest(n_chars, 1) > 0.5) AS passes_quality
+FROM c
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+_MARKERS = {
+    "en": "['the','and','of','to','is','in','that']",
+    "es": "['el','la','de','que','y','los','se']",
+    "fr": "['le','la','de','et','les','des','une']",
+    "de": "['der','die','und','das','ist','nicht','ein']",
+}
+
+LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({_MARKERS['en']}, lower(x)))) AS score_en,
+         len(list_filter(toks, x -> list_contains({_MARKERS['es']}, lower(x)))) AS score_es,
+         len(list_filter(toks, x -> list_contains({_MARKERS['fr']}, lower(x)))) AS score_fr,
+         len(list_filter(toks, x -> list_contains({_MARKERS['de']}, lower(x)))) AS score_de
+  FROM t
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+            WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas path, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over a binary
+    column (documents' text encoded as bytes stands in for media
+    payloads; the decode is the deterministic stub).  Verifies the
+    whole Pandas-UDF plumbing — schema, batching, binary transport —
+    against a SQL oracle on sha256/byte-length."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return extract_features(media).select("media_id", "n_bytes", "content_sha")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(('0x' || substr(sha256(text), 1, 6)) AS INT) AS content_sha
+FROM documents
+"""
+
+
+ANALYTICS_QUERIES: dict = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_pairs": ann_cosine_pairs,
+    "ann_topk": ann_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_features": multimodal_features,
+}
+
+ANALYTICS_ORACLES: dict = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "ann_cosine_pairs": ANN_PAIRS_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    # ann_lsh_buckets: rows-only (bucketing verified by unit tests)
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_lang_id": LANG_ID_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+    "multimodal_features": MULTIMODAL_SQL,
+}

@@ -1,0 +1,124 @@
+"""Dedup / similarity / text / multimodal analytics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genie_spark.analytics.dedup import (
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from genie_spark.analytics.multimodal import extract_features, synthesize_media
+from genie_spark.analytics.similarity import cosine_pairs, cosine_topk, lsh_cosine_candidates
+from genie_spark.analytics.text import lang_id, quality_score, token_stats
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    return spark.createDataFrame(
+        [
+            (1, base * 3),
+            (2, base * 3),                      # exact dup of 1
+            (3, base * 3 + " extra tail here"),  # near dup of 1
+            (4, "completely different content about spark query engines and shuffles " * 3),
+            (5, "el la de que y los se " * 10),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark))
+    dups = [r for r in out.collect() if r["n_copies"] > 1]
+    assert len(dups) == 1 and dups[0]["survivor_id"] == 1 and dups[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    docs = _docs(spark)
+    exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, k=10, threshold=0.5).collect()}
+    assert (1, 2) in exact and (1, 3) in exact and (2, 3) in exact
+    assert not any(4 in p or 5 in p for p in exact)
+    mh = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, k=10, threshold=0.5).collect()}
+    # LSH candidates verified with exact jaccard → subset relation both ways
+    assert mh == exact
+
+
+def test_simhash_near_dups_close(spark):
+    docs = _docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical fingerprint
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_distance=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # near dup → small distance
+
+
+def _vectors(spark):
+    import math
+
+    rows = []
+    for i in range(30):
+        base = [math.sin(0.1 * (i + 1) * (j + 1)) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    rows.append((100, [float(x) + 0.001 for x in rows[0][1]]))  # near dup of 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_and_pairs(spark):
+    vecs = _vectors(spark)
+    top = cosine_topk(vecs, k=3, query_filter=F.col("vec_id") == 0).collect()
+    assert [r["query_id"] for r in top] == [0, 0, 0]
+    assert top[0]["neighbor_id"] == 100 and top[0]["rank"] == 1
+    pairs = {(r["a"], r["b"]) for r in cosine_pairs(vecs, threshold=0.999).collect()}
+    assert (0, 100) in pairs
+
+
+def test_lsh_buckets_contain_near_dup(spark):
+    vecs = _vectors(spark)
+    cand = {(r["a"], r["b"]) for r in lsh_cosine_candidates(vecs, dim=8).collect()}
+    assert (0, 100) in cand  # near-identical vectors share every sign bit
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat with a hat and a bat today ok"), (2, "x")],
+        ["doc_id", "text"],
+    )
+    ts = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert ts[1]["n_tokens"] == 14 and ts[2]["n_tokens"] == 1
+    q = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert q[1]["passes_quality"] is True and q[2]["passes_quality"] is False
+    assert abs(q[1]["stop_ratio"] - 6 / 14) < 1e-12
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in that house"),
+         (2, "el perro y la casa de que los se"),
+         (3, "zzz qqq www")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "unknown"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthesize_media(spark, n=12)
+    out = extract_features(media).collect()
+    assert len(out) == 12
+    by_id = {r["media_id"]: r for r in out}
+    assert all(len(r["feature"]) == 8 for r in out)
+    assert by_id[0]["n_bytes"] == 32  # sha256 digest × 1
+    # deterministic: second run identical
+    again = {r["media_id"]: r["content_sha"] for r in extract_features(media).collect()}
+    assert again == {r["media_id"]: r["content_sha"] for r in out}
+
+
+def test_multimodal_decode_is_stubbed(spark):
+    from genie_spark.analytics.multimodal import DeterministicFakeDecoder
+    import pytest as pt
+
+    with pt.raises(NotImplementedError):
+        DeterministicFakeDecoder().decode(b"\x89PNG")
