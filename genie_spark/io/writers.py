@@ -1,0 +1,195 @@
+"""Release-artifact writers (SURVEY.md §2.1 S13-S18).
+
+The reference writes single TSV/text files per artifact.  Here each
+writer has two modes: ``parts`` (df.write.csv — the 100 TB path, many
+files) and ``single`` (assemble one file on the driver from the part
+files — what cBioPortal ingestion expects; release artifacts are
+GB-scale, bounded).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def strip_float_formatting(df: DataFrame) -> DataFrame:
+    """'.0'-stripping on write (reference ``removePandasDfFloat``
+    genie/process_functions.py:258-303): integral doubles render as
+    integers.  Expressed as a cast, not a text post-process."""
+    exprs = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            c = F.col(f.name)
+            exprs.append(
+                F.when(c.isNotNull() & (c == F.floor(c)), c.cast("long").cast("string"))
+                .otherwise(c.cast("string"))
+                .alias(f.name)
+            )
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs)
+
+
+def write_tsv(
+    df: DataFrame,
+    path: str,
+    single: bool = True,
+    na_rep: str = "",
+    header_lines: Sequence[str] = (),
+) -> None:
+    """TSV sink with float-strip (S13) and optional prepended comment
+    header lines (the cBioPortal 5-line clinical header,
+    genie/process_functions.py:356-403)."""
+    out = strip_float_formatting(df)
+    tmp = path + ".__parts__"
+    (
+        out.na.fill(na_rep if na_rep else "")
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("emptyValue", na_rep)
+        .option("nullValue", na_rep)
+        .csv(tmp)
+    )
+    if single:
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        with open(path, "w") as outfh:
+            for line in header_lines:
+                outfh.write(line + "\n")
+            wrote_header = False
+            for p in parts:
+                with open(p) as fh:
+                    header = fh.readline()
+                    if not wrote_header:
+                        outfh.write(header)
+                        wrote_header = True
+                    shutil.copyfileobj(fh, outfh)
+        shutil.rmtree(tmp)
+    else:
+        os.rename(tmp, path)
+
+
+def cbio_clinical_headers(
+    columns: Sequence[str],
+    display_names: dict[str, str] | None = None,
+    descriptions: dict[str, str] | None = None,
+    datatypes: dict[str, str] | None = None,
+    priorities: dict[str, int] | None = None,
+) -> list[str]:
+    """The 4 '#' metadata lines cBioPortal expects above the header
+    (reference ``addClinicalHeaders``)."""
+    dn = display_names or {}
+    ds = descriptions or {}
+    dt = datatypes or {}
+    pr = priorities or {}
+    return [
+        "#" + "\t".join(dn.get(c, c.replace("_", " ").title()) for c in columns),
+        "#" + "\t".join(ds.get(c, dn.get(c, c.replace("_", " ").title())) for c in columns),
+        "#" + "\t".join(dt.get(c, "STRING") for c in columns),
+        "#" + "\t".join(str(pr.get(c, 1)) for c in columns),
+    ]
+
+
+def write_cbio_clinical(df: DataFrame, path: str, **header_kwargs) -> None:
+    """Clinical release file: 4 metadata lines + header + data."""
+    write_tsv(
+        df, path, single=True,
+        header_lines=cbio_clinical_headers(df.columns, **header_kwargs),
+    )
+
+
+def write_cna_wide(
+    cna_long: DataFrame,
+    path: str,
+    sample_ids: Sequence[str] | None = None,
+    na_rep: str = "NA",
+) -> None:
+    """CNA matrix sink: long (gene, sample, value) → wide pivot at
+    write time only (SURVEY.md §1.1 — the reference assembles this with
+    outer merges + unix ``join``, genie/database_to_staging.py:1426-1518;
+    a pivot is the native Spark equivalent).  Blank cells render as NA
+    (S16, genie_registry/cna.py:166-172)."""
+    pivoted = (
+        cna_long.groupBy("Hugo_Symbol")
+        .pivot("SAMPLE_ID", list(sample_ids) if sample_ids else None)
+        .agg(F.first("value"))
+        .orderBy("Hugo_Symbol")
+    )
+    write_tsv(pivoted, path, single=True, na_rep=na_rep)
+
+
+def case_list_texts(
+    clinical: DataFrame,
+    study_id: str,
+    by: str = "CANCER_TYPE",
+    sample_col: str = "SAMPLE_ID",
+) -> dict[str, str]:
+    """cBioPortal case-list files (S17, genie/create_case_lists.py:
+    18-271): one text blob per group with tab-joined sample ids.
+    groupBy+collect_list computes the groups distributed; rendering the
+    KB-scale texts happens on the driver."""
+    groups = (
+        clinical.where(F.col(by).isNotNull())
+        .groupBy(by)
+        .agg(F.array_sort(F.collect_set(sample_col)).alias("samples"))
+        .collect()
+    )
+    out = {}
+    for row in groups:
+        value = row[by]
+        key = value.lower().replace(" ", "_").replace("/", "_")
+        ids = "\t".join(row["samples"])
+        out[f"cases_{key}.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            f"stable_id: {study_id}_{key}\n"
+            f"case_list_name: Tumor Type: {value}\n"
+            f"case_list_description: All tumors with cancer type {value}\n"
+            f"case_list_ids: {ids}\n"
+        )
+    all_ids = "\t".join(
+        r[0]
+        for r in clinical.select(sample_col).distinct().orderBy(sample_col).collect()
+    )
+    out["cases_all.txt"] = (
+        f"cancer_study_identifier: {study_id}\n"
+        f"stable_id: {study_id}_all\n"
+        "case_list_name: All samples\n"
+        "case_list_description: All samples\n"
+        f"case_list_ids: {all_ids}\n"
+    )
+    return out
+
+
+def gene_panel_text(
+    bed: DataFrame,
+    seq_assay_id: str,
+    symbol_col: str = "Hugo_Symbol",
+) -> str:
+    """Gene panel file (S18, genie_registry/bed.py:444-497): unique
+    exon-region panel genes."""
+    symbols = (
+        bed.where(
+            (F.col("SEQ_ASSAY_ID") == seq_assay_id)
+            & F.col("includeInPanel").cast("boolean")
+            & (F.coalesce(F.col("Feature_Type"), F.lit("exon")) == "exon")
+        )
+        .select(symbol_col)
+        .where(F.col(symbol_col).isNotNull())
+        .distinct()
+        .orderBy(symbol_col)
+        .collect()
+    )
+    genes = "\t".join(r[symbol_col] for r in symbols)
+    stable = seq_assay_id.replace("_", "-").upper()
+    return (
+        f"stable_id: {stable}\n"
+        f"description: {stable}, Number of Genes - {len(symbols)}\n"
+        f"gene_list: {genes}\n"
+    )

@@ -1,0 +1,191 @@
+"""Release filter DAG (reference ``run_genie_filters``
+genie/database_to_staging.py:1074-1154 + ``configure_maf`` 296-403).
+
+Every filter that is an R/shell subprocess in the reference (MAFinBED,
+mutation-in-cis) is a native DataFrame op here, so the whole release is
+ONE Spark lineage — filters compose lazily and Catalyst sees across
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from genie_spark.operators.intervals import containment_join, interval_anti_join
+from genie_spark.operators.windows import flag_variants_to_merge
+
+GNOMAD_COLS = [
+    "gnomAD_AFR_AF", "gnomAD_AMR_AF", "gnomAD_ASJ_AF", "gnomAD_EAS_AF",
+    "gnomAD_FIN_AF", "gnomAD_NFE_AF", "gnomAD_OTH_AF", "gnomAD_SAS_AF",
+]
+GERMLINE_AF_THRESHOLD = 0.0005  # genie/database_to_staging.py:357
+
+
+def germline_predicate(cols: list[str] | None = None) -> Column:
+    """max(gnomAD AFs, skipna) > 0.0005 ⇒ likely germline ⇒ drop
+    (genie/database_to_staging.py:346-374)."""
+    cols = cols or GNOMAD_COLS
+    exprs = [F.col(c).try_cast("double") for c in cols]
+    mx = exprs[0] if len(exprs) == 1 else F.greatest(*exprs)
+    return mx.isNotNull() & (mx > GERMLINE_AF_THRESHOLD)
+
+
+def germline_filter(
+    maf: DataFrame, whitelist_hits: DataFrame | None = None, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Drop germline-frequency variants unless whitelisted (J4 —
+    variants contained in known-somatic sites are kept,
+    genie/database_to_staging.py:253-292)."""
+    present = [c for c in (GNOMAD_COLS) if c in maf.columns]
+    if not present:
+        return maf
+    is_germline = germline_predicate(present)
+    if whitelist_hits is None:
+        return maf.where(~F.coalesce(is_germline, F.lit(False)))
+    keys = key_cols or ["Chromosome", "Start_Position", "Tumor_Sample_Barcode"]
+    flagged = maf.withColumn("__germ", F.coalesce(is_germline, F.lit(False)))
+    whitelisted = whitelist_hits.select(*keys).distinct().withColumn("__wl", F.lit(True))
+    out = flagged.join(whitelisted, keys, "left")
+    return out.where(~F.col("__germ") | F.coalesce(F.col("__wl"), F.lit(False))).drop(
+        "__germ", "__wl"
+    )
+
+
+def whitelist_hits(
+    maf: DataFrame,
+    whitelist_bed: DataFrame,
+    bin_size: int = 10_000,
+) -> DataFrame:
+    """Variants fully contained in a whitelist interval (reference
+    pyranges containment, genie/database_to_staging.py:271-273)."""
+    return containment_join(
+        maf,
+        whitelist_bed,
+        on=["Chromosome"],
+        start_left="Start_Position",
+        end_left="End_Position",
+        start="Start_Position_wl",
+        end="End_Position_wl",
+        bin_size=bin_size,
+        how="left_semi",
+    )
+
+
+def common_variant_filter(maf: DataFrame, filter_col: str = "FILTER") -> DataFrame:
+    """Drop rows whose FILTER contains common_variant (P7, reference
+    genie/consortium_to_public.py:27-37)."""
+    if filter_col not in maf.columns:
+        return maf
+    return maf.where(
+        ~F.coalesce(F.col(filter_col).contains("common_variant"), F.lit(False))
+    )
+
+
+def annotation_success_filter(maf: DataFrame, col: str = "Annotation_Status") -> DataFrame:
+    """Keep successfully annotated variants; missing status defaults to
+    SUCCESS (P9, genie/database_to_staging.py:361-365)."""
+    if col not in maf.columns:
+        return maf
+    return maf.where(F.coalesce(F.col(col), F.lit("SUCCESS")) == "SUCCESS")
+
+
+def germline_status_filter(df: DataFrame) -> DataFrame:
+    """Drop rows whose *_STATUS column says GERMLINE, case-insensitive
+    column resolution (P8, genie/database_to_staging.py:862-881)."""
+    status_cols = [c for c in df.columns if c.upper() in ("SV_STATUS", "MUTATION_STATUS", "STATUS")]
+    out = df
+    for c in status_cols:
+        out = out.where(
+            F.coalesce(F.upper(F.col(c)) != "GERMLINE", F.lit(True))
+        )
+    return out
+
+
+def mafinbed_remove_variants(
+    maf: DataFrame,
+    bed: DataFrame,
+    pad: int = 10,
+    bin_size: int = 10_000,
+) -> DataFrame:
+    """MAF-in-BED (J3, reference R/MAFinBED.R:77-161 via Rscript
+    subprocess): per panel, variants not overlapping any padded BED
+    interval are the remove set.  Native binned interval anti-join on
+    (SEQ_ASSAY_ID, Chromosome).
+
+    ``maf`` needs SEQ_ASSAY_ID attached (join clinical upstream);
+    ``pad`` is the assay gene_padding (default 10,
+    genie_registry/assay.py:68-71)."""
+    return interval_anti_join(
+        maf,
+        bed.select("SEQ_ASSAY_ID", "Chromosome",
+                   F.col("Start_Position").alias("__bed_start"),
+                   F.col("End_Position").alias("__bed_end")),
+        on=["SEQ_ASSAY_ID", "Chromosome"],
+        pos="Start_Position",
+        start="__bed_start",
+        end="__bed_end",
+        bin_size=bin_size,
+        pad=pad,
+    )
+
+
+def mutation_in_cis_samples(maf: DataFrame) -> DataFrame:
+    """Samples carrying flagged adjacent-variant pairs (W1, reference
+    mergeCheck R subprocess): the release drops these samples' SVs
+    (genie/database_to_staging.py:591-761).  Returns distinct flagged
+    sample ids."""
+    flagged = flag_variants_to_merge(maf)
+    return flagged.select("Tumor_Sample_Barcode").distinct()
+
+
+def no_genepanel_filter(
+    clinical: DataFrame, bed: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Remove samples whose SEQ_ASSAY_ID has no BED file (P13,
+    genie/database_to_staging.py:786-805).  Returns (kept, removed)."""
+    assays = bed.select("SEQ_ASSAY_ID").distinct()
+    kept = clinical.join(assays, "SEQ_ASSAY_ID", "left_semi")
+    removed = clinical.join(assays, "SEQ_ASSAY_ID", "left_anti")
+    return kept, removed
+
+
+def configure_maf(
+    maf: DataFrame,
+    remove_variants_keys: DataFrame | None = None,
+    flagged_samples: DataFrame | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Release-time MAF configuration (reference ``configure_maf``
+    genie/database_to_staging.py:296-403): drop annotation failures,
+    drop germline-frequency variants, drop common_variant FILTER rows,
+    remove MAFinBED variants, fill depth=ref+alt algebra, and tag
+    mutationInCis samples."""
+    from genie_spark.operators.aggregations import fill_count_algebra
+
+    out = annotation_success_filter(maf)
+    out = germline_filter(out)
+    out = common_variant_filter(out)
+    if remove_variants_keys is not None:
+        keys = key_cols or ["Chromosome", "Start_Position", "Tumor_Sample_Barcode"]
+        out = out.join(remove_variants_keys.select(*keys).distinct(), keys, "left_anti")
+    for trio in (("t_depth", "t_ref_count", "t_alt_count"),
+                 ("n_depth", "n_ref_count", "n_alt_count")):
+        if all(c in out.columns for c in trio):
+            for c in trio:
+                out = out.withColumn(c, F.col(c).try_cast("double"))
+            out = fill_count_algebra(out, *trio)
+    if flagged_samples is not None:
+        marks = (
+            flagged_samples.select(
+                F.col(flagged_samples.columns[0]).alias("Tumor_Sample_Barcode")
+            )
+            .distinct()
+            .withColumn("__flag", F.lit(True))
+        )
+        out = (
+            out.join(F.broadcast(marks), "Tumor_Sample_Barcode", "left")
+            .withColumn("mutationInCis_Flag", F.coalesce(F.col("__flag"), F.lit(False)))
+            .drop("__flag")
+        )
+    return out

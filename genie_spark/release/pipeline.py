@@ -1,0 +1,157 @@
+"""End-to-end release pipeline (reference ``stagingToCbio``
+genie/database_to_staging.py:1713-1956 + §3.3 of SURVEY.md).
+
+One lineage: bronze tables in → filter DAG → per-artifact DataFrames
+out.  The reference shells out to R twice (MAFinBED, mergeCheck) and to
+unix join for the CNA matrix; all three are native ops here, so the
+whole release plan is visible to Catalyst (filter pushdown through the
+joins, broadcast for the dim-sized inputs, AQE for center skew).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from genie_spark.functions.redact import redact_phi
+from genie_spark.functions.scalars import days_to_years
+from genie_spark.release.filters import (
+    configure_maf,
+    germline_status_filter,
+    mafinbed_remove_variants,
+    mutation_in_cis_samples,
+    no_genepanel_filter,
+)
+
+
+@dataclass
+class ReleaseArtifacts:
+    clinical: DataFrame
+    maf: DataFrame
+    sv: DataFrame | None = None
+    seg: DataFrame | None = None
+    cna_long: DataFrame | None = None
+    bed: DataFrame | None = None
+    removed_samples: DataFrame | None = None
+    flagged_samples: DataFrame | None = None
+    removed_variants: DataFrame | None = None
+    stats: dict = field(default_factory=dict)
+
+
+def run_release(
+    clinical: DataFrame,
+    maf: DataFrame,
+    bed: DataFrame,
+    sv: DataFrame | None = None,
+    seg: DataFrame | None = None,
+    cna_long: DataFrame | None = None,
+    oncotree: DataFrame | None = None,
+    pad: int = 10,
+) -> ReleaseArtifacts:
+    """Consortium release (§3.3):
+
+    1. no-gene-panel filter on samples (P13);
+    2. MAF restricted to kept samples (J12) with SEQ_ASSAY_ID attached;
+    3. MAFinBED remove set (J3) + mutation-in-cis flags (W1);
+    4. configure_maf (germline/common-variant/annotation filters, count
+       algebra);
+    5. clinical: oncotree broadcast join (J8), AGE days→years, PHI
+       redaction (§2.9);
+    6. SV/SEG/CNA restricted to kept samples; SV germline rows dropped.
+    """
+    kept, removed = no_genepanel_filter(clinical, bed)
+
+    sample_assay = kept.select("SAMPLE_ID", "SEQ_ASSAY_ID")
+    maf_samples = maf.join(
+        sample_assay.withColumnRenamed("SAMPLE_ID", "Tumor_Sample_Barcode"),
+        "Tumor_Sample_Barcode",
+        "inner",  # J12: MAF ⊆ clinical samples (R/MAFinBED.R:94-95)
+    )
+    removed_variants = mafinbed_remove_variants(maf_samples, bed, pad=pad)
+    flagged = mutation_in_cis_samples(maf_samples)
+    release_maf = configure_maf(
+        maf_samples,
+        remove_variants_keys=removed_variants,
+        flagged_samples=flagged,
+    )
+
+    clin = kept
+    if oncotree is not None:
+        clin = clin.join(
+            F.broadcast(
+                oncotree.select(
+                    F.upper(F.col("ONCOTREE_CODE")).alias("ONCOTREE_CODE"),
+                    "CANCER_TYPE",
+                    "CANCER_TYPE_DETAILED",
+                )
+            ),
+            "ONCOTREE_CODE",
+            "left",
+        ).where(F.col("CANCER_TYPE").isNotNull())  # deprecated-code drop (1285-1287)
+    if "AGE_AT_SEQ_REPORT" in clin.columns:
+        age = F.col("AGE_AT_SEQ_REPORT")
+        clin = clin.withColumn(
+            "AGE_AT_SEQ_REPORT_YEARS",
+            F.when(
+                age.try_cast("double").isNotNull(), days_to_years(age).cast("string")
+            ).otherwise(age),
+        )
+    clin = redact_phi(clin)
+
+    keep_ids = clin.select("SAMPLE_ID")
+    arts = ReleaseArtifacts(
+        clinical=clin,
+        maf=release_maf.join(
+            keep_ids.withColumnRenamed("SAMPLE_ID", "Tumor_Sample_Barcode"),
+            "Tumor_Sample_Barcode",
+            "left_semi",
+        ),
+        removed_samples=removed,
+        flagged_samples=flagged,
+        removed_variants=removed_variants,
+    )
+    if sv is not None:
+        arts.sv = germline_status_filter(sv).join(keep_ids, "SAMPLE_ID", "left_semi")
+    if seg is not None:
+        arts.seg = seg.join(
+            keep_ids.withColumnRenamed("SAMPLE_ID", "ID"), "ID", "left_semi"
+        )
+    if cna_long is not None:
+        arts.cna_long = cna_long.join(keep_ids, "SAMPLE_ID", "left_semi")
+    arts.bed = bed
+    return arts
+
+
+def consortium_to_public(
+    arts: ReleaseArtifacts,
+    public_sample_ids: DataFrame,
+    private_columns: list[str] = (),
+) -> ReleaseArtifacts:
+    """Public release (reference genie/consortium_to_public.py:41-359):
+    re-filter every artifact to the public sample set and drop
+    private-scope clinical columns (P16/P17)."""
+    keep = public_sample_ids.select("SAMPLE_ID").distinct()
+    pub_clin = arts.clinical.join(keep, "SAMPLE_ID", "left_semi")
+    pub_clin = pub_clin.select(
+        [c for c in pub_clin.columns if c not in set(private_columns)]
+    )
+    out = ReleaseArtifacts(
+        clinical=pub_clin,
+        maf=arts.maf.join(
+            keep.withColumnRenamed("SAMPLE_ID", "Tumor_Sample_Barcode"),
+            "Tumor_Sample_Barcode",
+            "left_semi",
+        ),
+    )
+    if arts.sv is not None:
+        out.sv = arts.sv.join(keep, "SAMPLE_ID", "left_semi")
+    if arts.seg is not None:
+        out.seg = arts.seg.join(
+            keep.withColumnRenamed("SAMPLE_ID", "ID"), "ID", "left_semi"
+        )
+    if arts.cna_long is not None:
+        out.cna_long = arts.cna_long.join(keep, "SAMPLE_ID", "left_semi")
+    out.bed = arts.bed
+    return out

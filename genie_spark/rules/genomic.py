@@ -1,0 +1,407 @@
+"""Rule sets for the genomic formats: MAF, VCF, BED, CNA (long form),
+SEG, SV, assay info, mutationsInCis (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from genie_spark.functions.scalars import (
+    allele_ok,
+    chromosome_ok,
+    genie_id_ok,
+    is_integer_string,
+)
+from genie_spark.rules.engine import (
+    FrameRule,
+    RowRule,
+    RuleSet,
+    ValidationMessage,
+    no_duplicate_keys,
+    required_columns,
+)
+from genie_spark.schemas import (
+    BREAKPOINT_TYPES,
+    CNA_VALUES,
+    CONNECTION_TYPES,
+    MAF_REQUIRED,
+    NCBI_BUILDS,
+    SEG_REQUIRED,
+    SUPPORT_VALUES,
+    SV_INT_COLS,
+    SV_REGIONS,
+    SV_REQUIRED,
+)
+
+# ---------------------------------------------------------------------------
+# MAF (genie_registry/maf.py:179-427)
+# ---------------------------------------------------------------------------
+
+MAF_VARIANT_KEY = [
+    "CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
+    "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2",
+]
+
+
+def maf_rules(center: str) -> RuleSet:
+    num = lambda c: F.col(c).isNotNull() & F.col(c).try_cast("double").isNull()  # noqa: E731
+
+    def depth_or_ref_required(df: DataFrame) -> list[ValidationMessage]:
+        # t_depth or t_ref_count must be present (maf.py:301-304)
+        if "T_DEPTH" not in df.columns and "T_REF_COUNT" not in df.columns:
+            return [
+                ValidationMessage(
+                    "maf.depth_or_ref", "error",
+                    "Mutation File: must contain T_DEPTH or T_REF_COUNT.",
+                )
+            ]
+        return []
+
+    rules = [
+        required_columns("maf", MAF_REQUIRED),
+        no_duplicate_keys("maf", MAF_VARIANT_KEY, description="variant key"),
+        FrameRule("maf.depth_or_ref", depth_or_ref_required),
+        RowRule(
+            "maf.chromosome", "error",
+            ~chromosome_ok("CHROMOSOME"),
+            "Mutation File: {n} CHROMOSOME value(s) outside 1-22, X, Y, MT "
+            "(no 'chr' prefix): {examples}",
+            example_col="CHROMOSOME", required_cols=["CHROMOSOME"],
+        ),
+        RowRule(
+            "maf.start_position", "error",
+            ~is_integer_string("START_POSITION"),
+            "Mutation File: {n} non-integer START_POSITION value(s).",
+            required_cols=["START_POSITION"],
+        ),
+        RowRule(
+            "maf.reference_allele", "error",
+            F.col("REFERENCE_ALLELE").isNull() | ~allele_ok("REFERENCE_ALLELE"),
+            "Mutation File: {n} REFERENCE_ALLELE value(s) missing or outside "
+            "[ATCGN]+/-: {examples}",
+            example_col="REFERENCE_ALLELE", required_cols=["REFERENCE_ALLELE"],
+        ),
+        RowRule(
+            "maf.tumor_seq_allele2", "error",
+            F.col("TUMOR_SEQ_ALLELE2").isNull() | ~allele_ok("TUMOR_SEQ_ALLELE2"),
+            "Mutation File: {n} TUMOR_SEQ_ALLELE2 value(s) missing or outside "
+            "[ATCGN]+/-: {examples}",
+            example_col="TUMOR_SEQ_ALLELE2", required_cols=["TUMOR_SEQ_ALLELE2"],
+        ),
+        # REF must differ from TSA2 rowwise (maf.py:113-123)
+        RowRule(
+            "maf.ref_equals_tsa2", "error",
+            F.col("REFERENCE_ALLELE") == F.col("TUMOR_SEQ_ALLELE2"),
+            "Mutation File: {n} row(s) where REFERENCE_ALLELE equals "
+            "TUMOR_SEQ_ALLELE2.",
+            required_cols=["REFERENCE_ALLELE", "TUMOR_SEQ_ALLELE2"],
+        ),
+        RowRule(
+            "maf.barcode_format", "error",
+            ~genie_id_ok("TUMOR_SAMPLE_BARCODE", center),
+            "Mutation File: {n} TUMOR_SAMPLE_BARCODE(s) not prefixed "
+            f"GENIE-{center}: {{examples}}",
+            example_col="TUMOR_SAMPLE_BARCODE",
+            required_cols=["TUMOR_SAMPLE_BARCODE"],
+        ),
+        # start ≤ end is a WARNING (genie/validate.py:371-398)
+        RowRule(
+            "maf.start_gt_end", "warning",
+            F.col("START_POSITION").try_cast("long")
+            > F.col("END_POSITION").try_cast("long"),
+            "Mutation File: {n} row(s) with START_POSITION > END_POSITION.",
+            required_cols=["START_POSITION", "END_POSITION"],
+        ),
+    ]
+    for c in ["T_DEPTH", "T_REF_COUNT", "T_ALT_COUNT", "N_DEPTH", "N_REF_COUNT", "N_ALT_COUNT"]:
+        rules.append(
+            RowRule(
+                f"maf.numeric.{c.lower()}", "error", num(c),
+                f"Mutation File: {{n}} non-numeric {c} value(s).",
+                required_cols=[c],
+            )
+        )
+    return RuleSet("maf", rules)
+
+
+def maf_cross_validate(maf: DataFrame, clinical_samples: DataFrame) -> list[ValidationMessage]:
+    """MAF barcodes ⊆ clinical SAMPLE_ID (maf.py:429-467)."""
+    missing = (
+        maf.select(F.col("TUMOR_SAMPLE_BARCODE").alias("SAMPLE_ID"))
+        .distinct()
+        .join(clinical_samples.select("SAMPLE_ID"), "SAMPLE_ID", "left_anti")
+    ).count()
+    if missing:
+        return [
+            ValidationMessage(
+                "maf.cross.barcodes_in_clinical", "error",
+                f"Mutation File: {missing} TUMOR_SAMPLE_BARCODE(s) not present "
+                "in the clinical sample file.",
+                n_violations=missing,
+            )
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# VCF (genie_registry/vcf.py:102-273)
+# ---------------------------------------------------------------------------
+
+def vcf_rules() -> RuleSet:
+    ws = F.col("INFO").contains(" ") | F.col("FILTER").contains(" ")
+    return RuleSet(
+        "vcf",
+        [
+            required_columns("vcf", ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]),
+            no_duplicate_keys("vcf", ["#CHROM", "POS", "REF", "ALT"], description="variant"),
+            RowRule(
+                "vcf.chrom", "error",
+                ~chromosome_ok("#CHROM", allow_chr_prefix=False),
+                "VCF File: {n} #CHROM value(s) invalid (no 'chr' prefix "
+                "allowed): {examples}",
+                example_col="#CHROM", required_cols=["#CHROM"],
+            ),
+            RowRule(
+                "vcf.pos_int", "error",
+                ~is_integer_string("POS"),
+                "VCF File: {n} non-integer POS value(s).",
+                required_cols=["POS"],
+            ),
+            RowRule(
+                "vcf.ref_allele", "error",
+                F.col("REF").isNull() | ~allele_ok("REF"),
+                "VCF File: {n} REF value(s) outside [ATCGN]+: {examples}",
+                example_col="REF", required_cols=["REF"],
+            ),
+            RowRule(
+                "vcf.whitespace", "warning", ws,
+                "VCF File: {n} row(s) contain whitespace in INFO/FILTER.",
+                required_cols=["INFO", "FILTER"],
+            ),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# BED (genie_registry/bed.py:616-718)
+# ---------------------------------------------------------------------------
+
+def bed_rules() -> RuleSet:
+    return RuleSet(
+        "bed",
+        [
+            required_columns("bed", ["Chromosome", "Start_Position", "End_Position", "Hugo_Symbol", "includeInPanel"]),
+            RowRule(
+                "bed.chromosome", "error",
+                ~chromosome_ok("Chromosome", allow_chr_prefix=True),
+                "BED File: {n} Chromosome value(s) invalid: {examples}",
+                example_col="Chromosome", required_cols=["Chromosome"],
+            ),
+            RowRule(
+                "bed.int_positions", "error",
+                F.col("Start_Position").try_cast("long").isNull()
+                | F.col("End_Position").try_cast("long").isNull(),
+                "BED File: {n} row(s) with non-integer Start/End_Position.",
+                required_cols=["Start_Position", "End_Position"],
+            ),
+            RowRule(
+                "bed.symbol_null", "error",
+                F.col("Hugo_Symbol").isNull() | F.col("Hugo_Symbol").isin("+", "-"),
+                "BED File: {n} null/strand Hugo_Symbol value(s).",
+                required_cols=["Hugo_Symbol"],
+            ),
+            RowRule(
+                "bed.include_in_panel", "error",
+                ~F.col("includeInPanel").isin("True", "False", "true", "false", "TRUE", "FALSE"),
+                "BED File: {n} non-boolean includeInPanel value(s): {examples}",
+                example_col="includeInPanel", required_cols=["includeInPanel"],
+            ),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# CNA long form (genie_registry/cna.py:178-279)
+# ---------------------------------------------------------------------------
+
+def cna_rules(center: str) -> RuleSet:
+    return RuleSet(
+        "cna",
+        [
+            required_columns("cna", ["Hugo_Symbol", "SAMPLE_ID", "value"]),
+            RowRule(
+                "cna.value_domain", "error",
+                F.col("value").isNotNull() & ~F.col("value").isin(CNA_VALUES),
+                f"CNA File: {{n}} value(s) outside {CNA_VALUES}: {{examples}}",
+                example_col="value", required_cols=["value"],
+            ),
+            RowRule(
+                "cna.sample_format", "error",
+                ~genie_id_ok("SAMPLE_ID", center),
+                "CNA File: {n} sample column(s) not prefixed "
+                f"GENIE-{center}: {{examples}}",
+                example_col="SAMPLE_ID", required_cols=["SAMPLE_ID"],
+            ),
+            no_duplicate_keys(
+                "cna", ["Hugo_Symbol", "SAMPLE_ID"],
+                description="gene-sample pair after remap",
+            ),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# SEG (genie_registry/seg.py:53-97)
+# ---------------------------------------------------------------------------
+
+def seg_rules(center: str) -> RuleSet:
+    from genie_spark.rules.engine import qcol
+
+    any_null = None
+    for c in SEG_REQUIRED:
+        n = qcol(c).isNull()
+        any_null = n if any_null is None else (any_null | n)
+    return RuleSet(
+        "seg",
+        [
+            required_columns("seg", SEG_REQUIRED),
+            RowRule(
+                "seg.no_nulls", "error", any_null,
+                "SEG File: {n} row(s) contain null values.",
+                required_cols=SEG_REQUIRED,
+            ),
+            RowRule(
+                "seg.id_format", "error",
+                ~genie_id_ok("ID", center),
+                f"SEG File: {{n}} ID(s) not prefixed GENIE-{center}: {{examples}}",
+                example_col="ID", required_cols=["ID"],
+            ),
+            RowRule(
+                "seg.int_cols", "error",
+                ~is_integer_string(qcol("LOC.START").cast("string"))
+                | ~is_integer_string(qcol("LOC.END").cast("string"))
+                | ~is_integer_string(qcol("NUM.MARK").cast("string")),
+                "SEG File: {n} row(s) with non-integer LOC.START/LOC.END/NUM.MARK.",
+                required_cols=["LOC.START", "LOC.END", "NUM.MARK"],
+            ),
+            RowRule(
+                "seg.mean_numeric", "error",
+                qcol("SEG.MEAN").isNotNull()
+                & qcol("SEG.MEAN").cast("string").try_cast("double").isNull(),
+                "SEG File: {n} non-numeric SEG.MEAN value(s).",
+                required_cols=["SEG.MEAN"],
+            ),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# SV (genie_registry/structural_variant.py:64-275)
+# ---------------------------------------------------------------------------
+
+def sv_rules(center: str) -> RuleSet:
+    def dom(col: str, values, rid: str) -> RowRule:
+        return RowRule(
+            rid, "error",
+            F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+            f"Structural Variant File: {{n}} {col} value(s) not in {list(values)}: "
+            "{examples}",
+            example_col=col, required_cols=[col],
+        )
+
+    rules = [
+        required_columns("sv", SV_REQUIRED),
+        RowRule(
+            "sv.sample_format", "error",
+            ~genie_id_ok("SAMPLE_ID", center),
+            "Structural Variant File: {n} SAMPLE_ID(s) not prefixed "
+            f"GENIE-{center}: {{examples}}",
+            example_col="SAMPLE_ID", required_cols=["SAMPLE_ID"],
+        ),
+        dom("SV_STATUS", ["SOMATIC"], "sv.status"),
+        dom("SITE1_REGION", SV_REGIONS, "sv.site1_region"),
+        dom("SITE2_REGION", SV_REGIONS, "sv.site2_region"),
+        dom("NCBI_BUILD", NCBI_BUILDS, "sv.ncbi_build"),
+        dom("BREAKPOINT_TYPE", BREAKPOINT_TYPES, "sv.breakpoint_type"),
+        dom("CONNECTION_TYPE", CONNECTION_TYPES, "sv.connection_type"),
+        dom("DNA_SUPPORT", SUPPORT_VALUES, "sv.dna_support"),
+        dom("RNA_SUPPORT", SUPPORT_VALUES, "sv.rna_support"),
+    ]
+    for c in SV_INT_COLS:
+        rules.append(
+            RowRule(
+                f"sv.int.{c.lower()}", "error",
+                F.col(c).isNotNull() & ~is_integer_string(c),
+                f"Structural Variant File: {{n}} non-integer {c} value(s).",
+                required_cols=[c],
+            )
+        )
+    return RuleSet("sv", rules)
+
+
+def sv_no_duplicate_rows(sv: DataFrame) -> list[ValidationMessage]:
+    """No fully-duplicated rows (structural_variant.py:87-88)."""
+    dup = sv.groupBy(*sv.columns).count().where(F.col("count") > 1).count()
+    if dup:
+        return [
+            ValidationMessage(
+                "sv.duplicate_rows", "error",
+                f"Structural Variant File: {dup} fully duplicated row(s).",
+                n_violations=dup,
+            )
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Assay info (genie_registry/assay.py:131-427)
+# ---------------------------------------------------------------------------
+
+def assay_rules(
+    center: str,
+    library_selection: list[str],
+    library_strategy: list[str],
+    platforms: list[str],
+) -> RuleSet:
+    return RuleSet(
+        "assayinfo",
+        [
+            required_columns("assayinfo", ["SEQ_ASSAY_ID"]),
+            RowRule(
+                "assay.seq_assay_prefix", "error",
+                ~F.upper(F.col("SEQ_ASSAY_ID")).startswith(center.upper()),
+                f"Assay_information.yaml: {{n}} SEQ_ASSAY_ID(s) not prefixed "
+                f"{center}: {{examples}}",
+                example_col="SEQ_ASSAY_ID", required_cols=["SEQ_ASSAY_ID"],
+            ),
+            RowRule(
+                "assay.library_selection", "error",
+                F.col("library_selection").isNotNull()
+                & ~F.col("library_selection").isin(library_selection),
+                "Assay_information.yaml: {n} library_selection value(s) outside "
+                "the GDC domain: {examples}",
+                example_col="library_selection", required_cols=["library_selection"],
+            ),
+            RowRule(
+                "assay.library_strategy", "error",
+                F.col("library_strategy").isNotNull()
+                & ~F.col("library_strategy").isin(library_strategy),
+                "Assay_information.yaml: {n} library_strategy value(s) outside "
+                "the GDC domain: {examples}",
+                example_col="library_strategy", required_cols=["library_strategy"],
+            ),
+            RowRule(
+                "assay.platform", "error",
+                F.col("platform").isNotNull() & ~F.col("platform").isin(platforms),
+                "Assay_information.yaml: {n} platform value(s) outside the GDC "
+                "domain: {examples}",
+                example_col="platform", required_cols=["platform"],
+            ),
+            RowRule(
+                "assay.read_length_int", "error",
+                F.col("read_length").isNotNull() & ~is_integer_string("read_length"),
+                "Assay_information.yaml: {n} non-integer read_length value(s).",
+                required_cols=["read_length"],
+            ),
+        ],
+    )

@@ -1,0 +1,232 @@
+"""Reader/writer + end-to-end release pipeline tests on a synthetic
+center upload (FIXTURES.md shapes)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from genie_spark.io.readers import (
+    assay_df_from_dict,
+    read_bed,
+    read_clinical_pair,
+    read_maf,
+    read_vcf,
+)
+from genie_spark.io.writers import (
+    case_list_texts,
+    gene_panel_text,
+    strip_float_formatting,
+    write_cna_wide,
+    write_tsv,
+)
+from genie_spark.release.pipeline import consortium_to_public, run_release
+
+
+def test_read_tsv_clinical_pair(spark, tmp_path):
+    sp = tmp_path / "sample.txt"
+    pp = tmp_path / "patient.txt"
+    sp.write_text(
+        "#comment line\nSAMPLE_ID\tPatient_Id\tAGE_AT_SEQ_REPORT\n"
+        "GENIE-SAGE-1-1\tGENIE-SAGE-1\t36500\n"
+    )
+    pp.write_text("PATIENT_ID\tSEX\nGENIE-SAGE-1\t1\n")
+    sample, patient, merged = read_clinical_pair(spark, str(sp), str(pp))
+    assert "PATIENT_ID" in sample.columns  # upper-cased
+    assert merged.count() == 1 and "SEX" in merged.columns
+
+
+def test_read_maf_na_policy(spark, tmp_path):
+    p = tmp_path / "m.maf"
+    p.write_text(
+        "Chromosome\tStart_Position\tReference_Allele\tTumor_Seq_Allele2\tt_depth\n"
+        "1\t100\tNA\tT\tNA\n"
+    )
+    df = read_maf(spark, str(p))
+    row = df.collect()[0]
+    # "NA" survives in the allele column, nulls elsewhere
+    assert row["REFERENCE_ALLELE"] == "NA"
+    assert row["T_DEPTH"] is None
+
+
+def test_read_vcf_preamble(spark, tmp_path):
+    p = tmp_path / "v.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n##INFO=<x>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tGENIE-SAGE-1-1\n"
+        "1\t100\t.\tA\tT\t.\tPASS\tDP=10\tGT\t0/1\n"
+    )
+    df = read_vcf(spark, str(p))
+    assert df.columns[:4] == ["#CHROM", "POS", "ID", "REF"]
+    assert df.count() == 1 and df.collect()[0]["GENIE-SAGE-1-1"] == "0/1"
+
+
+def test_read_bed_headerless(spark, tmp_path):
+    p = tmp_path / "SAGE-PANEL-1.bed"
+    p.write_text("chr1\t100\t200\tTP53\tTrue\n1\t300\t400\tEGFR\tFalse\n")
+    df = read_bed(spark, str(p))
+    assert df.columns[:4] == ["Chromosome", "Start_Position", "End_Position", "Hugo_Symbol"]
+    assert df.count() == 2
+
+
+def test_assay_yaml_explode(spark):
+    cfg = {
+        "SAGE-PANEL-1": {
+            "is_paired_end": True,
+            "library_selection": "Hybrid Selection",
+            "variant_classifications": ["Missense_Mutation", "Nonsense_Mutation"],
+            "assay_specific_info": [
+                {"SEQ_ASSAY_ID": "SAGE-PANEL-1", "number_of_genes": 50},
+            ],
+        }
+    }
+    df = assay_df_from_dict(spark, cfg)
+    row = df.collect()[0]
+    assert row["SEQ_ASSAY_ID"] == "SAGE-PANEL-1"
+    assert row["variant_classifications"] == "Missense_Mutation;Nonsense_Mutation"
+    assert row["number_of_genes"] == "50"
+
+
+def test_write_tsv_float_strip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0, 2.5, None)], "a int, b double, c double, d double")
+    out = strip_float_formatting(df).collect()[0]
+    assert out["b"] == "2" and out["c"] == "2.5" and out["d"] is None
+    path = str(tmp_path / "out.tsv")
+    write_tsv(df, path, na_rep="NA")
+    text = open(path).read()
+    assert "2\t2.5\tNA" in text.replace("1\t", "")
+
+
+def test_write_cna_wide(spark, tmp_path):
+    long = spark.createDataFrame(
+        [("TP53", "S1", -1.0), ("TP53", "S2", 0.0), ("EGFR", "S1", 2.0)],
+        ["Hugo_Symbol", "SAMPLE_ID", "value"],
+    )
+    path = str(tmp_path / "cna.tsv")
+    write_cna_wide(long, path, sample_ids=["S1", "S2"])
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "Hugo_Symbol\tS1\tS2"
+    assert "EGFR\t2\tNA" in lines and "TP53\t-1\t0" in lines
+
+
+def test_case_lists_and_gene_panel(spark):
+    clin = spark.createDataFrame(
+        [("S1", "Lung Cancer"), ("S2", "Lung Cancer"), ("S3", "Breast Cancer")],
+        ["SAMPLE_ID", "CANCER_TYPE"],
+    )
+    texts = case_list_texts(clin, "genie_test")
+    assert "cases_lung_cancer.txt" in texts and "cases_all.txt" in texts
+    assert "S1\tS2" in texts["cases_lung_cancer.txt"]
+    bed = spark.createDataFrame(
+        [("SAGE-1", "TP53", "True", "exon"), ("SAGE-1", "EGFR", "True", "exon"),
+         ("SAGE-1", "SKIP", "False", "exon"), ("SAGE-2", "OTHER", "True", "exon")],
+        ["SEQ_ASSAY_ID", "Hugo_Symbol", "includeInPanel", "Feature_Type"],
+    )
+    text = gene_panel_text(bed, "SAGE-1")
+    assert "EGFR\tTP53" in text and "Number of Genes - 2" in text
+
+
+# ---------------------------------------------------------------------------
+# end-to-end release
+# ---------------------------------------------------------------------------
+
+def _center_upload(spark):
+    clinical = spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1-1", "GENIE-SAGE-1", "SAGE-PANEL-1", "LUAD", "36500", "1950", "2015"),
+            ("GENIE-SAGE-2-1", "GENIE-SAGE-2", "SAGE-PANEL-1", "BRCA", "40000", "1930", "2020"),
+            ("GENIE-SAGE-3-1", "GENIE-SAGE-3", "SAGE-NOBED-9", "LUAD", "20000", "1980", "2020"),
+        ],
+        ["SAMPLE_ID", "PATIENT_ID", "SEQ_ASSAY_ID", "ONCOTREE_CODE",
+         "AGE_AT_SEQ_REPORT", "BIRTH_YEAR", "YEAR_CONTACT"],
+    )
+    maf = spark.createDataFrame(
+        [
+            # in-panel variant, clean
+            ("GENIE-SAGE-1-1", "1", 150, 150, "A", "T", 100.0, 10.0, 90.0, "PASS", "SUCCESS", 0.0001, "10/100"),
+            # out-of-panel variant (pos 5000) → MAFinBED remove
+            ("GENIE-SAGE-1-1", "1", 5000, 5000, "C", "G", 100.0, 10.0, 90.0, "PASS", "SUCCESS", 0.0001, "11/100"),
+            # germline gnomAD AF → drop
+            ("GENIE-SAGE-2-1", "2", 250, 250, "G", "A", 100.0, 10.0, 90.0, "PASS", "SUCCESS", 0.5, "50/100"),
+            # common_variant FILTER → drop
+            ("GENIE-SAGE-2-1", "2", 260, 260, "G", "A", 100.0, 10.0, 90.0, "common_variant", "SUCCESS", 0.0001, "51/100"),
+            # annotation failed → drop
+            ("GENIE-SAGE-2-1", "2", 270, 270, "G", "C", 100.0, 10.0, 90.0, "PASS", "FAILED", 0.0001, "52/100"),
+            # mutation-in-cis pair on sample 2 (adjacent, similar VAF, same codon)
+            ("GENIE-SAGE-2-1", "2", 300, 300, "A", "T", 100.0, 30.0, 70.0, "PASS", "SUCCESS", 0.0001, "60/100"),
+            ("GENIE-SAGE-2-1", "2", 302, 302, "C", "G", 100.0, 31.0, 69.0, "PASS", "SUCCESS", 0.0001, "60/100"),
+        ],
+        ["Tumor_Sample_Barcode", "Chromosome", "Start_Position", "End_Position",
+         "Reference_Allele", "Tumor_Seq_Allele2", "t_depth", "t_alt_count",
+         "t_ref_count", "FILTER", "Annotation_Status", "gnomAD_AFR_AF",
+         "Protein_position"],
+    )
+    bed = spark.createDataFrame(
+        [
+            ("SAGE-PANEL-1", "1", 100, 400, "TP53", "True"),
+            ("SAGE-PANEL-1", "2", 200, 400, "EGFR", "True"),
+        ],
+        ["SEQ_ASSAY_ID", "Chromosome", "Start_Position", "End_Position",
+         "Hugo_Symbol", "includeInPanel"],
+    )
+    oncotree = spark.createDataFrame(
+        [("LUAD", "Non-Small Cell Lung Cancer", "Lung Adenocarcinoma"),
+         ("BRCA", "Breast Cancer", "Breast Invasive Ductal Carcinoma")],
+        ["ONCOTREE_CODE", "CANCER_TYPE", "CANCER_TYPE_DETAILED"],
+    )
+    sv = spark.createDataFrame(
+        [("GENIE-SAGE-1-1", "SOMATIC"), ("GENIE-SAGE-1-1", "GERMLINE"),
+         ("GENIE-SAGE-3-1", "SOMATIC")],
+        ["SAMPLE_ID", "SV_STATUS"],
+    )
+    return clinical, maf, bed, oncotree, sv
+
+
+def test_release_end_to_end(spark):
+    clinical, maf, bed, oncotree, sv = _center_upload(spark)
+    arts = run_release(clinical, maf, bed, sv=sv, oncotree=oncotree, pad=10)
+
+    # sample 3 removed: its assay has no bed (P13)
+    removed = [r["SAMPLE_ID"] for r in arts.removed_samples.collect()]
+    assert removed == ["GENIE-SAGE-3-1"]
+    clin_ids = {r["SAMPLE_ID"] for r in arts.clinical.select("SAMPLE_ID").collect()}
+    assert clin_ids == {"GENIE-SAGE-1-1", "GENIE-SAGE-2-1"}
+
+    # MAFinBED removed the out-of-panel variant
+    rv = [(r["Chromosome"], r["Start_Position"]) for r in arts.removed_variants.collect()]
+    assert rv == [("1", 5000)]
+
+    # release MAF: keeps in-panel clean variant + the cis pair; drops
+    # germline, common_variant, failed-annotation, out-of-panel
+    kept = {(r["Tumor_Sample_Barcode"], r["Start_Position"]) for r in arts.maf.collect()}
+    assert kept == {
+        ("GENIE-SAGE-1-1", 150),
+        ("GENIE-SAGE-2-1", 300),
+        ("GENIE-SAGE-2-1", 302),
+    }
+    # cis pair flagged
+    flags = {r["Start_Position"]: r["mutationInCis_Flag"] for r in arts.maf.collect()}
+    assert flags[300] is True and flags[150] is False
+
+    # oncotree joined, age converted, PHI: patient born 1930 contacted 2020
+    # (diff 90 > 89) → BIRTH_YEAR redacted
+    clin = {r["SAMPLE_ID"]: r for r in arts.clinical.collect()}
+    assert clin["GENIE-SAGE-1-1"]["CANCER_TYPE"] == "Non-Small Cell Lung Cancer"
+    assert clin["GENIE-SAGE-1-1"]["AGE_AT_SEQ_REPORT_YEARS"] == "99"
+    assert clin["GENIE-SAGE-2-1"]["BIRTH_YEAR"] == "cannotReleaseHIPAA"
+
+    # SV: germline row dropped, sample-3 row dropped
+    assert [(r["SAMPLE_ID"], r["SV_STATUS"]) for r in arts.sv.collect()] == [
+        ("GENIE-SAGE-1-1", "SOMATIC")
+    ]
+
+    # public conversion keeps only the public sample subset
+    pub = consortium_to_public(
+        arts,
+        spark.createDataFrame([("GENIE-SAGE-1-1",)], ["SAMPLE_ID"]),
+        private_columns=["BIRTH_YEAR"],
+    )
+    assert {r["SAMPLE_ID"] for r in pub.clinical.collect()} == {"GENIE-SAGE-1-1"}
+    assert "BIRTH_YEAR" not in pub.clinical.columns
+    assert {r["Start_Position"] for r in pub.maf.collect()} == {150}

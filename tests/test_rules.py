@@ -1,0 +1,208 @@
+"""Validation-rule tests — the reference's test pattern (small inline
+frames, per-rule failure cases; tests/test_clinical.py, test_maf.py)."""
+
+from __future__ import annotations
+
+from genie_spark.rules.clinical import patient_rules, sample_rules
+from genie_spark.rules.genomic import (
+    bed_rules,
+    cna_rules,
+    maf_cross_validate,
+    maf_rules,
+    seg_rules,
+    sv_rules,
+    vcf_rules,
+)
+
+CENTER = "SAGE"
+
+
+def _valid_sample(spark):
+    return spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1-1", "GENIE-SAGE-1", "36500", "LUAD", "1", "SAGE-PANEL-1", "Tumor"),
+            ("GENIE-SAGE-2-1", "GENIE-SAGE-2", "40000", "UNKNOWN", "8", "SAGE-PANEL-1", "cfDNA"),
+        ],
+        ["SAMPLE_ID", "PATIENT_ID", "AGE_AT_SEQ_REPORT", "ONCOTREE_CODE",
+         "SAMPLE_TYPE", "SEQ_ASSAY_ID", "SAMPLE_CLASS"],
+    )
+
+
+def rule_ids(report):
+    return {m.rule_id for m in report.errors}
+
+
+def test_valid_sample_file_passes(spark):
+    report = sample_rules(CENTER, oncotree_codes=["LUAD", "BRCA"]).validate(_valid_sample(spark))
+    assert report.is_valid, report.render()
+
+
+def test_sample_rule_failures(spark):
+    df = spark.createDataFrame(
+        [
+            # bad id prefix, bad age, bad oncotree, seq assay wrong prefix
+            ("OTHER-1-1", "OTHER-1", "abc", "NOPE", "1", "XX-1", "Tumor"),
+            # dup SAMPLE_ID pair + cfDNA mismatch
+            ("GENIE-SAGE-3-1", "GENIE-SAGE-3", "50", "LUAD", "8", "SAGE-1", "Tumor"),
+            ("GENIE-SAGE-3-1", "GENIE-SAGE-3", "50", "LUAD", "1", "SAGE-1", "Tumor"),
+        ],
+        ["SAMPLE_ID", "PATIENT_ID", "AGE_AT_SEQ_REPORT", "ONCOTREE_CODE",
+         "SAMPLE_TYPE", "SEQ_ASSAY_ID", "SAMPLE_CLASS"],
+    )
+    ids = rule_ids(sample_rules(CENTER, oncotree_codes=["LUAD"]).validate(df))
+    for expected in [
+        "clinical_sample.duplicate_keys", "clinical.sample_id_format",
+        "clinical.patient_id_format", "clinical.age_at_seq_report",
+        "clinical.oncotree_code", "clinical.seq_assay_id",
+        "clinical.cfdna_sample_type", "clinical.age_median",
+    ]:
+        assert expected in ids, f"missing {expected}: {ids}"
+
+
+def test_sample_missing_columns_and_seq_date(spark):
+    df = spark.createDataFrame([("GENIE-SAGE-1-1", "Jan-2017")], ["SAMPLE_ID", "SEQ_DATE"])
+    ids = rule_ids(sample_rules(CENTER).validate(df))
+    assert "clinical_sample.required_columns" in ids
+    assert "clinical.seq_date_deprecated" in ids
+
+
+def test_patient_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1", "1", "1", "1", "1", "1", "1950", "2010", "2005",
+             "20000", "19000", "True"),   # YEAR_DEATH < YEAR_CONTACT, INT_DOD < INT_CONTACT
+            ("GENIE-SAGE-2", "7", "1", "1", "1", "1", "3020", "Unknown",
+             "Not Applicable", "Unknown", "Not Applicable", "maybe"),  # bad sex code, future year, bad DEAD
+        ],
+        ["PATIENT_ID", "SEX", "PRIMARY_RACE", "SECONDARY_RACE", "TERTIARY_RACE",
+         "ETHNICITY", "BIRTH_YEAR", "YEAR_CONTACT", "YEAR_DEATH", "INT_CONTACT",
+         "INT_DOD", "DEAD"],
+    )
+    ids = rule_ids(patient_rules(CENTER).validate(df))
+    for expected in [
+        "clinical.sex_code", "clinical.birth_year", "clinical.death_before_contact",
+        "clinical.dod_before_contact", "clinical.dead_domain",
+    ]:
+        assert expected in ids, f"missing {expected}: {ids}"
+
+
+def _valid_maf(spark):
+    return spark.createDataFrame(
+        [
+            ("1", "100", "101", "A", "A", "T", "GENIE-SAGE-1-1", "100", "90", "10"),
+            ("X", "500", "500", "NA", "NA", "C", "GENIE-SAGE-2-1", "80", "70", "10"),
+        ],
+        ["CHROMOSOME", "START_POSITION", "END_POSITION", "REFERENCE_ALLELE",
+         "TUMOR_SEQ_ALLELE1", "TUMOR_SEQ_ALLELE2", "TUMOR_SAMPLE_BARCODE",
+         "T_DEPTH", "T_REF_COUNT", "T_ALT_COUNT"],
+    )
+
+
+def test_valid_maf_passes(spark):
+    report = maf_rules(CENTER).validate(_valid_maf(spark))
+    assert report.is_valid, report.render()
+
+
+def test_maf_rule_failures(spark):
+    df = spark.createDataFrame(
+        [
+            ("chr1", "abc", "50", "Z", "A", "A", "OTHER-1", "x", "1", "1"),
+            ("25", "100", "101", "A", "A", "A", "GENIE-SAGE-1-1", "100", "90", "10"),
+        ],
+        ["CHROMOSOME", "START_POSITION", "END_POSITION", "REFERENCE_ALLELE",
+         "TUMOR_SEQ_ALLELE1", "TUMOR_SEQ_ALLELE2", "TUMOR_SAMPLE_BARCODE",
+         "T_DEPTH", "T_REF_COUNT", "T_ALT_COUNT"],
+    )
+    report = maf_rules(CENTER).validate(df)
+    ids = rule_ids(report)
+    for expected in [
+        "maf.chromosome", "maf.start_position", "maf.reference_allele",
+        "maf.ref_equals_tsa2", "maf.barcode_format", "maf.numeric.t_depth",
+    ]:
+        assert expected in ids, f"missing {expected}: {ids}"
+    # start>end is a warning, not error
+    warn_df = _valid_maf(spark).withColumn("START_POSITION", _lit("999999"))
+    warn = maf_rules(CENTER).validate(warn_df)
+    assert any(m.rule_id == "maf.start_gt_end" for m in warn.warnings)
+
+
+def _lit(v):
+    from pyspark.sql import functions as F
+
+    return F.lit(v)
+
+
+def test_maf_cross_validate(spark):
+    maf = _valid_maf(spark)
+    clinical = spark.createDataFrame([("GENIE-SAGE-1-1",)], ["SAMPLE_ID"])
+    msgs = maf_cross_validate(maf, clinical)
+    assert msgs and msgs[0].n_violations == 1  # barcode 2-1 missing
+
+
+def test_vcf_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("1", "100", ".", "A", "T", ".", "PASS", "DP=10"),
+            ("chr2", "x", ".", "Q", "T", ".", "PASS", "DP =10"),
+        ],
+        ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"],
+    )
+    report = vcf_rules().validate(df)
+    ids = rule_ids(report)
+    assert {"vcf.chrom", "vcf.pos_int", "vcf.ref_allele"} <= ids
+    assert any(m.rule_id == "vcf.whitespace" for m in report.warnings)
+
+
+def test_bed_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("chr1", "100", "200", "TP53", "True", None),
+            ("99", "a", "200", "+", "yes", None),
+        ],
+        "Chromosome string, Start_Position string, End_Position string, "
+        "Hugo_Symbol string, includeInPanel string, clinicalReported string",
+    )
+    ids = rule_ids(bed_rules().validate(df))
+    assert {"bed.chromosome", "bed.int_positions", "bed.symbol_null", "bed.include_in_panel"} <= ids
+
+
+def test_cna_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("TP53", "GENIE-SAGE-1-1", -2.0),
+            ("EGFR", "OTHER-1", 0.7),
+            ("KRAS", "GENIE-SAGE-1-1", 1.0),
+            ("KRAS", "GENIE-SAGE-1-1", 0.0),
+        ],
+        ["Hugo_Symbol", "SAMPLE_ID", "value"],
+    )
+    ids = rule_ids(cna_rules(CENTER).validate(df))
+    assert {"cna.value_domain", "cna.sample_format", "cna.duplicate_keys"} <= ids
+
+
+def test_seg_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1-1", "1", 100, 200, 5, 0.5),
+            ("BAD-1", "1", 100, 200, 5, None),
+        ],
+        "ID string, CHROM string, `LOC.START` long, `LOC.END` long, `NUM.MARK` long, `SEG.MEAN` double",
+    )
+    ids = rule_ids(seg_rules(CENTER).validate(df))
+    assert {"seg.no_nulls", "seg.id_format"} <= ids
+
+
+def test_sv_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1-1", "SOMATIC", "exon", "GRCh37", "PRECISE", "3to5", "Yes", "5"),
+            ("OTHER-1", "GERMLINE", "nowhere", "hg19", "FUZZY", "1to2", "Maybe", "x"),
+        ],
+        ["SAMPLE_ID", "SV_STATUS", "SITE1_REGION", "NCBI_BUILD",
+         "BREAKPOINT_TYPE", "CONNECTION_TYPE", "DNA_SUPPORT", "SV_LENGTH"],
+    )
+    ids = rule_ids(sv_rules(CENTER).validate(df))
+    for expected in ["sv.sample_format", "sv.status", "sv.site1_region",
+                     "sv.ncbi_build", "sv.breakpoint_type", "sv.connection_type",
+                     "sv.dna_support", "sv.int.sv_length"]:
+        assert expected in ids, f"missing {expected}: {ids}"
