@@ -24,8 +24,11 @@ def union_all(*dfs: DataFrame, allow_missing: bool = True) -> DataFrame:
 
 def except_distinct(left: DataFrame, right: DataFrame) -> DataFrame:
     """Distinct rows of left absent from right — the unix ``diff`` used
-    for intron/intergenic classification (genie_registry/bed.py:211-241)."""
-    return left.exceptAll(right.distinct()).distinct()
+    for intron/intergenic classification (genie_registry/bed.py:211-241).
+    ``subtract`` is SQL EXCEPT DISTINCT (exceptAll would be multiset
+    difference: a row appearing oftener on the left than the right would
+    wrongly survive)."""
+    return left.subtract(right)
 
 
 def intersect_distinct(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -843,6 +843,7 @@ FROM flags
 # ---------------------------------------------------------------------------
 
 from genie_spark.workload_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
+from genie_spark.workload_extra import EXTRA_ORACLES, EXTRA_QUERIES
 
 QUERIES: dict = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -874,6 +875,7 @@ QUERIES: dict = {
     "j6_max_overlap_remap": j6_max_overlap_remap,
     "phi_redaction": phi_redaction,
     **ANALYTICS_QUERIES,
+    **EXTRA_QUERIES,
 }
 
 ORACLES: dict = {
@@ -906,4 +908,5 @@ ORACLES: dict = {
     "j6_max_overlap_remap": J6_SQL,
     "phi_redaction": PHI_SQL,
     **ANALYTICS_ORACLES,
+    **EXTRA_ORACLES,
 }
