@@ -165,25 +165,47 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded
-    candidates → exact Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, k, n_perm)
-    cand = lsh_candidate_pairs(sigs, id_col, n_perm, bands)
-    sh = shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("b"), "shingle")
-    common = (
-        cand.join(a_sh, "a")
-        .join(b_sh, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    candidates → exact Jaccard verification of candidates only.
+
+    ONE shuffle of the shingle set: a single groupBy(doc) computes the
+    n_perm min-aggregates AND the sorted shingle-hash array, so the
+    signature and verification paths share the aggregation.  Candidate
+    verification is `array_intersect` on the two hash arrays — JVM-side
+    set intersection per pair instead of re-exploding candidate × shingle
+    rows (the exploded verify join was the variance source at sf0.1 and
+    is quadratic in hot-bucket size at corpus scale).  60-bit hashes make
+    intersection counts collision-safe in practice.
+    """
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
     )
-    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
+    mh_aggs = [
+        F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perm_params(n_perm))
+    ]
+    docinfo = sh.groupBy(id_col).agg(
+        *mh_aggs,
+        F.sort_array(F.collect_set("__h")).alias("__hs"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cand = lsh_candidate_pairs(
+        docinfo.select(id_col, *[f"mh_{i}" for i in range(n_perm)]),
+        id_col,
+        n_perm,
+        bands,
+    )
+    a_info = docinfo.select(
+        F.col(id_col).alias("a"), F.col("__hs").alias("__hs_a"), F.col("__n").alias("n_a")
+    )
+    b_info = docinfo.select(
+        F.col(id_col).alias("b"), F.col("__hs").alias("__hs_b"), F.col("__n").alias("n_b")
+    )
+    common = F.size(F.array_intersect("__hs_a", "__hs_b")).cast("long")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(na, "a")
-        .join(nb, "b")
+        cand.join(a_info, "a")
+        .join(b_info, "b")
+        .withColumn("n_common", common)
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
