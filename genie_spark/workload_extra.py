@@ -257,6 +257,123 @@ SELECT e.* FROM existing e WHERE e.o_orderkey NOT IN (SELECT o_orderkey FROM new
 """
 
 
+def a15_case_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-list grouping (A15, genie/create_case_lists.py:18-41):
+    members per group as a sorted, de-duplicated, '\\t'-joined string —
+    the cBioPortal case-list body.  array_join(array_sort(collect_set))
+    keeps the text deterministic under any row order."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("doc_id").cast("string"))), "\t"
+            ).alias("case_list_ids"),
+            F.countDistinct("doc_id").alias("n_cases"),
+        )
+    )
+
+
+A15_SQL = """
+SELECT source, lang,
+       string_agg(DISTINCT CAST(doc_id AS VARCHAR), CHR(9) ORDER BY CAST(doc_id AS VARCHAR)) AS case_list_ids,
+       count(DISTINCT doc_id) AS n_cases
+FROM documents GROUP BY source, lang
+"""
+
+
+def a14_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-symbol template (A14, database_to_staging.py:1432-1442):
+    distinct union of keys across two 'center files'."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    from genie_spark.operators.sets import union_all
+
+    return union_all(
+        li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k")),
+        li.where(F.col("l_quantity") > 45).select(F.col("l_partkey").alias("k")),
+        o.where(F.col("o_orderkey") < 100).select(F.col("o_custkey").alias("k")),
+    ).distinct()
+
+
+A14_SQL = """
+SELECT DISTINCT k FROM (
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+  UNION ALL SELECT o_custkey FROM orders WHERE o_orderkey < 100
+)
+"""
+
+
+def a16_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-annotation counts (A16, R/dashboard_template_functions.R:
+    25-41): filter to the failure class, count per group pair."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+A16_SQL = """
+SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+FROM events WHERE event_type = 'error' GROUP BY 1, 2
+"""
+
+
+def p7_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-predicate drop (P7, genie/consortium_to_public.py:27-37
+    common_variant filter): rows whose flag column does NOT contain the
+    marker survive; null flags survive too (pandas str.contains NA
+    semantics)."""
+    from genie_spark.release.filters import common_variant_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = docs.withColumn(
+        "FILTER",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("common_variant;clustered"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("PASS"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    return common_variant_filter(flagged).select("doc_id", "FILTER")
+
+
+P7_SQL = """
+WITH flagged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'common_variant;clustered'
+              WHEN doc_id % 7 = 1 THEN 'PASS' END AS FILTER
+  FROM documents
+)
+SELECT doc_id, FILTER FROM flagged
+WHERE FILTER IS NULL OR NOT contains(FILTER, 'common_variant')
+"""
+
+
+def j8_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-table lookup with UNKNOWN fallback (J8, oncotree join,
+    genie/database_to_staging.py:1240-1283): broadcast left join of a
+    fact table against a small code→label dim; unmatched codes map to
+    'UNKNOWN'."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 15)
+    out = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation_label"),
+    )
+    return out
+
+
+J8_SQL = """
+SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_label
+FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
+  ON c_nationkey = n_nationkey
+"""
+
+
 EXTRA_QUERIES: dict = {
     "j5_feature_type": j5_feature_type,
     "a4_completeness": a4_completeness,
@@ -264,6 +381,11 @@ EXTRA_QUERIES: dict = {
     "set_except_distinct": set_except_distinct,
     "scalar_battery": scalar_battery,
     "s15_apply_upsert": s15_apply_upsert,
+    "a15_case_lists": a15_case_lists,
+    "a14_distinct_union": a14_distinct_union,
+    "a16_filtered_counts": a16_filtered_counts,
+    "p7_contains_filter": p7_contains_filter,
+    "j8_broadcast_lookup": j8_broadcast_lookup,
 }
 
 EXTRA_ORACLES: dict = {
@@ -273,4 +395,9 @@ EXTRA_ORACLES: dict = {
     "set_except_distinct": SET_EXCEPT_SQL,
     "scalar_battery": SCALAR_SQL,
     "s15_apply_upsert": S15_SQL,
+    "a15_case_lists": A15_SQL,
+    "a14_distinct_union": A14_SQL,
+    "a16_filtered_counts": A16_SQL,
+    "p7_contains_filter": P7_SQL,
+    "j8_broadcast_lookup": J8_SQL,
 }
