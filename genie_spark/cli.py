@@ -1,0 +1,256 @@
+"""Command-line workflows mirroring the reference's entry points.
+
+Reference surface → subcommand map:
+  ``genie validate <files> <center>``      → ``validate``
+    (genie/__main__.py:38-156, genie/validate.py:221-260)
+  ``bin/input_to_database.py main``        → ``ingest``
+    (genie/input_to_database.py:824-1009: validate then upsert bronze)
+  ``bin/database_to_staging.py``           → ``release``
+    (genie/database_to_staging.py:1713-1956)
+  ``bin/consortium_to_public.py``          → ``public``
+    (genie/consortium_to_public.py:41-359)
+  dashboard update                         → ``dashboard``
+    (genie/dashboard_table_updater.py:809-836)
+
+Storage is a local/HDFS/S3 "warehouse" directory of parquet bronze
+tables (one per format name) — the stand-in for the reference's Synapse
+tables.  All commands are driver-thin: every data decision is a
+DataFrame op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genie_spark.formats import BY_NAME, determine_filetype
+from genie_spark.operators.upsert import apply_upsert
+
+
+def _bronze(warehouse: str, name: str) -> str:
+    return os.path.join(warehouse, name)
+
+
+def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | None:
+    path = _bronze(warehouse, name)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def cmd_validate(spark: SparkSession, args: argparse.Namespace) -> int:
+    fmt = BY_NAME.get(args.filetype) if args.filetype else determine_filetype(
+        args.paths, args.center
+    )
+    if fmt is None:
+        print(
+            f"Your filename is incorrect! Please change your filename before you run "
+            f"the validator or specify --filetype if you are running the validator "
+            f"locally",
+            file=sys.stderr,
+        )
+        return 2
+    df = fmt.read(spark, args.paths)
+    ruleset = fmt.rules(args.center)
+    if ruleset is None:
+        print(f"{fmt.name}: no frame rules; file read OK ({len(df.columns)} columns)")
+        return 0
+    report = ruleset.validate(df)
+    print(report.render())
+    return 0 if report.is_valid else 1
+
+
+def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Validate then MERGE into the bronze table (reference
+    ``processfiles``, genie/input_to_database.py:383-442)."""
+    fmt = BY_NAME.get(args.filetype) if args.filetype else determine_filetype(
+        args.paths, args.center
+    )
+    if fmt is None:
+        print("cannot determine filetype; pass --filetype", file=sys.stderr)
+        return 2
+    df = fmt.read(spark, args.paths).withColumn("CENTER", F.lit(args.center))
+    ruleset = fmt.rules(args.center)
+    if ruleset is not None:
+        report = ruleset.validate(df)
+        if not report.is_valid:
+            print(report.render(), file=sys.stderr)
+            if not args.force:
+                return 1
+    if fmt.transform is not None:
+        df = fmt.transform(df)
+    target = _bronze(args.warehouse, fmt.name)
+    existing = _read_bronze(spark, args.warehouse, fmt.name)
+    if existing is not None and fmt.keys:
+        merged = apply_upsert(df, existing.select(*df.columns), list(fmt.keys))
+    elif existing is not None:
+        merged = existing.unionByName(df, allowMissingColumns=True)
+    else:
+        merged = df
+    staging = target + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.move(staging, target)
+    print(f"ingested {fmt.name} → {target}")
+    return 0
+
+
+def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
+    from genie_spark.io.writers import write_cbio_clinical, write_cna_wide, write_tsv
+    from genie_spark.release.pipeline import run_release
+
+    clinical = _read_bronze(spark, args.warehouse, "clinical")
+    maf = _read_bronze(spark, args.warehouse, "maf")
+    bed = _read_bronze(spark, args.warehouse, "bed")
+    if clinical is None or maf is None or bed is None:
+        print("release needs clinical, maf, and bed bronze tables", file=sys.stderr)
+        return 2
+    arts = run_release(
+        clinical=clinical,
+        maf=maf,
+        bed=bed,
+        sv=_read_bronze(spark, args.warehouse, "sv"),
+        seg=_read_bronze(spark, args.warehouse, "seg"),
+        cna_long=_read_bronze(spark, args.warehouse, "cna_long"),
+        oncotree=_read_bronze(spark, args.warehouse, "oncotree"),
+        pad=args.pad,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    write_cbio_clinical(
+        arts.clinical, os.path.join(args.output, "data_clinical.txt")
+    )
+    write_tsv(arts.maf, os.path.join(args.output, "data_mutations_extended.txt"))
+    if arts.sv is not None:
+        write_tsv(arts.sv, os.path.join(args.output, "data_sv.txt"))
+    if arts.seg is not None:
+        write_tsv(arts.seg, os.path.join(args.output, "genie_data_cna_hg19.seg"))
+    if arts.cna_long is not None:
+        write_cna_wide(arts.cna_long, os.path.join(args.output, "data_CNA.txt"))
+    counts = {
+        "clinical": arts.clinical.count(),
+        "maf": arts.maf.count(),
+    }
+    print(json.dumps({"release": args.version, "rows": counts}))
+    return 0
+
+
+def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
+    from genie_spark.io.writers import write_cbio_clinical, write_tsv
+    from genie_spark.release.pipeline import ReleaseArtifacts, consortium_to_public
+
+    clin = spark.read.option("sep", "\t").option("header", "true").option(
+        "comment", "#"
+    ).csv(os.path.join(args.release_dir, "data_clinical.txt"))
+    maf = spark.read.option("sep", "\t").option("header", "true").csv(
+        os.path.join(args.release_dir, "data_mutations_extended.txt")
+    )
+    arts = ReleaseArtifacts(clinical=clin, maf=maf)
+    keep = clin.select("SAMPLE_ID")
+    if args.keep_samples:
+        keep = spark.read.option("header", "false").csv(args.keep_samples).toDF(
+            "SAMPLE_ID"
+        )
+    pub = consortium_to_public(
+        arts, keep, private_columns=args.private_columns.split(",") if args.private_columns else []
+    )
+    os.makedirs(args.output, exist_ok=True)
+    write_cbio_clinical(pub.clinical, os.path.join(args.output, "data_clinical.txt"))
+    write_tsv(pub.maf, os.path.join(args.output, "data_mutations_extended.txt"))
+    print(f"public release → {args.output}")
+    return 0
+
+
+def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Dashboard aggregation tables (A1–A4; reference
+    genie/dashboard_table_updater.py)."""
+    from genie_spark.operators.aggregations import (
+        completeness_ratio,
+        counts_with_total,
+        distinct_counts,
+        pivot_counts,
+    )
+
+    clinical = _read_bronze(spark, args.warehouse, "clinical")
+    if clinical is None:
+        print("dashboard needs the clinical bronze table", file=sys.stderr)
+        return 2
+    os.makedirs(args.output, exist_ok=True)
+    outputs = {
+        "sample_counts": counts_with_total(clinical, "CENTER"),
+        "distinct_samples": distinct_counts(clinical, "CENTER", "SAMPLE_ID"),
+    }
+    if "ONCOTREE_CODE" in clinical.columns:
+        outputs["oncotree_matrix"] = pivot_counts(
+            clinical, "ONCOTREE_CODE", "CENTER"
+        )
+        outputs["completeness"] = completeness_ratio(
+            clinical,
+            "CENTER",
+            [c for c in clinical.columns if c not in ("CENTER",)],
+            missing_sentinels=["Not Collected", "Unknown"],
+        )
+    for name, df in outputs.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.output, name))
+    print(f"dashboard tables → {args.output}: {sorted(outputs)}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="genie-spark", description="PySpark-native GENIE pipeline"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("validate", help="validate center upload files")
+    v.add_argument("paths", nargs="+")
+    v.add_argument("--center", required=True)
+    v.add_argument("--filetype", choices=sorted(BY_NAME))
+    v.set_defaults(fn=cmd_validate)
+
+    i = sub.add_parser("ingest", help="validate + upsert into bronze tables")
+    i.add_argument("paths", nargs="+")
+    i.add_argument("--center", required=True)
+    i.add_argument("--warehouse", required=True)
+    i.add_argument("--filetype", choices=sorted(BY_NAME))
+    i.add_argument("--force", action="store_true", help="ingest despite errors")
+    i.set_defaults(fn=cmd_ingest)
+
+    r = sub.add_parser("release", help="consortium release from bronze tables")
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--version", default="TESTING")
+    r.add_argument("--pad", type=int, default=10)
+    r.set_defaults(fn=cmd_release)
+
+    u = sub.add_parser("public", help="public release from a consortium release")
+    u.add_argument("--release-dir", required=True)
+    u.add_argument("--output", required=True)
+    u.add_argument("--keep-samples", default=None)
+    u.add_argument("--private-columns", default="")
+    u.set_defaults(fn=cmd_public)
+
+    d = sub.add_parser("dashboard", help="dashboard aggregation tables")
+    d.add_argument("--warehouse", required=True)
+    d.add_argument("--output", required=True)
+    d.set_defaults(fn=cmd_dashboard)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from genie_spark.session import get_spark
+
+    spark = get_spark(f"genie_spark_{args.command}")
+    return args.fn(spark, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

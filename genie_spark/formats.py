@@ -1,0 +1,228 @@
+"""File-format registry: filename detection → reader → rule set → keys.
+
+Mirrors the reference's ``FileTypeFormat`` subclass registry
+(genie/config.py:26-74) and filename-based filetype resolution
+(genie/validate.py:63-88, ``determine_filetype`` tries each format's
+``_validateFilename``).  Each format here is declarative: a filename
+matcher, the Spark reader, the rule-set factory, and the primary key
+used for MERGE upserts (genie/load.py:229-252 UNIQUE_KEY map).
+
+Reference filename conventions (asserted per format):
+  clinical  data_clinical_supp_{center}.txt or the sample/patient pair
+            (genie_registry/clinical.py:402-414)
+  maf       data_mutations_extended_{center}.txt (maf.py:161-168)
+  cna       data_CNA_{center}.txt (cna.py:120-121)
+  seg       genie_data_cna_hg19_{center}.seg (seg.py:17-21)
+  bed       {seq_assay_id}.bed, assay id prefixed by center
+            (bed.py:431-442)
+  vcf       GENIE-{center}-*.vcf (vcf.py:26-30)
+  sv        data_sv_{center}.txt (structural_variant.py)
+  assay     assay_information.yaml (assay.py:21-23)
+  patient/sample retraction, mutationsInCis: fixed names
+            (sampleRetraction.py:29-30, mutationsInCis.py:31-33)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from genie_spark.io import readers
+from genie_spark.rules.clinical import patient_rules, sample_rules
+from genie_spark.rules.engine import RuleSet
+from genie_spark.rules.genomic import (
+    bed_rules,
+    cna_rules,
+    maf_rules,
+    seg_rules,
+    sv_rules,
+    vcf_rules,
+)
+
+
+@dataclass(frozen=True)
+class FileFormat:
+    name: str
+    # (basenames, center) -> bool; pair formats (clinical) see all paths
+    matches: Callable[[list[str], str], bool]
+    # (spark, paths) -> DataFrame
+    read: Callable[[SparkSession, list[str]], DataFrame]
+    # (center) -> RuleSet | None (None = no frame rules, reader-only)
+    rules: Callable[[str], RuleSet | None]
+    # primary key for upsert into the bronze table; () = append-only
+    keys: tuple[str, ...] = ()
+    # post-validation processing applied at ingest (the reference's
+    # ``process_steps``); identity when None
+    transform: Callable[[DataFrame], DataFrame] | None = None
+
+
+def _single(fn: Callable[[SparkSession, str], DataFrame]):
+    def read(spark: SparkSession, paths: list[str]) -> DataFrame:
+        return fn(spark, paths if len(paths) > 1 else paths[0])
+
+    return read
+
+
+def _read_clinical(spark: SparkSession, paths: list[str]) -> DataFrame:
+    if len(paths) == 2:
+        sample_path = next(p for p in paths if "sample" in os.path.basename(p))
+        patient_path = next(p for p in paths if "patient" in os.path.basename(p))
+        _, _, merged = readers.read_clinical_pair(spark, sample_path, patient_path)
+        return merged
+    df = readers.read_tsv(spark, paths[0])
+    return df.toDF(*[c.upper() for c in df.columns])
+
+
+def _read_bed(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """BED scan + SEQ_ASSAY_ID from the filename stem — the reference
+    derives the assay id from the bed file's name
+    (genie_registry/bed.py:431-442, file must be named
+    ``{SEQ_ASSAY_ID}.bed``)."""
+    from pyspark.sql import functions as F
+
+    df = readers.read_bed(spark, paths if len(paths) > 1 else paths[0])
+    assay = os.path.basename(paths[0])[: -len(".bed")]
+    return df.withColumn("SEQ_ASSAY_ID", F.lit(assay))
+
+
+_MAF_NUMERIC = (
+    "START_POSITION", "END_POSITION", "T_ALT_COUNT", "T_REF_COUNT",
+    "T_DEPTH", "N_ALT_COUNT", "N_REF_COUNT", "N_DEPTH",
+)
+
+
+def _maf_transform(df: DataFrame) -> DataFrame:
+    """MAF numeric coercion (reference genie_registry/maf.py:300-316
+    checks these parse; genie/process_mutation.py casts at load):
+    positions/counts → long via try_cast (malformed → null, never
+    throws under ANSI mode)."""
+    from pyspark.sql import functions as F
+
+    cols = {c.upper(): c for c in df.columns}
+    out = df
+    for up in _MAF_NUMERIC:
+        if up in cols:
+            c = cols[up]
+            out = out.withColumn(c, F.col(c).try_cast("long"))
+    return out
+
+
+def _clinical_rules(center: str) -> RuleSet:
+    # merged-file validation = sample rules + patient rules (the
+    # reference validates the merged frame, clinical.py:800-1298)
+    s = sample_rules(center)
+    p = patient_rules(center)
+    return RuleSet("clinical", list(s.rules) + list(p.rules))
+
+
+FORMATS: list[FileFormat] = [
+    FileFormat(
+        name="clinical",
+        matches=lambda names, c: all(
+            n == f"data_clinical_supp_{c}.txt"
+            or re.fullmatch(rf"data_clinical_supp_(sample|patient)_{re.escape(c)}\.txt", n)
+            for n in names
+        )
+        and len(names) in (1, 2),
+        read=_read_clinical,
+        rules=_clinical_rules,
+        keys=("SAMPLE_ID",),
+    ),
+    FileFormat(
+        name="maf",
+        matches=lambda names, c: names == [f"data_mutations_extended_{c}.txt"],
+        read=_single(readers.read_maf),
+        rules=maf_rules,
+        keys=(
+            "CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
+            "TUMOR_SEQ_ALLELE2", "TUMOR_SAMPLE_BARCODE",
+        ),
+        transform=_maf_transform,
+    ),
+    FileFormat(
+        name="vcf",
+        matches=lambda names, c: len(names) == 1
+        and names[0].endswith(".vcf")
+        and names[0].startswith(f"GENIE-{c}-"),
+        read=_single(readers.read_vcf),
+        rules=lambda c: vcf_rules(),
+        keys=(),
+    ),
+    FileFormat(
+        name="cna",
+        matches=lambda names, c: names == [f"data_CNA_{c}.txt"],
+        read=_single(readers.read_tsv),
+        rules=cna_rules,
+        keys=("Hugo_Symbol",),
+    ),
+    FileFormat(
+        name="seg",
+        matches=lambda names, c: names == [f"genie_data_cna_hg19_{c}.seg"],
+        read=_single(readers.read_tsv),
+        rules=seg_rules,
+        keys=("ID", "CHROM", "LOC_START", "LOC_END"),
+    ),
+    FileFormat(
+        name="bed",
+        matches=lambda names, c: len(names) == 1
+        and names[0].endswith(".bed")
+        and names[0].startswith(f"{c}-"),
+        read=_read_bed,
+        rules=lambda c: bed_rules(),
+        keys=("Chromosome", "Start_Position", "End_Position", "SEQ_ASSAY_ID"),
+    ),
+    FileFormat(
+        name="sv",
+        matches=lambda names, c: names == [f"data_sv_{c}.txt"],
+        read=_single(readers.read_tsv),
+        rules=sv_rules,
+        keys=(),
+    ),
+    FileFormat(
+        name="assayinfo",
+        matches=lambda names, c: len(names) == 1
+        and names[0] in ("assay_information.yaml", f"{c}_assay_information.yaml"),
+        read=lambda spark, paths: readers.read_assay_yaml(spark, paths[0]),
+        rules=lambda c: None,
+        keys=("SEQ_ASSAY_ID",),
+    ),
+    FileFormat(
+        name="sampleRetraction",
+        matches=lambda names, c: names == ["sampleRetraction.csv"],
+        read=_single(readers.read_retraction),
+        rules=lambda c: None,
+        keys=("genieSampleId",),
+    ),
+    FileFormat(
+        name="patientRetraction",
+        matches=lambda names, c: names == ["patientRetraction.csv"],
+        read=lambda spark, paths: readers.read_retraction(
+            spark, paths[0], col="geniePatientId"
+        ),
+        rules=lambda c: None,
+        keys=("geniePatientId",),
+    ),
+    FileFormat(
+        name="mutationsInCis",
+        matches=lambda names, c: names == ["mutationsInCis_filtered_samples.csv"],
+        read=_single(readers.read_mutations_in_cis),
+        rules=lambda c: None,
+        keys=(),
+    ),
+]
+
+BY_NAME: dict[str, FileFormat] = {f.name: f for f in FORMATS}
+
+
+def determine_filetype(paths: Sequence[str], center: str) -> FileFormat | None:
+    """First format whose filename contract the path bundle satisfies
+    (reference genie/validate.py:63-88)."""
+    names = sorted(os.path.basename(p) for p in paths)
+    for fmt in FORMATS:
+        if fmt.matches(names, center):
+            return fmt
+    return None

@@ -64,8 +64,17 @@ def flag_variants_to_merge(
     vaf = F.when(
         F.coalesce(F.col(depth_col), F.lit(0)) == 0, F.lit(1.0)
     ).otherwise(F.col(alt_col) / F.col(depth_col))
-    # "123/456" or "12" → leading integer; null if unparseable
-    codon = F.regexp_extract(F.col(protein_pos_col), r"^(\d+)", 1).cast("long")
+    # "123/456" or "12" → leading integer; null if unparseable.  An
+    # unannotated MAF has no Protein_position at all — same as
+    # all-unparseable (the codon criterion accepts NA,
+    # mergecheck_functions.R:160-163).
+    cols = {c.lower(): c for c in maf.columns}
+    if protein_pos_col.lower() in cols:
+        codon = F.regexp_extract(
+            F.col(cols[protein_pos_col.lower()]), r"^(\d+)", 1
+        ).cast("long")
+    else:
+        codon = F.lit(None).cast("long")
     w = Window.partitionBy(sample_col, chrom_col).orderBy(pos_col)
     paired = (
         maf.withColumn("__vaf", vaf)

@@ -1,0 +1,131 @@
+"""CLI workflow tests: filetype detection, validate, ingest→release→
+dashboard end-to-end on a synthetic center upload (reference entry
+points genie/__main__.py, bin/input_to_database.py,
+bin/database_to_staging.py)."""
+
+from __future__ import annotations
+
+import os
+
+from genie_spark.cli import build_parser, cmd_dashboard, cmd_ingest, cmd_release, cmd_validate
+from genie_spark.formats import determine_filetype
+
+CENTER = "SAGE"
+
+
+def _write_clinical_pair(tmp_path):
+    sp = tmp_path / f"data_clinical_supp_sample_{CENTER}.txt"
+    pp = tmp_path / f"data_clinical_supp_patient_{CENTER}.txt"
+    sp.write_text(
+        "SAMPLE_ID\tPATIENT_ID\tAGE_AT_SEQ_REPORT\tONCOTREE_CODE\tSAMPLE_TYPE\tSEQ_ASSAY_ID\tSAMPLE_CLASS\n"
+        f"GENIE-{CENTER}-1-1\tGENIE-{CENTER}-1\t36500\tUNKNOWN\t1\t{CENTER}-PANEL-1\tTumor\n"
+        f"GENIE-{CENTER}-2-1\tGENIE-{CENTER}-2\t40000\tUNKNOWN\t8\t{CENTER}-PANEL-1\tcfDNA\n"
+    )
+    pp.write_text(
+        "PATIENT_ID\tSEX\tPRIMARY_RACE\tETHNICITY\tBIRTH_YEAR\tYEAR_CONTACT\tINT_CONTACT\tDEAD\tYEAR_DEATH\tINT_DOD\tCENTER\n"
+        f"GENIE-{CENTER}-1\t1\t1\t1\t1950\t2015\t23725\tFalse\tNot Applicable\tNot Applicable\t{CENTER}\n"
+        f"GENIE-{CENTER}-2\t2\t2\t1\t1960\t2016\t20440\tFalse\tNot Applicable\tNot Applicable\t{CENTER}\n"
+    )
+    return [str(sp), str(pp)]
+
+
+def _write_maf(tmp_path):
+    p = tmp_path / f"data_mutations_extended_{CENTER}.txt"
+    p.write_text(
+        "Chromosome\tStart_Position\tEnd_Position\tReference_Allele\tTumor_Seq_Allele2\t"
+        "Tumor_Sample_Barcode\tt_alt_count\tt_ref_count\tt_depth\n"
+        f"1\t150\t150\tA\tT\tGENIE-{CENTER}-1-1\t10\t90\t100\n"
+        f"1\t350\t350\tG\tC\tGENIE-{CENTER}-2-1\t20\t80\t100\n"
+    )
+    return [str(p)]
+
+
+def _write_bed(tmp_path):
+    p = tmp_path / f"{CENTER}-PANEL-1.bed"
+    p.write_text("1\t100\t200\tTP53\tTrue\n1\t300\t400\tEGFR\tTrue\n")
+    return [str(p)]
+
+
+def test_determine_filetype(tmp_path):
+    clin = _write_clinical_pair(tmp_path)
+    assert determine_filetype(clin, CENTER).name == "clinical"
+    assert determine_filetype(_write_maf(tmp_path), CENTER).name == "maf"
+    assert determine_filetype(_write_bed(tmp_path), CENTER).name == "bed"
+    assert determine_filetype(["nonsense.xyz"], CENTER) is None
+
+
+def _ns(**kw):
+    import argparse
+
+    return argparse.Namespace(**kw)
+
+
+def test_validate_command(spark, tmp_path):
+    paths = _write_clinical_pair(tmp_path)
+    rc = cmd_validate(
+        spark, _ns(paths=paths, center=CENTER, filetype=None)
+    )
+    assert rc == 0
+
+
+def test_validate_bad_file(spark, tmp_path):
+    sp = tmp_path / f"data_clinical_supp_{CENTER}.txt"
+    # missing required columns + bad id prefix
+    sp.write_text("SAMPLE_ID\tPATIENT_ID\nX-1\tX\n")
+    rc = cmd_validate(
+        spark, _ns(paths=[str(sp)], center=CENTER, filetype=None)
+    )
+    assert rc == 1
+
+
+def test_ingest_release_dashboard(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    out = str(tmp_path / "release")
+    dash = str(tmp_path / "dash")
+
+    for paths, ft in [
+        (_write_clinical_pair(tmp_path), None),
+        (_write_maf(tmp_path), None),
+        (_write_bed(tmp_path), "bed"),
+    ]:
+        rc = cmd_ingest(
+            spark,
+            _ns(paths=paths, center=CENTER, warehouse=wh, filetype=ft, force=True),
+        )
+        assert rc == 0, f"ingest failed for {paths}"
+
+    # bed bronze needs SEQ_ASSAY_ID for the release no-genepanel filter
+    bed = spark.read.parquet(os.path.join(wh, "bed"))
+    assert "SEQ_ASSAY_ID" in bed.columns or "Chromosome" in bed.columns
+
+    # re-ingest same clinical = upsert, row count unchanged
+    rc = cmd_ingest(
+        spark,
+        _ns(paths=_write_clinical_pair(tmp_path), center=CENTER, warehouse=wh,
+            filetype=None, force=True),
+    )
+    assert rc == 0
+    clin = spark.read.parquet(os.path.join(wh, "clinical"))
+    assert clin.count() == 2
+
+    rc = cmd_release(
+        spark, _ns(warehouse=wh, output=out, version="TEST", pad=10)
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "data_clinical.txt"))
+    assert os.path.exists(os.path.join(out, "data_mutations_extended.txt"))
+
+    rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash))
+    assert rc == 0
+    counts = spark.read.parquet(os.path.join(dash, "sample_counts"))
+    assert counts.count() >= 1
+
+
+def test_parser_shape():
+    p = build_parser()
+    args = p.parse_args(["validate", "f.txt", "--center", "SAGE"])
+    assert args.command == "validate"
+    args = p.parse_args(
+        ["release", "--warehouse", "w", "--output", "o"]
+    )
+    assert args.pad == 10
