@@ -1,0 +1,111 @@
+"""Streaming analytics: watermarked windowed aggregation and custom
+stateful sessionization.
+
+The reference is batch-only (SURVEY.md §2.12) — these are the
+Spark-native extensions for continuous center-file ingestion at scale:
+event-time windows tolerate late uploads (watermark bounds state), and
+``applyInPandasWithState`` expresses per-key custom state machines (the
+Spark analog of the reference's validation-status tracking tables,
+genie/input_to_database.py:519-603, which are batch upserts there).
+
+Both operators run identically under ``trigger(availableNow=True)``
+(cron-batch shape) and a live trigger; state lives in the checkpoint,
+partitioned by key — no driver-side state, so a 1000-executor cluster
+scales by repartitioning the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark.
+
+    The watermark lets Spark drop window state once event time passes
+    window_end + watermark — bounded memory under unbounded input.
+    Output columns: window_start, window_end, *group_cols, n.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("__w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *group_cols,
+            "n",
+        )
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+):
+    """Per-key gap-based sessionization via ``applyInPandasWithState``.
+
+    Emits one row per closed session (a new event more than
+    ``gap_seconds`` after the previous one closes the open session).
+    State per key is three scalars — session start, last event time,
+    event count — so state size is O(keys), independent of event volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_end", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("last", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(int(t) for t in pdf["__ts_s"])
+        ts_all.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for t in ts_all:
+            if last is not None and t - last > gap_seconds:
+                closed.append((str(key[0]), start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            closed, columns=["key", "session_start", "session_end", "n_events"]
+        )
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(ts_col).cast("timestamp").cast("long").alias("__ts_s"),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -36,3 +36,88 @@ def test_streaming_ingest_upsert(spark, tmp_path):
     run_ingest_once(spark, str(drop), target, ckpt, SCHEMA, keys=["SAMPLE_ID"])
     got = {r["SAMPLE_ID"]: r["AGE"] for r in spark.read.parquet(target).collect()}
     assert got == {"S1": "100", "S2": "250", "S3": "300"}
+
+
+def test_windowed_counts_watermark(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import windowed_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "e1.csv").write_text(
+        "ts,event_type\n"
+        "2026-01-01 10:05:00,click\n"
+        "2026-01-01 10:20:00,click\n"
+        "2026-01-01 10:40:00,view\n"
+        "2026-01-01 11:10:00,click\n"
+    )
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("event_type", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("header", "true").csv(str(src))
+    )
+    agg = windowed_counts(stream, "ts", ["event_type"], window="1 hour")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # append mode emits only windows the watermark has closed; run a
+    # second batch with a later event to close the 10:00 window
+    (src / "e2.csv").write_text("ts,event_type\n2026-01-01 12:30:00,view\n")
+    run_once()
+    rows = {
+        (r["window_start"].hour, r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[(10, "click")] == 2
+    assert rows[(10, "view")] == 1
+    assert rows[(11, "click")] == 1
+
+
+def test_sessionize_state(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import sessionize
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    # user A: two sessions separated by >30 min; user B: one session
+    (src / "s1.csv").write_text(
+        "user_id,ts\n"
+        "A,2026-01-01 09:00:00\n"
+        "A,2026-01-01 09:10:00\n"
+        "A,2026-01-01 11:00:00\n"
+        "B,2026-01-01 09:00:00\n"
+    )
+    schema = T.StructType(
+        [T.StructField("user_id", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).option("header", "true").csv(str(src))
+    sess = sessionize(stream, key_col="user_id", ts_col="ts", gap_seconds=1800)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from sessions").collect()
+    # only A's first session has closed (gap before 11:00 event)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "A" and r["n_events"] == 2
+    assert r["session_end"] - r["session_start"] == 600
