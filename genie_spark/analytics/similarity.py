@@ -71,26 +71,71 @@ def cosine_topk(
     k: int = 10,
     query_filter: Column | None = None,
 ) -> DataFrame:
-    """Brute-force top-k neighbors for each query vector (queries =
-    rows matching ``query_filter``, broadcast against the corpus).
-    Rank is deterministic: (cosine desc, neighbor id asc)."""
+    """Brute-force top-k neighbors for each query vector.
+
+    The 100 TB shape: the (small, by contract) query set is collected
+    and closed over as a numpy matrix; each corpus partition scores its
+    vectors against ALL queries with one int64 matmul (Arrow-batched
+    ``mapInPandas``) and emits only its LOCAL top-k per query, so the
+    shuffle carries partitions × queries × k rows — never the full
+    query × corpus pair set.  A final window takes the global top-k.
+
+    Determinism: quantized int64 dot products are exact; cosine =
+    dot / (sqrt(cn)·sqrt(qn)) is the same IEEE op sequence the SQL
+    oracle runs; ties rank by neighbor id.
+    """
     queries = df.where(query_filter) if query_filter is not None else df
-    q = _with_norm(queries, id_col, vec_col, "q")
-    c = _with_norm(df, id_col, vec_col, "c")
-    cos = F.try_divide(
-        dot(F.col("q_v"), F.col("c_v")), F.sqrt(F.col("q_n")) * F.sqrt(F.col("c_n"))
+    q_rows = queries.select(F.col(id_col), quantized(vec_col).alias("v")).collect()
+    if not q_rows:
+        schema = "query_id long, neighbor_id long, rank int, cosine double"
+        return df.sparkSession.createDataFrame([], schema)
+
+    import numpy as np
+
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.int64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype("float64"))
+
+    def score_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["__v"]), dtype=np.int64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype("float64"))
+            cos = (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                mask = ids != q_ids[j]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                s = cos[idx, j]
+                # local top-k, ties by neighbor id ascending
+                order = np.lexsort((ids[idx], -s))[:k]
+                sel = idx[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_c.extend(cos[sel, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    corpus = df.select(
+        F.col(id_col).alias("__id"), quantized(vec_col).alias("__v")
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("q") != F.col("c"))
-        .withColumn("cosine", cos)
+    local = corpus.mapInPandas(
+        score_partition, schema="query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("q").orderBy(F.col("cosine").desc(), F.col("c").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(F.col("q").alias("query_id"), F.col("c").alias("neighbor_id"), "rank", "cosine")
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 

@@ -374,6 +374,38 @@ FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
 """
 
 
+def j10_symbol_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNA symbol remap (J10, genie_registry/cna.py:14-66): part names
+    play CNA symbols, a supplier-derived dim plays the BED — direct
+    match keeps the symbol, ID match remaps, no match nulls."""
+    from genie_spark.operators.remap import cna_symbol_remap
+
+    p = _t(spark, sf_dir, "part")
+    cna = p.select(F.col("p_partkey").alias("row_id"), (F.col("p_partkey") % 500).cast("string").alias("Hugo_Symbol"))
+    bed = p.where(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") % 200).cast("string").alias("Hugo_Symbol"),
+        (F.col("p_partkey") % 350).cast("string").alias("ID"),
+    )
+    return cna_symbol_remap(cna, bed).select("row_id", "Hugo_Symbol", "remapped_symbol")
+
+
+J10_SQL = """
+WITH cna AS (
+  SELECT p_partkey AS row_id, CAST(p_partkey % 500 AS VARCHAR) AS Hugo_Symbol FROM part
+), bed AS (
+  SELECT CAST(p_partkey % 200 AS VARCHAR) AS Hugo_Symbol, CAST(p_partkey % 350 AS VARCHAR) AS ID
+  FROM part WHERE p_partkey % 3 = 0
+), id_map AS (
+  SELECT ID, min(Hugo_Symbol) AS via_id FROM bed WHERE ID IS NOT NULL GROUP BY ID
+)
+SELECT row_id, cna.Hugo_Symbol,
+       coalesce(CASE WHEN EXISTS (SELECT 1 FROM bed b WHERE b.Hugo_Symbol = cna.Hugo_Symbol)
+                     THEN cna.Hugo_Symbol END,
+                (SELECT via_id FROM id_map m WHERE m.ID = cna.Hugo_Symbol)) AS remapped_symbol
+FROM cna
+"""
+
+
 EXTRA_QUERIES: dict = {
     "j5_feature_type": j5_feature_type,
     "a4_completeness": a4_completeness,
@@ -386,6 +418,7 @@ EXTRA_QUERIES: dict = {
     "a16_filtered_counts": a16_filtered_counts,
     "p7_contains_filter": p7_contains_filter,
     "j8_broadcast_lookup": j8_broadcast_lookup,
+    "j10_symbol_remap": j10_symbol_remap,
 }
 
 EXTRA_ORACLES: dict = {
@@ -400,4 +433,5 @@ EXTRA_ORACLES: dict = {
     "a16_filtered_counts": A16_SQL,
     "p7_contains_filter": P7_SQL,
     "j8_broadcast_lookup": J8_SQL,
+    "j10_symbol_remap": J10_SQL,
 }

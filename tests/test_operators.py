@@ -176,3 +176,21 @@ def test_flag_variants_zero_depth_vaf(spark):
          "t_alt_count", "t_depth", "Protein_position"],
     )
     assert flag_variants_to_merge(df).count() == 2
+
+
+def test_cna_symbol_remap(spark):
+    from genie_spark.operators.remap import cna_symbol_remap
+
+    cna = spark.createDataFrame(
+        [(1, "TP53"), (2, "OLD1"), (3, "NOPE")], ["row_id", "Hugo_Symbol"]
+    )
+    bed = spark.createDataFrame(
+        [("TP53", "TP53"), ("EGFR", "OLD1"), ("AAK1", "OLD1")],
+        ["Hugo_Symbol", "ID"],
+    )
+    got = {
+        r["row_id"]: r["remapped_symbol"]
+        for r in cna_symbol_remap(cna, bed).collect()
+    }
+    # direct match keeps; ID match remaps to first (min) symbol; miss → null
+    assert got == {1: "TP53", 2: "AAK1", 3: None}
