@@ -249,17 +249,51 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_distance.
 
-    All-pairs XOR+popcount — fine to a few hundred thousand docs; at
-    corpus scale swap the cross join for banding on bit-chunks (same
-    LSH trick as minhash) before the verify."""
+    EXACT banded search, no cross join: the fingerprint is cut into
+    ``max_distance + 1`` bit-bands; by pigeonhole, any pair within
+    ``max_distance`` bit flips agrees exactly on at least one band, so
+    an equi-join on (band index, band value) finds every qualifying
+    pair — candidate generation is a hash join, the XOR+popcount verify
+    runs on candidates only, and duplicates (pairs agreeing on several
+    bands) collapse in the distinct.  Same results as the O(n²) scan at
+    any corpus size."""
+    n_bands = max_distance + 1
+    assert n_bands <= n_bits, "max_distance must be < n_bits"
+    # uncovered high bits (n_bits % n_bands) can't break band agreement,
+    # and covered diffs ≤ total ≤ max_distance < n_bands, so pigeonhole
+    # still guarantees one clean band; narrow bands do concentrate the
+    # join key space, so keep n_bits/n_bands ≥ ~8 at corpus scale.
+    width = n_bits // n_bands
     s = simhash(df, id_col, text_col, n_bits)
-    a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    bands = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "val"
+    )
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "val"])
         .where(F.col("a") < F.col("b"))
         .withColumn("hamming", dist)
         .where(F.col("hamming") <= max_distance)
         .select("a", "b", "hamming")
+        .distinct()
     )
