@@ -111,6 +111,29 @@ def _maf_transform(df: DataFrame) -> DataFrame:
     return out
 
 
+def _read_cna(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """CNA matrix scan: the upload is WIDE (first column Hugo_Symbol,
+    one column per sample — genie_registry/cna.py:192-233); the engine
+    keeps CNA long (SURVEY §1.1), so melt at read with ``stack``.
+    Values stay strings here; the value-domain rule validates them and
+    the release pivots back to wide at write (io.writers.write_cna_wide).
+    """
+    from pyspark.sql import functions as F
+
+    wide = readers.read_tsv(spark, paths[0])
+    first = wide.columns[0]
+    samples = [c for c in wide.columns[1:]]
+    pairs = ", ".join(f"'{s}', `{s}`" for s in samples)
+    return (
+        wide.withColumnRenamed(first, "Hugo_Symbol")
+        .select(
+            "Hugo_Symbol",
+            F.expr(f"stack({len(samples)}, {pairs}) AS (SAMPLE_ID, value)"),
+        )
+        .where(F.col("value").isNotNull() & (F.col("value") != "NA"))
+    )
+
+
 def _clinical_rules(center: str) -> RuleSet:
     # merged-file validation = sample rules + patient rules (the
     # reference validates the merged frame, clinical.py:800-1298)
@@ -153,11 +176,11 @@ FORMATS: list[FileFormat] = [
         keys=(),
     ),
     FileFormat(
-        name="cna",
+        name="cna_long",
         matches=lambda names, c: names == [f"data_CNA_{c}.txt"],
-        read=_single(readers.read_tsv),
+        read=_read_cna,
         rules=cna_rules,
-        keys=("Hugo_Symbol",),
+        keys=("Hugo_Symbol", "SAMPLE_ID"),
     ),
     FileFormat(
         name="seg",

@@ -46,6 +46,16 @@ def _write_bed(tmp_path):
     return [str(p)]
 
 
+def _write_cna(tmp_path):
+    p = tmp_path / f"data_CNA_{CENTER}.txt"
+    p.write_text(
+        f"Hugo_Symbol\tGENIE-{CENTER}-1-1\tGENIE-{CENTER}-2-1\n"
+        "TP53\t-1\tNA\n"
+        "EGFR\t2\t0\n"
+    )
+    return [str(p)]
+
+
 def test_determine_filetype(tmp_path):
     clin = _write_clinical_pair(tmp_path)
     assert determine_filetype(clin, CENTER).name == "clinical"
@@ -87,6 +97,7 @@ def test_ingest_release_dashboard(spark, tmp_path):
         (_write_clinical_pair(tmp_path), None),
         (_write_maf(tmp_path), None),
         (_write_bed(tmp_path), "bed"),
+        (_write_cna(tmp_path), None),
     ]:
         rc = cmd_ingest(
             spark,
@@ -108,12 +119,21 @@ def test_ingest_release_dashboard(spark, tmp_path):
     clin = spark.read.parquet(os.path.join(wh, "clinical"))
     assert clin.count() == 2
 
+    # CNA melted to long form, NA cells dropped
+    cna = spark.read.parquet(os.path.join(wh, "cna_long"))
+    assert set(cna.columns) >= {"Hugo_Symbol", "SAMPLE_ID", "value"}
+    assert cna.count() == 3
+
     rc = cmd_release(
         spark, _ns(warehouse=wh, output=out, version="TEST", pad=10)
     )
     assert rc == 0
     assert os.path.exists(os.path.join(out, "data_clinical.txt"))
     assert os.path.exists(os.path.join(out, "data_mutations_extended.txt"))
+    with open(os.path.join(out, "data_CNA.txt")) as f:
+        cna_txt = f.read()
+    assert cna_txt.startswith("Hugo_Symbol")
+    assert "NA" in cna_txt  # blank cells render as NA (S16)
 
     rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash))
     assert rc == 0
