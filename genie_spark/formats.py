@@ -35,6 +35,7 @@ from genie_spark.io import readers
 from genie_spark.rules.clinical import patient_rules, sample_rules
 from genie_spark.rules.engine import RuleSet
 from genie_spark.rules.genomic import (
+    assay_rules,
     bed_rules,
     cna_rules,
     maf_rules,
@@ -210,7 +211,7 @@ FORMATS: list[FileFormat] = [
         matches=lambda names, c: len(names) == 1
         and names[0] in ("assay_information.yaml", f"{c}_assay_information.yaml"),
         read=lambda spark, paths: readers.read_assay_yaml(spark, paths[0]),
-        rules=lambda c: None,
+        rules=assay_rules,
         keys=("SEQ_ASSAY_ID",),
     ),
     FileFormat(

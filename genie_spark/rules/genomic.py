@@ -357,12 +357,31 @@ def sv_no_duplicate_rows(sv: DataFrame) -> list[ValidationMessage]:
 # Assay info (genie_registry/assay.py:131-427)
 # ---------------------------------------------------------------------------
 
+# Static fixtures for the GDC read_group enums the reference fetches
+# over HTTP at validation time (genie_registry/assay.py:161-218 pulls
+# the public GDC data dictionary; network sources stay pluggable —
+# SURVEY §7.3).  Pass explicit lists to assay_rules to use live values.
+GDC_LIBRARY_SELECTION = [
+    "Affinity Enrichment", "Hybrid Selection", "PCR", "Poly-T Enrichment",
+    "Random", "rRNA Depletion", "miRNA Size Fractionation",
+    "Targeted Sequencing", "Other",
+]
+GDC_LIBRARY_STRATEGY = ["Targeted Sequencing", "WXS"]
+GDC_PLATFORMS = [
+    "Illumina", "Ion Torrent", "LS454", "SOLiD", "PacBio",
+    "Complete Genomics", "Nanopore", "BGI", "Other",
+]
+
+
 def assay_rules(
     center: str,
-    library_selection: list[str],
-    library_strategy: list[str],
-    platforms: list[str],
+    library_selection: list[str] | None = None,
+    library_strategy: list[str] | None = None,
+    platforms: list[str] | None = None,
 ) -> RuleSet:
+    library_selection = library_selection or GDC_LIBRARY_SELECTION
+    library_strategy = library_strategy or GDC_LIBRARY_STRATEGY
+    platforms = platforms or GDC_PLATFORMS
     return RuleSet(
         "assayinfo",
         [
