@@ -125,6 +125,60 @@ def interval_anti_join(
     return pts.join(ivs, cond, "left_anti").drop(_BIN)
 
 
+def overlap_semi_join(
+    ranges: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    start_left: str,
+    end_left: str,
+    start: str,
+    end: str,
+    bin_size: int = DEFAULT_BIN_SIZE,
+    how: str = "left_semi",
+) -> DataFrame:
+    """Left ranges overlapping ANY right interval (``bedtools intersect
+    -wa`` / GRanges any-overlap with a range on BOTH sides, reference
+    genie_registry/bed.py:154-241).  Both sides explode over their
+    covered bins (overlapping ranges share ≥1 bin); a pair meeting in
+    several bins collapses because the semi/anti join keeps each
+    exploded left row at most once and the trailing distinct-by-row
+    removes the bin multiplicity.  ``how='left_anti'`` gives the
+    no-overlap complement.
+    """
+    uid = "__gs_ov_uid"
+    left = ranges.withColumn(uid, F.monotonically_increasing_id())
+    lspread = left.withColumn(
+        _BIN,
+        F.explode(
+            F.sequence(
+                (F.col(start_left) / bin_size).cast("long"),
+                (F.col(end_left) / bin_size).cast("long"),
+            )
+        ),
+    )
+    ispread = intervals.withColumn(
+        _BIN,
+        F.explode(
+            F.sequence(
+                (F.col(start) / bin_size).cast("long"),
+                (F.col(end) / bin_size).cast("long"),
+            )
+        ),
+    )
+    cond = lspread[_BIN] == ispread[_BIN]
+    for k in on:
+        cond = cond & (lspread[k] == ispread[k])
+    cond = cond & (lspread[start_left] <= ispread[end]) & (
+        lspread[end_left] >= ispread[start]
+    )
+    hit = lspread.join(ispread, cond, "left_semi").select(uid).distinct()
+    if how == "left_semi":
+        return left.join(hit, uid, "left_semi").drop(uid)
+    if how == "left_anti":
+        return left.join(hit, uid, "left_anti").drop(uid)
+    raise ValueError(f"how must be left_semi or left_anti, got {how}")
+
+
 def containment_join(
     ranges: DataFrame,
     intervals: DataFrame,
