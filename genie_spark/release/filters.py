@@ -130,6 +130,68 @@ def mafinbed_remove_variants(
     )
 
 
+MERGECHECK_KEY = (
+    "Tumor_Sample_Barcode", "HGVSp_Short", "Start_Position",
+    "Reference_Allele", "Tumor_Seq_Allele2",
+)
+
+
+def _mergecheck_key() -> F.Column:
+    # null HGVSp_Short compares as "" (reference
+    # R/mergecheck_functions.R:30-45 pastes with NA→"")
+    return F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in MERGECHECK_KEY],
+    )
+
+
+def update_mergecheck_flags(
+    existing: DataFrame,
+    detected: DataFrame,
+    keep_centers: list[str] = (),
+    flag_centers: list[str] = (),
+) -> DataFrame:
+    """Mutation-in-cis flag-table transitions (reference
+    R/mergecheck_functions.R:19-77 ``uploadToTable``), as one MERGE:
+
+    * existing rows from FLAG-mode centers → ``FLAG``;
+    * existing ``TOSS`` rows whose variant key is absent from the
+      current detections → ``FIXED`` (the merged variant was repaired);
+    * existing rows from OFF(keep)-mode centers → ``KEEP`` (final
+      override, same precedence as the reference's statement order);
+    * newly detected keys are appended as ``TOSS`` (default) /
+      ``KEEP`` / ``FLAG`` by center mode.
+
+    Both inputs need the MERGECHECK_KEY columns plus ``Center``;
+    ``existing`` additionally carries ``Flag``.
+    """
+    key = _mergecheck_key()
+    det_keys = detected.select(key.alias("__k")).distinct()
+    ex = existing.withColumn("__k", key).join(
+        det_keys.withColumn("__in_new", F.lit(True)), "__k", "left"
+    )
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    flag = F.col("Flag")
+    flag = F.when(F.col("Center").isin(list(flag_centers)), "FLAG").otherwise(flag)
+    flag = F.when((flag == "TOSS") & ~in_new, "FIXED").otherwise(flag)
+    flag = F.when(F.col("Center").isin(list(keep_centers)), "KEEP").otherwise(flag)
+    updated = ex.withColumn("Flag", flag).drop("__k", "__in_new")
+
+    new_rows = (
+        detected.dropDuplicates(list(MERGECHECK_KEY))
+        .withColumn("__k", key)
+        .join(existing.select(key.alias("__k")).distinct(), "__k", "left_anti")
+        .drop("__k")
+        .withColumn(
+            "Flag",
+            F.when(F.col("Center").isin(list(keep_centers)), "KEEP")
+            .when(F.col("Center").isin(list(flag_centers)), "FLAG")
+            .otherwise("TOSS"),
+        )
+    )
+    return updated.unionByName(new_rows.select(*updated.columns))
+
+
 def mutation_in_cis_samples(maf: DataFrame) -> DataFrame:
     """Samples carrying flagged adjacent-variant pairs (W1, reference
     mergeCheck R subprocess): the release drops these samples' SVs

@@ -230,3 +230,36 @@ def test_release_end_to_end(spark):
     assert {r["SAMPLE_ID"] for r in pub.clinical.collect()} == {"GENIE-SAGE-1-1"}
     assert "BIRTH_YEAR" not in pub.clinical.columns
     assert {r["Start_Position"] for r in pub.maf.collect()} == {150}
+
+
+def test_update_mergecheck_flags(spark):
+    from genie_spark.release.filters import update_mergecheck_flags
+
+    cols = ["Tumor_Sample_Barcode", "HGVSp_Short", "Start_Position",
+            "Reference_Allele", "Tumor_Seq_Allele2", "Center", "Flag"]
+    existing = spark.createDataFrame(
+        [
+            ("S1", "p.V600E", 100, "A", "T", "SAGE", "TOSS"),   # still detected
+            ("S2", "p.G12D", 200, "G", "C", "SAGE", "TOSS"),    # repaired → FIXED
+            ("S3", None, 300, "C", "G", "KEEPC", "TOSS"),       # keep center → KEEP
+            ("S4", "p.X1Y", 400, "T", "A", "FLAGC", "TOSS"),    # flag center → FLAG
+        ],
+        cols,
+    )
+    detected = spark.createDataFrame(
+        [
+            ("S1", "p.V600E", 100, "A", "T", "SAGE"),   # existing
+            ("S5", "p.A1B", 500, "A", "G", "SAGE"),     # new → TOSS
+            ("S6", "p.C2D", 600, "G", "T", "KEEPC"),    # new keep-center → KEEP
+        ],
+        cols[:-1],
+    )
+    out = update_mergecheck_flags(
+        existing, detected, keep_centers=["KEEPC"], flag_centers=["FLAGC"]
+    )
+    got = {r["Tumor_Sample_Barcode"]: r["Flag"] for r in out.collect()}
+    assert got == {
+        "S1": "TOSS", "S2": "FIXED", "S3": "KEEP", "S4": "FLAG",
+        "S5": "TOSS", "S6": "KEEP",
+    }
+    assert out.count() == 6
