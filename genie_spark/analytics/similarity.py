@@ -139,6 +139,106 @@ def cosine_topk(
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    k: int = 10,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """IVF-style ANN top-k: the scale path next to brute-force
+    ``cosine_topk``.
+
+    Deterministic "training": the ``n_centroids`` lowest-id vectors ARE
+    the centroids (no RNG — reproducible across engines/rounds).  Each
+    corpus vector is assigned to its nearest centroid (cosine argmax,
+    ties → lowest centroid id) with a PURE MAP — the centroids are
+    collected (tiny) and closed over as one literal array<struct>, so
+    assignment is ``array_max(transform(...))`` inside whole-stage
+    codegen: zero shuffle over the corpus.  Queries probe their
+    ``n_probe`` nearest cells; candidates come from an equi-join on the
+    cell id with the (small) probe side broadcast, so the corpus is
+    never shuffled at all; only the candidate subset (~n·n_probe/
+    n_centroids rows) hits the final top-k window.
+
+    At 100 TB you raise ``n_centroids`` (√n rule) and swap the literal
+    array for a broadcast variable — the plan shape is unchanged.
+    """
+    cent_rows = (
+        df.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(int(x)) for x in r["v"]]).cast("array<long>").alias("v"),
+                F.lit(int(sum(x * x for x in r["v"]))).cast("long").alias("n2"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def cell_scores(vec: Column, n2: Column) -> Column:
+        # per-centroid struct(cos, -cid, cid); max/sort-desc order =
+        # (cosine desc, cid asc) — the oracle's ORDER BY ccos DESC, cid
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.try_divide(dot(vec, c["v"]), F.sqrt(n2) * F.sqrt(c["n2"])).alias("cos"),
+                (-c["cid"]).alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    vecs = _with_norm(df, id_col, vec_col, "x")
+    corpus = vecs.select(
+        F.col("x").alias("neighbor_id"),
+        F.col("x_v").alias("n_v"),
+        F.col("x_n").alias("n_n"),
+        F.array_max(cell_scores(F.col("x_v"), F.col("x_n")))["cid"].alias("cell"),
+    )
+    queries = df.where(query_filter) if query_filter is not None else df
+    probes = (
+        _with_norm(queries, id_col, vec_col, "q")
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("q_v"),
+            F.col("q_n"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(cell_scores(F.col("q_v"), F.col("q_n")))),
+                    1,
+                    n_probe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_v", "q_n", F.col("p")["cid"].alias("cell"))
+    )
+    cos = F.try_divide(
+        dot(F.col("q_v"), F.col("n_v")), F.sqrt(F.col("q_n")) * F.sqrt(F.col("n_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 N_HYPERPLANES = 8
 
 

@@ -121,6 +121,7 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         seg=_read_bronze(spark, args.warehouse, "seg"),
         cna_long=_read_bronze(spark, args.warehouse, "cna_long"),
         oncotree=_read_bronze(spark, args.warehouse, "oncotree"),
+        assay_info=_read_bronze(spark, args.warehouse, "assayinfo"),
         pad=args.pad,
     )
     os.makedirs(args.output, exist_ok=True)
@@ -134,6 +135,8 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         write_tsv(arts.seg, os.path.join(args.output, "genie_data_cna_hg19.seg"))
     if arts.cna_long is not None:
         write_cna_wide(arts.cna_long, os.path.join(args.output, "data_CNA.txt"))
+    if arts.gene_matrix is not None:
+        write_tsv(arts.gene_matrix, os.path.join(args.output, "data_gene_matrix.txt"))
     counts = {
         "clinical": arts.clinical.count(),
         "maf": arts.maf.count(),

@@ -34,10 +34,64 @@ class ReleaseArtifacts:
     seg: DataFrame | None = None
     cna_long: DataFrame | None = None
     bed: DataFrame | None = None
+    gene_matrix: DataFrame | None = None
     removed_samples: DataFrame | None = None
     flagged_samples: DataFrame | None = None
     removed_variants: DataFrame | None = None
     stats: dict = field(default_factory=dict)
+
+
+def wes_panels(assay_info: DataFrame) -> DataFrame:
+    """Whole-exome SEQ_ASSAY_IDs (reference ``store_assay_info_files``
+    genie/database_to_staging.py:1191-1193: library_strategy == WXS)."""
+    return assay_info.where(F.col("library_strategy") == "WXS").select(
+        "SEQ_ASSAY_ID"
+    )
+
+
+def data_gene_matrix(
+    clinical: DataFrame,
+    wes_assay_ids: DataFrame | None = None,
+    cna_samples: DataFrame | None = None,
+    sv_samples: DataFrame | None = None,
+) -> DataFrame:
+    """cBioPortal data gene matrix (reference ``store_data_gene_matrix``
+    genie/database_to_staging.py:1595-1653): one row per sample with its
+    mutations panel; WES panels excluded; the cna/sv columns carry the
+    panel id when ANY sample of that panel has cna/sv data, else "NA"
+    (panel-level marking — process_functions.py:1138-1157).
+    """
+    m = (
+        clinical.select(
+            "SAMPLE_ID", F.col("SEQ_ASSAY_ID").alias("mutations")
+        )
+        .where(F.col("SAMPLE_ID") != "")
+        .dropDuplicates(["SAMPLE_ID"])
+    )
+    if wes_assay_ids is not None:
+        m = m.join(
+            F.broadcast(
+                wes_assay_ids.select(F.col("SEQ_ASSAY_ID").alias("mutations"))
+            ),
+            "mutations",
+            "left_anti",
+        )
+    for samples, name in ((cna_samples, "cna"), (sv_samples, "sv")):
+        if samples is None:
+            continue
+        panels = (
+            m.join(
+                samples.select("SAMPLE_ID").distinct(), "SAMPLE_ID", "left_semi"
+            )
+            .select(F.col("mutations").alias("__p"))
+            .distinct()
+        )
+        m = (
+            m.join(F.broadcast(panels), m["mutations"] == panels["__p"], "left")
+            .withColumn(name, F.coalesce(F.col("__p"), F.lit("NA")))
+            .drop("__p")
+        )
+    return m
 
 
 def run_release(
@@ -48,6 +102,7 @@ def run_release(
     seg: DataFrame | None = None,
     cna_long: DataFrame | None = None,
     oncotree: DataFrame | None = None,
+    assay_info: DataFrame | None = None,
     pad: int = 10,
 ) -> ReleaseArtifacts:
     """Consortium release (§3.3):
@@ -121,6 +176,16 @@ def run_release(
     if cna_long is not None:
         arts.cna_long = cna_long.join(keep_ids, "SAMPLE_ID", "left_semi")
     arts.bed = bed
+    arts.gene_matrix = data_gene_matrix(
+        clin,
+        wes_assay_ids=wes_panels(assay_info) if assay_info is not None else None,
+        cna_samples=arts.cna_long.select("SAMPLE_ID").distinct()
+        if arts.cna_long is not None
+        else None,
+        sv_samples=arts.sv.select("SAMPLE_ID").distinct()
+        if arts.sv is not None
+        else None,
+    )
     return arts
 
 

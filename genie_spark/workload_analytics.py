@@ -22,7 +22,12 @@ from genie_spark.analytics.dedup import (
     simhash,
     SIMHASH_BITS,
 )
-from genie_spark.analytics.similarity import cosine_pairs, cosine_topk, lsh_cosine_candidates
+from genie_spark.analytics.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_cosine_candidates,
+)
 from genie_spark.analytics.text import fingerprint, lang_id, quality_score, token_stats
 from genie_spark.analytics.multimodal import extract_features
 
@@ -202,6 +207,41 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned cosine top-10 for query vectors (vec_id < 20):
+    deterministic centroids (16 lowest vec_ids), nearest-cell assignment
+    as a shuffle-free map, 4-cell probe, top-k inside probed cells."""
+    return ivf_topk(_emb(spark, sf_dir), k=10, query_filter=F.col("vec_id") < 20)
+
+
+ANN_IVF_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n ORDER BY vec_id LIMIT 16),
+assign0 AS (
+  SELECT n.vec_id, n.v, n.nn, c.cid,
+         CAST(list_dot_product(n.v, c.cv) AS BIGINT) / (sqrt(n.nn) * sqrt(c.cn)) AS ccos
+  FROM n CROSS JOIN c
+),
+assign AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+  FROM assign0
+),
+corpus AS (SELECT vec_id, v, nn, cid FROM assign WHERE crank = 1),
+probes AS (SELECT vec_id, v, nn, cid FROM assign WHERE crank <= 4 AND vec_id < 20),
+s AS (
+  SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id,
+         CAST(list_dot_product(p.v, t.v) AS BIGINT) / (sqrt(p.nn) * sqrt(t.nn)) AS cosine
+  FROM probes p JOIN corpus t USING (cid)
+  WHERE p.vec_id != t.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidate pairs — the ANN scale path
     (equi-join on sign-bit bucket, no cross join).  Rows-only check:
@@ -333,6 +373,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_pairs": ann_cosine_pairs,
     "ann_topk": ann_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -348,6 +389,7 @@ ANALYTICS_ORACLES: dict = {
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_pairs": ANN_PAIRS_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     # ann_lsh_buckets: rows-only (bucketing verified by unit tests)
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

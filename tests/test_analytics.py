@@ -75,6 +75,18 @@ def test_cosine_topk_and_pairs(spark):
     assert (0, 100) in pairs
 
 
+def test_ivf_topk_finds_near_dup(spark):
+    from genie_spark.analytics.similarity import ivf_topk
+
+    vecs = _vectors(spark)
+    top = ivf_topk(
+        vecs, n_centroids=4, n_probe=2, k=3, query_filter=F.col("vec_id") == 0
+    ).collect()
+    # vec 100 is a near-copy of vec 0 → same cell, rank 1 in the probe
+    assert top[0]["neighbor_id"] == 100 and top[0]["rank"] == 1
+    assert all(r["query_id"] == 0 for r in top) and len(top) == 3
+
+
 def test_lsh_buckets_contain_near_dup(spark):
     vecs = _vectors(spark)
     cand = {(r["a"], r["b"]) for r in lsh_cosine_candidates(vecs, dim=8).collect()}

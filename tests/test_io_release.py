@@ -263,3 +263,26 @@ def test_update_mergecheck_flags(spark):
         "S5": "TOSS", "S6": "KEEP",
     }
     assert out.count() == 6
+
+
+def test_data_gene_matrix(spark):
+    from genie_spark.release.pipeline import data_gene_matrix, wes_panels
+
+    clinical = spark.createDataFrame(
+        [("S1", "P-1"), ("S2", "P-1"), ("S3", "P-2"), ("S4", "WES-1")],
+        ["SAMPLE_ID", "SEQ_ASSAY_ID"],
+    )
+    assay = spark.createDataFrame(
+        [("WES-1", "WXS"), ("P-1", "Targeted Sequencing")],
+        ["SEQ_ASSAY_ID", "library_strategy"],
+    )
+    cna_samples = spark.createDataFrame([("S1",)], ["SAMPLE_ID"])
+    m = data_gene_matrix(
+        clinical, wes_assay_ids=wes_panels(assay), cna_samples=cna_samples
+    )
+    rows = {r["SAMPLE_ID"]: (r["mutations"], r["cna"]) for r in m.collect()}
+    # WES sample excluded; panel-level cna marking: S2 shares P-1 with S1
+    assert "S4" not in rows
+    assert rows["S1"] == ("P-1", "P-1")
+    assert rows["S2"] == ("P-1", "P-1")
+    assert rows["S3"] == ("P-2", "NA")
