@@ -7,7 +7,14 @@ from __future__ import annotations
 
 import os
 
-from genie_spark.cli import build_parser, cmd_dashboard, cmd_ingest, cmd_release, cmd_validate
+from genie_spark.cli import (
+    build_parser,
+    cmd_dashboard,
+    cmd_ingest,
+    cmd_public,
+    cmd_release,
+    cmd_validate,
+)
 from genie_spark.formats import determine_filetype
 
 CENTER = "SAGE"
@@ -134,6 +141,33 @@ def test_ingest_release_dashboard(spark, tmp_path):
         cna_txt = f.read()
     assert cna_txt.startswith("Hugo_Symbol")
     assert "NA" in cna_txt  # blank cells render as NA (S16)
+
+    with open(os.path.join(out, "data_gene_matrix.txt")) as f:
+        assert f.read().startswith("SAMPLE_ID")
+
+    # consortium → public: restrict to one sample, drop a private column
+    pub = str(tmp_path / "public")
+    keep_csv = tmp_path / "keep.csv"
+    keep_csv.write_text(f"GENIE-{CENTER}-1-1\n")
+    rc = cmd_public(
+        spark,
+        _ns(
+            release_dir=out,
+            output=pub,
+            keep_samples=str(keep_csv),
+            private_columns="BIRTH_YEAR",
+        ),
+    )
+    assert rc == 0
+    with open(os.path.join(pub, "data_clinical.txt")) as f:
+        pub_clin = f.read()
+    assert f"GENIE-{CENTER}-1-1" in pub_clin
+    assert f"GENIE-{CENTER}-2-1" not in pub_clin
+    assert "BIRTH_YEAR" not in pub_clin
+    with open(os.path.join(pub, "data_mutations_extended.txt")) as f:
+        pub_maf = f.read()
+    assert f"GENIE-{CENTER}-1-1" in pub_maf
+    assert f"GENIE-{CENTER}-2-1" not in pub_maf
 
     rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash))
     assert rc == 0
