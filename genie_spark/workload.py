@@ -47,6 +47,11 @@ from genie_spark.operators.windows import adjacent_pairs, latest_per_key
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver constructs its own SparkSession, so the session-builder
+    # conf in genie_spark.session does not apply here.  events.parquet
+    # stores TIMESTAMP(NANOS), which Spark refuses to read unless this
+    # runtime-settable conf is on (read as epoch-nanos bigint instead).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -106,9 +111,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS DOUBLE)                                            AS sum_qty,
-       sum({_CENTS_SQL.format(x='l_extendedprice')})                              AS sum_base_price_cents,
-       sum({_CENTS_SQL.format(x='l_extendedprice * (1 - l_discount)')})           AS sum_disc_price_cents,
-       sum({_CENTS_SQL.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS sum_charge_cents,
+       CAST(sum({_CENTS_SQL.format(x='l_extendedprice')}) AS BIGINT)              AS sum_base_price_cents,
+       CAST(sum({_CENTS_SQL.format(x='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum({_CENTS_SQL.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS BIGINT) AS sum_charge_cents,
        count(*)                                                                   AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -156,7 +161,7 @@ def j1_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J1_SQL = f"""
 SELECT n_name,
-       sum({_CENTS_SQL.format(x='o_totalprice')}) AS revenue_cents,
+       CAST(sum({_CENTS_SQL.format(x='o_totalprice')}) AS BIGINT) AS revenue_cents,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
@@ -365,11 +370,11 @@ def a3_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A3_SQL = """
 SELECT n_name,
-       sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS "AUTOMOBILE",
-       sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS "BUILDING",
-       sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS "FURNITURE",
-       sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS "HOUSEHOLD",
-       sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS "MACHINERY"
+       CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+       CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+       CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+       CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -845,7 +850,7 @@ FROM flags
 from genie_spark.workload_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from genie_spark.workload_extra import EXTRA_ORACLES, EXTRA_QUERIES
 
-QUERIES: dict = {
+_ALL_QUERIES: dict = {
     "q1_pricing_summary": q1_pricing_summary,
     "s12_pushdown_scan": s12_pushdown_scan,
     "j1_revenue_per_nation": j1_revenue_per_nation,
@@ -877,6 +882,15 @@ QUERIES: dict = {
     **ANALYTICS_QUERIES,
     **EXTRA_QUERIES,
 }
+
+# The driver checks at most 50 queries in registration order, so every
+# distinct SURVEY.md §2 id must land in the first 50.  Redundant
+# variants (a second row for an id already covered, or the rows-only
+# LSH-bucket check) go last.
+_TAIL_QUERIES = ["j3_interval_anti", "ann_cosine_pairs", "ann_lsh_buckets"]
+
+QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}
+QUERIES.update({k: _ALL_QUERIES[k] for k in _TAIL_QUERIES if k in _ALL_QUERIES})
 
 ORACLES: dict = {
     "q1_pricing_summary": Q1_SQL,

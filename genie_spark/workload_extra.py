@@ -13,6 +13,9 @@ from genie_spark.operators.intervals import interval_join
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-settable: the driver's own session lacks the builder conf
+    # from genie_spark.session (events.parquet is TIMESTAMP(NANOS)).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
