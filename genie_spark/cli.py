@@ -122,6 +122,7 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         cna_long=_read_bronze(spark, args.warehouse, "cna_long"),
         oncotree=_read_bronze(spark, args.warehouse, "oncotree"),
         assay_info=_read_bronze(spark, args.warehouse, "assayinfo"),
+        mergecheck_flags=_read_bronze(spark, args.warehouse, "mutationsInCis"),
         pad=args.pad,
     )
     os.makedirs(args.output, exist_ok=True)

@@ -44,6 +44,7 @@ def flag_variants_to_merge(
     sample_col: str = "Tumor_Sample_Barcode",
     chrom_col: str = "Chromosome",
     pos_col: str = "Start_Position",
+    end_col: str = "End_Position",
     alt_col: str = "t_alt_count",
     depth_col: str = "t_depth",
     protein_pos_col: str = "Protein_position",
@@ -53,10 +54,14 @@ def flag_variants_to_merge(
     """Mutation-in-cis detection as one window pass.
 
     Criteria from the reference (R/mergecheck_functions.R:150-168):
-    within a sample + chromosome, sort by position; flag a pair when
-    ``0 < dBP < max_dbp``, ``|dVAF| < max_dvaf`` and the codon numbers
-    are equal or adjacent (or unparseable).  VAF = alt/depth with
-    zero/null depth treated as 1/1 (mergecheck_functions.R:120-135).
+    within a sample + chromosome, sort by (start, end); flag a pair when
+    ``0 < dBP < max_dbp``, ``|dVAF| < max_dvaf`` and the codon-number
+    difference ``|Δcodon|`` is NA or exactly 1 (R:165
+    ``is.na(codonDiff) | codonDiff == 1``).  ``dBP`` is the GRanges
+    inter-range *gap* — ``next_start − prev_end − 1`` — not the
+    start-to-start delta, so for SNVs start deltas 2–6 flag.  VAF =
+    alt/depth with zero/null depth treated as 1/1
+    (mergecheck_functions.R:120-135).
 
     Returns rows that participate in a flagged pair, with the pair
     metrics attached.
@@ -75,19 +80,22 @@ def flag_variants_to_merge(
         ).cast("long")
     else:
         codon = F.lit(None).cast("long")
-    w = Window.partitionBy(sample_col, chrom_col).orderBy(pos_col)
+    # SNV-only MAFs may omit End_Position; a point range has end = start.
+    end = F.col(end_col) if end_col in maf.columns else F.col(pos_col)
+    w = Window.partitionBy(sample_col, chrom_col).orderBy(pos_col, end.asc())
     paired = (
         maf.withColumn("__vaf", vaf)
         .withColumn("__codon", codon)
-        .withColumn("__prev_pos", F.lag(pos_col).over(w))
+        .withColumn("__end", end)
+        .withColumn("__prev_end", F.lag("__end").over(w))
         .withColumn("__prev_vaf", F.lag("__vaf").over(w))
         .withColumn("__prev_codon", F.lag("__codon").over(w))
     )
-    dbp = F.col(pos_col) - F.col("__prev_pos")
+    dbp = F.col(pos_col) - F.col("__prev_end") - F.lit(1)
     dvaf = F.abs(F.col("__vaf") - F.col("__prev_vaf"))
-    dcodon = F.col("__codon") - F.col("__prev_codon")
+    dcodon = F.abs(F.col("__codon") - F.col("__prev_codon"))
     flagged = (dbp > 0) & (dbp < max_dbp) & (dvaf < max_dvaf) & (
-        dcodon.isNull() | dcodon.isin(0, 1)
+        dcodon.isNull() | (dcodon == 1)
     )
     return (
         paired.withColumn("__flag", F.coalesce(flagged, F.lit(False)))

@@ -131,14 +131,16 @@ def mafinbed_remove_variants(
 
 
 MERGECHECK_KEY = (
-    "Tumor_Sample_Barcode", "HGVSp_Short", "Start_Position",
-    "Reference_Allele", "Tumor_Seq_Allele2",
+    "Chromosome", "Start_Position", "HGVSp_Short",
+    "Reference_Allele", "Tumor_Seq_Allele2", "Tumor_Sample_Barcode",
 )
 
 
 def _mergecheck_key() -> F.Column:
-    # null HGVSp_Short compares as "" (reference
-    # R/mergecheck_functions.R:30-45 pastes with NA→"")
+    # Variant identity = Chromosome+Start_Position+HGVSp_Short+
+    # Reference_Allele+Tumor_Seq_Allele2+Tumor_Sample_Barcode (reference
+    # genie/database_to_staging.py:688-723); null HGVSp_Short compares
+    # as "" (R/mergecheck_functions.R:30-45 pastes with NA→"").
     return F.concat_ws(
         "\x01",
         *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in MERGECHECK_KEY],
@@ -194,11 +196,44 @@ def update_mergecheck_flags(
 
 def mutation_in_cis_samples(maf: DataFrame) -> DataFrame:
     """Samples carrying flagged adjacent-variant pairs (W1, reference
-    mergeCheck R subprocess): the release drops these samples' SVs
-    (genie/database_to_staging.py:591-761).  Returns distinct flagged
-    sample ids."""
+    mergeCheck R subprocess, genie/database_to_staging.py:591-761).
+    Returns distinct detected sample ids — by reference default a new
+    detection is inserted as ``TOSS`` (R/mergecheck_functions.R:19-77)
+    and TOSS samples are removed from the release entirely
+    (get_mutation_in_cis_filtered_samples, lines 667-685)."""
     flagged = flag_variants_to_merge(maf)
     return flagged.select("Tumor_Sample_Barcode").distinct()
+
+
+def mergecheck_toss_and_flag(
+    mergecheck_flags: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a persisted mergecheck flag table into (toss_sample_ids,
+    flagged_variant_keys), mirroring the reference's two queries
+    (genie/database_to_staging.py:667-723): ``Flag = 'TOSS'`` →
+    samples removed from the release; ``Flag = 'Flag'`` → variants
+    tagged ``mutationInCis_Flag`` in the release MAF.  A table without
+    a ``Flag`` column (a raw mutationsInCis upload) treats every row as
+    TOSS, the reference's insert default."""
+    if "Flag" not in mergecheck_flags.columns:
+        mergecheck_flags = mergecheck_flags.withColumn("Flag", F.lit("TOSS"))
+    flag = F.upper(F.coalesce(F.col("Flag"), F.lit("")))
+    toss = (
+        mergecheck_flags.where(
+            (flag == "TOSS") & F.col("Tumor_Sample_Barcode").isNotNull()
+        )
+        .select("Tumor_Sample_Barcode")
+        .distinct()
+    )
+    keys = [c for c in MERGECHECK_KEY if c in mergecheck_flags.columns]
+    flagged = (
+        mergecheck_flags.where(
+            (flag == "FLAG") & F.col("Tumor_Sample_Barcode").isNotNull()
+        )
+        .select(*keys)
+        .distinct()
+    )
+    return toss, flagged
 
 
 def no_genepanel_filter(
@@ -215,19 +250,32 @@ def no_genepanel_filter(
 def configure_maf(
     maf: DataFrame,
     remove_variants_keys: DataFrame | None = None,
-    flagged_samples: DataFrame | None = None,
+    flagged_variant_keys: DataFrame | None = None,
+    whitelist: DataFrame | None = None,
     key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Release-time MAF configuration (reference ``configure_maf``
     genie/database_to_staging.py:296-403): drop annotation failures,
-    drop germline-frequency variants, drop common_variant FILTER rows,
-    remove MAFinBED variants, fill depth=ref+alt algebra, and tag
-    mutationInCis samples."""
+    drop germline-frequency variants unless whitelisted, remove
+    MAFinBED variants, fill depth=ref+alt algebra, and tag
+    mutation-in-cis *variants* (the reference flags per variant key,
+    lines 316-339, not per sample).
+
+    ``common_variant`` FILTER rows are deliberately KEPT — the
+    reference comments that filter out at the consortium stage (lines
+    341-345) and only applies it at consortium→public conversion
+    (genie/consortium_to_public.py:27-37); see
+    :func:`genie_spark.release.pipeline.consortium_to_public`.
+
+    ``whitelist`` is a BED-shaped DataFrame of known-somatic sites
+    (Chromosome/Start_Position_wl/End_Position_wl); variants contained
+    in it survive the germline filter (lines 253-292).
+    """
     from genie_spark.operators.aggregations import fill_count_algebra
 
     out = annotation_success_filter(maf)
-    out = germline_filter(out)
-    out = common_variant_filter(out)
+    wl_hits = whitelist_hits(maf, whitelist) if whitelist is not None else None
+    out = germline_filter(out, whitelist_hits=wl_hits)
     if remove_variants_keys is not None:
         keys = key_cols or ["Chromosome", "Start_Position", "Tumor_Sample_Barcode"]
         out = out.join(remove_variants_keys.select(*keys).distinct(), keys, "left_anti")
@@ -237,17 +285,27 @@ def configure_maf(
             for c in trio:
                 out = out.withColumn(c, F.col(c).try_cast("double"))
             out = fill_count_algebra(out, *trio)
-    if flagged_samples is not None:
+    if flagged_variant_keys is not None:
+        # Null-safe textual key (nulls compare as "", like the
+        # reference's string concat) over the key columns both sides carry.
+        keys = [
+            c for c in MERGECHECK_KEY
+            if c in flagged_variant_keys.columns and c in out.columns
+        ]
+        key = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in keys]
+        )
         marks = (
-            flagged_samples.select(
-                F.col(flagged_samples.columns[0]).alias("Tumor_Sample_Barcode")
-            )
+            flagged_variant_keys.select(key.alias("__k"))
             .distinct()
             .withColumn("__flag", F.lit(True))
         )
         out = (
-            out.join(F.broadcast(marks), "Tumor_Sample_Barcode", "left")
+            out.withColumn("__k", key)
+            .join(F.broadcast(marks), "__k", "left")
             .withColumn("mutationInCis_Flag", F.coalesce(F.col("__flag"), F.lit(False)))
-            .drop("__flag")
+            .drop("__flag", "__k")
         )
+    else:
+        out = out.withColumn("mutationInCis_Flag", F.lit(False))
     return out

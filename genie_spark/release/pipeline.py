@@ -15,12 +15,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from genie_spark.functions.redact import redact_phi
-from genie_spark.functions.scalars import days_to_years
+from genie_spark.functions.redact import age_days_to_release_years, redact_phi
 from genie_spark.release.filters import (
+    common_variant_filter,
     configure_maf,
     germline_status_filter,
     mafinbed_remove_variants,
+    mergecheck_toss_and_flag,
     mutation_in_cis_samples,
     no_genepanel_filter,
 )
@@ -103,18 +104,29 @@ def run_release(
     cna_long: DataFrame | None = None,
     oncotree: DataFrame | None = None,
     assay_info: DataFrame | None = None,
+    mergecheck_flags: DataFrame | None = None,
+    whitelist: DataFrame | None = None,
     pad: int = 10,
 ) -> ReleaseArtifacts:
     """Consortium release (§3.3):
 
     1. no-gene-panel filter on samples (P13);
     2. MAF restricted to kept samples (J12) with SEQ_ASSAY_ID attached;
-    3. MAFinBED remove set (J3) + mutation-in-cis flags (W1);
-    4. configure_maf (germline/common-variant/annotation filters, count
-       algebra);
-    5. clinical: oncotree broadcast join (J8), AGE days→years, PHI
-       redaction (§2.9);
+    3. MAFinBED remove set (J3) + mutation-in-cis (W1): TOSS samples
+       removed from the release entirely, FLAG variants tagged
+       (reference run_genie_filters genie/database_to_staging.py:1074-1154);
+    4. configure_maf (germline-with-whitelist/annotation filters, count
+       algebra) — ``common_variant`` rows kept until the public stage;
+    5. clinical: oncotree broadcast join (J8), PHI redaction (§2.9),
+       then AGE days→years;
     6. SV/SEG/CNA restricted to kept samples; SV germline rows dropped.
+
+    ``mergecheck_flags`` is the persisted mutationsInCis flag table
+    (MERGECHECK_KEY columns + ``Flag``).  Without one, every newly
+    detected cis pair defaults to TOSS (the reference's
+    ``uploadToTable`` insert mode, R/mergecheck_functions.R:19-77) and
+    those samples are removed.  ``whitelist`` is a known-somatic-sites
+    BED that overrides the germline filter.
     """
     kept, removed = no_genepanel_filter(clinical, bed)
 
@@ -125,14 +137,25 @@ def run_release(
         "inner",  # J12: MAF ⊆ clinical samples (R/MAFinBED.R:94-95)
     )
     removed_variants = mafinbed_remove_variants(maf_samples, bed, pad=pad)
-    flagged = mutation_in_cis_samples(maf_samples)
+    if mergecheck_flags is not None:
+        toss_samples, flagged_variants = mergecheck_toss_and_flag(mergecheck_flags)
+    else:
+        toss_samples = mutation_in_cis_samples(maf_samples)
+        flagged_variants = None
     release_maf = configure_maf(
         maf_samples,
         remove_variants_keys=removed_variants,
-        flagged_samples=flagged,
+        flagged_variant_keys=flagged_variants,
+        whitelist=whitelist,
     )
 
-    clin = kept
+    # TOSS samples leave the release entirely (clinical + every genomic
+    # artifact), like remove_center_consortium_samples in the reference.
+    clin = kept.join(
+        toss_samples.withColumnRenamed("Tumor_Sample_Barcode", "SAMPLE_ID"),
+        "SAMPLE_ID",
+        "left_anti",
+    )
     if oncotree is not None:
         clin = clin.join(
             F.broadcast(
@@ -145,15 +168,15 @@ def run_release(
             "ONCOTREE_CODE",
             "left",
         ).where(F.col("CANCER_TYPE").isNotNull())  # deprecated-code drop (1285-1287)
+    clin = redact_phi(clin)
     if "AGE_AT_SEQ_REPORT" in clin.columns:
-        age = F.col("AGE_AT_SEQ_REPORT")
+        # Post-redaction conversion (genie/database_to_staging.py:1288-1300):
+        # redact_phi has already capped numeric values, so the years column
+        # can only carry 0..89 or the ">89"/"<18"/"withheld" sentinels.
         clin = clin.withColumn(
             "AGE_AT_SEQ_REPORT_YEARS",
-            F.when(
-                age.try_cast("double").isNotNull(), days_to_years(age).cast("string")
-            ).otherwise(age),
+            age_days_to_release_years("AGE_AT_SEQ_REPORT"),
         )
-    clin = redact_phi(clin)
 
     keep_ids = clin.select("SAMPLE_ID")
     arts = ReleaseArtifacts(
@@ -164,7 +187,7 @@ def run_release(
             "left_semi",
         ),
         removed_samples=removed,
-        flagged_samples=flagged,
+        flagged_samples=toss_samples,
         removed_variants=removed_variants,
     )
     if sv is not None:
@@ -195,8 +218,11 @@ def consortium_to_public(
     private_columns: list[str] = (),
 ) -> ReleaseArtifacts:
     """Public release (reference genie/consortium_to_public.py:41-359):
-    re-filter every artifact to the public sample set and drop
-    private-scope clinical columns (P16/P17)."""
+    re-filter every artifact to the public sample set, drop
+    private-scope clinical columns (P16/P17), and apply the
+    ``common_variant`` filter — the reference drops those MAF rows only
+    at this stage (consortium_to_public.py:27-37), never at consortium
+    build time."""
     keep = public_sample_ids.select("SAMPLE_ID").distinct()
     pub_clin = arts.clinical.join(keep, "SAMPLE_ID", "left_semi")
     pub_clin = pub_clin.select(
@@ -204,7 +230,7 @@ def consortium_to_public(
     )
     out = ReleaseArtifacts(
         clinical=pub_clin,
-        maf=arts.maf.join(
+        maf=common_variant_filter(arts.maf).join(
             keep.withColumnRenamed("SAMPLE_ID", "Tumor_Sample_Barcode"),
             "Tumor_Sample_Barcode",
             "left_semi",

@@ -826,19 +826,19 @@ WITH p AS (
   FROM customer
 ), flags AS (
   SELECT PATIENT_ID, age, byr, yct,
-         (age LIKE '>%' OR TRY_CAST(age AS DOUBLE) > 32485) AS over89,
-         (age LIKE '<%' OR TRY_CAST(age AS DOUBLE) < 6570)  AS under18,
+         (age LIKE '%>%' OR TRY_CAST(age AS DOUBLE) > 32485) AS over89,
+         (age LIKE '%<%') AS ped,
          (TRY_CAST(yct AS DOUBLE) - TRY_CAST(byr AS DOUBLE) > 89) AS yeardiff
   FROM p
 )
 SELECT PATIENT_ID,
-       CASE WHEN over89 THEN '>32485' WHEN under18 THEN '<6570' ELSE age END AS AGE_AT_SEQ_REPORT,
-       CASE WHEN byr LIKE '>%' OR byr LIKE '<%' THEN 'cannotReleaseHIPAA'
-            WHEN coalesce(over89, FALSE) THEN 'cannotReleaseHIPAA'
+       CASE WHEN ped THEN 'withheld' WHEN over89 THEN '>32485' ELSE age END AS AGE_AT_SEQ_REPORT,
+       CASE WHEN coalesce(over89, FALSE) THEN 'cannotReleaseHIPAA'
+            WHEN byr LIKE '%>%' THEN 'cannotReleaseHIPAA'
+            WHEN byr LIKE '%<%' THEN 'withheld'
             WHEN coalesce(yeardiff, FALSE) THEN 'cannotReleaseHIPAA'
-            WHEN coalesce(under18, FALSE) THEN 'withheld'
             ELSE byr END AS BIRTH_YEAR,
-       yct AS YEAR_CONTACT
+       CASE WHEN yct LIKE '%<%' THEN 'withheld' ELSE yct END AS YEAR_CONTACT
 FROM flags
 """
 

@@ -65,11 +65,14 @@ def test_redact_phi_interval_and_birth_year(spark):
     df = spark.createDataFrame(
         [
             ("p1", "40000", "1930", "2020"),   # >89y → redact age + birth year
-            ("p2", "1000", "2010", "2020"),    # <18y → withheld birth year
+            ("p2", "1000", "2010", "2020"),    # numeric <18y: NOT redacted (ref only acts on '<' marker)
             ("p3", "20000", "1980", "2020"),   # fine
             ("p4", ">32485", "1930", "2020"),  # already marked
             ("p5", "20000", "1920", "2015"),   # year diff 95 > 89 → redact BY
             ("p6", "20000", ">89", "2020"),    # sentinel birth year → redact
+            ("p7", "<6570", "2010", "2020"),   # pre-redacted pediatric → withheld, BY untouched
+            ("p8", "20000", "<1950", "2020"),  # '<' birth year → withheld
+            ("p9", "20000", "1980", "<2020"),  # '<' year col → withheld
         ],
         ["PATIENT_ID", "AGE_AT_SEQ_REPORT", "BIRTH_YEAR", "YEAR_CONTACT"],
     )
@@ -77,10 +80,16 @@ def test_redact_phi_interval_and_birth_year(spark):
         df, interval_cols=("AGE_AT_SEQ_REPORT",), birth_year_col="BIRTH_YEAR",
         year_cols=("YEAR_CONTACT",),
     )
-    got = {r["PATIENT_ID"]: (r["AGE_AT_SEQ_REPORT"], r["BIRTH_YEAR"]) for r in out.collect()}
-    assert got["p1"] == (">32485", "cannotReleaseHIPAA")
-    assert got["p2"] == ("<6570", "withheld")
-    assert got["p3"] == ("20000", "1980")
-    assert got["p4"] == (">32485", "cannotReleaseHIPAA")
-    assert got["p5"] == ("20000", "cannotReleaseHIPAA")
+    got = {
+        r["PATIENT_ID"]: (r["AGE_AT_SEQ_REPORT"], r["BIRTH_YEAR"], r["YEAR_CONTACT"])
+        for r in out.collect()
+    }
+    assert got["p1"][:2] == (">32485", "cannotReleaseHIPAA")
+    assert got["p2"][:2] == ("1000", "2010")
+    assert got["p3"][:2] == ("20000", "1980")
+    assert got["p4"][:2] == (">32485", "cannotReleaseHIPAA")
+    assert got["p5"][:2] == ("20000", "cannotReleaseHIPAA")
     assert got["p6"][1] == "cannotReleaseHIPAA"
+    assert got["p7"][:2] == ("withheld", "2010")
+    assert got["p8"][1] == "withheld"
+    assert got["p9"][2] == "withheld"

@@ -153,9 +153,11 @@ def _center_upload(spark):
             ("GENIE-SAGE-2-1", "2", 260, 260, "G", "A", 100.0, 10.0, 90.0, "common_variant", "SUCCESS", 0.0001, "51/100"),
             # annotation failed → drop
             ("GENIE-SAGE-2-1", "2", 270, 270, "G", "C", 100.0, 10.0, 90.0, "PASS", "FAILED", 0.0001, "52/100"),
-            # mutation-in-cis pair on sample 2 (adjacent, similar VAF, same codon)
+            # mutation-in-cis pair on sample 2: gap = 302-300-1 = 1 bp,
+            # |dVAF| = 0.01, codon diff 1 (R criteria: gap in 1..5,
+            # dVAF < .05, codonDiff NA or 1)
             ("GENIE-SAGE-2-1", "2", 300, 300, "A", "T", 100.0, 30.0, 70.0, "PASS", "SUCCESS", 0.0001, "60/100"),
-            ("GENIE-SAGE-2-1", "2", 302, 302, "C", "G", 100.0, 31.0, 69.0, "PASS", "SUCCESS", 0.0001, "60/100"),
+            ("GENIE-SAGE-2-1", "2", 302, 302, "C", "G", 100.0, 31.0, 69.0, "PASS", "SUCCESS", 0.0001, "61/100"),
         ],
         ["Tumor_Sample_Barcode", "Chromosome", "Start_Position", "End_Position",
          "Reference_Allele", "Tumor_Seq_Allele2", "t_depth", "t_alt_count",
@@ -190,31 +192,31 @@ def test_release_end_to_end(spark):
     # sample 3 removed: its assay has no bed (P13)
     removed = [r["SAMPLE_ID"] for r in arts.removed_samples.collect()]
     assert removed == ["GENIE-SAGE-3-1"]
+
+    # sample 2 carries a newly detected mutation-in-cis pair → defaults
+    # to TOSS → removed from the release entirely (reference
+    # get_mutation_in_cis_filtered_samples)
+    toss = {r["Tumor_Sample_Barcode"] for r in arts.flagged_samples.collect()}
+    assert toss == {"GENIE-SAGE-2-1"}
     clin_ids = {r["SAMPLE_ID"] for r in arts.clinical.select("SAMPLE_ID").collect()}
-    assert clin_ids == {"GENIE-SAGE-1-1", "GENIE-SAGE-2-1"}
+    assert clin_ids == {"GENIE-SAGE-1-1"}
 
     # MAFinBED removed the out-of-panel variant
     rv = [(r["Chromosome"], r["Start_Position"]) for r in arts.removed_variants.collect()]
     assert rv == [("1", 5000)]
 
-    # release MAF: keeps in-panel clean variant + the cis pair; drops
-    # germline, common_variant, failed-annotation, out-of-panel
+    # release MAF: TOSS sample dropped, in-panel clean variant kept
     kept = {(r["Tumor_Sample_Barcode"], r["Start_Position"]) for r in arts.maf.collect()}
-    assert kept == {
-        ("GENIE-SAGE-1-1", 150),
-        ("GENIE-SAGE-2-1", 300),
-        ("GENIE-SAGE-2-1", 302),
-    }
-    # cis pair flagged
-    flags = {r["Start_Position"]: r["mutationInCis_Flag"] for r in arts.maf.collect()}
-    assert flags[300] is True and flags[150] is False
+    assert kept == {("GENIE-SAGE-1-1", 150)}
 
-    # oncotree joined, age converted, PHI: patient born 1930 contacted 2020
-    # (diff 90 > 89) → BIRTH_YEAR redacted
+    # oncotree joined, PHI redacted BEFORE the years conversion: sample 1's
+    # 36500-day (99.9 y) age must never surface as a numeric year value
+    # (reference genie/database_to_staging.py:1288-1300 emits ">89")
     clin = {r["SAMPLE_ID"]: r for r in arts.clinical.collect()}
     assert clin["GENIE-SAGE-1-1"]["CANCER_TYPE"] == "Non-Small Cell Lung Cancer"
-    assert clin["GENIE-SAGE-1-1"]["AGE_AT_SEQ_REPORT_YEARS"] == "99"
-    assert clin["GENIE-SAGE-2-1"]["BIRTH_YEAR"] == "cannotReleaseHIPAA"
+    assert clin["GENIE-SAGE-1-1"]["AGE_AT_SEQ_REPORT"] == ">32485"
+    assert clin["GENIE-SAGE-1-1"]["AGE_AT_SEQ_REPORT_YEARS"] == ">89"
+    assert clin["GENIE-SAGE-1-1"]["BIRTH_YEAR"] == "cannotReleaseHIPAA"
 
     # SV: germline row dropped, sample-3 row dropped
     assert [(r["SAMPLE_ID"], r["SV_STATUS"]) for r in arts.sv.collect()] == [
@@ -232,25 +234,65 @@ def test_release_end_to_end(spark):
     assert {r["Start_Position"] for r in pub.maf.collect()} == {150}
 
 
+def test_release_mergecheck_flag_mode_and_public_common_variant(spark):
+    """A persisted mergecheck table with Flag='Flag' keeps the sample and
+    tags variants; common_variant rows survive the consortium MAF and
+    are only dropped at consortium→public (reference
+    genie/consortium_to_public.py:27-37)."""
+    clinical, maf, bed, oncotree, sv = _center_upload(spark)
+    flags = spark.createDataFrame(
+        [
+            ("2", 300, None, "A", "T", "GENIE-SAGE-2-1", "Flag"),
+            ("2", 302, None, "C", "G", "GENIE-SAGE-2-1", "Flag"),
+        ],
+        "Chromosome string, Start_Position long, HGVSp_Short string, "
+        "Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "Tumor_Sample_Barcode string, Flag string",
+    )
+    arts = run_release(
+        clinical, maf, bed, sv=sv, oncotree=oncotree, mergecheck_flags=flags, pad=10
+    )
+    clin_ids = {r["SAMPLE_ID"] for r in arts.clinical.select("SAMPLE_ID").collect()}
+    assert clin_ids == {"GENIE-SAGE-1-1", "GENIE-SAGE-2-1"}
+
+    # consortium MAF keeps the common_variant row (260) — reference
+    # deliberately skips that filter at this stage — and flags the pair
+    rows = {r["Start_Position"]: r for r in arts.maf.collect()}
+    assert set(rows) == {150, 260, 300, 302}
+    assert rows[300]["mutationInCis_Flag"] is True
+    assert rows[302]["mutationInCis_Flag"] is True
+    assert rows[150]["mutationInCis_Flag"] is False
+    assert rows[260]["mutationInCis_Flag"] is False
+
+    # public stage applies the common_variant filter
+    pub = consortium_to_public(
+        arts,
+        spark.createDataFrame(
+            [("GENIE-SAGE-1-1",), ("GENIE-SAGE-2-1",)], ["SAMPLE_ID"]
+        ),
+    )
+    assert {r["Start_Position"] for r in pub.maf.collect()} == {150, 300, 302}
+
+
 def test_update_mergecheck_flags(spark):
     from genie_spark.release.filters import update_mergecheck_flags
 
-    cols = ["Tumor_Sample_Barcode", "HGVSp_Short", "Start_Position",
+    cols = ["Chromosome", "Tumor_Sample_Barcode", "HGVSp_Short", "Start_Position",
             "Reference_Allele", "Tumor_Seq_Allele2", "Center", "Flag"]
     existing = spark.createDataFrame(
         [
-            ("S1", "p.V600E", 100, "A", "T", "SAGE", "TOSS"),   # still detected
-            ("S2", "p.G12D", 200, "G", "C", "SAGE", "TOSS"),    # repaired → FIXED
-            ("S3", None, 300, "C", "G", "KEEPC", "TOSS"),       # keep center → KEEP
-            ("S4", "p.X1Y", 400, "T", "A", "FLAGC", "TOSS"),    # flag center → FLAG
+            ("1", "S1", "p.V600E", 100, "A", "T", "SAGE", "TOSS"),   # still detected
+            ("1", "S2", "p.G12D", 200, "G", "C", "SAGE", "TOSS"),    # repaired → FIXED
+            ("1", "S3", None, 300, "C", "G", "KEEPC", "TOSS"),       # keep center → KEEP
+            ("1", "S4", "p.X1Y", 400, "T", "A", "FLAGC", "TOSS"),    # flag center → FLAG
         ],
         cols,
     )
     detected = spark.createDataFrame(
         [
-            ("S1", "p.V600E", 100, "A", "T", "SAGE"),   # existing
-            ("S5", "p.A1B", 500, "A", "G", "SAGE"),     # new → TOSS
-            ("S6", "p.C2D", 600, "G", "T", "KEEPC"),    # new keep-center → KEEP
+            ("1", "S1", "p.V600E", 100, "A", "T", "SAGE"),   # existing
+            ("1", "S5", "p.A1B", 500, "A", "G", "SAGE"),     # new → TOSS
+            ("1", "S6", "p.C2D", 600, "G", "T", "KEEPC"),    # new keep-center → KEEP
         ],
         cols[:-1],
     )

@@ -148,12 +148,13 @@ def test_latest_per_key(spark):
 
 
 def test_flag_variants_to_merge(spark):
-    # sample S: variants at 100 and 103 (dBP=3) with close VAF and codons
-    # 12 → flagged pair; variant at 500 isolated → not flagged.
+    # sample S: variants at 100 and 103 (gap = 103-100-1 = 2 bp) with
+    # close VAF and codon diff 1 → flagged pair; variant at 500
+    # isolated → not flagged.
     df = spark.createDataFrame(
         [
             ("S", "1", 100, 30.0, 100.0, "12/400"),
-            ("S", "1", 103, 32.0, 100.0, "12/400"),
+            ("S", "1", 103, 32.0, 100.0, "13/400"),
             ("S", "1", 500, 30.0, 100.0, "99/400"),
             ("T", "1", 104, 30.0, 100.0, "12/400"),
         ],
@@ -170,7 +171,7 @@ def test_flag_variants_zero_depth_vaf(spark):
     df = spark.createDataFrame(
         [
             ("S", "1", 100, 5.0, 0.0, "1"),
-            ("S", "1", 102, 5.0, 0.0, "1"),
+            ("S", "1", 102, 5.0, 0.0, "2"),
         ],
         ["Tumor_Sample_Barcode", "Chromosome", "Start_Position",
          "t_alt_count", "t_depth", "Protein_position"],
