@@ -145,8 +145,15 @@ def overlap_semi_join(
     removes the bin multiplicity.  ``how='left_anti'`` gives the
     no-overlap complement.
     """
+    from genie_spark.functions.ids import with_stable_uid
+
     uid = "__gs_ov_uid"
-    left = ranges.withColumn(uid, F.monotonically_increasing_id())
+    # Content-derived uid: deterministic under task retries (a
+    # monotonically_increasing_id referenced on both sides of the
+    # join-back could re-assign between attempts).  Full-duplicate rows
+    # share a uid — harmless for semi/anti semantics (kept/dropped
+    # together either way).
+    left = with_stable_uid(ranges, uid)
     lspread = left.withColumn(
         _BIN,
         F.explode(

@@ -115,18 +115,23 @@ def classify_feature_type(
     ``intergenic``.  ``exons``/``genes`` need the same ``on`` keys plus
     start/end columns named like the bed's.
     """
+    from genie_spark.functions.ids import with_stable_uid
+
     on = list(on)
     uid = "__bed_uid"
-    b = bed.withColumn(uid, F.monotonically_increasing_id())
+    # Content-derived uid (deterministic under retries); duplicate bed
+    # rows share one uid, so the mark sets are distinct-ed and the
+    # join-back gives every duplicate the same classification.
+    b = with_stable_uid(bed, uid)
     in_exon = (
         overlap_semi_join(
             b, exons.select(*on, start, end), on, start, end, start, end
-        ).select(uid).withColumn("__x", F.lit(True))
+        ).select(uid).distinct().withColumn("__x", F.lit(True))
     )
     in_gene = (
         overlap_semi_join(
             b, genes.select(*on, start, end), on, start, end, start, end
-        ).select(uid).withColumn("__g", F.lit(True))
+        ).select(uid).distinct().withColumn("__g", F.lit(True))
     )
     return (
         b.join(in_exon, uid, "left")

@@ -49,18 +49,21 @@ def j5_feature_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way region classification — the reference's bedtools
     intersect/diff pipeline as ONE binned interval join + one groupBy.
 
-    (l_orderkey, l_linenumber) is not unique in the synthetic data, so
-    each point gets a surrogate uid; exons are the leading 40% of each
-    gene interval, so a single join against genes carries both the
-    gene-hit and (pos ≤ eend) exon-hit facts — half the shuffles of the
-    two-semi-join formulation."""
+    Exons are the leading 40% of each gene interval, so a single join
+    against genes carries both the gene-hit and (pos ≤ eend) exon-hit
+    facts — half the shuffles of the two-semi-join formulation.  The
+    join-back key is the natural (l_orderkey, l_linenumber, grp, pos)
+    tuple — duplicates share a mark row, which is correct (identical
+    (grp, pos) ⇒ identical feature_type) and deterministic under task
+    retries, unlike a monotonically_increasing_id surrogate."""
+    key = ["l_orderkey", "l_linenumber", "grp", "pos"]
     li = _t(spark, sf_dir, "lineitem")
     pts = li.select(
         "l_orderkey",
         "l_linenumber",
         (F.col("l_partkey") % 7).alias("grp"),
         ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 997) % 50000).alias("pos"),
-    ).withColumn("__uid", F.monotonically_increasing_id())
+    )
     p = _t(spark, sf_dir, "part")
     genes = p.select(
         (F.col("p_partkey") % 7).alias("grp"),
@@ -71,10 +74,10 @@ def j5_feature_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gstart") + ((F.col("gend") - F.col("gstart")) * 2).cast("long") / F.lit(5)).cast("long"),
     )
     hits = interval_join(pts, genes, ["grp"], "pos", "gstart", "gend", bin_size=1000)
-    marks = hits.groupBy("__uid").agg(
+    marks = hits.groupBy(*key).agg(
         F.max(F.col("pos") <= F.col("eend")).alias("__exon")
     )
-    out = pts.join(marks, "__uid", "left").withColumn(
+    out = pts.join(marks, key, "left").withColumn(
         "feature_type",
         F.when(F.col("__exon"), "exon")
         .when(F.col("__exon").isNotNull(), "intron")
