@@ -100,10 +100,39 @@ def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> int:
     shutil.rmtree(target, ignore_errors=True)
     shutil.move(staging, target)
     print(f"ingested {fmt.name} → {target}")
+    if fmt.name in ("sampleRetraction", "patientRetraction"):
+        _retract_from_clinical_bronze(spark, args.warehouse)
     return 0
 
 
+def _retract_from_clinical_bronze(spark: SparkSession, warehouse: str) -> None:
+    """Apply the retraction cascade to the clinical bronze table every
+    processing run (reference genie/toRetract.py:9-84 deletes retracted
+    patients — cascading to their samples — and retracted samples from
+    the database; the genomic tables are filtered by clinical
+    downstream)."""
+    from genie_spark.release.pipeline import apply_retractions
+
+    clinical = _read_bronze(spark, warehouse, "clinical")
+    if clinical is None:
+        return
+    out = apply_retractions(
+        clinical,
+        sample_retraction=_read_bronze(spark, warehouse, "sampleRetraction"),
+        patient_retraction=_read_bronze(spark, warehouse, "patientRetraction"),
+    )
+    import shutil
+
+    target = _bronze(warehouse, "clinical")
+    staging = target + ".staging"
+    out.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.move(staging, target)
+    print("applied retractions to clinical bronze")
+
+
 def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
+    from genie_spark.io.readers import read_known_somatic_sites
     from genie_spark.io.writers import write_cbio_clinical, write_cna_wide, write_tsv
     from genie_spark.release.pipeline import run_release
 
@@ -123,6 +152,13 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         oncotree=_read_bronze(spark, args.warehouse, "oncotree"),
         assay_info=_read_bronze(spark, args.warehouse, "assayinfo"),
         mergecheck_flags=_read_bronze(spark, args.warehouse, "mutationsInCis"),
+        whitelist=(
+            read_known_somatic_sites(spark, args.whitelist)
+            if args.whitelist
+            else None
+        ),
+        sample_retraction=_read_bronze(spark, args.warehouse, "sampleRetraction"),
+        patient_retraction=_read_bronze(spark, args.warehouse, "patientRetraction"),
         pad=args.pad,
     )
     os.makedirs(args.output, exist_ok=True)
@@ -232,6 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--output", required=True)
     r.add_argument("--version", default="TESTING")
     r.add_argument("--pad", type=int, default=10)
+    r.add_argument(
+        "--whitelist",
+        default=None,
+        help="known-somatic-sites BED overriding the germline filter",
+    )
     r.set_defaults(fn=cmd_release)
 
     u = sub.add_parser("public", help="public release from a consortium release")

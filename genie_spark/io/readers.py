@@ -141,6 +141,28 @@ def read_retraction(spark: SparkSession, path: str | Sequence[str], col: str = "
     )
 
 
+def read_known_somatic_sites(
+    spark: SparkSession, path: str | Sequence[str]
+) -> DataFrame:
+    """Known-somatic-sites whitelist BED (the file the reference
+    downloads from the public vcf2maf data dir,
+    genie/database_to_staging.py:253-265): headerless tab-separated
+    ``Chromosome Start End Symbol`` with ``#`` comments.  Columns are
+    suffixed ``_wl`` ready for :func:`release.filters.whitelist_hits`."""
+    return (
+        spark.read.option("header", "false")
+        .option("sep", "\t")
+        .option("comment", "#")
+        .csv(_paths(path))
+        .select(
+            F.col("_c0").alias("Chromosome"),
+            F.col("_c1").try_cast("long").alias("Start_Position_wl"),
+            F.col("_c2").try_cast("long").alias("End_Position_wl"),
+            F.col("_c3").alias("Hugo_Symbol_wl"),
+        )
+    )
+
+
 def read_mutations_in_cis(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
     """mutationsInCis CSV scan (genie_registry/mutationsInCis.py:23-29)."""
     return (

@@ -42,6 +42,39 @@ class ReleaseArtifacts:
     stats: dict = field(default_factory=dict)
 
 
+def apply_retractions(
+    clinical: DataFrame,
+    sample_retraction: DataFrame | None = None,
+    patient_retraction: DataFrame | None = None,
+    sample_col: str = "SAMPLE_ID",
+    patient_col: str = "PATIENT_ID",
+) -> DataFrame:
+    """Remove retracted patients (cascading to their samples) and
+    retracted samples from the clinical table (reference
+    genie/toRetract.py:9-84).  Only clinical needs retracting — every
+    genomic artifact is filtered by the clinical sample set downstream,
+    the same argument the reference makes (toRetract.py:70-71).
+
+    The retraction frames are as read by the sampleRetraction /
+    patientRetraction formats: first column carries the id
+    (``genieSampleId`` / ``geniePatientId``).
+    """
+    from genie_spark.operators.filters import retract_cascade
+
+    out = clinical
+    if patient_retraction is not None and patient_col in out.columns:
+        ids = patient_retraction.select(
+            F.col(patient_retraction.columns[0]).alias(patient_col)
+        )
+        out = retract_cascade(out, ids, patient_col)
+    if sample_retraction is not None and sample_col in out.columns:
+        ids = sample_retraction.select(
+            F.col(sample_retraction.columns[0]).alias(sample_col)
+        )
+        out = retract_cascade(out, ids, sample_col)
+    return out
+
+
 def wes_panels(assay_info: DataFrame) -> DataFrame:
     """Whole-exome SEQ_ASSAY_IDs (reference ``store_assay_info_files``
     genie/database_to_staging.py:1191-1193: library_strategy == WXS)."""
@@ -106,6 +139,8 @@ def run_release(
     assay_info: DataFrame | None = None,
     mergecheck_flags: DataFrame | None = None,
     whitelist: DataFrame | None = None,
+    sample_retraction: DataFrame | None = None,
+    patient_retraction: DataFrame | None = None,
     pad: int = 10,
 ) -> ReleaseArtifacts:
     """Consortium release (§3.3):
@@ -128,6 +163,10 @@ def run_release(
     those samples are removed.  ``whitelist`` is a known-somatic-sites
     BED that overrides the germline filter.
     """
+    clinical = apply_retractions(
+        clinical, sample_retraction=sample_retraction,
+        patient_retraction=patient_retraction,
+    )
     kept, removed = no_genepanel_filter(clinical, bed)
 
     sample_assay = kept.select("SAMPLE_ID", "SEQ_ASSAY_ID")

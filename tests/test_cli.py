@@ -132,7 +132,7 @@ def test_ingest_release_dashboard(spark, tmp_path):
     assert cna.count() == 3
 
     rc = cmd_release(
-        spark, _ns(warehouse=wh, output=out, version="TEST", pad=10)
+        spark, _ns(warehouse=wh, output=out, version="TEST", pad=10, whitelist=None)
     )
     assert rc == 0
     assert os.path.exists(os.path.join(out, "data_clinical.txt"))
@@ -173,6 +173,49 @@ def test_ingest_release_dashboard(spark, tmp_path):
     assert rc == 0
     counts = spark.read.parquet(os.path.join(dash, "sample_counts"))
     assert counts.count() >= 1
+
+
+def test_retraction_e2e(spark, tmp_path):
+    """ingest → retract → release excludes retracted samples (reference
+    genie/toRetract.py:9-84: retraction runs every processing run with
+    patient→sample cascade)."""
+    wh = str(tmp_path / "warehouse")
+    out = str(tmp_path / "release")
+    for paths, ft in [
+        (_write_clinical_pair(tmp_path), None),
+        (_write_maf(tmp_path), None),
+        (_write_bed(tmp_path), "bed"),
+    ]:
+        rc = cmd_ingest(
+            spark,
+            _ns(paths=paths, center=CENTER, warehouse=wh, filetype=ft, force=True),
+        )
+        assert rc == 0
+
+    # retract patient 2 — its sample must cascade out of the clinical bronze
+    pr = tmp_path / "patientRetraction.csv"
+    pr.write_text(f"GENIE-{CENTER}-2\n")
+    rc = cmd_ingest(
+        spark,
+        _ns(paths=[str(pr)], center=CENTER, warehouse=wh, filetype=None, force=True),
+    )
+    assert rc == 0
+    clin = spark.read.parquet(os.path.join(wh, "clinical"))
+    assert [r["SAMPLE_ID"] for r in clin.select("SAMPLE_ID").collect()] == [
+        f"GENIE-{CENTER}-1-1"
+    ]
+
+    rc = cmd_release(
+        spark, _ns(warehouse=wh, output=out, version="TEST", pad=10, whitelist=None)
+    )
+    assert rc == 0
+    with open(os.path.join(out, "data_clinical.txt")) as f:
+        released = f.read()
+    assert f"GENIE-{CENTER}-1-1" in released
+    assert f"GENIE-{CENTER}-2-1" not in released
+    with open(os.path.join(out, "data_mutations_extended.txt")) as f:
+        maf_txt = f.read()
+    assert f"GENIE-{CENTER}-2-1" not in maf_txt
 
 
 def test_parser_shape():

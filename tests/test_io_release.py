@@ -274,6 +274,38 @@ def test_release_mergecheck_flag_mode_and_public_common_variant(spark):
     assert {r["Start_Position"] for r in pub.maf.collect()} == {150, 300, 302}
 
 
+def test_release_germline_whitelist(spark):
+    """A whitelisted known-somatic site survives the germline AF filter
+    (reference genie/database_to_staging.py:253-292,346-374)."""
+    clinical, maf, bed, oncotree, sv = _center_upload(spark)
+    # keep sample 2 in the release by marking its cis pair as Flag
+    flags = spark.createDataFrame(
+        [
+            ("2", 300, None, "A", "T", "GENIE-SAGE-2-1", "Flag"),
+            ("2", 302, None, "C", "G", "GENIE-SAGE-2-1", "Flag"),
+        ],
+        "Chromosome string, Start_Position long, HGVSp_Short string, "
+        "Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "Tumor_Sample_Barcode string, Flag string",
+    )
+    wl = spark.createDataFrame(
+        [("2", 240, 260, "EGFR")],
+        ["Chromosome", "Start_Position_wl", "End_Position_wl", "Hugo_Symbol_wl"],
+    )
+    arts = run_release(
+        clinical, maf, bed, oncotree=oncotree,
+        mergecheck_flags=flags, whitelist=wl, pad=10,
+    )
+    kept = {r["Start_Position"] for r in arts.maf.collect()}
+    # 250 (gnomAD AF 0.5) is germline but sits inside the whitelist
+    # interval → kept; without the whitelist it is dropped
+    assert 250 in kept
+    no_wl = run_release(
+        clinical, maf, bed, oncotree=oncotree, mergecheck_flags=flags, pad=10
+    )
+    assert 250 not in {r["Start_Position"] for r in no_wl.maf.collect()}
+
+
 def test_update_mergecheck_flags(spark):
     from genie_spark.release.filters import update_mergecheck_flags
 
