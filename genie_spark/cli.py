@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from genie_spark.formats import BY_NAME, determine_filetype
-from genie_spark.operators.upsert import apply_upsert
+from genie_spark.io.bronze import merge_into_bronze, rewrite_bronze
 
 
 def _bronze(warehouse: str, name: str) -> str:
@@ -86,19 +86,9 @@ def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> int:
     if fmt.transform is not None:
         df = fmt.transform(df)
     target = _bronze(args.warehouse, fmt.name)
-    existing = _read_bronze(spark, args.warehouse, fmt.name)
-    if existing is not None and fmt.keys:
-        merged = apply_upsert(df, existing.select(*df.columns), list(fmt.keys))
-    elif existing is not None:
-        merged = existing.unionByName(df, allowMissingColumns=True)
-    else:
-        merged = df
-    staging = target + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    import shutil
-
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.move(staging, target)
+    # CENTER-partitioned MERGE: one center's upload only reads and
+    # rewrites that center's partition (io/bronze.py)
+    merge_into_bronze(df, target, list(fmt.keys) if fmt.keys else None)
     print(f"ingested {fmt.name} → {target}")
     if fmt.name in ("sampleRetraction", "patientRetraction"):
         _retract_from_clinical_bronze(spark, args.warehouse)
@@ -121,13 +111,7 @@ def _retract_from_clinical_bronze(spark: SparkSession, warehouse: str) -> None:
         sample_retraction=_read_bronze(spark, warehouse, "sampleRetraction"),
         patient_retraction=_read_bronze(spark, warehouse, "patientRetraction"),
     )
-    import shutil
-
-    target = _bronze(warehouse, "clinical")
-    staging = target + ".staging"
-    out.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.move(staging, target)
+    rewrite_bronze(out, _bronze(warehouse, "clinical"))
     print("applied retractions to clinical bronze")
 
 

@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from genie_spark.operators.upsert import apply_upsert
-
 
 def stream_tsv_dir(
     spark: SparkSession,
@@ -50,31 +48,17 @@ def upsert_batch_writer(
     transform=None,
 ):
     """foreachBatch callback: transform (validation/normalization) then
-    MERGE into the parquet target by primary key.  Overwrite-by-merge is
-    the parquet-level MERGE stand-in (Delta's MERGE INTO on a real
-    deployment)."""
+    MERGE into the parquet target by primary key.  The merge is
+    partition-scoped when the batch carries CENTER (io/bronze.py): a
+    micro-batch from one center reads and rewrites only that center's
+    partition — the Delta ``MERGE INTO`` shape on plain parquet."""
+    from genie_spark.io.bronze import merge_into_bronze
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         data = batch.drop("_ingest_file")
         if transform is not None:
             data = transform(data)
-        try:
-            existing = spark.read.parquet(target_path)
-        except Exception:
-            existing = None
-        if existing is not None:
-            merged = apply_upsert(data, existing.select(*data.columns), keys)
-        else:
-            merged = data
-        # two-phase write: merge result → staging, then swap, so a
-        # failed write never corrupts the target
-        staging = target_path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        import shutil
-
-        shutil.rmtree(target_path, ignore_errors=True)
-        shutil.move(staging, target_path)
+        merge_into_bronze(data, target_path, keys)
 
     return write
 

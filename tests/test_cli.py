@@ -218,6 +218,75 @@ def test_retraction_e2e(spark, tmp_path):
     assert f"GENIE-{CENTER}-2-1" not in maf_txt
 
 
+def test_partition_scoped_merge(spark, tmp_path):
+    """Ingesting one center's upload must not read or rewrite other
+    centers' bronze partitions (100 TB posture: bronze is partitioned
+    by CENTER and MERGE is partition-scoped)."""
+    wh = str(tmp_path / "warehouse")
+    p1 = tmp_path / "data_mutations_extended_SAGE.txt"
+    p1.write_text(
+        "Chromosome\tStart_Position\tEnd_Position\tReference_Allele\t"
+        "Tumor_Seq_Allele2\tTumor_Sample_Barcode\tt_depth\n"
+        "1\t150\t150\tA\tT\tGENIE-SAGE-1-1\t100\n"
+    )
+    rc = cmd_ingest(
+        spark, _ns(paths=[str(p1)], center="SAGE", warehouse=wh,
+                   filetype="maf", force=True),
+    )
+    assert rc == 0
+    sage_dir = os.path.join(wh, "maf", "CENTER=SAGE")
+    assert os.path.isdir(sage_dir)
+    sage_mtimes = {
+        f: os.path.getmtime(os.path.join(sage_dir, f))
+        for f in os.listdir(sage_dir)
+    }
+
+    # second center's upload: SAGE partition files must be byte-for-byte
+    # untouched (same inode mtimes)
+    p2 = tmp_path / "data_mutations_extended_TEST.txt"
+    p2.write_text(
+        "Chromosome\tStart_Position\tEnd_Position\tReference_Allele\t"
+        "Tumor_Seq_Allele2\tTumor_Sample_Barcode\tt_depth\n"
+        "2\t250\t250\tG\tC\tGENIE-TEST-9-1\t50\n"
+    )
+    rc = cmd_ingest(
+        spark, _ns(paths=[str(p2)], center="TEST", warehouse=wh,
+                   filetype="maf", force=True),
+    )
+    assert rc == 0
+    assert os.path.isdir(os.path.join(wh, "maf", "CENTER=TEST"))
+    after = {
+        f: os.path.getmtime(os.path.join(sage_dir, f))
+        for f in os.listdir(sage_dir)
+    }
+    assert after == sage_mtimes
+
+    # merged table reads back with both centers
+    maf = spark.read.parquet(os.path.join(wh, "maf"))
+    assert {r["CENTER"] for r in maf.select("CENTER").distinct().collect()} == {
+        "SAGE", "TEST"
+    }
+    assert maf.count() == 2
+
+    # re-upsert center SAGE updating a non-key column: TEST untouched,
+    # no duplicate row
+    p1.write_text(
+        "Chromosome\tStart_Position\tEnd_Position\tReference_Allele\t"
+        "Tumor_Seq_Allele2\tTumor_Sample_Barcode\tt_depth\n"
+        "1\t150\t150\tA\tT\tGENIE-SAGE-1-1\t200\n"
+    )
+    rc = cmd_ingest(
+        spark, _ns(paths=[str(p1)], center="SAGE", warehouse=wh,
+                   filetype="maf", force=True),
+    )
+    assert rc == 0
+    maf = spark.read.parquet(os.path.join(wh, "maf"))
+    assert maf.count() == 2
+    row = maf.where(maf.CENTER == "SAGE").collect()[0]
+    depth_col = [c for c in maf.columns if c.upper() == "T_DEPTH"][0]
+    assert float(row[depth_col]) == 200.0
+
+
 def test_parser_shape():
     p = build_parser()
     args = p.parse_args(["validate", "f.txt", "--center", "SAGE"])
