@@ -44,6 +44,54 @@ def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | 
         return None
 
 
+def _norm_assay_id(c: F.Column) -> F.Column:
+    # the reference compares SEQ_ASSAY_IDs case- and underscore-
+    # insensitively (genie/validate.py:283-305 standardize_string)
+    return F.upper(F.regexp_replace(c.cast("string"), "_", ""))
+
+
+def cross_file_rules(
+    spark: SparkSession, warehouse: str, fmt_name: str
+) -> list:
+    """Cross-file containment rules against the warehouse bronze tables
+    (reference ``_cross_validate``: maf↔clinical
+    genie_registry/maf.py:429-467, clinical↔assay + clinical↔bed
+    genie_registry/clinical.py:1335-1434)."""
+    from genie_spark.rules.engine import ids_subset_of
+
+    rules = []
+    if fmt_name in ("maf", "vcf"):
+        clin = _read_bronze(spark, warehouse, "clinical")
+        if clin is not None and "SAMPLE_ID" in clin.columns:
+            for col in ("Tumor_Sample_Barcode", "TUMOR_SAMPLE_BARCODE"):
+                rules.append(
+                    ids_subset_of(
+                        fmt_name, col, clin, "SAMPLE_ID",
+                        what="Tumor_Sample_Barcode (sample not in clinical)",
+                    )
+                )
+    elif fmt_name == "clinical":
+        assay = _read_bronze(spark, warehouse, "assayinfo")
+        if assay is not None and "SEQ_ASSAY_ID" in assay.columns:
+            rules.append(
+                ids_subset_of(
+                    "clinical", "SEQ_ASSAY_ID", assay, "SEQ_ASSAY_ID",
+                    what="SEQ_ASSAY_ID (missing from assay information)",
+                    normalize=_norm_assay_id,
+                )
+            )
+        bed = _read_bronze(spark, warehouse, "bed")
+        if bed is not None and "SEQ_ASSAY_ID" in bed.columns:
+            rules.append(
+                ids_subset_of(
+                    "clinical", "SEQ_ASSAY_ID", bed, "SEQ_ASSAY_ID",
+                    what="SEQ_ASSAY_ID (no BED file uploaded)",
+                    normalize=_norm_assay_id,
+                )
+            )
+    return rules
+
+
 def cmd_validate(spark: SparkSession, args: argparse.Namespace) -> int:
     fmt = BY_NAME.get(args.filetype) if args.filetype else determine_filetype(
         args.paths, args.center
@@ -58,9 +106,20 @@ def cmd_validate(spark: SparkSession, args: argparse.Namespace) -> int:
         return 2
     df = fmt.read(spark, args.paths)
     ruleset = fmt.rules(args.center)
-    if ruleset is None:
+    extra = (
+        cross_file_rules(spark, args.warehouse, fmt.name)
+        if getattr(args, "warehouse", None)
+        else []
+    )
+    if ruleset is None and not extra:
         print(f"{fmt.name}: no frame rules; file read OK ({len(df.columns)} columns)")
         return 0
+    from genie_spark.rules.engine import RuleSet
+
+    if ruleset is None:
+        ruleset = RuleSet(fmt.name, extra)
+    elif extra:
+        ruleset = RuleSet(ruleset.file_type, list(ruleset.rules) + extra)
     report = ruleset.validate(df)
     print(report.render())
     return 0 if report.is_valid else 1
@@ -237,6 +296,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("paths", nargs="+")
     v.add_argument("--center", required=True)
     v.add_argument("--filetype", choices=sorted(BY_NAME))
+    v.add_argument(
+        "--warehouse",
+        default=None,
+        help="bronze warehouse for cross-file checks (maf↔clinical, "
+        "clinical↔assay, clinical↔bed)",
+    )
     v.set_defaults(fn=cmd_validate)
 
     i = sub.add_parser("ingest", help="validate + upsert into bronze tables")

@@ -223,17 +223,24 @@ def ids_subset_of(
     parent_col: str,
     severity: str = "error",
     what: str = "",
+    normalize: Callable[[Column], Column] | None = None,
 ) -> FrameRule:
     """Cross-file containment (genie/validate.py:308-368): all values
-    of ``col`` must exist in the parent table — anti-join count == 0."""
+    of ``col`` must exist in the parent table — anti-join count == 0.
+    ``normalize`` maps both sides' values before comparing (the
+    reference's ignore_case / allow_underscore comparison,
+    genie/validate.py:283-305)."""
 
     def check(df: DataFrame) -> list[ValidationMessage]:
         if col not in df.columns:
             return []
+        expr, pexpr = qcol(col), qcol(parent_col)
+        if normalize is not None:
+            expr, pexpr = normalize(expr), normalize(pexpr)
         missing = (
-            df.select(F.col(col).alias(parent_col))
+            df.select(expr.alias("__gs_id"))
             .distinct()
-            .join(parent.select(parent_col), parent_col, "left_anti")
+            .join(parent.select(pexpr.alias("__gs_id")).distinct(), "__gs_id", "left_anti")
         )
         n = missing.count()
         if n:

@@ -218,6 +218,66 @@ def test_retraction_e2e(spark, tmp_path):
     assert f"GENIE-{CENTER}-2-1" not in maf_txt
 
 
+def test_cross_file_validation(spark, tmp_path):
+    """maf↔clinical cross-validation (reference
+    genie_registry/maf.py:429-467): a Tumor_Sample_Barcode missing from
+    the clinical bronze is a cross-file error when --warehouse is
+    passed, and absent without it."""
+    wh = str(tmp_path / "warehouse")
+    rc = cmd_ingest(
+        spark,
+        _ns(paths=_write_clinical_pair(tmp_path), center=CENTER, warehouse=wh,
+            filetype=None, force=True),
+    )
+    assert rc == 0
+
+    bad_maf = tmp_path / f"data_mutations_extended_{CENTER}.txt"
+    bad_maf.write_text(
+        "Chromosome\tStart_Position\tEnd_Position\tReference_Allele\t"
+        "Tumor_Seq_Allele2\tTumor_Sample_Barcode\tt_alt_count\tt_ref_count\tt_depth\n"
+        f"1\t150\t150\tA\tT\tGENIE-{CENTER}-ORPHAN-1\t10\t90\t100\n"
+    )
+    # without a warehouse: file-local rules only → valid
+    rc = cmd_validate(
+        spark, _ns(paths=[str(bad_maf)], center=CENTER, filetype="maf",
+                   warehouse=None),
+    )
+    assert rc == 0
+    # with the warehouse: orphan barcode → cross-file error
+    rc = cmd_validate(
+        spark, _ns(paths=[str(bad_maf)], center=CENTER, filetype="maf",
+                   warehouse=wh),
+    )
+    assert rc == 1
+
+    # clinical referencing an assay id with no bed file → error
+    clin = _write_clinical_pair(tmp_path)
+    bed_wh = cmd_ingest(
+        spark,
+        _ns(paths=_write_bed(tmp_path), center=CENTER, warehouse=wh,
+            filetype="bed", force=True),
+    )
+    assert bed_wh == 0
+    rc = cmd_validate(
+        spark, _ns(paths=clin, center=CENTER, filetype=None, warehouse=wh),
+    )
+    assert rc == 0  # SAGE-PANEL-1 bed exists
+    orphan_clin = tmp_path / f"data_clinical_supp_{CENTER}.txt"
+    orphan_clin.write_text(
+        "SAMPLE_ID\tPATIENT_ID\tAGE_AT_SEQ_REPORT\tONCOTREE_CODE\tSAMPLE_TYPE\t"
+        "SEQ_ASSAY_ID\tSAMPLE_CLASS\tSEX\tPRIMARY_RACE\tETHNICITY\tBIRTH_YEAR\t"
+        "YEAR_CONTACT\tINT_CONTACT\tDEAD\tYEAR_DEATH\tINT_DOD\n"
+        f"GENIE-{CENTER}-1-1\tGENIE-{CENTER}-1\t36500\tUNKNOWN\t1\t"
+        f"{CENTER}-NOBED-9\tTumor\t1\t1\t1\t1950\t2015\t23725\tFalse\t"
+        "Not Applicable\tNot Applicable\n"
+    )
+    rc = cmd_validate(
+        spark, _ns(paths=[str(orphan_clin)], center=CENTER, filetype="clinical",
+                   warehouse=wh),
+    )
+    assert rc == 1
+
+
 def test_partition_scoped_merge(spark, tmp_path):
     """Ingesting one center's upload must not read or rewrite other
     centers' bronze partitions (100 TB posture: bronze is partitioned
