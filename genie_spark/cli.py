@@ -185,6 +185,11 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
     if clinical is None or maf is None or bed is None:
         print("release needs clinical, maf, and bed bronze tables", file=sys.stderr)
         return 2
+    oncotree = _read_bronze(spark, args.warehouse, "oncotree")
+    if oncotree is None and getattr(args, "oncotree_json", None):
+        from genie_spark.release.oncotree import read_oncotree_json
+
+        oncotree = read_oncotree_json(spark, args.oncotree_json)
     arts = run_release(
         clinical=clinical,
         maf=maf,
@@ -192,7 +197,7 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         sv=_read_bronze(spark, args.warehouse, "sv"),
         seg=_read_bronze(spark, args.warehouse, "seg"),
         cna_long=_read_bronze(spark, args.warehouse, "cna_long"),
-        oncotree=_read_bronze(spark, args.warehouse, "oncotree"),
+        oncotree=oncotree,
         assay_info=_read_bronze(spark, args.warehouse, "assayinfo"),
         mergecheck_flags=_read_bronze(spark, args.warehouse, "mutationsInCis"),
         whitelist=(
@@ -202,6 +207,8 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         ),
         sample_retraction=_read_bronze(spark, args.warehouse, "sampleRetraction"),
         patient_retraction=_read_bronze(spark, args.warehouse, "patientRetraction"),
+        processing_date=getattr(args, "processing_date", None),
+        consortium_cutoff_days=getattr(args, "seq_date_cutoff", 184),
         pad=args.pad,
     )
     os.makedirs(args.output, exist_ok=True)
@@ -321,6 +328,27 @@ def build_parser() -> argparse.ArgumentParser:
         "--whitelist",
         default=None,
         help="known-somatic-sites BED overriding the germline filter",
+    )
+    r.add_argument(
+        "--processing-date",
+        dest="processing_date",
+        default=None,
+        metavar="Jan-2026",
+        help="apply the consortium SEQ_DATE cutoff relative to this %%b-%%Y date",
+    )
+    r.add_argument(
+        "--seq-date-cutoff",
+        dest="seq_date_cutoff",
+        type=int,
+        default=184,
+        help="consortium release cutoff in days (reference default 184)",
+    )
+    r.add_argument(
+        "--oncotree-json",
+        dest="oncotree_json",
+        default=None,
+        help="oncotree API JSON file to build the code dimension from "
+        "(used when no oncotree bronze table exists)",
     )
     r.set_defaults(fn=cmd_release)
 

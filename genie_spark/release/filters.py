@@ -236,6 +236,36 @@ def mergecheck_toss_and_flag(
     return toss, flagged
 
 
+def seq_date_filter_ids(
+    clinical: DataFrame,
+    processing_date: str,
+    cutoff_days: int = 184,
+    seq_date_col: str = "SEQ_DATE",
+    sample_col: str = "SAMPLE_ID",
+) -> DataFrame:
+    """Sample ids sequenced within ``cutoff_days`` of the processing
+    date — the reference's ``seqDateFilter``
+    (genie/process_functions.py:327-353): those samples stay in the
+    staging release and are REMOVED from the consortium release (the
+    184-day default; bin/database_to_staging.py:410-415).  ``SEQ_DATE``
+    is ``%b-%Y`` (``Jan-2017``); the sentinel ``Release`` counts as
+    Jan-1900 (always old enough), and unparseable dates are kept.
+    """
+    from genie_spark.functions.scalars import parse_month_year
+
+    sd = F.when(F.col(seq_date_col) == "Release", F.lit("Jan-1900")).otherwise(
+        F.col(seq_date_col)
+    )
+    recent = F.datediff(
+        parse_month_year(F.lit(processing_date)), parse_month_year(sd)
+    ) <= F.lit(cutoff_days)
+    return (
+        clinical.where(F.coalesce(recent, F.lit(False)))
+        .select(sample_col)
+        .distinct()
+    )
+
+
 def no_genepanel_filter(
     clinical: DataFrame, bed: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

@@ -24,6 +24,7 @@ from genie_spark.release.filters import (
     mergecheck_toss_and_flag,
     mutation_in_cis_samples,
     no_genepanel_filter,
+    seq_date_filter_ids,
 )
 
 
@@ -141,6 +142,8 @@ def run_release(
     whitelist: DataFrame | None = None,
     sample_retraction: DataFrame | None = None,
     patient_retraction: DataFrame | None = None,
+    processing_date: str | None = None,
+    consortium_cutoff_days: int = 184,
     pad: int = 10,
 ) -> ReleaseArtifacts:
     """Consortium release (§3.3):
@@ -167,6 +170,13 @@ def run_release(
         clinical, sample_retraction=sample_retraction,
         patient_retraction=patient_retraction,
     )
+    if processing_date is not None and "SEQ_DATE" in clinical.columns:
+        # consortium cutoff (``Jan-2026``-style processing date, 184-day
+        # default): freshly sequenced samples stay staging-only
+        recent = seq_date_filter_ids(
+            clinical, processing_date, cutoff_days=consortium_cutoff_days
+        )
+        clinical = clinical.join(recent, "SAMPLE_ID", "left_anti")
     kept, removed = no_genepanel_filter(clinical, bed)
 
     sample_assay = kept.select("SAMPLE_ID", "SEQ_ASSAY_ID")

@@ -274,6 +274,79 @@ def test_release_mergecheck_flag_mode_and_public_common_variant(spark):
     assert {r["Start_Position"] for r in pub.maf.collect()} == {150, 300, 302}
 
 
+def test_oncotree_json_flatten(spark, tmp_path):
+    """Nested oncotree API JSON → code dimension (reference
+    genie/process_functions.py:708-753): mainType/name plus level-1/2
+    ancestor propagation."""
+    import json
+
+    from genie_spark.release.oncotree import read_oncotree_json
+
+    payload = {
+        "TISSUE": {
+            "children": {
+                "LUNG": {
+                    "level": 1, "mainType": None, "name": "Lung",
+                    "children": {
+                        "NSCLC": {
+                            "level": 2,
+                            "mainType": "Non-Small Cell Lung Cancer",
+                            "name": "Non-Small Cell Lung Cancer",
+                            "children": {
+                                "luad": {
+                                    "level": 3,
+                                    "mainType": "Non-Small Cell Lung Cancer",
+                                    "name": "Lung Adenocarcinoma",
+                                    "children": {},
+                                }
+                            },
+                        }
+                    },
+                }
+            }
+        }
+    }
+    p = tmp_path / "oncotree.json"
+    p.write_text(json.dumps(payload))
+    df = read_oncotree_json(spark, str(p))
+    rows = {r["ONCOTREE_CODE"]: r for r in df.collect()}
+    assert set(rows) == {"LUNG", "NSCLC", "LUAD"}  # codes uppercased
+    assert rows["LUAD"]["CANCER_TYPE"] == "Non-Small Cell Lung Cancer"
+    assert rows["LUAD"]["CANCER_TYPE_DETAILED"] == "Lung Adenocarcinoma"
+    assert rows["LUAD"]["ONCOTREE_PRIMARY_NODE"] == "LUNG"
+    assert rows["LUAD"]["ONCOTREE_SECONDARY_NODE"] == "NSCLC"
+    assert rows["LUNG"]["ONCOTREE_SECONDARY_NODE"] == ""
+
+
+def test_release_seq_date_cutoff(spark):
+    """Consortium 184-day SEQ_DATE window (reference seqDateFilter
+    process_functions.py:327-353): freshly sequenced samples stay out
+    of the consortium release; 'Release' counts as always-old."""
+    clinical, maf, bed, oncotree, sv = _center_upload(spark)
+    clinical = clinical.withColumn(
+        "SEQ_DATE",
+        F.when(F.col("SAMPLE_ID") == "GENIE-SAGE-1-1", "Jan-2026")  # 7 months old
+        .when(F.col("SAMPLE_ID") == "GENIE-SAGE-2-1", "Jul-2026")   # 1 month old
+        .otherwise("Release"),
+    )
+    arts = run_release(
+        clinical, maf, bed, oncotree=oncotree,
+        processing_date="Aug-2026", pad=10,
+    )
+    ids = {r["SAMPLE_ID"] for r in arts.clinical.select("SAMPLE_ID").collect()}
+    assert "GENIE-SAGE-1-1" in ids       # 212 days > 184 → released
+    assert "GENIE-SAGE-2-1" not in ids   # 31 days <= 184 → held back
+
+    # shift the processing date so sample 1 (Jan-2026) is only 31 days
+    # old — the date filter alone must now hold it back
+    held = run_release(
+        clinical, maf, bed, oncotree=oncotree,
+        processing_date="Feb-2026", pad=10,
+    )
+    held_ids = {r["SAMPLE_ID"] for r in held.clinical.select("SAMPLE_ID").collect()}
+    assert "GENIE-SAGE-1-1" not in held_ids
+
+
 def test_release_germline_whitelist(spark):
     """A whitelisted known-somatic site survives the germline AF filter
     (reference genie/database_to_staging.py:253-292,346-374)."""
