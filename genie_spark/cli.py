@@ -224,6 +224,67 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         write_cna_wide(arts.cna_long, os.path.join(args.output, "data_CNA.txt"))
     if arts.gene_matrix is not None:
         write_tsv(arts.gene_matrix, os.path.join(args.output, "data_gene_matrix.txt"))
+
+    # released assay ids drive the bed file, gene panels, and case lists
+    # (dim-sized collect: one row per SEQ_ASSAY_ID)
+    assay_ids = sorted(
+        r[0]
+        for r in arts.clinical.select("SEQ_ASSAY_ID").distinct().collect()
+        if r[0] is not None
+    )
+
+    # combined bed release file, filtered to released assays (reference
+    # store_bed_files genie/database_to_staging.py:1657-1709)
+    if arts.bed is not None:
+        released_bed = arts.bed.where(F.col("SEQ_ASSAY_ID").isin(assay_ids))
+        write_tsv(
+            released_bed, os.path.join(args.output, "genomic_information.txt")
+        )
+
+    # per-panel gene panel files, WES panels excluded (reference
+    # store_gene_panel_files genie/database_to_staging.py:809-859)
+    from genie_spark.io.writers import case_list_alteration_texts, case_list_texts, gene_panel_text
+    from genie_spark.release.pipeline import wes_panels
+
+    study_id = getattr(args, "study_id", "genie_private")
+    assay_info = _read_bronze(spark, args.warehouse, "assayinfo")
+    wes_ids = (
+        {r[0] for r in wes_panels(assay_info).collect()}
+        if assay_info is not None and "library_strategy" in assay_info.columns
+        else set()
+    )
+    if arts.bed is not None:
+        for assay_id in assay_ids:
+            if assay_id in wes_ids:
+                continue
+            text = gene_panel_text(arts.bed, assay_id)
+            with open(
+                os.path.join(args.output, f"data_gene_panel_{assay_id}.txt"), "w"
+            ) as f:
+                f.write(text)
+
+    # case lists on disk: per CANCER_TYPE + all + sequenced + cna/sv
+    # (reference genie/create_case_lists.py:44-199)
+    case_dir = os.path.join(args.output, "case_lists")
+    os.makedirs(case_dir, exist_ok=True)
+    texts = {}
+    if "CANCER_TYPE" in arts.clinical.columns:
+        texts.update(case_list_texts(arts.clinical, study_id=study_id))
+    else:
+        texts.update(
+            case_list_texts(
+                arts.clinical.withColumn("CANCER_TYPE", F.lit(None).cast("string")),
+                study_id=study_id,
+            )
+        )
+    if assay_info is not None:
+        texts.update(
+            case_list_alteration_texts(arts.clinical, assay_info, study_id)
+        )
+    for name, text in texts.items():
+        with open(os.path.join(case_dir, name), "w") as f:
+            f.write(text)
+
     counts = {
         "clinical": arts.clinical.count(),
         "maf": arts.maf.count(),
@@ -323,6 +384,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--warehouse", required=True)
     r.add_argument("--output", required=True)
     r.add_argument("--version", default="TESTING")
+    r.add_argument("--study-id", dest="study_id", default="genie_private")
     r.add_argument("--pad", type=int, default=10)
     r.add_argument(
         "--whitelist",

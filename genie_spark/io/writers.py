@@ -164,6 +164,56 @@ def case_list_texts(
         "case_list_description: All samples\n"
         f"case_list_ids: {all_ids}\n"
     )
+    # every released sample is sequenced, so _sequenced == _all
+    # (genie/create_case_lists.py:128-147 write_case_list_sequenced)
+    out["cases_sequenced.txt"] = (
+        f"cancer_study_identifier: {study_id}\n"
+        f"stable_id: {study_id}_sequenced\n"
+        "case_list_name: Sequenced Tumors\n"
+        "case_list_description: All sequenced samples\n"
+        f"case_list_ids: {all_ids}\n"
+    )
+    return out
+
+
+def case_list_alteration_texts(
+    clinical: DataFrame,
+    assay_info: DataFrame,
+    study_id: str,
+    sample_col: str = "SAMPLE_ID",
+) -> dict[str, str]:
+    """cases_cna.txt / cases_sv.txt: samples whose SEQ_ASSAY_ID's assay
+    information declares the alteration type (reference
+    genie/create_case_lists.py:103-126 ``create_sequenced_samples`` +
+    write_case_list_cna/sv).  The per-SEQ_ASSAY_ID sample grouping runs
+    distributed; the assay dim is broadcast."""
+    out = {}
+    if "alteration_types" not in assay_info.columns:
+        return out
+    for suffix, token, name in (
+        ("cna", "cna", "Samples with CNA"),
+        ("sv", "structural_variants", "Samples with SV"),
+    ):
+        assays = assay_info.where(
+            F.col("alteration_types").contains(token)
+        ).select("SEQ_ASSAY_ID").distinct()
+        rows = (
+            clinical.join(F.broadcast(assays), "SEQ_ASSAY_ID", "left_semi")
+            .select(sample_col)
+            .distinct()
+            .orderBy(sample_col)
+            .collect()
+        )
+        if not rows:
+            continue
+        ids = "\t".join(r[0] for r in rows)
+        out[f"cases_{suffix}.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            f"stable_id: {study_id}_{suffix}\n"
+            f"case_list_name: {name}\n"
+            f"case_list_description: {name}\n"
+            f"case_list_ids: {ids}\n"
+        )
     return out
 
 
@@ -174,12 +224,13 @@ def gene_panel_text(
 ) -> str:
     """Gene panel file (S18, genie_registry/bed.py:444-497): unique
     exon-region panel genes."""
+    cond = (F.col("SEQ_ASSAY_ID") == seq_assay_id) & F.col(
+        "includeInPanel"
+    ).cast("boolean")
+    if "Feature_Type" in bed.columns:
+        cond = cond & (F.coalesce(F.col("Feature_Type"), F.lit("exon")) == "exon")
     symbols = (
-        bed.where(
-            (F.col("SEQ_ASSAY_ID") == seq_assay_id)
-            & F.col("includeInPanel").cast("boolean")
-            & (F.coalesce(F.col("Feature_Type"), F.lit("exon")) == "exon")
-        )
+        bed.where(cond)
         .select(symbol_col)
         .where(F.col(symbol_col).isNotNull())
         .distinct()

@@ -145,6 +145,19 @@ def test_ingest_release_dashboard(spark, tmp_path):
     with open(os.path.join(out, "data_gene_matrix.txt")) as f:
         assert f.read().startswith("SAMPLE_ID")
 
+    # full artifact set: combined bed, per-panel gene panel files, case
+    # lists on disk (reference store_bed_files / store_gene_panel_files /
+    # create_case_lists)
+    assert os.path.exists(os.path.join(out, "genomic_information.txt"))
+    with open(os.path.join(out, f"data_gene_panel_{CENTER}-PANEL-1.txt")) as f:
+        panel = f.read()
+    assert "stable_id:" in panel and "gene_list:" in panel
+    case_dir = os.path.join(out, "case_lists")
+    case_files = set(os.listdir(case_dir))
+    assert {"cases_all.txt", "cases_sequenced.txt"} <= case_files
+    with open(os.path.join(case_dir, "cases_all.txt")) as f:
+        assert f"GENIE-{CENTER}-1-1" in f.read()
+
     # consortium → public: restrict to one sample, drop a private column
     pub = str(tmp_path / "public")
     keep_csv = tmp_path / "keep.csv"
