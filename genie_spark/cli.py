@@ -285,12 +285,44 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         with open(os.path.join(case_dir, name), "w") as f:
             f.write(text)
 
+    # per-center count snapshot for the dashboard's release-over-release
+    # diff (reference cumulativeSampleCount feeding
+    # update_sample_difference_table, dashboard_table_updater.py:398-483)
+    _append_release_snapshot(spark, args.warehouse, args.version, arts)
+
     counts = {
         "clinical": arts.clinical.count(),
         "maf": arts.maf.count(),
     }
     print(json.dumps({"release": args.version, "rows": counts}))
     return 0
+
+
+def _append_release_snapshot(
+    spark: SparkSession, warehouse: str, version: str, arts
+) -> None:
+    def center_counts(df: DataFrame, alias: str) -> DataFrame:
+        center = (
+            F.col("CENTER") if "CENTER" in df.columns else F.lit("ALL")
+        )
+        return df.groupBy(center.alias("Center")).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    snap = center_counts(arts.clinical, "Clinical")
+    for alias, df in (
+        ("Mutation", arts.maf),
+        ("CNV", arts.cna_long),
+        ("SEG", arts.seg),
+        ("SV", arts.sv),
+    ):
+        if df is not None:
+            snap = snap.join(center_counts(df, alias), "Center", "outer")
+        else:
+            snap = snap.withColumn(alias, F.lit(0).cast("long"))
+    snap = snap.na.fill(0).withColumn("Release", F.lit(version))
+    # append-only snapshot log; one release's rows are center-count sized
+    snap.write.mode("append").parquet(_bronze(warehouse, "release_counts"))
 
 
 def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
@@ -347,6 +379,33 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
             "CENTER",
             [c for c in clinical.columns if c not in ("CENTER",)],
             missing_sentinels=["Not Collected", "Unknown"],
+        )
+    # A5/A6: release-over-release per-center diffs + decrease flags from
+    # the stored release snapshots (reference
+    # dashboard_table_updater.py:398-483 update_sample_difference_table;
+    # the first release's row carries its raw counts, like the
+    # reference seeding diff_between_releasesdf with release 0)
+    release_counts = _read_bronze(spark, args.warehouse, "release_counts")
+    if release_counts is not None:
+        from pyspark.sql import Window
+
+        metric_cols = [
+            c for c in release_counts.columns if c not in ("Center", "Release")
+        ]
+        w = Window.partitionBy("Center").orderBy("Release")
+        diff = release_counts.select(
+            "Center",
+            "Release",
+            *[
+                (
+                    F.col(c) - F.coalesce(F.lag(c).over(w), F.lit(0))
+                ).alias(c)
+                for c in metric_cols
+            ],
+        )
+        outputs["sample_diff"] = diff
+        outputs["decrease_check"] = diff.where(
+            F.least(*[F.col(c) for c in metric_cols]) < 0
         )
     for name, df in outputs.items():
         df.write.mode("overwrite").parquet(os.path.join(args.output, name))

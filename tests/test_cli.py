@@ -205,6 +205,13 @@ def test_retraction_e2e(spark, tmp_path):
         )
         assert rc == 0
 
+    # pre-retraction release → snapshot v1
+    rc = cmd_release(
+        spark, _ns(warehouse=wh, output=str(tmp_path / "rel_v1"), version="v1",
+                   pad=10, whitelist=None)
+    )
+    assert rc == 0
+
     # retract patient 2 — its sample must cascade out of the clinical bronze
     pr = tmp_path / "patientRetraction.csv"
     pr.write_text(f"GENIE-{CENTER}-2\n")
@@ -219,7 +226,7 @@ def test_retraction_e2e(spark, tmp_path):
     ]
 
     rc = cmd_release(
-        spark, _ns(warehouse=wh, output=out, version="TEST", pad=10, whitelist=None)
+        spark, _ns(warehouse=wh, output=out, version="v2", pad=10, whitelist=None)
     )
     assert rc == 0
     with open(os.path.join(out, "data_clinical.txt")) as f:
@@ -229,6 +236,18 @@ def test_retraction_e2e(spark, tmp_path):
     with open(os.path.join(out, "data_mutations_extended.txt")) as f:
         maf_txt = f.read()
     assert f"GENIE-{CENTER}-2-1" not in maf_txt
+
+    # A5/A6: the v1→v2 clinical count drop shows up in sample_diff and
+    # trips the decrease check (dashboard_table_updater.py:398-483)
+    dash = str(tmp_path / "dash")
+    rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash))
+    assert rc == 0
+    diff = spark.read.parquet(os.path.join(dash, "sample_diff"))
+    rows = {(r["Center"], r["Release"]): r["Clinical"] for r in diff.collect()}
+    assert rows[(CENTER, "v1")] == 2   # first release carries raw counts
+    assert rows[(CENTER, "v2")] == -1  # one retracted sample
+    dec = spark.read.parquet(os.path.join(dash, "decrease_check")).collect()
+    assert len(dec) == 1 and dec[0]["Release"] == "v2"
 
 
 def test_cross_file_validation(spark, tmp_path):
