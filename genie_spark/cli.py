@@ -36,6 +36,20 @@ def _bronze(warehouse: str, name: str) -> str:
     return os.path.join(warehouse, name)
 
 
+def hashlib_md5_of(paths: list[str]) -> str:
+    """Combined md5 over an upload batch in basename order (the
+    reference reads the per-entity Synapse md5; a pair upload hashes
+    both files)."""
+    from genie_spark.io.status import file_md5
+
+    import hashlib
+
+    h = hashlib.md5()
+    for p in sorted(paths, key=os.path.basename):
+        h.update(file_md5(p).encode())
+    return h.hexdigest()
+
+
 def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | None:
     path = _bronze(warehouse, name)
     try:
@@ -89,6 +103,24 @@ def cross_file_rules(
                     normalize=_norm_assay_id,
                 )
             )
+    elif fmt_name == "mutationsInCis":
+        # uploaded rows must come from the original detection table
+        # (genie_registry/mutationsInCis.py:93-108 primaryAll check)
+        from genie_spark.rules.engine import concat_key_subset_of
+        from genie_spark.rules.genomic import MUTATIONS_IN_CIS_KEY
+
+        existing = _read_bronze(spark, warehouse, "mutationsInCis")
+        if existing is not None:
+            rules.append(
+                concat_key_subset_of(
+                    "mutationsInCis",
+                    MUTATIONS_IN_CIS_KEY,
+                    existing,
+                    message="Mutations In Cis Filter File: all variants must "
+                    "come from the original mutationsInCis_filtered_samples.csv "
+                    "file.",
+                )
+            )
     return rules
 
 
@@ -127,21 +159,55 @@ def cmd_validate(spark: SparkSession, args: argparse.Namespace) -> int:
 
 def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> int:
     """Validate then MERGE into the bronze table (reference
-    ``processfiles``, genie/input_to_database.py:383-442)."""
+    ``processfiles``, genie/input_to_database.py:383-442), with the
+    reference's per-file status bookkeeping: duplicate filenames are
+    rejected, an unchanged (name, md5) skips revalidation, and the
+    status/error tables record every outcome
+    (input_to_database.py:54-113,479-644)."""
+    from genie_spark.io.status import (
+        duplicate_basenames,
+        file_md5,
+        prior_status,
+        record_status,
+    )
+
     fmt = BY_NAME.get(args.filetype) if args.filetype else determine_filetype(
         args.paths, args.center
     )
     if fmt is None:
         print("cannot determine filetype; pass --filetype", file=sys.stderr)
         return 2
+    dups = duplicate_basenames(args.paths)
+    if dups:
+        print(
+            "duplicate filename(s) in upload batch: " + ", ".join(dups),
+            file=sys.stderr,
+        )
+        return 2
+    upload_name = ";".join(sorted(os.path.basename(p) for p in args.paths))
+    upload_md5 = hashlib_md5_of(args.paths)
     df = fmt.read(spark, args.paths).withColumn("CENTER", F.lit(args.center))
     ruleset = fmt.rules(args.center)
-    if ruleset is not None:
+    known = prior_status(spark, args.warehouse, args.center, upload_name, upload_md5)
+    if known == "VALIDATED":
+        print(f"{upload_name}: unchanged (md5 match), skipping revalidation")
+    elif ruleset is not None:
         report = ruleset.validate(df)
+        record_status(
+            spark, args.warehouse, args.center, upload_name, upload_md5,
+            "VALIDATED" if report.is_valid else "INVALID",
+            path=args.paths[0],
+            errors="" if report.is_valid else report.render(),
+        )
         if not report.is_valid:
             print(report.render(), file=sys.stderr)
             if not args.force:
                 return 1
+    else:
+        record_status(
+            spark, args.warehouse, args.center, upload_name, upload_md5,
+            "VALIDATED", path=args.paths[0],
+        )
     if fmt.transform is not None:
         df = fmt.transform(df)
     target = _bronze(args.warehouse, fmt.name)

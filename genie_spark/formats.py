@@ -39,6 +39,7 @@ from genie_spark.rules.genomic import (
     bed_rules,
     cna_rules,
     maf_rules,
+    mutations_in_cis_rules,
     seg_rules,
     sv_rules,
     vcf_rules,
@@ -234,6 +235,17 @@ FORMATS: list[FileFormat] = [
         name="mutationsInCis",
         matches=lambda names, c: names == ["mutationsInCis_filtered_samples.csv"],
         read=_single(readers.read_mutations_in_cis),
+        rules=mutations_in_cis_rules,
+        keys=(),
+    ),
+    FileFormat(
+        # center workflow document: {center}*.md stored as-is (reference
+        # genie_registry/workflow.py:17-25)
+        name="workflow",
+        matches=lambda names, c: len(names) == 1
+        and names[0].startswith(c)
+        and names[0].endswith(".md"),
+        read=lambda spark, paths: spark.read.text(paths[0]),
         rules=lambda c: None,
         keys=(),
     ),

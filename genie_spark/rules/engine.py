@@ -216,6 +216,55 @@ def no_duplicate_keys(
     return FrameRule(f"{file_type}.duplicate_keys", check)
 
 
+def concat_key_subset_of(
+    file_type: str,
+    keys: Sequence[str],
+    parent: DataFrame,
+    severity: str = "error",
+    message: str | None = None,
+) -> FrameRule:
+    """Multi-column key containment: every (keys...) tuple of the child
+    must exist in the parent, nulls comparing as "" — the reference's
+    ``primaryAll`` string-concat check for mutationsInCis uploads
+    (genie_registry/mutationsInCis.py:48-118)."""
+
+    def _key(df_cols):
+        return F.concat_ws(
+            "\x01",
+            *[F.coalesce(qcol(k).cast("string"), F.lit("")) for k in keys],
+        )
+
+    def check(df: DataFrame) -> list[ValidationMessage]:
+        if any(k not in df.columns for k in keys) or any(
+            k not in parent.columns for k in keys
+        ):
+            return []
+        missing = (
+            df.select(_key(df.columns).alias("__gs_k"))
+            .distinct()
+            .join(
+                parent.select(_key(parent.columns).alias("__gs_k")).distinct(),
+                "__gs_k",
+                "left_anti",
+            )
+        )
+        n = missing.count()
+        if n:
+            return [
+                ValidationMessage(
+                    f"{file_type}.cross_file.key",
+                    severity,
+                    message
+                    or f"{file_type}: {n} key tuple(s) ({', '.join(keys)}) not "
+                    "found in the parent table.",
+                    n_violations=n,
+                )
+            ]
+        return []
+
+    return FrameRule(f"{file_type}.cross_file.key", check)
+
+
 def ids_subset_of(
     file_type: str,
     col: str,

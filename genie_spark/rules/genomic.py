@@ -124,6 +124,41 @@ def maf_rules(center: str) -> RuleSet:
     return RuleSet("maf", rules)
 
 
+MUTATIONS_IN_CIS_REQUIRED = [
+    "Flag", "Center", "Tumor_Sample_Barcode", "Hugo_Symbol", "HGVSp_Short",
+    "Variant_Classification", "Chromosome", "Start_Position",
+    "Reference_Allele", "Tumor_Seq_Allele2", "t_alt_count_num", "t_depth",
+]
+MUTATIONS_IN_CIS_KEY = [
+    "Tumor_Sample_Barcode", "HGVSp_Short", "Start_Position",
+    "Reference_Allele", "Tumor_Seq_Allele2",
+]
+
+
+def mutations_in_cis_rules(center: str) -> RuleSet:
+    """mutationsInCis upload validation (reference
+    genie_registry/mutationsInCis.py:48-118): required headers +
+    GENIE-identifier barcodes.  The rows-must-exist-in-DB check needs
+    the warehouse mergecheck table and is added by the CLI as a
+    ``concat_key_subset_of`` cross-file rule on MUTATIONS_IN_CIS_KEY."""
+    from genie_spark.functions.scalars import genie_id_ok
+
+    return RuleSet(
+        "mutationsInCis",
+        [
+            required_columns("mutationsInCis", MUTATIONS_IN_CIS_REQUIRED),
+            RowRule(
+                "mutationsInCis.barcode_format", "error",
+                ~genie_id_ok("Tumor_Sample_Barcode", center),
+                "Mutations In Cis Filter File: {n} Tumor_Sample_Barcode(s) "
+                f"not prefixed GENIE-{center}: {{examples}}",
+                example_col="Tumor_Sample_Barcode",
+                required_cols=["Tumor_Sample_Barcode"],
+            ),
+        ],
+    )
+
+
 def maf_cross_validate(maf: DataFrame, clinical_samples: DataFrame) -> list[ValidationMessage]:
     """MAF barcodes ⊆ clinical SAMPLE_ID (maf.py:429-467)."""
     missing = (

@@ -379,6 +379,91 @@ def test_partition_scoped_merge(spark, tmp_path):
     assert float(row[depth_col]) == 200.0
 
 
+def test_validation_status_workflow(spark, tmp_path, capsys):
+    """Duplicate filenames rejected; unchanged (name, md5) skips
+    revalidation; invalid files land in the error tracker (reference
+    input_to_database.py:54-113,479-644)."""
+    wh = str(tmp_path / "warehouse")
+    paths = _write_clinical_pair(tmp_path)
+
+    # duplicate basenames in one batch → rejected before validation
+    rc = cmd_ingest(
+        spark,
+        _ns(paths=[paths[0], paths[0]], center=CENTER, warehouse=wh,
+            filetype=None, force=True),
+    )
+    assert rc == 2
+
+    rc = cmd_ingest(
+        spark, _ns(paths=paths, center=CENTER, warehouse=wh, filetype=None,
+                   force=True),
+    )
+    assert rc == 0
+    status = spark.read.parquet(os.path.join(wh, "validation_status"))
+    rows = status.collect()
+    assert len(rows) == 1 and rows[0]["status"] == "VALIDATED"
+
+    # unchanged re-upload skips revalidation
+    capsys.readouterr()
+    rc = cmd_ingest(
+        spark, _ns(paths=paths, center=CENTER, warehouse=wh, filetype=None,
+                   force=True),
+    )
+    assert rc == 0
+    assert "skipping revalidation" in capsys.readouterr().out
+
+    # an invalid maf records INVALID + error text
+    bad = tmp_path / f"data_mutations_extended_{CENTER}.txt"
+    bad.write_text("Chromosome\tStart_Position\nX\t1\n")
+    rc = cmd_ingest(
+        spark, _ns(paths=[str(bad)], center=CENTER, warehouse=wh,
+                   filetype="maf", force=False),
+    )
+    assert rc == 1
+    errs = spark.read.parquet(os.path.join(wh, "error_tracker")).collect()
+    assert len(errs) == 1 and "must at least have" in errs[0]["errors"]
+
+
+def test_workflow_format_and_mutations_in_cis_rules(spark, tmp_path):
+    wf = tmp_path / f"{CENTER}-workflow.md"
+    wf.write_text("# workflow\n")
+    assert determine_filetype([str(wf)], CENTER).name == "workflow"
+
+    # mutationsInCis: good headers + barcodes pass; a variant not in the
+    # stored detection table is a cross-file error
+    header = (
+        "Flag,Center,Tumor_Sample_Barcode,Hugo_Symbol,HGVSp_Short,"
+        "Variant_Classification,Chromosome,Start_Position,Reference_Allele,"
+        "Tumor_Seq_Allele2,t_alt_count_num,t_depth\n"
+    )
+    row = (
+        f"TOSS,{CENTER},GENIE-{CENTER}-1-1,TP53,p.V600E,Missense,1,100,A,T,10,100\n"
+    )
+    wh = str(tmp_path / "warehouse")
+    original = tmp_path / "mutationsInCis_filtered_samples.csv"
+    original.write_text(header + row)
+    rc = cmd_ingest(
+        spark, _ns(paths=[str(original)], center=CENTER, warehouse=wh,
+                   filetype="mutationsInCis", force=True),
+    )
+    assert rc == 0
+    rc = cmd_validate(
+        spark, _ns(paths=[str(original)], center=CENTER,
+                   filetype="mutationsInCis", warehouse=wh),
+    )
+    assert rc == 0
+    foreign = tmp_path / "mutationsInCis_filtered_samples.csv"
+    foreign.write_text(
+        header
+        + f"TOSS,{CENTER},GENIE-{CENTER}-9-9,EGFR,p.X1Y,Missense,2,999,G,C,5,50\n"
+    )
+    rc = cmd_validate(
+        spark, _ns(paths=[str(foreign)], center=CENTER,
+                   filetype="mutationsInCis", warehouse=wh),
+    )
+    assert rc == 1
+
+
 def test_parser_shape():
     p = build_parser()
     args = p.parse_args(["validate", "f.txt", "--center", "SAGE"])
