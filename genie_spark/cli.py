@@ -103,6 +103,17 @@ def cross_file_rules(
                     normalize=_norm_assay_id,
                 )
             )
+        oncotree = _read_bronze(spark, warehouse, "oncotree")
+        if oncotree is not None:
+            from genie_spark.rules.clinical import sex_oncotree_consistency
+
+            rules.append(sex_oncotree_consistency(oncotree))
+        st_map = _read_bronze(spark, warehouse, "sampletype_mapping")
+        if st_map is not None and "CODE" in st_map.columns:
+            from genie_spark.rules.clinical import sample_type_domain_rule
+
+            codes = [r["CODE"] for r in st_map.select("CODE").distinct().collect()]
+            rules.append(sample_type_domain_rule(codes))
     elif fmt_name == "mutationsInCis":
         # uploaded rows must come from the original detection table
         # (genie_registry/mutationsInCis.py:93-108 primaryAll check)

@@ -96,6 +96,106 @@ def patient_ids_cover_samples() -> FrameRule:
     return FrameRule("clinical.patient_in_sample", check)
 
 
+MALE_ONCO_PRIMARY = ("TESTIS", "PROSTATE", "PENIS")
+FEMALE_ONCO_PRIMARY = ("CERVIX", "VULVA", "UTERUS", "OVARY")
+
+
+def sex_oncotree_consistency(oncotree: DataFrame) -> FrameRule:
+    """SEX must agree with sex-specific oncotree primary nodes
+    (reference genie_registry/clinical.py:967-1024): male-only codes
+    (TESTIS/PROSTATE/PENIS) need SEX=1, female-only
+    (CERVIX/VULVA/UTERUS/OVARY) need SEX=2; a missing/blank SEX also
+    flags, like the reference's NaN comparison.  Warning severity —
+    the reference writes these to the warning stream."""
+
+    def check(df: DataFrame) -> list[ValidationMessage]:
+        if not {"SEX", "ONCOTREE_CODE", "SAMPLE_ID"} <= set(df.columns):
+            return []
+        if "ONCOTREE_PRIMARY_NODE" not in oncotree.columns:
+            return []
+        dim = oncotree.select(
+            F.upper(F.col("ONCOTREE_CODE")).alias("__code"),
+            F.upper(F.col("ONCOTREE_PRIMARY_NODE")).alias("__primary"),
+        ).distinct()
+        j = df.join(
+            F.broadcast(dim),
+            F.upper(F.col("ONCOTREE_CODE")) == F.col("__code"),
+            "inner",
+        )
+        sex = F.col("SEX").try_cast("double")
+        bad = j.where(
+            (
+                F.col("__primary").isin(list(MALE_ONCO_PRIMARY))
+                & (sex.isNull() | (sex != 1.0))
+            )
+            | (
+                F.col("__primary").isin(list(FEMALE_ONCO_PRIMARY))
+                & (sex.isNull() | (sex != 2.0))
+            )
+        )
+        examples = [r["SAMPLE_ID"] for r in bad.select("SAMPLE_ID").limit(5).collect()]
+        if examples:
+            n = bad.count()
+            return [
+                ValidationMessage(
+                    "clinical.sex_oncotree", "warning",
+                    f"Sample Clinical File: {n} SAMPLE_ID(s) have conflicting "
+                    f"SEX and ONCOTREE_CODES: {', '.join(examples)}",
+                    n_violations=n,
+                    examples=examples,
+                )
+            ]
+        return []
+
+    return FrameRule("clinical.sex_oncotree", check)
+
+
+def sample_type_domain_rule(codes: list) -> RowRule:
+    """SAMPLE_TYPE ∈ mapping-table CODE domain, nulls not allowed
+    (reference check_col_and_values with required=True,
+    genie/process_functions.py:651-705 called from
+    genie_registry/clinical.py:1028-1035)."""
+    st = F.col("SAMPLE_TYPE").try_cast("int")
+    return RowRule(
+        "clinical.sample_type_domain", "error",
+        st.isNull() | ~st.isin([int(c) for c in codes]),
+        "Sample Clinical File: {n} SAMPLE_TYPE value(s) outside the "
+        "sample-type mapping domain: {examples}",
+        example_col="SAMPLE_TYPE", required_cols=["SAMPLE_TYPE"],
+    )
+
+
+def _int_year_consistency_rule(
+    interval_col: str, year_col: str, string_vals: list[str], rid: str
+) -> RowRule:
+    """Interval/year text + redaction consistency (reference
+    ``_check_int_year_consistency`` genie_registry/clinical.py:112-219):
+    a sentinel on exactly one of the pair is inconsistent (except a
+    year may be known while the interval is Unknown), and the ``>32485``
+    / ``>89`` and ``<6570`` / ``<18`` redaction markers must pair up."""
+    iv, yr = F.col(interval_col), F.col(year_col)
+    viol = F.lit(False)
+    for s in string_vals:
+        n = F.coalesce((iv == s).cast("int"), F.lit(0)) + F.coalesce(
+            (yr == s).cast("int"), F.lit(0)
+        )
+        if s == "Unknown":
+            viol = viol | ((n == 1) & ~iv.eqNullSafe("Unknown"))
+        else:
+            viol = viol | (n == 1)
+    viol = (
+        viol
+        | (iv.eqNullSafe(">32485") != yr.eqNullSafe(">89"))
+        | (iv.eqNullSafe("<6570") != yr.eqNullSafe("<18"))
+    )
+    return RowRule(
+        rid, "error", viol,
+        f"Patient Clinical File: {{n}} row(s) with inconsistent text or "
+        f"redaction values in {year_col}, {interval_col}.",
+        required_cols=[interval_col, year_col],
+    )
+
+
 def sample_rules(center: str, oncotree_codes: list[str] | None = None) -> RuleSet:
     """Sample-file rule set (clinical.py:800-1069)."""
     rules: list = [
@@ -267,14 +367,32 @@ def patient_rules(
             "{examples}",
             example_col="DEAD", required_cols=["DEAD"],
         ),
-        # DEAD ⟺ INT_DOD consistency (clinical.py:72-219)
+        # DEAD ⟺ INT_DOD consistency (clinical.py:72-109): dead can't be
+        # Not Applicable, alive must be, and a sentinel DEAD value must
+        # equal the INT_DOD sentinel
         RowRule(
             "clinical.dead_int_dod_consistency", "error",
             ((dead == "True") & F.col("INT_DOD").isin("Not Applicable"))
-            | ((dead == "False") & idod.isNotNull()),
+            | ((dead == "False") & idod.isNotNull())
+            | ((dead == "False") & ~F.col("INT_DOD").eqNullSafe("Not Applicable"))
+            | (
+                dead.isin("Unknown", "Not Collected", "Not Applicable", "Not Released")
+                & ~dead.eqNullSafe(F.col("INT_DOD"))
+            ),
             "Patient Clinical File: {n} row(s) have DEAD inconsistent with "
             "INT_DOD.",
             required_cols=["DEAD", "INT_DOD"],
+        ),
+        # interval/year text + redaction pairing (clinical.py:112-219)
+        _int_year_consistency_rule(
+            "INT_CONTACT", "YEAR_CONTACT",
+            ["Not Collected", "Unknown", "Not Released"],
+            "clinical.contact_consistency",
+        ),
+        _int_year_consistency_rule(
+            "INT_DOD", "YEAR_DEATH",
+            ["Not Collected", "Unknown", "Not Applicable", "Not Released"],
+            "clinical.death_consistency",
         ),
     ]
     return RuleSet("clinical_patient", rules)

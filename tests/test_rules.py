@@ -86,6 +86,63 @@ def test_patient_rules(spark):
         assert expected in ids, f"missing {expected}: {ids}"
 
 
+def test_int_year_consistency_and_dead_sentinels(spark):
+    df = spark.createDataFrame(
+        [
+            # year known with Unknown interval → VALID (ref example)
+            ("GENIE-SAGE-1", "1", "1", "1", "1950", "2012", "Not Applicable",
+             "Unknown", "Not Applicable", "False"),
+            # interval numeric but year Not Collected → text inconsistency
+            ("GENIE-SAGE-2", "1", "1", "1", "1950", "Not Collected",
+             "Not Applicable", "20000", "Not Applicable", "False"),
+            # redaction marker on interval only → redaction inconsistency
+            ("GENIE-SAGE-3", "1", "1", "1", "1950", "2012", "1999",
+             ">32485", "30000", "True"),
+            # DEAD sentinel not equal to INT_DOD sentinel
+            ("GENIE-SAGE-4", "1", "1", "1", "1950", "2012", "Not Applicable",
+             "20000", "Not Applicable", "Unknown"),
+        ],
+        ["PATIENT_ID", "SEX", "PRIMARY_RACE", "ETHNICITY", "BIRTH_YEAR",
+         "YEAR_CONTACT", "YEAR_DEATH", "INT_CONTACT", "INT_DOD", "DEAD"],
+    )
+    report = patient_rules(CENTER).validate(df)
+    ids = rule_ids(report)
+    assert "clinical.contact_consistency" in ids
+    assert "clinical.dead_int_dod_consistency" in ids
+    by_id = {m.rule_id: m for m in report.messages}
+    # rows 2 and 3 trip contact consistency; row 1 must not
+    assert by_id["clinical.contact_consistency"].n_violations == 2
+
+
+def test_sex_oncotree_and_sample_type_domain(spark):
+    from genie_spark.rules.clinical import (
+        sample_type_domain_rule,
+        sex_oncotree_consistency,
+    )
+    from genie_spark.rules.engine import RuleSet
+
+    oncotree = spark.createDataFrame(
+        [("PRAD", "PROSTATE"), ("BRCA", "BREAST"), ("OV", "OVARY")],
+        ["ONCOTREE_CODE", "ONCOTREE_PRIMARY_NODE"],
+    )
+    df = spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1-1", "GENIE-SAGE-1", "PRAD", "2", "1"),  # prostate+female → flag
+            ("GENIE-SAGE-2-1", "GENIE-SAGE-2", "OV", "2", "1"),    # ovary+female OK
+            ("GENIE-SAGE-3-1", "GENIE-SAGE-3", "BRCA", "1", "77"), # sample type out of domain
+        ],
+        ["SAMPLE_ID", "PATIENT_ID", "ONCOTREE_CODE", "SEX", "SAMPLE_TYPE"],
+    )
+    report = RuleSet(
+        "clinical_sample",
+        [sex_oncotree_consistency(oncotree), sample_type_domain_rule([1, 2, 8, 99])],
+    ).validate(df)
+    by_id = {m.rule_id: m for m in report.messages}
+    assert by_id["clinical.sex_oncotree"].severity == "warning"
+    assert by_id["clinical.sex_oncotree"].examples == ["GENIE-SAGE-1-1"]
+    assert by_id["clinical.sample_type_domain"].n_violations == 1
+
+
 def _valid_maf(spark):
     return spark.createDataFrame(
         [
