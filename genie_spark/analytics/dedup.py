@@ -72,13 +72,17 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 20,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard ≥ threshold.
 
     Self-join on the shingle column; ``max_df`` drops shingles present
     in more than that many documents (hot-key guard — at corpus scale a
-    ubiquitous shingle would fan out quadratically).  Jaccard =
+    ubiquitous shingle would fan out quadratically, so the cap is ON by
+    default; pass ``max_df=None`` for the exact all-shingles result).
+    Dropping a shingle shared by >max_df docs shrinks both |∩| and the
+    set sizes, so Jaccard for boilerplate-heavy pairs is approximate —
+    any caller at corpus scale wants that trade.  Jaccard =
     |∩| / (|A|+|B|−|∩|), exact integers → deterministic double.
     """
     sh = shingles(df, id_col, text_col, k)

@@ -47,9 +47,21 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    max_rows: int | None = 50_000,
 ) -> DataFrame:
     """All pairs with quantized cosine similarity above threshold.
-    O(n²) compare — the exact baseline the LSH variant approximates."""
+    O(n²) compare — the exact baseline the LSH variant approximates.
+    Guarded: raises if the input exceeds ``max_rows`` (50k rows is
+    already 1.25B pairs); at corpus scale use ``lsh_bucket_pairs`` /
+    ``ivf_topk`` instead, or pass ``max_rows=None`` to force it."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is the O(n²) exact baseline; input has {n} rows "
+                f"(> max_rows={max_rows}). Use lsh_bucket_pairs/ivf_topk at "
+                "this scale, or pass max_rows=None to override."
+            )
     a = _with_norm(df, id_col, vec_col, "a")
     b = _with_norm(df, id_col, vec_col, "b")
     cos = F.try_divide(

@@ -196,12 +196,10 @@ def no_duplicate_keys(
     def check(df: DataFrame) -> list[ValidationMessage]:
         if any(k not in df.columns for k in keys):
             return []
-        dups = (
-            df.groupBy(*keys).count().where(F.col("count") > 1)
+        total = (
+            df.groupBy(*keys).count().where(F.col("count") > 1).count()
         )
-        n = dups.limit(MAX_EXAMPLES + 1).count()
-        if n:
-            total = dups.count()
+        if total:
             what = description or ", ".join(keys)
             return [
                 ValidationMessage(

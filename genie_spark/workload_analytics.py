@@ -74,12 +74,19 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: 20-char shingle sets, Jaccard ≥ 0.5."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=20, threshold=0.5)
+    """Near-dup pairs: 20-char shingle sets, Jaccard ≥ 0.5, hot-shingle
+    cap at df>10k (mirrored in the oracle SQL)."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=20, threshold=0.5, max_df=10_000
+    )
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (
+  SELECT * FROM sh0 WHERE shingle NOT IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 10000)
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
