@@ -251,9 +251,34 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidate pairs — the ANN scale path
-    (equi-join on sign-bit bucket, no cross join).  Rows-only check:
-    the bucket construction is verified by the unit tests instead."""
+    (equi-join on sign-bit bucket, no cross join)."""
     return lsh_cosine_candidates(_emb(spark, sf_dir))
+
+
+def _lsh_sql() -> str:
+    """DuckDB mirror of ``lsh_cosine_candidates``: the ±1 hyperplanes
+    come from the same LCG (`similarity._hyperplane`), the projection
+    is the same exact integer dot product, so the sign-bit bucket is
+    reproducible bit-for-bit across engines."""
+    from genie_spark.analytics.similarity import N_HYPERPLANES, _hyperplane
+
+    terms = []
+    for p in range(N_HYPERPLANES):
+        plane = _hyperplane(64, p + 1)
+        proj = " ".join(
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+sigs AS (SELECT vec_id AS vid, CAST({bucket} AS BIGINT) AS bucket FROM q)
+SELECT a.vid AS a, b.vid AS b, a.bucket AS bucket
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vid < b.vid
+"""
+
+
+ANN_LSH_SQL = _lsh_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +422,7 @@ ANALYTICS_ORACLES: dict = {
     "ann_cosine_pairs": ANN_PAIRS_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
-    # ann_lsh_buckets: rows-only (bucketing verified by unit tests)
+    "ann_lsh_buckets": ANN_LSH_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
