@@ -490,6 +490,32 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_process_mutation(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Center maf/vcf processing workflow (reference
+    genie/process_mutation.py:180-256; annotation step is the
+    documented stub boundary)."""
+    from genie_spark.release.mutation import process_mutation_workflow
+
+    mafs = [p for p in args.paths if not p.endswith(".vcf")]
+    vcfs = [p for p in args.paths if p.endswith(".vcf")]
+    df = process_mutation_workflow(
+        spark, args.center, maf_paths=mafs, vcf_paths=vcfs, out_dir=args.output
+    )
+    print(f"processed {df.count()} mutation rows → {args.output}")
+    return 0
+
+
+def cmd_invalid_reasons(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Per-center validation-error reports from the error tracker
+    (reference genie/write_invalid_reasons.py)."""
+    from genie_spark.io.status import write_invalid_reasons
+
+    centers = args.centers.split(",") if args.centers else None
+    written = write_invalid_reasons(spark, args.warehouse, args.output, centers)
+    print(f"wrote {len(written)} report(s) → {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="genie-spark", description="PySpark-native GENIE pipeline"
@@ -561,6 +587,26 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--warehouse", required=True)
     d.add_argument("--output", required=True)
     d.set_defaults(fn=cmd_dashboard)
+
+    m = sub.add_parser(
+        "process-mutation", help="center maf/vcf annotation workflow"
+    )
+    m.add_argument("paths", nargs="+")
+    m.add_argument("--center", required=True)
+    m.add_argument("--output", required=True)
+    m.set_defaults(fn=cmd_process_mutation)
+
+    e = sub.add_parser(
+        "invalid-reasons", help="per-center validation-error reports"
+    )
+    e.add_argument("--warehouse", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument(
+        "--centers", default=None,
+        help="comma-separated centers that get a 'No errors!' report "
+        "even without tracker rows",
+    )
+    e.set_defaults(fn=cmd_invalid_reasons)
     return p
 
 

@@ -97,6 +97,49 @@ def record_status(
     _upsert_small(spark, warehouse, ERROR_TABLE, err, center, name)
 
 
+def invalid_reason_texts(
+    error_tracker: DataFrame, centers: list[str] | None = None
+) -> dict[str, str]:
+    """Per-center validation-error report text (reference
+    genie/write_invalid_reasons.py:49-90): each invalid file renders
+    as ``\\t{name}:\\n\\n{errors}\\n\\n`` with the ``|`` separators
+    restored to newlines; a center with no invalid files gets
+    ``"No errors!"``.  The tracker is dim-sized (one row per invalid
+    file) so the collect is bounded."""
+    rows = error_tracker.orderBy("center", "name").collect()
+    by_center: dict[str, str] = {}
+    for r in rows:
+        text = f"\t{r['name']}:\n\n{(r['errors'] or '').replace('|', chr(10))}\n\n"
+        by_center[r["center"]] = by_center.get(r["center"], "") + text
+    for c in centers or []:
+        by_center.setdefault(c, "No errors!")
+    return by_center
+
+
+def write_invalid_reasons(
+    spark: SparkSession,
+    warehouse: str,
+    out_dir: str,
+    centers: list[str] | None = None,
+) -> list[str]:
+    """Write ``{center}_validation_errors.txt`` per center from the
+    error tracker (reference genie/write_invalid_reasons.py:14-45,
+    minus the Synapse upload).  Returns the written paths."""
+    tracker = _read(spark, warehouse, ERROR_TABLE)
+    if tracker is None:
+        texts = {c: "No errors!" for c in centers or []}
+    else:
+        texts = invalid_reason_texts(tracker, centers)
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for center, text in sorted(texts.items()):
+        path = os.path.join(out_dir, f"{center}_validation_errors.txt")
+        with open(path, "w") as f:
+            f.write(text)
+        written.append(path)
+    return written
+
+
 def _upsert_small(
     spark: SparkSession,
     warehouse: str,

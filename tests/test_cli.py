@@ -472,3 +472,47 @@ def test_parser_shape():
         ["release", "--warehouse", "w", "--output", "o"]
     )
     assert args.pad == 10
+
+
+def test_process_mutation_and_invalid_reasons(spark, tmp_path):
+    from genie_spark.cli import cmd_invalid_reasons, cmd_process_mutation
+    from genie_spark.io.status import record_status
+
+    maf = tmp_path / "upload.maf"
+    maf.write_text(
+        "CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\t"
+        "TUMOR_SEQ_ALLELE2\tTUMOR_SAMPLE_BARCODE\n"
+        "1\t150\t150\tA\tT\t1-1\n"
+    )
+    out = str(tmp_path / "staging")
+    rc = cmd_process_mutation(
+        spark, _ns(paths=[str(maf)], center=CENTER, output=out)
+    )
+    assert rc == 0
+    assert f"data_mutations_extended_{CENTER}.txt" in os.listdir(out)
+
+    wh = str(tmp_path / "wh")
+    record_status(
+        spark, wh, CENTER, "bad.maf", "d41d8", "invalid", "/x/bad.maf",
+        errors="line 1 bad|line 2 bad",
+    )
+    reports = str(tmp_path / "reports")
+    rc = cmd_invalid_reasons(
+        spark, _ns(warehouse=wh, output=reports, centers=f"{CENTER},OTHER")
+    )
+    assert rc == 0
+    text = (tmp_path / "reports" / f"{CENTER}_validation_errors.txt").read_text()
+    assert "bad.maf" in text and "line 1 bad\nline 2 bad" in text
+    assert (
+        tmp_path / "reports" / "OTHER_validation_errors.txt"
+    ).read_text() == "No errors!"
+
+
+def test_parser_new_subcommands():
+    p = build_parser()
+    a = p.parse_args(
+        ["process-mutation", "f.maf", "--center", "SAGE", "--output", "/tmp/o"]
+    )
+    assert a.fn.__name__ == "cmd_process_mutation"
+    a = p.parse_args(["invalid-reasons", "--warehouse", "/w", "--output", "/o"])
+    assert a.fn.__name__ == "cmd_invalid_reasons"
