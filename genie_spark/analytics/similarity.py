@@ -20,9 +20,20 @@ QUANT_SCALE = 1000
 
 
 def quantized(col: str | Column, scale: int = QUANT_SCALE) -> Column:
-    """array<float> → array<long>, x → floor(x*scale + 0.5)."""
+    """array<float> → array<long>, x → floor(x*scale + 0.5).
+
+    The element is cast to double BEFORE the multiply: float32×int runs
+    in single precision (and DuckDB does the same on its side), so
+    borderline values would round to different longs across engines.
+    double(float32_value) is exact, and the whole expression is then
+    identical IEEE-double arithmetic in both engines."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    return F.transform(
+        c,
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -175,7 +175,14 @@ SELECT doc_id, {value} AS simhash FROM s
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_QUANT_SQL = "list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+# CAST(x AS DOUBLE) first: DuckDB runs FLOAT*INTEGER in single
+# precision, Spark's quantized() casts to double — both must do the
+# exact same IEEE-double arithmetic or borderline values round to
+# different longs (seen at sf0.1).
+_QUANT_SQL = (
+    "list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+)
 
 
 def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
