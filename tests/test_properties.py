@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the trickiest operators:
+binned interval joins vs a brute-force oracle, upsert MERGE algebra,
+and PHI-redaction invariants.  Small example counts — every example is
+a Spark job."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from genie_spark.functions.redact import redact_phi
+from genie_spark.operators.intervals import interval_anti_join, interval_semi_join
+from genie_spark.operators.upsert import apply_upsert
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+points_st = st.lists(
+    st.tuples(st.sampled_from(["1", "2"]), st.integers(0, 300)),
+    min_size=1, max_size=12,
+)
+intervals_st = st.lists(
+    st.tuples(
+        st.sampled_from(["1", "2"]), st.integers(0, 300), st.integers(0, 300)
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(points=points_st, intervals=intervals_st, pad=st.sampled_from([0, 5]))
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, points, intervals, pad):
+    """semi/anti partition the points exactly like the O(n·m) oracle —
+    bin_size=64 with positions up to 300 exercises bin crossings."""
+    ivs = [(c, min(s, e), max(s, e)) for c, s, e in intervals]
+    pts_df = spark.createDataFrame(
+        [(c, p, i) for i, (c, p) in enumerate(points)], "chrom string, pos long, rid long"
+    )
+    ivs_df = spark.createDataFrame(ivs, "chrom string, start long, stop long")
+
+    def hits(c, p):
+        return any(
+            c == ic and s - pad <= p <= e + pad for ic, s, e in ivs
+        )
+
+    expect_semi = {i for i, (c, p) in enumerate(points) if hits(c, p)}
+    semi = interval_semi_join(
+        pts_df, ivs_df, on=["chrom"], pos="pos", start="start", end="stop",
+        bin_size=64, pad=pad,
+    )
+    anti = interval_anti_join(
+        pts_df, ivs_df, on=["chrom"], pos="pos", start="start", end="stop",
+        bin_size=64, pad=pad,
+    )
+    got_semi = {r["rid"] for r in semi.collect()}
+    got_anti = {r["rid"] for r in anti.collect()}
+    assert got_semi == expect_semi
+    assert got_anti == set(range(len(points))) - expect_semi
+
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 6), st.text("abc", min_size=1, max_size=3)),
+    min_size=1, max_size=10,
+)
+
+
+@given(existing=rows_st, new=rows_st)
+@settings(**_SETTINGS)
+def test_upsert_algebra(spark, existing, new):
+    """MERGE result: new wins on key collisions, union of keys
+    otherwise; applying the same batch twice is a no-op."""
+    # dedupe inputs by key (MERGE semantics presume unique keys per side)
+    e = {k: v for k, v in existing}
+    n = {k: v for k, v in new}
+    e_df = spark.createDataFrame(list(e.items()), "k long, v string")
+    n_df = spark.createDataFrame(list(n.items()), "k long, v string")
+
+    once = apply_upsert(n_df, e_df, keys=["k"])
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == {**e, **n}
+
+    twice = apply_upsert(n_df, once, keys=["k"])
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
+
+
+day_value_st = st.one_of(
+    st.integers(-100, 40000).map(str),
+    st.sampled_from([">32485", "<6570", "Unknown", "Not Collected", ""]),
+)
+
+
+@given(age=day_value_st, by=st.integers(1900, 2010).map(str))
+@settings(**_SETTINGS)
+def test_redaction_invariants(spark, age, by):
+    """No released interval value may exceed 89 years; '<'-marked
+    values become 'withheld'; redaction is idempotent."""
+    df = spark.createDataFrame(
+        [(age, by)], "AGE_AT_SEQ_REPORT string, BIRTH_YEAR string"
+    )
+    out = redact_phi(df)
+    row = out.collect()[0]
+    val = row["AGE_AT_SEQ_REPORT"]
+    try:
+        assert int(val) <= 32485  # never release an age > 89y
+    except ValueError:
+        pass  # sentinel string — fine
+    if "<" in age:
+        assert val == "withheld"
+    if age.lstrip("-").isdigit() and int(age) > 32485:
+        assert val == ">32485"
+        assert row["BIRTH_YEAR"] == "cannotReleaseHIPAA"
+
+    again = redact_phi(out).collect()[0]
+    assert again["AGE_AT_SEQ_REPORT"] == val
+    assert again["BIRTH_YEAR"] == row["BIRTH_YEAR"]
