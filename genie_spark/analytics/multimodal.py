@@ -94,6 +94,92 @@ def extract_features(
     return media.mapInPandas(run, schema=batch_schema)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, media_type string, content binary, "
+    "width int, height int, mime string"
+)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize the binary payload to (width, height) via mapInPandas.
+
+    The default ``resize_fn`` is the deterministic fake (content-hash
+    bytes sized ∝ the target area, so tests can assert the contract);
+    a real deployment passes a PIL-backed callable with the same
+    signature.  Metadata is updated to the target dimensions — the
+    Spark-side contract the fake and the real decoder share."""
+    fn = resize_fn or (
+        lambda c, w, h: (hashlib.sha256(c or b"").digest() * (1 + (w * h) // 8192))[
+            : max(1, (w * h) // 256)
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": [
+                        fn(c if c is not None else b"", width, height)
+                        for c in pdf["content"]
+                    ],
+                    "width": width,
+                    "height": height,
+                    "mime": [m["mime"] if m is not None else None for m in pdf["meta"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    frame_fn: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Sample one frame per ``every_ms`` from video rows — a one-to-many
+    mapInPandas (each input row fans out to duration/every_ms frame
+    rows).  The frame extraction itself is the stub boundary (an
+    ffmpeg-backed callable in production); the fan-out shape, schema
+    and partition behavior are real."""
+    fn = frame_fn or (
+        lambda c, i: hashlib.sha256((c or b"") + i.to_bytes(4, "big")).digest()
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, mtype, content, meta in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"], pdf["meta"]
+            ):
+                if mtype != "video" or meta is None:
+                    continue
+                duration = meta["duration_ms"] or 0
+                for i in range(int(duration // every_ms)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(fn(content, i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (binary payload derived
     from the id)."""

@@ -134,3 +134,26 @@ def test_multimodal_decode_is_stubbed(spark):
 
     with pt.raises(NotImplementedError):
         DeterministicFakeDecoder().decode(b"\x89PNG")
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from genie_spark.analytics.multimodal import resize_media, sample_frames
+
+    media = synthesize_media(spark, n=12)
+    resized = resize_media(media, 32, 32)
+    rows = resized.collect()
+    assert len(rows) == 12
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    assert all(len(r["content"]) == (32 * 32) // 256 for r in rows)
+
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.collect()
+    # only video rows fan out, one frame per full second of duration
+    videos = [r for r in media.collect() if r["media_type"] == "video"]
+    expect = sum(int((r["meta"]["duration_ms"] or 0) // 1000) for r in videos)
+    assert len(got) == expect
+    assert {r["media_id"] for r in got} <= {r["media_id"] for r in videos}
+    # deterministic fake frames: same input → same bytes
+    again = sample_frames(media, every_ms=1000).collect()
+    assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in got) == \
+        sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in again)
