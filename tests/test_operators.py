@@ -195,3 +195,31 @@ def test_cna_symbol_remap(spark):
     }
     # direct match keeps; ID match remaps to first (min) symbol; miss → null
     assert got == {1: "TP53", 2: "AAK1", 3: None}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from genie_spark.operators.skew import salted_join
+
+    # one pathologically hot key (90% of rows) + a long tail
+    big = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'HOT' ELSE concat('k', id % 50) END AS k",
+        "id AS payload",
+    )
+    small = spark.range(0, 50).selectExpr(
+        "concat('k', id) AS k", "id * 10 AS dim_val"
+    ).union(spark.sql("SELECT 'HOT' AS k, -1 AS dim_val"))
+
+    expect = sorted(
+        (r["k"], r["payload"], r["dim_val"])
+        for r in big.join(small, "k").collect()
+    )
+    got = sorted(
+        (r["k"], r["payload"], r["dim_val"])
+        for r in salted_join(big, small, on=["k"], n_salts=8).collect()
+    )
+    assert got == expect
+
+    # left join keeps unmatched big-side rows exactly once
+    big2 = big.union(spark.sql("SELECT 'NOMATCH' AS k, 0 AS payload"))
+    left = salted_join(big2, small, on=["k"], n_salts=8, how="left")
+    assert left.count() == big2.join(small, "k", "left").count()
