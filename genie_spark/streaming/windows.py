@@ -46,6 +46,23 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes it, so an unbounded stream of re-uploaded
+    records (the GENIE re-upload pattern — same file posted repeatedly)
+    dedups in O(active-window keys) memory, not O(all keys ever).
+    The batch equivalent is analytics.dedup.exact_duplicates."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def sessionize(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -121,3 +121,39 @@ def test_sessionize_state(spark, tmp_path):
     r = rows[0]
     assert r["key"] == "A" and r["n_events"] == 2
     assert r["session_end"] - r["session_start"] == 600
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "uploads"
+    src.mkdir()
+    # same sample re-uploaded twice inside the watermark window
+    (src / "u1.csv").write_text(
+        "ts,sample_id\n"
+        "2026-01-01 10:00:00,GENIE-SAGE-1-1\n"
+        "2026-01-01 10:01:00,GENIE-SAGE-1-1\n"
+        "2026-01-01 10:02:00,GENIE-SAGE-2-1\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("sample_id", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("header", "true").csv(str(src))
+    deduped = dedup_stream(stream, ["sample_id"], "ts", watermark="10 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r["sample_id"] for r in spark.read.parquet(out).collect())
+    assert ids == ["GENIE-SAGE-1-1", "GENIE-SAGE-2-1"]
