@@ -174,7 +174,7 @@ FORMATS: list[FileFormat] = [
         and names[0].endswith(".vcf")
         and names[0].startswith(f"GENIE-{c}-"),
         read=_single(readers.read_vcf),
-        rules=lambda c: vcf_rules(),
+        rules=lambda c: vcf_rules(c),
         keys=(),
     ),
     FileFormat(

@@ -182,12 +182,63 @@ def maf_cross_validate(maf: DataFrame, clinical_samples: DataFrame) -> list[Vali
 # VCF (genie_registry/vcf.py:102-273)
 # ---------------------------------------------------------------------------
 
-def vcf_rules() -> RuleSet:
+_VCF_FIXED = ("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+              "INFO", "FORMAT")
+
+
+def vcf_sample_columns(center: str | None = None) -> FrameRule:
+    """Tumor/normal sample-column shape rule
+    (genie_registry/vcf.py:176-273): ≤11 columns total; 11 ⇒ matched
+    tumor+normal pair, 10 ⇒ single tumor sample (named TUMOR or a
+    GENIE-{center} id), <10 ⇒ missing the sample column; any present
+    sample column must have no missing values.  Column-count logic is
+    metadata-only; the null scan is one filter-count job per sample
+    column."""
+
+    def check(df: DataFrame) -> list[ValidationMessage]:
+        msgs: list[ValidationMessage] = []
+
+        def err(rid, text, n=1):
+            msgs.append(ValidationMessage(rid, "error", text, n_violations=n))
+
+        ncols = len(df.columns)
+        sample_cols: list[str] = []
+        if ncols > 11:
+            err("vcf.max_columns",
+                "vcf: Should not have more than 11 columns. Only single "
+                "sample or matched tumor normal vcf files are accepted.")
+        elif ncols == 11:
+            sample_cols = list(df.columns[-2:])
+        elif ncols == 10:
+            sample_cols = [df.columns[-1]]
+        else:
+            err("vcf.min_columns",
+                "vcf: Must have at least 10 columns (missing the tumor "
+                "sample column, or both tumor and normal sample columns).")
+        if center is not None:
+            for c in sample_cols:
+                if c != "TUMOR" and not c.startswith(f"GENIE-{center}-"):
+                    err("vcf.sample_column_id",
+                        f"vcf: sample column '{c}' must be TUMOR or a "
+                        f"GENIE-{center} identifier.")
+        for c in sample_cols:
+            if c in df.columns:
+                n = df.where(F.col(c).isNull() | (F.col(c) == "")).count()
+                if n:
+                    err("vcf.sample_column_nulls",
+                        f"vcf: Must not have missing values in {c} column.",
+                        n)
+        return msgs
+
+    return FrameRule("vcf.sample_columns", check)
+
+
+def vcf_rules(center: str | None = None) -> RuleSet:
     ws = F.col("INFO").contains(" ") | F.col("FILTER").contains(" ")
     return RuleSet(
         "vcf",
         [
-            required_columns("vcf", ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]),
+            required_columns("vcf", list(_VCF_FIXED)),
             no_duplicate_keys("vcf", ["#CHROM", "POS", "REF", "ALT"], description="variant"),
             RowRule(
                 "vcf.chrom", "error",
@@ -213,6 +264,23 @@ def vcf_rules() -> RuleSet:
                 "VCF File: {n} row(s) contain whitespace in INFO/FILTER.",
                 required_cols=["INFO", "FILTER"],
             ),
+            # null #CHROM/POS ⇒ likely space-delimited upload
+            # (genie_registry/vcf.py:128-133)
+            RowRule(
+                "vcf.space_delimited", "error",
+                F.col("#CHROM").isNull() | F.col("POS").isNull(),
+                "vcf: {n} row(s) may be space delimited instead of tab "
+                "delimited.",
+                required_cols=["#CHROM", "POS"],
+            ),
+            RowRule(
+                "vcf.format_nulls", "error",
+                F.col("FORMAT").isNull() | (F.col("FORMAT") == ""),
+                "vcf: Must not have missing values in FORMAT column "
+                "({n} row(s)).",
+                required_cols=["FORMAT"],
+            ),
+            vcf_sample_columns(center),
         ],
     )
 

@@ -208,6 +208,40 @@ def test_vcf_rules(spark):
     ids = rule_ids(report)
     assert {"vcf.chrom", "vcf.pos_int", "vcf.ref_allele"} <= ids
     assert any(m.rule_id == "vcf.whitespace" for m in report.warnings)
+    # 8 columns < 10 → missing sample column(s)
+    assert "vcf.min_columns" in ids
+
+
+def test_vcf_sample_column_rules(spark):
+    base = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+            "FORMAT"]
+    # 10-col single-sample with a bad sample header + a null sample value
+    df = spark.createDataFrame(
+        [
+            ("1", "100", ".", "A", "T", ".", "PASS", "DP=10", "GT", "0/1"),
+            ("1", "200", ".", "G", "C", ".", "PASS", "DP=9", "GT", None),
+        ],
+        base + ["NOT-AN-ID"],
+    )
+    ids = rule_ids(vcf_rules(CENTER).validate(df))
+    assert "vcf.sample_column_id" in ids
+    assert "vcf.sample_column_nulls" in ids
+
+    # 11-col matched tumor/normal with proper GENIE ids → clean
+    df2 = spark.createDataFrame(
+        [("1", "100", ".", "A", "T", ".", "PASS", "DP=10", "GT", "0/1", "0/0")],
+        base + [f"GENIE-{CENTER}-1-1-tumor", f"GENIE-{CENTER}-1-1-normal"],
+    )
+    ids2 = rule_ids(vcf_rules(CENTER).validate(df2))
+    assert not {"vcf.sample_column_id", "vcf.sample_column_nulls",
+                "vcf.max_columns", "vcf.min_columns"} & ids2
+
+    # 12 columns → too many
+    df3 = spark.createDataFrame(
+        [("1", "100", ".", "A", "T", ".", "PASS", "DP=10", "GT", "a", "b", "c")],
+        base + ["s1", "s2", "s3"],
+    )
+    assert "vcf.max_columns" in rule_ids(vcf_rules(CENTER).validate(df3))
 
 
 def test_bed_rules(spark):
