@@ -57,10 +57,39 @@ def maf_rules(center: str) -> RuleSet:
             ]
         return []
 
+    def tsa1_consistency(df: DataFrame) -> list[ValidationMessage]:
+        # global TSA1 convention check (genie_registry/maf.py:14-112):
+        # when all three allele columns exist, EVERY TSA1 must equal REF
+        # or EVERY TSA1 must equal TSA2 (Genome Nexus uses TSA1 when the
+        # variant is ambiguous, so a mixed convention is unannotatable).
+        # One aggregate job: count the violations of each convention.
+        cols = {"TUMOR_SEQ_ALLELE1", "TUMOR_SEQ_ALLELE2", "REFERENCE_ALLELE"}
+        if not cols <= set(df.columns):
+            return []
+        row = df.agg(
+            F.count(F.when(~F.col("TUMOR_SEQ_ALLELE1").eqNullSafe(
+                F.col("REFERENCE_ALLELE")), 1)).alias("ne_ref"),
+            F.count(F.when(~F.col("TUMOR_SEQ_ALLELE1").eqNullSafe(
+                F.col("TUMOR_SEQ_ALLELE2")), 1)).alias("ne_tsa2"),
+        ).collect()[0]
+        if row["ne_ref"] > 0 and row["ne_tsa2"] > 0:
+            return [
+                ValidationMessage(
+                    "maf.tsa1_convention", "error",
+                    "Mutation File: contains both TUMOR_SEQ_ALLELE1 and "
+                    "TUMOR_SEQ_ALLELE2 columns; all TUMOR_SEQ_ALLELE1 values "
+                    "must match REFERENCE_ALLELE or all must match "
+                    "TUMOR_SEQ_ALLELE2.",
+                    n_violations=min(row["ne_ref"], row["ne_tsa2"]),
+                )
+            ]
+        return []
+
     rules = [
         required_columns("maf", MAF_REQUIRED),
         no_duplicate_keys("maf", MAF_VARIANT_KEY, description="variant key"),
         FrameRule("maf.depth_or_ref", depth_or_ref_required),
+        FrameRule("maf.tsa1_convention", tsa1_consistency),
         RowRule(
             "maf.chromosome", "error",
             ~chromosome_ok("CHROMOSOME"),

@@ -297,3 +297,29 @@ def test_sv_rules(spark):
                      "sv.ncbi_build", "sv.breakpoint_type", "sv.connection_type",
                      "sv.dna_support", "sv.int.sv_length"]:
         assert expected in ids, f"missing {expected}: {ids}"
+
+
+def test_maf_tsa1_convention(spark):
+    from genie_spark.rules.clinical import RuleSet  # reuse import path
+
+    # mixed convention: row1 TSA1==REF, row2 TSA1==TSA2 → error
+    mixed = spark.createDataFrame(
+        [
+            ("1", "100", "100", "C", "C", "A", f"GENIE-{CENTER}-1-1", "10", "90"),
+            ("1", "200", "200", "C", "A", "A", f"GENIE-{CENTER}-1-1", "10", "90"),
+        ],
+        ["CHROMOSOME", "START_POSITION", "END_POSITION", "REFERENCE_ALLELE",
+         "TUMOR_SEQ_ALLELE1", "TUMOR_SEQ_ALLELE2", "TUMOR_SAMPLE_BARCODE",
+         "T_ALT_COUNT", "T_REF_COUNT"],
+    )
+    assert "maf.tsa1_convention" in rule_ids(maf_rules(CENTER).validate(mixed))
+
+    # uniform TSA1==REF convention → clean
+    uniform = spark.createDataFrame(
+        [
+            ("1", "100", "100", "C", "C", "A", f"GENIE-{CENTER}-1-1", "10", "90"),
+            ("1", "200", "200", "T", "T", "G", f"GENIE-{CENTER}-1-1", "10", "90"),
+        ],
+        mixed.columns,
+    )
+    assert "maf.tsa1_convention" not in rule_ids(maf_rules(CENTER).validate(uniform))
