@@ -462,6 +462,18 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
     # dashboard_table_updater.py:398-483 update_sample_difference_table;
     # the first release's row carries its raw counts, like the
     # reference seeding diff_between_releasesdf with release 0)
+    # failed-annotation counts by center (R/dashboard_template_functions.R:
+    # 30-41 get_failed_annotation_table_counts over the narrow maf)
+    maf = _read_bronze(spark, args.warehouse, "maf")
+    if maf is not None and "Annotation_Status" in maf.columns:
+        group = [c for c in ("Center", "CENTER") if c in maf.columns][:1]
+        if group:
+            outputs["failed_annotations"] = (
+                maf.where(F.col("Annotation_Status") == "FAILED")
+                .groupBy(*group)
+                .agg(F.count(F.lit(1)).alias("Failed_Annotations"))
+                .orderBy(*group)
+            )
     release_counts = _read_bronze(spark, args.warehouse, "release_counts")
     if release_counts is not None:
         from pyspark.sql import Window

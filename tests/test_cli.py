@@ -516,3 +516,25 @@ def test_parser_new_subcommands():
     assert a.fn.__name__ == "cmd_process_mutation"
     a = p.parse_args(["invalid-reasons", "--warehouse", "/w", "--output", "/o"])
     assert a.fn.__name__ == "cmd_invalid_reasons"
+
+
+def test_dashboard_failed_annotations(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(f"GENIE-{CENTER}-1-1", f"GENIE-{CENTER}-1", CENTER)],
+        ["SAMPLE_ID", "PATIENT_ID", "CENTER"],
+    ).write.parquet(os.path.join(wh, "clinical"))
+    spark.createDataFrame(
+        [
+            (CENTER, "SUCCESS"), (CENTER, "FAILED"), (CENTER, "FAILED"),
+            ("GOLD", "SUCCESS"),
+        ],
+        ["Center", "Annotation_Status"],
+    ).write.parquet(os.path.join(wh, "maf"))
+    dash = str(tmp_path / "dash")
+    assert cmd_dashboard(spark, _ns(warehouse=wh, output=dash)) == 0
+    fa = {
+        r["Center"]: r["Failed_Annotations"]
+        for r in spark.read.parquet(os.path.join(dash, "failed_annotations")).collect()
+    }
+    assert fa == {CENTER: 2}
