@@ -266,12 +266,22 @@ N_HYPERPLANES = 8
 
 
 def _hyperplane(dim: int, seed: int) -> list[int]:
-    """Deterministic ±1 hyperplane from a tiny LCG (no RNG API — results
-    must be reproducible across engines and rounds)."""
-    out, state = [], seed * 2_654_435_761 % 2**32
-    for _ in range(dim):
-        state = (1_103_515_245 * state + 12_345) % 2**31
-        out.append(1 if state % 2 else -1)
+    """Deterministic ±1 hyperplane from md5 bits (no RNG API — results
+    must be reproducible across engines and rounds; the planes are
+    computed once driver-side and embedded as literals in both the
+    Spark plan and the SQL oracle).
+
+    History: the first version used an LCG's low bit — whose parity
+    strictly alternates, collapsing every plane to ±(+1,-1,+1,…): ONE
+    effective bucket bit and n²/4 candidate pairs (caught by
+    tools/stress_scale.py at 100k vectors).  md5 bytes have no such
+    structure."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane_{seed}_{i}".encode()).digest()
+        out.append(1 if h[0] & 1 else -1)
     return out
 
 
@@ -285,7 +295,13 @@ def lsh_cosine_candidates(
     """Random-hyperplane LSH bucketing: sign-bit signature per vector;
     vectors sharing the signature are candidate neighbors.  Turns ANN
     candidate generation into a groupBy/equi-join on the signature —
-    the scale path (no cross join)."""
+    the scale path (no cross join).
+
+    Sizing: expected candidate volume ≈ n²/2^n_planes, so n_planes must
+    grow with log₂(n) — 8 planes is right for ~10⁴ vectors, use ~16 at
+    10⁵, ~30 at 10¹⁰ (or band several shorter signatures like the
+    MinHash path to keep recall).  Measured in tools/stress_scale.py:
+    at 100k vectors, 8 planes → 23.9M pairs, 16 planes → 170k."""
     q = quantized(vec_col)
     sig = None
     for p in range(n_planes):

@@ -1,0 +1,106 @@
+"""Scaling-slope probe for the analytics scale paths.
+
+Generates deterministic synthetic corpora of two sizes ENTIRELY
+JVM-side (no Python in the data path), runs each scale-path operator at
+both sizes, and prints the wall-time ratio vs the size ratio.  A path
+whose time ratio tracks the size ratio is shuffle/partition-healthy; a
+superlinear ratio exposes a hidden all-pairs or hot-key blowup before
+it bites at 100 TB.
+
+Usage: python tools/stress_scale.py [small_n] [big_n]   (default 10000 100000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_docs(spark: SparkSession, n: int) -> DataFrame:
+    """n docs ≈ 15 'sentences' of 2 md5 words each — unique text per
+    doc (hash-seeded), realistic token structure, zero Python."""
+    words = F.array(
+        *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_{k}")))
+            for k in range(15)
+        ]
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(words, lambda w: F.concat(F.substring(w, 1, 12), F.lit(" "), F.substring(w, 13, 12))),
+            " ",
+        ).alias("text"),
+    )
+
+
+def synth_embeddings(spark: SparkSession, n: int, dim: int = 64) -> DataFrame:
+    """n unit-ish vectors from xxhash64 — deterministic, JVM-side."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)).cast("double")
+                / 1000.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 2)
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from genie_spark.analytics.dedup import minhash_dedup_pairs, simhash_pairs
+    from genie_spark.analytics.similarity import ivf_topk, lsh_cosine_candidates
+    from genie_spark.analytics.text import quality_score
+    from genie_spark.session import get_spark
+
+    spark = get_spark("stress_scale")
+    results: dict[str, dict] = {}
+
+    def probe(name, build):
+        times = {}
+        for label, n in (("small", small), ("big", big)):
+            df = build(n)
+            times[label] = timed(lambda: df.write.format("noop").mode("overwrite").save())
+            spark.sparkContext._jvm.System.gc()
+        ratio = round(times["big"] / max(times["small"], 0.01), 1)
+        results[name] = {**times, "time_ratio": ratio}
+        print(f"{name}: {times['small']}s -> {times['big']}s  ratio {ratio}x", flush=True)
+
+    docs = lambda n: synth_docs(spark, n).repartition(32).cache()  # noqa: E731
+    embs = lambda n: synth_embeddings(spark, n).repartition(32)  # noqa: E731
+
+    probe("minhash_lsh", lambda n: minhash_dedup_pairs(docs(n), k=20, n_perm=16, bands=4, threshold=0.5))
+    probe("simhash", lambda n: simhash_pairs(docs(n)))
+    probe("lsh_buckets", lambda n: lsh_cosine_candidates(embs(n)))
+    probe(
+        "ivf_topk",
+        lambda n: ivf_topk(
+            embs(n), query_filter=F.col("vec_id") < 16,
+            n_centroids=16, n_probe=4, k=10,
+        ),
+    )
+    probe("quality_score", lambda n: quality_score(synth_docs(spark, n)))
+
+    print(json.dumps({"size_ratio": big / small, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
