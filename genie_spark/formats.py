@@ -136,6 +136,14 @@ def _read_cna(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
 
 
+def _clinical_transform(df: DataFrame) -> DataFrame:
+    # reference clinical process_steps: update_clinical value
+    # normalization then code→label remap (clinical.py:417-462,487-515)
+    from genie_spark.transform import remap_clinical_values, update_clinical_values
+
+    return remap_clinical_values(update_clinical_values(df))
+
+
 def _clinical_rules(center: str) -> RuleSet:
     # merged-file validation = sample rules + patient rules (the
     # reference validates the merged frame, clinical.py:800-1298)
@@ -156,6 +164,7 @@ FORMATS: list[FileFormat] = [
         read=_read_clinical,
         rules=_clinical_rules,
         keys=("SAMPLE_ID",),
+        transform=_clinical_transform,
     ),
     FileFormat(
         name="maf",

@@ -61,6 +61,48 @@ def remap_clinical_values(
     return out
 
 
+def update_clinical_values(df: DataFrame) -> DataFrame:
+    """Per-row clinical normalization (reference ``update_clinical``,
+    genie_registry/clinical.py:417-462 — a pandas ``apply`` per row
+    there) as one set of column expressions:
+
+    * every string column trimmed (455-458);
+    * BIRTH_YEAR / AGE_AT_SEQ_REPORT / YEAR_CONTACT / YEAR_DEATH
+      canonicalized to integer rendering when integral ("1950.0" →
+      "1950"), sentinels pass through (checkInt branches);
+    * SEQ_ASSAY_ID: underscores → dashes, uppercased (433-437);
+    * SEQ_DATE: title-cased, and SEQ_YEAR extracted from the
+      "Mon-YYYY" form (null for the "Release" sentinel) (439-445).
+    """
+    out = df
+    for c, t in out.dtypes:
+        if t == "string":
+            out = out.withColumn(c, F.trim(F.col(c)))
+    for c in ("BIRTH_YEAR", "AGE_AT_SEQ_REPORT", "YEAR_CONTACT", "YEAR_DEATH"):
+        if c in out.columns:
+            d = F.col(c).try_cast("double")
+            out = out.withColumn(
+                c,
+                F.when(
+                    d.isNotNull() & (d == F.floor(d)),
+                    F.floor(d).cast("bigint").cast("string"),
+                ).otherwise(F.col(c)),
+            )
+    if "SEQ_ASSAY_ID" in out.columns:
+        out = out.withColumn(
+            "SEQ_ASSAY_ID", F.upper(F.translate(F.col("SEQ_ASSAY_ID"), "_", "-"))
+        )
+    if "SEQ_DATE" in out.columns:
+        out = out.withColumn("SEQ_DATE", F.initcap(F.col("SEQ_DATE"))).withColumn(
+            "SEQ_YEAR",
+            F.when(
+                F.col("SEQ_DATE") != "Release",
+                F.split(F.col("SEQ_DATE"), "-").getItem(1).try_cast("int"),
+            ),
+        )
+    return out
+
+
 def remap_bed_symbols(
     bed: DataFrame,
     gene_positions: DataFrame,

@@ -67,3 +67,24 @@ def test_classify_feature_type(spark):
         (5000, 5100): "intergenic",
         (95, 101): "exon",
     }
+
+
+def test_update_clinical_values(spark):
+    from genie_spark.transform import update_clinical_values
+
+    df = spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1", " 1950.0 ", "sage_panel_1", "jan-2017", "Unknown"),
+            ("GENIE-SAGE-2", ">89", "SAGE-P2", "Release", "20000"),
+        ],
+        ["PATIENT_ID", "BIRTH_YEAR", "SEQ_ASSAY_ID", "SEQ_DATE", "INT_CONTACT"],
+    )
+    rows = {r["PATIENT_ID"]: r for r in update_clinical_values(df).collect()}
+    r1 = rows["GENIE-SAGE-1"]
+    assert r1["BIRTH_YEAR"] == "1950"          # trimmed + float-canonical
+    assert r1["SEQ_ASSAY_ID"] == "SAGE-PANEL-1"  # _ → -, uppercased
+    assert r1["SEQ_DATE"] == "Jan-2017"
+    assert r1["SEQ_YEAR"] == 2017
+    r2 = rows["GENIE-SAGE-2"]
+    assert r2["BIRTH_YEAR"] == ">89"           # sentinel untouched
+    assert r2["SEQ_YEAR"] is None              # Release sentinel
