@@ -144,6 +144,41 @@ def _clinical_transform(df: DataFrame) -> DataFrame:
     return remap_clinical_values(update_clinical_values(df))
 
 
+def _read_seg(spark: SparkSession, paths: list[str]) -> DataFrame:
+    # the reference uppercases seg headers before validation
+    # (genie_registry/seg.py:56: ``segDF.columns = upper``)
+    from pyspark.sql import functions as F
+
+    df = readers.read_tsv(spark, paths[0])
+    return df.select(*[F.col(f"`{c}`").alias(c.upper()) for c in df.columns])
+
+
+def _seg_transform(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    # reference seg _process (genie_registry/seg.py:23-39): uppercase
+    # headers, dedup, dotted → flat column names, chr-prefix strip,
+    # int casts.  The rename must happen before the MERGE — the bronze
+    # key columns are the flat names.
+    rename = {
+        "LOC.START": "LOCSTART", "LOC.END": "LOCEND",
+        "SEG.MEAN": "SEGMEAN", "NUM.MARK": "NUMMARK",
+    }
+    cols = []
+    for c in df.columns:
+        up = c.upper()
+        cols.append(F.col(f"`{c}`").alias(rename.get(up, up)))
+    out = df.select(*cols).dropDuplicates()
+    if "CHROM" in out.columns:
+        out = out.withColumn(
+            "CHROM", F.regexp_replace(F.col("CHROM").cast("string"), "^chr", "")
+        )
+    for c in ("LOCSTART", "LOCEND", "NUMMARK"):
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).try_cast("long"))
+    return out
+
+
 def _clinical_rules(center: str) -> RuleSet:
     # merged-file validation = sample rules + patient rules (the
     # reference validates the merged frame, clinical.py:800-1298)
@@ -196,9 +231,10 @@ FORMATS: list[FileFormat] = [
     FileFormat(
         name="seg",
         matches=lambda names, c: names == [f"genie_data_cna_hg19_{c}.seg"],
-        read=_single(readers.read_tsv),
+        read=_read_seg,
         rules=seg_rules,
-        keys=("ID", "CHROM", "LOC_START", "LOC_END"),
+        keys=("ID", "CHROM", "LOCSTART", "LOCEND"),
+        transform=_seg_transform,
     ),
     FileFormat(
         name="bed",

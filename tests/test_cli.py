@@ -538,3 +538,26 @@ def test_dashboard_failed_annotations(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(dash, "failed_annotations")).collect()
     }
     assert fa == {CENTER: 2}
+
+
+def test_seg_ingest_transform(spark, tmp_path):
+    seg = tmp_path / f"genie_data_cna_hg19_{CENTER}.seg"
+    seg.write_text(
+        "ID\tchrom\tloc.start\tloc.end\tnum.mark\tseg.mean\n"
+        f"GENIE-{CENTER}-1-1\tchr1\t100\t500\t10\t0.5\n"
+        f"GENIE-{CENTER}-1-1\tchr1\t100\t500\t10\t0.5\n"  # dup row drops
+    )
+    wh = str(tmp_path / "wh")
+    rc = cmd_ingest(
+        spark,
+        _ns(paths=[str(seg)], center=CENTER, warehouse=wh, filetype="seg",
+            force=False),
+    )
+    assert rc == 0
+    bronze = spark.read.parquet(os.path.join(wh, "seg"))
+    rows = bronze.collect()
+    assert len(rows) == 1  # deduped
+    r = rows[0]
+    assert r["CHROM"] == "1"            # chr prefix stripped
+    assert r["LOCSTART"] == 100 and r["LOCEND"] == 500  # renamed + int
+    assert r["CENTER"] == CENTER
