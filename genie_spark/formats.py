@@ -87,7 +87,9 @@ def _read_bed(spark: SparkSession, paths: list[str]) -> DataFrame:
     from pyspark.sql import functions as F
 
     df = readers.read_bed(spark, paths if len(paths) > 1 else paths[0])
-    assay = os.path.basename(paths[0])[: -len(".bed")]
+    # filename stem normalized like the reference preprocess
+    # (bed.py:568-580: upper, underscores → dashes)
+    assay = os.path.basename(paths[0])[: -len(".bed")].upper().replace("_", "-")
     return df.withColumn("SEQ_ASSAY_ID", F.lit(assay))
 
 
