@@ -138,6 +138,29 @@ def _read_cna(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
 
 
+def _assay_transform(df: DataFrame) -> DataFrame:
+    # reference assay _process (genie_registry/assay.py:49-77):
+    # SEQ_ASSAY_ID / SEQ_PIPELINE_ID upper + underscores→dashes,
+    # gene_padding default 10 (int), variant_classifications column
+    # guaranteed present
+    from pyspark.sql import functions as F
+
+    out = df
+    for c in ("SEQ_ASSAY_ID", "SEQ_PIPELINE_ID"):
+        if c in out.columns:
+            out = out.withColumn(c, F.upper(F.translate(F.col(c), "_", "-")))
+    if "gene_padding" in out.columns:
+        out = out.withColumn(
+            "gene_padding",
+            F.coalesce(F.col("gene_padding").try_cast("int"), F.lit(10)),
+        )
+    else:
+        out = out.withColumn("gene_padding", F.lit(10))
+    if "variant_classifications" not in out.columns:
+        out = out.withColumn("variant_classifications", F.lit(None).cast("string"))
+    return out
+
+
 def _clinical_transform(df: DataFrame) -> DataFrame:
     # reference clinical process_steps: update_clinical value
     # normalization then code→label remap (clinical.py:417-462,487-515)
@@ -261,6 +284,7 @@ FORMATS: list[FileFormat] = [
         read=lambda spark, paths: readers.read_assay_yaml(spark, paths[0]),
         rules=assay_rules,
         keys=("SEQ_ASSAY_ID",),
+        transform=_assay_transform,
     ),
     FileFormat(
         name="sampleRetraction",

@@ -180,11 +180,14 @@ def assay_df_from_dict(spark: SparkSession, cfg: dict) -> DataFrame:
     driver-side ``yaml.safe_load`` (gated import — config files are
     KBs)."""
     rows = []
-    for assay_id, info in cfg.items():
+    for pipeline_id, info in cfg.items():
         base = {k: v for k, v in info.items() if k != "assay_specific_info"}
         specifics = info.get("assay_specific_info") or [{}]
         for sp in specifics:
-            row = {"SEQ_ASSAY_ID": assay_id}
+            # the top-level key is the SEQ_PIPELINE_ID; each
+            # assay_specific_info entry may carry its own SEQ_ASSAY_ID
+            # (assay.py:79-129: SEQ_PIPELINE_ID = assay)
+            row = {"SEQ_ASSAY_ID": pipeline_id, "SEQ_PIPELINE_ID": pipeline_id}
             for k, v in {**base, **sp}.items():
                 row[k] = ";".join(str(x) for x in v) if isinstance(v, list) else (
                     str(v) if v is not None else None

@@ -433,3 +433,26 @@ def test_data_gene_matrix(spark):
     assert rows["S1"] == ("P-1", "P-1")
     assert rows["S2"] == ("P-1", "P-1")
     assert rows["S3"] == ("P-2", "NA")
+
+
+def test_assay_pipeline_id_and_transform(spark):
+    from genie_spark.formats import _assay_transform
+    from genie_spark.io.readers import assay_df_from_dict
+
+    cfg = {
+        "SAGE_panel_A": {
+            "is_paired_end": True,
+            "assay_specific_info": [
+                {"SEQ_ASSAY_ID": "sage_a1",
+                 "variant_classifications": ["Missense_Mutation", "Silent"]},
+                {"SEQ_ASSAY_ID": "sage_a2", "gene_padding": "25"},
+            ],
+        }
+    }
+    df = _assay_transform(assay_df_from_dict(spark, cfg))
+    rows = {r["SEQ_ASSAY_ID"]: r for r in df.collect()}
+    assert set(rows) == {"SAGE-A1", "SAGE-A2"}  # upper + dashes
+    assert all(r["SEQ_PIPELINE_ID"] == "SAGE-PANEL-A" for r in rows.values())
+    assert rows["SAGE-A1"]["gene_padding"] == 10      # default
+    assert rows["SAGE-A2"]["gene_padding"] == 25
+    assert rows["SAGE-A1"]["variant_classifications"] == "Missense_Mutation;Silent"
