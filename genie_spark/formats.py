@@ -169,6 +169,15 @@ def _clinical_transform(df: DataFrame) -> DataFrame:
     return remap_clinical_values(update_clinical_values(df))
 
 
+def _read_sv(spark: SparkSession, paths: list[str]) -> DataFrame:
+    # the reference uppercases SV headers before both validate and
+    # process (genie_registry/structural_variant.py:30,67)
+    from pyspark.sql import functions as F
+
+    df = readers.read_tsv(spark, paths[0])
+    return df.select(*[F.col(f"`{c}`").alias(c.upper()) for c in df.columns])
+
+
 def _read_seg(spark: SparkSession, paths: list[str]) -> DataFrame:
     # the reference uppercases seg headers before validation
     # (genie_registry/seg.py:56: ``segDF.columns = upper``)
@@ -273,7 +282,7 @@ FORMATS: list[FileFormat] = [
     FileFormat(
         name="sv",
         matches=lambda names, c: names == [f"data_sv_{c}.txt"],
-        read=_single(readers.read_tsv),
+        read=_read_sv,
         rules=sv_rules,
         keys=(),
     ),

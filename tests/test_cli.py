@@ -561,3 +561,20 @@ def test_seg_ingest_transform(spark, tmp_path):
     assert r["CHROM"] == "1"            # chr prefix stripped
     assert r["LOCSTART"] == 100 and r["LOCEND"] == 500  # renamed + int
     assert r["CENTER"] == CENTER
+
+
+def test_sv_ingest_uppercases_headers(spark, tmp_path):
+    sv = tmp_path / f"data_sv_{CENTER}.txt"
+    sv.write_text(
+        "sample_id\tsv_status\tsite1_hugo_symbol\n"
+        f"GENIE-{CENTER}-1-1\tSOMATIC\tALK\n"
+    )
+    wh = str(tmp_path / "wh")
+    rc = cmd_ingest(
+        spark,
+        _ns(paths=[str(sv)], center=CENTER, warehouse=wh, filetype="sv",
+            force=False),
+    )
+    assert rc == 0
+    bronze = spark.read.parquet(os.path.join(wh, "sv"))
+    assert {"SAMPLE_ID", "SV_STATUS", "SITE1_HUGO_SYMBOL"} <= set(bronze.columns)
