@@ -216,6 +216,70 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation — the survivor-selection step that turns
+    dedup PAIRS into a drop list.
+
+    Each node's label starts as itself; every round each node takes the
+    min of its own label and its neighbors' labels, until a fixpoint.
+    Convergence is O(component diameter) rounds — near-dup components
+    are dense (almost cliques), so 2–3 rounds in practice; ``max_iter``
+    bounds adversarial chains.  Each round is one equi-join + groupBy —
+    the standard large-graph formulation (no driver-side graph).
+
+    Returns (node, cluster_id) where cluster_id = min node id in the
+    component, i.e. the survivor; rows with node != cluster_id are the
+    removal list.
+    """
+    # undirected: both directions, plus self-loops so isolated pair
+    # endpoints keep their own label
+    fwd = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    rev = pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+    edges = fwd.unionByName(rev).distinct()
+    edges.cache()
+    labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # truncate lineage every round — without this the lazy plan
+        # doubles per iteration (the classic iterative-algorithm trap);
+        # on a cluster with flaky executors use checkpoint() with a
+        # checkpoint dir instead of localCheckpoint
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 32
 
 

@@ -892,7 +892,12 @@ _ALL_QUERIES: dict = {
 # (similarity checked via ann_topk/ann_ivf_topk), and set_except
 # (§2.7 checked via a14_distinct_union).  All three still verify
 # locally via tools/verify_oracle.py.
-_TAIL_QUERIES = ["set_except_distinct", "j3_interval_anti", "ann_cosine_pairs"]
+_TAIL_QUERIES = [
+    "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
+    # new composite op, fully locally-verified (recursive-CTE oracle);
+    # kept past the 50-slot window so every distinct §2 id stays checked
+    "dedup_components",
+]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}
 QUERIES.update({k: _ALL_QUERIES[k] for k in _TAIL_QUERIES if k in _ALL_QUERIES})

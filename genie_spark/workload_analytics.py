@@ -144,6 +144,34 @@ WHERE n_common * 1.0 / (na.n + nb.n - n_common) >= 0.5
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection: MinHash pairs → connected
+    components by iterative min-label propagation (the step that turns
+    pair detection into a drop list).  Iterative distributed algorithm;
+    the oracle mirrors it with a recursive CTE."""
+    from genie_spark.analytics.dedup import connected_components
+
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), k=20, n_perm=16, bands=4, threshold=0.5)
+    return connected_components(pairs)
+
+
+def _components_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs
+  UNION
+  SELECT b AS x, a AS y FROM pairs
+),
+reach(node, label) AS (
+    SELECT x, x FROM edges
+  UNION
+    SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.node
+)
+SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash fingerprint."""
     return simhash(_docs(spark, sf_dir))
@@ -410,6 +438,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_components": dedup_components,
     "ann_cosine_pairs": ann_cosine_pairs,
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -426,6 +455,7 @@ ANALYTICS_ORACLES: dict = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_components": _components_sql(),
     "ann_cosine_pairs": ANN_PAIRS_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,

@@ -157,3 +157,21 @@ def test_multimodal_resize_and_frame_sample(spark):
     again = sample_frames(media, every_ms=1000).collect()
     assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in got) == \
         sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in again)
+
+
+def test_connected_components(spark):
+    from genie_spark.analytics.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], ["a", "b"]
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    # long chain converges to the single min label
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
+    labels = {r["cluster_id"] for r in connected_components(chain).collect()}
+    assert labels == {0}
