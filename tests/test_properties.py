@@ -117,3 +117,43 @@ def test_redaction_invariants(spark, age, by):
     again = redact_phi(out).collect()[0]
     assert again["AGE_AT_SEQ_REPORT"] == val
     assert again["BIRTH_YEAR"] == row["BIRTH_YEAR"]
+
+
+pairs_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda t: t[0] != t[1]),
+    min_size=1, max_size=15,
+)
+
+
+@given(pairs=pairs_st)
+@settings(**_SETTINGS)
+def test_connected_components_matches_bfs(spark, pairs):
+    """Iterative min-label propagation equals a driver-side BFS
+    union-find on arbitrary graphs."""
+    from genie_spark.analytics.dedup import connected_components
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for start in adj:
+        if start in expect:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n] - comp)
+        label = min(comp)
+        for n in comp:
+            expect[n] = label
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expect
