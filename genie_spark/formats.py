@@ -121,6 +121,15 @@ def _read_cna(spark: SparkSession, paths: list[str]) -> DataFrame:
     keeps CNA long (SURVEY §1.1), so melt at read with ``stack``.
     Values stay strings here; the value-domain rule validates them and
     the release pivots back to wide at write (io.writers.write_cna_wide).
+
+    Deliberate staging difference: the reference remaps gene symbols
+    against the bed table and merges duplicate genes DURING processing
+    (cna.py:23-160, bed force-ordered first); here both run at release
+    time (operators.remap.cna_symbol_remap + aggregations.
+    merge_duplicate_values) so bronze keeps the uploaded symbols and a
+    bed re-upload never forces a CNA re-ingest — at 100 TB the remap is
+    a broadcast join either way, but replaying it from bronze is a
+    release-time decision instead of a write-path migration.
     """
     from pyspark.sql import functions as F
 
