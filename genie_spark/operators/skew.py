@@ -35,7 +35,16 @@ def salted_join(
     broadcast, small enough that ×n_salts replication beats one
     straggler task).  Result equals ``big.join(small, on, how)``
     exactly (asserted in tests/test_operators.py).
+
+    Only big-side-preserving join types are allowed: under
+    right/full/right_semi the replicated small side would emit its
+    unmatched rows once per salt.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r}"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in big.columns]),
         F.lit(n_salts),

@@ -223,3 +223,13 @@ def test_salted_join_matches_plain_join(spark):
     big2 = big.union(spark.sql("SELECT 'NOMATCH' AS k, 0 AS payload"))
     left = salted_join(big2, small, on=["k"], n_salts=8, how="left")
     assert left.count() == big2.join(small, "k", "left").count()
+
+
+def test_salted_join_rejects_small_side_preserving(spark):
+    import pytest as _pytest
+
+    from genie_spark.operators.skew import salted_join
+
+    df = spark.range(2).selectExpr("'k' AS k", "id AS v")
+    with _pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(df, df, on=["k"], how="right")
