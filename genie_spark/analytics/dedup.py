@@ -227,11 +227,18 @@ def connected_components(
     dedup PAIRS into a drop list.
 
     Each node's label starts as itself; every round each node takes the
-    min of its own label and its neighbors' labels, until a fixpoint.
-    Convergence is O(component diameter) rounds — near-dup components
-    are dense (almost cliques), so 2–3 rounds in practice; ``max_iter``
-    bounds adversarial chains.  Each round is one equi-join + groupBy —
-    the standard large-graph formulation (no driver-side graph).
+    min of its own label and its neighbors' labels, then pointer-jumps
+    (``label := label(label)``), until a fixpoint.  The pointer-jump
+    halves the remaining distance to the component minimum every round,
+    so convergence is O(log diameter) rounds — a chain would need more
+    than 2**max_iter hops to exhaust the cap.  Near-dup components are
+    dense (almost cliques), so 2–3 rounds in practice.  Each round is
+    two equi-joins + one groupBy — the standard large-graph formulation
+    (no driver-side graph).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds rather than silently returning a partial
+    clustering (which would report one component as several).
 
     Returns (node, cluster_id) where cluster_id = min node id in the
     component, i.e. the survivor; rows with node != cluster_id are the
@@ -246,6 +253,7 @@ def connected_components(
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.y == labels.node)
@@ -258,6 +266,21 @@ def connected_components(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label := label(label).  Labels are themselves
+        # node ids, so chase one level through the label table; this is
+        # what turns O(diameter) propagation into O(log diameter).
+        ptr = new_labels.select(
+            F.col("node").alias("__pn"), F.col("label").alias("__pl")
+        )
+        new_labels = (
+            new_labels.join(ptr, new_labels.label == ptr.__pn, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__pl"), F.col("label"))
                 ).alias("label"),
             )
         )
@@ -275,8 +298,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has a component of diameter > 2**max_iter "
+            "(or max_iter was set too low)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -397,9 +397,26 @@ def _append_release_snapshot(
             snap = snap.join(center_counts(df, alias), "Center", "outer")
         else:
             snap = snap.withColumn(alias, F.lit(0).cast("long"))
-    snap = snap.na.fill(0).withColumn("Release", F.lit(version))
+    # monotonic sequence number: release version strings are NOT safely
+    # orderable ('v10' < 'v9' lexicographically), so the dashboard's
+    # release-over-release lag orders by this stamp instead
+    path = _bronze(warehouse, "release_counts")
+    seq = 0
+    try:
+        existing = spark.read.parquet(path)
+        if "ReleaseSeq" in existing.columns:
+            seq = existing.agg(F.max("ReleaseSeq")).first()[0] or 0
+        else:
+            seq = existing.select("Release").distinct().count()
+    except Exception:
+        pass  # first snapshot: no log yet
+    snap = (
+        snap.na.fill(0)
+        .withColumn("Release", F.lit(version))
+        .withColumn("ReleaseSeq", F.lit(seq + 1).cast("long"))
+    )
     # append-only snapshot log; one release's rows are center-count sized
-    snap.write.mode("append").parquet(_bronze(warehouse, "release_counts"))
+    snap.write.mode("append").parquet(path)
 
 
 def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
@@ -479,9 +496,17 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
         from pyspark.sql import Window
 
         metric_cols = [
-            c for c in release_counts.columns if c not in ("Center", "Release")
+            c
+            for c in release_counts.columns
+            if c not in ("Center", "Release", "ReleaseSeq")
         ]
-        w = Window.partitionBy("Center").orderBy("Release")
+        # order snapshots by their monotonic ingest sequence, never by the
+        # version string ('v10' < 'v9' lexicographically); legacy logs
+        # without the stamp fall back to the string order
+        order_col = (
+            "ReleaseSeq" if "ReleaseSeq" in release_counts.columns else "Release"
+        )
+        w = Window.partitionBy("Center").orderBy(order_col)
         diff = release_counts.select(
             "Center",
             "Release",

@@ -175,3 +175,21 @@ def test_connected_components(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
     labels = {r["cluster_id"] for r in connected_components(chain).collect()}
     assert labels == {0}
+
+
+def test_connected_components_doubling_and_nonconvergence(spark):
+    """Pointer-jumping converges a diameter-60 chain in O(log d) rounds
+    (plain one-hop propagation would need 60); exhausting max_iter
+    raises instead of silently returning a partial clustering."""
+    import pytest
+
+    from genie_spark.analytics.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], ["a", "b"])
+    labels = {
+        r["cluster_id"] for r in connected_components(chain, max_iter=10).collect()
+    }
+    assert labels == {0}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)

@@ -250,6 +250,44 @@ def test_retraction_e2e(spark, tmp_path):
     assert len(dec) == 1 and dec[0]["Release"] == "v2"
 
 
+def test_release_snapshot_version_ordering(spark, tmp_path):
+    """Snapshot diffs order by the monotonic ReleaseSeq stamp, not the
+    version string — 'v10' sorts lexicographically before 'v9' but must
+    diff AFTER it (dashboard_table_updater.py:699-708 sorts releases
+    numerically for the same reason)."""
+    import types
+
+    from genie_spark.cli import _append_release_snapshot, cmd_dashboard
+
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(wh)
+
+    def arts_with(n_rows):
+        clin = spark.createDataFrame(
+            [(f"S{i}", CENTER) for i in range(n_rows)], ["SAMPLE_ID", "CENTER"]
+        )
+        return types.SimpleNamespace(
+            clinical=clin, maf=None, cna_long=None, seg=None, sv=None
+        )
+
+    # clinical bronze so cmd_dashboard runs; 9 releases v1..v9 growing,
+    # then v10 with a drop
+    arts_with(3).clinical.write.parquet(os.path.join(wh, "clinical"))
+    for i in range(1, 10):
+        _append_release_snapshot(spark, wh, f"v{i}", arts_with(i))
+    _append_release_snapshot(spark, wh, "v10", arts_with(5))
+
+    dash = str(tmp_path / "dash")
+    rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash))
+    assert rc == 0
+    diff = spark.read.parquet(os.path.join(dash, "sample_diff"))
+    rows = {r["Release"]: r["Clinical"] for r in diff.collect()}
+    assert rows["v2"] == 1        # 2 - 1
+    assert rows["v10"] == 5 - 9   # diffs against v9, not v1
+    dec = spark.read.parquet(os.path.join(dash, "decrease_check")).collect()
+    assert {r["Release"] for r in dec} == {"v10"}
+
+
 def test_cross_file_validation(spark, tmp_path):
     """maf↔clinical cross-validation (reference
     genie_registry/maf.py:429-467): a Tumor_Sample_Barcode missing from
