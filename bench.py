@@ -45,21 +45,27 @@ def main() -> None:
     from genie_spark.workload import QUERIES
 
     spark = get_spark("genie_spark_bench")
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        df = fn(spark, sf_dir)
-        _ = df.schema  # resolve the plan (no execution)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # Failure-isolated: one broken query must not zero the whole
+        # round's bench evidence (round 3 lost all numbers to a single
+        # AnalysisException with no per-query handling).
+        try:
+            df = fn(spark, sf_dir)
+            _ = df.schema  # resolve the plan (no execution)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         # nudge the ContextCleaner: old executions' shuffle state is only
         # released on driver GC; letting it pile up degrades later
         # queries (observed 30×: high sys-CPU, shuffle-file churn)
         spark.sparkContext._jvm.System.gc()
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {
