@@ -217,18 +217,32 @@ _VCF_FIXED = ("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
 
 def vcf_sample_columns(center: str | None = None) -> FrameRule:
     """Tumor/normal sample-column shape rule
-    (genie_registry/vcf.py:176-273): ≤11 columns total; 11 ⇒ matched
-    tumor+normal pair, 10 ⇒ single tumor sample (named TUMOR or a
-    GENIE-{center} id), <10 ⇒ missing the sample column; any present
-    sample column must have no missing values.  Column-count logic is
-    metadata-only; the null scan is one filter-count job per sample
-    column."""
+    (genie_registry/vcf.py:175-273): ≤11 columns total; 11 ⇒ matched
+    tumor+normal pair, where BOTH columns must be GENIE-{center}
+    identifiers (``TUMOR`` is never accepted here,
+    genie_registry/vcf.py:227-241); 10 ⇒ single tumor sample (named
+    TUMOR, or a GENIE-{center} id when no TUMOR column exists); <10 ⇒
+    missing the sample column; any present sample column must have no
+    missing values.  Identifier checks mirror
+    genie/process_functions.py:199-222 (GENIE-{center} prefix, <50
+    chars).  Column-count logic is metadata-only; the null scan is one
+    filter-count job per sample column."""
 
     def check(df: DataFrame) -> list[ValidationMessage]:
         msgs: list[ValidationMessage] = []
 
         def err(rid, text, n=1):
             msgs.append(ValidationMessage(rid, "error", text, n_violations=n))
+
+        def check_identifier(c: str, role: str) -> None:
+            if center is None:
+                return
+            if not c.startswith(f"GENIE-{center}"):
+                err("vcf.sample_column_id",
+                    f"vcf: {role} must start with GENIE-{center}")
+            if len(c) >= 50:
+                err("vcf.sample_column_id",
+                    f"vcf: {role} must have less than 50 characters.")
 
         ncols = len(df.columns)
         sample_cols: list[str] = []
@@ -237,19 +251,20 @@ def vcf_sample_columns(center: str | None = None) -> FrameRule:
                 "vcf: Should not have more than 11 columns. Only single "
                 "sample or matched tumor normal vcf files are accepted.")
         elif ncols == 11:
+            # matched pair: both must be GENIE-{center} ids, never TUMOR
             sample_cols = list(df.columns[-2:])
+            check_identifier(sample_cols[0], "tumor sample column")
+            check_identifier(sample_cols[1], "normal sample column")
         elif ncols == 10:
-            sample_cols = [df.columns[-1]]
+            if "TUMOR" in df.columns:
+                sample_cols = ["TUMOR"]
+            else:
+                sample_cols = [df.columns[-1]]
+                check_identifier(sample_cols[0], "tumor sample column")
         else:
             err("vcf.min_columns",
                 "vcf: Must have at least 10 columns (missing the tumor "
                 "sample column, or both tumor and normal sample columns).")
-        if center is not None:
-            for c in sample_cols:
-                if c != "TUMOR" and not c.startswith(f"GENIE-{center}-"):
-                    err("vcf.sample_column_id",
-                        f"vcf: sample column '{c}' must be TUMOR or a "
-                        f"GENIE-{center} identifier.")
         for c in sample_cols:
             if c in df.columns:
                 n = df.where(F.col(c).isNull() | (F.col(c) == "")).count()

@@ -243,6 +243,30 @@ def test_vcf_sample_column_rules(spark):
     )
     assert "vcf.max_columns" in rule_ids(vcf_rules(CENTER).validate(df3))
 
+    # 10-col single-sample named TUMOR → accepted
+    # (genie_registry/vcf.py:242-258)
+    df4 = spark.createDataFrame(
+        [("1", "100", ".", "A", "T", ".", "PASS", "DP=10", "GT", "0/1")],
+        base + ["TUMOR"],
+    )
+    assert "vcf.sample_column_id" not in rule_ids(vcf_rules(CENTER).validate(df4))
+
+    # 11-col matched pair may NOT use TUMOR — both columns must be
+    # GENIE-{center} ids (genie_registry/vcf.py:227-241)
+    df5 = spark.createDataFrame(
+        [("1", "100", ".", "A", "T", ".", "PASS", "DP=10", "GT", "0/1", "0/0")],
+        base + ["TUMOR", f"GENIE-{CENTER}-1-1-normal"],
+    )
+    assert "vcf.sample_column_id" in rule_ids(vcf_rules(CENTER).validate(df5))
+
+    # identifier length bound (<50 chars, process_functions.py:218-221)
+    long_id = f"GENIE-{CENTER}-" + "x" * 50
+    df6 = spark.createDataFrame(
+        [("1", "100", ".", "A", "T", ".", "PASS", "DP=10", "GT", "0/1")],
+        base + [long_id],
+    )
+    assert "vcf.sample_column_id" in rule_ids(vcf_rules(CENTER).validate(df6))
+
 
 def test_bed_rules(spark):
     df = spark.createDataFrame(
