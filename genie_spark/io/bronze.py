@@ -100,12 +100,19 @@ def merge_into_bronze(
         # partition-scoped path: existing side pruned to the batch's
         # centers (center count is dim-sized by contract; the collect
         # carries only distinct partition values, never data rows)
-        centers = [
-            r[0]
-            for r in batch.select(partition_col).distinct().collect()
-            if r[0] is not None
+        values = [
+            r[0] for r in batch.select(partition_col).distinct().collect()
         ]
-        subset = existing.where(F.col(partition_col).isin(centers))
+        centers = [v for v in values if v is not None]
+        pred = F.col(partition_col).isin(centers)
+        if len(centers) != len(values):
+            # batch carries null-partition rows: they land in the
+            # __HIVE_DEFAULT_PARTITION__ staging dir, which the swap
+            # moves over the target's null partition — so the existing
+            # null-partition rows must participate in the merge or
+            # they'd be silently discarded.
+            pred = pred | F.col(partition_col).isNull()
+        subset = existing.where(pred)
         if keys:
             out = apply_upsert(batch, subset.select(*batch.columns), list(keys))
         else:

@@ -288,6 +288,99 @@ def test_release_snapshot_version_ordering(spark, tmp_path):
     assert {r["Release"] for r in dec} == {"v10"}
 
 
+def test_release_qc_stage(spark, tmp_path):
+    """Post-write release QC (reference cbioValidator stage,
+    bin/database_to_staging.py:310-332): a clean directory passes; a
+    seeded corruption in each artifact class is caught."""
+    from genie_spark.release.qc import validate_release
+
+    out = str(tmp_path / "rel")
+    case_dir = os.path.join(out, "case_lists")
+    os.makedirs(case_dir)
+
+    def write(path, text):
+        with open(os.path.join(out, path), "w") as f:
+            f.write(text)
+
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tCancer Type\n#desc\tdesc\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tCANCER_TYPE\nGENIE-SAGE-1-1\tGlioma\nGENIE-SAGE-2-1\tGlioma\n",
+    )
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-SAGE-1-1\n",
+    )
+    write(
+        "data_gene_matrix.txt",
+        "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-1\n",
+    )
+    write(
+        "data_gene_panel_SAGE-PANEL-1.txt",
+        "stable_id: SAGE-PANEL-1\ndescription: d\ngene_list: TP53\tEGFR\n",
+    )
+    write(
+        "genomic_information.txt",
+        "Chromosome\tHugo_Symbol\tSEQ_ASSAY_ID\n1\tTP53\tSAGE-PANEL-1\n"
+        "1\tEGFR\tSAGE-PANEL-1\n",
+    )
+    write("data_CNA.txt", "Hugo_Symbol\tGENIE-SAGE-1-1\nTP53\t-1\n")
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\tGENIE-SAGE-2-1\n",
+    )
+    report = validate_release(spark, out)
+    assert report.errors == []
+
+    # corruption 1: case list references an unknown sample
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\tGENIE-X-9-9\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_samples" in ids
+
+    # corruption 2: gene matrix references a panel with no file on disk
+    write(
+        "data_gene_matrix.txt",
+        "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-9\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_panel_files" in ids
+
+    # corruption 3: panel gene absent from genomic_information.txt
+    write(
+        "data_gene_panel_SAGE-PANEL-1.txt",
+        "stable_id: SAGE-PANEL-1\ndescription: d\ngene_list: TP53\tBRCA1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_panel_genes" in ids
+
+    # corruption 4: CNA sample column not in clinical
+    write("data_CNA.txt", "Hugo_Symbol\tGENIE-Y-1-1\nTP53\t-1\n")
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.cna_samples" in ids
+
+    # corruption 5: maf barcode not in clinical
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-Z-1-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.maf_samples" in ids
+
+    # corruption 6: clinical loses a metadata line
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tCancer Type\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tCANCER_TYPE\nGENIE-SAGE-1-1\tGlioma\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_header" in ids
+
+
 def test_cross_file_validation(spark, tmp_path):
     """maf↔clinical cross-validation (reference
     genie_registry/maf.py:429-467): a Tumor_Sample_Barcode missing from
@@ -415,6 +508,38 @@ def test_partition_scoped_merge(spark, tmp_path):
     row = maf.where(maf.CENTER == "SAGE").collect()[0]
     depth_col = [c for c in maf.columns if c.upper() == "T_DEPTH"][0]
     assert float(row[depth_col]) == 200.0
+
+
+def test_merge_preserves_null_center_partition(spark, tmp_path):
+    """A batch carrying null-CENTER rows writes the
+    __HIVE_DEFAULT_PARTITION__ staging dir, which the swap moves over
+    the target's null partition — existing null-CENTER rows must
+    survive the merge (they participate via the null-inclusive subset
+    predicate)."""
+    from genie_spark.io.bronze import merge_into_bronze
+
+    tgt = str(tmp_path / "bronze_null")
+    base = spark.createDataFrame(
+        [("GENIE-1", "SAGE"), ("GENIE-2", None)],
+        "SAMPLE_ID string, CENTER string",
+    )
+    merge_into_bronze(base, tgt, keys=["SAMPLE_ID"])
+
+    batch = spark.createDataFrame(
+        [("GENIE-3", None)], "SAMPLE_ID string, CENTER string"
+    )
+    merge_into_bronze(batch, tgt, keys=["SAMPLE_ID"])
+
+    out = spark.read.parquet(tgt)
+    assert {r["SAMPLE_ID"] for r in out.collect()} == {
+        "GENIE-1", "GENIE-2", "GENIE-3"
+    }
+    # and the upsert path still updates in place within the null partition
+    batch2 = spark.createDataFrame(
+        [("GENIE-2", None)], "SAMPLE_ID string, CENTER string"
+    )
+    merge_into_bronze(batch2, tgt, keys=["SAMPLE_ID"])
+    assert spark.read.parquet(tgt).count() == 3
 
 
 def test_validation_status_workflow(spark, tmp_path, capsys):
