@@ -304,8 +304,10 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
-            "the pair graph has a component of diameter > 2**max_iter "
-            "(or max_iter was set too low)"
+            "the pair graph has a component with diameter on the order of "
+            "2**max_iter (convergence is only detected by a final "
+            "zero-change round, so a diameter-d chain needs about "
+            "ceil(log2(d))+1 rounds) — raise max_iter"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 

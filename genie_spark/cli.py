@@ -371,8 +371,35 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         "clinical": arts.clinical.count(),
         "maf": arts.maf.count(),
     }
-    print(json.dumps({"release": args.version, "rows": counts}))
+    # post-write QC over the assembled directory (the reference runs the
+    # cBioPortal validator here, bin/database_to_staging.py:310-332;
+    # like the reference's `; exit 0` it reports but does not abort)
+    qc_errors = 0
+    if not getattr(args, "skip_qc", False):
+        from genie_spark.release.qc import validate_release
+
+        report = validate_release(spark, args.output)
+        qc_errors = len(report.errors)
+        for m in report.errors:
+            print(f"QC {m.rule_id}: {m.message}", file=sys.stderr)
+    print(
+        json.dumps(
+            {"release": args.version, "rows": counts, "qc_errors": qc_errors}
+        )
+    )
     return 0
+
+
+def cmd_qc_release(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Standalone release-directory QC (reference cbioValidator stage)."""
+    from genie_spark.release.qc import validate_release
+
+    report = validate_release(spark, args.release_dir)
+    for m in report.messages:
+        print(f"{m.severity} {m.rule_id}: {m.message} "
+              f"(n={m.n_violations})")
+    print(json.dumps({"qc_errors": len(report.errors)}))
+    return 1 if (report.errors and args.strict) else 0
 
 
 def _append_release_snapshot(
@@ -402,14 +429,24 @@ def _append_release_snapshot(
     # release-over-release lag orders by this stamp instead
     path = _bronze(warehouse, "release_counts")
     seq = 0
-    try:
-        existing = spark.read.parquet(path)
+    # Explicit path check instead of a bare try/except: a genuine read
+    # failure (corrupt footer, permissions) must propagate, not silently
+    # reset the sequence to 0 (which would stamp a duplicate ReleaseSeq
+    # and corrupt the dashboard's lag ordering).
+    if os.path.isdir(path):
+        # mergeSchema: legacy snapshots predate the ReleaseSeq column; a
+        # single-footer read could nondeterministically drop the column
+        # (or the legacy rows) from a mixed-schema log
+        existing = spark.read.option("mergeSchema", "true").parquet(path)
         if "ReleaseSeq" in existing.columns:
-            seq = existing.agg(F.max("ReleaseSeq")).first()[0] or 0
+            mx = existing.agg(F.max("ReleaseSeq")).first()[0]
+            # all-legacy log (column merged in but every row null):
+            # fall back to the distinct-release count
+            seq = mx if mx is not None else (
+                existing.select("Release").distinct().count()
+            )
         else:
             seq = existing.select("Release").distinct().count()
-    except Exception:
-        pass  # first snapshot: no log yet
     snap = (
         snap.na.fill(0)
         .withColumn("Release", F.lit(version))
@@ -491,7 +528,14 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
                 .agg(F.count(F.lit(1)).alias("Failed_Annotations"))
                 .orderBy(*group)
             )
-    release_counts = _read_bronze(spark, args.warehouse, "release_counts")
+    # mergeSchema: the snapshot log may mix legacy (no ReleaseSeq) and
+    # current files; a single-footer read could silently drop the column
+    rc_path = _bronze(args.warehouse, "release_counts")
+    release_counts = (
+        spark.read.option("mergeSchema", "true").parquet(rc_path)
+        if os.path.isdir(rc_path)
+        else None
+    )
     if release_counts is not None:
         from pyspark.sql import Window
 
@@ -501,12 +545,14 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
             if c not in ("Center", "Release", "ReleaseSeq")
         ]
         # order snapshots by their monotonic ingest sequence, never by the
-        # version string ('v10' < 'v9' lexicographically); legacy logs
-        # without the stamp fall back to the string order
-        order_col = (
-            "ReleaseSeq" if "ReleaseSeq" in release_counts.columns else "Release"
-        )
-        w = Window.partitionBy("Center").orderBy(order_col)
+        # version string ('v10' < 'v9' lexicographically); legacy rows
+        # with a null stamp sort first, tie-broken deterministically by
+        # the version string
+        if "ReleaseSeq" in release_counts.columns:
+            order_cols = [F.col("ReleaseSeq").asc_nulls_first(), F.col("Release")]
+        else:
+            order_cols = [F.col("Release")]
+        w = Window.partitionBy("Center").orderBy(*order_cols)
         diff = release_counts.select(
             "Center",
             "Release",
@@ -611,7 +657,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="oncotree API JSON file to build the code dimension from "
         "(used when no oncotree bronze table exists)",
     )
+    r.add_argument(
+        "--skip-qc",
+        dest="skip_qc",
+        action="store_true",
+        help="skip the post-write release-directory QC stage",
+    )
     r.set_defaults(fn=cmd_release)
+
+    q = sub.add_parser(
+        "qc-release",
+        help="cross-file QC over a written release directory "
+        "(the reference's cbioValidator stage)",
+    )
+    q.add_argument("--release-dir", required=True)
+    q.add_argument(
+        "--strict", action="store_true",
+        help="exit nonzero when QC errors are found",
+    )
+    q.set_defaults(fn=cmd_qc_release)
 
     u = sub.add_parser("public", help="public release from a consortium release")
     u.add_argument("--release-dir", required=True)

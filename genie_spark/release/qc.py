@@ -1,0 +1,256 @@
+"""Release-directory QC: re-validate the assembled release artifacts.
+
+The reference runs the cBioPortal ``validateData.py`` suite over the
+release directory as a pipeline stage after everything is written
+(``CBIO VALIDATION``, /root/reference/bin/database_to_staging.py:310-332)
+— the release is not done until the files on disk cross-check.  This
+module is the Spark-native equivalent: it re-READS the written
+artifacts (not the in-memory DataFrames that produced them — the point
+is catching writer bugs) and asserts the cross-file invariants
+cBioPortal ingestion depends on:
+
+- ``data_clinical.txt`` carries the 4 '#' metadata lines + header and a
+  SAMPLE_ID column (genie/process_functions.py:356-403 addClinicalHeaders);
+- every case-list file has the 5 required keys and its
+  ``case_list_ids`` ⊆ clinical samples (genie/create_case_lists.py);
+- ``cases_all.txt`` exists;
+- maf ``Tumor_Sample_Barcode`` ⊆ clinical samples;
+- ``data_gene_matrix.txt`` samples ⊆ clinical samples, and every
+  referenced mutation panel has a ``data_gene_panel_<id>.txt`` on disk
+  (genie/database_to_staging.py:809-859 store_gene_panel_files);
+- gene panel files have stable_id/description/gene_list lines and each
+  ``gene_list`` ⊆ ``genomic_information.txt``'s Hugo_Symbols when the
+  bed release file is present;
+- ``data_CNA.txt`` sample column headers ⊆ clinical samples.
+
+Set-containment checks over data-sized artifacts (clinical, maf) run
+as Spark anti-joins; only KB-scale driver-rendered texts (case lists,
+panel headers) are parsed on the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genie_spark.rules.engine import ValidationMessage, ValidationReport
+
+_CASE_LIST_KEYS = (
+    "cancer_study_identifier",
+    "stable_id",
+    "case_list_name",
+    "case_list_description",
+    "case_list_ids",
+)
+
+
+def _read_release_tsv(
+    spark: SparkSession, path: str, comment: str | None = "#"
+) -> DataFrame:
+    reader = spark.read.option("sep", "\t").option("header", "true")
+    if comment:
+        reader = reader.option("comment", comment)
+    return reader.csv(path)
+
+
+def _parse_kv_text(path: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                out[k.strip()] = v.strip()
+    return out
+
+
+def _missing_from(
+    spark: SparkSession, ids: list[str], reference: DataFrame, col: str
+) -> list[str]:
+    """ids (driver-side, KB-scale) not present in reference[col]
+    (data-sized, stays distributed)."""
+    if not ids:
+        return []
+    probe = spark.createDataFrame([(i,) for i in ids], f"{col} string")
+    return sorted(
+        r[0]
+        for r in probe.join(reference, col, "left_anti").collect()
+    )
+
+
+def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
+    """Cross-file QC over a written release directory; errors mean the
+    directory would fail cBioPortal ingestion (the reference's
+    cbioValidator stage, bin/database_to_staging.py:310-332)."""
+    msgs: list[ValidationMessage] = []
+
+    def err(rid: str, text: str, n: int = 1, examples: list | None = None):
+        msgs.append(
+            ValidationMessage(rid, "error", text, n_violations=n,
+                              examples=examples or [])
+        )
+
+    clin_path = os.path.join(release_dir, "data_clinical.txt")
+    if not os.path.isfile(clin_path):
+        err("release.clinical_missing", "release: data_clinical.txt is missing")
+        return ValidationReport("release", msgs)
+
+    # header shape: 4 '#' metadata lines, then the column header
+    with open(clin_path) as fh:
+        head = [fh.readline() for _ in range(5)]
+    n_meta = sum(1 for line in head if line.startswith("#"))
+    if n_meta != 4:
+        err(
+            "release.clinical_header",
+            f"release: data_clinical.txt must start with 4 '#' metadata "
+            f"lines (found {n_meta})",
+        )
+
+    clinical = _read_release_tsv(spark, clin_path)
+    if "SAMPLE_ID" not in clinical.columns:
+        err("release.clinical_sample_id",
+            "release: data_clinical.txt has no SAMPLE_ID column")
+        return ValidationReport("release", msgs)
+    clin_ids = clinical.select("SAMPLE_ID").distinct()
+
+    # --- case lists ------------------------------------------------------
+    case_dir = os.path.join(release_dir, "case_lists")
+    case_files = sorted(glob.glob(os.path.join(case_dir, "cases_*.txt")))
+    if not any(os.path.basename(p) == "cases_all.txt" for p in case_files):
+        err("release.case_list_all", "release: case_lists/cases_all.txt missing")
+    for p in case_files:
+        name = os.path.basename(p)
+        kv = _parse_kv_text(p)
+        missing_keys = [k for k in _CASE_LIST_KEYS if k not in kv]
+        if missing_keys:
+            err(
+                "release.case_list_keys",
+                f"release: {name} missing keys {missing_keys}",
+            )
+            continue
+        ids = [s for s in kv["case_list_ids"].split("\t") if s]
+        stray = _missing_from(spark, ids, clin_ids, "SAMPLE_ID")
+        if stray:
+            err(
+                "release.case_list_samples",
+                f"release: {name} lists samples absent from "
+                f"data_clinical.txt",
+                n=len(stray),
+                examples=stray[:5],
+            )
+
+    # --- maf -------------------------------------------------------------
+    maf_path = os.path.join(release_dir, "data_mutations_extended.txt")
+    if os.path.isfile(maf_path):
+        maf = _read_release_tsv(spark, maf_path, comment=None)
+        if "Tumor_Sample_Barcode" in maf.columns:
+            n = (
+                maf.select(
+                    F.col("Tumor_Sample_Barcode").alias("SAMPLE_ID")
+                )
+                .distinct()
+                .join(clin_ids, "SAMPLE_ID", "left_anti")
+                .count()
+            )
+            if n:
+                err(
+                    "release.maf_samples",
+                    "release: data_mutations_extended.txt has samples "
+                    "absent from data_clinical.txt",
+                    n=n,
+                )
+        else:
+            err("release.maf_barcode",
+                "release: data_mutations_extended.txt has no "
+                "Tumor_Sample_Barcode column")
+
+    # --- gene matrix ↔ gene panel files ---------------------------------
+    panel_files = {
+        os.path.basename(p): p
+        for p in glob.glob(os.path.join(release_dir, "data_gene_panel_*.txt"))
+    }
+    matrix_path = os.path.join(release_dir, "data_gene_matrix.txt")
+    if os.path.isfile(matrix_path):
+        matrix = _read_release_tsv(spark, matrix_path, comment=None)
+        if "SAMPLE_ID" in matrix.columns:
+            n = (
+                matrix.select("SAMPLE_ID").distinct()
+                .join(clin_ids, "SAMPLE_ID", "left_anti").count()
+            )
+            if n:
+                err("release.gene_matrix_samples",
+                    "release: data_gene_matrix.txt has samples absent "
+                    "from data_clinical.txt", n=n)
+        if "mutations" in matrix.columns:
+            panels = [
+                r[0]
+                for r in matrix.select("mutations").distinct().collect()
+                if r[0] not in (None, "", "NA")
+            ]
+            missing = [
+                p for p in panels
+                if f"data_gene_panel_{p}.txt" not in panel_files
+            ]
+            # WES panels are intentionally not written as panel files
+            # (store_gene_panel_files skips them); they are still valid
+            # matrix entries, so only flag when NO panel file AND the
+            # panel is referenced by the bed release file
+            if missing:
+                err(
+                    "release.gene_panel_files",
+                    "release: data_gene_matrix.txt references panels "
+                    "with no data_gene_panel_<id>.txt on disk",
+                    n=len(missing),
+                    examples=missing[:5],
+                )
+
+    # --- gene panels ↔ genomic information ------------------------------
+    bed_path = os.path.join(release_dir, "genomic_information.txt")
+    bed_symbols = None
+    if os.path.isfile(bed_path):
+        bed = _read_release_tsv(spark, bed_path, comment=None)
+        if "Hugo_Symbol" in bed.columns:
+            bed_symbols = bed.select("Hugo_Symbol").distinct()
+    for name, p in sorted(panel_files.items()):
+        kv = _parse_kv_text(p)
+        missing_keys = [
+            k for k in ("stable_id", "description", "gene_list") if k not in kv
+        ]
+        if missing_keys:
+            err("release.gene_panel_header",
+                f"release: {name} missing {missing_keys}")
+            continue
+        genes = [g for g in kv["gene_list"].split("\t") if g]
+        if not genes:
+            err("release.gene_panel_empty", f"release: {name} has an "
+                "empty gene_list")
+        elif bed_symbols is not None:
+            stray = _missing_from(spark, genes, bed_symbols, "Hugo_Symbol")
+            if stray:
+                err(
+                    "release.gene_panel_genes",
+                    f"release: {name} lists genes absent from "
+                    f"genomic_information.txt",
+                    n=len(stray),
+                    examples=stray[:5],
+                )
+
+    # --- CNA matrix headers ---------------------------------------------
+    cna_path = os.path.join(release_dir, "data_CNA.txt")
+    if os.path.isfile(cna_path):
+        with open(cna_path) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+        samples = [c for c in header if c != "Hugo_Symbol"]
+        stray = _missing_from(spark, samples, clin_ids, "SAMPLE_ID")
+        if stray:
+            err(
+                "release.cna_samples",
+                "release: data_CNA.txt has sample columns absent from "
+                "data_clinical.txt",
+                n=len(stray),
+                examples=stray[:5],
+            )
+
+    return ValidationReport("release", msgs)
