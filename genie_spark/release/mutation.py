@@ -140,6 +140,71 @@ def stub_annotator(df: DataFrame) -> DataFrame:
     )
 
 
+def lookup_annotator(annotations: DataFrame) -> AnnotatorFn:
+    """Reference-implementation annotator behind the ``AnnotatorFn``
+    boundary: a broadcast lookup-table join standing in for the Genome
+    Nexus REST round-trip (reference annotate_mutation,
+    genie/process_mutation.py:388-419).
+
+    ``annotations`` is a dim-sized table keyed by the variant
+    coordinate tuple (Chromosome, Start_Position, Reference_Allele,
+    Tumor_Seq_Allele2) whose remaining columns are the annotation
+    payload (e.g. Hugo_Symbol, HGVSp_Short, Consequence).  Rows that
+    miss usable coordinates OR find no match in the table come back
+    ``Annotation_Status = FAILED`` with a ``genomic_location_explanation``
+    — the same failure classes Genome Nexus reports, feeding the same
+    downstream error-report QC (process_mutation.py:312-362).
+
+    100 TB posture: the annotation table is broadcast (it is a
+    reference dim, not data-sized), so the maf side never shuffles.
+    """
+    key = ["Chromosome", "Start_Position", "Reference_Allele", "Tumor_Seq_Allele2"]
+    payload = [c for c in annotations.columns if c not in key]
+
+    def annotate(df: DataFrame) -> DataFrame:
+        pos = F.col("Start_Position").try_cast("long")
+        bad_coords = (
+            pos.isNull()
+            | F.col("Chromosome").isNull()
+            | (F.col("Chromosome") == "")
+            | F.col("Reference_Allele").isNull()
+        )
+        # normalize the join key dtypes (uploads arrive as strings);
+        # payload columns are prefixed so a left join never collides
+        # with same-named maf columns — on a hit the annotation wins
+        ann = annotations
+        for c in key:
+            ann = ann.withColumn(c, F.col(c).cast("string"))
+        ann = ann.select(
+            *key, *[F.col(c).alias(f"__ann_{c}") for c in payload]
+        ).withColumn("__hit", F.lit(True))
+        probe = df
+        for c in key:
+            probe = probe.withColumn(c, F.col(c).cast("string"))
+        joined = probe.join(F.broadcast(ann), on=key, how="left")
+        matched = F.col("__hit").isNotNull()
+        out = joined
+        for c in payload:
+            merged = (
+                F.coalesce(F.col(f"__ann_{c}"), F.col(c))
+                if c in df.columns
+                else F.col(f"__ann_{c}")
+            )
+            out = out.withColumn(c, merged).drop(f"__ann_{c}")
+        out = out.withColumn(
+            "Annotation_Status",
+            F.when(bad_coords | ~matched, F.lit("FAILED")).otherwise(F.lit("SUCCESS")),
+        ).withColumn(
+            "genomic_location_explanation",
+            F.when(bad_coords, F.lit("invalid genomic location"))
+            .when(~matched, F.lit("variant not found by annotator"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        return out.drop("__hit")
+
+    return annotate
+
+
 def format_maf(df: DataFrame, center: str) -> DataFrame:
     """Post-annotation formatting (reference format_maf,
     genie/process_mutation.py:436-457): stamp Center, normalize
@@ -188,13 +253,21 @@ def annotation_error_report(df: DataFrame, center: str) -> DataFrame:
 def check_annotation_counts(maf: DataFrame, error_report: DataFrame) -> dict:
     """QC: the error report must cover exactly the maf's FAILED rows
     (check_annotation_error_reports, genie/process_mutation.py:336-362).
-    One job: both counts from a single agg over the union tag."""
-    n_failed = maf.where(F.col("Annotation_Status") == "FAILED").count()
-    n_report = error_report.count()
+    One Spark job: both sides are tagged, unioned, and counted in a
+    single aggregate."""
+    tagged = (
+        maf.where(F.col("Annotation_Status") == "FAILED")
+        .select(F.lit(1).alias("is_maf"))
+        .unionAll(error_report.select(F.lit(0).alias("is_maf")))
+    )
+    row = tagged.agg(
+        F.coalesce(F.sum("is_maf"), F.lit(0)).alias("maf_failed"),
+        F.coalesce(F.sum(F.lit(1) - F.col("is_maf")), F.lit(0)).alias("report_rows"),
+    ).first()
     return {
-        "maf_failed": n_failed,
-        "report_rows": n_report,
-        "match": n_failed == n_report,
+        "maf_failed": row["maf_failed"],
+        "report_rows": row["report_rows"],
+        "match": row["maf_failed"] == row["report_rows"],
     }
 
 

@@ -97,3 +97,54 @@ def test_workflow_writes_full_narrow_and_errors(spark, tmp_path):
     report = annotation_error_report(full, CENTER)
     qc = check_annotation_counts(full, report)
     assert qc == {"maf_failed": 1, "report_rows": 1, "match": True}
+
+
+def test_lookup_annotator_e2e(spark, tmp_path):
+    """Non-identity annotator behind the AnnotatorFn boundary: a
+    broadcast lookup table annotates matched variants, unmatched or
+    coordinate-less variants come back FAILED, and the narrow/full
+    split + error report flow through unchanged (reference
+    genie/process_mutation.py:312-362 error-report QC)."""
+    from genie_spark.release.mutation import (
+        annotation_error_report,
+        lookup_annotator,
+    )
+
+    maf = _write(str(tmp_path), "upload.maf", MAF_TEXT)
+    lookup = spark.createDataFrame(
+        [("17", "7578406", "C", "T", "p.R175H", "missense_variant")],
+        "Chromosome string, Start_Position string, Reference_Allele string, "
+        "Tumor_Seq_Allele2 string, HGVSp_Short string, Consequence string",
+    )
+    full = process_mutation_workflow(
+        spark, CENTER, maf_paths=[maf],
+        out_dir=str(tmp_path / "staging"),
+        annotator=lookup_annotator(lookup),
+    )
+    rows = {r["Tumor_Sample_Barcode"]: r for r in full.collect()}
+    hit = rows["GENIE-SAGE-1-1"]
+    assert hit["Annotation_Status"] == "SUCCESS"
+    assert hit["HGVSp_Short"] == "p.R175H"
+    assert hit["Consequence"] == "missense_variant"
+    # the KRAS row has a null Start_Position → invalid location
+    miss = rows["GENIE-SAGE-2-1"]
+    assert miss["Annotation_Status"] == "FAILED"
+    assert miss["genomic_location_explanation"] == "invalid genomic location"
+    assert miss["HGVSp_Short"] is None
+
+    report = annotation_error_report(full, CENTER)
+    qc = check_annotation_counts(full, report)
+    assert qc["match"] and qc["maf_failed"] == 1
+
+    # a coordinate-complete variant absent from the table also FAILs
+    full2 = process_mutation_workflow(
+        spark, CENTER, maf_paths=[maf],
+        annotator=lookup_annotator(lookup.limit(0)),
+    )
+    assert (
+        full2.where(
+            full2.genomic_location_explanation
+            == "variant not found by annotator"
+        ).count()
+        == 1
+    )
