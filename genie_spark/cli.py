@@ -65,7 +65,8 @@ def _norm_assay_id(c: F.Column) -> F.Column:
 
 
 def cross_file_rules(
-    spark: SparkSession, warehouse: str, fmt_name: str
+    spark: SparkSession, warehouse: str, fmt_name: str,
+    center: str | None = None,
 ) -> list:
     """Cross-file containment rules against the warehouse bronze tables
     (reference ``_cross_validate``: maf↔clinical
@@ -122,6 +123,12 @@ def cross_file_rules(
 
         existing = _read_bronze(spark, warehouse, "mutationsInCis")
         if existing is not None:
+            # the reference queries only the uploading center's rows
+            # (mutationsInCis.py:50-56 `where Center = '{center}'`) —
+            # an upload must not pass by matching another center's
+            # variant
+            if center is not None and "Center" in existing.columns:
+                existing = existing.where(F.col("Center") == center)
             rules.append(
                 concat_key_subset_of(
                     "mutationsInCis",
@@ -150,7 +157,7 @@ def cmd_validate(spark: SparkSession, args: argparse.Namespace) -> int:
     df = fmt.read(spark, args.paths)
     ruleset = fmt.rules(args.center)
     extra = (
-        cross_file_rules(spark, args.warehouse, fmt.name)
+        cross_file_rules(spark, args.warehouse, fmt.name, args.center)
         if getattr(args, "warehouse", None)
         else []
     )

@@ -626,6 +626,17 @@ def test_workflow_format_and_mutations_in_cis_rules(spark, tmp_path):
     )
     assert rc == 1
 
+    # center scoping (mutationsInCis.py:50-56): the containment rule for
+    # center OTHER is built against OTHER's stored rows only, so a row
+    # whose key exactly matches SAGE's stored variant still fails it
+    from genie_spark.cli import cross_file_rules
+    from genie_spark.io.readers import read_mutations_in_cis
+
+    upload = read_mutations_in_cis(spark, str(original))
+    scoped = cross_file_rules(spark, wh, "mutationsInCis", "OTHER")
+    assert scoped, "warehouse table exists → rule must be built"
+    assert any(m for rule in scoped for m in rule.check(upload))
+
 
 def test_parser_shape():
     p = build_parser()
