@@ -57,3 +57,45 @@ def test_interval_join_no_cartesian(spark):
     # a nested-loop over the range predicate
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lookup_annotator_broadcasts_dim(spark):
+    """The annotation table is a reference dim — the maf side must
+    never shuffle for the join (100 TB: maf is data-sized)."""
+    from genie_spark.release.mutation import lookup_annotator
+
+    maf = spark.createDataFrame(
+        [("17", "7578406", "C", "T")],
+        "Chromosome string, Start_Position string, Reference_Allele string, "
+        "Tumor_Seq_Allele2 string",
+    )
+    lookup = spark.createDataFrame(
+        [("17", "7578406", "C", "T", "p.R175H")],
+        "Chromosome string, Start_Position string, Reference_Allele string, "
+        "Tumor_Seq_Allele2 string, HGVSp_Short string",
+    )
+    plan = plan_of(lookup_annotator(lookup)(maf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_latest_per_key_reduces_before_exchange(spark):
+    """w2 latest-per-key must reduce map-side before the shuffle: Spark
+    4 plans the row_number-top-1 as a Partial WindowGroupLimit under
+    the exchange, so each map task ships at most one row per key
+    instead of the whole 100 TB events table."""
+    from genie_spark.workload import w2_latest_per_key
+
+    plan = plan_of(w2_latest_per_key(spark, SF))
+    partial = plan.split("Exchange", 1)[-1]
+    assert "WindowGroupLimit" in partial and "Partial" in partial, plan
+
+
+def test_dedup_components_no_cartesian(spark):
+    """Pointer-jumping joins stay equi-joins on node/label keys."""
+    from genie_spark.workload_analytics import ANALYTICS_QUERIES
+
+    df = ANALYTICS_QUERIES["dedup_components"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
