@@ -77,8 +77,12 @@ def main() -> None:
     def probe(name, build):
         times = {}
         for label, n in (("small", small), ("big", big)):
-            df = build(n)
-            times[label] = timed(lambda: df.write.format("noop").mode("overwrite").save())
+            # time build + execute together: iterative operators
+            # (connected_components) do their work eagerly at build
+            # time via localCheckpoint, not at the sink
+            times[label] = timed(
+                lambda: build(n).write.format("noop").mode("overwrite").save()
+            )
             spark.sparkContext._jvm.System.gc()
         ratio = round(times["big"] / max(times["small"], 0.01), 1)
         results[name] = {**times, "time_ratio": ratio}
@@ -98,6 +102,39 @@ def main() -> None:
         ),
     )
     probe("quality_score", lambda n: quality_score(synth_docs(spark, n)))
+
+    # connected components over chain-shaped pair graphs (clusters of 5
+    # + one long chain of 64 to exercise the pointer-jump rounds)
+    from genie_spark.analytics.dedup import connected_components
+
+    def synth_pairs(n):
+        base = spark.range(n).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        ).where((F.col("id") % 5 != 4) | (F.col("id") < 64))
+        return base.repartition(32)
+
+    probe("connected_components", lambda n: connected_components(synth_pairs(n)))
+
+    # binned interval join: n points vs n/10 intervals across 24 chroms
+    from genie_spark.operators.intervals import interval_join
+
+    def synth_interval_inputs(n):
+        pts = spark.range(n).select(
+            (F.col("id") % 24).cast("string").alias("chrom"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("pos"),
+            F.col("id").alias("pt_id"),
+        )
+        ivs = spark.range(n // 10).select(
+            (F.col("id") % 24).cast("string").alias("chrom"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).alias("s"),
+        ).withColumn("e", F.col("s") + 500)
+        return pts.repartition(32), ivs
+
+    def run_interval(n):
+        pts, ivs = synth_interval_inputs(n)
+        return interval_join(pts, ivs, on=["chrom"], pos="pos", start="s", end="e")
+
+    probe("interval_join", run_interval)
 
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
