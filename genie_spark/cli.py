@@ -464,16 +464,35 @@ def _append_release_snapshot(
 
 
 def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
-    from genie_spark.io.writers import write_cbio_clinical, write_tsv
+    """Consortium → public release over the WHOLE artifact set
+    (reference genie/consortium_to_public.py:41-359): every genomic
+    artifact is re-filtered to the public sample set, the CNA matrix
+    keeps only public sample columns, the gene matrix drops non-public
+    rows, case lists are regenerated from the public clinical, and the
+    panel/bed reference files are carried through unchanged."""
+    import shutil
+
+    from genie_spark.io.writers import (
+        case_list_texts,
+        write_cbio_clinical,
+        write_tsv,
+    )
     from genie_spark.release.pipeline import ReleaseArtifacts, consortium_to_public
 
-    clin = spark.read.option("sep", "\t").option("header", "true").option(
-        "comment", "#"
-    ).csv(os.path.join(args.release_dir, "data_clinical.txt"))
-    maf = spark.read.option("sep", "\t").option("header", "true").csv(
-        os.path.join(args.release_dir, "data_mutations_extended.txt")
-    )
+    def read_tsv(name, comment=None):
+        path = os.path.join(args.release_dir, name)
+        if not os.path.isfile(path):
+            return None
+        reader = spark.read.option("sep", "\t").option("header", "true")
+        if comment:
+            reader = reader.option("comment", comment)
+        return reader.csv(path)
+
+    clin = read_tsv("data_clinical.txt", comment="#")
+    maf = read_tsv("data_mutations_extended.txt")
     arts = ReleaseArtifacts(clinical=clin, maf=maf)
+    arts.sv = read_tsv("data_sv.txt")
+    arts.seg = read_tsv("genie_data_cna_hg19.seg")
     keep = clin.select("SAMPLE_ID")
     if args.keep_samples:
         keep = spark.read.option("header", "false").csv(args.keep_samples).toDF(
@@ -485,6 +504,58 @@ def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
     os.makedirs(args.output, exist_ok=True)
     write_cbio_clinical(pub.clinical, os.path.join(args.output, "data_clinical.txt"))
     write_tsv(pub.maf, os.path.join(args.output, "data_mutations_extended.txt"))
+    if pub.sv is not None:
+        write_tsv(pub.sv, os.path.join(args.output, "data_sv.txt"))
+    if pub.seg is not None:
+        write_tsv(pub.seg, os.path.join(args.output, "genie_data_cna_hg19.seg"))
+
+    # public sample set, driver-side (bounded: released samples)
+    public_ids = {r["SAMPLE_ID"] for r in pub.clinical.select("SAMPLE_ID").collect()}
+
+    # CNA: keep only public sample columns (the reference parses the
+    # header and subsets columns, consortium_to_public.py:290-309)
+    cna_path = os.path.join(args.release_dir, "data_CNA.txt")
+    if os.path.isfile(cna_path):
+        cna = read_tsv("data_CNA.txt")
+        keep_cols = ["Hugo_Symbol"] + [
+            c for c in cna.columns if c in public_ids
+        ]
+        write_tsv(
+            cna.select(*keep_cols).orderBy("Hugo_Symbol"),
+            os.path.join(args.output, "data_CNA.txt"),
+            na_rep="NA",
+        )
+
+    # gene matrix: drop non-public rows (consortium_to_public.py:115-171)
+    gm = read_tsv("data_gene_matrix.txt")
+    if gm is not None and "SAMPLE_ID" in gm.columns:
+        write_tsv(
+            gm.join(keep.select("SAMPLE_ID"), "SAMPLE_ID", "left_semi"),
+            os.path.join(args.output, "data_gene_matrix.txt"),
+        )
+
+    # panel/bed reference files pass through unchanged
+    for name in sorted(os.listdir(args.release_dir)):
+        if name.startswith("data_gene_panel_") or name == "genomic_information.txt":
+            shutil.copyfile(
+                os.path.join(args.release_dir, name),
+                os.path.join(args.output, name),
+            )
+
+    # case lists regenerated from the public clinical
+    # (consortium_to_public.py:181-198 create_case_lists.main)
+    case_dir = os.path.join(args.output, "case_lists")
+    os.makedirs(case_dir, exist_ok=True)
+    study_id = getattr(args, "study_id", "genie_public")
+    pub_clin_cl = pub.clinical
+    if "CANCER_TYPE" not in pub_clin_cl.columns:
+        pub_clin_cl = pub_clin_cl.withColumn(
+            "CANCER_TYPE", F.lit(None).cast("string")
+        )
+    for name, text in case_list_texts(pub_clin_cl, study_id=study_id).items():
+        with open(os.path.join(case_dir, name), "w") as f:
+            f.write(text)
+
     print(f"public release → {args.output}")
     return 0
 
@@ -689,6 +760,7 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--output", required=True)
     u.add_argument("--keep-samples", default=None)
     u.add_argument("--private-columns", default="")
+    u.add_argument("--study-id", dest="study_id", default="genie_public")
     u.set_defaults(fn=cmd_public)
 
     d = sub.add_parser("dashboard", help="dashboard aggregation tables")

@@ -56,6 +56,17 @@ def _read_release_tsv(
     return reader.csv(path)
 
 
+def _resolve(df: DataFrame, name: str) -> str | None:
+    """Spark resolves identifiers case-insensitively (caseSensitive is
+    false by default) and upload headers arrive uppercased — match the
+    engine's own resolution rules when probing written artifacts."""
+    lower = name.lower()
+    for c in df.columns:
+        if c.lower() == lower:
+            return c
+    return None
+
+
 def _parse_kv_text(path: str) -> dict[str, str]:
     out: dict[str, str] = {}
     with open(path) as fh:
@@ -109,11 +120,14 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
         )
 
     clinical = _read_release_tsv(spark, clin_path)
-    if "SAMPLE_ID" not in clinical.columns:
+    clin_sid = _resolve(clinical, "SAMPLE_ID")
+    if clin_sid is None:
         err("release.clinical_sample_id",
             "release: data_clinical.txt has no SAMPLE_ID column")
         return ValidationReport("release", msgs)
-    clin_ids = clinical.select("SAMPLE_ID").distinct()
+    clin_ids = clinical.select(
+        F.col(clin_sid).alias("SAMPLE_ID")
+    ).distinct()
 
     # --- case lists ------------------------------------------------------
     case_dir = os.path.join(release_dir, "case_lists")
@@ -145,11 +159,10 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     maf_path = os.path.join(release_dir, "data_mutations_extended.txt")
     if os.path.isfile(maf_path):
         maf = _read_release_tsv(spark, maf_path, comment=None)
-        if "Tumor_Sample_Barcode" in maf.columns:
+        tsb = _resolve(maf, "Tumor_Sample_Barcode")
+        if tsb is not None:
             n = (
-                maf.select(
-                    F.col("Tumor_Sample_Barcode").alias("SAMPLE_ID")
-                )
+                maf.select(F.col(tsb).alias("SAMPLE_ID"))
                 .distinct()
                 .join(clin_ids, "SAMPLE_ID", "left_anti")
                 .count()
@@ -174,19 +187,21 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     matrix_path = os.path.join(release_dir, "data_gene_matrix.txt")
     if os.path.isfile(matrix_path):
         matrix = _read_release_tsv(spark, matrix_path, comment=None)
-        if "SAMPLE_ID" in matrix.columns:
+        gm_sid = _resolve(matrix, "SAMPLE_ID")
+        if gm_sid is not None:
             n = (
-                matrix.select("SAMPLE_ID").distinct()
+                matrix.select(F.col(gm_sid).alias("SAMPLE_ID")).distinct()
                 .join(clin_ids, "SAMPLE_ID", "left_anti").count()
             )
             if n:
                 err("release.gene_matrix_samples",
                     "release: data_gene_matrix.txt has samples absent "
                     "from data_clinical.txt", n=n)
-        if "mutations" in matrix.columns:
+        gm_mut = _resolve(matrix, "mutations")
+        if gm_mut is not None:
             panels = [
                 r[0]
-                for r in matrix.select("mutations").distinct().collect()
+                for r in matrix.select(gm_mut).distinct().collect()
                 if r[0] not in (None, "", "NA")
             ]
             missing = [
@@ -211,8 +226,11 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     bed_symbols = None
     if os.path.isfile(bed_path):
         bed = _read_release_tsv(spark, bed_path, comment=None)
-        if "Hugo_Symbol" in bed.columns:
-            bed_symbols = bed.select("Hugo_Symbol").distinct()
+        hugo = _resolve(bed, "Hugo_Symbol")
+        if hugo is not None:
+            bed_symbols = bed.select(
+                F.col(hugo).alias("Hugo_Symbol")
+            ).distinct()
     for name, p in sorted(panel_files.items()):
         kv = _parse_kv_text(p)
         missing_keys = [
@@ -242,7 +260,7 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     if os.path.isfile(cna_path):
         with open(cna_path) as fh:
             header = fh.readline().rstrip("\n").split("\t")
-        samples = [c for c in header if c != "Hugo_Symbol"]
+        samples = [c for c in header if c.lower() != "hugo_symbol"]
         stray = _missing_from(spark, samples, clin_ids, "SAMPLE_ID")
         if stray:
             err(

@@ -182,6 +182,30 @@ def test_ingest_release_dashboard(spark, tmp_path):
     assert f"GENIE-{CENTER}-1-1" in pub_maf
     assert f"GENIE-{CENTER}-2-1" not in pub_maf
 
+    # full public artifact set (consortium_to_public.py:41-359): CNA
+    # columns subset to public samples, gene matrix rows filtered,
+    # panel/bed files copied, case lists regenerated
+    with open(os.path.join(pub, "data_CNA.txt")) as f:
+        pub_cna_header = f.readline().rstrip("\n").split("\t")
+    assert f"GENIE-{CENTER}-1-1" in pub_cna_header
+    assert f"GENIE-{CENTER}-2-1" not in pub_cna_header
+    with open(os.path.join(pub, "data_gene_matrix.txt")) as f:
+        pub_gm = f.read()
+    assert f"GENIE-{CENTER}-2-1" not in pub_gm
+    assert os.path.exists(os.path.join(pub, "genomic_information.txt"))
+    assert os.path.exists(
+        os.path.join(pub, f"data_gene_panel_{CENTER}-PANEL-1.txt")
+    )
+    with open(os.path.join(pub, "case_lists", "cases_all.txt")) as f:
+        pub_cases = f.read()
+    assert f"GENIE-{CENTER}-1-1" in pub_cases
+    assert f"GENIE-{CENTER}-2-1" not in pub_cases
+
+    # the public dir passes the same cross-file QC as the consortium dir
+    from genie_spark.release.qc import validate_release
+
+    assert validate_release(spark, pub).errors == []
+
     rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash))
     assert rc == 0
     counts = spark.read.parquet(os.path.join(dash, "sample_counts"))
