@@ -568,6 +568,7 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
         counts_with_total,
         distinct_counts,
         pivot_counts,
+        with_row_total,
     )
 
     clinical = _read_bronze(spark, args.warehouse, "clinical")
@@ -580,8 +581,9 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
         "distinct_samples": distinct_counts(clinical, "CENTER", "SAMPLE_ID"),
     }
     if "ONCOTREE_CODE" in clinical.columns:
-        outputs["oncotree_matrix"] = pivot_counts(
-            clinical, "ONCOTREE_CODE", "CENTER"
+        outputs["oncotree_matrix"] = with_row_total(
+            pivot_counts(clinical, "ONCOTREE_CODE", "CENTER"),
+            "ONCOTREE_CODE",
         )
         outputs["completeness"] = completeness_ratio(
             clinical,
@@ -589,6 +591,31 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
             [c for c in clinical.columns if c not in ("CENTER",)],
             missing_sentinels=["Not Collected", "Unknown"],
         )
+        # primary-oncotree-node distribution (reference
+        # update_oncotree_code_tables, dashboard_table_updater.py:368-396):
+        # each code maps to its level-1 ancestor via the oncotree dim;
+        # unknown codes count under DEPRECATED_CODE like the reference
+        oncotree = _read_bronze(spark, args.warehouse, "oncotree")
+        if oncotree is not None and "ONCOTREE_PRIMARY_NODE" in oncotree.columns:
+            mapped = clinical.join(
+                F.broadcast(
+                    oncotree.select(
+                        F.upper(F.col("ONCOTREE_CODE")).alias("__code"),
+                        "ONCOTREE_PRIMARY_NODE",
+                    ).distinct()
+                ),
+                F.upper(clinical["ONCOTREE_CODE"]) == F.col("__code"),
+                "left",
+            ).select(
+                "CENTER",
+                F.coalesce(
+                    F.col("ONCOTREE_PRIMARY_NODE"), F.lit("DEPRECATED_CODE")
+                ).alias("PRIMARY_CODE"),
+            )
+            outputs["primary_code_matrix"] = with_row_total(
+                pivot_counts(mapped, "PRIMARY_CODE", "CENTER"),
+                "PRIMARY_CODE",
+            )
     # A5/A6: release-over-release per-center diffs + decrease flags from
     # the stored release snapshots (reference
     # dashboard_table_updater.py:398-483 update_sample_difference_table;

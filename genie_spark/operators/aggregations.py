@@ -45,6 +45,20 @@ def pivot_counts(
     return p.count().na.fill(0)
 
 
+def with_row_total(
+    df: DataFrame, row_col: str, alias: str = "Total"
+) -> DataFrame:
+    """Append a row-wise Total column summing every count column — the
+    reference's pivot tables carry one
+    (genie/dashboard_table_updater.py:325-328)."""
+    count_cols = [c for c in df.columns if c != row_col]
+    total = count_cols[0] if count_cols else None
+    expr = F.lit(0).cast("long")
+    for c in count_cols:
+        expr = expr + F.coalesce(F.col(c).cast("long"), F.lit(0))
+    return df.withColumn(alias, expr) if total else df
+
+
 def completeness_ratio(
     df: DataFrame, group_col: str, cols: Sequence[str], missing_sentinels: Sequence[str] = ()
 ) -> DataFrame:

@@ -206,10 +206,24 @@ def test_ingest_release_dashboard(spark, tmp_path):
 
     assert validate_release(spark, pub).errors == []
 
+    # oncotree dim present → primary-node distribution with the
+    # DEPRECATED_CODE bucket and a Total column
+    spark.createDataFrame(
+        [("UNKNOWN", "x", "x", "PRIMARY_X", "")],
+        "ONCOTREE_CODE string, CANCER_TYPE string, CANCER_TYPE_DETAILED "
+        "string, ONCOTREE_PRIMARY_NODE string, ONCOTREE_SECONDARY_NODE string",
+    ).write.mode("overwrite").parquet(os.path.join(wh, "oncotree"))
+
     rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash))
     assert rc == 0
     counts = spark.read.parquet(os.path.join(dash, "sample_counts"))
     assert counts.count() >= 1
+    primary = spark.read.parquet(os.path.join(dash, "primary_code_matrix"))
+    rows = {r["PRIMARY_CODE"]: r for r in primary.collect()}
+    # both test samples carry ONCOTREE_CODE=UNKNOWN → PRIMARY_X
+    assert rows["PRIMARY_X"]["Total"] == 2
+    onc_matrix = spark.read.parquet(os.path.join(dash, "oncotree_matrix"))
+    assert "Total" in onc_matrix.columns
 
 
 def test_retraction_e2e(spark, tmp_path):
