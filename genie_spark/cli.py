@@ -635,6 +635,31 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
             )
     # mergeSchema: the snapshot log may mix legacy (no ReleaseSeq) and
     # current files; a single-footer read could silently drop the column
+    # per-column clinical value-distribution decrease flags between two
+    # written releases (reference print_clinical_values_difference_table,
+    # dashboard_table_updater.py:675-807)
+    cur_dir = getattr(args, "release_dir", None)
+    prev_dir = getattr(args, "prev_release_dir", None)
+    if cur_dir and prev_dir:
+        from genie_spark.operators.aggregations import value_count_decreases
+
+        def read_clin(d):
+            df = (
+                spark.read.option("sep", "\t").option("header", "true")
+                .option("comment", "#")
+                .csv(os.path.join(d, "data_clinical.txt"))
+            )
+            if "CENTER" not in df.columns:
+                # the reference derives CENTER from the GENIE-{center}-…
+                # identifier (dashboard_table_updater.py:736-744)
+                id_col = "PATIENT_ID" if "PATIENT_ID" in df.columns else "SAMPLE_ID"
+                df = df.withColumn("CENTER", F.split(F.col(id_col), "-")[1])
+            return df
+
+        outputs["clinical_value_decreases"] = value_count_decreases(
+            read_clin(cur_dir), read_clin(prev_dir)
+        )
+
     rc_path = _bronze(args.warehouse, "release_counts")
     release_counts = (
         spark.read.option("mergeSchema", "true").parquet(rc_path)
@@ -793,6 +818,14 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dashboard", help="dashboard aggregation tables")
     d.add_argument("--warehouse", required=True)
     d.add_argument("--output", required=True)
+    d.add_argument(
+        "--release-dir", dest="release_dir", default=None,
+        help="current release dir for the clinical value-decrease check",
+    )
+    d.add_argument(
+        "--prev-release-dir", dest="prev_release_dir", default=None,
+        help="previous release dir to diff clinical value counts against",
+    )
     d.set_defaults(fn=cmd_dashboard)
 
     m = sub.add_parser(

@@ -138,6 +138,73 @@ def fill_count_algebra(
     )
 
 
+def value_count_decreases(
+    current: DataFrame,
+    older: DataFrame,
+    group_col: str = "CENTER",
+    id_col: str = "SAMPLE_ID",
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group, per-column value-distribution decrease flags between
+    two release snapshots (reference ``check_column_decreases`` +
+    ``print_clinical_values_difference_table``,
+    genie/dashboard_table_updater.py:633-807).
+
+    Semantics match the reference: the current side is first restricted
+    to ids present in the older release (so sample retirements don't
+    read as value decreases), only columns present in BOTH frames are
+    compared, and a column is flagged when ANY of its values has a
+    lower count than before within the group.
+
+    Spark shape (vs the reference's per-center pandas loop): one melt
+    (``stack``) per side into (group, column, value) long form, one
+    count aggregation each, a full-outer join on the key, and an any()
+    rollup — 3 shuffles total regardless of how many centers/columns,
+    where the reference loops centers × columns driver-side.  Returns
+    (group_col, column, has_decrease) long form, orderable into the
+    reference's center × column boolean matrix with a pivot.
+    """
+    shared = [
+        c
+        for c in (columns or current.columns)
+        if c in current.columns and c in older.columns and c != group_col
+    ]
+    cur = current.join(
+        older.select(id_col).distinct(), id_col, "left_semi"
+    )
+
+    def melt_counts(df: DataFrame) -> DataFrame:
+        pairs = ", ".join(
+            f"'{c}', CAST(`{c}` AS STRING)" for c in shared
+        )
+        return (
+            df.select(
+                F.col(group_col),
+                F.expr(f"stack({len(shared)}, {pairs}) AS (column, value)"),
+            )
+            .groupBy(group_col, "column", "value")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    new_counts = melt_counts(cur)
+    old_counts = melt_counts(older).withColumnRenamed("n", "n_old")
+    joined = new_counts.join(
+        old_counts, [group_col, "column", "value"], "full_outer"
+    ).select(
+        group_col,
+        "column",
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            < F.coalesce(F.col("n_old"), F.lit(0))
+        ).alias("dec"),
+    )
+    return (
+        joined.groupBy(group_col, "column")
+        .agg(F.max(F.col("dec")).alias("has_decrease"))
+        .orderBy(group_col, "column")
+    )
+
+
 def group_concat(
     df: DataFrame, group_col: str, value_col: str, sep: str = "\n"
 ) -> DataFrame:

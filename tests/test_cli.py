@@ -419,6 +419,45 @@ def test_release_qc_stage(spark, tmp_path):
     assert "release.clinical_header" in ids
 
 
+def test_dashboard_clinical_value_decreases(spark, tmp_path):
+    """--release-dir/--prev-release-dir wire the per-column value-count
+    decrease check into the dashboard (reference
+    print_clinical_values_difference_table)."""
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(wh)
+    spark.createDataFrame(
+        [("GENIE-SAGE-1-1", "SAGE")], "SAMPLE_ID string, CENTER string"
+    ).write.parquet(os.path.join(wh, "clinical"))
+
+    def write_release(d, rows):
+        os.makedirs(d)
+        with open(os.path.join(d, "data_clinical.txt"), "w") as f:
+            f.write("#h\n#h\n#h\n#h\nSAMPLE_ID\tPATIENT_ID\tSEX\n")
+            for r in rows:
+                f.write("\t".join(r) + "\n")
+
+    prev = str(tmp_path / "rel_prev")
+    cur = str(tmp_path / "rel_cur")
+    write_release(prev, [
+        ("GENIE-SAGE-1-1", "GENIE-SAGE-1", "Male"),
+        ("GENIE-SAGE-2-1", "GENIE-SAGE-2", "Male"),
+    ])
+    write_release(cur, [
+        ("GENIE-SAGE-1-1", "GENIE-SAGE-1", "Female"),  # Male 2→1
+        ("GENIE-SAGE-2-1", "GENIE-SAGE-2", "Male"),
+    ])
+    dash = str(tmp_path / "dash")
+    rc = cmd_dashboard(
+        spark,
+        _ns(warehouse=wh, output=dash, release_dir=cur, prev_release_dir=prev),
+    )
+    assert rc == 0
+    dec = spark.read.parquet(os.path.join(dash, "clinical_value_decreases"))
+    got = {(r["CENTER"], r["column"]): r["has_decrease"] for r in dec.collect()}
+    assert got[("SAGE", "SEX")] is True
+    assert got[("SAGE", "PATIENT_ID")] is False
+
+
 def test_cross_file_validation(spark, tmp_path):
     """maf↔clinical cross-validation (reference
     genie_registry/maf.py:429-467): a Tumor_Sample_Barcode missing from

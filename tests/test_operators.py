@@ -233,3 +233,47 @@ def test_salted_join_rejects_small_side_preserving(spark):
     df = spark.range(2).selectExpr("'k' AS k", "id AS v")
     with _pytest.raises(ValueError, match="big-side-preserving"):
         salted_join(df, df, on=["k"], how="right")
+
+
+def test_value_count_decreases(spark):
+    """Reference check_column_decreases semantics
+    (dashboard_table_updater.py:633-807): current restricted to older's
+    ids, shared columns only, flag = any value count drops per group."""
+    from genie_spark.operators.aggregations import value_count_decreases
+
+    older = spark.createDataFrame(
+        [
+            ("S1", "SAGE", "Male", "White"),
+            ("S2", "SAGE", "Male", "Asian"),
+            ("S3", "SAGE", "Female", "White"),
+            ("S4", "GOLD", "Male", "White"),
+        ],
+        "SAMPLE_ID string, CENTER string, SEX string, RACE string",
+    )
+    current = spark.createDataFrame(
+        [
+            # S1 flips Male→Female: Male count 2→1 in SAGE ⇒ SEX flagged
+            ("S1", "SAGE", "Female", "White"),
+            ("S2", "SAGE", "Male", "Asian"),
+            ("S3", "SAGE", "Female", "White"),
+            ("S4", "GOLD", "Male", "White"),
+            # S9 is NEW — must be excluded (not in older), so its values
+            # can't mask or cause decreases
+            ("S9", "SAGE", "Male", "Black"),
+        ],
+        "SAMPLE_ID string, CENTER string, SEX string, RACE string",
+    )
+    out = value_count_decreases(current, older)
+    got = {
+        (r["CENTER"], r["column"]): r["has_decrease"] for r in out.collect()
+    }
+    assert got[("SAGE", "SEX")] is True          # Male 2→1
+    assert got[("SAGE", "RACE")] is False        # unchanged
+    assert got[("GOLD", "SEX")] is False
+    assert got[("GOLD", "RACE")] is False
+    assert got[("SAGE", "SAMPLE_ID")] is False   # intersection ids stable
+
+    # a column only in one side is ignored (reference: olderdf.get(col))
+    cur2 = current.withColumn("NEW_COL", current.SEX)
+    cols = {r["column"] for r in value_count_decreases(cur2, older).collect()}
+    assert "NEW_COL" not in cols
