@@ -462,6 +462,15 @@ def _append_release_snapshot(
     # append-only snapshot log; one release's rows are center-count sized
     snap.write.mode("append").parquet(path)
 
+    # per-release sample membership log feeding the samples-in-release
+    # matrix (reference update_samples_in_release_table,
+    # dashboard_table_updater.py:53-110); sample-count sized per release
+    arts.clinical.select("SAMPLE_ID").distinct().withColumn(
+        "Release", F.lit(version)
+    ).withColumn("ReleaseSeq", F.lit(seq + 1).cast("long")).write.mode(
+        "append"
+    ).parquet(_bronze(warehouse, "release_samples"))
+
 
 def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
     """Consortium → public release over the WHOLE artifact set
@@ -658,6 +667,29 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
 
         outputs["clinical_value_decreases"] = value_count_decreases(
             read_clin(cur_dir), read_clin(prev_dir)
+        )
+
+    # samples-in-release membership matrix (reference
+    # update_samples_in_release_table, dashboard_table_updater.py:53-110):
+    # 1 = sample in that release, 0 = not; release columns ordered by
+    # their monotonic ingest sequence
+    rs_path = _bronze(args.warehouse, "release_samples")
+    if os.path.isdir(rs_path):
+        rs = spark.read.option("mergeSchema", "true").parquet(rs_path)
+        releases = list(
+            dict.fromkeys(
+                r["Release"]
+                for r in rs.select("Release", "ReleaseSeq")
+                .distinct()
+                .orderBy(F.col("ReleaseSeq").asc_nulls_first(), "Release")
+                .collect()
+            )
+        )
+        outputs["samples_in_release"] = (
+            rs.groupBy("SAMPLE_ID")
+            .pivot("Release", releases)
+            .agg(F.min(F.lit(1)))
+            .na.fill(0)
         )
 
     rc_path = _bronze(args.warehouse, "release_counts")

@@ -325,6 +325,15 @@ def test_release_snapshot_version_ordering(spark, tmp_path):
     dec = spark.read.parquet(os.path.join(dash, "decrease_check")).collect()
     assert {r["Release"] for r in dec} == {"v10"}
 
+    # samples-in-release membership matrix: columns in seq order
+    # (v10 after v9), S0 everywhere, S8 only in v9, S4 back in v10
+    sir = spark.read.parquet(os.path.join(dash, "samples_in_release"))
+    assert sir.columns == ["SAMPLE_ID"] + [f"v{i}" for i in range(1, 11)]
+    by_id = {r["SAMPLE_ID"]: r for r in sir.collect()}
+    assert by_id["S0"]["v1"] == 1 and by_id["S0"]["v10"] == 1
+    assert by_id["S8"]["v9"] == 1 and by_id["S8"]["v10"] == 0
+    assert by_id["S4"]["v4"] == 0 and by_id["S4"]["v10"] == 1
+
 
 def test_release_qc_stage(spark, tmp_path):
     """Post-write release QC (reference cbioValidator stage,
