@@ -182,6 +182,10 @@ def value_count_decreases(
                 F.col(group_col),
                 F.expr(f"stack({len(shared)}, {pairs}) AS (column, value)"),
             )
+            # pandas value_counts drops NaN — null cells are not values
+            # (a populated→null transition still shows as the populated
+            # value's count dropping)
+            .where(F.col("value").isNotNull())
             .groupBy(group_col, "column", "value")
             .agg(F.count(F.lit(1)).alias("n"))
         )

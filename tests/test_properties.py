@@ -157,3 +157,58 @@ def test_connected_components_matches_bfs(spark, pairs):
         for r in connected_components(df).collect()
     }
     assert got == expect
+
+
+# (id, group, colA value, colB value) rows for two release snapshots
+_snap_row = st.tuples(
+    st.integers(0, 8),
+    st.sampled_from(["C1", "C2"]),
+    st.sampled_from(["x", "y", None]),
+    st.sampled_from(["p", "q"]),
+)
+snap_st = st.lists(_snap_row, min_size=1, max_size=10, unique_by=lambda r: r[0])
+
+
+@given(older=snap_st, current=snap_st)
+@settings(**_SETTINGS)
+def test_value_count_decreases_matches_pandas_model(spark, older, current):
+    """value_count_decreases equals the reference's per-group pandas
+    value_counts diff (check_column_decreases semantics: current
+    restricted to older ids; flag when any value's count drops)."""
+    from collections import Counter
+
+    from genie_spark.operators.aggregations import value_count_decreases
+
+    cols = ["SAMPLE_ID", "CENTER", "A", "B"]
+    older_rows = [(f"S{r[0]}", r[1], r[2], r[3]) for r in older]
+    current_rows = [(f"S{r[0]}", r[1], r[2], r[3]) for r in current]
+
+    old_ids = {r[0] for r in older_rows}
+    cur_kept = [r for r in current_rows if r[0] in old_ids]
+
+    expect = {}
+    groups = {r[1] for r in older_rows} | {r[1] for r in cur_kept}
+    for g in groups:
+        for ci, cname in enumerate(cols):
+            if cname == "CENTER":
+                continue
+            new_c = Counter(
+                r[ci] for r in cur_kept if r[1] == g and r[ci] is not None
+            )
+            old_c = Counter(
+                r[ci] for r in older_rows if r[1] == g and r[ci] is not None
+            )
+            expect[(g, cname)] = any(
+                new_c.get(v, 0) < old_c[v] for v in set(old_c) | set(new_c)
+            )
+
+    schema = "SAMPLE_ID string, CENTER string, A string, B string"
+    got = {
+        (r["CENTER"], r["column"]): r["has_decrease"]
+        for r in value_count_decreases(
+            spark.createDataFrame(current_rows, schema),
+            spark.createDataFrame(older_rows, schema),
+        ).collect()
+    }
+    for key, exp in expect.items():
+        assert got.get(key, False) == exp, (key, exp, got)
