@@ -193,3 +193,85 @@ def test_connected_components_doubling_and_nonconvergence(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def _ppm(w, h, rgb):
+    return (
+        b"P6\n# test\n" + f"{w} {h}\n255\n".encode()
+        + bytes(rgb) * (w * h)
+    )
+
+
+def _wav(n_samples, value=1000, channels=1):
+    import struct
+
+    data = struct.pack(f"<{n_samples * channels}h", *([value] * n_samples * channels))
+    fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000 * 2 * channels, 2 * channels, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_stdlib_decoder_real_formats(spark):
+    """StdlibDecoder genuinely decodes PPM/PGM + PCM WAV: dimensions and
+    channel statistics come from the pixel/sample content, not a hash."""
+    from genie_spark.analytics.multimodal import StdlibDecoder
+
+    dec = StdlibDecoder()
+    kind, img = dec.decode(_ppm(4, 3, (255, 0, 128)))
+    assert kind == "image" and img.shape == (3, 4, 3)
+    assert img[0, 0, 0] == 255 and img[0, 0, 1] == 0 and img[0, 0, 2] == 128
+
+    kind, aud = dec.decode(_wav(16, value=1000))
+    assert kind == "audio" and aud.shape == (16, 1)
+    assert int(aud[0, 0]) == 1000
+
+    # features are content-derived: height, width, channels, means...
+    f = dec.features(_ppm(4, 3, (255, 0, 128)))
+    assert f[:3] == [3.0, 4.0, 3.0]
+    assert abs(f[3] - 1.0) < 1e-6 and abs(f[4]) < 1e-6
+
+    # compressed formats stay behind the stub boundary
+    import pytest as pt
+
+    with pt.raises(NotImplementedError):
+        dec.decode(b"\x89PNG....")
+    # ...but features() falls back to the hash feature so mixed corpora flow
+    assert len(dec.features(b"\x89PNG....")) == 8
+
+    # real nearest-neighbor resize round-trips through the decoder
+    small = dec.resize(_ppm(8, 8, (10, 20, 30)), 4, 2)
+    kind2, img2 = dec.decode(small)
+    assert img2.shape == (2, 4, 3)
+    assert img2[0, 0, 0] == 10
+
+
+def test_stdlib_decoder_in_spark_pipeline(spark):
+    """The real decoder plugs into the same mapInPandas plumbing."""
+    from genie_spark.analytics.multimodal import (
+        MEDIA_SCHEMA,
+        StdlibDecoder,
+        extract_features,
+        resize_media,
+    )
+
+    rows = [
+        (1, "image", bytearray(_ppm(6, 4, (100, 150, 200))), (6, 4, None, "image/x-ppm")),
+        (2, "audio", bytearray(_wav(32, value=2000)), (None, None, 4, "audio/wav")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = StdlibDecoder()
+    feats = {r["media_id"]: r["feature"] for r in
+             extract_features(media, decode_fn=dec.features).collect()}
+    assert feats[1][:3] == [4.0, 6.0, 3.0]          # h, w, channels
+    assert feats[2][0] == 32.0 and feats[2][1] == 1.0  # samples, channels
+
+    resized = resize_media(
+        media.where("media_type = 'image'"), 3, 2, resize_fn=dec.resize
+    ).collect()
+    assert len(resized) == 1
+    kind, arr = dec.decode(bytes(resized[0]["content"]))
+    assert kind == "image" and arr.shape == (2, 3, 3)
