@@ -91,6 +91,44 @@ def test_latest_per_key_reduces_before_exchange(spark):
     assert "WindowGroupLimit" in partial and "Partial" in partial, plan
 
 
+def test_release_pipeline_plan_shape(spark):
+    """The composite release plan must stay scale-safe: oncotree joins
+    via BroadcastHashJoin, keep-filters as LeftSemi/LeftAnti, and no
+    CartesianProduct anywhere in the MAF path."""
+    from genie_spark.release.pipeline import run_release
+
+    clinical = spark.createDataFrame(
+        [("GENIE-SAGE-1-1", "GENIE-SAGE-1", "SAGE", "PANEL-1", "UNKNOWN", 10000.0)],
+        "SAMPLE_ID string, PATIENT_ID string, CENTER string, "
+        "SEQ_ASSAY_ID string, ONCOTREE_CODE string, AGE_AT_SEQ_REPORT double",
+    )
+    maf = spark.createDataFrame(
+        [("GENIE-SAGE-1-1", "1", 150, 150, "A", "T", 10.0, 90.0, 100.0)],
+        "Tumor_Sample_Barcode string, Chromosome string, "
+        "Start_Position long, End_Position long, Reference_Allele string, "
+        "Tumor_Seq_Allele2 string, t_alt_count double, t_ref_count double, "
+        "t_depth double",
+    )
+    bed = spark.createDataFrame(
+        [("1", 100, 200, "TP53", "PANEL-1", True)],
+        "Chromosome string, Start_Position long, End_Position long, "
+        "Hugo_Symbol string, SEQ_ASSAY_ID string, includeInPanel boolean",
+    )
+    oncotree = spark.createDataFrame(
+        [("UNKNOWN", "x", "y", "P", "")],
+        "ONCOTREE_CODE string, CANCER_TYPE string, CANCER_TYPE_DETAILED "
+        "string, ONCOTREE_PRIMARY_NODE string, ONCOTREE_SECONDARY_NODE string",
+    )
+    arts = run_release(clinical=clinical, maf=maf, bed=bed, oncotree=oncotree)
+    for df in (arts.clinical, arts.maf):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+    clin_plan = plan_of(arts.clinical)
+    assert "BroadcastHashJoin" in clin_plan, clin_plan
+    maf_plan = plan_of(arts.maf)
+    assert "LeftSemi" in maf_plan or "LeftAnti" in maf_plan, maf_plan
+
+
 def test_dedup_components_no_cartesian(spark):
     """Pointer-jumping joins stay equi-joins on node/label keys."""
     from genie_spark.workload_analytics import ANALYTICS_QUERIES
