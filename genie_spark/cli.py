@@ -420,6 +420,86 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_nightly(spark: SparkSession, args: argparse.Namespace) -> int:
+    """One-shot pipeline sweep: per-center upload ingest → consortium
+    release → dashboard — the reference's cron/Nextflow chaining of
+    bin/input_to_database.py → bin/database_to_staging.py →
+    dashboard_table_updater (README 'Production').
+
+    ``--input-dir`` holds one subdirectory per center
+    (``<input>/<CENTER>/<upload files>``); clinical sample/patient
+    files ingest as a pair, every other recognized file ingests on its
+    own.  Unrecognized files are reported and skipped, like the
+    reference's validation-status tracking of invalid uploads."""
+    input_dir = args.input_dir
+    centers = (
+        [c for c in args.centers.split(",") if c]
+        if args.centers
+        else sorted(
+            d
+            for d in os.listdir(input_dir)
+            if os.path.isdir(os.path.join(input_dir, d))
+        )
+    )
+    skipped: list[str] = []
+    rc_total = 0
+    for center in centers:
+        cdir = os.path.join(input_dir, center)
+        files = sorted(
+            os.path.join(cdir, f)
+            for f in os.listdir(cdir)
+            if os.path.isfile(os.path.join(cdir, f))
+        )
+        clinical_bundle = [
+            p
+            for p in files
+            if determine_filetype([p], center)
+            and determine_filetype([p], center).name == "clinical"
+        ]
+        batches: list[list[str]] = []
+        if clinical_bundle:
+            batches.append(clinical_bundle)
+        for p in files:
+            if p in clinical_bundle:
+                continue
+            if determine_filetype([p], center) is None:
+                skipped.append(p)
+                continue
+            batches.append([p])
+        for paths in batches:
+            rc = cmd_ingest(
+                spark,
+                argparse.Namespace(
+                    paths=paths, center=center, warehouse=args.warehouse,
+                    filetype=None, force=args.force,
+                ),
+            )
+            rc_total = max(rc_total, rc)
+    for p in skipped:
+        print(f"nightly: unrecognized upload skipped: {p}", file=sys.stderr)
+    if args.output:
+        rc = cmd_release(
+            spark,
+            argparse.Namespace(
+                warehouse=args.warehouse, output=args.output,
+                version=args.version, study_id=args.study_id, pad=args.pad,
+                whitelist=None, processing_date=None, seq_date_cutoff=184,
+                oncotree_json=None, skip_qc=False,
+            ),
+        )
+        rc_total = max(rc_total, rc)
+    if args.dashboard:
+        rc = cmd_dashboard(
+            spark,
+            argparse.Namespace(
+                warehouse=args.warehouse, output=args.dashboard,
+                release_dir=None, prev_release_dir=None,
+            ),
+        )
+        rc_total = max(rc_total, rc)
+    return rc_total
+
+
 def cmd_qc_release(spark: SparkSession, args: argparse.Namespace) -> int:
     """Standalone release-directory QC (reference cbioValidator stage)."""
     from genie_spark.release.qc import validate_release
@@ -861,6 +941,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the post-write release-directory QC stage",
     )
     r.set_defaults(fn=cmd_release)
+
+    n = sub.add_parser(
+        "nightly",
+        help="per-center ingest sweep + release + dashboard in one shot",
+    )
+    n.add_argument("--input-dir", dest="input_dir", required=True)
+    n.add_argument("--warehouse", required=True)
+    n.add_argument("--centers", default=None,
+                   help="comma-separated; default: every subdirectory")
+    n.add_argument("--output", default=None,
+                   help="release dir (skip the release stage if omitted)")
+    n.add_argument("--dashboard", default=None,
+                   help="dashboard dir (skip the dashboard stage if omitted)")
+    n.add_argument("--version", default="TESTING")
+    n.add_argument("--study-id", dest="study_id", default="genie_private")
+    n.add_argument("--pad", type=int, default=10)
+    n.add_argument("--force", action="store_true",
+                   help="ingest despite validation errors")
+    n.set_defaults(fn=cmd_nightly)
 
     q = sub.add_parser(
         "qc-release",

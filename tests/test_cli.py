@@ -623,6 +623,40 @@ def test_partition_scoped_merge(spark, tmp_path):
     assert float(row[depth_col]) == 200.0
 
 
+def test_nightly_sweep(spark, tmp_path):
+    """One-shot nightly: per-center dir sweep → ingest → release →
+    dashboard (reference cron/Nextflow chaining)."""
+    from genie_spark.cli import cmd_nightly
+
+    input_dir = tmp_path / "uploads" / CENTER
+    input_dir.mkdir(parents=True)
+    _write_clinical_pair(input_dir)
+    _write_maf(input_dir)
+    _write_bed(input_dir)
+    _write_cna(input_dir)
+    (input_dir / "mystery.bin").write_text("???")
+
+    wh = str(tmp_path / "wh")
+    out = str(tmp_path / "rel")
+    dash = str(tmp_path / "dash")
+    rc = cmd_nightly(
+        spark,
+        _ns(
+            input_dir=str(tmp_path / "uploads"), warehouse=wh, centers=None,
+            output=out, dashboard=dash, version="N1",
+            study_id="genie_private", pad=10, force=True,
+        ),
+    )
+    assert rc == 0
+    assert spark.read.parquet(os.path.join(wh, "clinical")).count() == 2
+    assert os.path.exists(os.path.join(out, "data_clinical.txt"))
+    assert os.path.exists(os.path.join(out, "meta_study.txt"))
+    assert os.path.exists(os.path.join(dash, "sample_counts"))
+    # release snapshot recorded under the nightly version
+    rcnt = spark.read.parquet(os.path.join(wh, "release_counts"))
+    assert {r["Release"] for r in rcnt.select("Release").collect()} == {"N1"}
+
+
 def test_merge_preserves_null_center_partition(spark, tmp_path):
     """A batch carrying null-CENTER rows writes the
     __HIVE_DEFAULT_PARTITION__ staging dir, which the swap moves over
