@@ -518,6 +518,26 @@ GDC_PLATFORMS = [
     "Illumina", "Ion Torrent", "LS454", "SOLiD", "PacBio",
     "Complete Genomics", "Nanopore", "BGI", "Other",
 ]
+# genie_registry/assay.py:210-216 extends the GDC instrument_model enum
+GDC_INSTRUMENT_MODELS = [
+    "Illumina HiSeq 2000", "Illumina HiSeq 2500", "Illumina HiSeq 4000",
+    "Illumina HiSeq X", "Illumina MiSeq", "Illumina NextSeq 500",
+    "Illumina NextSeq 550", "Illumina NovaSeq 6000", "Ion Torrent PGM",
+    "Ion Torrent Proton", "Ion Torrent S5", "Other",
+]
+# genie_registry/assay.py:226-247 variant_classifications domain
+ASSAY_VARIANT_CLASSES = [
+    "Splice_Site", "Nonsense_Mutation", "Frame_Shift_Del",
+    "Frame_Shift_Ins", "Nonstop_Mutation", "Translation_Start_Site",
+    "In_Frame_Ins", "In_Frame_Del", "Missense_Mutation", "Intron",
+    "Splice_Region", "Silent", "RNA", "5'UTR", "3'UTR", "IGR",
+    "5'Flank", "3'Flank",
+]
+ASSAY_REQUIRED_COLUMNS = [
+    "SEQ_ASSAY_ID", "is_paired_end", "library_selection",
+    "library_strategy", "platform", "instrument_model",
+    "target_capture_kit", "read_length", "number_of_genes",
+]
 
 
 def assay_rules(
@@ -525,14 +545,60 @@ def assay_rules(
     library_selection: list[str] | None = None,
     library_strategy: list[str] | None = None,
     platforms: list[str] | None = None,
+    instrument_models: list[str] | None = None,
 ) -> RuleSet:
     library_selection = library_selection or GDC_LIBRARY_SELECTION
     library_strategy = library_strategy or GDC_LIBRARY_STRATEGY
     platforms = platforms or GDC_PLATFORMS
+    instrument_models = instrument_models or GDC_INSTRUMENT_MODELS
     return RuleSet(
         "assayinfo",
         [
-            required_columns("assayinfo", ["SEQ_ASSAY_ID"]),
+            # the reference's check_col_and_values(required=True) calls
+            # make every domain-checked column required
+            # (genie_registry/assay.py:167-271)
+            required_columns("assayinfo", ASSAY_REQUIRED_COLUMNS),
+            RowRule(
+                "assay.is_paired_end", "error",
+                F.col("is_paired_end").isNotNull()
+                & ~F.upper(F.col("is_paired_end").cast("string")).isin(
+                    "TRUE", "FALSE"
+                ),
+                "Assay_information.yaml: {n} is_paired_end value(s) not "
+                "True/False: {examples}",
+                example_col="is_paired_end", required_cols=["is_paired_end"],
+            ),
+            RowRule(
+                "assay.instrument_model", "error",
+                F.col("instrument_model").isNotNull()
+                & ~F.col("instrument_model").isin(instrument_models),
+                "Assay_information.yaml: {n} instrument_model value(s) "
+                "outside the GDC domain: {examples}",
+                example_col="instrument_model",
+                required_cols=["instrument_model"],
+            ),
+            RowRule(
+                # semicolon-separated multi-values, each must be in the
+                # domain; null allowed (assay.py:226-256, na_allowed)
+                "assay.variant_classifications", "error",
+                F.col("variant_classifications").isNotNull()
+                & F.exists(
+                    F.split(F.col("variant_classifications").cast("string"), ";"),
+                    lambda x: ~F.trim(x).isin(ASSAY_VARIANT_CLASSES),
+                ),
+                "Assay_information.yaml: {n} variant_classifications "
+                "value(s) outside the MAF class domain: {examples}",
+                example_col="variant_classifications",
+                required_cols=["variant_classifications"],
+            ),
+            RowRule(
+                "assay.number_of_genes_int", "error",
+                F.col("number_of_genes").isNotNull()
+                & ~is_integer_string("number_of_genes"),
+                "Assay_information.yaml: {n} non-integer number_of_genes "
+                "value(s).",
+                required_cols=["number_of_genes"],
+            ),
             RowRule(
                 "assay.seq_assay_prefix", "error",
                 ~F.upper(F.col("SEQ_ASSAY_ID")).startswith(center.upper()),

@@ -347,3 +347,47 @@ def test_maf_tsa1_convention(spark):
         mixed.columns,
     )
     assert "maf.tsa1_convention" not in rule_ids(maf_rules(CENTER).validate(uniform))
+
+
+def test_assay_rules(spark):
+    """Assay-information validation parity
+    (genie_registry/assay.py:131-427): required columns, GDC enums,
+    boolean is_paired_end, semicolon-separated variant classes,
+    integer read_length/number_of_genes."""
+    from genie_spark.rules.genomic import assay_rules
+
+    good = spark.createDataFrame(
+        [(
+            f"{CENTER}-PANEL-1", "True", "Hybrid Selection",
+            "Targeted Sequencing", "Illumina", "Illumina NovaSeq 6000",
+            "kit-1", "100", "500",
+            "Missense_Mutation;Nonsense_Mutation",
+        )],
+        "SEQ_ASSAY_ID string, is_paired_end string, library_selection "
+        "string, library_strategy string, platform string, "
+        "instrument_model string, target_capture_kit string, "
+        "read_length string, number_of_genes string, "
+        "variant_classifications string",
+    )
+    assert assay_rules(CENTER).validate(good).is_valid
+
+    bad = spark.createDataFrame(
+        [(
+            "OTHER-PANEL", "maybe", "Bad Selection", "WGS", "Betamax",
+            "Underwood Typewriter", "kit-1", "short", "many",
+            "Missense_Mutation;Made_Up_Class",
+        )],
+        good.schema,
+    )
+    ids = rule_ids(assay_rules(CENTER).validate(bad))
+    assert {
+        "assay.seq_assay_prefix", "assay.is_paired_end",
+        "assay.library_selection", "assay.library_strategy",
+        "assay.platform", "assay.instrument_model",
+        "assay.variant_classifications", "assay.read_length_int",
+        "assay.number_of_genes_int",
+    } <= ids
+
+    # a missing required column (target_capture_kit) is an error
+    ids2 = rule_ids(assay_rules(CENTER).validate(good.drop("target_capture_kit")))
+    assert any("required" in i or "columns" in i for i in ids2)
