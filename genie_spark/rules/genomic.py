@@ -438,6 +438,14 @@ def seg_rules(center: str) -> RuleSet:
                 "SEG File: {n} non-numeric SEG.MEAN value(s).",
                 required_cols=["SEG.MEAN"],
             ),
+            # reference runs validate._validate_chromosome on CHROM
+            # (genie_registry/seg.py:77-81): 1-22/X/Y, no chr prefix
+            RowRule(
+                "seg.chromosome", "error",
+                ~chromosome_ok("CHROM", allow_chr_prefix=False),
+                "Seg: {n} invalid CHROM value(s): {examples}",
+                example_col="CHROM", required_cols=["CHROM"],
+            ),
         ],
     )
 

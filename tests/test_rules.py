@@ -300,11 +300,12 @@ def test_seg_rules(spark):
         [
             ("GENIE-SAGE-1-1", "1", 100, 200, 5, 0.5),
             ("BAD-1", "1", 100, 200, 5, None),
+            ("GENIE-SAGE-2-1", "chr2", 100, 200, 5, 0.5),  # chr prefix invalid
         ],
         "ID string, CHROM string, `LOC.START` long, `LOC.END` long, `NUM.MARK` long, `SEG.MEAN` double",
     )
     ids = rule_ids(seg_rules(CENTER).validate(df))
-    assert {"seg.no_nulls", "seg.id_format"} <= ids
+    assert {"seg.no_nulls", "seg.id_format", "seg.chromosome"} <= ids
 
 
 def test_sv_rules(spark):
