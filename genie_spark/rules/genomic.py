@@ -491,6 +491,7 @@ def sv_rules(center: str) -> RuleSet:
                 required_cols=[c],
             )
         )
+    rules.append(FrameRule("sv.duplicate_rows", sv_no_duplicate_rows))
     return RuleSet("sv", rules)
 
 

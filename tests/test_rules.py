@@ -313,6 +313,8 @@ def test_sv_rules(spark):
         [
             ("GENIE-SAGE-1-1", "SOMATIC", "exon", "GRCh37", "PRECISE", "3to5", "Yes", "5"),
             ("OTHER-1", "GERMLINE", "nowhere", "hg19", "FUZZY", "1to2", "Maybe", "x"),
+            # fully duplicated row (structural_variant.py:87-88)
+            ("GENIE-SAGE-1-1", "SOMATIC", "exon", "GRCh37", "PRECISE", "3to5", "Yes", "5"),
         ],
         ["SAMPLE_ID", "SV_STATUS", "SITE1_REGION", "NCBI_BUILD",
          "BREAKPOINT_TYPE", "CONNECTION_TYPE", "DNA_SUPPORT", "SV_LENGTH"],
@@ -320,7 +322,7 @@ def test_sv_rules(spark):
     ids = rule_ids(sv_rules(CENTER).validate(df))
     for expected in ["sv.sample_format", "sv.status", "sv.site1_region",
                      "sv.ncbi_build", "sv.breakpoint_type", "sv.connection_type",
-                     "sv.dna_support", "sv.int.sv_length"]:
+                     "sv.dna_support", "sv.int.sv_length", "sv.duplicate_rows"]:
         assert expected in ids, f"missing {expected}: {ids}"
 
 
