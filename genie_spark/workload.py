@@ -909,6 +909,9 @@ _ALL_QUERIES: dict = {
 _TAIL_QUERIES = [
     "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
     "a2_distinct_counts",
+    # round-4 dashboard addition: locally-oracle-verified variant shape
+    # (A6's decrease family already driver-checked via a6_release_diff)
+    "a17_value_decreases",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -412,6 +412,68 @@ FROM cna
 """
 
 
+def a17_value_decreases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group per-column value-distribution decrease flags (reference
+    check_column_decreases, dashboard_table_updater.py:633-807) over two
+    synthetic customer "releases": the current release drops every 5th
+    customer and redacts every 7th name."""
+    from genie_spark.operators.aggregations import value_count_decreases
+
+    cust = _t(spark, sf_dir, "customer")
+    older = cust.select("c_custkey", "c_name", "c_mktsegment")
+    current = (
+        cust.where(F.col("c_custkey") % 5 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("REDACTED"))
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            "c_mktsegment",
+        )
+    )
+    return value_count_decreases(
+        current, older,
+        group_col="c_mktsegment", id_col="c_custkey",
+        columns=["c_custkey", "c_name"],
+    )
+
+
+A17_SQL = """
+WITH older AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+), cur AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'REDACTED' ELSE c_name END AS c_name,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 5 <> 0
+), cur_kept AS (
+  SELECT * FROM cur WHERE c_custkey IN (SELECT c_custkey FROM older)
+), melt_new AS (
+  SELECT c_mktsegment, 'c_custkey' AS col, CAST(c_custkey AS VARCHAR) AS value
+  FROM cur_kept
+  UNION ALL
+  SELECT c_mktsegment, 'c_name', c_name FROM cur_kept
+), melt_old AS (
+  SELECT c_mktsegment, 'c_custkey' AS col, CAST(c_custkey AS VARCHAR) AS value
+  FROM older
+  UNION ALL
+  SELECT c_mktsegment, 'c_name', c_name FROM older
+), nc AS (
+  SELECT c_mktsegment, col, value, count(*) AS n FROM melt_new
+  WHERE value IS NOT NULL GROUP BY 1, 2, 3
+), oc AS (
+  SELECT c_mktsegment, col, value, count(*) AS n_old FROM melt_old
+  WHERE value IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       col AS column,
+       max(coalesce(nc.n, 0) < coalesce(oc.n_old, 0)) AS has_decrease
+FROM nc FULL OUTER JOIN oc USING (c_mktsegment, col, value)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 EXTRA_QUERIES: dict = {
     "j5_feature_type": j5_feature_type,
     "a4_completeness": a4_completeness,
@@ -425,6 +487,7 @@ EXTRA_QUERIES: dict = {
     "p7_contains_filter": p7_contains_filter,
     "j8_broadcast_lookup": j8_broadcast_lookup,
     "j10_symbol_remap": j10_symbol_remap,
+    "a17_value_decreases": a17_value_decreases,
 }
 
 EXTRA_ORACLES: dict = {
@@ -440,4 +503,5 @@ EXTRA_ORACLES: dict = {
     "p7_contains_filter": P7_SQL,
     "j8_broadcast_lookup": J8_SQL,
     "j10_symbol_remap": J10_SQL,
+    "a17_value_decreases": A17_SQL,
 }
