@@ -438,13 +438,23 @@ def seg_rules(center: str) -> RuleSet:
                 "SEG File: {n} non-numeric SEG.MEAN value(s).",
                 required_cols=["SEG.MEAN"],
             ),
-            # reference runs validate._validate_chromosome on CHROM
-            # (genie_registry/seg.py:77-81): 1-22/X/Y, no chr prefix
+            # reference runs validate._validate_chromosome on CHROM with
+            # allow_chr=True (genie_registry/seg.py:77-81 →
+            # genie/validate.py:170-215): the chr prefix is only a
+            # WARNING, and the 1-22/X/Y domain check runs on the
+            # stripped value
             RowRule(
                 "seg.chromosome", "error",
-                ~chromosome_ok("CHROM", allow_chr_prefix=False),
+                ~chromosome_ok("CHROM", allow_chr_prefix=True),
                 "Seg: {n} invalid CHROM value(s): {examples}",
                 example_col="CHROM", required_cols=["CHROM"],
+            ),
+            RowRule(
+                "seg.chr_prefix", "warning",
+                F.col("CHROM").cast("string").startswith("chr"),
+                "Seg: Should not have the chr prefix in front of "
+                "chromosomes ({n} row(s)).",
+                required_cols=["CHROM"],
             ),
         ],
     )

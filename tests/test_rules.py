@@ -300,12 +300,18 @@ def test_seg_rules(spark):
         [
             ("GENIE-SAGE-1-1", "1", 100, 200, 5, 0.5),
             ("BAD-1", "1", 100, 200, 5, None),
-            ("GENIE-SAGE-2-1", "chr2", 100, 200, 5, 0.5),  # chr prefix invalid
+            ("GENIE-SAGE-2-1", "chr25", 100, 200, 5, 0.5),  # bad even stripped
+            ("GENIE-SAGE-3-1", "chr2", 100, 200, 5, 0.5),   # prefix = warning only
         ],
         "ID string, CHROM string, `LOC.START` long, `LOC.END` long, `NUM.MARK` long, `SEG.MEAN` double",
     )
-    ids = rule_ids(seg_rules(CENTER).validate(df))
+    report = seg_rules(CENTER).validate(df)
+    ids = rule_ids(report)
     assert {"seg.no_nulls", "seg.id_format", "seg.chromosome"} <= ids
+    # chr2 strips to a valid chromosome → warning, not error
+    by_id = {m.rule_id: m for m in report.messages}
+    assert by_id["seg.chromosome"].n_violations == 1
+    assert any(m.rule_id == "seg.chr_prefix" for m in report.warnings)
 
 
 def test_sv_rules(spark):
