@@ -312,6 +312,23 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def near_dup_drop_list(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup DROP LIST from a pair graph: connected components, keep
+    the min-id document of each cluster, drop the rest — the standard
+    survivor policy of large-scale dedup pipelines.  Returns
+    (drop_id, cluster_id); anti-join the corpus against drop_id to
+    materialize the deduplicated set."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    return comp.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("drop_id"), "cluster_id"
+    )
+
+
 SIMHASH_BITS = 32
 
 

@@ -909,9 +909,11 @@ _ALL_QUERIES: dict = {
 _TAIL_QUERIES = [
     "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
     "a2_distinct_counts",
-    # round-4 dashboard addition: locally-oracle-verified variant shape
-    # (A6's decrease family already driver-checked via a6_release_diff)
+    # round-4 additions: locally-oracle-verified variant shapes (their
+    # families are already driver-checked via a6_release_diff /
+    # dedup_components + ann_cosine_pairs)
     "a17_value_decreases",
+    "dedup_embedding_drop",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

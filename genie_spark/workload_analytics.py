@@ -172,6 +172,34 @@ SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def dedup_embedding_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup end-to-end: exact cosine pairs over
+    the embeddings table → connected components → survivor-selection
+    drop list (keep the min-id vector per near-dup cluster)."""
+    from genie_spark.analytics.dedup import near_dup_drop_list
+
+    pairs = cosine_pairs(_emb(spark, sf_dir), threshold=0.35).select("a", "b")
+    return near_dup_drop_list(pairs)
+
+
+def _embedding_drop_sql() -> str:
+    return f"""
+WITH RECURSIVE pr AS ({{ann_pairs}}),
+edges AS (
+  SELECT a AS x, b AS y FROM pr
+  UNION
+  SELECT b AS x, a AS y FROM pr
+),
+reach(node, label) AS (
+    SELECT x, x FROM edges
+  UNION
+    SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS drop_id, cluster_id FROM comp WHERE node <> cluster_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash fingerprint."""
     return simhash(_docs(spark, sf_dir))
@@ -439,6 +467,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_components": dedup_components,
+    "dedup_embedding_drop": dedup_embedding_drop,
     "ann_cosine_pairs": ann_cosine_pairs,
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -456,6 +485,9 @@ ANALYTICS_ORACLES: dict = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_components": _components_sql(),
+    "dedup_embedding_drop": _embedding_drop_sql().format(
+        ann_pairs=f"SELECT a, b FROM ({ANN_PAIRS_SQL})"
+    ),
     "ann_cosine_pairs": ANN_PAIRS_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
