@@ -500,6 +500,21 @@ def cmd_nightly(spark: SparkSession, args: argparse.Namespace) -> int:
     return rc_total
 
 
+def cmd_compact(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Compact small-file litter in bronze partitions (OPTIMIZE
+    equivalent; see io.bronze.compact_bronze)."""
+    from genie_spark.io.bronze import compact_bronze
+
+    report = compact_bronze(
+        spark,
+        _bronze(args.warehouse, args.table),
+        centers=args.centers.split(",") if args.centers else None,
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+    )
+    print(json.dumps({"table": args.table, "partitions": report}))
+    return 0
+
+
 def cmd_qc_release(spark: SparkSession, args: argparse.Namespace) -> int:
     """Standalone release-directory QC (reference cbioValidator stage)."""
     from genie_spark.release.qc import validate_release
@@ -960,6 +975,17 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--force", action="store_true",
                    help="ingest despite validation errors")
     n.set_defaults(fn=cmd_nightly)
+
+    cp = sub.add_parser(
+        "compact",
+        help="compact small files inside bronze CENTER partitions",
+    )
+    cp.add_argument("--warehouse", required=True)
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--centers", default=None)
+    cp.add_argument("--target-file-mb", dest="target_file_mb", type=int,
+                    default=128)
+    cp.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser(
         "qc-release",

@@ -135,6 +135,66 @@ def merge_into_bronze(
     _swap_whole(staging, target_path)
 
 
+def compact_bronze(
+    spark,
+    target_path: str,
+    partition_col: str = PARTITION_COL,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    centers: list[str] | None = None,
+) -> dict:
+    """Compact small files inside each ``CENTER=<c>`` partition.
+
+    Every partition-scoped MERGE rewrites a partition with up to
+    ``spark.sql.shuffle.partitions`` files; at 100 TB, thousands of
+    upsert batches leave small-file litter that slows every scan (task
+    per file, footer per file).  Compaction rewrites each partition's
+    data into ``ceil(bytes / target_file_bytes)`` files via the same
+    two-phase staging + per-partition swap the MERGE uses — partitions
+    not selected are untouched (no read, no rewrite), and a failed
+    compaction never corrupts the target.
+
+    On Delta/Iceberg this is ``OPTIMIZE``; the directory swap is the
+    dependency-free parquet equivalent.  Returns per-partition
+    {files_before, files_after} for observability.
+    """
+    if not _is_partitioned_layout(target_path, partition_col):
+        raise ValueError(f"{target_path} is not a {partition_col}-partitioned layout")
+    prefix = f"{partition_col}="
+    report: dict = {}
+    for entry in sorted(os.listdir(target_path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if centers is not None and value not in centers:
+            continue
+        part_dir = os.path.join(target_path, entry)
+        files = [
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+        size = sum(
+            os.path.getsize(os.path.join(part_dir, f)) for f in files
+        )
+        n_target = max(1, -(-size // target_file_bytes))
+        if len(files) <= n_target:
+            report[value] = {"files_before": len(files), "files_after": len(files)}
+            continue
+        staging = target_path + f".compact.{value}"
+        (
+            spark.read.parquet(part_dir)
+            .coalesce(n_target)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, entry))
+        )
+        _swap_partitions(staging, target_path, partition_col)
+        after = len([
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") or f.startswith("part-")
+        ])
+        report[value] = {"files_before": len(files), "files_after": after}
+    return report
+
+
 def rewrite_bronze(df: DataFrame, target_path: str, partition_col: str = PARTITION_COL) -> None:
     """Full two-phase rewrite (used by retraction, which may touch any
     partition); keeps the partitioned layout when the column is present."""

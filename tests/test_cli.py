@@ -657,6 +657,55 @@ def test_nightly_sweep(spark, tmp_path):
     assert {r["Release"] for r in rcnt.select("Release").collect()} == {"N1"}
 
 
+def test_compact_bronze(spark, tmp_path):
+    """Compaction coalesces a partition's small-file litter into the
+    target count, preserves content exactly, and leaves unselected
+    partitions byte-for-byte untouched."""
+    from genie_spark.cli import cmd_compact
+    from genie_spark.io.bronze import merge_into_bronze
+
+    tgt = str(tmp_path / "wh" / "maf")
+    # many single-row writes → small-file litter in SAGE's partition
+    base = spark.createDataFrame(
+        [(f"GENIE-SAGE-{i}", "SAGE") for i in range(8)],
+        "SAMPLE_ID string, CENTER string",
+    ).repartition(8)
+    merge_into_bronze(base, tgt, keys=["SAMPLE_ID"])
+    other = spark.createDataFrame(
+        [("GENIE-GOLD-1", "GOLD")], "SAMPLE_ID string, CENTER string"
+    )
+    merge_into_bronze(other, tgt, keys=["SAMPLE_ID"])
+
+    sage_dir = os.path.join(tgt, "CENTER=SAGE")
+    gold_dir = os.path.join(tgt, "CENTER=GOLD")
+    n_before = len([f for f in os.listdir(sage_dir) if f.startswith("part-")])
+    assert n_before > 1
+    gold_mtimes = {
+        f: os.path.getmtime(os.path.join(gold_dir, f))
+        for f in os.listdir(gold_dir)
+    }
+    before_rows = {
+        r["SAMPLE_ID"] for r in spark.read.parquet(tgt).collect()
+    }
+
+    rc = cmd_compact(
+        spark,
+        _ns(warehouse=str(tmp_path / "wh"), table="maf",
+            centers="SAGE", target_file_mb=128),
+    )
+    assert rc == 0
+    n_after = len([f for f in os.listdir(sage_dir) if f.startswith("part-")])
+    assert n_after == 1
+    # GOLD untouched, content identical
+    assert gold_mtimes == {
+        f: os.path.getmtime(os.path.join(gold_dir, f))
+        for f in os.listdir(gold_dir)
+    }
+    assert {
+        r["SAMPLE_ID"] for r in spark.read.parquet(tgt).collect()
+    } == before_rows
+
+
 def test_merge_preserves_null_center_partition(spark, tmp_path):
     """A batch carrying null-CENTER rows writes the
     __HIVE_DEFAULT_PARTITION__ staging dir, which the swap moves over
