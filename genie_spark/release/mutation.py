@@ -175,6 +175,9 @@ def lookup_annotator(annotations: DataFrame) -> AnnotatorFn:
         ann = annotations
         for c in key:
             ann = ann.withColumn(c, F.col(c).cast("string"))
+        # one annotation per variant key: a duplicate-keyed lookup table
+        # would otherwise fan out maf rows through the left join
+        ann = ann.dropDuplicates(key)
         ann = ann.select(
             *key, *[F.col(c).alias(f"__ann_{c}") for c in payload]
         ).withColumn("__hit", F.lit(True))

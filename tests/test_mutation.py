@@ -136,6 +136,16 @@ def test_lookup_annotator_e2e(spark, tmp_path):
     qc = check_annotation_counts(full, report)
     assert qc["match"] and qc["maf_failed"] == 1
 
+    # a duplicate-keyed lookup table must not fan out maf rows
+    dup_lookup = lookup.unionAll(
+        lookup.withColumn("HGVSp_Short", lookup.HGVSp_Short)
+    )
+    full_dup = process_mutation_workflow(
+        spark, CENTER, maf_paths=[maf],
+        annotator=lookup_annotator(dup_lookup),
+    )
+    assert full_dup.count() == full.count()
+
     # a coordinate-complete variant absent from the table also FAILs
     full2 = process_mutation_workflow(
         spark, CENTER, maf_paths=[maf],
