@@ -270,6 +270,27 @@ def sample_rules(center: str, oncotree_codes: list[str] | None = None) -> RuleSe
 
     rules.append(FrameRule("clinical.seq_date_deprecated", no_seq_date))
 
+    # no fully-empty rows (reference genie_registry/clinical.py:820-825)
+    def no_empty_rows(df: DataFrame) -> list[ValidationMessage]:
+        cond = None
+        for c in df.columns:
+            x = F.col(c).isNull() | (F.col(c).cast("string") == "")
+            cond = x if cond is None else (cond & x)
+        if cond is None:
+            return []
+        n = df.where(cond).count()
+        if n:
+            return [
+                ValidationMessage(
+                    "clinical.empty_rows", "error",
+                    "Clinical file(s): No empty rows allowed.",
+                    n_violations=n,
+                )
+            ]
+        return []
+
+    rules.append(FrameRule("clinical.empty_rows", no_empty_rows))
+
     if oncotree_codes is not None:
         codes = [c.upper() for c in oncotree_codes] + ["UNKNOWN"]
         rules.append(

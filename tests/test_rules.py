@@ -66,6 +66,18 @@ def test_sample_missing_columns_and_seq_date(spark):
     assert "clinical.seq_date_deprecated" in ids
 
 
+def test_clinical_empty_rows(spark):
+    """Fully-empty rows are an error (clinical.py:820-825); partially
+    empty rows are not."""
+    df = spark.createDataFrame(
+        [("GENIE-SAGE-1-1", "x"), (None, ""), ("", None), ("GENIE-SAGE-2-1", None)],
+        "SAMPLE_ID string, SAMPLE_CLASS string",
+    )
+    report = sample_rules(CENTER).validate(df)
+    by_id = {m.rule_id: m for m in report.messages}
+    assert by_id["clinical.empty_rows"].n_violations == 2
+
+
 def test_patient_rules(spark):
     df = spark.createDataFrame(
         [
