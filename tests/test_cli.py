@@ -210,9 +210,10 @@ def test_ingest_release_dashboard(spark, tmp_path):
     with open(os.path.join(pub, "meta_clinical.txt")) as f:
         assert "data_filename: data_clinical.txt" in f.read()
 
-    # the public dir passes the same cross-file QC as the consortium dir
+    # both release dirs pass the full cross-file QC
     from genie_spark.release.qc import validate_release
 
+    assert validate_release(spark, out).errors == []
     assert validate_release(spark, pub).errors == []
 
     # oncotree dim present → primary-node distribution with the
