@@ -192,6 +192,16 @@ def minhash_dedup_pairs(
         F.sort_array(F.collect_set("__h")).alias("__hs"),
         F.count(F.lit(1)).alias("__n"),
     )
+    # docinfo feeds three consumers (banding + both verify sides) that
+    # prune different columns, so Catalyst plans three separate
+    # scan→shingle→agg subtrees (no ReuseExchange — measured 4 FileScans
+    # without this).  Persist materializes the tokenize+shuffle work
+    # once; MEMORY_AND_DISK spills rather than recomputes at corpus
+    # scale (the standard materialization point — on a real pipeline
+    # this is where the signature table would be written out).
+    from pyspark import StorageLevel
+
+    docinfo = docinfo.persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(
         docinfo.select(id_col, *[f"mh_{i}" for i in range(n_perm)]),
         id_col,
