@@ -212,3 +212,38 @@ def test_value_count_decreases_matches_pandas_model(spark, older, current):
     }
     for key, exp in expect.items():
         assert got.get(key, False) == exp, (key, exp, got)
+
+
+@given(pairs=pairs_st)
+@settings(**_SETTINGS)
+def test_near_dup_drop_list_matches_bfs(spark, pairs):
+    """Drop list = every node except the min-id survivor of its
+    component, for arbitrary pair graphs."""
+    from genie_spark.analytics.dedup import near_dup_drop_list
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = set()
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n] - comp)
+        seen |= comp
+        survivor = min(comp)
+        expect |= {(n, survivor) for n in comp if n != survivor}
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["drop_id"], r["cluster_id"])
+        for r in near_dup_drop_list(df).collect()
+    }
+    assert got == expect
