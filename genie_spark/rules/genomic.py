@@ -85,11 +85,26 @@ def maf_rules(center: str) -> RuleSet:
             ]
         return []
 
+    def first_column_check(df: DataFrame) -> list[ValidationMessage]:
+        # the file's FIRST column must be one of these (maf.py:217,267-271
+        # — column order matters to the downstream annotator)
+        allowed = ["CHROMOSOME", "HUGO_SYMBOL", "TUMOR_SAMPLE_BARCODE"]
+        if df.columns and df.columns[0].upper() not in allowed:
+            return [
+                ValidationMessage(
+                    "maf.first_column", "error",
+                    "Mutation File: First column header must be one of "
+                    f"these: {', '.join(allowed)}.",
+                )
+            ]
+        return []
+
     rules = [
         required_columns("maf", MAF_REQUIRED),
         no_duplicate_keys("maf", MAF_VARIANT_KEY, description="variant key"),
         FrameRule("maf.depth_or_ref", depth_or_ref_required),
         FrameRule("maf.tsa1_convention", tsa1_consistency),
+        FrameRule("maf.first_column", first_column_check),
         RowRule(
             "maf.chromosome", "error",
             ~chromosome_ok("CHROMOSOME"),

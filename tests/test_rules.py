@@ -194,6 +194,13 @@ def test_maf_rule_failures(spark):
     warn = maf_rules(CENTER).validate(warn_df)
     assert any(m.rule_id == "maf.start_gt_end" for m in warn.warnings)
 
+    # first column must be CHROMOSOME/HUGO_SYMBOL/TUMOR_SAMPLE_BARCODE
+    # (maf.py:217,267-271)
+    base = _valid_maf(spark)
+    reordered = base.select("T_DEPTH", *[c for c in base.columns if c != "T_DEPTH"])
+    assert "maf.first_column" in rule_ids(maf_rules(CENTER).validate(reordered))
+    assert "maf.first_column" not in rule_ids(maf_rules(CENTER).validate(base))
+
 
 def _lit(v):
     from pyspark.sql import functions as F
