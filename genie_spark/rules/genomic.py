@@ -99,12 +99,29 @@ def maf_rules(center: str) -> RuleSet:
             ]
         return []
 
+    def optional_headers_check(df: DataFrame) -> list[ValidationMessage]:
+        # WARNING when informative-but-optional count columns are
+        # absent (maf.py:238,334-357)
+        optional = ["T_REF_COUNT", "N_DEPTH", "N_REF_COUNT", "N_ALT_COUNT"]
+        missing = [c for c in optional if c not in df.columns]
+        if missing:
+            return [
+                ValidationMessage(
+                    "maf.optional_headers", "warning",
+                    "Mutation File: does not have the column headers that "
+                    "can give extra information to the processed "
+                    f"mutation file: {', '.join(missing)}.",
+                )
+            ]
+        return []
+
     rules = [
         required_columns("maf", MAF_REQUIRED),
         no_duplicate_keys("maf", MAF_VARIANT_KEY, description="variant key"),
         FrameRule("maf.depth_or_ref", depth_or_ref_required),
         FrameRule("maf.tsa1_convention", tsa1_consistency),
         FrameRule("maf.first_column", first_column_check),
+        FrameRule("maf.optional_headers", optional_headers_check),
         RowRule(
             "maf.chromosome", "error",
             ~chromosome_ok("CHROMOSOME"),

@@ -201,6 +201,10 @@ def test_maf_rule_failures(spark):
     assert "maf.first_column" in rule_ids(maf_rules(CENTER).validate(reordered))
     assert "maf.first_column" not in rule_ids(maf_rules(CENTER).validate(base))
 
+    # missing optional count columns is a warning (maf.py:334-357)
+    warn2 = maf_rules(CENTER).validate(base)
+    assert any(m.rule_id == "maf.optional_headers" for m in warn2.warnings)
+
 
 def _lit(v):
     from pyspark.sql import functions as F
