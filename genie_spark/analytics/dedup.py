@@ -89,6 +89,12 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
+    # sh feeds sizes + both self-join sides (and the hot filter doubles
+    # each consumer's subtree — 8 FileScans measured unpersisted);
+    # materialize the tokenize+filter work once
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
