@@ -493,7 +493,11 @@ def cmd_nightly(spark: SparkSession, args: argparse.Namespace) -> int:
             spark,
             argparse.Namespace(
                 warehouse=args.warehouse, output=args.dashboard,
-                release_dir=None, prev_release_dir=None,
+                # chain the just-written release into the per-column
+                # clinical value-decrease check when a previous release
+                # dir is supplied
+                release_dir=args.output if args.prev_release else None,
+                prev_release_dir=args.prev_release,
             ),
         )
         rc_total = max(rc_total, rc)
@@ -974,6 +978,11 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--pad", type=int, default=10)
     n.add_argument("--force", action="store_true",
                    help="ingest despite validation errors")
+    n.add_argument(
+        "--prev-release", dest="prev_release", default=None,
+        help="previous release dir: enables the dashboard's per-column "
+        "clinical value-decrease check against it",
+    )
     n.set_defaults(fn=cmd_nightly)
 
     cp = sub.add_parser(

@@ -645,7 +645,7 @@ def test_nightly_sweep(spark, tmp_path):
         _ns(
             input_dir=str(tmp_path / "uploads"), warehouse=wh, centers=None,
             output=out, dashboard=dash, version="N1",
-            study_id="genie_private", pad=10, force=True,
+            study_id="genie_private", pad=10, force=True, prev_release=None,
         ),
     )
     assert rc == 0
@@ -656,6 +656,22 @@ def test_nightly_sweep(spark, tmp_path):
     # release snapshot recorded under the nightly version
     rcnt = spark.read.parquet(os.path.join(wh, "release_counts"))
     assert {r["Release"] for r in rcnt.select("Release").collect()} == {"N1"}
+
+    # second nightly against the first release dir: the dashboard runs
+    # the per-column value-decrease check against it
+    out2 = str(tmp_path / "rel2")
+    rc = cmd_nightly(
+        spark,
+        _ns(
+            input_dir=str(tmp_path / "uploads"), warehouse=wh, centers=None,
+            output=out2, dashboard=dash, version="N2",
+            study_id="genie_private", pad=10, force=True, prev_release=out,
+        ),
+    )
+    assert rc == 0
+    dec = spark.read.parquet(os.path.join(dash, "clinical_value_decreases"))
+    # identical uploads → no decreases anywhere
+    assert dec.where("has_decrease").count() == 0
 
 
 def test_compact_bronze(spark, tmp_path):
