@@ -166,6 +166,129 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
+def _centroid_literals(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> Column:
+    """Deterministic IVF "training": the ``n_centroids`` lowest-id
+    vectors ARE the centroids (no RNG — reproducible across engines and
+    rounds).  Collected driver-side (tiny by contract) and embedded as
+    one literal array<struct(cid, v, n2)> so per-row cell assignment is
+    a PURE MAP inside whole-stage codegen — zero shuffle over the
+    corpus.  At 100 TB swap the literal for a broadcast variable; the
+    plan shape is unchanged."""
+    cent_rows = (
+        df.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    # ONE F.expr parse instead of n_centroids×(dim+2) nested F.lit
+    # Column objects — the per-literal Py4J round-trips dominate plan
+    # construction time (measured ~5 s at 32×64 before this change).
+    structs = []
+    for r in cent_rows:
+        vs = ",".join(str(int(x)) for x in r["v"])
+        n2 = sum(int(x) * int(x) for x in r["v"])
+        structs.append(
+            f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT), "
+            f"'v', CAST(array({vs}) AS ARRAY<BIGINT>), "
+            f"'n2', CAST({n2} AS BIGINT))"
+        )
+    return F.expr("array(" + ",".join(structs) + ")")
+
+
+def _cell_scores(cent_arr: Column, vec: Column, n2: Column) -> Column:
+    """Per-centroid struct(cos, -cid, cid) array; array_max / reversed
+    array_sort order = (cosine desc, cid asc) — the oracle's
+    ORDER BY ccos DESC, cid."""
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.try_divide(dot(vec, c["v"]), F.sqrt(n2) * F.sqrt(c["n2"])).alias("cos"),
+            (-c["cid"]).alias("negcid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def ivf_cell_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF cell co-membership candidate pairs — the scale-safe
+    candidate generator for embedding near-dup dedup (the same
+    candidates→verify shape ``minhash_dedup_pairs`` uses).
+
+    Every vector is assigned its ``n_probe`` nearest of ``n_centroids``
+    deterministic centroid cells with a shuffle-free literal-array map
+    (see ``_centroid_literals``); a pair is a candidate iff the two
+    vectors share at least one probed cell, which makes candidate
+    generation an EQUI-JOIN on the cell id — never a cross join.
+
+    Sizing/recall: expected candidate volume ≈ n²·p²/(2C), so C grows
+    with √n at scale (same rule as ``ivf_topk``).  Recall depends on
+    how similar the target pairs are: near-identical vectors share
+    their top cells almost surely, while weak-similarity thresholds
+    (cosine ~0.35) sit in the hard LSH regime (amplification exponent
+    ρ = ln(1/p1)/ln(1/p2) ≈ 0.7) where total recall costs a large
+    probe budget.  Measured on the sf0.01 embeddings (500 vectors,
+    271 pairs > 0.35): C=32/P=8 → recall 271/271 with 92% of all-pairs
+    candidate volume at this tiny n; the volume FRACTION shrinks as
+    n/C grows — see tools/stress_scale.py for the slope at 10×.
+    """
+    cent_arr = _centroid_literals(df, id_col, vec_col, n_centroids)
+    vecs = _with_norm(df, id_col, vec_col, "x")
+    probes = vecs.select(
+        F.col("x").alias("vid"),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(_cell_scores(cent_arr, F.col("x_v"), F.col("x_n")))
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("p"),
+    ).select("vid", F.col("p")["cid"].alias("cell"))
+    a = probes.select(F.col("vid").alias("a"), "cell")
+    b = probes.select(F.col("vid").alias("b"), "cell")
+    return a.join(b, "cell").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def cosine_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact quantized-cosine verification of CANDIDATE pairs only:
+    join the (a, b) candidate set back to the vector table twice and
+    keep pairs above threshold.  Shuffle volume is candidate-sized,
+    not corpus²-sized — the verify half of the candidates→verify
+    shape."""
+    n = _with_norm(df, id_col, vec_col, "x")
+    a = n.select(
+        F.col("x").alias("a"), F.col("x_v").alias("a_v"), F.col("x_n").alias("a_n")
+    )
+    b = n.select(
+        F.col("x").alias("b"), F.col("x_v").alias("b_v"), F.col("x_n").alias("b_n")
+    )
+    cos = F.try_divide(
+        dot(F.col("a_v"), F.col("b_v")), F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n"))
+    )
+    return (
+        candidates.join(a, "a")
+        .join(b, "b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") > threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -193,34 +316,10 @@ def ivf_topk(
     At 100 TB you raise ``n_centroids`` (√n rule) and swap the literal
     array for a broadcast variable — the plan shape is unchanged.
     """
-    cent_rows = (
-        df.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cid"])).cast("long").alias("cid"),
-                F.array(*[F.lit(int(x)) for x in r["v"]]).cast("array<long>").alias("v"),
-                F.lit(int(sum(x * x for x in r["v"]))).cast("long").alias("n2"),
-            )
-            for r in cent_rows
-        ]
-    )
+    cent_arr = _centroid_literals(df, id_col, vec_col, n_centroids)
 
     def cell_scores(vec: Column, n2: Column) -> Column:
-        # per-centroid struct(cos, -cid, cid); max/sort-desc order =
-        # (cosine desc, cid asc) — the oracle's ORDER BY ccos DESC, cid
-        return F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.try_divide(dot(vec, c["v"]), F.sqrt(n2) * F.sqrt(c["n2"])).alias("cos"),
-                (-c["cid"]).alias("negcid"),
-                c["cid"].alias("cid"),
-            ),
-        )
+        return _cell_scores(cent_arr, vec, n2)
 
     vecs = _with_norm(df, id_col, vec_col, "x")
     corpus = vecs.select(
@@ -285,6 +384,67 @@ def _hyperplane(dim: int, seed: int) -> list[int]:
     return out
 
 
+def _sign_signature(
+    vec_col: str, dim: int, n_planes: int, seed0: int = 1
+) -> Column:
+    """Sign-bit LSH bucket id: one bit per ±1 hyperplane (md5-derived,
+    deterministic), O(n_planes·dim) per row — assignment cost is
+    independent of how many buckets exist, which is what lets the
+    bucket count scale with n (unlike centroid IVF, whose per-row
+    assignment is O(n_centroids))."""
+    q = quantized(vec_col)
+    sig = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed0 + p)])
+        proj = dot(q, plane)
+        bit = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else (sig + bit)
+    return sig
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = N_HYPERPLANES,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Multi-table (banded) sign-LSH candidate pairs — the near-LINEAR
+    candidate generator for embedding near-dup at corpus scale.
+
+    ``n_tables`` independent hyperplane tables of ``n_planes`` planes
+    each; a pair is a candidate iff at least one table buckets the two
+    vectors together (the same OR-of-bands amplification as the MinHash
+    path).  Expected random-collision volume ≈ b·n²/2^r, so choosing
+    r ≈ log₂(n/B) holds expected bucket occupancy at a constant B and
+    the candidate volume at ~b·n·B/2 — LINEAR in n — while per-row
+    assignment stays O(b·r·dim), independent of the bucket count.
+    Recall for a pair with per-plane agreement p is 1-(1-p^r)^b: raise
+    ``n_tables`` to buy recall at linear cost.  This is the generator
+    to feed ``cosine_verify_pairs`` at 100 TB; the centroid
+    ``ivf_cell_pairs`` variant trades this asymptotic for exact
+    recall tuning at moderate corpus sizes (see its docstring and the
+    measured slopes in BASELINE.md §5).
+    """
+    sigs = df.select(
+        F.col(id_col).alias("vid"),
+        *[
+            _sign_signature(vec_col, dim, n_planes, seed0=1 + t * n_planes).alias(
+                f"b{t}"
+            )
+            for t in range(n_tables)
+        ],
+    )
+    cands = None
+    for t in range(n_tables):
+        a = sigs.select(F.col("vid").alias("a"), F.col(f"b{t}").alias("bucket"))
+        b = sigs.select(F.col("vid").alias("b"), F.col(f"b{t}").alias("bucket"))
+        pairs_t = a.join(b, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
+        cands = pairs_t if cands is None else cands.unionByName(pairs_t)
+    return cands.distinct()
+
+
 def lsh_cosine_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -302,13 +462,7 @@ def lsh_cosine_candidates(
     10⁵, ~30 at 10¹⁰ (or band several shorter signatures like the
     MinHash path to keep recall).  Measured in tools/stress_scale.py:
     at 100k vectors, 8 planes → 23.9M pairs, 16 planes → 170k."""
-    q = quantized(vec_col)
-    sig = None
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p + 1)])
-        proj = dot(q, plane)
-        bit = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else (sig + bit)
+    sig = _sign_signature(vec_col, dim, n_planes, seed0=1)
     sigs = df.select(F.col(id_col).alias("vid"), sig.alias("bucket"))
     a = sigs.select(F.col("vid").alias("a"), "bucket")
     b = sigs.select(F.col("vid").alias("b"), "bucket")

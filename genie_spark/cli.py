@@ -51,11 +51,14 @@ def hashlib_md5_of(paths: list[str]) -> str:
 
 
 def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | None:
+    """None means "table not ingested yet" — ONLY the absent-directory
+    case.  A present-but-unreadable table (corrupt footer, permission
+    failure) raises: swallowing it would let dashboard/release compute
+    silently with missing inputs."""
     path = _bronze(warehouse, name)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    if not os.path.isdir(path):
         return None
+    return spark.read.parquet(path)
 
 
 def _norm_assay_id(c: F.Column) -> F.Column:

@@ -169,6 +169,15 @@ def value_count_decreases(
         for c in (columns or current.columns)
         if c in current.columns and c in older.columns and c != group_col
     ]
+    if not shared:
+        # disjoint schemas (or a filtering ``columns`` arg): nothing to
+        # compare — return an empty, correctly-typed frame instead of
+        # generating an unparsable ``stack(0, )`` expression
+        return current.limit(0).select(
+            F.col(group_col),
+            F.lit(None).cast("string").alias("column"),
+            F.lit(None).cast("boolean").alias("has_decrease"),
+        )
     cur = current.join(
         older.select(id_col).distinct(), id_col, "left_semi"
     )

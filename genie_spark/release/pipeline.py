@@ -126,7 +126,11 @@ def data_gene_matrix(
             .withColumn(name, F.coalesce(F.col("__p"), F.lit("NA")))
             .drop("__p")
         )
-    return m
+    # joins on the "mutations" key move it to the front; cBioPortal
+    # expects SAMPLE_ID as the leading column regardless of which
+    # optional inputs were present
+    cols = ["SAMPLE_ID", "mutations"] + [c for c in ("cna", "sv") if c in m.columns]
+    return m.select(*cols)
 
 
 def run_release(

@@ -184,6 +184,25 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
         os.path.basename(p): p
         for p in glob.glob(os.path.join(release_dir, "data_gene_panel_*.txt"))
     }
+    # bed (genomic_information.txt) is read ahead of the matrix check:
+    # its SEQ_ASSAY_ID set drives the WES exemption below, its
+    # Hugo_Symbol set the per-panel gene check further down
+    bed_path = os.path.join(release_dir, "genomic_information.txt")
+    bed_symbols = None
+    bed_assay_ids: set[str] | None = None
+    if os.path.isfile(bed_path):
+        bed = _read_release_tsv(spark, bed_path, comment=None)
+        hugo = _resolve(bed, "Hugo_Symbol")
+        if hugo is not None:
+            bed_symbols = bed.select(
+                F.col(hugo).alias("Hugo_Symbol")
+            ).distinct()
+        bed_assay = _resolve(bed, "SEQ_ASSAY_ID")
+        if bed_assay is not None:
+            bed_assay_ids = {
+                r[0] for r in bed.select(bed_assay).distinct().collect()
+                if r[0] not in (None, "", "NA")
+            }
     matrix_path = os.path.join(release_dir, "data_gene_matrix.txt")
     if os.path.isfile(matrix_path):
         matrix = _read_release_tsv(spark, matrix_path, comment=None)
@@ -211,7 +230,12 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             # WES panels are intentionally not written as panel files
             # (store_gene_panel_files skips them); they are still valid
             # matrix entries, so only flag when NO panel file AND the
-            # panel is referenced by the bed release file
+            # panel is referenced by the bed release file — a matrix
+            # assay id absent from genomic_information.txt's
+            # SEQ_ASSAY_IDs is exempt (no bed file → no exemption
+            # basis, flag everything missing)
+            if missing and bed_assay_ids is not None:
+                missing = [p for p in missing if p in bed_assay_ids]
             if missing:
                 err(
                     "release.gene_panel_files",
@@ -222,15 +246,7 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 )
 
     # --- gene panels ↔ genomic information ------------------------------
-    bed_path = os.path.join(release_dir, "genomic_information.txt")
-    bed_symbols = None
-    if os.path.isfile(bed_path):
-        bed = _read_release_tsv(spark, bed_path, comment=None)
-        hugo = _resolve(bed, "Hugo_Symbol")
-        if hugo is not None:
-            bed_symbols = bed.select(
-                F.col(hugo).alias("Hugo_Symbol")
-            ).distinct()
+    # (bed_symbols read above, next to the bed assay-id set)
     for name, p in sorted(panel_files.items()):
         kv = _parse_kv_text(p)
         missing_keys = [

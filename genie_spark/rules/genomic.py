@@ -651,6 +651,17 @@ def assay_rules(
                 required_cols=["number_of_genes"],
             ),
             RowRule(
+                # the reference's checkInt loop covers read_length too
+                # (genie_registry/assay.py:258-270): null allowed,
+                # non-integer string errors
+                "assay.read_length_int", "error",
+                F.col("read_length").isNotNull()
+                & ~is_integer_string("read_length"),
+                "Assay_information.yaml: {n} non-integer read_length "
+                "value(s).",
+                required_cols=["read_length"],
+            ),
+            RowRule(
                 "assay.seq_assay_prefix", "error",
                 ~F.upper(F.col("SEQ_ASSAY_ID")).startswith(center.upper()),
                 f"Assay_information.yaml: {{n}} SEQ_ASSAY_ID(s) not prefixed "

@@ -65,9 +65,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``bigint``: nanos read via ``nanosAsLong``; integer ``div`` (not
       float division — 1e18 ns overflows a double mantissa) truncates to
       µs exactly like DuckDB's ns→µs conversion.
-    - ``timestamp_ntz``: plain timestamp[us] with no zone.  Pin the
-      session zone to UTC and cast to LTZ so ``unix_micros`` yields the
-      same epoch value DuckDB's ``epoch_us`` does.
+    - ``timestamp_ntz``: plain timestamp[us] with no zone.  The wall
+      clock IS the epoch value (DuckDB's ``epoch_us`` reads it the same
+      way), so diff against the NTZ epoch literal directly — no session
+      ``timeZone`` mutation, which would silently change timestamp
+      semantics for every later query in the session.
     - ``timestamp`` (LTZ): ``unix_micros`` directly.
     """
     ev = _t(spark, sf_dir, "events")
@@ -75,11 +77,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dt == "bigint":
         ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
     elif dt == "timestamp_ntz":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        ev = ev.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+        )
     else:
         ev = ev.withColumn("ts_us", F.unix_micros("ts"))
-    return ev.withColumn("ts_t", F.timestamp_micros(F.col("ts_us")))
+    # ts_t is TIMESTAMP_NTZ holding the UTC wall clock: date_format /
+    # date_trunc on it render the same text under ANY session zone (the
+    # driver constructs its own session, whose zone we must not rely on
+    # — or mutate)
+    return ev.withColumn(
+        "ts_t",
+        F.expr(
+            "timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
 
 
 def _cents(col) -> F.Column:
@@ -900,20 +915,20 @@ _ALL_QUERIES: dict = {
 # variants (a second row for an id already covered) go last.  The
 # tail: j3's anti variant (J3 checked via j3_interval_join), the O(n²)
 # cosine-pairs baseline (similarity checked via ann_topk/ann_ivf_topk),
-# set_except (§2.7 checked via a14_distinct_union), and
-# a2_distinct_counts (A2's distinct-count shape is also exercised by
-# a1/a3) — swapped out so dedup_components, the survivor-selection
-# capstone of the dedup pipeline (recursive-CTE oracle), sits inside
-# the driver-checked window.  All tail queries still verify locally
-# via tools/verify_oracle.py.
+# set_except (§2.7 checked via a14_distinct_union), a2_distinct_counts
+# (A2's distinct-count shape is also exercised by a1/a3),
+# p7_contains_filter (P-family contains filter, same family as the
+# driver-checked a6/p6 shapes) and a16_filtered_counts (A1's
+# conditional-count family) — rotated out in round 5 so
+# a17_value_decreases (per-column release decrease check) and
+# dedup_embedding_drop (the IVF-candidate embedding near-dup pipeline)
+# sit inside the driver-checked window.  All tail queries still verify
+# locally via tools/verify_oracle.py.
 _TAIL_QUERIES = [
     "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
     "a2_distinct_counts",
-    # round-4 additions: locally-oracle-verified variant shapes (their
-    # families are already driver-checked via a6_release_diff /
-    # dedup_components + ann_cosine_pairs)
-    "a17_value_decreases",
-    "dedup_embedding_drop",
+    "p7_contains_filter",
+    "a16_filtered_counts",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -172,14 +172,60 @@ SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
-def dedup_embedding_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup end-to-end: exact cosine pairs over
-    the embeddings table → connected components → survivor-selection
-    drop list (keep the min-id vector per near-dup cluster)."""
-    from genie_spark.analytics.dedup import near_dup_drop_list
+EMB_DROP_CENTROIDS = 32
+EMB_DROP_PROBE = 10
 
-    pairs = cosine_pairs(_emb(spark, sf_dir), threshold=0.35).select("a", "b")
+
+def dedup_embedding_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup end-to-end, the 100 TB shape:
+    IVF cell co-membership CANDIDATES (equi-join on probed cell id —
+    no cross join over the corpus) → exact quantized-cosine VERIFY of
+    candidates only → connected components → survivor-selection drop
+    list (keep the min-id vector per cluster).  Same candidates→verify
+    shape as ``minhash_dedup_pairs``; the oracle SQL mirrors the
+    candidate generation exactly (same deterministic centroids, same
+    probe budget), so the two engines agree by construction at any sf —
+    and at sf0.01 the C=32/P=10 setting is measured total-recall
+    (271/271 at sf0.01, 256/256 at sf0.001) vs the exact ``ann_cosine_pairs`` baseline, which
+    stays registered as the O(n²) oracle-parity reference."""
+    from genie_spark.analytics.dedup import near_dup_drop_list
+    from genie_spark.analytics.similarity import cosine_verify_pairs, ivf_cell_pairs
+
+    emb = _emb(spark, sf_dir)
+    cand = ivf_cell_pairs(
+        emb, n_centroids=EMB_DROP_CENTROIDS, n_probe=EMB_DROP_PROBE
+    )
+    pairs = cosine_verify_pairs(emb, cand, threshold=0.35).select("a", "b")
     return near_dup_drop_list(pairs)
+
+
+def _ivf_candidate_sql(n_centroids: int, n_probe: int) -> str:
+    """DuckDB mirror of ``ivf_cell_pairs`` + ``cosine_verify_pairs``:
+    same lowest-id centroids, same (ccos DESC, cid) probe ranking, same
+    quantized-integer verify — bit-for-bit the Spark candidate set."""
+    return f"""
+WITH qv AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+nv AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM qv),
+cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM nv ORDER BY vec_id LIMIT {n_centroids}),
+assign0 AS (
+  SELECT nv.vec_id, cent.cid,
+         CAST(list_dot_product(nv.v, cent.cv) AS BIGINT) / (sqrt(nv.nn) * sqrt(cent.cn)) AS ccos
+  FROM nv CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+  FROM assign0
+),
+probes AS (SELECT vec_id, cid FROM assign WHERE crank <= {n_probe}),
+cand AS (
+  SELECT DISTINCT pa.vec_id AS a, pb.vec_id AS b
+  FROM probes pa JOIN probes pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+)
+SELECT c.a, c.b
+FROM cand c JOIN nv na ON na.vec_id = c.a JOIN nv nb ON nb.vec_id = c.b
+WHERE CAST(list_dot_product(na.v, nb.v) AS BIGINT) / (sqrt(na.nn) * sqrt(nb.nn)) > 0.35
+"""
 
 
 def _embedding_drop_sql() -> str:
@@ -486,7 +532,7 @@ ANALYTICS_ORACLES: dict = {
     "dedup_simhash": _simhash_sql(),
     "dedup_components": _components_sql(),
     "dedup_embedding_drop": _embedding_drop_sql().format(
-        ann_pairs=f"SELECT a, b FROM ({ANN_PAIRS_SQL})"
+        ann_pairs=_ivf_candidate_sql(EMB_DROP_CENTROIDS, EMB_DROP_PROBE)
     ),
     "ann_cosine_pairs": ANN_PAIRS_SQL,
     "ann_topk": ANN_TOPK_SQL,

@@ -275,3 +275,24 @@ def test_stdlib_decoder_in_spark_pipeline(spark):
     assert len(resized) == 1
     kind, arr = dec.decode(bytes(resized[0]["content"]))
     assert kind == "image" and arr.shape == (2, 3, 3)
+
+
+def test_ivf_cell_pairs_total_recall_vs_exact(spark):
+    """The registered embedding-drop setting (C=32, P=10) must have
+    total recall vs the exact O(n²) baseline on the real testdata:
+    verify(candidates) == cosine_pairs, pair for pair."""
+    from genie_spark.analytics.similarity import (
+        cosine_pairs,
+        cosine_verify_pairs,
+        ivf_cell_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in cosine_pairs(emb, threshold=0.35).collect()}
+    cand = ivf_cell_pairs(emb, n_centroids=32, n_probe=10)
+    got = {
+        (r["a"], r["b"])
+        for r in cosine_verify_pairs(emb, cand, threshold=0.35).collect()
+    }
+    assert got == exact
+    assert len(exact) > 0  # the fixture actually exercises the path

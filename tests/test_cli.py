@@ -63,6 +63,22 @@ def _write_cna(tmp_path):
     return [str(p)]
 
 
+def _write_assay(tmp_path):
+    p = tmp_path / f"{CENTER}_assay_information.yaml"
+    p.write_text(
+        f"{CENTER}-PANEL-1:\n"
+        "  is_paired_end: true\n"
+        "  library_selection: Hybrid Selection\n"
+        "  library_strategy: Targeted Sequencing\n"
+        "  platform: Illumina\n"
+        "  instrument_model: Illumina NovaSeq 6000\n"
+        "  target_capture_kit: kit-1\n"
+        "  read_length: 100\n"
+        "  number_of_genes: 2\n"
+    )
+    return [str(p)]
+
+
 def test_determine_filetype(tmp_path):
     clin = _write_clinical_pair(tmp_path)
     assert determine_filetype(clin, CENTER).name == "clinical"
@@ -105,6 +121,7 @@ def test_ingest_release_dashboard(spark, tmp_path):
         (_write_maf(tmp_path), None),
         (_write_bed(tmp_path), "bed"),
         (_write_cna(tmp_path), None),
+        (_write_assay(tmp_path), None),
     ]:
         rc = cmd_ingest(
             spark,
@@ -205,7 +222,10 @@ def test_ingest_release_dashboard(spark, tmp_path):
     # pre-existing ones; we generate from scratch)
     assert os.path.exists(os.path.join(out, "meta_study.txt"))
     assert os.path.exists(os.path.join(out, "meta_mutations_extended.txt"))
-    assert os.path.exists(os.path.join(out, "assay_information.txt")) or True
+    # assayinfo bronze ingested → the released assay's info is written
+    with open(os.path.join(out, "assay_information.txt")) as f:
+        assay_txt = f.read()
+    assert f"{CENTER}-PANEL-1" in assay_txt
     assert os.path.exists(os.path.join(pub, "meta_study.txt"))
     with open(os.path.join(pub, "meta_clinical.txt")) as f:
         assert "data_filename: data_clinical.txt" in f.read()
@@ -404,13 +424,29 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.case_list_samples" in ids
 
-    # corruption 2: gene matrix references a panel with no file on disk
+    # corruption 2: gene matrix references a bed-backed panel with no
+    # file on disk → flagged
     write(
         "data_gene_matrix.txt",
         "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-9\n",
     )
+    write(
+        "genomic_information.txt",
+        "Chromosome\tHugo_Symbol\tSEQ_ASSAY_ID\n1\tTP53\tSAGE-PANEL-1\n"
+        "1\tEGFR\tSAGE-PANEL-1\n1\tTP53\tSAGE-PANEL-9\n",
+    )
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.gene_panel_files" in ids
+
+    # ...but a matrix assay id absent from the bed is WES-exempt
+    # (store_gene_panel_files writes no file for WES assays)
+    write(
+        "genomic_information.txt",
+        "Chromosome\tHugo_Symbol\tSEQ_ASSAY_ID\n1\tTP53\tSAGE-PANEL-1\n"
+        "1\tEGFR\tSAGE-PANEL-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_panel_files" not in ids
 
     # corruption 3: panel gene absent from genomic_information.txt
     write(
@@ -965,3 +1001,25 @@ def test_sv_ingest_uppercases_headers(spark, tmp_path):
     assert rc == 0
     bronze = spark.read.parquet(os.path.join(wh, "sv"))
     assert {"SAMPLE_ID", "SV_STATUS", "SITE1_HUGO_SYMBOL"} <= set(bronze.columns)
+
+
+def test_read_bronze_absent_vs_corrupt(spark, tmp_path):
+    """None strictly means "not ingested": an absent dir is None, a
+    present-but-corrupt table raises instead of silently vanishing
+    from dashboard/release inputs."""
+    import pytest
+
+    from genie_spark.cli import _read_bronze
+
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(wh)
+    assert _read_bronze(spark, wh, "clinical") is None
+
+    corrupt = os.path.join(wh, "clinical")
+    os.makedirs(corrupt)
+    with open(os.path.join(corrupt, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet footer")
+    with pytest.raises(Exception):
+        df = _read_bronze(spark, wh, "clinical")
+        assert df is not None
+        df.collect()

@@ -277,3 +277,13 @@ def test_value_count_decreases(spark):
     cur2 = current.withColumn("NEW_COL", current.SEX)
     cols = {r["column"] for r in value_count_decreases(cur2, older).collect()}
     assert "NEW_COL" not in cols
+
+    # disjoint schemas (no shared columns beyond the group) → empty
+    # result, not a stack(0,) parse error
+    empty = value_count_decreases(
+        current.select("SAMPLE_ID", "CENTER"),
+        older.select(F.col("SAMPLE_ID"), F.col("CENTER"), F.col("SEX")),
+        columns=["SEX"],  # filters to a column current lacks
+    )
+    assert empty.collect() == []
+    assert empty.columns == ["CENTER", "column", "has_decrease"]

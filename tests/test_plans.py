@@ -137,3 +137,17 @@ def test_dedup_components_no_cartesian(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_candidates_no_cartesian(spark):
+    """IVF co-membership candidate generation + exact verify must be
+    equi-joins end-to-end (cell id, then pair ids) — the crossJoin
+    lives only in the documented exact baseline ``cosine_pairs``."""
+    from genie_spark.analytics.similarity import cosine_verify_pairs, ivf_cell_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cand = ivf_cell_pairs(emb, n_centroids=32, n_probe=8)
+    verified = cosine_verify_pairs(emb, cand, threshold=0.35)
+    plan = plan_of(verified)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

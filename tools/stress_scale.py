@@ -103,6 +103,28 @@ def main() -> None:
     )
     probe("quality_score", lambda n: quality_score(synth_docs(spark, n)))
 
+    # embedding near-dup drop, end-to-end (candidates → exact verify →
+    # connected components → drop list).  Candidates from banded
+    # sign-LSH with r = log2-scaled planes so expected bucket occupancy
+    # is constant: candidate volume ~ b·n·B/2 (linear), assignment
+    # O(b·r·dim) per row — the 100 TB generator.  The registered
+    # sf0.01 query uses the centroid ivf_cell_pairs variant tuned for
+    # measured-total recall at that sf; both feed the same
+    # verify→components tail probed here.
+    import math
+
+    from genie_spark.analytics.dedup import near_dup_drop_list
+    from genie_spark.analytics.similarity import cosine_verify_pairs, lsh_banded_pairs
+
+    def run_embedding_drop(n):
+        e = embs(n).cache()
+        r = max(8, math.ceil(math.log2(n)) - 4)
+        cand = lsh_banded_pairs(e, n_planes=r, n_tables=4)
+        ver = cosine_verify_pairs(e, cand, threshold=0.35).select("a", "b")
+        return near_dup_drop_list(ver)
+
+    probe("embedding_drop_e2e", run_embedding_drop)
+
     # connected components over chain-shaped pair graphs (clusters of 5
     # + one long chain of 64 to exercise the pointer-jump rounds)
     from genie_spark.analytics.dedup import connected_components
