@@ -63,8 +63,15 @@ def main() -> None:
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         # nudge the ContextCleaner: old executions' shuffle state is only
         # released on driver GC; letting it pile up degrades later
-        # queries (observed 30×: high sys-CPU, shuffle-file churn)
-        spark.sparkContext._jvm.System.gc()
+        # queries (observed 30×: high sys-CPU, shuffle-file churn).
+        # _jvm is a classic-mode private handle — absent under Spark
+        # Connect, where the nudge simply doesn't apply (no local JVM).
+        try:
+            jvm = spark.sparkContext._jvm
+        except Exception:  # Connect: sparkContext property itself raises
+            jvm = None
+        if jvm is not None:
+            jvm.System.gc()
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(

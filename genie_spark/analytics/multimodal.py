@@ -179,6 +179,97 @@ class StdlibDecoder:
         return magic + f"\n{width} {height}\n255\n".encode() + out.tobytes()
 
 
+class PillowDecoder(StdlibDecoder):
+    """Optional-dependency decoder: layers Pillow (JPEG/PNG/WebP/…) and
+    ``soundfile`` (FLAC/OGG/…) behind the same ``decode``/``features``/
+    ``resize`` interface as :class:`StdlibDecoder`.  Stdlib formats
+    (PNM, PCM WAV) decode exactly as before; compressed formats decode
+    for real when the optional lib is importable and raise the same
+    documented ``NotImplementedError`` when it is not — so this class
+    is always safe to instantiate and degrades to ``StdlibDecoder``
+    in a bare container.
+
+    The libraries are imported lazily PER EXECUTOR (inside the Pandas
+    UDF worker), never pickled from the driver: the instance holds only
+    booleans, keeping the closure Arrow-serializable.
+    """
+
+    @staticmethod
+    def pil_available() -> bool:
+        try:
+            import PIL.Image  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    @staticmethod
+    def soundfile_available() -> bool:
+        try:
+            import soundfile  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def decode(self, content: bytes):
+        import numpy as np
+
+        try:
+            return super().decode(content)
+        except NotImplementedError as stdlib_err:
+            # image via Pillow
+            try:
+                import io
+
+                from PIL import Image, UnidentifiedImageError
+
+                try:
+                    with Image.open(io.BytesIO(content)) as im:
+                        if im.mode not in ("L", "RGB"):
+                            im = im.convert("RGB")
+                        arr = np.asarray(im)
+                        if arr.ndim == 2:
+                            arr = arr[:, :, None]
+                        return ("image", arr)
+                except UnidentifiedImageError:
+                    pass  # not an image — try audio below
+            except ImportError:
+                pass
+            # audio via soundfile
+            try:
+                import io
+
+                import soundfile as sf
+
+                try:
+                    data, _rate = sf.read(io.BytesIO(content), dtype="int16")
+                    if data.ndim == 1:
+                        data = data[:, None]
+                    return ("audio", data)
+                except Exception:
+                    pass  # soundfile raises RuntimeError on unknown bytes
+            except ImportError:
+                pass
+            raise stdlib_err
+
+    def resize(self, content: bytes, width: int, height: int) -> bytes:
+        """PNM resizes via the stdlib path; compressed images resize
+        with Pillow and re-encode as PNG (a lossless, universally
+        readable target — re-encoding lossy JPEG would stack
+        generation loss)."""
+        if content[:2] in (b"P6", b"P5"):
+            return super().resize(content, width, height)
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(content)) as im:
+            out = io.BytesIO()
+            im.resize((width, height), Image.NEAREST).save(out, format="PNG")
+            return out.getvalue()
+
+
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes], list[float]] | None = None,

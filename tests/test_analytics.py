@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from genie_spark.analytics.dedup import (
@@ -11,7 +12,11 @@ from genie_spark.analytics.dedup import (
     simhash,
     simhash_pairs,
 )
-from genie_spark.analytics.multimodal import extract_features, synthesize_media
+from genie_spark.analytics.multimodal import (
+    PillowDecoder,
+    extract_features,
+    synthesize_media,
+)
 from genie_spark.analytics.similarity import cosine_pairs, cosine_topk, lsh_cosine_candidates
 from genie_spark.analytics.text import lang_id, quality_score, token_stats
 
@@ -275,6 +280,81 @@ def test_stdlib_decoder_in_spark_pipeline(spark):
     assert len(resized) == 1
     kind, arr = dec.decode(bytes(resized[0]["content"]))
     assert kind == "image" and arr.shape == (2, 3, 3)
+
+
+def test_pillow_decoder_degrades_to_stdlib(spark):
+    """PillowDecoder is always safe to construct: stdlib formats decode
+    identically, and when Pillow/soundfile are absent compressed bytes
+    raise the same NotImplementedError (features fall back to hash)."""
+    import pytest as pt
+
+    from genie_spark.analytics.multimodal import PillowDecoder, StdlibDecoder
+
+    dec = PillowDecoder()
+    kind, img = dec.decode(_ppm(4, 3, (255, 0, 128)))
+    assert kind == "image" and img.shape == (3, 4, 3)
+    kind, aud = dec.decode(_wav(16, value=1000))
+    assert kind == "audio" and aud.shape == (16, 1)
+    # stdlib resize path unchanged
+    kind2, img2 = dec.decode(dec.resize(_ppm(8, 8, (10, 20, 30)), 4, 2))
+    assert img2.shape == (2, 4, 3)
+
+    if not PillowDecoder.pil_available() and not PillowDecoder.soundfile_available():
+        with pt.raises(NotImplementedError):
+            dec.decode(b"\xff\xd8\xff\xe0 not a real jpeg")
+        fallback = StdlibDecoder().features(b"\xff\xd8\xff\xe0 not a real jpeg")
+        assert dec.features(b"\xff\xd8\xff\xe0 not a real jpeg") == fallback
+
+
+@pytest.mark.skipif(not PillowDecoder.pil_available(), reason="Pillow not installed")
+def test_pillow_decoder_real_compressed_images(spark):
+    """With Pillow present, JPEG/PNG decode to real pixel arrays and the
+    whole mapInPandas pipeline runs over a compressed-image corpus."""
+    import io
+
+    from PIL import Image
+
+    from genie_spark.analytics.multimodal import (
+        MEDIA_SCHEMA,
+        PillowDecoder,
+        extract_features,
+    )
+
+    def _png(w, h, rgb):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), rgb).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def _jpeg(w, h, rgb):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), rgb).save(buf, format="JPEG", quality=95)
+        return buf.getvalue()
+
+    dec = PillowDecoder()
+    kind, arr = dec.decode(_png(6, 4, (255, 0, 0)))
+    assert kind == "image" and arr.shape == (4, 6, 3)
+    assert arr[0, 0, 0] == 255 and arr[0, 0, 1] == 0
+
+    kind, arr = dec.decode(_jpeg(8, 8, (128, 128, 128)))
+    assert kind == "image" and arr.shape == (8, 8, 3)
+
+    # PNG resize re-encodes as PNG and round-trips through decode
+    resized = dec.resize(_png(8, 8, (0, 255, 0)), 4, 2)
+    kind2, arr2 = dec.decode(resized)
+    assert kind2 == "image" and arr2.shape == (2, 4, 3)
+
+    rows = [
+        (1, "image", bytearray(_png(6, 4, (255, 0, 0))), (6, 4, None, "image/png")),
+        (2, "image", bytearray(_jpeg(5, 5, (0, 0, 255))), (5, 5, None, "image/jpeg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, decode_fn=dec.features).collect()
+    }
+    assert feats[1][:3] == [4.0, 6.0, 3.0]
+    assert abs(feats[1][3] - 1.0) < 1e-6  # red channel mean
+    assert feats[2][:3] == [5.0, 5.0, 3.0]
 
 
 def test_ivf_cell_pairs_total_recall_vs_exact(spark):

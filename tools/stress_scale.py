@@ -7,7 +7,8 @@ whose time ratio tracks the size ratio is shuffle/partition-healthy; a
 superlinear ratio exposes a hidden all-pairs or hot-key blowup before
 it bites at 100 TB.
 
-Usage: python tools/stress_scale.py [small_n] [big_n]   (default 10000 100000)
+Usage: python tools/stress_scale.py [small_n] [big_n] [probe,probe,...]
+       (default 10000 100000, all probes)
 """
 
 from __future__ import annotations
@@ -65,6 +66,7 @@ def timed(fn) -> float:
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     big = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from genie_spark.analytics.dedup import minhash_dedup_pairs, simhash_pairs
     from genie_spark.analytics.similarity import ivf_topk, lsh_cosine_candidates
@@ -75,6 +77,8 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     def probe(name, build):
+        if only is not None and name not in only:
+            return
         times = {}
         for label, n in (("small", small), ("big", big)):
             # time build + execute together: iterative operators
@@ -83,7 +87,13 @@ def main() -> None:
             times[label] = timed(
                 lambda: build(n).write.format("noop").mode("overwrite").save()
             )
-            spark.sparkContext._jvm.System.gc()
+            # Connect-safe: _jvm exists only on a classic in-process driver
+            try:
+                jvm = spark.sparkContext._jvm
+            except Exception:
+                jvm = None
+            if jvm is not None:
+                jvm.System.gc()
         ratio = round(times["big"] / max(times["small"], 0.01), 1)
         results[name] = {**times, "time_ratio": ratio}
         print(f"{name}: {times['small']}s -> {times['big']}s  ratio {ratio}x", flush=True)
@@ -93,7 +103,17 @@ def main() -> None:
 
     probe("minhash_lsh", lambda n: minhash_dedup_pairs(docs(n), k=20, n_perm=16, bands=4, threshold=0.5))
     probe("simhash", lambda n: simhash_pairs(docs(n)))
-    probe("lsh_buckets", lambda n: lsh_cosine_candidates(embs(n)))
+    # planes follow the documented sizing rule p ≈ log2(n/B) (constant
+    # expected bucket occupancy B=16 → candidate volume ~ n·B/2, linear);
+    # a fixed 8 planes at 1M vectors would mean n²/2^8 ≈ 4B pairs
+    import math as _math
+
+    probe(
+        "lsh_buckets",
+        lambda n: lsh_cosine_candidates(
+            embs(n), n_planes=max(8, _math.ceil(_math.log2(max(n, 2) / 16)))
+        ),
+    )
     probe(
         "ivf_topk",
         lambda n: ivf_topk(
