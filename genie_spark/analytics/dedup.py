@@ -98,8 +98,14 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
+    # merge hints on every data-sized join side: Catalyst's STATIC size
+    # estimate after an aggregate/explode over a non-file source can be
+    # arbitrarily small, silently planning a BroadcastHashJoin whose
+    # build side is corpus-sized (observed: a 3 GB docinfo broadcast at
+    # 1M docs blowing spark.driver.maxResultSize).  The hint pins the
+    # shuffle join; AQE still handles skew within it.
     common = (
-        a.join(b, "shingle")
+        a.hint("merge").join(b, "shingle")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -108,8 +114,8 @@ def ngram_jaccard_pairs(
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(na, "a")
-        .join(nb, "b")
+        common.join(na.hint("merge"), "a")
+        .join(nb.hint("merge"), "b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "n_common", "jaccard")
@@ -157,8 +163,10 @@ def lsh_candidate_pairs(
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     left = banded.select(F.col(id_col).alias("a"), "band", "sig")
     right = banded.select(F.col(id_col).alias("b"), "band", "sig")
+    # merge hint: both sides are signature-table-sized; never let a
+    # bogus static estimate broadcast one (see ngram_jaccard_pairs)
     return (
-        left.join(right, ["band", "sig"])
+        left.hint("merge").join(right, ["band", "sig"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -222,9 +230,12 @@ def minhash_dedup_pairs(
     )
     common = F.size(F.array_intersect("__hs_a", "__hs_b")).cast("long")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # merge hints: docinfo carries the per-doc hash array (~KBs/row);
+    # a static-misestimate broadcast of it is a corpus-sized driver
+    # collect (observed at 1M docs — see ngram_jaccard_pairs)
     return (
-        cand.join(a_info, "a")
-        .join(b_info, "b")
+        cand.join(a_info.hint("merge"), "a")
+        .join(b_info.hint("merge"), "b")
         .withColumn("n_common", common)
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
@@ -422,8 +433,9 @@ def simhash_pairs(
         F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "val"
     )
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # merge hint: fingerprint-table self-join, both sides data-sized
     return (
-        a.join(b, ["band", "val"])
+        a.hint("merge").join(b, ["band", "val"])
         .where(F.col("a") < F.col("b"))
         .withColumn("hamming", dist)
         .where(F.col("hamming") <= max_distance)

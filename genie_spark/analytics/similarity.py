@@ -255,7 +255,15 @@ def ivf_cell_pairs(
     ).select("vid", F.col("p")["cid"].alias("cell"))
     a = probes.select(F.col("vid").alias("a"), "cell")
     b = probes.select(F.col("vid").alias("b"), "cell")
-    return a.join(b, "cell").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    # merge hint: probe-table self-join, both sides corpus-sized — a
+    # static-misestimate broadcast here is a corpus-sized driver
+    # collect (see dedup.ngram_jaccard_pairs)
+    return (
+        a.hint("merge").join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def cosine_verify_pairs(
@@ -280,9 +288,11 @@ def cosine_verify_pairs(
     cos = F.try_divide(
         dot(F.col("a_v"), F.col("b_v")), F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n"))
     )
+    # merge hints: the vector table rows carry the quantized arrays —
+    # data-sized; never broadcast on a static misestimate
     return (
-        candidates.join(a, "a")
-        .join(b, "b")
+        candidates.join(a.hint("merge"), "a")
+        .join(b.hint("merge"), "b")
         .withColumn("cosine", cos)
         .where(F.col("cosine") > threshold)
         .select("a", "b", "cosine")
@@ -440,7 +450,11 @@ def lsh_banded_pairs(
     for t in range(n_tables):
         a = sigs.select(F.col("vid").alias("a"), F.col(f"b{t}").alias("bucket"))
         b = sigs.select(F.col("vid").alias("b"), F.col(f"b{t}").alias("bucket"))
-        pairs_t = a.join(b, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
+        pairs_t = (
+            a.hint("merge").join(b, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
         cands = pairs_t if cands is None else cands.unionByName(pairs_t)
     return cands.distinct()
 
@@ -466,4 +480,9 @@ def lsh_cosine_candidates(
     sigs = df.select(F.col(id_col).alias("vid"), sig.alias("bucket"))
     a = sigs.select(F.col("vid").alias("a"), "bucket")
     b = sigs.select(F.col("vid").alias("b"), "bucket")
-    return a.join(b, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "bucket")
+    # merge hint: signature-table self-join (see lsh_banded_pairs)
+    return (
+        a.hint("merge").join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "bucket")
+    )

@@ -21,7 +21,11 @@ cBioPortal ingestion depends on:
 - gene panel files have stable_id/description/gene_list lines and each
   ``gene_list`` ⊆ ``genomic_information.txt``'s Hugo_Symbols when the
   bed release file is present;
-- ``data_CNA.txt`` sample column headers ⊆ clinical samples.
+- ``data_CNA.txt`` sample column headers ⊆ clinical samples;
+- per-column value catalog (cBioPortal validateData.py): no duplicate
+  clinical SAMPLE_ID rows, no blank PATIENT_ID, maf Chromosome in
+  1-22/X/Y/MT and integer Start_Position, CNA calls in the discrete
+  -2/-1.5/-1/0/1/2/NA domain, seg numeric columns parse.
 
 Set-containment checks over data-sized artifacts (clinical, maf) run
 as Spark anti-joins; only KB-scale driver-rendered texts (case lists,
@@ -129,6 +133,29 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
         F.col(clin_sid).alias("SAMPLE_ID")
     ).distinct()
 
+    # per-column catalog (cBioPortal validateData.py clinical checks):
+    # duplicated sample rows and blank patient ids both fail import
+    n_dup = (
+        clinical.groupBy(F.col(clin_sid)).count().where(F.col("count") > 1).count()
+    )
+    if n_dup:
+        err(
+            "release.clinical_dup_sample",
+            "release: data_clinical.txt has duplicated SAMPLE_ID rows",
+            n=n_dup,
+        )
+    clin_pid = _resolve(clinical, "PATIENT_ID")
+    if clin_pid is not None:
+        n_blank = clinical.where(
+            F.col(clin_pid).isNull() | (F.trim(F.col(clin_pid)) == "")
+        ).count()
+        if n_blank:
+            err(
+                "release.clinical_patient_blank",
+                "release: data_clinical.txt has blank PATIENT_ID values",
+                n=n_blank,
+            )
+
     # --- case lists ------------------------------------------------------
     case_dir = os.path.join(release_dir, "case_lists")
     case_files = sorted(glob.glob(os.path.join(case_dir, "cases_*.txt")))
@@ -178,6 +205,36 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             err("release.maf_barcode",
                 "release: data_mutations_extended.txt has no "
                 "Tumor_Sample_Barcode column")
+        # per-column catalog (validateData.py mutation checks):
+        # chromosome domain and integer positions fail import
+        chrom_col = _resolve(maf, "Chromosome")
+        if chrom_col is not None:
+            valid_chroms = [str(i) for i in range(1, 23)] + ["X", "Y", "MT"]
+            n_bad = maf.where(
+                F.col(chrom_col).isNotNull()
+                & ~F.col(chrom_col).isin(valid_chroms)
+            ).count()
+            if n_bad:
+                err(
+                    "release.maf_chromosome",
+                    "release: data_mutations_extended.txt has Chromosome "
+                    "values outside 1-22/X/Y/MT",
+                    n=n_bad,
+                )
+        start_col = _resolve(maf, "Start_Position")
+        if start_col is not None:
+            # try_cast, not cast: ANSI mode makes cast THROW on garbage
+            n_bad = maf.where(
+                F.col(start_col).isNotNull()
+                & F.expr(f"try_cast(`{start_col}` as bigint)").isNull()
+            ).count()
+            if n_bad:
+                err(
+                    "release.maf_start_position",
+                    "release: data_mutations_extended.txt has non-integer "
+                    "Start_Position values",
+                    n=n_bad,
+                )
 
     # --- gene matrix ↔ gene panel files ---------------------------------
     panel_files = {
@@ -324,5 +381,51 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 n=len(stray),
                 examples=stray[:5],
             )
+        # discrete CNA value domain (validateData.py: GISTIC-style
+        # calls must be -2/-1.5/-1/0/1/2 or NA); one distributed pass
+        # over an array of all sample columns, no per-column jobs
+        cna = _read_release_tsv(spark, cna_path, comment=None)
+        cna_samples = [c for c in cna.columns if c.lower() != "hugo_symbol"]
+        if cna_samples:
+            allowed = ["-2", "-1.5", "-1", "0", "1", "2", "NA", ""]
+            vals = F.array(
+                *[F.coalesce(cna[c].cast("string"), F.lit("NA")) for c in cna_samples]
+            )
+            n_bad = (
+                cna.select(
+                    F.size(
+                        F.filter(vals, lambda x: ~x.isin(allowed))
+                    ).alias("bad")
+                )
+                .agg(F.sum("bad"))
+                .first()[0]
+            )
+            if n_bad:
+                err(
+                    "release.cna_values",
+                    "release: data_CNA.txt has values outside the "
+                    "discrete -2/-1.5/-1/0/1/2/NA domain",
+                    n=int(n_bad),
+                )
+
+    # --- seg numeric columns --------------------------------------------
+    seg_path = os.path.join(release_dir, "genie_data_cna_hg19.seg")
+    if os.path.isfile(seg_path):
+        seg = _read_release_tsv(spark, seg_path, comment=None)
+        for col_name in ("loc.start", "loc.end", "num.mark", "seg.mean"):
+            actual = _resolve(seg, col_name)
+            if actual is None:
+                continue
+            n_bad = seg.where(
+                F.col(f"`{actual}`").isNotNull()
+                & F.expr(f"try_cast(`{actual}` as double)").isNull()
+            ).count()
+            if n_bad:
+                err(
+                    "release.seg_numeric",
+                    f"release: genie_data_cna_hg19.seg has non-numeric "
+                    f"{col_name} values",
+                    n=n_bad,
+                )
 
     return ValidationReport("release", msgs)

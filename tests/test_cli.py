@@ -491,6 +491,50 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.meta_dangling" in ids
 
+    # corruption 9: duplicated clinical SAMPLE_ID rows
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tPatient Id\n#desc\tdesc\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\nGENIE-SAGE-1-1\tGENIE-SAGE-1\n"
+        "GENIE-SAGE-1-1\tGENIE-SAGE-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_dup_sample" in ids
+
+    # corruption 10: blank PATIENT_ID
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tPatient Id\n#desc\tdesc\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\nGENIE-SAGE-1-1\t\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_patient_blank" in ids
+
+    # corruption 11: maf chromosome outside 1-22/X/Y/MT and a
+    # non-integer start position
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\tChromosome\tStart_Position\n"
+        "TP53\tGENIE-SAGE-1-1\tchr99\tnot_a_pos\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.maf_chromosome" in ids
+    assert "release.maf_start_position" in ids
+
+    # corruption 12: CNA call outside the discrete domain
+    write("data_CNA.txt", "Hugo_Symbol\tGENIE-SAGE-1-1\nTP53\t7\n")
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.cna_values" in ids
+
+    # corruption 13: seg numeric column fails to parse
+    write(
+        "genie_data_cna_hg19.seg",
+        "ID\tchrom\tloc.start\tloc.end\tnum.mark\tseg.mean\n"
+        "GENIE-SAGE-1-1\t1\t100\t200\t5\tnot_a_number\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.seg_numeric" in ids
+
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
     """--release-dir/--prev-release-dir wire the per-column value-count

@@ -47,6 +47,11 @@ def test_minhash_no_cartesian(spark):
     plan = plan_of(dedup_minhash_lsh(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the docinfo side carries per-doc hash arrays — data-sized; a
+    # static-misestimate broadcast of it is a corpus-sized driver
+    # collect (observed: ~3 GB at 1M docs, killed the driver).  The
+    # merge hints must pin every dedup join to a shuffle join.
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_interval_join_no_cartesian(spark):
@@ -139,6 +144,102 @@ def test_dedup_components_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _skewed_center_inputs(spark, n_big=200_000):
+    """90%-one-center distribution: the release clinical⋈maf hot-key
+    shape (one giant center, a long tail of small ones) joined to a
+    one-row-per-center table, so the join fans out 1:1 and only the
+    SHUFFLE is skewed."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(n_big).select(
+        F.when(F.col("id") % 10 < 9, "HOT")
+        .otherwise(F.concat(F.lit("C"), (F.col("id") % 200).cast("string")))
+        .alias("CENTER"),
+        F.col("id").alias("sample_seq"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    # the center table is its own source (not derived from the fact
+    # side): AQE's OptimizeSkewedJoin only matches Sort-over-shuffle
+    # join children, so an aggregate (e.g. distinct) on the dim side
+    # would silently disable the split
+    centers = spark.range(201).select(
+        F.when(F.col("id") == 200, "HOT")
+        .otherwise(F.concat(F.lit("C"), F.col("id").cast("string")))
+        .alias("CENTER"),
+        F.md5(F.col("id").cast("string")).alias("center_meta"),
+    )
+    return big, centers
+
+
+def test_aqe_splits_skewed_center_join(spark):
+    """Under a 90%-one-center distribution the clinical⋈maf-shaped
+    sort-merge join must not land the hot center on one task: with the
+    session's AQE on (session.py) and test-sized skew thresholds, the
+    final adaptive plan shows the skew-join split.  This is the
+    runtime half of the skew story; ``salted_join`` below is the
+    explicit lever for sizes AQE cannot observe."""
+    big, centers = _skewed_center_inputs(spark)
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # force SMJ (no broadcast escape hatch) and scale the skew
+        # detector down to test-sized partitions
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        joined = big.join(centers, "CENTER")
+        # collect() runs this df's own QueryExecution, so plan_of sees
+        # the FINAL adaptive plan (isFinalPlan=true) with skew markers
+        joined.collect()
+        plan = plan_of(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_salted_join_spreads_hot_center(spark):
+    """``salted_join`` must shuffle on (CENTER, salt) — the hot center
+    spreads over n_salts tasks by construction (no runtime detection
+    needed) — and agree exactly with the plain join."""
+    from genie_spark.operators.skew import salted_join
+
+    big, centers = _skewed_center_inputs(spark, n_big=20_000)
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # the salted lever targets the non-broadcastable middle-sized
+        # dim; keep the test honest by forcing the shuffle path
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = salted_join(big, centers, on=["CENTER"], n_salts=8)
+        plan = plan_of(out)
+        # the exchange hashes the salt alongside the key
+        assert "__gs_salt" in plan and "hashpartitioning" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert out.count() == big.join(centers, "CENTER").count()
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_embedding_candidates_no_cartesian(spark):
     """IVF co-membership candidate generation + exact verify must be
     equi-joins end-to-end (cell id, then pair ids) — the crossJoin
@@ -151,3 +252,5 @@ def test_embedding_candidates_no_cartesian(spark):
     plan = plan_of(verified)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # vector-table sides are data-sized: shuffle joins only
+    assert "BroadcastHashJoin" not in plan, plan
