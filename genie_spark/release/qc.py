@@ -387,7 +387,10 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
         cna = _read_release_tsv(spark, cna_path, comment=None)
         cna_samples = [c for c in cna.columns if c.lower() != "hugo_symbol"]
         if cna_samples:
-            allowed = ["-2", "-1.5", "-1", "0", "1", "2", "NA", ""]
+            # accept both float-stripped ("-1") and plain-float ("-1.0")
+            # renderings — cBioPortal parses either
+            allowed = ["-2", "-1.5", "-1", "0", "1", "2", "NA", "",
+                       "-2.0", "-1.0", "0.0", "1.0", "2.0"]
             vals = F.array(
                 *[F.coalesce(cna[c].cast("string"), F.lit("NA")) for c in cna_samples]
             )

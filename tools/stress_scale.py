@@ -57,6 +57,34 @@ def synth_embeddings(spark: SparkSession, n: int, dim: int = 64) -> DataFrame:
     )
 
 
+def synth_embeddings_dups(
+    spark: SparkSession, n: int, dim: int = 64, dup_frac: float = 0.05
+) -> DataFrame:
+    """Near-dup corpus with REALISTIC dup density: (1-dup_frac)·n unique
+    random vectors plus dup_frac·n perturbed near-copies of the first
+    vectors (per-component nudge → cosine ≈ 0.999 to the original).
+
+    Why not threshold the plain random corpus: uniform random vectors
+    have cosine std ≈ 1/√dim ≈ 0.125, so a 0.35 threshold at 1M vectors
+    yields a DENSE tens-of-millions-edge pair graph — a drop list
+    covering half the corpus, which no real dedup corpus produces.  The
+    end-to-end probe must measure candidate-generation + verify + a
+    sparse survivor-selection tail, not a degenerate everything-matches
+    clustering."""
+    n_base = n - int(n * dup_frac)
+    base = synth_embeddings(spark, n_base, dim)
+    dups = synth_embeddings(spark, n - n_base, dim).select(
+        (F.col("vec_id") + n_base).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + ((F.pmod(i, F.lit(7)) - 3).cast("double")) * 0.005).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dups)
+
+
 def timed(fn) -> float:
     t0 = time.monotonic()
     fn()
@@ -137,10 +165,18 @@ def main() -> None:
     from genie_spark.analytics.similarity import cosine_verify_pairs, lsh_banded_pairs
 
     def run_embedding_drop(n):
-        e = embs(n).cache()
+        # planted near-dups (cos≈0.999) at 5% density + a 0.6 verify
+        # threshold: the planted pairs collide in ≥1 sign-LSH table
+        # w.p. ~0.9997 while random candidate pairs essentially never
+        # verify — the probe measures the real pipeline regime (sparse
+        # genuine dups), not an everything-matches clustering (a 0.35
+        # threshold on the uniform corpus yields a dense 10M+-edge
+        # graph at 1M vectors whose survivor-selection tail dwarfs the
+        # candidate path)
+        e = synth_embeddings_dups(spark, n).repartition(32).cache()
         r = max(8, math.ceil(math.log2(n)) - 4)
         cand = lsh_banded_pairs(e, n_planes=r, n_tables=4)
-        ver = cosine_verify_pairs(e, cand, threshold=0.35).select("a", "b")
+        ver = cosine_verify_pairs(e, cand, threshold=0.6).select("a", "b")
         return near_dup_drop_list(ver)
 
     probe("embedding_drop_e2e", run_embedding_drop)
