@@ -288,11 +288,14 @@ def cosine_verify_pairs(
     cos = F.try_divide(
         dot(F.col("a_v"), F.col("b_v")), F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n"))
     )
-    # merge hints: the vector table rows carry the quantized arrays —
-    # data-sized; never broadcast on a static misestimate
+    # shuffle_hash with the slim candidate/pair side as build: the
+    # vector table rows carry quantized arrays — data-sized, so a
+    # static-misestimate broadcast is a corpus-sized driver collect
+    # and a sort-merge join sorts fat rows (same trade as
+    # dedup.minhash_dedup_pairs' verify joins)
     return (
-        candidates.join(a.hint("merge"), "a")
-        .join(b.hint("merge"), "b")
+        candidates.hint("shuffle_hash").join(a, "a")
+        .hint("shuffle_hash").join(b, "b")
         .withColumn("cosine", cos)
         .where(F.col("cosine") > threshold)
         .select("a", "b", "cosine")
