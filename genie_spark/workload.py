@@ -918,8 +918,9 @@ _ALL_QUERIES: dict = {
 # set_except (§2.7 checked via a14_distinct_union), a2_distinct_counts
 # (A2's distinct-count shape is also exercised by a1/a3),
 # p7_contains_filter (P-family contains filter, same family as the
-# driver-checked a6/p6 shapes) and a16_filtered_counts (A1's
-# conditional-count family) — rotated out in round 5 so
+# driver-checked a6/p6 shapes), a16_filtered_counts (A1's
+# conditional-count family) and ann_lsh_banded (multi-table variant of
+# the driver-checked ann_lsh_buckets) — rotated out in round 5 so
 # a17_value_decreases (per-column release decrease check) and
 # dedup_embedding_drop (the IVF-candidate embedding near-dup pipeline)
 # sit inside the driver-checked window.  All tail queries still verify
@@ -929,6 +930,7 @@ _TAIL_QUERIES = [
     "a2_distinct_counts",
     "p7_contains_filter",
     "a16_filtered_counts",
+    "ann_lsh_banded",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

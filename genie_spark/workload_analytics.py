@@ -358,6 +358,50 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (banded) sign-LSH candidate pairs — the near-LINEAR
+    embedding candidate generator (OR of 4 independent hyperplane
+    tables; see ``lsh_banded_pairs``).  This is the generator the 1M
+    stress tier feeds into verify→components; registering it
+    oracle-checked pins the banding/dedup semantics at sf0.01."""
+    from genie_spark.analytics.similarity import lsh_banded_pairs
+
+    return lsh_banded_pairs(_emb(spark, sf_dir), n_planes=8, n_tables=4)
+
+
+def _lsh_banded_sql(n_planes: int = 8, n_tables: int = 4) -> str:
+    """DuckDB mirror of ``lsh_banded_pairs``: same md5-derived ±1
+    planes per table (seeds 1 + t·n_planes), same exact-integer
+    projections, UNION (distinct) of the per-table bucket self-joins."""
+    from genie_spark.analytics.similarity import _hyperplane
+
+    def bucket(seed0: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = _hyperplane(64, seed0 + p)
+            proj = " ".join(
+                f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
+            )
+            terms.append(f"CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END")
+        return " + ".join(terms)
+
+    sig_cols = ",\n       ".join(
+        f"CAST({bucket(1 + t * n_planes)} AS BIGINT) AS b{t}" for t in range(n_tables)
+    )
+    table_joins = "\nUNION\n".join(
+        f"SELECT x.vid AS a, y.vid AS b FROM sigs x JOIN sigs y "
+        f"ON x.b{t} = y.b{t} AND x.vid < y.vid"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+sigs AS (SELECT vec_id AS vid,
+       {sig_cols}
+  FROM q)
+{table_joins}
+"""
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidate pairs — the ANN scale path
     (equi-join on sign-bit bucket, no cross join)."""
@@ -518,6 +562,7 @@ ANALYTICS_QUERIES: dict = {
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_banded": ann_lsh_banded,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
@@ -538,6 +583,7 @@ ANALYTICS_ORACLES: dict = {
     "ann_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
+    "ann_lsh_banded": _lsh_banded_sql(),
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
