@@ -234,9 +234,15 @@ def minhash_dedup_pairs(
     # carry the per-doc hash array (~KBs/row), so a static-misestimate
     # broadcast of docinfo is a corpus-sized driver collect (observed
     # at 1M docs — see ngram_jaccard_pairs), and a sort-merge join
-    # pays to sort those fat rows.  Hashing the slim candidate/pair
-    # side and streaming docinfo is ~35% faster at sf0.1 and spills
-    # per-partition if a hot bucket overloads the build map.
+    # pays to sort those fat rows; hashing the slim pair side and
+    # streaming docinfo is ~35% faster at sf0.1.  CAVEAT: a shuffled
+    # hash join's build phase does NOT spill (hard "Can't acquire …
+    # hash relation" failure if a build partition outgrows execution
+    # memory) — safe HERE because banding bounds the candidate volume
+    # at ~b·n·B rows of two longs, so sizing shuffle partitions to the
+    # corpus keeps every build partition small; do not copy this hint
+    # to joins whose build side is not volume-bounded by construction
+    # (cosine_verify_pairs deliberately uses merge).
     return (
         cand.hint("shuffle_hash").join(a_info, "a")
         .hint("shuffle_hash").join(b_info, "b")

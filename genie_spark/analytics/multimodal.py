@@ -234,6 +234,12 @@ class PillowDecoder(StdlibDecoder):
                         return ("image", arr)
                 except UnidentifiedImageError:
                     pass  # not an image — try audio below
+                except Exception:
+                    # recognized image but undecodable (truncated scan,
+                    # decompression bomb, …): fall through so the row
+                    # degrades to the hash feature instead of one bad
+                    # file aborting the whole mapInPandas job
+                    pass
             except ImportError:
                 pass
             # audio via soundfile
@@ -257,17 +263,28 @@ class PillowDecoder(StdlibDecoder):
         """PNM resizes via the stdlib path; compressed images resize
         with Pillow and re-encode as PNG (a lossless, universally
         readable target — re-encoding lossy JPEG would stack
-        generation loss)."""
+        generation loss).  Mirrors the parent contract: missing Pillow
+        → the documented NotImplementedError, non-image bytes →
+        ValueError."""
         if content[:2] in (b"P6", b"P5"):
             return super().resize(content, width, height)
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image, UnidentifiedImageError
+        except ImportError:
+            raise NotImplementedError(
+                "resizing compressed images requires Pillow; only PNM "
+                "resizes with stdlib code"
+            ) from None
 
-        with Image.open(io.BytesIO(content)) as im:
-            out = io.BytesIO()
-            im.resize((width, height), Image.NEAREST).save(out, format="PNG")
-            return out.getvalue()
+        try:
+            with Image.open(io.BytesIO(content)) as im:
+                out = io.BytesIO()
+                im.resize((width, height), Image.NEAREST).save(out, format="PNG")
+                return out.getvalue()
+        except UnidentifiedImageError:
+            raise ValueError("resize only applies to images") from None
 
 
 def extract_features(

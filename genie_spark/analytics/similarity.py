@@ -288,14 +288,17 @@ def cosine_verify_pairs(
     cos = F.try_divide(
         dot(F.col("a_v"), F.col("b_v")), F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n"))
     )
-    # shuffle_hash with the slim candidate/pair side as build: the
-    # vector table rows carry quantized arrays — data-sized, so a
-    # static-misestimate broadcast is a corpus-sized driver collect
-    # and a sort-merge join sorts fat rows (same trade as
-    # dedup.minhash_dedup_pairs' verify joins)
+    # merge hints, NOT shuffle_hash: the candidate volume here is set
+    # by the CALLER's generator sizing and can be mis-sized (observed:
+    # a C=32 IVF at 50k vectors → ~4B candidates, and ShuffledHashJoin
+    # hard-fails when a build partition outgrows execution memory —
+    # "Can't acquire … bytes to build hash relation" — it does NOT
+    # spill during build).  Sort-merge spills and degrades instead.
+    # The vector sides still must never broadcast on a static
+    # misestimate (corpus-sized driver collect).
     return (
-        candidates.hint("shuffle_hash").join(a, "a")
-        .hint("shuffle_hash").join(b, "b")
+        candidates.join(a.hint("merge"), "a")
+        .join(b.hint("merge"), "b")
         .withColumn("cosine", cos)
         .where(F.col("cosine") > threshold)
         .select("a", "b", "cosine")

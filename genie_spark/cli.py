@@ -51,12 +51,23 @@ def hashlib_md5_of(paths: list[str]) -> str:
 
 
 def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | None:
-    """None means "table not ingested yet" — ONLY the absent-directory
-    case.  A present-but-unreadable table (corrupt footer, permission
+    """None means "table not ingested yet" — the absent directory, and
+    a directory with no committed parquet part (an ingest that died
+    before its first commit leaves an empty dir or only _temporary
+    droppings; that is a not-ingested state, not a corrupt table).  A
+    present table that fails to READ (corrupt footer, permission
     failure) raises: swallowing it would let dashboard/release compute
     silently with missing inputs."""
     path = _bronze(warehouse, name)
     if not os.path.isdir(path):
+        return None
+    has_part = any(
+        f.endswith(".parquet")
+        for root, dirs, files in os.walk(path)
+        if "_temporary" not in root
+        for f in files
+    )
+    if not has_part:
         return None
     return spark.read.parquet(path)
 

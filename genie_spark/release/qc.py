@@ -260,6 +260,11 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 r[0] for r in bed.select(bed_assay).distinct().collect()
                 if r[0] not in (None, "", "NA")
             }
+            # all-blank assay column = no usable exemption basis: treat
+            # like an absent bed (flag every missing panel) instead of
+            # silently exempting them all through the empty set
+            if not bed_assay_ids:
+                bed_assay_ids = None
     matrix_path = os.path.join(release_dir, "data_gene_matrix.txt")
     if os.path.isfile(matrix_path):
         matrix = _read_release_tsv(spark, matrix_path, comment=None)

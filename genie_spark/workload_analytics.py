@@ -172,8 +172,9 @@ SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
-EMB_DROP_CENTROIDS = 32
+EMB_DROP_CENTROIDS = 32   # floor; C adapts as max(32, n//16) — see below
 EMB_DROP_PROBE = 10
+EMB_DROP_CELL = 16        # target mean cell occupancy (n / C)
 
 
 def dedup_embedding_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,16 +185,38 @@ def dedup_embedding_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (keep the min-id vector per cluster).  Same candidates→verify
     shape as ``minhash_dedup_pairs``; the oracle SQL mirrors the
     candidate generation exactly (same deterministic centroids, same
-    probe budget), so the two engines agree by construction at any sf —
-    and at sf0.01 the C=32/P=10 setting is measured total-recall
-    (271/271 at sf0.01, 256/256 at sf0.001) vs the exact ``ann_cosine_pairs`` baseline, which
-    stays registered as the O(n²) oracle-parity reference."""
+    adaptive C = max(32, n//16) occupancy rule computed from the data,
+    same probe budget), so the two engines agree by construction at any
+    sf — and at sf0.01 (where the rule still gives C=32, P=10) the
+    setting is measured total-recall (271/271 at sf0.01, 256/256 at
+    sf0.001) vs the exact ``ann_cosine_pairs`` baseline, which stays
+    registered as the O(n²) oracle-parity reference."""
     from genie_spark.analytics.dedup import near_dup_drop_list
     from genie_spark.analytics.similarity import cosine_verify_pairs, ivf_cell_pairs
 
     emb = _emb(spark, sf_dir)
+    # C adapts to the corpus by the occupancy rule C = max(32, n//16)
+    # (the SQL oracle computes the IDENTICAL rule from count(*), so the
+    # two engines agree at any sf): mean cell size stays ~16, candidate
+    # volume ≈ n·P²·CELL/2 — LINEAR in n.  A FIXED C=32 at sf0.1's
+    # 5000 vectors meant ~39M candidates (n²P²/2C, quadratic) and a
+    # half-hour verify join.  Per-row assignment is O(C·dim), so
+    # centroid IVF stops past ~100k vectors — at that scale use
+    # lsh_banded_pairs + cosine_verify_pairs (assignment cost
+    # independent of bucket count; the stress-probe shape) with a
+    # high-similarity threshold.
+    n = emb.count()
+    if n > 100_000:
+        raise ValueError(
+            f"dedup_embedding_drop's centroid-IVF assignment is O(C·dim) "
+            f"per row with C = max(32, n//{EMB_DROP_CELL}) = "
+            f"{max(32, n // EMB_DROP_CELL):,} for {n:,} vectors; use "
+            "lsh_banded_pairs + cosine_verify_pairs at this scale"
+        )
     cand = ivf_cell_pairs(
-        emb, n_centroids=EMB_DROP_CENTROIDS, n_probe=EMB_DROP_PROBE
+        emb,
+        n_centroids=max(EMB_DROP_CENTROIDS, n // EMB_DROP_CELL),
+        n_probe=EMB_DROP_PROBE,
     )
     pairs = cosine_verify_pairs(emb, cand, threshold=0.35).select("a", "b")
     return near_dup_drop_list(pairs)
@@ -202,11 +225,21 @@ def dedup_embedding_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_candidate_sql(n_centroids: int, n_probe: int) -> str:
     """DuckDB mirror of ``ivf_cell_pairs`` + ``cosine_verify_pairs``:
     same lowest-id centroids, same (ccos DESC, cid) probe ranking, same
-    quantized-integer verify — bit-for-bit the Spark candidate set."""
+    quantized-integer verify — bit-for-bit the Spark candidate set.
+    The centroid count applies the same adaptive occupancy rule as the
+    Spark side, C = max(floor, count(*)//cell), computed from the data
+    itself so the mirror holds at any sf."""
     return f"""
 WITH qv AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
 nv AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM qv),
-cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM nv ORDER BY vec_id LIMIT {n_centroids}),
+ccount AS (SELECT greatest({n_centroids}, count(*) // {EMB_DROP_CELL}) AS c FROM nv),
+cent AS (
+  SELECT cid, cv, cn FROM (
+    SELECT vec_id AS cid, v AS cv, nn AS cn,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM nv
+  ) WHERE rn <= (SELECT c FROM ccount)
+),
 assign0 AS (
   SELECT nv.vec_id, cent.cid,
          CAST(list_dot_product(nv.v, cent.cv) AS BIGINT) / (sqrt(nv.nn) * sqrt(cent.cn)) AS ccos

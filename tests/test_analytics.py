@@ -304,6 +304,11 @@ def test_pillow_decoder_degrades_to_stdlib(spark):
             dec.decode(b"\xff\xd8\xff\xe0 not a real jpeg")
         fallback = StdlibDecoder().features(b"\xff\xd8\xff\xe0 not a real jpeg")
         assert dec.features(b"\xff\xd8\xff\xe0 not a real jpeg") == fallback
+        # resize keeps the documented degrade contract too: compressed
+        # formats raise NotImplementedError (not ImportError) when
+        # Pillow is absent
+        with pt.raises(NotImplementedError):
+            dec.resize(b"\x89PNG fake png bytes", 4, 4)
 
 
 @pytest.mark.skipif(not PillowDecoder.pil_available(), reason="Pillow not installed")
@@ -342,6 +347,14 @@ def test_pillow_decoder_real_compressed_images(spark):
     resized = dec.resize(_png(8, 8, (0, 255, 0)), 4, 2)
     kind2, arr2 = dec.decode(resized)
     assert kind2 == "image" and arr2.shape == (2, 4, 3)
+
+    # a recognized-but-truncated image degrades to the hash feature
+    # instead of aborting the batch; resize of non-image bytes keeps
+    # the parent's ValueError contract
+    truncated = _jpeg(64, 64, (1, 2, 3))[:60]
+    assert len(dec.features(truncated)) == 8
+    with pytest.raises(ValueError):
+        dec.resize(_wav(16), 4, 4)
 
     rows = [
         (1, "image", bytearray(_png(6, 4, (255, 0, 0))), (6, 4, None, "image/png")),

@@ -448,6 +448,20 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.gene_panel_files" not in ids
 
+    # ...and an all-blank SEQ_ASSAY_ID column gives no exemption basis:
+    # every missing panel is flagged, as with no bed file at all
+    write(
+        "genomic_information.txt",
+        "Chromosome\tHugo_Symbol\tSEQ_ASSAY_ID\n1\tTP53\tNA\n1\tEGFR\tNA\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_panel_files" in ids
+    write(
+        "genomic_information.txt",
+        "Chromosome\tHugo_Symbol\tSEQ_ASSAY_ID\n1\tTP53\tSAGE-PANEL-1\n"
+        "1\tEGFR\tSAGE-PANEL-1\n",
+    )
+
     # corruption 3: panel gene absent from genomic_information.txt
     write(
         "data_gene_panel_SAGE-PANEL-1.txt",
@@ -1058,6 +1072,14 @@ def test_read_bronze_absent_vs_corrupt(spark, tmp_path):
     wh = str(tmp_path / "warehouse")
     os.makedirs(wh)
     assert _read_bronze(spark, wh, "clinical") is None
+
+    # an ingest that died before its first commit (empty dir, or only
+    # _temporary droppings) is a NOT-INGESTED state, not a corrupt one
+    empty = os.path.join(wh, "maf")
+    os.makedirs(os.path.join(empty, "_temporary"))
+    with open(os.path.join(empty, "_temporary", "x.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert _read_bronze(spark, wh, "maf") is None
 
     corrupt = os.path.join(wh, "clinical")
     os.makedirs(corrupt)
