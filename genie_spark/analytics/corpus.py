@@ -1,0 +1,194 @@
+"""Corpus-level training-data pipeline operators: benchmark
+decontamination, stratified deterministic sampling, and sequence
+packing.
+
+These are the pipeline stages a pretraining data build runs AFTER
+dedup/quality filtering (``analytics.dedup`` / ``analytics.text``):
+drop eval-set contamination, downsample strata to a target mixture,
+and pack the survivors into fixed-token training sequences.
+
+Determinism rules match the rest of the package (workload.py): every
+hash is md5-derived, every ratio is an int/int divide, every
+tie-break is total — so the DuckDB oracles hash-match bit-for-bit.
+
+All pure ``pyspark.sql.functions`` column expressions — no Python
+UDFs, no driver-side loops; each operator is one declarative plan
+Catalyst can push down and AQE can re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from genie_spark.analytics.text import tokens
+
+# sampling granularity: basis points of 1/10_000 on a md5-uniform
+SAMPLE_DENOM = 10_000
+
+
+def token_ngrams(text_col: str | Column, n: int) -> Column:
+    """Contiguous token ``n``-grams (space-joined, order-preserving,
+    NON-distinct) of the whitespace tokenization.  Documents shorter
+    than ``n`` tokens yield an empty array (Spark's ``sequence`` with
+    start > stop raises, so the short side is gated explicitly)."""
+    t = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_threshold_bp: int = 500,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct token ``n``-grams also appear in the benchmark (eval) set.
+
+    The standard held-out-eval hygiene step for pretraining corpora
+    (GPT-3 appendix C / Llama-style 8-gram overlap): a training
+    document sharing long n-grams with an eval benchmark leaks the
+    benchmark into training.
+
+    Spark shape — the 100 TB one: the benchmark n-gram set is tiny
+    relative to the corpus (eval suites are MBs, the corpus is TBs),
+    so it is DISTINCT-ed and **broadcast**; the corpus side explodes
+    its n-grams map-side, inner-joins the broadcast set with NO corpus
+    shuffle, and aggregates hits per document (partial map-side
+    combine).  Total shuffle = one count-agg keyed by doc_id.
+
+    Returns one row per corpus doc with ≥1 distinct n-gram:
+    (doc_id, n_ngrams, n_contaminated, contamination_bp,
+    is_contaminated) where contamination_bp is basis points
+    (``n_contaminated * 10_000 // n_ngrams``, exact integer) and
+    ``is_contaminated`` applies ``flag_threshold_bp`` — OR any hit at
+    all, matching the usual "any 8-gram collision flags" policy when
+    ``flag_threshold_bp`` is 0.
+    """
+    grams = F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("ngram")
+    corpus_grams = corpus.select(F.col(id_col), grams)
+    bench_grams = (
+        benchmark.select(grams).distinct()
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "ngram", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    per_doc = corpus.select(
+        F.col(id_col),
+        F.size(F.array_distinct(token_ngrams(text_col, n))).alias("n_ngrams"),
+    ).where(F.col("n_ngrams") > 0)
+    out = per_doc.join(hits, id_col, "left").withColumn(
+        "n_contaminated", F.coalesce("n_contaminated", F.lit(0))
+    )
+    bp = (F.col("n_contaminated") * SAMPLE_DENOM).cast("long") / F.col("n_ngrams")
+    bp = F.floor(bp).cast("long")
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_contaminated",
+        bp.alias("contamination_bp"),
+        (
+            (F.col("n_contaminated") > 0)
+            & (bp >= F.lit(flag_threshold_bp))
+        ).alias("is_contaminated"),
+    )
+
+
+def _uniform_bp(id_col: str | Column) -> Column:
+    """Deterministic uniform in [0, 10_000): first 8 md5 hex chars of
+    the stringified id, mod 10_000.  Engine-portable (DuckDB computes
+    the identical value) and stable across runs/partitionings — the
+    property that makes the sample reproducible and incrementally
+    consistent (re-running over a grown corpus keeps prior decisions).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % SAMPLE_DENOM
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    fractions_bp: dict[str, int] | None = None,
+    default_bp: int = 2_500,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction
+    of rows, chosen by a content-independent md5 hash of the id — the
+    mixture-weighting step of a data pipeline (e.g. upweight
+    high-quality sources, downsample boilerplate-heavy ones).
+
+    ``fractions_bp`` maps stratum value → keep-fraction in basis
+    points (5_000 = 50%); strata not listed use ``default_bp``.
+
+    Scale shape: a NARROW per-row filter — no shuffle, no sampling
+    state, no ``df.sample`` nondeterminism (Spark's ``sample`` is
+    partition-layout dependent; this is not).  Pushdown-friendly: the
+    md5 filter evaluates right on top of the scan.
+    """
+    fractions_bp = fractions_bp or {}
+    u = _uniform_bp(id_col)
+    thresh: Column = F.lit(default_bp)
+    for value, bp in sorted(fractions_bp.items()):
+        thresh = F.when(F.col(strata_col) == value, F.lit(bp)).otherwise(thresh)
+    return (
+        df.withColumn("sample_bucket", u)
+        .withColumn("keep_bp", thresh.cast("long"))
+        .where(F.col("sample_bucket") < F.col("keep_bp"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the documents of each
+    group end-to-end in ``id_col`` order and cut the token stream into
+    fixed-``budget`` training sequences — the GPT-style packing that
+    wastes zero pad tokens (documents may straddle a chunk boundary;
+    ``straddles`` marks those, for pipelines that mask cross-document
+    attention or drop stragglers).
+
+    Per document: its start offset in the group's token stream, the
+    chunk (``bin_id``) its first token lands in, its position within
+    that chunk's document list, and the straddle flag.
+
+    Spark shape: ONE window over (``group_col`` order by ``id_col``)
+    — a single hash-partition shuffle by group; the running sum is
+    computed stream-wise inside each partition.  Groups are
+    independent, so at 100 TB parallelism = number of groups
+    (sources/shards); a pipeline wanting finer parallelism salts the
+    group key into (group, shard) first — same plan shape.
+    """
+    n_tok = F.size(tokens(text_col))
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    before = Window.partitionBy(group_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum(n_tok).over(before), F.lit(0)).cast("long")
+    end = start + n_tok - 1
+    bin_id = F.floor(start / budget).cast("long")
+    end_bin = F.floor(end / budget).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tok.cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        bin_id.alias("bin_id"),
+        F.row_number().over(w).cast("long").alias("pos_in_group"),
+        (end_bin != bin_id).alias("straddles"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tokens: maximal runs of non-whitespace (empty strings filtered — Java
 # split keeps trailing empties, DuckDB differs; the filter normalizes)
@@ -110,6 +111,104 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         id_col,
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf rank —
+    the keyword-extraction / topic-signal step of a corpus analysis.
+
+    Scoring is the exact integer ``tf * 1_000_000 // df``: with the
+    corpus size N fixed, ranking by tf/df is identical to ranking by
+    the float tf·idf = tf·ln(N/df) for any given tf — and the integer
+    form is bit-reproducible across engines (no libm log).  Total
+    order: (score DESC, term ASC) row_number.
+
+    Spark shape: one explode + two hash aggregations (doc-term tf,
+    then term df) + one shuffle join on term + one per-doc window.
+    The term-df table is vocabulary-sized — it stays a shuffle join
+    here rather than assuming broadcastability (vocabularies at 100 TB
+    are billions of n-grams); AQE converts it to broadcast when the
+    runtime stats say it fits.
+    """
+    term = F.explode(tokens(text_col)).alias("term")
+    tf = (
+        df.select(F.col(id_col), term)
+        .withColumn("term", F.lower("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.floor((F.col("tf") * 1_000_000).cast("long") / F.col("doc_freq")).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score", "rank")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition filters): fraction of duplicate 5-grams and the mass of
+    the single most frequent 2-gram.  Boilerplate, templated spam, and
+    decoding loops all light these up.
+
+    Ratios are int/int divides; ``flagged`` applies the documented
+    thresholds (top-2-gram mass > 8% OR duplicate-5-gram fraction
+    > 30%).  Spark shape: one explode of the 2-grams + a two-level
+    aggregation (count per (doc, gram), then max/sum per doc); the
+    5-gram side needs only array sizes, computed inline without any
+    explode.  Two shuffles total, both keyed by doc — scale-safe.
+    """
+    from genie_spark.analytics.corpus import token_ngrams
+
+    g5 = token_ngrams(text_col, 5)
+    base = df.select(
+        F.col(id_col),
+        F.size(g5).alias("n_5grams"),
+        F.size(F.array_distinct(g5)).alias("n_uniq_5grams"),
+        token_ngrams(text_col, 2).alias("__g2"),
+    )
+    two = (
+        base.select(id_col, F.explode("__g2").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_2grams"),
+            F.max("n").cast("long").alias("top_2gram_count"),
+        )
+    )
+    out = base.drop("__g2").join(two, id_col, "left").select(
+        id_col,
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
+        F.col("n_5grams").cast("long").alias("n_5grams"),
+        F.col("n_uniq_5grams").cast("long").alias("n_uniq_5grams"),
+    )
+    top2_frac = F.col("top_2gram_count") / F.greatest("n_2grams", F.lit(1))
+    dup5_frac = (F.col("n_5grams") - F.col("n_uniq_5grams")) / F.greatest(
+        "n_5grams", F.lit(1)
+    )
+    return out.select(
+        id_col,
+        "n_2grams",
+        "top_2gram_count",
+        top2_frac.alias("top2_frac"),
+        "n_5grams",
+        "n_uniq_5grams",
+        dup5_frac.alias("dup5_frac"),
+        ((top2_frac > 0.08) | (dup5_frac > 0.30)).alias("flagged"),
     )
 
 

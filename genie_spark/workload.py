@@ -925,12 +925,26 @@ _ALL_QUERIES: dict = {
 # dedup_embedding_drop (the IVF-candidate embedding near-dup pipeline)
 # sit inside the driver-checked window.  All tail queries still verify
 # locally via tools/verify_oracle.py.
+# Round-5 rotation: the new corpus-pipeline ops (decontamination,
+# packing, tf·idf) take window slots; freed by rotating out
+# dedup_components (connected components also runs inside the
+# driver-checked dedup_embedding_drop), ann_topk (brute-force
+# baseline; the family stays covered by ann_ivf_topk + ann_lsh_buckets
+# and ann_topk stays a bench headline) and a9_duplicate_keys (dup
+# detection family covered by a8_merge_duplicates + dedup_exact).
+# text_repetition and corpus_stratified_sample land in the tail —
+# still locally verified by tools/verify_oracle.py.
 _TAIL_QUERIES = [
     "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
     "a2_distinct_counts",
     "p7_contains_filter",
     "a16_filtered_counts",
     "ann_lsh_banded",
+    "dedup_components",
+    "ann_topk",
+    "a9_duplicate_keys",
+    "text_repetition",
+    "corpus_stratified_sample",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -559,6 +559,171 @@ FROM documents
 """
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by exact-integer tf·idf."""
+    from genie_spark.analytics.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, lower(term) AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, doc_freq, (tf * 1000000) // doc_freq AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, doc_freq, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition stats (dup 5-grams, top
+    2-gram mass)."""
+    from genie_spark.analytics.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id,
+   CASE WHEN len(toks) >= 5
+        THEN list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        ELSE [] END AS g5,
+   CASE WHEN len(toks) >= 2
+        THEN list_transform(range(1, len(toks)),
+                            i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+        ELSE [] END AS g2
+ FROM t),
+two AS (
+  SELECT doc_id, gram, count(*) AS n
+  FROM (SELECT doc_id, unnest(g2) AS gram FROM base) GROUP BY 1, 2
+),
+agg2 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams,
+                CAST(max(n) AS BIGINT) AS top_2gram_count
+         FROM two GROUP BY doc_id)
+SELECT b.doc_id,
+  coalesce(n_2grams, 0) AS n_2grams,
+  coalesce(top_2gram_count, 0) AS top_2gram_count,
+  coalesce(top_2gram_count, 0) * 1.0 / greatest(coalesce(n_2grams, 0), 1) AS top2_frac,
+  CAST(len(g5) AS BIGINT) AS n_5grams,
+  CAST(len(list_distinct(g5)) AS BIGINT) AS n_uniq_5grams,
+  (len(g5) - len(list_distinct(g5))) * 1.0 / greatest(len(g5), 1) AS dup5_frac,
+  (coalesce(top_2gram_count, 0) * 1.0 / greatest(coalesce(n_2grams, 0), 1) > 0.08
+   OR (len(g5) - len(list_distinct(g5))) * 1.0 / greatest(len(g5), 1) > 0.30)
+  AS flagged
+FROM base b LEFT JOIN agg2 USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus pipeline stages: decontamination, mixture sampling, packing
+# ---------------------------------------------------------------------------
+
+# every 50th doc stands in for the held-out eval benchmark
+_BENCH_PRED = "doc_id % 50 = 0"
+
+_NGRAMS_8_SQL = (
+    "list_transform(range(1, len(toks) - 6), "
+    "i -> array_to_string(list_slice(toks, i, i + 7), ' '))"
+)
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-token-gram overlap of the corpus
+    (doc_id % 50 != 0) against the benchmark split (doc_id % 50 == 0),
+    benchmark side broadcast."""
+    from genie_spark.analytics.corpus import decontaminate_ngram
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate_ngram(corpus, bench, n=8, flag_threshold_bp=500)
+
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 8 THEN {_NGRAMS_8_SQL} ELSE [] END)) AS ngram
+  FROM t
+),
+bench AS (SELECT DISTINCT ngram FROM g WHERE {_BENCH_PRED}),
+corp AS (SELECT * FROM g WHERE NOT ({_BENCH_PRED})),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM corp JOIN bench USING (ngram) GROUP BY doc_id
+),
+perdoc AS (SELECT doc_id, count(*) AS n_ngrams FROM corp GROUP BY doc_id)
+SELECT p.doc_id, n_ngrams,
+       coalesce(n_contaminated, 0) AS n_contaminated,
+       (coalesce(n_contaminated, 0) * 10000) // n_ngrams AS contamination_bp,
+       (coalesce(n_contaminated, 0) > 0
+        AND (coalesce(n_contaminated, 0) * 10000) // n_ngrams >= 500)
+       AS is_contaminated
+FROM perdoc p LEFT JOIN hits USING (doc_id)
+"""
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash stratified sample: keep 50% of 'en'
+    docs, 25% of every other language."""
+    from genie_spark.analytics.corpus import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), strata_col="lang",
+        fractions_bp={"en": 5_000}, default_bp=2_500,
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT * FROM (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS sample_bucket,
+         CAST(CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END AS BIGINT) AS keep_bp
+  FROM documents
+) WHERE sample_bucket < keep_bp
+"""
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of each source's token stream into
+    512-token training sequences."""
+    from genie_spark.analytics.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, group_col="source")
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, source, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS start_offset,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        AS pos_in_group
+      FROM t)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // 512 AS bin_id,
+       pos_in_group,
+       ((start_offset + n_tokens - 1) // 512) <> (start_offset // 512)
+       AS straddles
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -600,6 +765,11 @@ ANALYTICS_QUERIES: dict = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_topk": text_tfidf_topk,
+    "text_repetition": text_repetition,
+    "corpus_decontaminate": corpus_decontaminate,
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_pack_sequences": corpus_pack_sequences,
     "multimodal_features": multimodal_features,
 }
 
@@ -621,5 +791,10 @@ ANALYTICS_ORACLES: dict = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "text_tfidf_topk": TFIDF_SQL,
+    "text_repetition": REPETITION_SQL,
+    "corpus_decontaminate": DECONTAMINATE_SQL,
+    "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "corpus_pack_sequences": PACK_SEQUENCES_SQL,
     "multimodal_features": MULTIMODAL_SQL,
 }

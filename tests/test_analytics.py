@@ -389,3 +389,145 @@ def test_ivf_cell_pairs_total_recall_vs_exact(spark):
     }
     assert got == exact
     assert len(exact) > 0  # the fixture actually exercises the path
+
+
+# ---------------------------------------------------------------------------
+# corpus pipeline stages (decontamination / sampling / packing) + text
+# tf-idf / repetition
+# ---------------------------------------------------------------------------
+
+
+def test_token_ngrams_short_doc(spark):
+    from genie_spark.analytics.corpus import token_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, "   "), (4, "one")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", token_ngrams("text", 4).alias("g")).collect()
+    }
+    assert out[1] == []          # 3 tokens < n=4 -> empty, not an error
+    assert out[2] == ["a b c d", "b c d e"]
+    assert out[3] == []          # whitespace-only
+    assert out[4] == []
+
+
+def test_decontaminate_ngram(spark):
+    from genie_spark.analytics.corpus import decontaminate_ngram
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 4-gram "alpha beta gamma delta"
+            (1, "x y alpha beta gamma delta q r s t u v"),
+            # no overlap
+            (2, "one two three four five six seven eight"),
+            # too short for any 4-gram: excluded from output entirely
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate_ngram(
+            corpus, bench, n=4, flag_threshold_bp=0
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_contaminated"] >= 1 and rows[1]["is_contaminated"]
+    assert rows[2]["n_contaminated"] == 0 and not rows[2]["is_contaminated"]
+    # threshold gating: a high bar un-flags the light contamination
+    flagged = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in decontaminate_ngram(
+            corpus, bench, n=4, flag_threshold_bp=9_999
+        ).collect()
+    }
+    assert not flagged[1]
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from genie_spark.analytics.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    out = stratified_sample(df, "lang", {"en": 5_000}, default_bp=1_000)
+    got = out.collect()
+    # every kept row respects its stratum threshold
+    for r in got:
+        assert r["sample_bucket"] < (5_000 if r["lang"] == "en" else 1_000)
+    # deterministic: same rows on re-run regardless of partitioning
+    again = sorted(r["doc_id"] for r in stratified_sample(
+        df.repartition(7), "lang", {"en": 5_000}, default_bp=1_000
+    ).collect())
+    assert again == sorted(r["doc_id"] for r in got)
+    # rates land near the targets (md5 is uniform-ish)
+    n_en = sum(1 for r in got if r["lang"] == "en")
+    n_fr = sum(1 for r in got if r["lang"] == "fr")
+    assert 60 <= n_en <= 140          # 200 * 50% +/- slack
+    assert n_fr <= 60                 # 200 * 10% +/- slack
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    from genie_spark.analytics.corpus import pack_sequences
+
+    # 3 docs of 4 tokens each in one group, budget 6: doc1 starts at 0
+    # (bin 0), doc2 at 4 and ends at 7 (straddles 0->1), doc3 at 8 (bin 1)
+    df = spark.createDataFrame(
+        [(1, "g", "a b c d"), (2, "g", "e f g h"), (3, "g", "i j k l")],
+        ["doc_id", "source", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, budget=6).collect()}
+    assert rows[1]["start_offset"] == 0 and rows[1]["bin_id"] == 0
+    assert not rows[1]["straddles"]
+    assert rows[2]["start_offset"] == 4 and rows[2]["bin_id"] == 0
+    assert rows[2]["straddles"]
+    assert rows[3]["start_offset"] == 8 and rows[3]["bin_id"] == 1
+    assert not rows[3]["straddles"]
+    assert [rows[i]["pos_in_group"] for i in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_tfidf_topk_ranking(spark):
+    from genie_spark.analytics.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare rare common"),
+            (2, "common other words here"),
+            (3, "common more words again"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df, k=2)
+    top1 = {
+        r["doc_id"]: r["term"] for r in out.collect() if r["rank"] == 1
+    }
+    # 'rare' (tf=3, df=1) dominates 'common' (tf=1, df=3) for doc 1
+    assert top1[1] == "rare"
+    # rank is dense per doc and capped at k
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)
+
+
+def test_repetition_stats_flags_loops(spark):
+    from genie_spark.analytics.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30),                       # decoding loop
+            (2, " ".join(f"w{i}" for i in range(60))),   # all distinct
+            (3, "one"),                                  # < 2 tokens: zero grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["flagged"] and rows[1]["dup5_frac"] > 0.9
+    assert not rows[2]["flagged"] and rows[2]["dup5_frac"] == 0.0
+    assert rows[3]["n_2grams"] == 0 and rows[3]["n_5grams"] == 0
+    assert not rows[3]["flagged"]

@@ -254,3 +254,37 @@ def test_embedding_candidates_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # vector-table sides are data-sized: shuffle joins only
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram set is eval-suite-sized (MBs) against a
+    TB corpus: it must broadcast so the corpus side never shuffles for
+    the join; the only corpus shuffle is the per-doc hit count."""
+    from genie_spark.workload_analytics import corpus_decontaminate
+
+    plan = plan_of(corpus_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Deterministic sampling is a pure per-row filter — ZERO
+    exchanges: the plan must stay scan -> filter with no shuffle."""
+    from genie_spark.workload_analytics import corpus_stratified_sample
+
+    plan = plan_of(corpus_stratified_sample(spark, SF))
+    # the query helper repartitions the tiny test parquet for fan-out;
+    # everything past that must be exchange-free
+    assert plan.count("Exchange") <= 1, plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing is one window over (source): exactly one hash-partition
+    exchange past the fan-out repartition, no join, no extra sort
+    beyond the window's."""
+    from genie_spark.workload_analytics import corpus_pack_sequences
+
+    plan = plan_of(corpus_pack_sequences(spark, SF))
+    assert plan.count("Exchange") <= 2, plan  # repartition + window hash
+    assert "Join" not in plan
