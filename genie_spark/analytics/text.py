@@ -165,36 +165,55 @@ def repetition_stats(
 
     Ratios are int/int divides; ``flagged`` applies the documented
     thresholds (top-2-gram mass > 8% OR duplicate-5-gram fraction
-    > 30%).  Spark shape: one explode of the 2-grams + a two-level
-    aggregation (count per (doc, gram), then max/sum per doc); the
-    5-gram side needs only array sizes, computed inline without any
-    explode.  Two shuffles total, both keyed by doc — scale-safe.
+    > 30%).
+
+    Spark shape — fully NARROW, zero shuffles: the mode count of the
+    2-grams is the longest equal-run of the per-row SORTED 2-gram
+    array, folded with one ``F.aggregate`` pass (JVM higher-order
+    function); the 5-gram side needs only array sizes.  The first cut
+    of this operator exploded the 2-grams into a (doc, gram) groupBy
+    + join — measured 5.8× wall per 10× docs (string-heavy shuffle);
+    this form is embarrassingly parallel and scan-bound.
     """
     from genie_spark.analytics.corpus import token_ngrams
 
-    g5 = token_ngrams(text_col, 5)
-    base = df.select(
+    # staged projections: each n-gram array is BUILT once (a projected
+    # column referenced twice downstream is one attribute, evaluated
+    # once) — as inline expressions the 59-strings-per-doc concat ran
+    # once per consumer
+    staged = df.select(
         F.col(id_col),
-        F.size(g5).alias("n_5grams"),
-        F.size(F.array_distinct(g5)).alias("n_uniq_5grams"),
-        token_ngrams(text_col, 2).alias("__g2"),
+        token_ngrams(text_col, 5).alias("__g5"),
+        F.array_sort(token_ngrams(text_col, 2)).alias("__g2s"),
     )
-    two = (
-        base.select(id_col, F.explode("__g2").alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("n").cast("long").alias("n_2grams"),
-            F.max("n").cast("long").alias("top_2gram_count"),
-        )
+    g5 = F.col("__g5")
+    g2_sorted = F.col("__g2s")
+    # fold state: (prev gram, current run length, best run length);
+    # x == null prev is NULL, so the when() falls to the reset branch
+    # on the first element
+    run = F.aggregate(
+        g2_sorted,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    out = base.drop("__g2").join(two, id_col, "left").select(
-        id_col,
-        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
-        F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
-        F.col("n_5grams").cast("long").alias("n_5grams"),
-        F.col("n_uniq_5grams").cast("long").alias("n_uniq_5grams"),
+    out = staged.select(
+        F.col(id_col),
+        F.size(g2_sorted).cast("long").alias("n_2grams"),
+        run.alias("top_2gram_count"),
+        F.size(g5).cast("long").alias("n_5grams"),
+        F.size(F.array_distinct(g5)).cast("long").alias("n_uniq_5grams"),
     )
     top2_frac = F.col("top_2gram_count") / F.greatest("n_2grams", F.lit(1))
     dup5_frac = (F.col("n_5grams") - F.col("n_uniq_5grams")) / F.greatest(

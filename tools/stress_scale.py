@@ -214,6 +214,42 @@ def main() -> None:
 
     probe("interval_join", run_interval)
 
+    # corpus pipeline stages ------------------------------------------------
+    from genie_spark.analytics.corpus import (
+        decontaminate_ngram,
+        pack_sequences,
+        stratified_sample,
+    )
+    from genie_spark.analytics.text import repetition_stats, tfidf_topk
+
+    def run_decontaminate(n):
+        # benchmark = a FIXED 256-doc eval suite drawn from the corpus
+        # itself (ids 0..255), so real n-gram matches flow through the
+        # broadcast join at every n
+        corpus = docs(n)
+        bench = corpus.where(F.col("doc_id") < 256)
+        return decontaminate_ngram(corpus, bench, n=8)
+
+    probe("decontaminate", run_decontaminate)
+    probe(
+        "pack_sequences",
+        lambda n: pack_sequences(
+            docs(n).withColumn("source", F.pmod("doc_id", F.lit(64))),
+            budget=512,
+        ),
+    )
+    # tfidf's term-df side grows with the vocabulary; the synthetic
+    # corpus's md5 vocab grows ~linearly with n, the worst case
+    probe("tfidf_topk", lambda n: tfidf_topk(docs(n), k=5))
+    probe("repetition", lambda n: repetition_stats(docs(n)))
+    probe(
+        "stratified_sample",
+        lambda n: stratified_sample(
+            docs(n).withColumn("lang", F.pmod("doc_id", F.lit(5)).cast("string")),
+            strata_col="lang", fractions_bp={"0": 5_000}, default_bp=2_500,
+        ),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
