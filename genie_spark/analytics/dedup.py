@@ -173,6 +173,160 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_docinfo(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+) -> DataFrame:
+    """Per-document dedup state, computed in ONE shingle shuffle: the
+    ``n_perm`` minhash columns (for banding) plus the sorted 60-bit
+    shingle-hash array and its size (for exact candidate
+    verification).  This is the SIGNATURE-STORE row format: persist it
+    once per corpus and both batch (``minhash_dedup_pairs``) and
+    incremental (``incremental_minhash_pairs``) dedup run from it
+    without ever re-shingling old documents."""
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
+    )
+    mh_aggs = [
+        F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perm_params(n_perm))
+    ]
+    return sh.groupBy(id_col).agg(
+        *mh_aggs,
+        F.sort_array(F.collect_set("__h")).alias("__hs"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+
+def band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Long-form banding: (id, bsig) where ``bsig`` is the band index
+    fused with that band's signature into ONE string key.  A single
+    join column (instead of (band, sig)) lets a signature store be
+    ``bucketBy(bsig)``-written so incremental candidate joins against
+    it need no store-side Exchange."""
+    rows_per_band = n_perm // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.concat_ws("_", F.lit(bi), *cols))
+    return signatures.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bsig")
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    docinfo: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a, b) pairs against a
+    docinfo table: join each side's sorted hash array, intersect
+    JVM-side.  shuffle_hash with the slim pair side as build — see
+    minhash_dedup_pairs for why (and why docinfo must never
+    broadcast)."""
+    a_info = docinfo.select(
+        F.col(id_col).alias("a"), F.col("__hs").alias("__hs_a"), F.col("__n").alias("n_a")
+    )
+    b_info = docinfo.select(
+        F.col(id_col).alias("b"), F.col("__hs").alias("__hs_b"), F.col("__n").alias("n_b")
+    )
+    common = F.size(F.array_intersect("__hs_a", "__hs_b")).cast("long")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        cand.hint("shuffle_hash").join(a_info, "a")
+        .hint("shuffle_hash").join(b_info, "b")
+        .withColumn("n_common", common)
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def incremental_minhash_pairs(
+    store: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: dedup a NEW batch against an
+    existing corpus using only its persisted signature store — the
+    daily-ingest shape, where re-shingling 100 TB of history per batch
+    is not an option.
+
+    ``store`` is a ``minhash_docinfo``-schema table (read back from
+    parquet / a ``bucketBy("bsig")``-written catalog table).  Work is
+    proportional to |new batch| + the store rows sharing a band key
+    with it — never to |corpus|: the store is touched only by (1) the
+    band-key equi-join (semi-joined down to matching buckets first)
+    and (2) the id-keyed verify join of those survivors.
+
+    Returns ``(pairs, new_info)``: near-dup pairs where at least one
+    side is a new document (new↔new and new↔store, normalized a < b),
+    and the new batch's docinfo rows — union them onto the store (and
+    persist) to absorb the batch::
+
+        pairs, new_info = incremental_minhash_pairs(store, batch)
+        store = store.unionByName(new_info)   # next batch's store
+    """
+    from pyspark import StorageLevel
+
+    new_info = minhash_docinfo(new_docs, id_col, text_col, k, n_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    new_bands = band_keys(new_info, id_col, n_perm, bands)
+    # prune the store to band-bucket matches BEFORE pairing: left_semi
+    # keyed on the batch's band keys touches only matching store
+    # buckets (partition-pruned further if the store is bucketed on
+    # bsig); everything else in the corpus is never read past the key
+    # column
+    store_bands = band_keys(store, id_col, n_perm, bands)
+    matched_store = store_bands.join(
+        F.broadcast(new_bands.select("bsig").distinct()), "bsig", "left_semi"
+    )
+    all_bands = matched_store.unionByName(new_bands)
+    cand = (
+        new_bands.select(F.col(id_col).alias("x"), "bsig")
+        .hint("merge")
+        .join(all_bands.select(F.col(id_col).alias("y"), "bsig"), "bsig")
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    # verify must NOT shuffle the whole store's fat __hs rows: the
+    # candidate endpoints are batch-bounded (≤ 2·|cand|), so broadcast
+    # them and semi-join the store docinfo down BEFORE the id-keyed
+    # verify joins — the store's hash arrays cross the wire only for
+    # docs that actually collided with the batch (measured: full-store
+    # verify made a fixed 10k batch scale 2.2× per 10× store; with the
+    # cut it's flat)
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cand.select(F.col("a").alias(id_col))
+        .unionByName(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    docinfo = store.unionByName(new_info).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    pairs = _verify_pairs(cand, docinfo, id_col, threshold)
+    return pairs, new_info
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -194,18 +348,7 @@ def minhash_dedup_pairs(
     is quadratic in hot-bucket size at corpus scale).  60-bit hashes make
     intersection counts collision-safe in practice.
     """
-    sh = shingles(df, id_col, text_col, k).withColumn(
-        "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
-    )
-    mh_aggs = [
-        F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(perm_params(n_perm))
-    ]
-    docinfo = sh.groupBy(id_col).agg(
-        *mh_aggs,
-        F.sort_array(F.collect_set("__h")).alias("__hs"),
-        F.count(F.lit(1)).alias("__n"),
-    )
+    docinfo = minhash_docinfo(df, id_col, text_col, k, n_perm)
     # docinfo feeds three consumers (banding + both verify sides) that
     # prune different columns, so Catalyst plans three separate
     # scan→shingle→agg subtrees (no ReuseExchange — measured 4 FileScans
@@ -222,35 +365,21 @@ def minhash_dedup_pairs(
         n_perm,
         bands,
     )
-    a_info = docinfo.select(
-        F.col(id_col).alias("a"), F.col("__hs").alias("__hs_a"), F.col("__n").alias("n_a")
-    )
-    b_info = docinfo.select(
-        F.col(id_col).alias("b"), F.col("__hs").alias("__hs_b"), F.col("__n").alias("n_b")
-    )
-    common = F.size(F.array_intersect("__hs_a", "__hs_b")).cast("long")
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    # shuffle_hash hints with the PAIR side as build: docinfo rows
-    # carry the per-doc hash array (~KBs/row), so a static-misestimate
-    # broadcast of docinfo is a corpus-sized driver collect (observed
-    # at 1M docs — see ngram_jaccard_pairs), and a sort-merge join
-    # pays to sort those fat rows; hashing the slim pair side and
-    # streaming docinfo is ~35% faster at sf0.1.  CAVEAT: a shuffled
-    # hash join's build phase does NOT spill (hard "Can't acquire …
-    # hash relation" failure if a build partition outgrows execution
-    # memory) — safe HERE because banding bounds the candidate volume
-    # at ~b·n·B rows of two longs, so sizing shuffle partitions to the
-    # corpus keeps every build partition small; do not copy this hint
-    # to joins whose build side is not volume-bounded by construction
-    # (cosine_verify_pairs deliberately uses merge).
-    return (
-        cand.hint("shuffle_hash").join(a_info, "a")
-        .hint("shuffle_hash").join(b_info, "b")
-        .withColumn("n_common", common)
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    # _verify_pairs uses shuffle_hash hints with the PAIR side as
+    # build: docinfo rows carry the per-doc hash array (~KBs/row), so
+    # a static-misestimate broadcast of docinfo is a corpus-sized
+    # driver collect (observed at 1M docs — see ngram_jaccard_pairs),
+    # and a sort-merge join pays to sort those fat rows; hashing the
+    # slim pair side and streaming docinfo is ~35% faster at sf0.1.
+    # CAVEAT: a shuffled hash join's build phase does NOT spill (hard
+    # "Can't acquire … hash relation" failure if a build partition
+    # outgrows execution memory) — safe HERE because banding bounds
+    # the candidate volume at ~b·n·B rows of two longs, so sizing
+    # shuffle partitions to the corpus keeps every build partition
+    # small; do not copy this hint to joins whose build side is not
+    # volume-bounded by construction (cosine_verify_pairs deliberately
+    # uses merge).
+    return _verify_pairs(cand, docinfo, id_col, threshold)
 
 
 def connected_components(

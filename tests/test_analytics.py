@@ -531,3 +531,88 @@ def test_repetition_stats_flags_loops(spark):
     assert not rows[2]["flagged"] and rows[2]["dup5_frac"] == 0.0
     assert rows[3]["n_2grams"] == 0 and rows[3]["n_5grams"] == 0
     assert not rows[3]["flagged"]
+
+
+def test_incremental_minhash_matches_batch(spark):
+    """Ground truth: incremental dedup of batch2 against batch1's
+    signature store must find exactly the full-corpus pairs that
+    involve a batch2 doc — and the merged store must reproduce batch
+    dedup for the next round."""
+    from genie_spark.analytics.dedup import (
+        incremental_minhash_pairs,
+        minhash_docinfo,
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    alt = "completely different content about spark query engines and shuffles "
+    corpus = spark.createDataFrame(
+        [
+            (1, base * 3),
+            (2, base * 3),                       # dup of 1 (both batch1)
+            (3, alt * 3),
+            (10, base * 3 + " extra tail"),      # batch2, near-dup of 1/2
+            (11, alt * 3),                       # batch2, dup of 3
+            (12, "unrelated " + "fresh text " * 12),
+        ],
+        ["doc_id", "text"],
+    )
+    batch1 = corpus.where(F.col("doc_id") < 10)
+    batch2 = corpus.where(F.col("doc_id") >= 10)
+
+    full = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in minhash_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    store = minhash_docinfo(batch1)
+    inc_pairs, new_info = incremental_minhash_pairs(store, batch2, threshold=0.5)
+    inc = {
+        (r["a"], r["b"], round(r["jaccard"], 9)) for r in inc_pairs.collect()
+    }
+    expected_inc = {p for p in full if p[0] >= 10 or p[1] >= 10}
+    assert inc == expected_inc and len(inc) > 0
+    # merged store == full-corpus docinfo (next round sees everything)
+    merged = store.unionByName(new_info)
+    assert sorted(r["doc_id"] for r in merged.select("doc_id").collect()) == [
+        1, 2, 3, 10, 11, 12,
+    ]
+
+
+def test_incremental_minhash_plan_never_reshingle_store(spark, tmp_path):
+    """The store side must be consumed as stored signatures only: the
+    docinfo schema carries no text, and the candidate path is
+    equi-joins (no cartesian, no nested-loop)."""
+    from genie_spark.analytics.dedup import (
+        incremental_minhash_pairs,
+        minhash_docinfo,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"stored document number {i} with plenty of shared text tail") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sigstore")
+    minhash_docinfo(docs).write.parquet(path)
+    store = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(100, "stored document number 3 with plenty of shared text tail")],
+        ["doc_id", "text"],
+    )
+    pairs, _ = incremental_minhash_pairs(store, batch, threshold=0.3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the store parquet scans read only signature columns — a `text`
+    # column physically cannot be re-shingled (docinfo schema drops
+    # it).  The batch side is a local relation, so every FileScan in
+    # this plan IS a store scan (plan Location strings truncate at
+    # spark.sql.maxMetadataStringLength, so match on structure, not
+    # the tmp path).
+    store_scans = [
+        line for line in plan.splitlines() if "FileScan parquet [" in line
+    ]
+    assert store_scans, plan
+    for line in store_scans:
+        cols = line.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+        assert "text" not in cols, line
+    assert pairs.count() >= 1  # the planted near-dup is found

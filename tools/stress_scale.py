@@ -250,6 +250,41 @@ def main() -> None:
         ),
     )
 
+    # incremental dedup: FIXED 10k-doc batch against a GROWING store —
+    # the claim under test is that wall tracks |batch| + matched
+    # buckets, not |corpus|, so the ratio across store sizes should be
+    # far below the size ratio
+    from genie_spark.analytics.dedup import incremental_minhash_pairs, minhash_docinfo
+
+    def probe_store(name):
+        # store = signatures of n docs materialized to parquet first
+        # (store build is the previous batches' cost, not this
+        # batch's); batch = 10k docs overlapping the store's tail so
+        # real candidate pairs flow through verify
+        if only is not None and name not in only:
+            return
+        times = {}
+        for label, n in (("small", small), ("big", big)):
+            import tempfile
+
+            store_path = tempfile.mkdtemp() + "/sigstore"
+            minhash_docinfo(synth_docs(spark, n).repartition(32)).write.parquet(
+                store_path
+            )
+            store = spark.read.parquet(store_path)
+            batch = synth_docs(spark, 10_000).select(
+                (F.col("doc_id") + n - 5_000).alias("doc_id"), "text"
+            )
+            times[label] = timed(
+                lambda: incremental_minhash_pairs(store, batch)[0]
+                .write.format("noop").mode("overwrite").save()
+            )
+        ratio = round(times["big"] / max(times["small"], 0.01), 1)
+        results[name] = {**times, "time_ratio": ratio}
+        print(f"{name}: {times['small']}s -> {times['big']}s  ratio {ratio}x (store-size scaling, fixed 10k batch)", flush=True)
+
+    probe_store("incremental_minhash")
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
