@@ -1,0 +1,144 @@
+"""Embedding clustering: deterministic distributed k-means (Lloyd's).
+
+The corpus-organization step of a training-data pipeline (domain
+discovery, cluster-balanced sampling, semantic sharding — the
+SemDeDup/k-means-curation family): partition the embedding space into
+k cells and tag every vector with its cell.
+
+Spark shape — the 100 TB one:
+
+* The corpus is quantized once (`similarity.quantized`, exact integer
+  vectors) and persisted; each Lloyd iteration is ONE scan of that
+  cached table with a PURE MAP assignment (centroids are collected
+  driver-side — k·dim longs, tiny by contract — and embedded as a
+  literal array, the same broadcast-argmax shape as
+  ``similarity.ivf_topk``) followed by ONE partial-aggregable
+  groupBy((cid, dim)) shuffle for the centroid update.  No iteration
+  ever shuffles the vectors themselves.
+* k and iters are FIXED hyper-parameters, so the whole run is
+  iters + 1 jobs regardless of corpus size; at 1000 executors each
+  job is scan + map + a k·dim-row aggregate.
+
+Determinism (the property that lets a DuckDB oracle mirror the run
+bit-for-bit, and reruns reproduce):
+
+* init: the k lowest-id vectors ARE the initial centroids (no RNG);
+* distance: squared Euclidean on quantized integers — exact longs;
+* ties: lowest centroid id wins (struct-min on (d2, cid));
+* update: element-wise ``floor(sum/count)`` — sum and count are exact
+  longs and |sum| << 2^53, so the IEEE divide+floor is identical in
+  any engine; an empty cluster keeps its previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from genie_spark.analytics.similarity import quantized
+
+
+def _assign_cid(vec: Column, centroids: list[tuple[int, list[int]]]) -> Column:
+    """Nearest-centroid id for a quantized vector column: one literal
+    array<struct(d2, cid)> built per centroid, struct-min = (d2 asc,
+    cid asc) — pure map, whole-stage codegen, zero shuffle.  The
+    centroid literals are rendered as ONE F.expr string (per-literal
+    Column objects cost a Py4J round-trip each — see
+    similarity._centroid_literals)."""
+    structs = []
+    for cid, cvec in centroids:
+        vs = ",".join(str(int(x)) for x in cvec)
+        structs.append(f"CAST(array({vs}) AS ARRAY<BIGINT>)")
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid', CAST({cid} AS BIGINT), 'v', {s})"
+            for (cid, _), s in zip(centroids, structs)
+        )
+        + ")"
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c["v"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over an ``array<float>`` column; returns
+    (id, cluster_id, d2) — the final assignment and its exact squared
+    quantized distance.
+
+    Each iteration: assignment is a literal-centroid map over the
+    persisted quantized corpus; the update aggregates
+    ``posexplode``d (cid, dim, value) triples — a k·dim-group partial
+    aggregate, the ONLY shuffle per iteration — and the new centroids
+    (k·dim longs) are collected driver-side for the next literal.
+    ``iters`` is fixed (not convergence-tested) so the oracle can
+    unroll the same number of steps.
+    """
+    from pyspark import StorageLevel
+
+    q = df.select(
+        F.col(id_col).alias("__id"), quantized(vec_col).alias("__v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = q.orderBy("__id").limit(k).collect()
+        centroids = [(i, list(r["__v"])) for i, r in enumerate(init)]
+        dim = len(centroids[0][1]) if centroids else 0
+        for _ in range(iters):
+            assigned = q.withColumn("__c", _assign_cid(F.col("__v"), centroids))
+            sums = (
+                assigned.select(
+                    F.col("__c")["cid"].alias("cid"),
+                    F.posexplode("__v").alias("pos", "x"),
+                )
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
+                .collect()
+            )
+            by_cid: dict[int, list[int]] = {}
+            for r in sums:
+                by_cid.setdefault(r["cid"], [0] * dim)[r["pos"]] = r["m"]
+            centroids = [
+                (cid, by_cid.get(cid, old)) for cid, old in centroids
+            ]
+        final = q.withColumn("__c", _assign_cid(F.col("__v"), centroids))
+        return final.select(
+            F.col("__id").alias(id_col),
+            F.col("__c")["cid"].alias("cluster_id"),
+            F.col("__c")["d2"].alias("d2"),
+        )
+    finally:
+        q.unpersist()
+
+
+def kmeans_sizes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Cluster cardinality + mean distance rollup of
+    ``kmeans_assign`` — the shape used for cluster-balanced sampling
+    decisions (which cells are over/under-represented)."""
+    a = kmeans_assign(df, id_col, vec_col, k, iters)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("sum_d2"),
+    )

@@ -149,6 +149,142 @@ def stratified_sample(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int | None = None,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Passage-level exact dedup (the CCNet/Dolma paragraph-dedup
+    shape): split every document into passages, keep only the FIRST
+    corpus-wide occurrence of each distinct passage (ordered by
+    (doc_id, position)), and reassemble each document from its kept
+    passages.
+
+    Passages are either ``delimiter``-split (real corpora:
+    ``"\\n\\n"`` paragraphs, ``"\\n"`` lines) or fixed ``n_tokens``
+    windows of the whitespace tokenization (corpora without structural
+    delimiters).  Exactly one of the two must be given.
+
+    Spark shape — scale-safe by construction: passages explode
+    map-side; the global first-occurrence winner per passage is a
+    ``min(struct(doc_id, pos))`` GROUP BY on the passage hash — a
+    PARTIAL-aggregable shuffle (hot passages collapse map-side, so a
+    boilerplate string repeated 10⁹ times costs one row per input
+    partition, never a skewed window sort); winners join back on
+    (hash, doc_id, pos) and each document re-assembles with one
+    groupBy(doc_id).  Two passage-keyed shuffles total, both
+    skew-immune.
+
+    Returns (id, n_passages, n_kept, cleaned_text) — cleaned_text is
+    the kept passages in original order; a document whose every
+    passage already appeared earlier keeps an empty string.
+    """
+    if (n_tokens is None) == (delimiter is None):
+        raise ValueError("pass exactly one of n_tokens / delimiter")
+    if delimiter is not None:
+        import re
+
+        parts = F.split(F.col(text_col), re.escape(delimiter), -1)
+    else:
+        t = tokens(text_col)
+        n_chunks = F.ceil(F.size(t) / n_tokens).cast("int")
+        parts = F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i * n_tokens + 1, n_tokens)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(parts).alias("pos", "passage")
+    ).withColumn("__h", F.md5("passage"))
+    first = exploded.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    kept = exploded.join(first, "__h").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__first")["i"])
+        & (F.col("pos") == F.col("__first")["p"]),
+    )
+    sep = delimiter if delimiter is not None else " "
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("pos"), F.col("passage")),
+                        )
+                    )
+                ),
+                lambda s: s["passage"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )
+
+
+# train/val/test cut points in basis points of the md5-uniform
+SPLIT_BOUNDS_BP = {"train": 9_000, "val": 9_500}  # rest = test
+
+
+def train_split_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bounds_bp: dict[str, int] | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic train/val/test split + epoch shuffle order — the
+    last step before a training job reads the corpus.
+
+    * split: the ``_uniform_bp`` md5 hash of the id against
+      ``bounds_bp`` cut points (default 90/5/5).  Content-independent
+      and stable, so a grown corpus keeps every prior assignment (no
+      train/val leakage across rebuilds).
+    * shuffle: a SECOND independent md5 hash orders documents within
+      each (split, shard); ``shard`` is a third hash mod ``n_shards``.
+      Global training order is shard-major — the scale-correct layout:
+      rank is a window per (split, shard), so no single global sort
+      partition ever exists, and a 1000-executor job writes/reads
+      ``n_shards`` independent streams.  Raise ``n_shards`` with the
+      corpus (shards ≈ executors) — the plan shape is unchanged.
+
+    Returns (id, split, shard, shuffle_rank) with shuffle_rank
+    1-based within (split, shard).
+    """
+    bounds_bp = bounds_bp or SPLIT_BOUNDS_BP
+    u = _uniform_bp(id_col)
+    cuts = sorted(bounds_bp.items(), key=lambda kv: kv[1])
+    split: Column = F.lit("test")
+    for name, bound in reversed(cuts):
+        split = F.when(u < bound, F.lit(name)).otherwise(split)
+    c = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(c, F.lit("|shard"))), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    shuffle_key = F.md5(F.concat(c, F.lit("|shuffle")))
+    w = Window.partitionBy("split", "shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            split.alias("split"),
+            shard.alias("shard"),
+            shuffle_key.alias("shuffle_key"),
+        )
+        .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+        .drop("shuffle_key")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

@@ -495,6 +495,60 @@ def near_dup_drop_list(
     )
 
 
+def quality_survivor_drop_list(
+    pairs: DataFrame,
+    scores: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Quality-aware survivor selection: connected components over the
+    near-dup pair graph, but keep the HIGHEST-``score_col`` document of
+    each cluster (tie → lowest id) instead of the lowest id — the
+    policy real pipelines want (drop the boilerplate copy, keep the
+    clean one).
+
+    ``scores`` is (id_col, score_col) with score a deterministic
+    integer/exact value (e.g. ``text.quality_score``'s scaled output).
+    A component member missing from ``scores`` scores as the minimum
+    (never wins a tie against a scored member).
+
+    Spark shape: components (O(log d) pointer-jumping) → one join to
+    scores → one ``min_by``-style struct-min aggregate per cluster →
+    one semi-join back.  All equi-joins on ids; the scores join is
+    corpus-keyed, never broadcast by contract (corpus-sized).
+
+    Returns (drop_id, cluster_id, survivor_id) for every non-survivor.
+    """
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    scored = comp.join(
+        scores.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("__score")
+        ),
+        "node",
+        "left",
+    ).withColumn("__score", F.coalesce("__score", F.lit(None).cast("long")))
+    # struct-min on (-score, node): max score wins, ties -> lowest id;
+    # null scores sort LAST under asc_nulls_last inside the struct via
+    # coalesce to a sentinel below any real negated score
+    sentinel = F.lit(2**62).cast("long")
+    best = (
+        scored.withColumn(
+            "__key", F.struct(F.coalesce(-F.col("__score"), sentinel).alias("k1"), F.col("node").alias("k2"))
+        )
+        .groupBy("cluster_id")
+        .agg(F.min("__key").alias("__best"))
+        .select("cluster_id", F.col("__best")["k2"].alias("survivor_id"))
+    )
+    return (
+        comp.join(best, "cluster_id")
+        .where(F.col("node") != F.col("survivor_id"))
+        .select(F.col("node").alias("drop_id"), "cluster_id", "survivor_id")
+    )
+
+
 SIMHASH_BITS = 32
 
 

@@ -934,6 +934,17 @@ _ALL_QUERIES: dict = {
 # detection family covered by a8_merge_duplicates + dedup_exact).
 # text_repetition and corpus_stratified_sample land in the tail —
 # still locally verified by tools/verify_oracle.py.
+# Round-5 additions: cluster_kmeans (iterative Lloyd) and
+# corpus_passage_dedup (CCNet-style passage dedup) are NEW §2-extension
+# families, so they take window slots; freed by rotating out
+# dedup_ngram_jaccard (the quadratic exact-Jaccard baseline — the same
+# rationale that already rotated ann_cosine_pairs; its candidates→verify
+# family stays covered by the driver-checked dedup_minhash_lsh) and
+# ann_ivf_topk (the IVF candidate path is driver-checked inside
+# dedup_embedding_drop; the ANN family keeps ann_lsh_buckets in-window).
+# corpus_split_shuffle and dedup_quality_survivors are variants of
+# already-checked families (md5-deterministic sampling / survivor
+# selection) and start in the tail — locally verified.
 _TAIL_QUERIES = [
     "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
     "a2_distinct_counts",
@@ -945,6 +956,10 @@ _TAIL_QUERIES = [
     "a9_duplicate_keys",
     "text_repetition",
     "corpus_stratified_sample",
+    "dedup_ngram_jaccard",
+    "ann_ivf_topk",
+    "corpus_split_shuffle",
+    "dedup_quality_survivors",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -724,6 +724,200 @@ FROM s
 """
 
 
+def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (CCNet/Dolma paragraph dedup): split
+    docs into 2-token windows (this corpus has no newline structure;
+    real corpora pass delimiter='\\n\\n'), keep the first corpus-wide
+    occurrence of each distinct passage, reassemble."""
+    from genie_spark.analytics.corpus import passage_dedup
+
+    return passage_dedup(_docs(spark, sf_dir), n_tokens=2)
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p0 AS (
+  SELECT doc_id,
+    list_transform(range(1, CAST(ceil(len(toks) / 2.0) AS BIGINT) + 1),
+      i -> struct_pack(
+        pos := CAST(i - 1 AS INT),
+        passage := array_to_string(
+          list_slice(toks, (i - 1) * 2 + 1, (i - 1) * 2 + 2), ' ')))
+      AS chunks
+  FROM t WHERE len(toks) > 0
+),
+pu AS (SELECT doc_id, unnest(chunks) AS c FROM p0),
+p AS (SELECT doc_id, c.pos AS pos, c.passage AS passage FROM pu),
+h AS (
+  SELECT doc_id, pos, passage,
+         row_number() OVER (
+           PARTITION BY md5(passage) ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT doc_id, count(*) AS n_passages,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(
+         string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos),
+         '') AS cleaned_text
+FROM h GROUP BY doc_id
+"""
+
+
+SPLIT_SHARDS = 8
+
+
+def corpus_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split + shard-major epoch
+    shuffle order (md5-keyed; stable under corpus growth)."""
+    from genie_spark.analytics.corpus import train_split_shuffle
+
+    return train_split_shuffle(_docs(spark, sf_dir), n_shards=SPLIT_SHARDS)
+
+
+SPLIT_SHUFFLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS u,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shard'), 1, 8))
+           AS BIGINT) % {SPLIT_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR) || '|shuffle') AS sk
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN u < 9000 THEN 'train'
+              WHEN u < 9500 THEN 'val' ELSE 'test' END AS split,
+         shard, sk
+  FROM s
+)
+SELECT doc_id, split, shard,
+       CAST(row_number() OVER (PARTITION BY split, shard ORDER BY sk, doc_id)
+            AS BIGINT) AS shuffle_rank
+FROM t
+"""
+
+
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: MinHash near-dup components,
+    keep the member with the most tokens (most complete copy; tie →
+    lowest id), list the rest for removal."""
+    from genie_spark.analytics.dedup import quality_survivor_drop_list
+    from genie_spark.analytics.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(docs, k=20, n_perm=16, bands=4, threshold=0.5)
+    scores = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("score")
+    )
+    return quality_survivor_drop_list(pairs, scores, score_col="score")
+
+
+def _quality_survivors_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs
+  UNION
+  SELECT b AS x, a AS y FROM pairs
+),
+reach(node, label) AS (
+    SELECT x, x FROM edges
+  UNION
+    SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+scores AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS score FROM documents),
+best AS (
+  SELECT cluster_id, node AS survivor_id FROM (
+    SELECT c.cluster_id, c.node,
+           row_number() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY coalesce(-s.score, 4611686018427387904), c.node) AS rn
+    FROM comp c LEFT JOIN scores s ON s.doc_id = c.node
+  ) WHERE rn = 1
+)
+SELECT c.node AS drop_id, c.cluster_id, b.survivor_id
+FROM comp c JOIN best b USING (cluster_id)
+WHERE c.node <> b.survivor_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering (iterative k-means, oracle via unrolled CTEs)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+
+
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings: k lowest-id
+    init, exact integer squared-Euclidean assignment, floor-mean
+    update, fixed iteration count — the oracle unrolls the identical
+    steps as a CTE chain."""
+    from genie_spark.analytics.clustering import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_DIM) -> str:
+    """Unrolled Lloyd iterations: d{i} distances, a{i} assignment,
+    s{i} per-dimension floor-means, c{i} new centroids (empty cluster
+    keeps the old one via LEFT JOIN + coalesce) — generated from the
+    same (k, iters) constants the Spark side runs, so the engines
+    cannot drift."""
+    d2 = (
+        "CAST(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.v)"
+        " + list_dot_product(c.v, c.v) AS BIGINT)"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT q.vec_id, c.cid, {d2} AS d2
+  FROM q CROSS JOIN c{i - 1} c)"""
+        )
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT a.cid, t.j, CAST(floor(sum(q.v[t.j]) * 1.0 / count(*)) AS BIGINT) AS m
+  FROM a{i} a JOIN q USING (vec_id), range(1, {dim + 1}) t(j)
+  GROUP BY a.cid, t.j)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT c.cid, coalesce(nv.nvv, c.v) AS v
+  FROM c{i - 1} c LEFT JOIN
+    (SELECT cid, list(m ORDER BY j) AS nvv FROM s{i} GROUP BY cid) nv
+    USING (cid))"""
+        )
+    parts.append(
+        f"""df AS (
+  SELECT q.vec_id, c.cid, {d2} AS d2
+  FROM q CROSS JOIN c{iters} c)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT vec_id, cid AS cluster_id, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM df) WHERE rn = 1"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -770,6 +964,10 @@ ANALYTICS_QUERIES: dict = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_passage_dedup": corpus_passage_dedup,
+    "corpus_split_shuffle": corpus_split_shuffle,
+    "dedup_quality_survivors": dedup_quality_survivors,
+    "cluster_kmeans": cluster_kmeans,
     "multimodal_features": multimodal_features,
 }
 
@@ -796,5 +994,9 @@ ANALYTICS_ORACLES: dict = {
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_pack_sequences": PACK_SEQUENCES_SQL,
+    "corpus_passage_dedup": PASSAGE_DEDUP_SQL,
+    "corpus_split_shuffle": SPLIT_SHUFFLE_SQL,
+    "dedup_quality_survivors": _quality_survivors_sql(),
+    "cluster_kmeans": _kmeans_sql(),
     "multimodal_features": MULTIMODAL_SQL,
 }

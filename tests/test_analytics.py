@@ -616,3 +616,132 @@ def test_incremental_minhash_plan_never_reshingle_store(spark, tmp_path):
         cols = line.split("FileScan parquet [", 1)[1].split("]", 1)[0]
         assert "text" not in cols, line
     assert pairs.count() >= 1  # the planted near-dup is found
+
+
+# ---------------------------------------------------------------------------
+# round-5 corpus/clustering ops
+# ---------------------------------------------------------------------------
+
+def test_kmeans_separates_blobs(spark):
+    """Two well-separated blobs must land in two clusters with the
+    deterministic init, and the run must be partition-invariant."""
+    from genie_spark.analytics.clustering import kmeans_assign
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + i * 0.001, 1.0, 0.0]))        # blob A
+        rows.append((100 + i, [-1.0 - i * 0.001, -1.0, 0.0]))  # blob B
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(df, k=2, iters=3).collect()}
+    a_clusters = {out[i] for i in range(10)}
+    b_clusters = {out[100 + i] for i in range(10)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # partition-invariance: repartitioned input, identical assignment
+    out2 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(df.repartition(7), k=2, iters=3).collect()
+    }
+    assert out2 == out
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k larger than the number of distinct points: the never-chosen
+    centroid keeps its previous position instead of crashing or
+    producing nulls."""
+    from genie_spark.analytics.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [5.0, 5.0])],
+        ["vec_id", "embedding"],
+    )
+    out = kmeans_assign(df, k=3, iters=3).collect()
+    assert len(out) == 4
+    assert all(r["cluster_id"] is not None and r["d2"] is not None for r in out)
+    # the two duplicate pairs cluster together
+    by_id = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert by_id[0] == by_id[1] and by_id[2] == by_id[3]
+
+
+def test_passage_dedup_delimiter_mode(spark):
+    """First corpus-wide occurrence of each paragraph survives; later
+    repeats are dropped and documents reassemble in original order."""
+    from genie_spark.analytics.corpus import passage_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+            (2, "shared boilerplate\n\ndelta epsilon"),
+            (3, "shared boilerplate"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in passage_dedup(df, delimiter="\n\n").collect()}
+    assert out[1]["n_passages"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["cleaned_text"] == "alpha beta\n\nshared boilerplate\n\ngamma"
+    assert out[2]["n_kept"] == 1 and out[2]["cleaned_text"] == "delta epsilon"
+    assert out[3]["n_kept"] == 0 and out[3]["cleaned_text"] == ""
+
+
+def test_passage_dedup_token_windows(spark):
+    """Token-window mode: repeated 2-token chunks dedup across docs;
+    within-doc repeats also collapse to the first occurrence."""
+    from genie_spark.analytics.corpus import passage_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b"), (2, "c d x y")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in passage_dedup(df, n_tokens=2).collect()}
+    # doc1 chunks: [a b][c d][a b] -> keeps first two, drops repeat
+    assert out[1]["n_passages"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_text"] == "a b c d"
+    # doc2 chunks: [c d][x y] -> 'c d' already seen in doc1
+    assert out[2]["n_kept"] == 1 and out[2]["cleaned_text"] == "x y"
+
+
+def test_train_split_shuffle_deterministic(spark):
+    from genie_spark.analytics.corpus import train_split_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = train_split_shuffle(df, n_shards=4).collect()
+    assert len(out) == 2000
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], []).append(r)
+    # ~90/5/5 within hash tolerance
+    assert 0.85 < len(by_split["train"]) / 2000 < 0.95
+    assert 0.02 < len(by_split["val"]) / 2000 < 0.08
+    assert 0.02 < len(by_split["test"]) / 2000 < 0.08
+    # ranks are a 1..n permutation within each (split, shard)
+    for split, rows in by_split.items():
+        shards = {}
+        for r in rows:
+            shards.setdefault(r["shard"], []).append(r["shuffle_rank"])
+        for ranks in shards.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # growing the corpus keeps prior split assignments (no leakage)
+    prev = {r["doc_id"]: r["split"] for r in out}
+    grown = train_split_shuffle(
+        spark.createDataFrame([(i,) for i in range(3000)], ["doc_id"]), n_shards=4
+    ).collect()
+    for r in grown:
+        if r["doc_id"] < 2000:
+            assert prev[r["doc_id"]] == r["split"]
+
+
+def test_quality_survivor_drop_list(spark):
+    """Highest-score member of each component survives (tie -> lowest
+    id); unscored members never beat scored ones."""
+    from genie_spark.analytics.dedup import quality_survivor_drop_list
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a", "b"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (11, 1)], ["doc_id", "score"]
+    )  # comp {1,2,3}: 2 and 3 tie at 9 -> 2 wins; comp {10,11}: 10 unscored -> 11 wins
+    out = {r["drop_id"]: r for r in quality_survivor_drop_list(pairs, scores).collect()}
+    assert set(out) == {1, 3, 10}
+    assert out[1]["survivor_id"] == 2 and out[3]["survivor_id"] == 2
+    assert out[10]["survivor_id"] == 11
