@@ -205,7 +205,17 @@ def passage_dedup(
             "__first"
         )
     )
-    kept = exploded.join(first, "__h").withColumn(
+    # merge hint: `first` is the distinct-passage table — CORPUS-sized,
+    # so Catalyst's static estimate after the aggregate must not
+    # broadcast it (the BASELINE.md §5 1M-doc lesson: a driver-side
+    # collect of a data-sized side).  As a sort-merge join on __h the
+    # winner join REUSES the aggregate's existing sort order on __h —
+    # no extra exchange, no re-sort of the aggregated side.  (The
+    # min(struct) itself plans as a partial SortAggregate — struct
+    # buffers aren't hash-aggregable — which is fine: the slim
+    # (hash, id, pos) rows sort cheaply and hot passages still collapse
+    # map-side.)
+    kept = exploded.join(first.hint("merge"), "__h").withColumn(
         "__keep",
         (F.col(id_col) == F.col("__first")["i"])
         & (F.col("pos") == F.col("__first")["p"]),

@@ -288,3 +288,47 @@ def test_pack_sequences_single_window_shuffle(spark):
     plan = plan_of(corpus_pack_sequences(spark, SF))
     assert plan.count("Exchange") <= 2, plan  # repartition + window hash
     assert "Join" not in plan
+
+
+def test_passage_dedup_no_broadcast_of_passage_table(spark):
+    """The distinct-passage winner table is corpus-sized: the winner
+    join must be a sort-merge join (never a static-misestimate
+    broadcast — the BASELINE.md 1M-doc lesson), and the whole op is
+    equi-join + partial-aggregable groupBys (skew-immune on hot
+    passages)."""
+    from genie_spark.analytics.corpus import passage_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(passage_dedup(docs, n_tokens=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan
+    # map-side partial aggregation on both the winner and reassembly
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_kmeans_iteration_is_map_plus_kdim_agg(spark):
+    """A Lloyd iteration must never join or shuffle the vectors:
+    assignment is a literal-centroid pure map; the only exchange keys
+    on (cid, pos) — k*dim groups — with map-side partial sums."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.clustering import _assign_cid
+    from genie_spark.analytics.similarity import quantized
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("__id"), quantized("embedding").alias("__v"))
+    cent = [(i, list(r["__v"])) for i, r in enumerate(q.orderBy("__id").limit(4).collect())]
+    assigned = q.withColumn("__c", _assign_cid(F.col("__v"), cent))
+    sums = (
+        assigned.select(
+            F.col("__c")["cid"].alias("cid"), F.posexplode("__v").alias("pos", "x")
+        )
+        .groupBy("cid", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_of(sums)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan
