@@ -250,6 +250,35 @@ def main() -> None:
         ),
     )
 
+    # passage-level exact dedup with a HOT boilerplate passage: every
+    # doc shares an 8-token prefix (4 hot 2-token chunks, each with n
+    # occurrences corpus-wide).  The claim under test is skew-immunity:
+    # the min-struct winner is a PARTIAL-aggregable groupBy, so the hot
+    # chunks collapse map-side (one row per input partition) instead of
+    # funneling n rows into one reducer.
+    from genie_spark.analytics.corpus import passage_dedup, train_split_shuffle
+
+    BOILER = "copyright notice all rights reserved terms of use"
+
+    probe(
+        "passage_dedup",
+        lambda n: passage_dedup(
+            docs(n).withColumn(
+                "text", F.concat(F.lit(BOILER + " "), F.col("text"))
+            ),
+            n_tokens=2,
+        ),
+    )
+    probe("split_shuffle", lambda n: train_split_shuffle(docs(n), n_shards=32))
+
+    # k-means: iters+1 scans of the cached quantized corpus; per-row
+    # assignment is O(k·dim) map work and the only shuffle per
+    # iteration is the k·dim-group centroid aggregate, so wall should
+    # track n (scan+map bound)
+    from genie_spark.analytics.clustering import kmeans_assign
+
+    probe("kmeans", lambda n: kmeans_assign(embs(n), k=8, iters=3))
+
     # incremental dedup: FIXED 10k-doc batch against a GROWING store —
     # the claim under test is that wall tracks |batch| + matched
     # buckets, not |corpus|, so the ratio across store sizes should be
