@@ -142,3 +142,53 @@ def kmeans_sizes(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("d2").alias("sum_d2"),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    target_per_cluster: int = 100,
+) -> DataFrame:
+    """Cluster-balanced downsampling (the SemDeDup/DoReMi-style
+    curation move): k-means the embedding space, then keep each member
+    of an over-represented cell with probability ``target/|cell|`` so
+    every cell contributes ≈``target_per_cluster`` vectors — flattens
+    semantic over-representation (boilerplate clusters shrink, rare
+    domains survive intact).
+
+    Deterministic: the keep decision is the same md5-uniform the
+    sampling ops use (``corpus._uniform_bp`` formula), thresholded at
+    ``min(10000, target·10000 // |cell|)`` basis points — exact
+    integers, so the oracle reproduces the row set bit-for-bit.
+
+    Scale shape: ``kmeans_assign``'s cost (iters scans + k·dim aggs)
+    plus ONE k-row size aggregate broadcast back over the assignment —
+    the corpus is filtered map-side, never shuffled again.
+    """
+    from pyspark import StorageLevel
+
+    # two consumers (size aggregate + the filter join) — persist so the
+    # final assignment map runs once, not per consumer
+    a = kmeans_assign(df, id_col, vec_col, k, iters).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__n"))
+    keep_bp = F.least(
+        F.lit(10_000).cast("long"),
+        F.floor(F.lit(target_per_cluster * 10_000) / F.col("__n")).cast("long"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10_000
+    )
+    return (
+        a.join(F.broadcast(sizes), "cluster_id")  # sizes: k rows, dim table
+        .withColumn("keep_bp", keep_bp)
+        .withColumn("sample_bucket", u)
+        .where(F.col("sample_bucket") < F.col("keep_bp"))
+        .select(id_col, "cluster_id", "sample_bucket", "keep_bp")
+    )

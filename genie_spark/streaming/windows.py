@@ -126,3 +126,78 @@ def sessionize(
     return prepared.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def near_dup_stream(
+    stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """Streaming NEAR-dup detection against a persistent MinHash
+    signature store — the continuous-ingest shape of
+    ``analytics.dedup.incremental_minhash_pairs``.
+
+    Each micro-batch: (1) dedups the batch against the store's band
+    buckets (work ∝ |batch| + matched buckets, never ∝ |corpus| —
+    the store is only touched through the band-key semi-join and the
+    candidate-bounded verify), (2) appends the found near-dup pairs to
+    ``pairs_path``, (3) appends the batch's signature rows to
+    ``store_path`` so the next batch sees them.  History is never
+    re-shingled: the store holds signatures + sorted shingle-hash
+    arrays, not text.
+
+    Exactly-once notes: the two appends ride the streaming
+    checkpoint's batch-id replay — a retried batch re-appends, so
+    downstream readers of ``pairs_path`` dedup on (a, b) (pairs are
+    deterministic per batch, so replays write identical rows).  On a
+    cluster, compact the store periodically (it accumulates one file
+    set per batch) and bucketBy(bsig) the compacted table to make the
+    band-key join exchange-free on the store side.
+
+    Returns the started StreamingQuery.
+    """
+    from genie_spark.analytics.dedup import (
+        incremental_minhash_pairs,
+        minhash_docinfo,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if batch.isEmpty():
+            return
+        if os.path.isdir(store_path) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(store_path)
+            for f in fs
+        ):
+            store = spark.read.parquet(store_path)
+            pairs, new_info = incremental_minhash_pairs(
+                store, batch, id_col, text_col, k, n_perm, bands, threshold
+            )
+            pairs.write.mode("append").parquet(pairs_path)
+        else:
+            # first batch: no history — batch-internal dedup only
+            from genie_spark.analytics.dedup import minhash_dedup_pairs
+
+            new_info = minhash_docinfo(batch, id_col, text_col, k, n_perm)
+            minhash_dedup_pairs(
+                batch, id_col, text_col, k, n_perm, bands, threshold
+            ).write.mode("append").parquet(pairs_path)
+        new_info.write.mode("append").parquet(store_path)
+        new_info.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -960,6 +960,7 @@ _TAIL_QUERIES = [
     "ann_ivf_topk",
     "corpus_split_shuffle",
     "dedup_quality_survivors",
+    "cluster_balanced_sample",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

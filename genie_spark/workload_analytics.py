@@ -918,6 +918,39 @@ SELECT vec_id, cid AS cluster_id, d2 FROM (
     )
 
 
+CLUSTER_SAMPLE_TARGET = 50
+
+
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-balanced downsampling: k-means cells,
+    keep each member of an over-represented cell with md5-deterministic
+    probability target/|cell|."""
+    from genie_spark.analytics.clustering import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        target_per_cluster=CLUSTER_SAMPLE_TARGET,
+    )
+
+
+def _cluster_sample_sql() -> str:
+    return f"""
+WITH asg AS ({_kmeans_sql()}),
+sizes AS (SELECT cluster_id, count(*) AS n FROM asg GROUP BY cluster_id)
+SELECT vec_id, cluster_id, sample_bucket, keep_bp FROM (
+  SELECT a.vec_id, a.cluster_id,
+         CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS sample_bucket,
+         CAST(least(10000,
+           CAST(floor({CLUSTER_SAMPLE_TARGET} * 10000 * 1.0 / s.n) AS BIGINT))
+           AS BIGINT) AS keep_bp
+  FROM asg a JOIN sizes s USING (cluster_id)
+) WHERE sample_bucket < keep_bp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -968,6 +1001,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_split_shuffle": corpus_split_shuffle,
     "dedup_quality_survivors": dedup_quality_survivors,
     "cluster_kmeans": cluster_kmeans,
+    "cluster_balanced_sample": cluster_balanced_sample_q,
     "multimodal_features": multimodal_features,
 }
 
@@ -998,5 +1032,6 @@ ANALYTICS_ORACLES: dict = {
     "corpus_split_shuffle": SPLIT_SHUFFLE_SQL,
     "dedup_quality_survivors": _quality_survivors_sql(),
     "cluster_kmeans": _kmeans_sql(),
+    "cluster_balanced_sample": _cluster_sample_sql(),
     "multimodal_features": MULTIMODAL_SQL,
 }

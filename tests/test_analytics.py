@@ -745,3 +745,32 @@ def test_quality_survivor_drop_list(spark):
     assert set(out) == {1, 3, 10}
     assert out[1]["survivor_id"] == 2 and out[3]["survivor_id"] == 2
     assert out[10]["survivor_id"] == 11
+
+
+def test_cluster_balanced_sample_bounds(spark):
+    """Over-represented cells are downsampled toward the target while
+    small cells survive intact; the keep decision is id-deterministic."""
+    from genie_spark.analytics.clustering import cluster_balanced_sample
+
+    rows = []
+    for i in range(400):                      # fat cluster at (1, 1)
+        rows.append((i, [1.0 + (i % 7) * 0.001, 1.0]))
+    for i in range(10):                       # thin cluster at (-1, -1)
+        rows.append((1000 + i, [-1.0 - (i % 3) * 0.001, -1.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cluster_balanced_sample(df, k=2, iters=3, target_per_cluster=50).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    thin = [rs for rs in by_cluster.values() if any(r["vec_id"] >= 1000 for r in rs)][0]
+    fat = [rs for rs in by_cluster.values() if any(r["vec_id"] < 1000 for r in rs)][0]
+    assert len(thin) == 10                     # keep_bp = 10000, all kept
+    assert all(r["keep_bp"] == 10000 for r in thin)
+    # fat cluster: keep_bp = 50*10000//400 = 1250 -> ~50 of 400 kept
+    assert all(r["keep_bp"] == 1250 for r in fat)
+    assert 20 <= len(fat) <= 90
+    # determinism across partitionings
+    out2 = cluster_balanced_sample(
+        df.repartition(5), k=2, iters=3, target_per_cluster=50
+    ).collect()
+    assert {r["vec_id"] for r in out2} == {r["vec_id"] for r in out}

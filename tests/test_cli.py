@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from genie_spark.cli import (
     build_parser,
     cmd_dashboard,
@@ -1089,3 +1091,122 @@ def test_read_bronze_absent_vs_corrupt(spark, tmp_path):
         df = _read_bronze(spark, wh, "clinical")
         assert df is not None
         df.collect()
+
+
+def _build_clean_release(spark, root):
+    """Minimal release directory that passes validate_release cleanly —
+    the base every seeded corruption in
+    test_release_qc_full_rule_matrix perturbs."""
+    from genie_spark.io.writers import cbio_meta_texts
+
+    out = str(root)
+    os.makedirs(os.path.join(out, "case_lists"), exist_ok=True)
+
+    def write(path, text):
+        with open(os.path.join(out, path), "w") as f:
+            f.write(text)
+
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tPatient Id\n#desc\tdesc\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\nGENIE-SAGE-1-1\tGENIE-SAGE-1\n",
+    )
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-SAGE-1-1\n",
+    )
+    write(
+        "data_gene_matrix.txt",
+        "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-1\n",
+    )
+    write(
+        "data_gene_panel_SAGE-PANEL-1.txt",
+        "stable_id: SAGE-PANEL-1\ndescription: d\ngene_list: TP53\n",
+    )
+    write(
+        "genomic_information.txt",
+        "Chromosome\tHugo_Symbol\tSEQ_ASSAY_ID\n1\tTP53\tSAGE-PANEL-1\n",
+    )
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\n",
+    )
+    present = {n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))}
+    for name, text in cbio_meta_texts("s", "1.0", present).items():
+        write(name, text)
+    return out
+
+
+# corruption -> (mutator, expected rule id) for every validate_release
+# rule NOT already exercised by test_release_qc_stage — together the
+# two tests seed one corruption per QC rule (the safety net the
+# reference delegates to cBioPortal's external validateData.py,
+# /root/reference/bin/database_to_staging.py:310-332).
+def _drop_clinical(out):
+    os.remove(os.path.join(out, "data_clinical.txt"))
+
+
+def _clinical_no_sample_id(out):
+    with open(os.path.join(out, "data_clinical.txt"), "w") as f:
+        f.write(
+            "#a\n#b\n#c\n#d\nNOT_SAMPLE\tPATIENT_ID\nx\tGENIE-SAGE-1\n"
+        )
+
+
+def _drop_cases_all(out):
+    os.remove(os.path.join(out, "case_lists", "cases_all.txt"))
+
+
+def _case_list_missing_keys(out):
+    with open(os.path.join(out, "case_lists", "cases_all.txt"), "w") as f:
+        f.write("cancer_study_identifier: s\nstable_id: s_all\n")
+
+
+def _matrix_stray_sample(out):
+    with open(os.path.join(out, "data_gene_matrix.txt"), "w") as f:
+        f.write("SAMPLE_ID\tmutations\nGENIE-X-9-9\tSAGE-PANEL-1\n")
+
+
+def _panel_missing_header(out):
+    with open(os.path.join(out, "data_gene_panel_SAGE-PANEL-1.txt"), "w") as f:
+        f.write("stable_id: SAGE-PANEL-1\ngene_list: TP53\n")
+
+
+def _panel_empty_genes(out):
+    with open(os.path.join(out, "data_gene_panel_SAGE-PANEL-1.txt"), "w") as f:
+        f.write("stable_id: SAGE-PANEL-1\ndescription: d\ngene_list:\n")
+
+
+def _maf_no_barcode(out):
+    with open(os.path.join(out, "data_mutations_extended.txt"), "w") as f:
+        f.write("Hugo_Symbol\tOther\nTP53\tx\n")
+
+
+def _drop_meta_study(out):
+    os.remove(os.path.join(out, "meta_study.txt"))
+
+
+@pytest.mark.parametrize(
+    "mutate,rule_id",
+    [
+        (_drop_clinical, "release.clinical_missing"),
+        (_clinical_no_sample_id, "release.clinical_sample_id"),
+        (_drop_cases_all, "release.case_list_all"),
+        (_case_list_missing_keys, "release.case_list_keys"),
+        (_matrix_stray_sample, "release.gene_matrix_samples"),
+        (_panel_missing_header, "release.gene_panel_header"),
+        (_panel_empty_genes, "release.gene_panel_empty"),
+        (_maf_no_barcode, "release.maf_barcode"),
+        (_drop_meta_study, "release.meta_study"),
+    ],
+    ids=lambda p: p if isinstance(p, str) else p.__name__,
+)
+def test_release_qc_full_rule_matrix(spark, tmp_path, mutate, rule_id):
+    from genie_spark.release.qc import validate_release
+
+    out = _build_clean_release(spark, tmp_path / "rel")
+    assert validate_release(spark, out).errors == []
+    mutate(out)
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert rule_id in ids, ids

@@ -157,3 +157,52 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r["sample_id"] for r in spark.read.parquet(out).collect())
     assert ids == ["GENIE-SAGE-1-1", "GENIE-SAGE-2-1"]
+
+
+def test_near_dup_stream_against_store(spark, tmp_path):
+    """Two micro-batches through the signature store: batch2's
+    near-dups against batch1 are found WITHOUT re-reading batch1's
+    text (the store holds signatures only), and the store absorbs
+    each batch."""
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import near_dup_stream
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    store = str(tmp_path / "sigstore")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run_batch(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = near_dup_stream(stream, store, pairs_out, ckpt)
+        q.awaitTermination()
+
+    run_batch("b1.json", [(1, base * 3), (2, base * 3), (3, "x y z " * 30)])
+    run_batch("b2.json", [(10, base * 3 + " tail"), (11, "totally new words here " * 10)])
+
+    store_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()
+    )
+    assert store_ids == [1, 2, 3, 10, 11]
+    # store schema carries signatures, never text
+    assert "text" not in spark.read.parquet(store).columns
+    pairs = {
+        (r["a"], r["b"]) for r in spark.read.parquet(pairs_out).collect()
+    }
+    assert (1, 2) in pairs          # batch1-internal dup
+    assert (1, 10) in pairs and (2, 10) in pairs  # cross-batch near-dups
+    assert not any(11 in p for p in pairs)
