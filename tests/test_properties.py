@@ -247,3 +247,98 @@ def test_near_dup_drop_list_matches_bfs(spark, pairs):
         for r in near_dup_drop_list(df).collect()
     }
     assert got == expect
+
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=docs_st)
+@settings(**_SETTINGS)
+def test_passage_dedup_matches_sequential_model(spark, docs):
+    """Token-window passage dedup equals the obvious sequential model:
+    walk documents in id order, keep a chunk iff its text was never
+    seen before (any doc, any position)."""
+    from genie_spark.analytics.corpus import passage_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), n_tokens=2
+        ).collect()
+    }
+
+    seen: set[str] = set()
+    for i, toks in enumerate(docs):
+        chunks = [" ".join(toks[j : j + 2]) for j in range(0, len(toks), 2)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        if not chunks:
+            assert i not in out  # empty doc yields no passages
+            continue
+        r = out[i]
+        assert r["n_passages"] == len(chunks)
+        assert r["n_kept"] == len(kept)
+        assert r["cleaned_text"] == " ".join(kept)
+
+
+vecs_st = st.lists(
+    st.tuples(st.integers(-3, 3), st.integers(-3, 3)), min_size=2, max_size=10
+)
+
+
+@given(vecs=vecs_st, k=st.sampled_from([2, 3]))
+@settings(**_SETTINGS)
+def test_kmeans_matches_sequential_lloyd(spark, vecs, k):
+    """kmeans_assign equals a NumPy-free sequential Lloyd model with
+    the same deterministic rules (lowest-id init, (d2, cid) ties,
+    floor-mean update, empty cluster keeps centroid)."""
+    from genie_spark.analytics.clustering import kmeans_assign
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)]
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["d2"])
+        for r in kmeans_assign(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            k=k,
+            iters=2,
+        ).collect()
+    }
+
+    import math
+
+    q = {i: [int(math.floor(x * 1000.0 + 0.5)) for x in v] for i, v in rows}
+    cents = {c: list(q[i]) for c, i in enumerate(sorted(q)[: min(k, len(q))])}
+
+    def assign():
+        a = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a_ - b_) ** 2 for a_, b_ in zip(v, cv)), c)
+                for c, cv in cents.items()
+            )
+            a[i] = best  # (d2, cid)
+        return a
+
+    for _ in range(2):
+        a = assign()
+        members: dict[int, list] = {}
+        for i, (_, c) in a.items():
+            members.setdefault(c, []).append(q[i])
+        for c in cents:
+            if c in members:
+                vs = members[c]
+                cents[c] = [
+                    int(math.floor(sum(col) / len(vs)))
+                    for col in zip(*vs)
+                ]
+    final = assign()
+    expect = {i: (c, d2) for i, (d2, c) in final.items()}
+    assert got == expect
