@@ -327,6 +327,57 @@ def incremental_minhash_pairs(
     return pairs, new_info
 
 
+def write_band_store(
+    docinfo: DataFrame,
+    bands_table: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+) -> None:
+    """Materialize a ``minhash_docinfo`` corpus's band keys as a
+    catalog table ``bucketBy(n_buckets, "bsig")`` — the layout that
+    makes every subsequent incremental candidate join STORE-SIDE
+    EXCHANGE-FREE: EnsureRequirements sees the store already
+    hash-partitioned on the single fused band key, so only the (small)
+    new batch shuffles.  At 100 TB this is the difference between
+    re-shuffling the corpus's band table per daily batch and never
+    shuffling it again after ingest.
+
+    Pair with ``bucketed_band_candidates``; keep the docinfo rows
+    themselves in a plain parquet store (their verify join is already
+    store-exchange-free — the candidate-endpoint semi-join is a
+    broadcast filter over the scan)."""
+    from genie_spark.io.bucketed import write_bucketed
+
+    write_bucketed(
+        band_keys(docinfo, id_col, n_perm, bands),
+        bands_table,
+        "bsig",
+        n_buckets,
+    )
+
+
+def bucketed_band_candidates(
+    spark,
+    bands_table: str,
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (a, b) pairs between a new batch's band keys and a
+    ``write_band_store`` table: equi-join on the fused band key where
+    the ONLY Exchange is the batch side's (store buckets are read
+    in-place).  Pinned by tests/test_bucketed.py."""
+    store_bands = spark.table(bands_table)
+    return (
+        new_bands.select(F.col(id_col).alias("x"), "bsig")
+        .join(store_bands.select(F.col(id_col).alias("y"), "bsig"), "bsig")
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -45,3 +45,45 @@ def test_bucketed_join_has_no_exchange(spark, bucket_db):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_bucketed_band_store_join_store_side_exchange_free(spark, bucket_db):
+    """The incremental-dedup candidate join against a bucketBy(bsig)
+    band store must not shuffle the store: the only Exchange in the
+    plan is the (batch-sized) new side."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.dedup import (
+        band_keys,
+        bucketed_band_candidates,
+        minhash_docinfo,
+        write_band_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"stored document number {i} shares a long common tail of text")
+         for i in range(50)],
+        ["doc_id", "text"],
+    )
+    info = minhash_docinfo(docs)
+    write_band_store(info, f"{bucket_db}.sig_bands", n_buckets=8)
+
+    batch = spark.createDataFrame(
+        [(100, "stored document number 7 shares a long common tail of text")],
+        ["doc_id", "text"],
+    )
+    new_bands = band_keys(minhash_docinfo(batch))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = bucketed_band_candidates(spark, f"{bucket_db}.sig_bands", new_bands)
+        plan = physical_plan(cand)
+        # structural pin: exactly ONE Exchange keyed on bsig — the
+        # batch side's; a store-side shuffle would make it two (the
+        # store scan must feed the join straight from its buckets)
+        assert plan.count("Exchange hashpartitioning(bsig") == 1, plan
+        # and the planted near-dup is found
+        assert cand.count() >= 1
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
