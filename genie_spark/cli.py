@@ -909,6 +909,74 @@ def cmd_invalid_reasons(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
+    """End-to-end corpus dedup over a documents parquet dir: exact
+    dedup → MinHash+LSH near-dup pairs → connected components →
+    survivor drop list (quality-aware when --keep-best), writing each
+    stage as a parquet artifact plus the cleaned corpus.
+
+    The batch shape of the streaming `near_dup_stream` pipeline; stage
+    artifacts let a 100 TB run resume from pairs without re-shingling.
+    """
+    import os as _os
+
+    from genie_spark.analytics.dedup import (
+        exact_duplicates,
+        minhash_dedup_pairs,
+        near_dup_drop_list,
+        quality_survivor_drop_list,
+    )
+
+    docs = spark.read.parquet(args.input)
+    if args.id_col not in docs.columns or args.text_col not in docs.columns:
+        print(
+            f"corpus-dedup: input must have columns "
+            f"({args.id_col}, {args.text_col}); found {docs.columns}"
+        )
+        return 2
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    out = args.output
+    _os.makedirs(out, exist_ok=True)
+
+    exact = exact_duplicates(docs, args.id_col, args.text_col)
+    exact.write.mode("overwrite").parquet(_os.path.join(out, "exact_groups"))
+
+    pairs = minhash_dedup_pairs(
+        docs, args.id_col, args.text_col,
+        k=args.shingle, n_perm=16, bands=4, threshold=args.threshold,
+    )
+    pairs.write.mode("overwrite").parquet(_os.path.join(out, "near_dup_pairs"))
+    pairs = spark.read.parquet(_os.path.join(out, "near_dup_pairs"))
+
+    if args.keep_best:
+        from genie_spark.analytics.text import tokens
+
+        scores = docs.select(
+            args.id_col, F.size(tokens(args.text_col)).cast("long").alias("score")
+        )
+        drops = quality_survivor_drop_list(
+            pairs, scores, id_col=args.id_col
+        ).select(F.col("drop_id"), "cluster_id", "survivor_id")
+    else:
+        drops = near_dup_drop_list(pairs)
+    drops.write.mode("overwrite").parquet(_os.path.join(out, "drop_list"))
+    drops = spark.read.parquet(_os.path.join(out, "drop_list"))
+
+    cleaned = docs.join(
+        drops.select(F.col("drop_id").alias(args.id_col)),
+        args.id_col,
+        "left_anti",
+    )
+    cleaned.write.mode("overwrite").parquet(_os.path.join(out, "deduped"))
+    n_in = docs.count()
+    n_drop = drops.count()
+    print(
+        f"corpus-dedup: {n_in} docs, {n_drop} near-dup drops "
+        f"({100.0 * n_drop / max(n_in, 1):.2f}%) → {out}"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="genie-spark", description="PySpark-native GENIE pipeline"
@@ -1063,6 +1131,22 @@ def build_parser() -> argparse.ArgumentParser:
         "even without tracker rows",
     )
     e.set_defaults(fn=cmd_invalid_reasons)
+
+    cd = sub.add_parser(
+        "corpus-dedup",
+        help="exact + MinHash near-dup dedup over a documents parquet dir",
+    )
+    cd.add_argument("--input", required=True, help="documents parquet dir")
+    cd.add_argument("--output", required=True, help="artifact dir")
+    cd.add_argument("--id-col", dest="id_col", default="doc_id")
+    cd.add_argument("--text-col", dest="text_col", default="text")
+    cd.add_argument("--threshold", type=float, default=0.5)
+    cd.add_argument("--shingle", type=int, default=20)
+    cd.add_argument(
+        "--keep-best", action="store_true",
+        help="keep the most-token member per cluster instead of min id",
+    )
+    cd.set_defaults(fn=cmd_corpus_dedup)
     return p
 
 

@@ -1210,3 +1210,48 @@ def test_release_qc_full_rule_matrix(spark, tmp_path, mutate, rule_id):
     mutate(out)
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert rule_id in ids, ids
+
+
+def test_corpus_dedup_command(spark, tmp_path):
+    """corpus-dedup writes all four artifacts; the cleaned corpus
+    drops near-dup non-survivors; --keep-best keeps the longest copy."""
+    from genie_spark.cli import cmd_corpus_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3),
+            (2, base * 3),
+            (3, base * 3 + " extra tail"),
+            (4, "completely different content about query engines " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "deduped_min")
+    rc = cmd_corpus_dedup(
+        spark,
+        _ns(input=src, output=out, id_col="doc_id", text_col="text",
+            threshold=0.5, shingle=20, keep_best=False),
+    )
+    assert rc == 0
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "deduped")).collect()
+    )
+    assert kept == [1, 4]  # min-id survivor of {1,2,3}
+
+    out2 = str(tmp_path / "deduped_best")
+    rc = cmd_corpus_dedup(
+        spark,
+        _ns(input=src, output=out2, id_col="doc_id", text_col="text",
+            threshold=0.5, shingle=20, keep_best=True),
+    )
+    assert rc == 0
+    kept2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out2, "deduped")).collect()
+    )
+    assert kept2 == [3, 4]  # longest copy survives
