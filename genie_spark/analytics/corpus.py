@@ -338,3 +338,34 @@ def pack_sequences(
         F.row_number().over(w).cast("long").alias("pos_in_group"),
         (end_bin != bin_id).alias("straddles"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    bounds_bp: dict[str, int] | None = None,
+    n_shards: int = 8,
+) -> None:
+    """Materialize ``train_split_shuffle`` the way a training job reads
+    it: parquet partitioned by (split, shard), each shard written as
+    ONE file whose rows are in shuffle order — so an epoch is "read
+    shards in any order, rows in file order", with no sort at read
+    time.
+
+    Scale shape: ``repartition(split, shard)`` puts each shard on one
+    task, ``sortWithinPartitions`` orders rows inside it (no global
+    sort), and the partitionBy layout gives the trainer
+    ``split=train/shard=3/part-*.parquet`` paths to schedule.  Shards ≈
+    executors; raise ``n_shards`` with the corpus, never the file
+    count per shard.
+    """
+    ranked = train_split_shuffle(df, id_col, bounds_bp, n_shards)
+    payload = df.join(ranked, id_col)
+    (
+        payload.repartition("split", "shard")
+        .sortWithinPartitions("shuffle_rank")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(out_dir)
+    )

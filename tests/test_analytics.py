@@ -774,3 +774,28 @@ def test_cluster_balanced_sample_bounds(spark):
         df.repartition(5), k=2, iters=3, target_per_cluster=50
     ).collect()
     assert {r["vec_id"] for r in out2} == {r["vec_id"] for r in out}
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shards land as split=/shard= partition dirs with rows in
+    shuffle order inside each file."""
+    import glob
+    import os
+
+    from genie_spark.analytics.corpus import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4)
+    train_dirs = glob.glob(os.path.join(out, "split=train", "shard=*"))
+    assert len(train_dirs) == 4
+    total = 0
+    for d in glob.glob(os.path.join(out, "split=*", "shard=*")):
+        rows = spark.read.parquet(d).collect()
+        total += len(rows)
+        ranks = [r["shuffle_rank"] for r in rows]
+        assert ranks == sorted(ranks)          # file order IS epoch order
+        assert all(r["text"].startswith("text ") for r in rows)  # payload travels
+    assert total == 500
