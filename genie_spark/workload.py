@@ -961,6 +961,7 @@ _TAIL_QUERIES = [
     "corpus_split_shuffle",
     "dedup_quality_survivors",
     "cluster_balanced_sample",
+    "dedup_incremental_minhash",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -279,6 +279,30 @@ SELECT node AS drop_id, cluster_id FROM comp WHERE node <> cluster_id
 """
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the even-id half of the corpus
+    is the pre-existing SIGNATURE STORE (text never touched again);
+    the odd-id half arrives as a new batch.  Banding makes the
+    incremental candidate set identical to the batch-pipeline's
+    candidates restricted to batch-touching pairs, so the oracle is
+    the full-corpus minhash SQL filtered to pairs with an odd
+    endpoint — an exact equivalence, not an approximation."""
+    from genie_spark.analytics.dedup import incremental_minhash_pairs, minhash_docinfo
+
+    docs = _docs(spark, sf_dir)
+    store = minhash_docinfo(docs.where(F.col("doc_id") % 2 == 0))
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    pairs, _new_info = incremental_minhash_pairs(store, batch, threshold=0.5)
+    return pairs
+
+
+def _incremental_minhash_sql() -> str:
+    return f"""
+SELECT a, b, jaccard FROM ({_minhash_sql()})
+WHERE a % 2 = 1 OR b % 2 = 1
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash fingerprint."""
     return simhash(_docs(spark, sf_dir))
@@ -1000,6 +1024,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_passage_dedup": corpus_passage_dedup,
     "corpus_split_shuffle": corpus_split_shuffle,
     "dedup_quality_survivors": dedup_quality_survivors,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "cluster_kmeans": cluster_kmeans,
     "cluster_balanced_sample": cluster_balanced_sample_q,
     "multimodal_features": multimodal_features,
@@ -1031,6 +1056,7 @@ ANALYTICS_ORACLES: dict = {
     "corpus_passage_dedup": PASSAGE_DEDUP_SQL,
     "corpus_split_shuffle": SPLIT_SHUFFLE_SQL,
     "dedup_quality_survivors": _quality_survivors_sql(),
+    "dedup_incremental_minhash": _incremental_minhash_sql(),
     "cluster_kmeans": _kmeans_sql(),
     "cluster_balanced_sample": _cluster_sample_sql(),
     "multimodal_features": MULTIMODAL_SQL,
