@@ -176,15 +176,17 @@ def cluster_balanced_sample(
         StorageLevel.MEMORY_AND_DISK
     )
     sizes = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__n"))
+    # the ONE md5-uniform implementation every sampling op shares —
+    # a drifted copy would silently break oracle reproducibility
+    from genie_spark.analytics.corpus import SAMPLE_DENOM, _uniform_bp
+
     keep_bp = F.least(
-        F.lit(10_000).cast("long"),
-        F.floor(F.lit(target_per_cluster * 10_000) / F.col("__n")).cast("long"),
+        F.lit(SAMPLE_DENOM).cast("long"),
+        F.floor(
+            F.lit(target_per_cluster * SAMPLE_DENOM) / F.col("__n")
+        ).cast("long"),
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 10_000
-    )
+    u = _uniform_bp(id_col)
     return (
         a.join(F.broadcast(sizes), "cluster_id")  # sizes: k rows, dim table
         .withColumn("keep_bp", keep_bp)

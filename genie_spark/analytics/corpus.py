@@ -269,6 +269,22 @@ def train_split_shuffle(
     Returns (id, split, shard, shuffle_rank) with shuffle_rank
     1-based within (split, shard).
     """
+    return _ranked_split(df, id_col, bounds_bp, n_shards).select(
+        id_col, "split", "shard", "shuffle_rank"
+    )
+
+
+def _ranked_split(
+    df: DataFrame,
+    id_col: str,
+    bounds_bp: dict[str, int] | None,
+    n_shards: int,
+) -> DataFrame:
+    """``df`` + (split, shard, shuffle_rank) columns, payload columns
+    carried through — the shared core of ``train_split_shuffle`` (slim
+    projection) and ``write_training_shards`` (which must keep the
+    payload in the SAME plan: a separate rank table would force a
+    corpus-wide re-join)."""
     bounds_bp = bounds_bp or SPLIT_BOUNDS_BP
     u = _uniform_bp(id_col)
     cuts = sorted(bounds_bp.items(), key=lambda kv: kv[1])
@@ -284,12 +300,9 @@ def train_split_shuffle(
     shuffle_key = F.md5(F.concat(c, F.lit("|shuffle")))
     w = Window.partitionBy("split", "shard").orderBy("shuffle_key", id_col)
     return (
-        df.select(
-            F.col(id_col),
-            split.alias("split"),
-            shard.alias("shard"),
-            shuffle_key.alias("shuffle_key"),
-        )
+        df.withColumn("split", split)
+        .withColumn("shard", shard)
+        .withColumn("shuffle_key", shuffle_key)
         .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
         .drop("shuffle_key")
     )
@@ -353,15 +366,16 @@ def write_training_shards(
     shards in any order, rows in file order", with no sort at read
     time.
 
-    Scale shape: ``repartition(split, shard)`` puts each shard on one
-    task, ``sortWithinPartitions`` orders rows inside it (no global
-    sort), and the partitionBy layout gives the trainer
-    ``split=train/shard=3/part-*.parquet`` paths to schedule.  Shards ≈
-    executors; raise ``n_shards`` with the corpus, never the file
-    count per shard.
+    Scale shape: the payload carries THROUGH the ranking window
+    (``_ranked_split`` — no separate rank table, so no corpus-wide
+    re-join); ``repartition(split, shard)`` then reuses the window's
+    hash partitioning, ``sortWithinPartitions`` orders rows inside
+    each shard (no global sort), and the partitionBy layout gives the
+    trainer ``split=train/shard=3/part-*.parquet`` paths to schedule.
+    Shards ≈ executors; raise ``n_shards`` with the corpus, never the
+    file count per shard.
     """
-    ranked = train_split_shuffle(df, id_col, bounds_bp, n_shards)
-    payload = df.join(ranked, id_col)
+    payload = _ranked_split(df, id_col, bounds_bp, n_shards)
     (
         payload.repartition("split", "shard")
         .sortWithinPartitions("shuffle_rank")

@@ -149,24 +149,19 @@ def lsh_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs: docs sharing any
-    band signature.  Equi-join on (band, band_sig) — hash-partitioned,
-    skew-safe under AQE, no quadratic scan."""
-    rows_per_band = n_perm // bands
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band"), F.concat_ws("_", *cols).alias("sig"))
-        )
-    banded = signatures.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    left = banded.select(F.col(id_col).alias("a"), "band", "sig")
-    right = banded.select(F.col(id_col).alias("b"), "band", "sig")
+    band signature.  Banding is ``band_keys`` — the ONE implementation
+    the batch and incremental paths share, which is what makes the
+    incremental candidates provably equal to the batch candidates
+    restricted to batch-touching pairs (pinned by the
+    dedup_incremental_minhash oracle).  Equi-join on the fused band
+    key — hash-partitioned, skew-safe under AQE, no quadratic scan."""
+    banded = band_keys(signatures, id_col, n_perm, bands)
+    left = banded.select(F.col(id_col).alias("a"), "bsig")
+    right = banded.select(F.col(id_col).alias("b"), "bsig")
     # merge hint: both sides are signature-table-sized; never let a
     # bogus static estimate broadcast one (see ngram_jaccard_pairs)
     return (
-        left.hint("merge").join(right, ["band", "sig"])
+        left.hint("merge").join(right, "bsig")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -280,11 +275,17 @@ def incremental_minhash_pairs(
 
         pairs, new_info = incremental_minhash_pairs(store, batch)
         store = store.unionByName(new_info)   # next batch's store
-    """
-    from pyspark import StorageLevel
 
-    new_info = minhash_docinfo(new_docs, id_col, text_col, k, n_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
+    Materialization: ``new_info`` and the candidate set are
+    ``localCheckpoint(eager=True)``-ed, not persisted — each has two
+    consumers, and checkpoint blocks are freed when the DataFrames are
+    garbage collected, so per-batch loops (``near_dup_stream``) don't
+    accumulate cache-manager entries that only ``unpersist`` would
+    release.  (Same cluster-mode caveat as ``connected_components``:
+    with flaky executors use ``checkpoint()`` + a checkpoint dir.)
+    """
+    new_info = minhash_docinfo(new_docs, id_col, text_col, k, n_perm).localCheckpoint(
+        eager=True
     )
     new_bands = band_keys(new_info, id_col, n_perm, bands)
     # prune the store to band-bucket matches BEFORE pairing: left_semi
@@ -314,7 +315,7 @@ def incremental_minhash_pairs(
     # docs that actually collided with the batch (measured: full-store
     # verify made a fixed 10k batch scale 2.2× per 10× store; with the
     # cut it's flat)
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.col("a").alias(id_col))
         .unionByName(cand.select(F.col("b").alias(id_col)))
@@ -574,13 +575,16 @@ def quality_survivor_drop_list(
     Returns (drop_id, cluster_id, survivor_id) for every non-survivor.
     """
     comp = connected_components(pairs, a_col, b_col, max_iter)
+    # merge hint: scores is corpus-sized and often an aggregate output,
+    # whose static size estimate is untrustworthy (see
+    # ngram_jaccard_pairs) — never let it broadcast
     scored = comp.join(
         scores.select(
             F.col(id_col).alias("node"), F.col(score_col).alias("__score")
-        ),
+        ).hint("merge"),
         "node",
         "left",
-    ).withColumn("__score", F.coalesce("__score", F.lit(None).cast("long")))
+    )
     # struct-min on (-score, node): max score wins, ties -> lowest id;
     # null scores sort LAST under asc_nulls_last inside the struct via
     # coalesce to a sentinel below any real negated score

@@ -938,11 +938,36 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
     out = args.output
     _os.makedirs(out, exist_ok=True)
 
+    # stage 1 — exact dedup first (CCNet order): it catches EVERY
+    # byte-identical copy, including documents shorter than the
+    # shingle length that minhash physically cannot see, and shrinks
+    # the near-dup stage's input
     exact = exact_duplicates(docs, args.id_col, args.text_col)
     exact.write.mode("overwrite").parquet(_os.path.join(out, "exact_groups"))
+    hashed = docs.select(
+        F.col(args.id_col), F.md5(args.text_col).alias("__h")
+    )
+    exact_drops = (
+        hashed.join(
+            hashed.groupBy("__h").agg(F.min(args.id_col).alias("__survivor")),
+            "__h",
+        )
+        .where(F.col(args.id_col) != F.col("__survivor"))
+        .select(F.col(args.id_col).alias("drop_id"))
+    )
+    exact_drops.write.mode("overwrite").parquet(
+        _os.path.join(out, "exact_drop_list")
+    )
+    exact_drops = spark.read.parquet(_os.path.join(out, "exact_drop_list"))
+    survivors = docs.join(
+        exact_drops.select(F.col("drop_id").alias(args.id_col)),
+        args.id_col,
+        "left_anti",
+    )
 
+    # stage 2 — near-dup over the exact survivors
     pairs = minhash_dedup_pairs(
-        docs, args.id_col, args.text_col,
+        survivors, args.id_col, args.text_col,
         k=args.shingle, n_perm=16, bands=4, threshold=args.threshold,
     )
     pairs.write.mode("overwrite").parquet(_os.path.join(out, "near_dup_pairs"))
@@ -962,17 +987,18 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
     drops.write.mode("overwrite").parquet(_os.path.join(out, "drop_list"))
     drops = spark.read.parquet(_os.path.join(out, "drop_list"))
 
-    cleaned = docs.join(
+    cleaned = survivors.join(
         drops.select(F.col("drop_id").alias(args.id_col)),
         args.id_col,
         "left_anti",
     )
     cleaned.write.mode("overwrite").parquet(_os.path.join(out, "deduped"))
     n_in = docs.count()
-    n_drop = drops.count()
+    n_exact = exact_drops.count()
+    n_near = drops.count()
     print(
-        f"corpus-dedup: {n_in} docs, {n_drop} near-dup drops "
-        f"({100.0 * n_drop / max(n_in, 1):.2f}%) → {out}"
+        f"corpus-dedup: {n_in} docs, {n_exact} exact + {n_near} near-dup "
+        f"drops ({100.0 * (n_exact + n_near) / max(n_in, 1):.2f}%) → {out}"
     )
     return 0
 

@@ -153,16 +153,21 @@ def near_dup_stream(
     re-shingled: the store holds signatures + sorted shingle-hash
     arrays, not text.
 
-    Exactly-once notes: the two appends ride the streaming
-    checkpoint's batch-id replay — a retried batch re-appends, so
-    downstream readers of ``pairs_path`` dedup on (a, b) (pairs are
-    deterministic per batch, so replays write identical rows).  On a
-    cluster, compact the store periodically (it accumulates one file
-    set per batch) and bucketBy(bsig) the compacted table to make the
-    band-key join exchange-free on the store side.
+    Exactly-once: both outputs land in a ``batch=<id>`` subdirectory
+    written with mode("overwrite"), so a replayed micro-batch (failure
+    after write, before checkpoint commit) REWRITES its own directory
+    instead of appending duplicate rows — reads of the whole store /
+    pairs tree are idempotent (the ``batch`` value surfaces as a
+    partition column and is dropped on read here).  On a cluster,
+    compact the store periodically (it accumulates one directory per
+    batch) and bucketBy(bsig) the compacted table
+    (``dedup.write_band_store``) to make the band-key join
+    exchange-free on the store side.
 
     Returns the started StreamingQuery.
     """
+    from pyspark.errors import AnalysisException
+
     from genie_spark.analytics.dedup import (
         incremental_minhash_pairs,
         minhash_docinfo,
@@ -170,30 +175,30 @@ def near_dup_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        import os
 
         if batch.isEmpty():
             return
-        if os.path.isdir(store_path) and any(
-            f.endswith(".parquet")
-            for _r, _d, fs in os.walk(store_path)
-            for f in fs
-        ):
-            store = spark.read.parquet(store_path)
+        # store presence probed THROUGH Spark so any filesystem the
+        # cluster can read (s3://, hdfs://, dbfs:/) works — a
+        # driver-local os.path check would silently report "absent"
+        # on remote stores and dedup each batch only against itself
+        try:
+            store = spark.read.parquet(store_path).drop("batch")
+        except AnalysisException:
+            store = None  # path missing / no footer yet: first batch
+        if store is not None:
             pairs, new_info = incremental_minhash_pairs(
                 store, batch, id_col, text_col, k, n_perm, bands, threshold
             )
-            pairs.write.mode("append").parquet(pairs_path)
         else:
-            # first batch: no history — batch-internal dedup only
             from genie_spark.analytics.dedup import minhash_dedup_pairs
 
             new_info = minhash_docinfo(batch, id_col, text_col, k, n_perm)
-            minhash_dedup_pairs(
+            pairs = minhash_dedup_pairs(
                 batch, id_col, text_col, k, n_perm, bands, threshold
-            ).write.mode("append").parquet(pairs_path)
-        new_info.write.mode("append").parquet(store_path)
-        new_info.unpersist()
+            )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+        new_info.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process)

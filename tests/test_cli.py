@@ -1224,6 +1224,8 @@ def test_corpus_dedup_command(spark, tmp_path):
             (2, base * 3),
             (3, base * 3 + " extra tail"),
             (4, "completely different content about query engines " * 4),
+            (5, "tiny"),   # exact dups SHORTER than the shingle length:
+            (6, "tiny"),   # minhash cannot see them - the exact stage must
         ],
         ["doc_id", "text"],
     )
@@ -1241,7 +1243,7 @@ def test_corpus_dedup_command(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(os.path.join(out, "deduped")).collect()
     )
-    assert kept == [1, 4]  # min-id survivor of {1,2,3}
+    assert kept == [1, 4, 5]  # min-id survivors: near-dup {1,2,3} and exact {5,6}
 
     out2 = str(tmp_path / "deduped_best")
     rc = cmd_corpus_dedup(
@@ -1254,4 +1256,4 @@ def test_corpus_dedup_command(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(os.path.join(out2, "deduped")).collect()
     )
-    assert kept2 == [3, 4]  # longest copy survives
+    assert kept2 == [3, 4, 5]  # longest near-dup copy survives; exact dup 6 dropped

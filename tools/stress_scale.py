@@ -288,7 +288,10 @@ def main() -> None:
     def probe_store(name):
         # store = signatures of n docs materialized to parquet first
         # (store build is the previous batches' cost, not this
-        # batch's); batch = 10k docs overlapping the store's tail so
+        # batch's); batch ids shift FULLY past the store's id range
+        # (+ n — an overlap would put two documents under one id in
+        # the verify docinfo union) while the id-seeded texts make
+        # every batch doc an exact dup of the store's first 10k, so
         # real candidate pairs flow through verify
         if only is not None and name not in only:
             return
@@ -302,7 +305,7 @@ def main() -> None:
             )
             store = spark.read.parquet(store_path)
             batch = synth_docs(spark, 10_000).select(
-                (F.col("doc_id") + n - 5_000).alias("doc_id"), "text"
+                (F.col("doc_id") + n).alias("doc_id"), "text"
             )
             times[label] = timed(
                 lambda: incremental_minhash_pairs(store, batch)[0]
