@@ -241,3 +241,46 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def lm_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    outlier_centibits: int = 500,
+) -> DataFrame:
+    """Corpus-trained unigram LM surprisal per document — the
+    perplexity-filter family (CCNet's KenLM bucket filter): documents
+    whose tokens are collectively improbable under a language model of
+    the corpus itself are outliers (OCR noise, wrong language,
+    boilerplate soup).
+
+    The "model" is the corpus's own unigram counts; per-token
+    surprisal is the INTEGER bit-length log, ``ilog2(T) - ilog2(c(w))``
+    (floor(log2) computed exactly as ``length(bin(x)) - 1`` — no libm,
+    so Spark and the SQL oracle agree bit-for-bit, keeping the
+    package's no-float-aggregation rule).  Returns per doc:
+    (id, n_tokens, total_bits, bpt_centibits, is_outlier) where
+    ``bpt_centibits`` is mean bits/token ×100 as an exact integer.
+
+    Spark shape: one token explode; the count "training" pass is a
+    partial-aggregable groupBy(token); the scoring join is
+    token-keyed, merge-hinted (the vocabulary is corpus-derived and
+    Zipf-long at 100 TB — never trust a static broadcast estimate),
+    and skew on hot tokens ("the") is AQE's SMJ skew-split case; the
+    total-token count is ONE scalar collected driver-side and embedded
+    as a literal (same contract as kmeans' centroids).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    t_bits = max(int(total).bit_length() - 1, 0)
+    bits = (F.lit(t_bits) - (F.length(F.bin(F.col("c"))) - F.lit(1))).cast("long")
+    scored = tok.join(counts.hint("merge"), "tok").withColumn("bits", bits)
+    bpt = F.floor((F.sum("bits") * 100) / F.count(F.lit(1))).cast("long")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").alias("total_bits"),
+        bpt.alias("bpt_centibits"),
+        (bpt >= F.lit(outlier_centibits)).alias("is_outlier"),
+    )

@@ -962,6 +962,7 @@ _TAIL_QUERIES = [
     "dedup_quality_survivors",
     "cluster_balanced_sample",
     "dedup_incremental_minhash",
+    "text_lm_surprisal",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -662,6 +662,31 @@ _NGRAMS_8_SQL = (
 )
 
 
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram surprisal (perplexity-filter family):
+    exact integer bit-length logs, outliers above 5.0 bits/token."""
+    from genie_spark.analytics.text import lm_surprisal
+
+    return lm_surprisal(_docs(spark, sf_dir), outlier_centibits=500)
+
+
+LM_SURPRISAL_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+t AS (SELECT length(bin(count(*))) - 1 AS tbits FROM tok),
+s AS (
+  SELECT doc_id,
+         CAST((SELECT tbits FROM t) - (length(bin(c)) - 1) AS BIGINT) AS bits
+  FROM tok JOIN c USING (tok)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(bits) AS BIGINT) AS total_bits,
+       CAST((sum(bits) * 100) // count(*) AS BIGINT) AS bpt_centibits,
+       ((sum(bits) * 100) // count(*)) >= 500 AS is_outlier
+FROM s GROUP BY doc_id
+"""
+
+
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 8-token-gram overlap of the corpus
     (doc_id % 50 != 0) against the benchmark split (doc_id % 50 == 0),
@@ -1018,6 +1043,7 @@ ANALYTICS_QUERIES: dict = {
     "text_fingerprint": text_fingerprint,
     "text_tfidf_topk": text_tfidf_topk,
     "text_repetition": text_repetition,
+    "text_lm_surprisal": text_lm_surprisal,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
@@ -1050,6 +1076,7 @@ ANALYTICS_ORACLES: dict = {
     "text_fingerprint": FINGERPRINT_SQL,
     "text_tfidf_topk": TFIDF_SQL,
     "text_repetition": REPETITION_SQL,
+    "text_lm_surprisal": LM_SURPRISAL_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_pack_sequences": PACK_SEQUENCES_SQL,

@@ -799,3 +799,25 @@ def test_write_training_shards_layout(spark, tmp_path):
         assert ranks == sorted(ranks)          # file order IS epoch order
         assert all(r["text"].startswith("text ") for r in rows)  # payload travels
     assert total == 500
+
+
+def test_lm_surprisal_flags_rare_token_docs(spark):
+    """A doc of corpus-rare tokens scores more bits/token than one of
+    corpus-common tokens; integer bit math matches a Python model."""
+    from genie_spark.analytics.text import lm_surprisal
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common common"),
+            (3, "common common common common"),
+            (4, "rare1 rare2 rare3 rare4"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lm_surprisal(df, outlier_centibits=300).collect()}
+    # model: T=16 tokens -> tbits=4; c(common)=12 -> 3 bits; c(rareX)=1 -> 0 bits
+    # common docs: bits/token = 4-3 = 1; rare doc: 4-0 = 4
+    assert out[1]["total_bits"] == 4 and out[1]["bpt_centibits"] == 100
+    assert out[4]["total_bits"] == 16 and out[4]["bpt_centibits"] == 400
+    assert out[4]["is_outlier"] and not out[1]["is_outlier"]
