@@ -98,7 +98,13 @@ def kmeans_assign(
     try:
         init = q.orderBy("__id").limit(k).collect()
         centroids = [(i, list(r["__v"])) for i, r in enumerate(init)]
-        dim = len(centroids[0][1]) if centroids else 0
+        if not centroids:
+            # empty corpus: no centroids to seed — an empty literal
+            # array would be VOID-typed and break the struct extract
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, cluster_id long, d2 long"
+            )
+        dim = len(centroids[0][1])
         for _ in range(iters):
             assigned = q.withColumn("__c", _assign_cid(F.col("__v"), centroids))
             sums = (

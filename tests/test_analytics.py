@@ -821,3 +821,27 @@ def test_lm_surprisal_flags_rare_token_docs(spark):
     assert out[1]["total_bits"] == 4 and out[1]["bpt_centibits"] == 100
     assert out[4]["total_bits"] == 16 and out[4]["bpt_centibits"] == 400
     assert out[4]["is_outlier"] and not out[1]["is_outlier"]
+
+
+def test_new_ops_empty_and_degenerate_inputs(spark):
+    """Empty corpora flow through as empty results (not VOID-literal
+    crashes); k > n degrades to per-point clusters."""
+    from genie_spark.analytics.clustering import (
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+    from genie_spark.analytics.corpus import passage_dedup, train_split_shuffle
+    from genie_spark.analytics.text import lm_surprisal
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert passage_dedup(empty_docs, n_tokens=2).count() == 0
+    assert train_split_shuffle(empty_docs).count() == 0
+    assert lm_surprisal(empty_docs).count() == 0
+    out = kmeans_assign(empty_emb, k=3, iters=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cluster_id", "d2"]
+    assert cluster_balanced_sample(empty_emb, k=3, iters=1).count() == 0
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    rows = kmeans_assign(one, k=5, iters=2).collect()
+    assert len(rows) == 1 and rows[0]["d2"] == 0
