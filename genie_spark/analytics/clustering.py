@@ -200,3 +200,61 @@ def cluster_balanced_sample(
         .where(F.col("sample_bucket") < F.col("keep_bp"))
         .select(id_col, "cluster_id", "sample_bucket", "keep_bp")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    compare pairs only WITHIN a cluster and drop every vector that has
+    a near-duplicate (cosine > threshold) with a smaller id — the
+    keep-lowest-id greedy.  Returns the drop list
+    (id, kept_witness, max_cosine).
+
+    This is the third candidate-generation geometry in the
+    candidates→verify family: MinHash bands (lexical), IVF cell
+    co-membership (one-shot spatial), and here LLOYD cells — iterated
+    centroids adapt to the density of the corpus, so comparisons
+    concentrate where the semantic mass is.  Pairs that straddle a
+    cluster boundary are missed by design (SemDeDup's approximation);
+    the oracle mirrors the identical deterministic clustering, so the
+    two engines agree exactly.
+
+    Scale shape: ``kmeans_assign``'s fixed-job-count clustering, then
+    ONE equi-join on cluster_id (merge-hinted — candidate volume is
+    data-sized, never broadcast on a static misestimate) and a
+    candidate-sized exact verify (``cosine_verify_pairs``).  Per-cell
+    pair count is |cell|² — k must grow with n (the n//16 occupancy
+    rule ``dedup_embedding_drop`` uses) to keep cells O(1)-sized.
+    """
+    from genie_spark.analytics.similarity import cosine_verify_pairs
+    from pyspark import StorageLevel
+
+    # the assignment is consumed twice (both sides of the pair join) —
+    # persist so the iters+1 k-means jobs run once, not twice
+    a = (
+        kmeans_assign(df, id_col, vec_col, k, iters)
+        .select(F.col(id_col), "cluster_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    left = a.select(F.col(id_col).alias("a"), "cluster_id")
+    right = a.select(F.col(id_col).alias("b"), "cluster_id")
+    cand = (
+        left.join(right.hint("merge"), "cluster_id")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    pairs = cosine_verify_pairs(df, cand, id_col, vec_col, threshold)
+    return (
+        pairs.groupBy("b")
+        .agg(
+            F.min("a").alias("kept_witness"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select(F.col("b").alias(id_col), "kept_witness", "max_cosine")
+    )

@@ -1,0 +1,144 @@
+"""Mergeable distinct-count sketches: deterministic K-Minimum-Values.
+
+At 100 TB the value of a sketch is the ARTIFACT, not the first scan:
+a KMV sketch summarizes a shard's (or a release's) distinct values as
+k longs that merge ASSOCIATIVELY — union the arrays, re-take the k
+smallest — so cross-shard / cross-release / rolling-window distinct
+counts never re-read data.  The estimator is Beyer et al.'s unbiased
+KMV (SIGMOD'07): with h uniform on [0, 1), the k-th smallest hash
+h_(k) of D distinct values concentrates around k/D, so
+``(k-1) / h_(k)`` estimates D with relative error ~1/sqrt(k-2).
+
+Engine determinism (what lets a DuckDB oracle reproduce the estimate
+bit-for-bit, unlike HLL whose estimator needs transcendental ln/pow):
+
+* hash: first 15 md5 hex chars of the stringified value → a 60-bit
+  non-negative long — the same md5-uniform family every sampling op in
+  ``analytics.corpus`` uses;
+* estimate: ``(k-1) * 2^60 / h_k`` — one long→double conversion and
+  one IEEE divide, identical op sequence in any engine;
+* the sketch itself is a sorted long array — no RNG, no platform salt.
+
+Scale shape: the BUILD is one distinct-style shuffle of (group, hash)
+pairs — partial aggregation dedupes repeated values map-side, and only
+the 8-byte hash travels, never the value — followed by a per-group
+top-k window over hashes.  That is the one unavoidable pass over raw
+data; every later question (union across shards, release-over-release
+growth) is answered by ``kmv_merge`` over k-row artifacts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_BITS = 60
+KMV_DENOM = float(1 << KMV_BITS)
+DEFAULT_K = 64
+
+
+def kmv_hash(col: str | Column) -> Column:
+    """Deterministic 60-bit uniform hash: first 15 md5 hex chars of the
+    stringified value.  60 bits keeps the long positive and the
+    long→double conversion identical across engines; collisions at
+    2^-60 are below any estimator's noise floor."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def _estimate(kmin: Column, n_seen: Column, k: int) -> Column:
+    """(k-1)/h_(k) scaled back from the 2^60 hash domain; exact count
+    when the group has fewer than k distinct values (the sketch IS the
+    value set then)."""
+    # try_element_at, not element_at: CASE short-circuits, but ANSI
+    # element_at on a short array must never be reachable even under
+    # expression reordering
+    return F.when(
+        n_seen < k, n_seen.cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(KMV_DENOM)
+        / F.try_element_at(kmin, F.lit(k)).cast("double")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "text",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-group KMV distinct sketch: (group, kmin array<long>, n_seen,
+    est_distinct).  ``kmin`` holds the k smallest distinct hashes
+    sorted ascending (fewer if the group is small) — the mergeable
+    artifact ``kmv_merge`` consumes.
+
+    Plan: distinct (group, hash) — map-side combine collapses repeats
+    before the shuffle, and the shuffle rows are 16 bytes regardless of
+    value width — then a per-group (hash asc) window keeps rank ≤ k.
+    """
+    h = kmv_hash(value_col)
+    hashes = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    sk = ranked.groupBy("g").agg(
+        F.sort_array(F.collect_list("h")).alias("kmin"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+    return sk.select(
+        F.col("g").alias(group_col),
+        "kmin",
+        "n_seen",
+        _estimate(F.col("kmin"), F.col("n_seen"), k).alias("est_distinct"),
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_col: str = "source",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge per-shard sketches (any number of rows per group) into one
+    sketch per group: union the hash arrays, dedupe, re-take the k
+    smallest.  Associative and idempotent — the property that makes
+    the artifact composable across shards, days, and releases without
+    touching raw data.  Input needs (group, kmin) columns; output has
+    the same schema as ``kmv_sketch``."""
+    exploded = sketches.select(
+        F.col(group_col).alias("g"), F.explode("kmin").alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = exploded.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    sk = ranked.groupBy("g").agg(
+        F.sort_array(F.collect_list("h")).alias("kmin"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+    return sk.select(
+        F.col("g").alias(group_col),
+        "kmin",
+        "n_seen",
+        _estimate(F.col("kmin"), F.col("n_seen"), k).alias("est_distinct"),
+    )
+
+
+def kmv_union_estimate(
+    sketches: DataFrame,
+    group_col: str = "source",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Distinct-count estimate of the UNION of all groups — merge every
+    group's sketch into one and estimate once.  The cross-release
+    question ("how many distinct documents across all releases?")
+    answered from k-long artifacts."""
+    merged = kmv_merge(
+        sketches.select(F.lit("__all__").alias(group_col), "kmin"),
+        group_col=group_col,
+        k=k,
+    )
+    return merged.select(
+        F.col("n_seen"), F.col("est_distinct")
+    )

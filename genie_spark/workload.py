@@ -945,6 +945,13 @@ _ALL_QUERIES: dict = {
 # corpus_split_shuffle and dedup_quality_survivors are variants of
 # already-checked families (md5-deterministic sampling / survivor
 # selection) and start in the tail — locally verified.
+# Round-5 late additions: dedup_semantic (SemDeDup — Lloyd-cell
+# candidate geometry, a distinct published family) and
+# sketch_kmv_distinct (mergeable KMV distinct sketch — a NEW family)
+# take window slots; freed by rotating out dedup_simhash (the
+# signature-banding family stays driver-checked via dedup_minhash_lsh)
+# and text_tfidf_topk (the text-scoring family stays via text_quality;
+# tf·idf still locally verified by tools/verify_oracle.py).
 _TAIL_QUERIES = [
     "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
     "a2_distinct_counts",
@@ -963,6 +970,8 @@ _TAIL_QUERIES = [
     "cluster_balanced_sample",
     "dedup_incremental_minhash",
     "text_lm_surprisal",
+    "dedup_simhash",
+    "text_tfidf_topk",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -1000,6 +1000,80 @@ SELECT vec_id, cluster_id, sample_bucket, keep_bp FROM (
 """
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop list: within-Lloyd-cell near-dup pairs (cosine >
+    0.35 on the quantized vectors), keep-lowest-id greedy.  Third
+    candidate geometry after MinHash bands and IVF cells."""
+    from genie_spark.analytics.clustering import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, threshold=0.35
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH asg AS ({_kmeans_sql()}),
+q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
+m AS (SELECT asg.vec_id, asg.cluster_id, n.v, n.nn
+      FROM asg JOIN n USING (vec_id)),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(list_dot_product(x.v, y.v) AS BIGINT)
+           / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
+  FROM m x JOIN m y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+)
+SELECT b AS vec_id, min(a) AS kept_witness, max(cosine) AS max_cosine
+FROM p WHERE cosine > 0.35 GROUP BY b
+"""
+
+
+SKETCH_KMV_K = 64
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-text sketch (k = 64): the mergeable
+    distinct-count artifact.  The registered projection drops the
+    ``kmin`` array (engines render arrays differently) and keeps the
+    scalar sketch state: k-th smallest hash + the deterministic
+    Beyer-et-al estimate."""
+    from genie_spark.analytics.sketches import kmv_sketch
+
+    sk = kmv_sketch(_docs(spark, sf_dir), "source", "text", k=SKETCH_KMV_K)
+    # try_element_at: a group with < k distinct values has a short kmin
+    # array — kth_min is null there and est_distinct is the exact count
+    return sk.select(
+        "source",
+        "n_seen",
+        F.try_element_at("kmin", F.lit(SKETCH_KMV_K)).alias("kth_min"),
+        "est_distinct",
+    )
+
+
+SKETCH_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT source, list(h ORDER BY h) AS kmin, count(*) AS n_seen
+  FROM r WHERE rn <= {SKETCH_KMV_K} GROUP BY source
+)
+SELECT source, n_seen,
+       CASE WHEN n_seen >= {SKETCH_KMV_K} THEN kmin[{SKETCH_KMV_K}] END AS kth_min,
+       CASE WHEN n_seen < {SKETCH_KMV_K} THEN CAST(n_seen AS DOUBLE)
+            ELSE {float(SKETCH_KMV_K - 1)} * {float(1 << 60)}
+                   / CAST(kmin[{SKETCH_KMV_K}] AS DOUBLE)
+       END AS est_distinct
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1053,6 +1127,8 @@ ANALYTICS_QUERIES: dict = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "cluster_kmeans": cluster_kmeans,
     "cluster_balanced_sample": cluster_balanced_sample_q,
+    "dedup_semantic": dedup_semantic,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
     "multimodal_features": multimodal_features,
 }
 
@@ -1086,5 +1162,7 @@ ANALYTICS_ORACLES: dict = {
     "dedup_incremental_minhash": _incremental_minhash_sql(),
     "cluster_kmeans": _kmeans_sql(),
     "cluster_balanced_sample": _cluster_sample_sql(),
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    "sketch_kmv_distinct": SKETCH_KMV_SQL,
     "multimodal_features": MULTIMODAL_SQL,
 }

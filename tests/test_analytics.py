@@ -823,6 +823,52 @@ def test_lm_surprisal_flags_rare_token_docs(spark):
     assert out[4]["is_outlier"] and not out[1]["is_outlier"]
 
 
+def test_semantic_dedup_matches_within_cluster_model(spark):
+    """SemDeDup drop list == the model built from kmeans_assign +
+    exact cosine_pairs restricted to same-cluster pairs, and near-dup
+    twins inside a blob are dropped (keep-lowest-id)."""
+    from genie_spark.analytics.clustering import kmeans_assign, semantic_dedup
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 1.0 + i * 0.001, 0.0]))       # blob A: near-dups
+        rows.append((100 + i, [-1.0, -1.0 - i * 0.3, 3.0]))  # blob B: spread out
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, k=2, iters=2, threshold=0.999).collect()
+    }
+
+    # model: same-cluster exact pairs above threshold, drop the higher id
+    asg = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(df, k=2, iters=2).collect()
+    }
+    pairs = [
+        (r["a"], r["b"], r["cosine"])
+        for r in cosine_pairs(df, threshold=0.999).collect()
+        if asg[r["a"]] == asg[r["b"]]
+    ]
+    expected = {}
+    for a, b, cos in pairs:
+        w, m = expected.get(b, (b, 0.0))
+        expected[b] = (min(w, a), max(m, cos))
+    assert set(out) == set(expected)
+    for b, (witness, max_cos) in expected.items():
+        assert out[b]["kept_witness"] == witness
+        assert out[b]["max_cosine"] == max_cos
+    # the tight blob collapses to its lowest id; ids 1..5 are dropped
+    assert {1, 2, 3, 4, 5} <= set(out)
+    assert all(out[i]["kept_witness"] == 0 for i in range(1, 6))
+    # the spread blob survives (cosine between far members < 0.999)
+    assert 100 in asg and 100 not in out
+
+    # empty corpus flows through
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup(empty, k=2, iters=1).count() == 0
+
+
 def test_new_ops_empty_and_degenerate_inputs(spark):
     """Empty corpora flow through as empty results (not VOID-literal
     crashes); k > n degrades to per-point clusters."""

@@ -332,3 +332,33 @@ def test_kmeans_iteration_is_map_plus_kdim_agg(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_sum" in plan
+
+
+def test_semantic_dedup_shuffle_joins_only(spark):
+    """SemDeDup's pair join and verify join carry data-sized sides
+    (cluster assignments, vectors): never a cartesian and never a
+    static-misestimate broadcast — the BASELINE.md 1M-doc lesson
+    applies to every candidates→verify geometry."""
+    from genie_spark.analytics.clustering import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(semantic_dedup(emb, k=4, iters=1, threshold=0.35))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_kmv_sketch_dedupes_before_window(spark):
+    """The KMV build must partial-aggregate the (group, hash) distinct
+    map-side (only 16-byte pairs shuffle, repeats collapse before the
+    exchange) and contain no join at all."""
+    from genie_spark.analytics.sketches import kmv_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(kmv_sketch(docs, "source", "text", k=16))
+    assert "Join" not in plan, plan
+    # distinct's map-side partial aggregation before its exchange
+    assert "HashAggregate" in plan and "Exchange hashpartitioning" in plan
+    # the raw text column is pruned out before the shuffle: hashes only
+    assert plan.count("Exchange") <= 2, plan  # distinct + window

@@ -1,0 +1,109 @@
+"""KMV distinct-sketch tests: accuracy, mergeability, determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from genie_spark.analytics.sketches import (
+    KMV_DENOM,
+    kmv_hash,
+    kmv_merge,
+    kmv_sketch,
+    kmv_union_estimate,
+)
+
+
+def _values(spark, groups):
+    """groups: {group: n_distinct}; each value appears twice (repeats
+    must not affect a distinct sketch)."""
+    rows = []
+    for g, n in groups.items():
+        for i in range(n):
+            rows.append((g, f"{g}-value-{i}"))
+            rows.append((g, f"{g}-value-{i}"))
+    return spark.createDataFrame(rows, ["source", "text"])
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct values gets the EXACT count
+    (the sketch holds the whole hash set)."""
+    df = _values(spark, {"small": 10})
+    row = kmv_sketch(df, k=64).collect()[0]
+    assert row["n_seen"] == 10
+    assert row["est_distinct"] == 10.0
+    assert len(row["kmin"]) == 10
+
+
+def test_kmv_estimate_accuracy(spark):
+    """2000 distinct values, k=64: the Beyer estimator's relative error
+    concentrates at ~1/sqrt(k-2) ≈ 13%; assert a generous 3-sigma."""
+    df = _values(spark, {"big": 2000})
+    row = kmv_sketch(df, k=64).collect()[0]
+    assert row["n_seen"] == 64
+    assert len(row["kmin"]) == 64
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.4
+
+
+def test_kmv_merge_equals_global(spark):
+    """Sharded build then merge == one global build, bit-for-bit —
+    the associativity that makes the artifact composable."""
+    df = _values(spark, {"a": 300, "b": 40})
+    whole = {r["source"]: r for r in kmv_sketch(df, k=32).collect()}
+
+    shard1 = df.where(F.crc32(F.col("text")) % 2 == 0)
+    shard2 = df.where(F.crc32(F.col("text")) % 2 == 1)
+    parts = kmv_sketch(shard1, k=32).unionByName(kmv_sketch(shard2, k=32))
+    merged = {r["source"]: r for r in kmv_merge(parts, k=32).collect()}
+
+    assert set(merged) == set(whole)
+    for g in whole:
+        assert merged[g]["kmin"] == whole[g]["kmin"]
+        assert merged[g]["n_seen"] == whole[g]["n_seen"]
+        assert merged[g]["est_distinct"] == whole[g]["est_distinct"]
+
+
+def test_kmv_merge_idempotent(spark):
+    """Merging a sketch with itself changes nothing (distinct hashes)."""
+    df = _values(spark, {"a": 100})
+    sk = kmv_sketch(df, k=16)
+    twice = kmv_merge(sk.unionByName(sk), k=16).collect()[0]
+    once = sk.collect()[0]
+    assert twice["kmin"] == once["kmin"]
+    assert twice["est_distinct"] == once["est_distinct"]
+
+
+def test_kmv_union_estimate_over_groups(spark):
+    """Union across groups with OVERLAPPING values: the union estimate
+    reflects the distinct union, not the sum of group counts."""
+    rows = [("a", f"shared-{i}") for i in range(50)] + [
+        ("b", f"shared-{i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    sk = kmv_sketch(df, k=64)
+    u = kmv_union_estimate(sk, k=64).collect()[0]
+    assert u["n_seen"] == 50          # not 100 — same hashes dedupe
+    assert u["est_distinct"] == 50.0
+
+
+def test_kmv_hash_matches_reference_md5(spark):
+    """The hash is the documented first-15-hex-chars-of-md5 — pin it
+    against hashlib so the DuckDB oracle contract can't drift."""
+    df = spark.createDataFrame([("g", "hello")], ["source", "text"])
+    h = df.select(kmv_hash("text").alias("h")).collect()[0]["h"]
+    expected = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert h == expected
+    assert 0 <= h < KMV_DENOM
+
+
+def test_kmv_nulls_and_empty(spark):
+    """Null values are excluded; an empty frame yields an empty sketch."""
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None), ("h", None)], ["source", "text"]
+    )
+    out = {r["source"]: r for r in kmv_sketch(df, k=8).collect()}
+    assert set(out) == {"g"}
+    assert out["g"]["n_seen"] == 1
+    empty = spark.createDataFrame([], "source string, text string")
+    assert kmv_sketch(empty, k=8).count() == 0
