@@ -67,6 +67,7 @@ def kmv_sketch(
     group_col: str = "source",
     value_col: str = "text",
     k: int = DEFAULT_K,
+    n_salts: int = 64,
 ) -> DataFrame:
     """Per-group KMV distinct sketch: (group, kmin array<long>, n_seen,
     est_distinct).  ``kmin`` holds the k smallest distinct hashes
@@ -75,16 +76,33 @@ def kmv_sketch(
 
     Plan: distinct (group, hash) — map-side combine collapses repeats
     before the shuffle, and the shuffle rows are 16 bytes regardless of
-    value width — then a per-group (hash asc) window keeps rank ≤ k.
-    """
+    value width — then a SALTED two-phase top-k: a window over
+    (group, h % n_salts) keeps each salt bucket's k smallest, the
+    final window over (group) ranks only n_salts·k survivors.  A
+    single per-group window would funnel every distinct hash of a
+    group through ONE reducer — with few, huge groups (20 sources ×
+    billions of docs) that task IS the job; salting bounds the final
+    task at n_salts·k rows per group.  Deriving the salt from the hash
+    itself (not the row) keeps the phase-1 buckets disjoint, so
+    phase 2 stays exact."""
     h = kmv_hash(value_col)
     hashes = (
         df.where(F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("g"), h.alias("h"))
         .distinct()
     )
-    w = Window.partitionBy("g").orderBy("h")
-    ranked = hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    w1 = Window.partitionBy("g", "salt").orderBy("h")
+    local = (
+        hashes.withColumn("salt", F.col("h") % n_salts)
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+    )
+    w2 = Window.partitionBy("g").orderBy("h")
+    ranked = (
+        local.select("g", "h")
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+    )
     sk = ranked.groupBy("g").agg(
         F.sort_array(F.collect_list("h")).alias("kmin"),
         F.count(F.lit(1)).alias("n_seen"),

@@ -361,4 +361,5 @@ def test_kmv_sketch_dedupes_before_window(spark):
     # distinct's map-side partial aggregation before its exchange
     assert "HashAggregate" in plan and "Exchange hashpartitioning" in plan
     # the raw text column is pruned out before the shuffle: hashes only
-    assert plan.count("Exchange") <= 2, plan  # distinct + window
+    # distinct + salted local top-k window + k·salts-row final window
+    assert plan.count("Exchange") <= 3, plan

@@ -107,3 +107,16 @@ def test_kmv_nulls_and_empty(spark):
     assert out["g"]["n_seen"] == 1
     empty = spark.createDataFrame([], "source string, text string")
     assert kmv_sketch(empty, k=8).count() == 0
+
+
+def test_kmv_salted_topk_is_exact(spark):
+    """The salted two-phase top-k returns the SAME k smallest distinct
+    hashes as a direct global sort, for several salt counts (salting
+    is a physical-skew fix, never a semantic change)."""
+    df = _values(spark, {"a": 500, "b": 20})
+    direct = {r["source"]: r["kmin"] for r in kmv_sketch(df, k=32, n_salts=1).collect()}
+    for s in (4, 64, 1024):
+        salted = {
+            r["source"]: r["kmin"] for r in kmv_sketch(df, k=32, n_salts=s).collect()
+        }
+        assert salted == direct
