@@ -228,12 +228,35 @@ def semantic_dedup(
     Scale shape: ``kmeans_assign``'s fixed-job-count clustering, then
     ONE equi-join on cluster_id (merge-hinted — candidate volume is
     data-sized, never broadcast on a static misestimate) and a
-    candidate-sized exact verify (``cosine_verify_pairs``).  Per-cell
-    pair count is |cell|² — k must grow with n (the n//16 occupancy
-    rule ``dedup_embedding_drop`` uses) to keep cells O(1)-sized.
+    candidate-sized exact verify (``cosine_verify_pairs``).
+
+    Compute envelope — flat-Lloyd SemDeDup is inherently superlinear,
+    so this operator is capped: assignment costs O(n·k·dim) (every
+    vector against every literal centroid) while per-cell verify costs
+    O(n²·B/k) for occupancy B; the total is minimized near
+    k ≈ n/√(dim) at O(n^1.5)·dim ops.  The stress probe measures 5.4×
+    wall per 10× rows with the k = n/256 occupancy rule
+    (tools/stress_scale.py, BASELINE.md §5) — faithful to the
+    published method, not a 100 TB path.  Past the guard, generate
+    candidates with ``similarity.lsh_banded_pairs`` (or
+    ``ivf_cell_pairs``) + ``cosine_verify_pairs`` — the linear
+    candidates→verify geometry ``dedup_embedding_drop`` uses; at
+    extreme scale a hierarchical (multi-level) k-means assignment
+    would restore SemDeDup's cluster semantics, at the cost of a
+    second centroid tier.
     """
     from genie_spark.analytics.similarity import cosine_verify_pairs
     from pyspark import StorageLevel
+
+    n = df.count()
+    if n > 200_000:
+        raise ValueError(
+            f"semantic_dedup's flat-Lloyd assignment is O(n·k·dim) and its "
+            f"per-cell verify O(n²/k) — ~O(n^1.5) total at the optimal k; "
+            f"input has {n:,} vectors. Use lsh_banded_pairs/ivf_cell_pairs + "
+            "cosine_verify_pairs at this scale (the dedup_embedding_drop "
+            "geometry)."
+        )
 
     # the assignment is consumed twice (both sides of the pair join) —
     # persist so the iters+1 k-means jobs run once, not twice

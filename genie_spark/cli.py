@@ -1003,6 +1003,52 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_sketch(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Build a per-group KMV distinct sketch of a documents parquet dir
+    and add it to a sketch STORE — the artifact that answers
+    cross-release distinct-count questions without rescans.
+
+    The store accumulates one ``shard=<label>`` directory per build
+    (release, ingest batch, day); re-running a label REWRITES its own
+    directory (idempotent, the ``near_dup_stream`` batch convention).
+    After writing, the command merges ALL shards (``kmv_merge`` — k
+    longs per group per shard, never raw data) and prints the combined
+    per-group estimates; ``--merged-out`` persists them."""
+    import os as _os
+
+    from genie_spark.analytics.sketches import kmv_merge, kmv_sketch
+
+    docs = spark.read.parquet(args.input)
+    if args.group_col not in docs.columns or args.value_col not in docs.columns:
+        print(
+            f"corpus-sketch: input must have columns "
+            f"({args.group_col}, {args.value_col}); found {docs.columns}"
+        )
+        return 2
+    label = args.label or _os.path.basename(_os.path.normpath(args.input))
+    shard_dir = _os.path.join(args.store, f"shard={label}")
+    sk = kmv_sketch(docs, args.group_col, args.value_col, k=args.k)
+    sk.write.mode("overwrite").parquet(shard_dir)
+
+    # merge every shard in the store (k-long arrays, not raw data)
+    all_shards = spark.read.parquet(args.store)
+    if "shard" in all_shards.columns:
+        all_shards = all_shards.drop("shard")
+    merged = kmv_merge(all_shards, group_col=args.group_col, k=args.k)
+    if args.merged_out:
+        merged.write.mode("overwrite").parquet(args.merged_out)
+    rows = merged.select(
+        args.group_col, "n_seen", "est_distinct"
+    ).orderBy(args.group_col).collect()
+    for r in rows:
+        print(
+            f"corpus-sketch: {r[args.group_col]}\t"
+            f"est_distinct={r['est_distinct']:.1f} (n_seen={r['n_seen']})"
+        )
+    print(f"corpus-sketch: shard '{label}' written; {len(rows)} groups merged")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="genie-spark", description="PySpark-native GENIE pipeline"
@@ -1173,6 +1219,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep the most-token member per cluster instead of min id",
     )
     cd.set_defaults(fn=cmd_corpus_dedup)
+    cs = sub.add_parser(
+        "corpus-sketch",
+        help="KMV distinct sketch of a parquet dir into a mergeable store",
+    )
+    cs.add_argument("--input", required=True, help="documents parquet dir")
+    cs.add_argument("--store", required=True, help="sketch store dir")
+    cs.add_argument("--label", help="shard label (default: input basename)")
+    cs.add_argument("--group-col", dest="group_col", default="source")
+    cs.add_argument("--value-col", dest="value_col", default="text")
+    cs.add_argument("--k", type=int, default=64)
+    cs.add_argument(
+        "--merged-out", dest="merged_out",
+        help="write the merged all-shard sketch parquet here",
+    )
+    cs.set_defaults(fn=cmd_corpus_sketch)
     return p
 
 

@@ -1257,3 +1257,46 @@ def test_corpus_dedup_command(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out2, "deduped")).collect()
     )
     assert kept2 == [3, 4, 5]  # longest near-dup copy survives; exact dup 6 dropped
+
+
+def test_corpus_sketch_store_accumulates_and_merges(spark, tmp_path, capsys):
+    """Two builds with different labels accumulate two shards; the
+    merged estimate reflects the distinct UNION across shards (overlap
+    collapses); re-running a label is idempotent."""
+    from genie_spark.analytics.sketches import kmv_sketch
+    from genie_spark.cli import cmd_corpus_sketch
+
+    rows_a = [("s", f"doc-{i}") for i in range(40)]
+    rows_b = [("s", f"doc-{i}") for i in range(20, 60)]  # 20 overlap
+    a = str(tmp_path / "release_a")
+    b = str(tmp_path / "release_b")
+    spark.createDataFrame(rows_a, ["source", "text"]).write.parquet(a)
+    spark.createDataFrame(rows_b, ["source", "text"]).write.parquet(b)
+    store = str(tmp_path / "sketches")
+    merged_out = str(tmp_path / "merged")
+
+    ns = lambda inp, label: _ns(  # noqa: E731
+        input=inp, store=store, label=label, group_col="source",
+        value_col="text", k=64, merged_out=None,
+    )
+    assert cmd_corpus_sketch(spark, ns(a, "a")) == 0
+    out1 = capsys.readouterr().out
+    assert "est_distinct=40.0" in out1
+
+    ns2 = _ns(input=b, store=store, label="b", group_col="source",
+              value_col="text", k=64, merged_out=merged_out)
+    assert cmd_corpus_sketch(spark, ns2) == 0
+    out2 = capsys.readouterr().out
+    # union of the two releases = 60 distinct, not 80
+    assert "est_distinct=60.0" in out2
+
+    # persisted merged artifact matches a direct global build
+    both = spark.createDataFrame(rows_a + rows_b, ["source", "text"])
+    direct = kmv_sketch(both, k=64).collect()[0]
+    stored = spark.read.parquet(merged_out).collect()[0]
+    assert stored["kmin"] == direct["kmin"]
+    assert stored["est_distinct"] == direct["est_distinct"]
+
+    # idempotent shard rewrite: same label again, still 60
+    assert cmd_corpus_sketch(spark, ns(a, "a")) == 0
+    assert "est_distinct=60.0" in capsys.readouterr().out

@@ -317,6 +317,32 @@ def main() -> None:
 
     probe_store("incremental_minhash")
 
+    # KMV distinct sketch with 20 HOT groups (the salting claim: the
+    # final per-group top-k task is bounded at n_salts·k rows, so wall
+    # tracks the distinct shuffle, not the biggest group)
+    from genie_spark.analytics.sketches import kmv_sketch
+
+    probe(
+        "kmv_sketch",
+        lambda n: kmv_sketch(
+            docs(n).withColumn("source", F.pmod("doc_id", F.lit(20)).cast("string")),
+            "source", "text", k=64,
+        ),
+    )
+
+    # SemDeDup: Lloyd cells sized by a constant-occupancy rule
+    # (k = n/256) keep the within-cell pair volume ~128·n — linear.
+    # 5%-density planted near-dups as in embedding_drop_e2e.
+    from genie_spark.analytics.clustering import semantic_dedup
+
+    probe(
+        "semantic_dedup",
+        lambda n: semantic_dedup(
+            synth_embeddings_dups(spark, n).repartition(32).cache(),
+            k=max(8, n // 256), iters=2, threshold=0.6,
+        ),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
