@@ -143,6 +143,47 @@ def kmv_merge(
     )
 
 
+def kmv_jaccard_pairs(
+    sketches: DataFrame,
+    group_col: str = "source",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Pairwise Jaccard / intersection estimates between groups FROM
+    THEIR SKETCHES ALONE (Beyer et al. §5): among the k smallest
+    hashes of A∪B, count the fraction present in both A and B.  The
+    truncated arrays suffice exactly: any hash among the union's k
+    smallest is necessarily among its own set's k smallest, so
+    membership tests against kminA/kminB are never wrong.
+
+    Input is the SKETCH table (ONE ROW PER GROUP, k longs each — by
+    contract a dim-sized frame, e.g. sources, releases, shards), so
+    the all-pairs join is groups²-rows tiny; this never touches raw
+    data.  est_intersection = jaccard · est(|A∪B|)."""
+    a = sketches.select(F.col(group_col).alias("a"), F.col("kmin").alias("ak"))
+    b = sketches.select(F.col(group_col).alias("b"), F.col("kmin").alias("bk"))
+    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    uk = F.slice(F.array_sort(F.array_union("ak", "bk")), 1, k)
+    out = pairs.withColumn("uk", uk).select(
+        "a",
+        "b",
+        F.size(
+            F.array_intersect(F.array_intersect("uk", "ak"), "bk")
+        ).cast("long").alias("n_common"),
+        F.size("uk").cast("long").alias("n_union_k"),
+        F.col("uk"),
+    )
+    jac = F.col("n_common").cast("double") / F.col("n_union_k").cast("double")
+    est_union = _estimate(F.col("uk"), F.col("n_union_k"), k)
+    return out.select(
+        "a",
+        "b",
+        "n_common",
+        "n_union_k",
+        jac.alias("jaccard_est"),
+        (jac * est_union).alias("est_intersection"),
+    )
+
+
 def kmv_union_estimate(
     sketches: DataFrame,
     group_col: str = "source",

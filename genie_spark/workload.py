@@ -972,6 +972,8 @@ _TAIL_QUERIES = [
     "text_lm_surprisal",
     "dedup_simhash",
     "text_tfidf_topk",
+    # sketch-family variant of the driver-checked sketch_kmv_distinct
+    "sketch_kmv_jaccard",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -1074,6 +1074,62 @@ FROM s
 """
 
 
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source VOCABULARY overlap estimated from KMV sketches alone:
+    sketch each source's distinct-token set (k = 64), then pairwise
+    Jaccard / intersection estimates over the groups²-row sketch
+    table — the cross-release/source content-overlap question answered
+    without an all-pairs join on raw data."""
+    from genie_spark.analytics.sketches import kmv_jaccard_pairs, kmv_sketch
+    from genie_spark.analytics.text import tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    sk = kmv_sketch(toks, "source", "tok", k=SKETCH_KMV_K)
+    return kmv_jaccard_pairs(sk, "source", k=SKETCH_KMV_K)
+
+
+SKETCH_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT source, list(h ORDER BY h) AS kmin
+  FROM r WHERE rn <= {SKETCH_KMV_K} GROUP BY source
+),
+p AS (
+  SELECT sa.source AS a, sb.source AS b, sa.kmin AS ak, sb.kmin AS bk,
+         (list_sort(list_distinct(list_concat(sa.kmin, sb.kmin))))[1:{SKETCH_KMV_K}] AS uk
+  FROM s sa JOIN s sb ON sa.source < sb.source
+),
+m AS (
+  SELECT a, b,
+         CAST(len(list_intersect(list_intersect(uk, ak), bk)) AS BIGINT) AS n_common,
+         CAST(len(uk) AS BIGINT) AS n_union_k,
+         uk
+  FROM p
+)
+SELECT a, b, n_common, n_union_k,
+       CAST(n_common AS DOUBLE) / CAST(n_union_k AS DOUBLE) AS jaccard_est,
+       (CAST(n_common AS DOUBLE) / CAST(n_union_k AS DOUBLE)) *
+         (CASE WHEN n_union_k < {SKETCH_KMV_K} THEN CAST(n_union_k AS DOUBLE)
+               ELSE {float(SKETCH_KMV_K - 1)} * {float(1 << 60)}
+                      / CAST(uk[{SKETCH_KMV_K}] AS DOUBLE)
+          END) AS est_intersection
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1129,6 +1185,7 @@ ANALYTICS_QUERIES: dict = {
     "cluster_balanced_sample": cluster_balanced_sample_q,
     "dedup_semantic": dedup_semantic,
     "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_kmv_jaccard": sketch_kmv_jaccard,
     "multimodal_features": multimodal_features,
 }
 
@@ -1164,5 +1221,6 @@ ANALYTICS_ORACLES: dict = {
     "cluster_balanced_sample": _cluster_sample_sql(),
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_SQL,
+    "sketch_kmv_jaccard": SKETCH_JACCARD_SQL,
     "multimodal_features": MULTIMODAL_SQL,
 }

@@ -120,3 +120,40 @@ def test_kmv_salted_topk_is_exact(spark):
             r["source"]: r["kmin"] for r in kmv_sketch(df, k=32, n_salts=s).collect()
         }
         assert salted == direct
+
+
+def test_kmv_jaccard_exact_when_under_k(spark):
+    """Sets smaller than k: the sketch IS the set, so the Jaccard and
+    intersection estimates are exact."""
+    from genie_spark.analytics.sketches import kmv_jaccard_pairs
+
+    rows = (
+        [("a", f"v{i}") for i in range(30)]
+        + [("b", f"v{i}") for i in range(20, 50)]   # |A∩B|=10, |A∪B|=50
+        + [("c", f"w{i}") for i in range(5)]        # disjoint from both
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    sk = kmv_sketch(df, k=64)
+    out = {(r["a"], r["b"]): r for r in kmv_jaccard_pairs(sk, k=64).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_common"] == 10 and ab["n_union_k"] == 50
+    assert ab["jaccard_est"] == 10 / 50
+    assert abs(ab["est_intersection"] - 10.0) < 1e-9
+    assert out[("a", "c")]["n_common"] == 0
+    assert out[("b", "c")]["jaccard_est"] == 0.0
+
+
+def test_kmv_jaccard_estimates_above_k(spark):
+    """Sets much larger than k: the k-sample estimate lands near the
+    true Jaccard (1000 ∩ 2000-union → J=0.5; k=64 → σ≈J·(1-J)/√k)."""
+    from genie_spark.analytics.sketches import kmv_jaccard_pairs
+
+    rows = [("a", f"v{i}") for i in range(1500)] + [
+        ("b", f"v{i}") for i in range(500, 2000)
+    ]  # |A∩B|=1000, |A∪B|=2000
+    df = spark.createDataFrame(rows, ["source", "text"])
+    sk = kmv_sketch(df, k=64)
+    r = kmv_jaccard_pairs(sk, k=64).collect()[0]
+    assert r["n_union_k"] == 64
+    assert abs(r["jaccard_est"] - 0.5) < 0.25
+    assert abs(r["est_intersection"] - 1000) / 1000 < 0.5
