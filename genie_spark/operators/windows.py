@@ -120,3 +120,70 @@ def latest_per_key(
         .where(F.col("__gs_rn") == 1)
         .drop("__gs_rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload: list[str],
+    tiebreak: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join (each left row ⟵ the right row with the
+    greatest ``ts_col`` ≤ its own, per key) as ONE shuffle.
+
+    The naive formulation is a range join — an n·m candidate blowup
+    (or a per-key loop).  Here both sides are tagged and UNIONED, each
+    key's rows sort once by (ts, side, tiebreak), and the right
+    payload is carried forward with ``last(ignorenulls)`` over an
+    unbounded-preceding frame; left rows are kept.  Cost: one hash
+    exchange on the key + the window sort — identical to any per-key
+    window op, and linear in |left|+|right| at any scale.
+
+    Semantics (deterministic, mirrored by DuckDB's native ASOF JOIN
+    over a (key, ts, arg_max(payload, tiebreak)) right side):
+
+    * inclusive — a right row AT the left row's ts matches (right
+      sorts before left at equal ts);
+    * duplicate right (key, ts) rows resolve to the max-``tiebreak``
+      row's payload (the sort puts it last);
+    * right rows with null ts are dropped (a null can never satisfy
+      ts_right ≤ ts_left); left rows with null ts get null payload;
+    * left rows with no prior right row get null payload (left-join
+      semantics).
+
+    Right payload columns surface as ``{prefix}{name}``; the left
+    frame must not already contain those names.
+    """
+    for c in payload:
+        out_name = f"{prefix}{c}"
+        if out_name in left.columns:
+            raise ValueError(f"left side already has a column named {out_name}")
+
+    # the payload travels as ONE struct so the match is atomic: with
+    # per-column last(ignorenulls), a right row carrying a null in one
+    # payload column would splice that column from an OLDER right row
+    r = (
+        right.where(F.col(ts_col).isNotNull())
+        .select(
+            *on,
+            F.col(ts_col),
+            F.col(tiebreak).alias("__tb"),
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    l = left.withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    return u.where(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload],
+    )

@@ -609,6 +609,46 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+def w4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (W-family extension): each click attributed
+    to the user's most recent view at-or-before it — the union-window
+    single-shuffle form (``operators.windows.asof_join``), never a
+    range join.  The oracle is DuckDB's NATIVE ASOF LEFT JOIN, a
+    semantically independent implementation."""
+    from genie_spark.operators.windows import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    return asof_join(
+        clicks, views, on=["user_id"], ts_col="ts_us",
+        payload=["event_id", "value"], tiebreak="event_id",
+    )
+
+
+W4_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max(event_id) AS asof_event_id,
+         arg_max(value, event_id) AS asof_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT c.event_id, c.user_id, c.ts_us, c.value,
+       v.asof_event_id, v.asof_value
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+"""
+
+
 def a5_lag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-vs-prior-release difference via lag (reference A5
     ``update_sample_difference_table``): monthly event counts per type,
@@ -901,6 +941,7 @@ _ALL_QUERIES: dict = {
     "j7_upsert_diff": j7_upsert_diff,
     "w1_adjacent_events": w1_adjacent_events,
     "w2_latest_per_key": w2_latest_per_key,
+    "w4_asof_join": w4_asof_join,
     "j3_interval_join": j3_interval_join,
     "j3_interval_anti": j3_interval_anti,
     "j4_containment_join": j4_containment_join,
@@ -974,6 +1015,9 @@ _TAIL_QUERIES = [
     "text_tfidf_topk",
     # sketch-family variant of the driver-checked sketch_kmv_distinct
     "sketch_kmv_jaccard",
+    # rotated out for w4_asof_join (a NEW W-family extension): the
+    # fingerprint hash family stays driver-checked via dedup_exact
+    "text_fingerprint",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}
@@ -1003,6 +1047,7 @@ ORACLES: dict = {
     "j7_upsert_diff": J7_SQL,
     "w1_adjacent_events": W1_SQL,
     "w2_latest_per_key": W2_SQL,
+    "w4_asof_join": W4_SQL,
     "j3_interval_join": J3_SQL,
     "j3_interval_anti": J3_ANTI_SQL,
     "j4_containment_join": J4_SQL,

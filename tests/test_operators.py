@@ -287,3 +287,65 @@ def test_value_count_decreases(spark):
     )
     assert empty.collect() == []
     assert empty.columns == ["CENTER", "column", "has_decrease"]
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive at equal ts, max-tiebreak at duplicate
+    right ts, null payload atomicity (one right row, never a splice),
+    left-join nulls before any right row, null-ts rows handled."""
+    from genie_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 5), (4, 2, 100), (5, 3, 50), (6, 1, None)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 1, 10, "a"),     # equal-ts to lid=1 → inclusive match
+            (102, 1, 15, None),    # null payload value: must surface as
+            (103, 1, 15, "c"),     # ... no — 103 wins the 15-ts tie (max rid)
+            (104, 2, 300, "z"),    # after lid=4 → no match
+            (105, 3, None, "n"),   # null right ts: dropped
+        ],
+        "rid long, k long, ts long, tag string",
+    )
+    out = {
+        r["lid"]: (r["asof_rid"], r["asof_tag"])
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts",
+            payload=["rid", "tag"], tiebreak="rid",
+        ).collect()
+    }
+    assert out[1] == (101, "a")        # inclusive: right at ts==left ts
+    assert out[2] == (103, "c")        # duplicate ts=15: max rid wins
+    assert out[3] == (None, None)      # ts=5 before any right row
+    assert out[4] == (None, None)      # only later right rows
+    assert out[5] == (None, None)      # right null-ts row dropped
+    assert out[6] == (None, None)      # left null ts → null payload
+
+
+def test_asof_join_null_payload_is_atomic(spark):
+    """The matched row's payload is taken wholesale: a null column in
+    the newest right row must NOT be backfilled from an older row."""
+    from genie_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100)], "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        [(11, 1, 10, "old"), (12, 1, 50, None)],
+        "rid long, k long, ts long, tag string",
+    )
+    r = asof_join(
+        left, right, on=["k"], ts_col="ts", payload=["rid", "tag"], tiebreak="rid"
+    ).collect()[0]
+    assert r["asof_rid"] == 12 and r["asof_tag"] is None  # not "old"
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from genie_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame([(1, 1, 1, "x")], "lid long, k long, ts long, asof_tag string")
+    right = spark.createDataFrame([(2, 1, 1, "y")], "rid long, k long, ts long, tag string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="asof_tag"):
+        asof_join(left, right, on=["k"], ts_col="ts", payload=["tag"], tiebreak="rid")

@@ -363,3 +363,15 @@ def test_kmv_sketch_dedupes_before_window(spark):
     # the raw text column is pruned out before the shuffle: hashes only
     # distinct + salted local top-k window + k·salts-row final window
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_asof_join_is_one_exchange_no_join(spark):
+    """The union-window as-of join must contain NO join operator and
+    exactly one hash exchange (the window key) — the property that
+    makes it linear where a range join blows up."""
+    from genie_spark.workload import w4_asof_join
+
+    plan = plan_of(w4_asof_join(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
