@@ -130,9 +130,15 @@ def asof_join(
     payload: list[str],
     tiebreak: str,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Backward as-of join (each left row ⟵ the right row with the
     greatest ``ts_col`` ≤ its own, per key) as ONE shuffle.
+    ``direction="forward"`` matches the SMALLEST right ts ≥ the left
+    row's instead (next-event attribution), with ties at a duplicate
+    right (key, ts) resolved to the MIN-``tiebreak`` row — the mirror
+    of backward's max, so both directions pick the row nearest the
+    left row in the sort.
 
     The naive formulation is a range join — an n·m candidate blowup
     (or a per-key loop).  Here both sides are tagged and UNIONED, each
@@ -157,6 +163,8 @@ def asof_join(
     Right payload columns surface as ``{prefix}{name}``; the left
     frame must not already contain those names.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     for c in payload:
         out_name = f"{prefix}{c}"
         if out_name in left.columns:
@@ -177,12 +185,25 @@ def asof_join(
     )
     l = left.withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        order = [F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc()]
+    else:
+        # descending ts puts LATER rows first, so the unbounded-
+        # preceding last() seen at a left row is the nearest ts ≥ it;
+        # __tb desc makes the min-tiebreak right row sort last (win)
+        order = [F.col(ts_col).desc(), F.col("__side").asc(), F.col("__tb").desc()]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    # a null left ts can never satisfy the inequality in either
+    # direction; mask explicitly (under desc order nulls sort LAST and
+    # would otherwise see every right row)
+    u = u.withColumn(
+        "__m", F.when(F.col(ts_col).isNotNull(), F.col("__m"))
+    )
     return u.where(F.col("__side") == 1).select(
         *left.columns,
         *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload],

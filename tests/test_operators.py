@@ -349,3 +349,29 @@ def test_asof_join_rejects_column_collision(spark):
 
     with _pytest.raises(ValueError, match="asof_tag"):
         asof_join(left, right, on=["k"], ts_col="ts", payload=["tag"], tiebreak="rid")
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: nearest right ts >= left ts, inclusive, min
+    tiebreak at a duplicate right ts, null left ts unmatched."""
+    from genie_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 40), (3, 1, 500), (4, 1, None)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(11, 1, 10, "a"), (12, 1, 50, "b"), (13, 1, 50, "b2"), (14, 1, 5, "z")],
+        "rid long, k long, ts long, tag string",
+    )
+    out = {
+        r["lid"]: (r["asof_rid"], r["asof_tag"])
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts",
+            payload=["rid", "tag"], tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    assert out[1] == (11, "a")      # inclusive at equal ts
+    assert out[2] == (12, "b")      # duplicate ts=50: MIN rid wins
+    assert out[3] == (None, None)   # nothing at/after 500
+    assert out[4] == (None, None)   # null left ts
