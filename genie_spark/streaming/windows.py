@@ -206,3 +206,40 @@ def near_dup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    value_col: str = "text",
+    k: int = 64,
+):
+    """Streaming KMV distinct sketching: each micro-batch is sketched
+    (``analytics.sketches.kmv_sketch`` — k longs per group) and lands
+    in its own ``batch=<id>`` directory of the sketch store; the
+    rolling distinct-count question is answered any time by
+    ``kmv_merge`` over the store, never by re-reading ingested data.
+
+    Work per batch ∝ |batch| (one distinct shuffle of (group, hash)
+    pairs + the salted top-k) — the store is write-only here, so
+    unlike ``near_dup_stream`` the batch never even joins against
+    history; merging shards is the reader's O(shards·k·groups) job.
+    Exactly-once by the same convention: a replayed batch REWRITES its
+    own directory (mode overwrite), so reads of the store stay
+    idempotent.  Returns the started StreamingQuery."""
+    from genie_spark.analytics.sketches import kmv_sketch
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sk = kmv_sketch(batch, group_col, value_col, k=k)
+        sk.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

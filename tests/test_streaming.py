@@ -206,3 +206,43 @@ def test_near_dup_stream_against_store(spark, tmp_path):
     assert (1, 2) in pairs          # batch1-internal dup
     assert (1, 10) in pairs and (2, 10) in pairs  # cross-batch near-dups
     assert not any(11 in p for p in pairs)
+
+
+def test_sketch_stream_rolling_distinct(spark, tmp_path):
+    """Two micro-batches of overlapping values: the merged store
+    estimate equals the distinct UNION (exact under k), computed from
+    k-long shards without re-reading batch 1's rows."""
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.sketches import kmv_merge
+    from genie_spark.streaming.windows import sketch_stream
+
+    src = tmp_path / "sk_in"
+    src.mkdir()
+    store = str(tmp_path / "sk_store")
+    ckpt = str(tmp_path / "sk_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run_batch(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for s, t in rows:
+                f.write(_json.dumps({"source": s, "text": t}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = sketch_stream(stream, store, ckpt, k=64)
+        q.awaitTermination()
+
+    run_batch("b1.json", [("s", f"v{i}") for i in range(30)])
+    run_batch("b2.json", [("s", f"v{i}") for i in range(20, 50)])  # 10 overlap
+
+    shards = spark.read.parquet(store)
+    assert shards.count() == 2                      # one sketch row per batch
+    merged = kmv_merge(shards.drop("batch"), k=64).collect()[0]
+    assert merged["n_seen"] == 50                   # distinct union, not 60
+    assert merged["est_distinct"] == 50.0
