@@ -201,3 +201,56 @@ def kmv_union_estimate(
     return merged.select(
         F.col("n_seen"), F.col("est_distinct")
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    sample_bp: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles over a DETERMINISTIC md5 sample — the
+    reproducible stand-in for t-digest/KLL at scale: the full sort a
+    true per-group quantile needs touches every row; here only
+    ``sample_bp``/10000 of rows (chosen by content-independent id
+    hash, so reruns and engines agree) are sorted per group, and the
+    estimate is the sample's EXACT lower quantile
+    (rank = floor(q·(n-1)) + 1 — index arithmetic, no interpolation,
+    so no float-summation drift between engines).
+
+    Output: (group, q, quantile_value, n_sample).  With
+    sample_bp=10000 the "sample" is the whole table and the values are
+    the exact per-group quantiles."""
+    from genie_spark.analytics.corpus import SAMPLE_DENOM, _uniform_bp
+
+    s = df.where(F.col(value_col).isNotNull())
+    if sample_bp < SAMPLE_DENOM:
+        s = s.where(_uniform_bp(id_col) < sample_bp)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())
+    ranked = s.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).withColumn("rn", F.row_number().over(w))
+    counts = ranked.groupBy("g").agg(F.max("rn").cast("long").alias("n_sample"))
+    qdf = ranked.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    targets = (
+        counts.select(F.col("g").alias("tg"), "n_sample")
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "target_rn",
+            (F.floor(F.col("q") * (F.col("n_sample") - 1)) + 1).cast("int"),
+        )
+    )
+    return (
+        ranked.join(
+            targets,
+            (F.col("g") == F.col("tg")) & (F.col("rn") == F.col("target_rn")),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "q",
+            F.col("v").alias("quantile_value"),
+            "n_sample",
+        )
+    )

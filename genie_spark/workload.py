@@ -1013,8 +1013,9 @@ _TAIL_QUERIES = [
     "text_lm_surprisal",
     "dedup_simhash",
     "text_tfidf_topk",
-    # sketch-family variant of the driver-checked sketch_kmv_distinct
+    # sketch-family variants of the driver-checked sketch_kmv_distinct
     "sketch_kmv_jaccard",
+    "sketch_quantiles",
     # rotated out for w4_asof_join (a NEW W-family extension): the
     # fingerprint hash family stays driver-checked via dedup_exact
     "text_fingerprint",

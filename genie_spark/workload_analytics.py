@@ -1130,6 +1130,49 @@ FROM m
 """
 
 
+QUANTILE_SAMPLE_BP = 1_000  # 10% md5 sample
+
+
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles from a deterministic 10%
+    md5 sample — the reproducible approximate-quantile pattern (only
+    the sample sorts per group; rank selection is index arithmetic, no
+    interpolation floats)."""
+    from genie_spark.analytics.sketches import sampled_quantiles
+
+    return sampled_quantiles(
+        _docs(spark, sf_dir),
+        group_col="source",
+        value_col="n_chars",
+        id_col="doc_id",
+        qs=(0.25, 0.5, 0.75, 0.95),
+        sample_bp=QUANTILE_SAMPLE_BP,
+    )
+
+
+SKETCH_QUANTILES_SQL = f"""
+WITH s AS (
+  SELECT source, n_chars FROM documents
+  WHERE n_chars IS NOT NULL
+    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < {QUANTILE_SAMPLE_BP}
+),
+r AS (
+  SELECT source, n_chars AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+  FROM s
+),
+c AS (SELECT source, max(rn) AS n_sample FROM r GROUP BY source),
+t AS (
+  SELECT c.source, CAST(q.q AS DOUBLE) AS q, c.n_sample,
+         CAST(floor(CAST(q.q AS DOUBLE) * (c.n_sample - 1)) + 1 AS INT) AS target_rn
+  FROM c CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) q(q)
+)
+SELECT t.source, t.q, r.v AS quantile_value, t.n_sample
+FROM r JOIN t ON r.source = t.source AND r.rn = t.target_rn
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1186,6 +1229,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_semantic": dedup_semantic,
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_kmv_jaccard": sketch_kmv_jaccard,
+    "sketch_quantiles": sketch_quantiles,
     "multimodal_features": multimodal_features,
 }
 
@@ -1222,5 +1266,6 @@ ANALYTICS_ORACLES: dict = {
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_SQL,
     "sketch_kmv_jaccard": SKETCH_JACCARD_SQL,
+    "sketch_quantiles": SKETCH_QUANTILES_SQL,
     "multimodal_features": MULTIMODAL_SQL,
 }

@@ -157,3 +157,51 @@ def test_kmv_jaccard_estimates_above_k(spark):
     assert r["n_union_k"] == 64
     assert abs(r["jaccard_est"] - 0.5) < 0.25
     assert abs(r["est_intersection"] - 1000) / 1000 < 0.5
+
+
+def test_sampled_quantiles_exact_at_full_sample(spark):
+    """sample_bp=10000 → whole table: values equal the exact lower
+    quantiles computed by a Python model."""
+    from genie_spark.analytics.sketches import sampled_quantiles
+
+    vals = {"a": [5, 1, 9, 3, 7, 2, 8, 4, 6, 10], "b": [100, 300, 200]}
+    rows = [
+        (g, i * 100 + j, v)
+        for i, (g, vs) in enumerate(vals.items())
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, ["g", "rid", "v"])
+    out = {
+        (r["g"], r["q"]): (r["quantile_value"], r["n_sample"])
+        for r in sampled_quantiles(
+            df, "g", "v", "rid", qs=(0.25, 0.5, 0.75, 0.95), sample_bp=10_000
+        ).collect()
+    }
+    import math
+
+    for g, vs in vals.items():
+        srt = sorted(vs)
+        for q in (0.25, 0.5, 0.75, 0.95):
+            expect = srt[math.floor(q * (len(srt) - 1))]
+            assert out[(g, q)] == (expect, len(srt)), (g, q)
+
+
+def test_sampled_quantiles_sample_is_deterministic(spark):
+    """The 10% variant picks the same rows on every run/partitioning
+    (md5 of the id), so results are rerun-stable."""
+    from genie_spark.analytics.sketches import sampled_quantiles
+
+    df = spark.range(2000).selectExpr(
+        "'g' AS g", "id AS rid", "CAST(id % 977 AS LONG) AS v"
+    )
+    a = sorted(
+        sampled_quantiles(df, "g", "v", "rid", sample_bp=1_000).collect()
+    )
+    b = sorted(
+        sampled_quantiles(
+            df.repartition(13), "g", "v", "rid", sample_bp=1_000
+        ).collect()
+    )
+    assert a == b and len(a) == 4
+    n = a[0]["n_sample"]
+    assert 100 < n < 350  # ≈10% of 2000, md5-binomial
