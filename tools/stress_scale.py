@@ -343,6 +343,30 @@ def main() -> None:
         ),
     )
 
+    # as-of join: n clicks vs n views over 1000 hot-ish users — the
+    # union-window form should track n (one exchange + sort), where a
+    # range join would blow up as clicks×views per user
+    from genie_spark.operators.windows import asof_join
+
+    def run_asof(n):
+        left = spark.range(n).select(
+            F.col("id").alias("lid"),
+            F.pmod("id", F.lit(1000)).alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(10_000_000)).alias("ts"),
+        ).repartition(32)
+        right = spark.range(n).select(
+            F.col("id").alias("rid"),
+            F.pmod("id", F.lit(1000)).alias("k"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000_000)).alias("ts"),
+            F.md5(F.col("id").cast("string")).alias("tag"),
+        )
+        return asof_join(
+            left, right, on=["k"], ts_col="ts",
+            payload=["rid", "tag"], tiebreak="rid",
+        )
+
+    probe("asof_join", run_asof)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
