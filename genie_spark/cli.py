@@ -1045,6 +1045,26 @@ def cmd_corpus_sketch(spark: SparkSession, args: argparse.Namespace) -> int:
             f"corpus-sketch: {r[args.group_col]}\t"
             f"est_distinct={r['est_distinct']:.1f} (n_seen={r['n_seen']})"
         )
+    if getattr(args, "pairwise", False):
+        # cross-SHARD overlap (which releases share content): collapse
+        # each shard's groups into one sketch per shard, then pairwise
+        # Jaccard over the shards²-row sketch table
+        from genie_spark.analytics.sketches import kmv_jaccard_pairs
+
+        all_shards = spark.read.parquet(args.store)
+        by_shard = kmv_merge(
+            all_shards.select(F.col("shard").cast("string").alias("shard"), "kmin"),
+            group_col="shard",
+            k=args.k,
+        )
+        for r in kmv_jaccard_pairs(by_shard, "shard", k=args.k).orderBy(
+            "a", "b"
+        ).collect():
+            print(
+                f"corpus-sketch: overlap {r['a']} ~ {r['b']}\t"
+                f"jaccard={r['jaccard_est']:.3f} "
+                f"est_common={r['est_intersection']:.1f}"
+            )
     print(f"corpus-sketch: shard '{label}' written; {len(rows)} groups merged")
     return 0
 
@@ -1232,6 +1252,10 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument(
         "--merged-out", dest="merged_out",
         help="write the merged all-shard sketch parquet here",
+    )
+    cs.add_argument(
+        "--pairwise", action="store_true",
+        help="print cross-shard Jaccard/intersection estimates",
     )
     cs.set_defaults(fn=cmd_corpus_sketch)
     return p

@@ -1300,3 +1300,29 @@ def test_corpus_sketch_store_accumulates_and_merges(spark, tmp_path, capsys):
     # idempotent shard rewrite: same label again, still 60
     assert cmd_corpus_sketch(spark, ns(a, "a")) == 0
     assert "est_distinct=60.0" in capsys.readouterr().out
+
+
+def test_corpus_sketch_pairwise_shard_overlap(spark, tmp_path, capsys):
+    """--pairwise reports the cross-shard Jaccard: releases a and b
+    share 20 of 60 distinct values → J=1/3 exactly (under k)."""
+    from genie_spark.cli import cmd_corpus_sketch
+
+    rows_a = [("s", f"doc-{i}") for i in range(40)]
+    rows_b = [("s", f"doc-{i}") for i in range(20, 60)]
+    a = str(tmp_path / "rel_a")
+    b = str(tmp_path / "rel_b")
+    spark.createDataFrame(rows_a, ["source", "text"]).write.parquet(a)
+    spark.createDataFrame(rows_b, ["source", "text"]).write.parquet(b)
+    store = str(tmp_path / "sk2")
+
+    mk = lambda inp, label: _ns(  # noqa: E731
+        input=inp, store=store, label=label, group_col="source",
+        value_col="text", k=64, merged_out=None, pairwise=True,
+    )
+    assert cmd_corpus_sketch(spark, mk(a, "a")) == 0
+    capsys.readouterr()
+    assert cmd_corpus_sketch(spark, mk(b, "b")) == 0
+    out = capsys.readouterr().out
+    assert "overlap a ~ b" in out
+    assert "jaccard=0.333" in out
+    assert "est_common=20.0" in out

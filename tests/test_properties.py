@@ -342,3 +342,62 @@ def test_kmeans_matches_sequential_lloyd(spark, vecs, k):
     final = assign()
     expect = {i: (c, d2) for i, (d2, c) in final.items()}
     assert got == expect
+
+
+asof_left_st = st.lists(
+    st.tuples(st.integers(0, 3), st.one_of(st.none(), st.integers(0, 50))),
+    min_size=1, max_size=10,
+)
+asof_right_st = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.one_of(st.none(), st.integers(0, 50)),
+        st.integers(0, 9),
+    ),
+    min_size=0, max_size=10,
+)
+
+
+@given(left=asof_left_st, right=asof_right_st,
+       direction=st.sampled_from(["backward", "forward"]))
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right, direction):
+    """Both directions match the O(n·m) sequential model on random
+    key/ts/tiebreak data including null timestamps and duplicate
+    (key, ts) right rows."""
+    from genie_spark.operators.windows import asof_join
+
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    rrows = [(100 + i, k, ts, v) for i, (k, ts, v) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, ts long, val long")
+
+    def model(lk, lts):
+        if lts is None:
+            return (None, None)
+        cand = [
+            (rid, ts, v)
+            for rid, k, ts, v in rrows
+            if k == lk and ts is not None
+            and (ts <= lts if direction == "backward" else ts >= lts)
+        ]
+        if not cand:
+            return (None, None)
+        if direction == "backward":
+            best_ts = max(ts for _, ts, _ in cand)
+            picked = max((r for r in cand if r[1] == best_ts), key=lambda r: r[0])
+        else:
+            best_ts = min(ts for _, ts, _ in cand)
+            picked = min((r for r in cand if r[1] == best_ts), key=lambda r: r[0])
+        return (picked[0], picked[2])
+
+    out = {
+        r["lid"]: (r["asof_rid"], r["asof_val"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], ts_col="ts",
+            payload=["rid", "val"], tiebreak="rid", direction=direction,
+        ).collect()
+    }
+    assert len(out) == len(lrows)
+    for lid, lk, lts in lrows:
+        assert out[lid] == model(lk, lts), (lid, direction)
