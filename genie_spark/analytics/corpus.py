@@ -383,3 +383,49 @@ def write_training_shards(
         .partitionBy("split", "shard")
         .parquet(out_dir)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval/long-doc
+    training primitive ``pack_sequences`` does NOT cover (packing
+    concatenates across docs with no overlap; chunking splits within a
+    doc, each chunk re-reading ``window - stride`` tokens of context).
+
+    Per doc: token offsets 0, stride, 2·stride, … < n_tokens, each
+    yielding the next ``window`` tokens (the final chunk is shorter).
+    Pure narrow plan — tokenize, one ``explode`` of the offset
+    sequence, ``slice``/``array_join`` — ZERO shuffles, so it scales
+    as the scan does; chunk_id is the offset index (deterministic,
+    rerun-stable).
+
+    Output: (id, chunk_id, chunk_start, chunk_text, n_tokens).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    from genie_spark.analytics.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    offs = toks.where(F.col("__n") > 0).select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice("__toks", F.col("chunk_start") + 1, window)
+    return offs.select(
+        F.col(id_col),
+        (F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

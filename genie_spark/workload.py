@@ -1016,6 +1016,8 @@ _TAIL_QUERIES = [
     # sketch-family variants of the driver-checked sketch_kmv_distinct
     "sketch_kmv_jaccard",
     "sketch_quantiles",
+    # corpus-family variant (chunking; packing is driver-checked)
+    "corpus_chunk_overlap",
     # rotated out for w4_asof_join (a NEW W-family extension): the
     # fingerprint hash family stays driver-checked via dedup_exact
     "text_fingerprint",

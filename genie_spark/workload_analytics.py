@@ -1130,6 +1130,41 @@ FROM m
 """
 
 
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (64-token windows, stride
+    48): the retrieval/long-doc primitive — narrow explode plan, zero
+    shuffles."""
+    from genie_spark.analytics.corpus import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    )
+
+
+CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+o AS (
+  SELECT doc_id, toks, unnest(range(0, n, {CHUNK_STRIDE})) AS chunk_start
+  FROM n
+)
+SELECT doc_id,
+       CAST(chunk_start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       array_to_string(toks[chunk_start + 1 : chunk_start + {CHUNK_WINDOW}], ' ')
+         AS chunk_text,
+       CAST(len(toks[chunk_start + 1 : chunk_start + {CHUNK_WINDOW}]) AS BIGINT)
+         AS n_tokens
+FROM o
+"""
+
+
 QUANTILE_SAMPLE_BP = 1_000  # 10% md5 sample
 
 
@@ -1230,6 +1265,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_kmv_jaccard": sketch_kmv_jaccard,
     "sketch_quantiles": sketch_quantiles,
+    "corpus_chunk_overlap": corpus_chunk_overlap,
     "multimodal_features": multimodal_features,
 }
 
@@ -1267,5 +1303,6 @@ ANALYTICS_ORACLES: dict = {
     "sketch_kmv_distinct": SKETCH_KMV_SQL,
     "sketch_kmv_jaccard": SKETCH_JACCARD_SQL,
     "sketch_quantiles": SKETCH_QUANTILES_SQL,
+    "corpus_chunk_overlap": CHUNK_SQL,
     "multimodal_features": MULTIMODAL_SQL,
 }

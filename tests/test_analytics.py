@@ -891,3 +891,30 @@ def test_new_ops_empty_and_degenerate_inputs(spark):
     one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
     rows = kmeans_assign(one, k=5, iters=2).collect()
     assert len(rows) == 1 and rows[0]["d2"] == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Offsets step by stride, each chunk re-reads window-stride tokens
+    of context, the tail chunk is short, and empty docs vanish."""
+    from genie_spark.analytics.corpus import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    )
+    assert out == [
+        (1, 0, 0, "t0 t1 t2 t3", 4),
+        (1, 1, 3, "t3 t4 t5 t6", 4),   # t3 overlaps chunk 0
+        (1, 2, 6, "t6 t7 t8 t9", 4),
+        (1, 3, 9, "t9", 1),            # short tail
+        (2, 0, 0, "a b", 2),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=0, stride=3)
