@@ -37,6 +37,9 @@ from pyspark.sql import functions as F
 
 from genie_spark.analytics.similarity import quantized
 
+# flat-Lloyd SemDeDup's compute envelope (see semantic_dedup docstring)
+SEMANTIC_DEDUP_MAX_ROWS = 200_000
+
 
 def _assign_cid(vec: Column, centroids: list[tuple[int, list[int]]]) -> Column:
     """Nearest-centroid id for a quantized vector column: one literal
@@ -246,10 +249,9 @@ def semantic_dedup(
     second centroid tier.
     """
     from genie_spark.analytics.similarity import cosine_verify_pairs
-    from pyspark import StorageLevel
 
     n = df.count()
-    if n > 200_000:
+    if n > SEMANTIC_DEDUP_MAX_ROWS:
         raise ValueError(
             f"semantic_dedup's flat-Lloyd assignment is O(n·k·dim) and its "
             f"per-cell verify O(n²/k) — ~O(n^1.5) total at the optimal k; "
@@ -259,11 +261,14 @@ def semantic_dedup(
         )
 
     # the assignment is consumed twice (both sides of the pair join) —
-    # persist so the iters+1 k-means jobs run once, not twice
+    # localCheckpoint, not persist: checkpoint blocks free when the
+    # DataFrame is garbage collected, so repeated calls in a session
+    # don't accumulate cache-manager entries only unpersist would
+    # release (the incremental_minhash_pairs hygiene rule)
     a = (
         kmeans_assign(df, id_col, vec_col, k, iters)
         .select(F.col(id_col), "cluster_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     left = a.select(F.col(id_col).alias("a"), "cluster_id")
     right = a.select(F.col(id_col).alias("b"), "cluster_id")

@@ -39,11 +39,16 @@ DEFAULT_K = 64
 
 def kmv_hash(col: str | Column) -> Column:
     """Deterministic 60-bit uniform hash: first 15 md5 hex chars of the
-    stringified value.  60 bits keeps the long positive and the
-    long→double conversion identical across engines; collisions at
-    2^-60 are below any estimator's noise floor."""
+    stringified value — DELEGATES to ``dedup.shingle_hash`` so the
+    engine-parity-critical formula (mirrored in every DuckDB oracle as
+    CAST('0x'||substr(md5(s),1,15) AS BIGINT)) lives in exactly one
+    place.  60 bits keeps the long positive and the long→double
+    conversion identical across engines; collisions at 2^-60 are below
+    any estimator's noise floor."""
+    from genie_spark.analytics.dedup import shingle_hash
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return shingle_hash(c.cast("string"))
 
 
 def _estimate(kmin: Column, n_seen: Column, k: int) -> Column:

@@ -1027,14 +1027,28 @@ def cmd_corpus_sketch(spark: SparkSession, args: argparse.Namespace) -> int:
         return 2
     label = args.label or _os.path.basename(_os.path.normpath(args.input))
     shard_dir = _os.path.join(args.store, f"shard={label}")
-    sk = kmv_sketch(docs, args.group_col, args.value_col, k=args.k)
+    # record the k the shard was built with: merging at a LARGER k than
+    # any stored shard would silently under-count (hashes past a
+    # shard's k-th smallest were discarded at build time)
+    sk = kmv_sketch(docs, args.group_col, args.value_col, k=args.k).withColumn(
+        "k", F.lit(args.k)
+    )
     sk.write.mode("overwrite").parquet(shard_dir)
 
-    # merge every shard in the store (k-long arrays, not raw data)
-    all_shards = spark.read.parquet(args.store)
-    if "shard" in all_shards.columns:
-        all_shards = all_shards.drop("shard")
-    merged = kmv_merge(all_shards, group_col=args.group_col, k=args.k)
+    # merge every shard in the store (k-long arrays, not raw data);
+    # ONE store read feeds the merge, the report, and --pairwise
+    all_shards = spark.read.parquet(args.store).persist()
+    stored_k = [r["k"] for r in all_shards.select(F.min("k").alias("k")).collect()]
+    k_eff = min(int(stored_k[0]), args.k)
+    if k_eff < args.k:
+        print(
+            f"corpus-sketch: store has shards built with k={stored_k[0]} "
+            f"< requested k={args.k}; merging at k={k_eff} (truncating to "
+            "the smallest build k keeps the merge exact)"
+        )
+    merged = kmv_merge(
+        all_shards.drop("shard", "k"), group_col=args.group_col, k=k_eff
+    ).persist()
     if args.merged_out:
         merged.write.mode("overwrite").parquet(args.merged_out)
     rows = merged.select(
@@ -1051,13 +1065,12 @@ def cmd_corpus_sketch(spark: SparkSession, args: argparse.Namespace) -> int:
         # Jaccard over the shards²-row sketch table
         from genie_spark.analytics.sketches import kmv_jaccard_pairs
 
-        all_shards = spark.read.parquet(args.store)
         by_shard = kmv_merge(
             all_shards.select(F.col("shard").cast("string").alias("shard"), "kmin"),
             group_col="shard",
-            k=args.k,
+            k=k_eff,
         )
-        for r in kmv_jaccard_pairs(by_shard, "shard", k=args.k).orderBy(
+        for r in kmv_jaccard_pairs(by_shard, "shard", k=k_eff).orderBy(
             "a", "b"
         ).collect():
             print(
@@ -1065,6 +1078,8 @@ def cmd_corpus_sketch(spark: SparkSession, args: argparse.Namespace) -> int:
                 f"jaccard={r['jaccard_est']:.3f} "
                 f"est_common={r['est_intersection']:.1f}"
             )
+    all_shards.unpersist()
+    merged.unpersist()
     print(f"corpus-sketch: shard '{label}' written; {len(rows)} groups merged")
     return 0
 

@@ -1326,3 +1326,30 @@ def test_corpus_sketch_pairwise_shard_overlap(spark, tmp_path, capsys):
     assert "overlap a ~ b" in out
     assert "jaccard=0.333" in out
     assert "est_common=20.0" in out
+
+
+def test_corpus_sketch_k_mismatch_merges_at_min_k(spark, tmp_path, capsys):
+    """A store shard built at k=16 merged with --k 64 must truncate the
+    merge to k=16 (larger-k merge over truncated arrays silently
+    under-counts) and say so."""
+    from genie_spark.cli import cmd_corpus_sketch
+
+    rows = [("s", f"doc-{i}") for i in range(200)]
+    a = str(tmp_path / "rel_small_k")
+    spark.createDataFrame(rows, ["source", "text"]).write.parquet(a)
+    store = str(tmp_path / "sk3")
+
+    ns = lambda k, label: _ns(  # noqa: E731
+        input=a, store=store, label=label, group_col="source",
+        value_col="text", k=k, merged_out=None, pairwise=False,
+    )
+    assert cmd_corpus_sketch(spark, ns(16, "a")) == 0
+    capsys.readouterr()
+    assert cmd_corpus_sketch(spark, ns(64, "b")) == 0
+    out = capsys.readouterr().out
+    assert "merging at k=16" in out
+    # estimate still in the right ballpark from the truncated merge
+    import re
+
+    est = float(re.search(r"est_distinct=([0-9.]+)", out).group(1))
+    assert 80 < est < 500
