@@ -284,3 +284,41 @@ def lm_surprisal(
         bpt.alias("bpt_centibits"),
         (bpt >= F.lit(outlier_centibits)).alias("is_outlier"),
     )
+
+
+# PII scrub patterns, applied IN ORDER (emails first so their digit
+# runs never re-match as phones/numbers).  Conservative regex subset —
+# no lookaround, no alternation-precedence tricks — so Java (Spark)
+# and RE2 (the DuckDB oracle) match identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("longnum", r"\b\d{13,19}\b", "<NUM>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level PII scrubbing — the training-data counterpart of
+    the clinical ``redact_phi`` (which handles age/date policy): mask
+    emails, IPv4s, xxx-xxx-xxxx phones, and card-length digit runs
+    with typed placeholders, and count each category BEFORE masking
+    (the audit trail a removal report needs).
+
+    Pure per-row column expressions (regexp_count + chained
+    regexp_replace) — narrow plan, zero shuffles, scales as the scan.
+    Returns (id, scrubbed, n_email, n_ip, n_phone, n_longnum).
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = c
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col), scrubbed.alias("scrubbed"), *counts
+    )

@@ -1018,6 +1018,8 @@ _TAIL_QUERIES = [
     "sketch_quantiles",
     # corpus-family variant (chunking; packing is driver-checked)
     "corpus_chunk_overlap",
+    # text-family variant (PII scrub; §2.9 PHI redaction is in-window)
+    "text_pii_scrub",
     # rotated out for w4_asof_join (a NEW W-family extension): the
     # fingerprint hash family stays driver-checked via dedup_exact
     "text_fingerprint",

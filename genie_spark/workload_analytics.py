@@ -1130,6 +1130,33 @@ FROM m
 """
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: typed placeholders + per-category counts,
+    narrow plan.  The oracle SQL is GENERATED from the same
+    PII_PATTERNS tuple the Spark side applies, so the two cannot
+    drift."""
+    from genie_spark.analytics.text import scrub_pii
+
+    return scrub_pii(_docs(spark, sf_dir))
+
+
+def _pii_scrub_sql() -> str:
+    from genie_spark.analytics.text import PII_PATTERNS
+
+    scrubbed = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id, {scrubbed} AS scrubbed,
+       {counts}
+FROM documents
+"""
+
+
 CHUNK_WINDOW = 64
 CHUNK_STRIDE = 48
 
@@ -1266,6 +1293,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_kmv_jaccard": sketch_kmv_jaccard,
     "sketch_quantiles": sketch_quantiles,
     "corpus_chunk_overlap": corpus_chunk_overlap,
+    "text_pii_scrub": text_pii_scrub,
     "multimodal_features": multimodal_features,
 }
 
@@ -1304,5 +1332,6 @@ ANALYTICS_ORACLES: dict = {
     "sketch_kmv_jaccard": SKETCH_JACCARD_SQL,
     "sketch_quantiles": SKETCH_QUANTILES_SQL,
     "corpus_chunk_overlap": CHUNK_SQL,
+    "text_pii_scrub": _pii_scrub_sql(),
     "multimodal_features": MULTIMODAL_SQL,
 }

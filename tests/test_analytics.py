@@ -918,3 +918,30 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, window=0, stride=3)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    """Each PII category masks with its typed placeholder and counts
+    pre-mask occurrences; clean text passes through untouched."""
+    from genie_spark.analytics.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to a.b+c@ex-ample.org or admin@x.co today"),
+            (2, "server 10.0.0.1 and 192.168.255.3 up"),
+            (3, "call 555-123-4567 or 555.987.6543 re card 4111111111111111"),
+            (4, "no pii here, just words and 123 numbers"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["scrubbed"] == "write to <EMAIL> or <EMAIL> today"
+    assert out[1]["n_email"] == 2
+    assert out[2]["scrubbed"] == "server <IP> and <IP> up"
+    assert out[2]["n_ip"] == 2
+    assert out[3]["scrubbed"] == "call <PHONE> or <PHONE> re card <NUM>"
+    assert out[3]["n_phone"] == 2 and out[3]["n_longnum"] == 1
+    assert out[4]["scrubbed"] == "no pii here, just words and 123 numbers"
+    assert all(
+        out[4][c] == 0 for c in ("n_email", "n_ip", "n_phone", "n_longnum")
+    )
