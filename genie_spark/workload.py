@@ -1020,6 +1020,8 @@ _TAIL_QUERIES = [
     "corpus_chunk_overlap",
     # text-family variant (PII scrub; §2.9 PHI redaction is in-window)
     "text_pii_scrub",
+    # composed chain of four already-driver/tail-checked components
+    "corpus_keep_list",
     # rotated out for w4_asof_join (a NEW W-family extension): the
     # fingerprint hash family stays driver-checked via dedup_exact
     "text_fingerprint",

@@ -1157,6 +1157,43 @@ FROM documents
 """
 
 
+def corpus_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pre-training filter chain: quality + en-allowlist +
+    Gopher repetition + LM surprisal, one verdict per doc with
+    per-stage reason flags.  The oracle composes the SAME four
+    component SQL strings (each independently oracle-exact) as CTEs,
+    so chain and components cannot drift."""
+    from genie_spark.analytics.corpus import corpus_keep_list
+
+    return corpus_keep_list(
+        _docs(spark, sf_dir), allowed_langs=("en",), surprisal_centibits=500
+    )
+
+
+def _keep_list_sql() -> str:
+    return f"""
+WITH q AS ({TEXT_QUALITY_SQL}),
+l AS ({LANG_ID_SQL}),
+r AS ({REPETITION_SQL}),
+s AS ({LM_SURPRISAL_SQL}),
+ids AS (SELECT doc_id FROM documents)
+SELECT ids.doc_id,
+       coalesce(q.passes_quality, false) AS quality_ok,
+       coalesce(l.pred_lang IN ('en'), false) AS lang_ok,
+       NOT coalesce(r.flagged, false) AS repetition_ok,
+       NOT coalesce(s.is_outlier, true) AS surprisal_ok,
+       (coalesce(q.passes_quality, false)
+        AND coalesce(l.pred_lang IN ('en'), false)
+        AND NOT coalesce(r.flagged, false)
+        AND NOT coalesce(s.is_outlier, true)) AS keep
+FROM ids
+LEFT JOIN q USING (doc_id)
+LEFT JOIN l USING (doc_id)
+LEFT JOIN r USING (doc_id)
+LEFT JOIN s USING (doc_id)
+"""
+
+
 CHUNK_WINDOW = 64
 CHUNK_STRIDE = 48
 
@@ -1294,6 +1331,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_quantiles": sketch_quantiles,
     "corpus_chunk_overlap": corpus_chunk_overlap,
     "text_pii_scrub": text_pii_scrub,
+    "corpus_keep_list": corpus_keep_list_q,
     "multimodal_features": multimodal_features,
 }
 
@@ -1333,5 +1371,6 @@ ANALYTICS_ORACLES: dict = {
     "sketch_quantiles": SKETCH_QUANTILES_SQL,
     "corpus_chunk_overlap": CHUNK_SQL,
     "text_pii_scrub": _pii_scrub_sql(),
+    "corpus_keep_list": _keep_list_sql(),
     "multimodal_features": MULTIMODAL_SQL,
 }
