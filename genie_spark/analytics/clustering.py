@@ -74,24 +74,108 @@ def _assign_cid(vec: Column, centroids: list[tuple[int, list[int]]]) -> Column:
     return F.array_min(scored)
 
 
+def _assign_scan_arrow(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Final-assignment scan, Arrow engine: one int64 matmul per batch
+    (‖v‖² − 2·V·Cᵀ + ‖c‖², exact in int64) and a first-occurrence
+    argmin — identical values and tie-break (lowest cid wins; the
+    centroid rows are in ascending-cid order) as the ``_assign_cid``
+    expression, ~10-100× cheaper per row than the interpreted
+    higher-order-function fold.  No shuffle: mapInPandas is a pure
+    map, same plan position as the literal-centroid expression."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.int64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
+            j = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "cid": cids[j],
+                    "d2": d2[np.arange(len(j)), j],
+                }
+            )
+
+    return q.mapInPandas(score, schema="__id long, cid long, d2 long")
+
+
+def _update_partials_arrow(
+    q: DataFrame, centroids: list[tuple[int, list[int]]], dim: int
+) -> DataFrame:
+    """One Lloyd update scan, Arrow engine: assign the batch (same
+    exact argmin as ``_assign_scan_arrow``) and COMBINE map-side —
+    per-batch (cid, pos, partial_sum, partial_count) via bincount, so
+    the shuffle carries k·dim rows per batch, never the n·dim
+    ``posexplode`` row explosion."""
+    import numpy as np
+
+    C = np.array([v for _, v in centroids], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+    k = len(centroids)
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.int64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
+            j = np.argmin(d2, axis=1)
+            n_by = np.bincount(j, minlength=k)
+            s_by = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(s_by, j, V)
+            live = np.flatnonzero(n_by)
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(live, dim),
+                    "pos": np.tile(np.arange(dim), len(live)),
+                    "s": s_by[live].ravel(),
+                    "n": np.repeat(n_by[live], dim),
+                }
+            )
+
+    return q.mapInPandas(partials, schema="cid long, pos int, s long, n long")
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Lloyd's k-means over an ``array<float>`` column; returns
     (id, cluster_id, d2) — the final assignment and its exact squared
     quantized distance.
 
-    Each iteration: assignment is a literal-centroid map over the
-    persisted quantized corpus; the update aggregates
-    ``posexplode``d (cid, dim, value) triples — a k·dim-group partial
-    aggregate, the ONLY shuffle per iteration — and the new centroids
-    (k·dim longs) are collected driver-side for the next literal.
-    ``iters`` is fixed (not convergence-tested) so the oracle can
-    unroll the same number of steps.
+    Each iteration: assignment is a centroid-literal map over the
+    persisted quantized corpus; the update aggregates per-dimension
+    (cid, dim) sums — a k·dim-group partial aggregate, the ONLY
+    shuffle per iteration — and the new centroids (k·dim longs) are
+    collected driver-side for the next pass.  ``iters`` is fixed (not
+    convergence-tested) so the oracle can unroll the same steps.
+
+    ``engine="arrow"`` (default) runs both scans as Arrow int64
+    matmuls (``mapInPandas`` — the sanctioned dense-vector hot-loop
+    escape, same pattern as ``similarity.cosine_topk``): exact
+    integer math, bit-identical output, but the O(n·k·dim) argmin and
+    the O(n·dim) update fold run vectorized instead of as interpreted
+    per-element expression steps — the difference between
+    overhead-bound and compute-bound at the 1M-row stress tier.
+    ``engine="expr"`` keeps the pure-Catalyst literal-array form
+    (plan-pinned in tests/test_plans.py); both engines share the
+    driver-side update/seed logic, so they cannot drift semantically.
     """
     from pyspark import StorageLevel
 
@@ -109,14 +193,19 @@ def kmeans_assign(
             )
         dim = len(centroids[0][1])
         for _ in range(iters):
-            assigned = q.withColumn("__c", _assign_cid(F.col("__v"), centroids))
-            sums = (
-                assigned.select(
+            if engine == "arrow":
+                part = _update_partials_arrow(q, centroids, dim)
+            else:
+                assigned = q.withColumn(
+                    "__c", _assign_cid(F.col("__v"), centroids)
+                )
+                part = assigned.select(
                     F.col("__c")["cid"].alias("cid"),
                     F.posexplode("__v").alias("pos", "x"),
-                )
-                .groupBy("cid", "pos")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                ).select("cid", "pos", F.col("x").alias("s"), F.lit(1).alias("n"))
+            sums = (
+                part.groupBy("cid", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
                 .withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
                 .collect()
             )
@@ -126,11 +215,20 @@ def kmeans_assign(
             centroids = [
                 (cid, by_cid.get(cid, old)) for cid, old in centroids
             ]
-        final = q.withColumn("__c", _assign_cid(F.col("__v"), centroids))
+        if engine == "arrow":
+            final = _assign_scan_arrow(q, centroids)
+        else:
+            final = q.withColumn(
+                "__c", _assign_cid(F.col("__v"), centroids)
+            ).select(
+                "__id",
+                F.col("__c")["cid"].alias("cid"),
+                F.col("__c")["d2"].alias("d2"),
+            )
         return final.select(
             F.col("__id").alias(id_col),
-            F.col("__c")["cid"].alias("cluster_id"),
-            F.col("__c")["d2"].alias("d2"),
+            F.col("cid").alias("cluster_id"),
+            "d2",
         )
     finally:
         q.unpersist()
@@ -212,55 +310,69 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 3,
     threshold: float = 0.35,
+    candidates: str = "lsh",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
     compare pairs only WITHIN a cluster and drop every vector that has
-    a near-duplicate (cosine > threshold) with a smaller id — the
-    keep-lowest-id greedy.  Returns the drop list
-    (id, kept_witness, max_cosine).
+    a near-duplicate (cosine > threshold) with a smaller id.  Returns
+    the drop list (id, kept_witness, max_cosine).
 
-    This is the third candidate-generation geometry in the
-    candidates→verify family: MinHash bands (lexical), IVF cell
-    co-membership (one-shot spatial), and here LLOYD cells — iterated
-    centroids adapt to the density of the corpus, so comparisons
-    concentrate where the semantic mass is.  Pairs that straddle a
-    cluster boundary are missed by design (SemDeDup's approximation);
-    the oracle mirrors the identical deterministic clustering, so the
-    two engines agree exactly.
+    Drop semantics (read this before trusting ``kept_witness``): a
+    vector is dropped iff it has ANY smaller-id near-dup among the
+    candidate pairs — drop-if-any-smaller-id-neighbor, not a
+    sequential greedy.  In a chain a~b, b~c (a≁c) both b and c are
+    dropped, and c's ``kept_witness`` is b — the SMALLEST-ID
+    near-duplicate, which may itself appear in the drop list.  The
+    surviving set is exactly {ids with no smaller-id near-dup}; to
+    find a dropped row's surviving representative, follow
+    ``kept_witness`` transitively (or use ``quality_survivors``,
+    which resolves connected components).
 
-    Scale shape: ``kmeans_assign``'s fixed-job-count clustering, then
-    ONE equi-join on cluster_id (merge-hinted — candidate volume is
-    data-sized, never broadcast on a static misestimate) and a
-    candidate-sized exact verify (``cosine_verify_pairs``).
+    Candidate geometries (the candidates→verify family: MinHash bands
+    are lexical, IVF cells one-shot spatial, LLOYD cells adapt to the
+    corpus density so comparisons concentrate where semantic mass is):
 
-    Compute envelope — flat-Lloyd SemDeDup is inherently superlinear,
-    so this operator is capped: assignment costs O(n·k·dim) (every
-    vector against every literal centroid) while per-cell verify costs
-    O(n²·B/k) for occupancy B; the total is minimized near
-    k ≈ n/√(dim) at O(n^1.5)·dim ops.  The stress probe measures 5.4×
-    wall per 10× rows with the k = n/256 occupancy rule
-    (tools/stress_scale.py, BASELINE.md §5) — faithful to the
-    published method, not a 100 TB path.  Past the guard, generate
-    candidates with ``similarity.lsh_banded_pairs`` (or
-    ``ivf_cell_pairs``) + ``cosine_verify_pairs`` — the linear
-    candidates→verify geometry ``dedup_embedding_drop`` uses; at
-    extreme scale a hierarchical (multi-level) k-means assignment
-    would restore SemDeDup's cluster semantics, at the cost of a
-    second centroid tier.
+    * ``candidates="lsh"`` (default, the 100 TB path): a pair is
+      compared iff it shares a Lloyd cluster AND at least one of
+      ``n_tables`` banded sign-LSH buckets (``n_planes`` md5-derived
+      ±1 hyperplanes per table, same construction as
+      ``similarity.lsh_banded_pairs``).  Everything is linear: the
+      cluster assignment is O(n·k·dim) with k a FIXED semantic
+      hyperparameter (domain count — it does NOT grow with n),
+      per-row signatures are O(n_tables·n_planes·dim) independent of
+      bucket count, candidate volume is held at ~n_tables·n·B/2 by
+      choosing n_planes ≈ log₂(n/B) for target bucket occupancy B,
+      and the exact verify is candidate-bounded.  Recall for a pair
+      with per-plane agreement p = 1 − θ/π is 1 − (1 − p^n_planes)^
+      n_tables — near-1 for true near-dups (cosine ≥ 0.9 ⇒ p ≥ 0.86),
+      and bought linearly with ``n_tables`` at looser thresholds.
+      Pairs straddling a cluster boundary are missed by design
+      (SemDeDup's approximation); pairs missed by every table are the
+      LSH approximation on top.  The oracle mirrors both generators
+      deterministically, so the engines agree exactly.
+
+    * ``candidates="exact"``: ALL within-cluster pairs — the published
+      method verbatim.  Needs k ∝ n (constant cell occupancy) to keep
+      verify linear, which makes the flat-Lloyd assignment O(n·k·dim)
+      ⇒ ~O(n^1.5) total at the optimal k (measured 5.4× wall per 10×
+      rows — BASELINE.md §5), so this path is guarded at
+      ``SEMANTIC_DEDUP_MAX_ROWS`` vectors.
+
+    Scale shape of the default path: ``kmeans_assign``'s
+    fixed-job-count clustering, one merge join attaching cluster ids
+    to the signature table, ``n_tables`` merge self-joins on
+    (cluster_id, bucket) — candidate volume is data-sized, never
+    broadcast on a static misestimate — then ``cosine_verify_pairs``.
     """
-    from genie_spark.analytics.similarity import cosine_verify_pairs
+    from genie_spark.analytics.similarity import (
+        cosine_verify_pairs,
+        sign_signatures,
+    )
 
-    n = df.count()
-    if n > SEMANTIC_DEDUP_MAX_ROWS:
-        raise ValueError(
-            f"semantic_dedup's flat-Lloyd assignment is O(n·k·dim) and its "
-            f"per-cell verify O(n²/k) — ~O(n^1.5) total at the optimal k; "
-            f"input has {n:,} vectors. Use lsh_banded_pairs/ivf_cell_pairs + "
-            "cosine_verify_pairs at this scale (the dedup_embedding_drop "
-            "geometry)."
-        )
-
-    # the assignment is consumed twice (both sides of the pair join) —
+    # the assignment is consumed by every per-table join —
     # localCheckpoint, not persist: checkpoint blocks free when the
     # DataFrame is garbage collected, so repeated calls in a session
     # don't accumulate cache-manager entries only unpersist would
@@ -270,13 +382,55 @@ def semantic_dedup(
         .select(F.col(id_col), "cluster_id")
         .localCheckpoint(eager=True)
     )
-    left = a.select(F.col(id_col).alias("a"), "cluster_id")
-    right = a.select(F.col(id_col).alias("b"), "cluster_id")
-    cand = (
-        left.join(right.hint("merge"), "cluster_id")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
+
+    if candidates == "exact":
+        n = df.count()
+        if n > SEMANTIC_DEDUP_MAX_ROWS:
+            raise ValueError(
+                f"semantic_dedup(candidates='exact') is the flat all-pairs "
+                f"SemDeDup: assignment O(n·k·dim) + per-cell verify O(n²/k) "
+                f"— ~O(n^1.5) total at the optimal k; input has {n:,} "
+                "vectors. Use the default candidates='lsh' path at this "
+                "scale (same cluster semantics, banded-LSH-bounded pairs)."
+            )
+        left = a.select(F.col(id_col).alias("a"), "cluster_id")
+        right = a.select(F.col(id_col).alias("b"), "cluster_id")
+        cand = (
+            left.join(right.hint("merge"), "cluster_id")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+    elif candidates == "lsh":
+        sigs = sign_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
+        # merge hint both here and on the self-joins: every side is
+        # corpus-sized — a static-misestimate broadcast is a
+        # corpus-sized driver collect (the BASELINE.md 1M-doc lesson).
+        # localCheckpoint: 2·n_tables join branches consume this frame
+        # — without it every branch recomputes the signature scan.
+        tagged = sigs.join(a.hint("merge"), id_col).localCheckpoint(eager=True)
+        cand = None
+        for t in range(n_tables):
+            x = tagged.select(
+                F.col(id_col).alias("a"),
+                "cluster_id",
+                F.col(f"b{t}").alias("bucket"),
+            )
+            y = tagged.select(
+                F.col(id_col).alias("b"),
+                "cluster_id",
+                F.col(f"b{t}").alias("bucket"),
+            )
+            pairs_t = (
+                x.hint("merge")
+                .join(y, ["cluster_id", "bucket"])
+                .where(F.col("a") < F.col("b"))
+                .select("a", "b")
+            )
+            cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+        cand = cand.distinct()
+    else:
+        raise ValueError(f"unknown candidates geometry: {candidates!r}")
+
     pairs = cosine_verify_pairs(df, cand, id_col, vec_col, threshold)
     return (
         pairs.groupBy("b")

@@ -418,6 +418,74 @@ def _sign_signature(
     return sig
 
 
+def sign_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed_base: int = 1,
+) -> DataFrame:
+    """All ``n_tables`` banded sign-LSH bucket ids in ONE Arrow scan:
+    (id, b0..b{t-1}) via a single int64 matmul against the stacked
+    (n_tables·n_planes)×dim plane matrix — bit-identical to selecting
+    ``_sign_signature`` per table (same md5 planes, seeds
+    ``seed_base + t·n_planes``, same exact-integer projections) but
+    vectorized instead of n_tables·n_planes interpreted
+    higher-order-function folds per row.  Pure map, no shuffle.
+
+    Null-propagation parity with the expression form: a null vector,
+    or one whose length ≠ ``dim`` (zip_with null-pads → null
+    projection → bit 0), signs to bucket 0 in EVERY table.
+    """
+    import numpy as np
+
+    P = np.array(
+        [
+            _hyperplane(dim, seed_base + t * n_planes + p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+    weights = np.array([2**p for p in range(n_planes)], dtype=np.int64)
+    schema = f"{id_col} long, " + ", ".join(
+        f"b{t} long" for t in range(n_tables)
+    )
+
+    def sign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf[vec_col].tolist()
+            # Arrow delivers list<float> cells as float ndarrays (element
+            # nulls surface as NaN, not None) — only null/wrong-length
+            # vectors need masking to mirror the expression form
+            ok = np.array([v is not None and len(v) == dim for v in vecs])
+            out = np.zeros((len(vecs), n_tables), dtype=np.int64)
+            if ok.any():
+                V = np.array(
+                    [v for v, good in zip(vecs, ok) if good], dtype=np.float64
+                )
+                # exact mirror of quantized(): double(x)*1000.0+0.5, floor
+                Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype(np.int64)
+                bits = (Q @ P.T) > 0  # (n_ok, n_tables*n_planes)
+                buckets = (
+                    bits.reshape(len(Q), n_tables, n_planes).astype(np.int64)
+                    * weights[None, None, :]
+                ).sum(axis=2)
+                out[ok] = buckets
+            data = {id_col: pdf[id_col].to_numpy()}
+            for t in range(n_tables):
+                data[f"b{t}"] = out[:, t]
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, vec_col).mapInPandas(sign, schema=schema)
+
+
 def lsh_banded_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -443,14 +511,12 @@ def lsh_banded_pairs(
     recall tuning at moderate corpus sizes (see its docstring and the
     measured slopes in BASELINE.md §5).
     """
-    sigs = df.select(
-        F.col(id_col).alias("vid"),
-        *[
-            _sign_signature(vec_col, dim, n_planes, seed0=1 + t * n_planes).alias(
-                f"b{t}"
-            )
-            for t in range(n_tables)
-        ],
+    # localCheckpoint: 2·n_tables join branches consume the signature
+    # table — without it every branch re-runs the Arrow signature scan
+    sigs = (
+        sign_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
+        .withColumnRenamed(id_col, "vid")
+        .localCheckpoint(eager=True)
     )
     cands = None
     for t in range(n_tables):

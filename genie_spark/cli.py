@@ -58,7 +58,12 @@ def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | 
     present table that fails to READ (corrupt footer, permission
     failure) raises: swallowing it would let dashboard/release compute
     silently with missing inputs."""
+    from genie_spark.io.bronze import recover_bronze
+
     path = _bronze(warehouse, name)
+    # roll forward/back any swap a crashed merge left half-done —
+    # readers must never see a half-old/half-new table
+    recover_bronze(path)
     if not os.path.isdir(path):
         return None
     has_part = any(

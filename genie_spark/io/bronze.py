@@ -18,12 +18,30 @@ Other centers' partition directories are untouched — not read, not
 rewritten (asserted on file mtimes in tests/test_cli.py).  On a real
 deployment the swap step is Delta/Iceberg ``MERGE INTO`` with dynamic
 partition overwrite; the directory swap is the dependency-free parquet
-equivalent with the same two-phase-safety property (a failed write
-never corrupts the target).
+equivalent with the same two-phase-safety property.
+
+Crash atomicity: the reference inherits transactional upserts from
+Synapse tables (genie/load.py:129-296); a bare directory swap does
+not — a kill between two partition moves would leave the table
+half-old/half-new with nothing recording it.  Both swap modes here
+are journaled: a manifest (``<target>.swap.json``, written atomically
+via tmp-file + ``os.rename``) records the staging dir and the exact
+per-partition file listing BEFORE the first move; every move is a
+same-filesystem ``os.rename`` (atomic per entry); the manifest is
+removed only after the last move and cleanup.  ``recover_bronze``
+(called by every merge/compact/rewrite entry point and by the CLI
+read path) rolls an interrupted swap FORWARD from the manifest —
+staging holds complete replacement partitions, so resuming the move
+loop always converges to the fully-new state — and rolls BACK
+(deletes) staging dirs that have no manifest, which are pre-commit
+writes the crash abandoned.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import json
 import os
 import shutil
 
@@ -33,6 +51,8 @@ from pyspark.sql import functions as F
 from genie_spark.operators.upsert import apply_upsert
 
 PARTITION_COL = "CENTER"
+
+MANIFEST_SUFFIX = ".swap.json"
 
 
 def _read_target(spark, target_path: str) -> DataFrame | None:
@@ -50,22 +70,148 @@ def _is_partitioned_layout(target_path: str, partition_col: str) -> bool:
     )
 
 
+def _entry_listing(entry_dir: str) -> dict:
+    """Sorted (relpath, size) listing of one staging partition dir +
+    an md5 over the rendered listing — cheap to compute (no data
+    bytes read) and enough to detect a truncated/foreign staging dir
+    before recovery rolls it forward over live data."""
+    files = []
+    for root, _dirs, names in os.walk(entry_dir):
+        for n in sorted(names):
+            p = os.path.join(root, n)
+            files.append(
+                [os.path.relpath(p, entry_dir), os.path.getsize(p)]
+            )
+    files.sort()
+    digest = hashlib.md5(
+        json.dumps(files, sort_keys=True).encode()
+    ).hexdigest()
+    return {"files": files, "md5": digest}
+
+
+def _write_manifest(target: str, payload: dict) -> str:
+    """Atomically publish the swap intent: the manifest is a sibling
+    of the target (it must survive the whole-table rename), written
+    to a tmp name, fsynced, then renamed into place — readers see
+    either no manifest or a complete one, never a torn write."""
+    path = target + MANIFEST_SUFFIX
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    return path
+
+
+def _apply_partition_swap(manifest: dict, verify: bool = False) -> None:
+    """Execute (or resume) the journaled per-partition move loop.
+    Idempotent: an entry whose staging dir is gone was already
+    renamed into the target by a previous attempt."""
+    staging, target = manifest["staging"], manifest["target"]
+    os.makedirs(target, exist_ok=True)
+    for entry, expect in manifest["entries"].items():
+        src = os.path.join(staging, entry)
+        dst = os.path.join(target, entry)
+        if os.path.isdir(src):
+            if verify and _entry_listing(src)["md5"] != expect["md5"]:
+                raise RuntimeError(
+                    f"bronze swap recovery: staging partition {src} does not "
+                    "match the manifest listing — refusing to roll forward a "
+                    "corrupt staging dir; inspect and remove "
+                    f"{target + MANIFEST_SUFFIX} manually"
+                )
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+        elif not os.path.isdir(dst):
+            raise RuntimeError(
+                f"bronze swap recovery: partition {entry} is in neither "
+                f"staging ({staging}) nor target ({target}) — manifest and "
+                "directories disagree; inspect manually"
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(target + MANIFEST_SUFFIX)
+
+
+def _apply_whole_swap(manifest: dict) -> None:
+    """Execute (or resume) the journaled whole-table swap: the old
+    table is renamed aside (atomic), staging renamed in (atomic),
+    then the old copy dropped — each step detectable, so recovery
+    resumes from whichever rename the crash interrupted."""
+    staging, target = manifest["staging"], manifest["target"]
+    old = target + ".old"
+    if os.path.isdir(staging):
+        if os.path.isdir(target):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(target, old)
+        os.rename(staging, target)
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(target + MANIFEST_SUFFIX)
+
+
+def recover_bronze(target_path: str) -> dict:
+    """Detect and repair an interrupted swap at ``target_path``.
+
+    * manifest present → roll the recorded swap FORWARD (staging holds
+      complete replacement data; resuming the rename loop converges to
+      the fully-new table), verifying each staging partition against
+      the manifest's file listing first;
+    * no manifest but staging/old-table leftovers present → roll BACK:
+      a staging dir without a manifest never reached the commit point,
+      and a ``.old`` dir without a manifest is post-commit litter.
+
+    Returns {"action": "rolled_forward" | "rolled_back" | "clean"}.
+    Called automatically by merge/compact/rewrite and the CLI read
+    path, and safe to call any time.
+    """
+    manifest_path = target_path + MANIFEST_SUFFIX
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest["mode"] == "whole":
+            _apply_whole_swap(manifest)
+        else:
+            _apply_partition_swap(manifest, verify=True)
+        return {"action": "rolled_forward"}
+    leftovers = [
+        p
+        for p in (
+            [target_path + ".staging", target_path + ".old"]
+            + glob.glob(glob.escape(target_path) + ".compact.*")
+        )
+        if os.path.isdir(p)
+    ]
+    for p in leftovers:
+        shutil.rmtree(p, ignore_errors=True)
+    return {"action": "rolled_back" if leftovers else "clean"}
+
+
 def _swap_whole(staging: str, target: str) -> None:
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.move(staging, target)
+    manifest = {"mode": "whole", "staging": staging, "target": target}
+    _write_manifest(target, manifest)
+    _apply_whole_swap(manifest)
 
 
 def _swap_partitions(staging: str, target: str, partition_col: str) -> None:
     """Move only the ``CENTER=<c>`` dirs produced in staging into the
-    target, replacing same-named dirs; everything else stays put."""
-    os.makedirs(target, exist_ok=True)
-    for entry in os.listdir(staging):
-        src = os.path.join(staging, entry)
-        if entry.startswith(f"{partition_col}=") and os.path.isdir(src):
-            dst = os.path.join(target, entry)
-            shutil.rmtree(dst, ignore_errors=True)
-            shutil.move(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
+    target, replacing same-named dirs; everything else stays put.
+    Journaled (see module docstring): the manifest lists every entry
+    and its file inventory before the first rename."""
+    entries = {
+        entry: _entry_listing(os.path.join(staging, entry))
+        for entry in sorted(os.listdir(staging))
+        if entry.startswith(f"{partition_col}=")
+        and os.path.isdir(os.path.join(staging, entry))
+    }
+    manifest = {
+        "mode": "partitions",
+        "staging": staging,
+        "target": target,
+        "partition_col": partition_col,
+        "entries": entries,
+    }
+    _write_manifest(target, manifest)
+    _apply_partition_swap(manifest)
 
 
 def merge_into_bronze(
@@ -84,6 +230,7 @@ def merge_into_bronze(
     possible.
     """
     spark = batch.sparkSession
+    recover_bronze(target_path)
     existing = _read_target(spark, target_path)
     partitioned = (
         partition_col in batch.columns
@@ -163,6 +310,7 @@ def compact_bronze(
     dependency-free parquet equivalent.  Returns per-partition
     {files_before, files_after} for observability.
     """
+    recover_bronze(target_path)
     if not _is_partitioned_layout(target_path, partition_col):
         raise ValueError(f"{target_path} is not a {partition_col}-partitioned layout")
     prefix = f"{partition_col}="
@@ -204,6 +352,7 @@ def compact_bronze(
 def rewrite_bronze(df: DataFrame, target_path: str, partition_col: str = PARTITION_COL) -> None:
     """Full two-phase rewrite (used by retraction, which may touch any
     partition); keeps the partitioned layout when the column is present."""
+    recover_bronze(target_path)
     staging = target_path + ".staging"
     writer = df.write.mode("overwrite")
     if partition_col in df.columns:

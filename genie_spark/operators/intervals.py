@@ -236,11 +236,18 @@ def max_overlap_remap(
     Returns the segments with a ``remapped_symbol`` column.
     """
     uid = seg_id or "__gs_seg_uid"
-    segs = (
-        segments
-        if seg_id
-        else segments.withColumn(uid, F.monotonically_increasing_id())
-    )
+    if seg_id:
+        segs = segments
+    else:
+        # Content-derived uid (functions.ids): deterministic under task
+        # retries — a monotonically_increasing_id here feeds a groupBy
+        # whose upstream can recompute with a different partition
+        # layout on retry/AQE re-plan, silently splitting a segment's
+        # hit set.  Full-duplicate segments share a uid and collapse to
+        # one output row; pass ``seg_id`` to preserve multiplicity.
+        from genie_spark.functions.ids import with_stable_uid
+
+        segs = with_stable_uid(segments, uid)
     # range-vs-range overlap: explode BOTH sides over their covered bins —
     # overlapping ranges necessarily share at least one bin.  Multiplicity
     # (a pair meeting in several bins) is collapsed by the groupBy below.

@@ -14,6 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _external_master_present(builder: SparkSession.Builder) -> bool:
+    """True when a cluster master is already configured — a shared
+    builder conf (``.config("spark.master", …)``) or spark-submit's
+    ``--master`` (surfaced via PYSPARK_SUBMIT_ARGS) — in which case
+    the factory must NOT pin local mode over it."""
+    opts = getattr(builder, "_options", {}) or {}
+    if "spark.master" in opts:
+        return True
+    return "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+
+
 def get_spark(
     app_name: str = "genie_spark",
     shuffle_partitions: int | None = None,
@@ -22,8 +33,16 @@ def get_spark(
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
-    On a real cluster the master/memory settings come from spark-submit;
-    everything set here is cluster-safe.
+    On a real cluster the master comes from spark-submit (or
+    ``SPARK_GRAFT_MASTER``) and this factory DOES NOT override it —
+    ``.master()`` is applied only when neither is present, so the same
+    entry points run unchanged under ``spark-submit --master yarn/k8s``.
+    Shuffle-partition sizing on a cluster: pass ``shuffle_partitions``
+    ≈ 2–3× total executor cores (or set
+    ``spark.sql.shuffle.partitions`` via submit conf, which wins over
+    an existing session); the local default here is one per core,
+    floor 8 — small enough that sf0.1-scale tests don't drown in
+    empty-partition overhead, while AQE coalescing handles the rest.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -32,9 +51,17 @@ def get_spark(
         except ValueError:
             shuffle_partitions = 32
 
+    builder = SparkSession.builder
+    # precedence: explicit SPARK_GRAFT_MASTER, then a master already
+    # provided by spark-submit / a shared builder conf, then local[cpus]
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    if env_master:
+        builder = builder.master(env_master)
+    elif not _external_master_present(builder):
+        builder = builder.master(f"local[{cpus}]")
+
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
         # per-center skew (a few centers dominate) makes this mandatory.

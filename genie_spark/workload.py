@@ -993,38 +993,48 @@ _ALL_QUERIES: dict = {
 # signature-banding family stays driver-checked via dedup_minhash_lsh)
 # and text_tfidf_topk (the text-scoring family stays via text_quality;
 # tf·idf still locally verified by tools/verify_oracle.py).
+# Round-6 rotation (VERDICT r5 item 4): the 14 queries that had never
+# had a DRIVER-green row (ann_lsh_banded, cluster_balanced_sample,
+# corpus_chunk_overlap, corpus_keep_list, corpus_split_shuffle,
+# corpus_stratified_sample, dedup_incremental_minhash,
+# dedup_quality_survivors, sketch_kmv_jaccard, sketch_quantiles,
+# text_lm_surprisal, text_pii_scrub, text_repetition, text_tfidf_topk)
+# move INTO the 50-slot window; freed by rotating out 14 queries with
+# green rows in CORRECTNESS_r05.json (j9, p4, p12, p14, a5, a7, a11,
+# a13, w2, j4, a4, a6, j8, j10) — every rotated-out query keeps its
+# historical driver row and still verifies locally via
+# tools/verify_oracle.py.
 _TAIL_QUERIES = [
     "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
     "a2_distinct_counts",
     "p7_contains_filter",
     "a16_filtered_counts",
-    "ann_lsh_banded",
     "dedup_components",
     "ann_topk",
     "a9_duplicate_keys",
-    "text_repetition",
-    "corpus_stratified_sample",
     "dedup_ngram_jaccard",
     "ann_ivf_topk",
-    "corpus_split_shuffle",
-    "dedup_quality_survivors",
-    "cluster_balanced_sample",
-    "dedup_incremental_minhash",
-    "text_lm_surprisal",
     "dedup_simhash",
-    "text_tfidf_topk",
-    # sketch-family variants of the driver-checked sketch_kmv_distinct
-    "sketch_kmv_jaccard",
-    "sketch_quantiles",
-    # corpus-family variant (chunking; packing is driver-checked)
-    "corpus_chunk_overlap",
-    # text-family variant (PII scrub; §2.9 PHI redaction is in-window)
-    "text_pii_scrub",
-    # composed chain of four already-driver/tail-checked components
-    "corpus_keep_list",
     # rotated out for w4_asof_join (a NEW W-family extension): the
     # fingerprint hash family stays driver-checked via dedup_exact
     "text_fingerprint",
+    # round-6 rotation: all 14 below are driver-green in
+    # CORRECTNESS_r05.json; their window slots go to the 14
+    # never-driver-checked queries listed above
+    "j9_code_remap",
+    "p4_anti_filter",
+    "p12_date_window_filter",
+    "p14_group_count_filter",
+    "a5_lag_difference",
+    "a7_median",
+    "a11_fill_count_algebra",
+    "a13_group_concat",
+    "w2_latest_per_key",
+    "j4_containment_join",
+    "a4_completeness",
+    "a6_release_diff",
+    "j8_broadcast_lookup",
+    "j10_symbol_remap",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -426,24 +426,30 @@ def ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_banded_pairs(_emb(spark, sf_dir), n_planes=8, n_tables=4)
 
 
+def _sign_bucket_sql(n_planes: int, seed0: int) -> str:
+    """One banded sign-LSH bucket id as a DuckDB expression over a
+    quantized vector column ``v`` — same md5-derived ±1 planes and
+    exact-integer projections as ``similarity._sign_signature``."""
+    from genie_spark.analytics.similarity import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        plane = _hyperplane(64, seed0 + p)
+        proj = " ".join(
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END")
+    return " + ".join(terms)
+
+
 def _lsh_banded_sql(n_planes: int = 8, n_tables: int = 4) -> str:
     """DuckDB mirror of ``lsh_banded_pairs``: same md5-derived ±1
     planes per table (seeds 1 + t·n_planes), same exact-integer
     projections, UNION (distinct) of the per-table bucket self-joins."""
-    from genie_spark.analytics.similarity import _hyperplane
-
-    def bucket(seed0: int) -> str:
-        terms = []
-        for p in range(n_planes):
-            plane = _hyperplane(64, seed0 + p)
-            proj = " ".join(
-                f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
-            )
-            terms.append(f"CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END")
-        return " + ".join(terms)
 
     sig_cols = ",\n       ".join(
-        f"CAST({bucket(1 + t * n_planes)} AS BIGINT) AS b{t}" for t in range(n_tables)
+        f"CAST({_sign_bucket_sql(n_planes, 1 + t * n_planes)} AS BIGINT) AS b{t}"
+        for t in range(n_tables)
     )
     table_joins = "\nUNION\n".join(
         f"SELECT x.vid AS a, y.vid AS b FROM sigs x JOIN sigs y "
@@ -1000,32 +1006,71 @@ SELECT vec_id, cluster_id, sample_bucket, keep_bp FROM (
 """
 
 
+SEMDEDUP_PLANES = 4
+SEMDEDUP_TABLES = 4
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup drop list: within-Lloyd-cell near-dup pairs (cosine >
-    0.35 on the quantized vectors), keep-lowest-id greedy.  Third
+    """SemDeDup drop list via the DEFAULT (100 TB) candidate path:
+    a pair is compared iff it shares a Lloyd cell AND a banded
+    sign-LSH bucket (4 tables × 4 planes); cosine > 0.35 on the
+    quantized vectors, drop-if-any-smaller-id-neighbor.  Third
     candidate geometry after MinHash bands and IVF cells."""
     from genie_spark.analytics.clustering import semantic_dedup
 
     return semantic_dedup(
-        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, threshold=0.35
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=0.35,
+        candidates="lsh",
+        n_planes=SEMDEDUP_PLANES,
+        n_tables=SEMDEDUP_TABLES,
     )
 
 
-DEDUP_SEMANTIC_SQL = f"""
+def _dedup_semantic_sql(
+    n_planes: int = SEMDEDUP_PLANES, n_tables: int = SEMDEDUP_TABLES
+) -> str:
+    """DuckDB mirror of the default semantic_dedup path: unrolled
+    Lloyd clustering + the same banded sign signatures, candidates =
+    UNION (distinct) of per-table self-joins on (cluster_id, bucket),
+    exact quantized-cosine verify, drop-if-any-smaller-id-neighbor."""
+    sig_cols = ",\n       ".join(
+        f"CAST({_sign_bucket_sql(n_planes, 1 + t * n_planes)} AS BIGINT) AS b{t}"
+        for t in range(n_tables)
+    )
+    table_joins = "\nUNION\n".join(
+        f"SELECT x.vec_id AS a, y.vec_id AS b FROM m x JOIN m y "
+        f"ON x.cluster_id = y.cluster_id AND x.b{t} = y.b{t} "
+        f"AND x.vec_id < y.vec_id"
+        for t in range(n_tables)
+    )
+    return f"""
 WITH asg AS ({_kmeans_sql()}),
 q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+sigs AS (SELECT vec_id,
+       {sig_cols}
+  FROM q),
+m AS (SELECT s.vec_id, a.cluster_id,
+             {", ".join(f"s.b{t}" for t in range(n_tables))}
+      FROM sigs s JOIN asg a USING (vec_id)),
+cand AS (
+{table_joins}
+),
 n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
-m AS (SELECT asg.vec_id, asg.cluster_id, n.v, n.nn
-      FROM asg JOIN n USING (vec_id)),
 p AS (
-  SELECT x.vec_id AS a, y.vec_id AS b,
+  SELECT c.a, c.b,
          CAST(list_dot_product(x.v, y.v) AS BIGINT)
            / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
-  FROM m x JOIN m y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
 )
 SELECT b AS vec_id, min(a) AS kept_witness, max(cosine) AS max_cosine
 FROM p WHERE cosine > 0.35 GROUP BY b
 """
+
+
+DEDUP_SEMANTIC_SQL = _dedup_semantic_sql()
 
 
 SKETCH_KMV_K = 64

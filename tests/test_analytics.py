@@ -837,7 +837,9 @@ def test_semantic_dedup_matches_within_cluster_model(spark):
 
     out = {
         r["vec_id"]: r
-        for r in semantic_dedup(df, k=2, iters=2, threshold=0.999).collect()
+        for r in semantic_dedup(
+            df, k=2, iters=2, threshold=0.999, candidates="exact"
+        ).collect()
     }
 
     # model: same-cluster exact pairs above threshold, drop the higher id
@@ -867,6 +869,68 @@ def test_semantic_dedup_matches_within_cluster_model(spark):
     # empty corpus flows through
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semantic_dedup(empty, k=2, iters=1).count() == 0
+
+
+def test_semantic_dedup_lsh_matches_banded_model(spark):
+    """The default (scale) path == the model built from kmeans_assign
+    + exact pairs restricted to SAME-cluster AND ≥1 shared banded
+    sign-LSH bucket; true near-identical twins are still dropped
+    (per-plane agreement ≈ 1 ⇒ banding recall ≈ 1); the guard that
+    capped the exact path does NOT apply here."""
+    from genie_spark.analytics.clustering import kmeans_assign, semantic_dedup
+    from genie_spark.analytics.similarity import _sign_signature
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, base))
+        if i % 4 == 0:  # plant a near-identical twin with a higher id
+            rows.append((1000 + i, [x + 0.0004 for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, k=4, iters=2, threshold=0.999, n_planes=4, n_tables=4
+        ).collect()
+    }
+
+    asg = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(df, k=4, iters=2).collect()
+    }
+    sigs = {
+        r["vec_id"]: [r[f"b{t}"] for t in range(4)]
+        for r in df.select(
+            "vec_id",
+            *[
+                _sign_signature("embedding", 64, 4, seed0=1 + t * 4).alias(f"b{t}")
+                for t in range(4)
+            ],
+        ).collect()
+    }
+    expected = {}
+    for a, b, cos in (
+        (r["a"], r["b"], r["cosine"])
+        for r in cosine_pairs(df, threshold=0.999).collect()
+    ):
+        if asg[a] != asg[b]:
+            continue
+        if not any(x == y for x, y in zip(sigs[a], sigs[b])):
+            continue
+        w, m = expected.get(b, (b, 0.0))
+        expected[b] = (min(w, a), max(m, cos))
+    assert set(out) == set(expected)
+    for b, (witness, max_cos) in expected.items():
+        assert out[b]["kept_witness"] == witness
+        assert out[b]["max_cosine"] == max_cos
+    # every planted twin must actually be in the drop list: twins are
+    # near-identical, so same cell + same buckets with near certainty
+    planted = {1000 + i for i in range(0, 40, 4)}
+    assert planted <= set(out), planted - set(out)
 
 
 def test_new_ops_empty_and_degenerate_inputs(spark):

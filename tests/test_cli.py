@@ -851,6 +851,108 @@ def test_merge_preserves_null_center_partition(spark, tmp_path):
     assert spark.read.parquet(tgt).count() == 3
 
 
+def test_merge_partition_swap_crash_recovers(spark, tmp_path, monkeypatch):
+    """A kill between two partition renames leaves the swap manifest +
+    staging on disk (the half-old/half-new state is DETECTABLE); the
+    next merge rolls the journaled swap forward to the fully-new table
+    — the transactional guarantee the reference inherits from Synapse
+    tables (genie/load.py:129-296), journaled here."""
+    from genie_spark.io import bronze
+
+    tgt = str(tmp_path / "bronze_crash")
+    base = spark.createDataFrame(
+        [("GENIE-SAGE-1", "old", "SAGE"), ("GENIE-GOLD-1", "old", "GOLD")],
+        "SAMPLE_ID string, VAL string, CENTER string",
+    )
+    bronze.merge_into_bronze(base, tgt, keys=["SAMPLE_ID"])
+
+    batch = spark.createDataFrame(
+        [("GENIE-SAGE-1", "new", "SAGE"), ("GENIE-GOLD-1", "new", "GOLD")],
+        "SAMPLE_ID string, VAL string, CENTER string",
+    )
+    real_rename = os.rename
+    moved: list[str] = []
+
+    def flaky(src, dst):
+        if os.path.basename(dst).startswith("CENTER="):
+            if moved:
+                raise OSError("injected crash between partition renames")
+            moved.append(dst)
+        return real_rename(src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(os, "rename", flaky)
+        with pytest.raises(OSError, match="injected crash"):
+            bronze.merge_into_bronze(batch, tgt, keys=["SAMPLE_ID"])
+
+    # half-swapped (GOLD renamed in, SAGE cleared but still in
+    # staging) — the journal records the in-flight swap, so the state
+    # is detectable and staging still holds SAGE's replacement
+    assert os.path.exists(tgt + bronze.MANIFEST_SUFFIX)
+    assert os.path.isdir(os.path.join(tgt + ".staging", "CENTER=SAGE"))
+    vals = {
+        r["CENTER"]: r["VAL"] for r in spark.read.parquet(tgt).collect()
+    }
+    assert vals == {"GOLD": "new"}
+
+    # any entry point rolls it forward before touching the table
+    extra = spark.createDataFrame(
+        [("GENIE-NEWC-1", "x", "NEWC")],
+        "SAMPLE_ID string, VAL string, CENTER string",
+    )
+    bronze.merge_into_bronze(extra, tgt, keys=["SAMPLE_ID"])
+    rows = {
+        (r["SAMPLE_ID"], r["VAL"])
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert rows == {
+        ("GENIE-SAGE-1", "new"),
+        ("GENIE-GOLD-1", "new"),
+        ("GENIE-NEWC-1", "x"),
+    }
+    assert not os.path.exists(tgt + bronze.MANIFEST_SUFFIX)
+    assert not os.path.isdir(tgt + ".staging")
+
+
+def test_merge_whole_swap_crash_recovers(spark, tmp_path, monkeypatch):
+    """A kill between the two whole-table renames (table renamed
+    aside, staging not yet renamed in) leaves NO table at the path —
+    but the journal + staging roll forward to the new table; and a
+    staging dir with no manifest (pre-commit crash) is rolled back."""
+    from genie_spark.io import bronze
+
+    tgt = str(tmp_path / "bronze_whole")
+    base = spark.createDataFrame([("A", "old")], "K string, VAL string")
+    bronze.merge_into_bronze(base, tgt, keys=["K"])
+    batch = spark.createDataFrame([("A", "new")], "K string, VAL string")
+
+    real_rename = os.rename
+
+    def flaky(src, dst):
+        if dst == tgt and src.endswith(".staging"):
+            raise OSError("injected crash before staging rename")
+        return real_rename(src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(os, "rename", flaky)
+        with pytest.raises(OSError, match="injected crash"):
+            bronze.merge_into_bronze(batch, tgt, keys=["K"])
+
+    assert not os.path.isdir(tgt)  # renamed aside mid-swap…
+    assert os.path.exists(tgt + bronze.MANIFEST_SUFFIX)  # …but journaled
+    assert bronze.recover_bronze(tgt)["action"] == "rolled_forward"
+    out = {(r["K"], r["VAL"]) for r in spark.read.parquet(tgt).collect()}
+    assert out == {("A", "new")}
+    assert not os.path.isdir(tgt + ".old")
+    assert not os.path.isdir(tgt + ".staging")
+
+    # pre-commit crash: staging exists, no manifest → rolled back
+    os.makedirs(os.path.join(tgt + ".staging", "CENTER=X"))
+    assert bronze.recover_bronze(tgt)["action"] == "rolled_back"
+    assert not os.path.isdir(tgt + ".staging")
+    assert bronze.recover_bronze(tgt)["action"] == "clean"
+
+
 def test_validation_status_workflow(spark, tmp_path, capsys):
     """Duplicate filenames rejected; unchanged (name, md5) skips
     revalidation; invalid files land in the error tracker (reference

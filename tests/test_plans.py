@@ -375,3 +375,23 @@ def test_asof_join_is_one_exchange_no_join(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan
+
+
+def test_no_nondeterministic_uid_in_package():
+    """Repo policy (functions/ids.py): no monotonically_increasing_id
+    anywhere in the package — execution-time uids silently mismatch
+    across task retries when referenced on both sides of a join-back;
+    every uid must be content-derived (with_stable_uid)."""
+    import glob as _glob
+    import os as _os
+
+    pkg = _os.path.join(_os.path.dirname(__file__), "..", "genie_spark")
+    offenders = []
+    for path in _glob.glob(_os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            for i, line in enumerate(f, 1):
+                if "monotonically_increasing_id" in line and not (
+                    line.lstrip().startswith("#") or '"' in line or "``" in line
+                ):
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, offenders

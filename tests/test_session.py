@@ -1,0 +1,35 @@
+"""Session-factory behavior: cluster-master passthrough.
+
+The factory must not pin ``local[n]`` over a master provided by
+spark-submit (``--master`` in PYSPARK_SUBMIT_ARGS), a builder conf, or
+``SPARK_GRAFT_MASTER`` — otherwise the "cluster-safe" entry points
+would fight the cluster manager.  These tests exercise the decision
+logic without starting a second SparkSession (getOrCreate would just
+reuse the test session anyway).
+"""
+
+from pyspark.sql import SparkSession
+
+from genie_spark import session as S
+
+
+def test_external_master_detected_from_builder_conf():
+    b = SparkSession.builder.config("spark.master", "yarn")
+    assert S._external_master_present(b)
+
+
+def test_external_master_detected_from_submit_args(monkeypatch):
+    b = SparkSession.builder
+    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+    assert not S._external_master_present(b)
+    monkeypatch.setenv(
+        "PYSPARK_SUBMIT_ARGS", "--master k8s://https://host:6443 pyspark-shell"
+    )
+    assert S._external_master_present(b)
+
+
+def test_get_spark_local_default_unchanged(spark):
+    """Locally (no submit args, no SPARK_GRAFT_MASTER) the session
+    still runs a local master — the test fixture itself proves the
+    factory's default path keeps working."""
+    assert spark.sparkContext.master.startswith("local[")

@@ -330,28 +330,23 @@ def main() -> None:
         ),
     )
 
-    # SemDeDup: Lloyd cells sized by a constant-occupancy rule
-    # (k = n/256) keep the within-cell pair volume ~128·n — linear in
-    # verify but O(n·k·dim) in assignment (superlinear by construction,
-    # see BASELINE.md §5).  5%-density planted near-dups as in
-    # embedding_drop_e2e.  The operator guards above 200k vectors, so
-    # SKIP the probe past that rather than crash the whole run (and
-    # lose every already-measured probe's JSON).
-    from genie_spark.analytics.clustering import SEMANTIC_DEDUP_MAX_ROWS, semantic_dedup
+    # SemDeDup, default (LSH) path: k is a FIXED semantic cluster
+    # count, candidate volume is held linear by sizing n_planes ≈
+    # log₂(n/B) for constant bucket occupancy B, verify is
+    # candidate-bounded — every term linear in n.  5%-density planted
+    # near-dups as in embedding_drop_e2e.  (The candidates='exact'
+    # flat all-pairs variant stays guarded at 200k and is no longer
+    # probed — BASELINE.md §5 records its 5.4×/10× slope.)
+    from genie_spark.analytics.clustering import semantic_dedup
 
-    if big <= SEMANTIC_DEDUP_MAX_ROWS:
-        probe(
-            "semantic_dedup",
-            lambda n: semantic_dedup(
-                synth_embeddings_dups(spark, n).repartition(32).cache(),
-                k=max(8, n // 256), iters=2, threshold=0.6,
-            ),
-        )
-    elif only is None or "semantic_dedup" in only:
-        print(
-            f"semantic_dedup: skipped (big={big} > {SEMANTIC_DEDUP_MAX_ROWS} "
-            "operator guard; superlinear by construction)", flush=True,
-        )
+    probe(
+        "semantic_dedup",
+        lambda n: semantic_dedup(
+            synth_embeddings_dups(spark, n).repartition(32).cache(),
+            k=64, iters=2, threshold=0.6,
+            n_planes=max(4, (max(n, 2) // 64).bit_length()), n_tables=4,
+        ),
+    )
 
     # as-of join: n clicks vs n views over 1000 hot-ish users — the
     # union-window form should track n (one exchange + sort), where a
