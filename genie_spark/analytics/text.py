@@ -304,21 +304,25 @@ def scrub_pii(
     """Corpus-level PII scrubbing — the training-data counterpart of
     the clinical ``redact_phi`` (which handles age/date policy): mask
     emails, IPv4s, xxx-xxx-xxxx phones, and card-length digit runs
-    with typed placeholders, and count each category BEFORE masking
-    (the audit trail a removal report needs).
+    with typed placeholders, and count each category on the
+    PROGRESSIVELY-scrubbed text (count-then-replace per stage), so
+    every count equals the number of placeholders that stage actually
+    inserted — overlapping matches (a card-length digit run inside an
+    email's local part, a phone-shaped string already masked as
+    <EMAIL>) are not double-counted, and Σ n_* == total placeholders
+    in ``scrubbed`` (the audit trail a removal report needs).
 
     Pure per-row column expressions (regexp_count + chained
     regexp_replace) — narrow plan, zero shuffles, scales as the scan.
+    The staged counts re-evaluate the replace-chain prefix per
+    category (O(k²) regex passes for k=4 patterns — constant per row).
     Returns (id, scrubbed, n_email, n_ip, n_phone, n_longnum).
     """
-    c = F.col(text_col)
-    counts = [
-        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    scrubbed = c
-    for _, pat, repl in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return df.select(
-        F.col(id_col), scrubbed.alias("scrubbed"), *counts
-    )
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)

@@ -998,9 +998,23 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
         "left_anti",
     )
     cleaned.write.mode("overwrite").parquet(_os.path.join(out, "deduped"))
-    n_in = docs.count()
-    n_exact = exact_drops.count()
-    n_near = drops.count()
+    # ONE summary job: union zero-width tagged scans of the three
+    # frames and count per tag (three separate .count() actions cost
+    # three jobs over already-computed frames)
+    counts = {
+        r["t"]: r["n"]
+        for r in (
+            docs.select(F.lit("in").alias("t"))
+            .unionByName(exact_drops.select(F.lit("exact").alias("t")))
+            .unionByName(drops.select(F.lit("near").alias("t")))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    n_in = counts.get("in", 0)
+    n_exact = counts.get("exact", 0)
+    n_near = counts.get("near", 0)
     print(
         f"corpus-dedup: {n_in} docs, {n_exact} exact + {n_near} near-dup "
         f"drops ({100.0 * (n_exact + n_near) / max(n_in, 1):.2f}%) → {out}"

@@ -131,6 +131,7 @@ def asof_join(
     tiebreak: str,
     prefix: str = "asof_",
     direction: str = "backward",
+    validate_tiebreak: bool = False,
 ) -> DataFrame:
     """Backward as-of join (each left row ⟵ the right row with the
     greatest ``ts_col`` ≤ its own, per key) as ONE shuffle.
@@ -154,7 +155,12 @@ def asof_join(
     * inclusive — a right row AT the left row's ts matches (right
       sorts before left at equal ts);
     * duplicate right (key, ts) rows resolve to the max-``tiebreak``
-      row's payload (the sort puts it last);
+      row's payload (the sort puts it last).  PRECONDITION: ``tiebreak``
+      must be unique within each (key, ts) group — rows identical in
+      (key, ts, tiebreak) but differing in payload sort equal, and
+      which payload wins then depends on partition order.  Pass
+      ``validate_tiebreak=True`` to assert the precondition up front
+      (one extra aggregate job over the right side);
     * right rows with null ts are dropped (a null can never satisfy
       ts_right ≤ ts_left); left rows with null ts get null payload;
     * left rows with no prior right row get null payload (left-join
@@ -169,6 +175,21 @@ def asof_join(
         out_name = f"{prefix}{c}"
         if out_name in left.columns:
             raise ValueError(f"left side already has a column named {out_name}")
+    if validate_tiebreak:
+        dup = (
+            right.where(F.col(ts_col).isNotNull())
+            .groupBy(*on, ts_col, tiebreak)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join: tiebreak column {tiebreak!r} is not unique "
+                f"within (key, ts) on the right side (e.g. {dup[0]}); the "
+                "payload pick would be partition-order-dependent"
+            )
 
     # the payload travels as ONE struct so the match is atomic: with
     # per-column last(ignorenulls), a right row carrying a null in one

@@ -161,6 +161,7 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     case_files = sorted(glob.glob(os.path.join(case_dir, "cases_*.txt")))
     if not any(os.path.basename(p) == "cases_all.txt" for p in case_files):
         err("release.case_list_all", "release: case_lists/cases_all.txt missing")
+    case_study_ids: dict[str, list[str]] = {}
     for p in case_files:
         name = os.path.basename(p)
         kv = _parse_kv_text(p)
@@ -171,6 +172,20 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 f"release: {name} missing keys {missing_keys}",
             )
             continue
+        # stable-id contract (genie/create_case_lists.py:44-112):
+        # stable_id = <cancer_study_identifier>_<filename stem>, so
+        # cBioPortal's per-study namespacing holds and a copied-in
+        # case list from another study (or a renamed file) is caught
+        stem = name[len("cases_"):-len(".txt")]
+        sid = kv["cancer_study_identifier"]
+        case_study_ids.setdefault(sid, []).append(name)
+        expect = f"{sid}_{stem}"
+        if kv["stable_id"] != expect:
+            err(
+                "release.case_list_stable_id",
+                f"release: {name} stable_id {kv['stable_id']!r} != "
+                f"expected {expect!r}",
+            )
         ids = [s for s in kv["case_list_ids"].split("\t") if s]
         stray = _missing_from(spark, ids, clin_ids, "SAMPLE_ID")
         if stray:
@@ -181,6 +196,15 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 n=len(stray),
                 examples=stray[:5],
             )
+    if len(case_study_ids) > 1:
+        err(
+            "release.case_list_study_id",
+            "release: case lists disagree on cancer_study_identifier: "
+            + ", ".join(
+                f"{sid} ({len(files)} files)"
+                for sid, files in sorted(case_study_ids.items())
+            ),
+        )
 
     # --- maf -------------------------------------------------------------
     maf_path = os.path.join(release_dir, "data_mutations_extended.txt")
@@ -233,6 +257,26 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     "release.maf_start_position",
                     "release: data_mutations_extended.txt has non-integer "
                     "Start_Position values",
+                    n=n_bad,
+                )
+        # allele charset (genie/validate.py:426-480
+        # get_invalid_allele_rows + genie_registry/maf.py:157-159):
+        # bases from {A,T,C,G,N} in combination, or a pure "-" run
+        allele_ok = r"^([ATCGN]+|-+)$"
+        for logical in (
+            "Reference_Allele", "Tumor_Seq_Allele1", "Tumor_Seq_Allele2"
+        ):
+            acol = _resolve(maf, logical)
+            if acol is None:
+                continue
+            n_bad = maf.where(
+                F.col(acol).isNotNull() & ~F.col(acol).rlike(allele_ok)
+            ).count()
+            if n_bad:
+                err(
+                    "release.maf_allele_charset",
+                    f"release: data_mutations_extended.txt has {logical} "
+                    "values outside A/T/C/G/N (or '-')",
                     n=n_bad,
                 )
 

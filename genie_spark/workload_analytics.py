@@ -1186,17 +1186,21 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_scrub_sql() -> str:
+    """Mirror of scrub_pii's count-then-replace staging: category i is
+    counted on the text AFTER stages 0..i-1 replaced, so counts equal
+    placeholders inserted (no double-counting of overlaps)."""
     from genie_spark.analytics.text import PII_PATTERNS
 
-    scrubbed = "text"
-    for _, pat, repl in PII_PATTERNS:
-        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
-    counts = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
+    cur = "text"
+    count_exprs = []
+    for name, pat, repl in PII_PATTERNS:
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(count_exprs)
     return f"""
-SELECT doc_id, {scrubbed} AS scrubbed,
+SELECT doc_id, {cur} AS scrubbed,
        {counts}
 FROM documents
 """

@@ -311,6 +311,119 @@ def test_pillow_decoder_degrades_to_stdlib(spark):
             dec.resize(b"\x89PNG fake png bytes", 4, 4)
 
 
+def test_av_decoder_degrades_to_parents(spark):
+    """AVDecoder is always safe to construct: stdlib formats decode
+    identically through two inheritance layers, and with av absent
+    compressed containers keep the documented NotImplementedError /
+    hash-feature degrade contract."""
+    import pytest as pt
+
+    from genie_spark.analytics.multimodal import AVDecoder, StdlibDecoder
+
+    dec = AVDecoder()
+    kind, img = dec.decode(_ppm(4, 3, (255, 0, 128)))
+    assert kind == "image" and img.shape == (3, 4, 3)
+    kind, aud = dec.decode(_wav(16, value=1000))
+    assert kind == "audio" and aud.shape == (16, 1)
+    # image/audio features delegate to the shared summary shapes
+    assert dec.features(_ppm(4, 3, (255, 0, 128))) == StdlibDecoder().features(
+        _ppm(4, 3, (255, 0, 128))
+    )
+    if not (
+        AVDecoder.av_available()
+        or AVDecoder.pil_available()
+        or AVDecoder.soundfile_available()
+    ):
+        mp4ish = b"\x00\x00\x00\x18ftypmp42 not a real mp4"
+        with pt.raises(NotImplementedError):
+            dec.decode(mp4ish)
+        assert dec.features(mp4ish) == StdlibDecoder().features(mp4ish)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "genie_spark.analytics.multimodal", fromlist=["AVDecoder"]
+    ).AVDecoder.av_available(),
+    reason="PyAV not installed",
+)
+def test_av_decoder_real_containers(spark):
+    """With av present: MP4 decodes to a (n, h, w, 3) frame stack, MP3
+    to (samples, channels) int16, features flow through mapInPandas
+    over a compressed-media corpus, and frame_fn feeds sample_frames
+    with stdlib-readable PPM frames."""
+    import io
+
+    import av
+    import numpy as np
+
+    from genie_spark.analytics.multimodal import (
+        AVDecoder,
+        StdlibDecoder,
+        extract_features,
+    )
+
+    def _mp4(n_frames=12, w=32, h=24):
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as out:
+            stream = out.add_stream("mpeg4", rate=10)
+            stream.width, stream.height = w, h
+            stream.pix_fmt = "yuv420p"
+            for i in range(n_frames):
+                arr = np.full((h, w, 3), (i * 20) % 255, dtype=np.uint8)
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for packet in stream.encode(frame):
+                    out.mux(packet)
+            for packet in stream.encode():
+                out.mux(packet)
+        return buf.getvalue()
+
+    def _mp3(n=4096, rate=8000):
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp3") as out:
+            stream = out.add_stream("mp3", rate=rate)
+            t = np.arange(n, dtype=np.float32)
+            wave = (0.2 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.float32)
+            frame = av.AudioFrame.from_ndarray(
+                wave[None, :], format="fltp", layout="mono"
+            )
+            frame.sample_rate = rate
+            for packet in stream.encode(frame):
+                out.mux(packet)
+            for packet in stream.encode():
+                out.mux(packet)
+        return buf.getvalue()
+
+    dec = AVDecoder(max_frames=4)
+    kind, frames = dec.decode(_mp4())
+    assert kind == "video" and frames.shape[0] == 4 and frames.shape[3] == 3
+    feats = dec.features(_mp4())
+    assert feats[0] == 4.0 and feats[7] == 3.0
+
+    kind, audio = dec.decode(_mp3())
+    assert kind == "audio" and audio.dtype.name == "int16"
+    assert audio.ndim == 2 and audio.shape[1] == 1
+
+    # sampled frame re-enters the stdlib decoder as PPM
+    ppm = dec.frame_fn(every_ms=100)(_mp4(), 1)
+    kind, arr = StdlibDecoder().decode(ppm)
+    assert kind == "image" and arr.shape[2] == 3
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_mp4()), (24, 32, 1200, "video/mp4")),
+            (2, "audio", bytearray(_mp3()), (0, 0, 500, "audio/mp3")),
+        ],
+        "media_id long, media_type string, content binary, "
+        "meta struct<height:int,width:int,duration_ms:int,mime:string>",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_features(media, AVDecoder(max_frames=4).features).collect()
+    }
+    assert rows[1]["feature"][7] == 3.0  # video kind marker
+    assert rows[2]["feature"][7] == 2.0  # audio kind marker
+
+
 @pytest.mark.skipif(not PillowDecoder.pil_available(), reason="Pillow not installed")
 def test_pillow_decoder_real_compressed_images(spark):
     """With Pillow present, JPEG/PNG decode to real pixel arrays and the
@@ -986,7 +1099,9 @@ def test_chunk_documents_windows_and_overlap(spark):
 
 def test_scrub_pii_masks_and_counts(spark):
     """Each PII category masks with its typed placeholder and counts
-    pre-mask occurrences; clean text passes through untouched."""
+    per stage on the progressively-scrubbed text (count-then-replace),
+    so counts equal placeholders inserted; clean text passes through
+    untouched."""
     from genie_spark.analytics.text import scrub_pii
 
     df = spark.createDataFrame(
@@ -1008,6 +1123,25 @@ def test_scrub_pii_masks_and_counts(spark):
     assert out[4]["scrubbed"] == "no pii here, just words and 123 numbers"
     assert all(
         out[4][c] == 0 for c in ("n_email", "n_ip", "n_phone", "n_longnum")
+    )
+
+    # overlap: a card-length digit run inside an email's local part is
+    # masked ONCE as <EMAIL> and must not also count as n_longnum —
+    # Σ counts == placeholders actually inserted
+    overlap = spark.createDataFrame(
+        [(9, "mail 4111111111111111@bank.com and run 5500005555555559 now")],
+        ["doc_id", "text"],
+    )
+    r = scrub_pii(overlap).collect()[0]
+    assert r["scrubbed"] == "mail <EMAIL> and run <NUM> now"
+    assert r["n_email"] == 1 and r["n_longnum"] == 1
+    assert r["n_phone"] == 0 and r["n_ip"] == 0
+    n_placeholders = sum(
+        r["scrubbed"].count(p) for p in ("<EMAIL>", "<IP>", "<PHONE>", "<NUM>")
+    )
+    assert (
+        r["n_email"] + r["n_ip"] + r["n_phone"] + r["n_longnum"]
+        == n_placeholders
     )
 
 

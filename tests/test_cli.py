@@ -551,6 +551,42 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.seg_numeric" in ids
 
+    # corruption 14: allele columns outside the A/T/C/G/N (or "-")
+    # charset (reference genie/validate.py get_invalid_allele_rows)
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\tReference_Allele\t"
+        "Tumor_Seq_Allele2\nTP53\tGENIE-SAGE-1-1\tACGT\tAXGT\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.maf_allele_charset" in ids
+    # clean alleles (incl. the "-" deletion form) do NOT trip it
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\tReference_Allele\t"
+        "Tumor_Seq_Allele2\nTP53\tGENIE-SAGE-1-1\tACGTN\t-\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.maf_allele_charset" not in ids
+
+    # corruption 15: stable_id not <study>_<filename stem>, and a
+    # second case list claiming a different study id
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: other_all\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    write(
+        "case_lists/cases_glioma.txt",
+        "cancer_study_identifier: s2\nstable_id: s2_glioma\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_stable_id" in ids
+    assert "release.case_list_study_id" in ids
+
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
     """--release-dir/--prev-release-dir wire the per-column value-count

@@ -351,6 +351,33 @@ def test_asof_join_rejects_column_collision(spark):
         asof_join(left, right, on=["k"], ts_col="ts", payload=["tag"], tiebreak="rid")
 
 
+def test_asof_join_validate_tiebreak(spark):
+    """validate_tiebreak=True enforces the determinism precondition:
+    duplicate right (key, ts, tiebreak) rows (whose payload pick would
+    be partition-order-dependent) raise; unique tiebreaks pass."""
+    from genie_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame([(1, 1, 5)], "lid long, k long, ts long")
+    dup_right = spark.createDataFrame(
+        [(7, 1, 3, "a"), (7, 1, 3, "b")], "rid long, k long, ts long, tag string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not unique"):
+        asof_join(
+            left, dup_right, on=["k"], ts_col="ts", payload=["tag"],
+            tiebreak="rid", validate_tiebreak=True,
+        )
+    ok_right = spark.createDataFrame(
+        [(7, 1, 3, "a"), (8, 1, 3, "b")], "rid long, k long, ts long, tag string"
+    )
+    out = asof_join(
+        left, ok_right, on=["k"], ts_col="ts", payload=["tag"],
+        tiebreak="rid", validate_tiebreak=True,
+    ).collect()
+    assert out[0]["asof_tag"] == "b"  # max-tiebreak row wins
+
+
 def test_asof_join_forward_direction(spark):
     """Forward as-of: nearest right ts >= left ts, inclusive, min
     tiebreak at a duplicate right ts, null left ts unmatched."""

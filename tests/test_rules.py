@@ -423,3 +423,53 @@ def test_assay_rules(spark):
     # a missing required column (target_capture_kit) is an error
     ids2 = rule_ids(assay_rules(CENTER).validate(good.drop("target_capture_kit")))
     assert any("required" in i or "columns" in i for i in ids2)
+
+
+def test_row_rules_evaluate_in_one_job(spark):
+    """The engine's core scale promise (engine.py: 'ALL row rules of a
+    format are evaluated in ONE Spark job'): N row rules — with and
+    without example sampling — must cost exactly one job, i.e. one
+    corpus scan at 100 TB.  This pins the fused agg; splitting it
+    (one agg per rule) fails here before it costs N scans in prod."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.rules.engine import RowRule, RuleSet, qcol
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}", i % 3) for i in range(1000)],
+        "id long, s string, m long",
+    )
+    rules = [
+        RowRule("r.even", "error", qcol("id") % 2 == 0, "{n} even ids",
+                example_col="id", required_cols=["id"]),
+        RowRule("r.mod", "warning", qcol("m") == 0, "{n} zeros",
+                required_cols=["m"]),
+        RowRule("r.s", "error", qcol("s") == "v0", "{n} v0s ({examples})",
+                example_col="s", required_cols=["s"]),
+        RowRule("r.neg", "error", qcol("id") < 0, "{n} negatives",
+                required_cols=["id"]),
+    ]
+    sc = spark.sparkContext
+
+    def jobs_for(ruleset, tag):
+        group = f"rules-job-pin-{tag}"
+        sc.setJobGroup(group, "rule engine jobs-count pin")
+        try:
+            report = ruleset.validate(df)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group)), report
+
+    # AQE may split ONE query execution into a couple of stage-jobs,
+    # so the pin is: the job count must not grow with the rule count
+    # (per-rule aggs would add jobs per rule), and stays tiny.
+    n_one, _ = jobs_for(RuleSet("pin1", rules[:1]), "one")
+    n_all, report = jobs_for(RuleSet("pinN", rules), "all")
+    assert n_all == n_one, (
+        f"{len(rules)} rules ran {n_all} jobs vs {n_one} for 1 rule — "
+        "the fused agg has been split into per-rule jobs"
+    )
+    assert n_all <= 2, f"fused row-rule agg ran {n_all} jobs"
+    # and the fused pass still produced correct counts
+    by_id = {m.rule_id: m.n_violations for m in report.messages}
+    assert by_id == {"r.even": 500, "r.mod": 334, "r.s": 143}
