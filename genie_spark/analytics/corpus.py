@@ -105,6 +105,136 @@ def decontaminate_ngram(
     )
 
 
+BLOOM_M_BITS = 1 << 20
+BLOOM_K_HASHES = 3
+
+
+def bloom_bit_positions(
+    col: Column, m_bits: int = BLOOM_M_BITS, k_hashes: int = BLOOM_K_HASHES
+) -> Column:
+    """The ``k_hashes`` Bloom bit positions of one n-gram as an
+    array<long>: position_i = md5-60bit("<i>:" ‖ s) mod m_bits — the
+    package's ONE md5 hash formula (``dedup.shingle_hash``), seeded by
+    an index prefix, so the DuckDB oracle reproduces every position
+    exactly."""
+    from genie_spark.analytics.dedup import shingle_hash
+
+    return F.array(
+        *[
+            F.pmod(
+                shingle_hash(F.concat(F.lit(f"{i}:"), col)), F.lit(m_bits)
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+) -> DataFrame:
+    """Build the benchmark-side Bloom artifact: the DISTINCT set of
+    set bit positions (one ``pos`` long per row, ≤ ``m_bits`` rows
+    total) over all token ``n``-grams of the benchmark.
+
+    This is the fixed-memory alternative to ``decontaminate_ngram``'s
+    exact broadcast n-gram set: the artifact is BOUNDED at ``m_bits``
+    rows no matter how many n-grams the benchmark holds (billions of
+    eval n-grams at 100 TB still produce ≤ m_bits longs), and it is
+    trivially MERGEABLE — union + distinct combines artifacts from
+    independent benchmark shards, exactly like the KMV sketches.  The
+    position-set representation (instead of packed words) keeps it a
+    first-class DataFrame: broadcastable, unionable, and mirrored
+    bit-for-bit by a SQL oracle.
+    """
+    grams = F.explode(F.array_distinct(token_ngrams(text_col, n))).alias(
+        "ngram"
+    )
+    return (
+        benchmark.select(grams)
+        .select(
+            F.explode(
+                bloom_bit_positions(F.col("ngram"), m_bits, k_hashes)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bloom_pos: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+    flag_threshold_bp: int = 500,
+) -> DataFrame:
+    """Benchmark decontamination against a ``bloom_build`` artifact:
+    an n-gram is POSSIBLY contaminated iff every one of its (distinct)
+    bit positions is set — zero false negatives, false positives at
+    the standard Bloom rate (1 − e^(−k·N/m))^k, tuned by ``m_bits`` /
+    ``k_hashes``.  Use when the benchmark n-gram set outgrows an exact
+    broadcast (``decontaminate_ngram``); flagged documents can be
+    re-checked exactly or dropped outright (the usual conservative
+    policy — FPs only ever over-drop).
+
+    Spark shape: corpus n-grams explode to (doc, ngram, pos) map-side;
+    a broadcast ANTI join against the ≤ m_bits-row position set finds
+    n-grams with a MISSED position (= definitely clean), and per-doc
+    counts close the complement: flagged = distinct n-grams − clean
+    n-grams.  Total shuffle = two doc-keyed count-aggs; the corpus is
+    never shuffled wide.
+
+    Returns (id, n_ngrams, n_flagged, flagged_bp, is_flagged) — the
+    ``decontaminate_ngram`` report shape with "maybe" semantics.
+    """
+    grams = F.explode(F.array_distinct(token_ngrams(text_col, n))).alias(
+        "ngram"
+    )
+    corpus_grams = corpus.select(F.col(id_col), grams)
+    probes = corpus_grams.select(
+        id_col,
+        "ngram",
+        F.explode(
+            F.array_distinct(
+                bloom_bit_positions(F.col("ngram"), m_bits, k_hashes)
+            )
+        ).alias("pos"),
+    )
+    clean = (
+        probes.join(F.broadcast(bloom_pos), "pos", "left_anti")
+        .select(id_col, "ngram")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_clean"))
+    )
+    per_doc = corpus.select(
+        F.col(id_col),
+        F.size(F.array_distinct(token_ngrams(text_col, n))).alias("n_ngrams"),
+    ).where(F.col("n_ngrams") > 0)
+    out = per_doc.join(clean, id_col, "left").withColumn(
+        "n_flagged",
+        F.col("n_ngrams") - F.coalesce("n_clean", F.lit(0)),
+    )
+    bp = F.floor(
+        (F.col("n_flagged") * SAMPLE_DENOM).cast("long") / F.col("n_ngrams")
+    ).cast("long")
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_flagged",
+        bp.alias("flagged_bp"),
+        ((F.col("n_flagged") > 0) & (bp >= F.lit(flag_threshold_bp))).alias(
+            "is_flagged"
+        ),
+    )
+
+
 def _uniform_bp(id_col: str | Column) -> Column:
     """Deterministic uniform in [0, 10_000): first 8 md5 hex chars of
     the stringified id, mod 10_000.  Engine-portable (DuckDB computes

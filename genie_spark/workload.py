@@ -1035,6 +1035,10 @@ _TAIL_QUERIES = [
     "a6_release_diff",
     "j8_broadcast_lookup",
     "j10_symbol_remap",
+    # rotated out for corpus_bloom_decontaminate (NEW round-6 family:
+    # fixed-memory Bloom decontamination): set-ops stay driver-checked
+    # via the historical a14 row + the local set_except check
+    "a14_distinct_union",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -729,6 +729,72 @@ FROM perdoc p LEFT JOIN hits USING (doc_id)
 """
 
 
+BLOOM_Q_M_BITS = 1 << 14
+BLOOM_Q_K = 3
+
+
+def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-memory decontamination: the benchmark split's 8-gram set
+    is collapsed to a ≤2^14-row Bloom position set (bloom_build), the
+    corpus probes it with an anti join — zero false negatives, Bloom-
+    rate false positives.  m is deliberately small at this sf so the
+    FP regime is actually exercised (flagged ⊇ exact contamination)."""
+    from genie_spark.analytics.corpus import bloom_build, bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bloom = bloom_build(bench, n=8, m_bits=BLOOM_Q_M_BITS, k_hashes=BLOOM_Q_K)
+    return bloom_decontaminate(
+        corpus, bloom, n=8, m_bits=BLOOM_Q_M_BITS, k_hashes=BLOOM_Q_K,
+        flag_threshold_bp=500,
+    )
+
+
+def _bloom_decontaminate_sql(
+    m_bits: int = BLOOM_Q_M_BITS, k_hashes: int = BLOOM_Q_K
+) -> str:
+    """DuckDB mirror of bloom_build + bloom_decontaminate: identical
+    md5-60bit seeded positions, anti join for missed positions,
+    flagged = distinct n-grams − clean n-grams."""
+    pos_list = ", ".join(
+        f"CAST(('0x' || substr(md5('{i}:' || ngram), 1, 15)) AS BIGINT) "
+        f"% {m_bits}"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 8 THEN {_NGRAMS_8_SQL} ELSE [] END)) AS ngram
+  FROM t
+),
+bench AS (SELECT DISTINCT ngram FROM g WHERE {_BENCH_PRED}),
+bpos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{pos_list}]) AS pos FROM bench)
+),
+corp AS (SELECT doc_id, ngram FROM g WHERE NOT ({_BENCH_PRED})),
+probes AS (
+  SELECT DISTINCT doc_id, ngram, pos FROM (
+    SELECT doc_id, ngram, unnest([{pos_list}]) AS pos FROM corp)
+),
+clean AS (
+  SELECT doc_id, count(DISTINCT ngram) AS n_clean
+  FROM probes ANTI JOIN bpos USING (pos)
+  GROUP BY doc_id
+),
+perdoc AS (SELECT doc_id, count(*) AS n_ngrams FROM corp GROUP BY doc_id)
+SELECT p.doc_id, n_ngrams,
+       n_ngrams - coalesce(n_clean, 0) AS n_flagged,
+       ((n_ngrams - coalesce(n_clean, 0)) * 10000) // n_ngrams AS flagged_bp,
+       ((n_ngrams - coalesce(n_clean, 0)) > 0
+        AND ((n_ngrams - coalesce(n_clean, 0)) * 10000) // n_ngrams >= 500)
+       AS is_flagged
+FROM perdoc p LEFT JOIN clean USING (doc_id)
+"""
+
+
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-hash stratified sample: keep 50% of 'en'
     docs, 25% of every other language."""
@@ -1366,6 +1432,7 @@ ANALYTICS_QUERIES: dict = {
     "text_repetition": text_repetition,
     "text_lm_surprisal": text_lm_surprisal,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_bloom_decontaminate": corpus_bloom_decontaminate,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_passage_dedup": corpus_passage_dedup,
@@ -1406,6 +1473,7 @@ ANALYTICS_ORACLES: dict = {
     "text_repetition": REPETITION_SQL,
     "text_lm_surprisal": LM_SURPRISAL_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
+    "corpus_bloom_decontaminate": _bloom_decontaminate_sql(),
     "corpus_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "corpus_pack_sequences": PACK_SEQUENCES_SQL,
     "corpus_passage_dedup": PASSAGE_DEDUP_SQL,

@@ -1191,3 +1191,62 @@ def test_corpus_keep_list_attributes_reasons(spark):
     assert set(out[1].asDict()) == {
         "doc_id", "quality_ok", "lang_ok", "repetition_ok", "surprisal_ok", "keep"
     }
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom path can only OVER-flag: for every document,
+    n_flagged >= the exact decontaminate_ngram's n_contaminated, with
+    equality (and zero FPs) when m_bits is large; a tiny m_bits drives
+    the FP regime (flagged > exact) but never misses real overlap.
+    The artifact is bounded by m_bits and mergeable by union."""
+    from genie_spark.analytics.corpus import (
+        bloom_build,
+        bloom_decontaminate,
+        decontaminate_ngram,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = []
+    for i in range(12):
+        # rotate so consecutive docs share long runs with the benchmark
+        rot = words[i % 3 :] + words[: i % 3]
+        docs.append((i, " ".join(rot * 2)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = df.where(F.col("doc_id") % 4 == 0)
+    corpus = df.where(F.col("doc_id") % 4 != 0)
+
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in decontaminate_ngram(corpus, bench, n=8).collect()
+    }
+
+    # large m: no false positives — bloom == exact
+    big = bloom_build(bench, n=8, m_bits=1 << 20, k_hashes=3)
+    out_big = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(
+            corpus, big, n=8, m_bits=1 << 20, k_hashes=3
+        ).collect()
+    }
+    assert {k: v["n_flagged"] for k, v in out_big.items()} == exact
+
+    # tiny m: every bit set -> everything flagged, still superset
+    tiny = bloom_build(bench, n=8, m_bits=4, k_hashes=2)
+    out_tiny = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_decontaminate(
+            corpus, tiny, n=8, m_bits=4, k_hashes=2
+        ).collect()
+    }
+    for d, n_exact in exact.items():
+        assert out_tiny[d] >= n_exact
+
+    # bounded: |artifact| <= m_bits; mergeable: shard-union == full build
+    assert big.count() <= 1 << 20
+    assert tiny.count() <= 4
+    s1 = bloom_build(bench.where(F.col("doc_id") == 0), n=8)
+    s2 = bloom_build(bench.where(F.col("doc_id") != 0), n=8)
+    merged = s1.unionByName(s2).distinct()
+    full = bloom_build(bench, n=8)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
