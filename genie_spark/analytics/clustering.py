@@ -47,7 +47,7 @@ def _assign_cid(vec: Column, centroids: list[tuple[int, list[int]]]) -> Column:
     cid asc) — pure map, whole-stage codegen, zero shuffle.  The
     centroid literals are rendered as ONE F.expr string (per-literal
     Column objects cost a Py4J round-trip each — see
-    similarity._centroid_literals)."""
+    similarity._centroid_literals_from)."""
     structs = []
     for cid, cvec in centroids:
         vs = ",".join(str(int(x)) for x in cvec)

@@ -166,22 +166,14 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def _centroid_literals(
-    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
-) -> Column:
-    """Deterministic IVF "training": the ``n_centroids`` lowest-id
-    vectors ARE the centroids (no RNG — reproducible across engines and
-    rounds).  Collected driver-side (tiny by contract) and embedded as
-    one literal array<struct(cid, v, n2)> so per-row cell assignment is
-    a PURE MAP inside whole-stage codegen — zero shuffle over the
-    corpus.  At 100 TB swap the literal for a broadcast variable; the
-    plan shape is unchanged."""
-    cent_rows = (
-        df.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
+def _centroid_literals_from(cent_rows: list) -> Column:
+    """Deterministic IVF "training" literal: the ``_centroid_rows``
+    set embedded as one array<struct(cid, v, n2)> so per-row cell
+    assignment is a PURE MAP inside whole-stage codegen — zero shuffle
+    over the corpus (the ``engine="expr"`` path; the Arrow engine
+    closes over the same rows as numpy arrays instead).  At 100 TB
+    swap the literal for a broadcast variable; the plan shape is
+    unchanged."""
     # ONE F.expr parse instead of n_centroids×(dim+2) nested F.lit
     # Column objects — the per-literal Py4J round-trips dominate plan
     # construction time (measured ~5 s at 32×64 before this change).
@@ -211,12 +203,87 @@ def _cell_scores(cent_arr: Column, vec: Column, n2: Column) -> Column:
     )
 
 
+def _centroid_rows(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list:
+    """The deterministic IVF "training" set: the n_centroids lowest-id
+    vectors, quantized, collected driver-side (tiny by contract)."""
+    return (
+        df.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+
+
+def _ivf_probes_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list,
+    n_probe: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Per-vector top-``n_probe`` IVF cells, Arrow engine: one float64
+    cosine matrix per batch (exact int64 dot, then the IDENTICAL IEEE
+    op sequence ``dot / (sqrt(vn)·sqrt(cn))`` as ``_cell_scores``) and
+    a stable argsort — centroid columns are in ascending-cid order, so
+    stable sort on descending cosine reproduces the expression form's
+    (cos desc, cid asc) tie-break exactly.  A zero-norm side scores
+    −inf (the expression's null cosine also loses every comparison and
+    falls to the lowest-cid tail).  Emits (vid, cell[, v, n2]) with one
+    row per probed cell — pure map, no shuffle; per-row cost is one
+    matmul row instead of O(n_centroids·dim) interpreted fold steps,
+    which is what lets n_centroids follow its √n sizing rule at scale.
+    """
+    import numpy as np
+
+    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    n_probe = min(n_probe, len(cent_rows))
+    schema = f"vid long, cell long" + (
+        ", v array<long>, n2 long" if carry_vec else ""
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                * float(QUANT_SCALE)
+                + 0.5
+            ).astype(np.int64)
+            vn2 = (V * V).sum(axis=1)
+            den = np.sqrt(vn2.astype(np.float64))[:, None] * cn[None, :]
+            d = (V @ C.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, d / den, -np.inf)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+            data = {
+                "vid": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "cell": cids[order].ravel(),
+            }
+            if carry_vec:
+                data["v"] = [
+                    v for v in V for _ in range(n_probe)
+                ]
+                data["n2"] = np.repeat(vn2, n_probe)
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, vec_col).mapInPandas(probe, schema=schema)
+
+
 def ivf_cell_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 32,
     n_probe: int = 8,
+    engine: str = "arrow",
 ) -> DataFrame:
     """IVF cell co-membership candidate pairs — the scale-safe
     candidate generator for embedding near-dup dedup (the same
@@ -224,7 +291,7 @@ def ivf_cell_pairs(
 
     Every vector is assigned its ``n_probe`` nearest of ``n_centroids``
     deterministic centroid cells with a shuffle-free literal-array map
-    (see ``_centroid_literals``); a pair is a candidate iff the two
+    (see ``_centroid_literals_from`` / the Arrow engine); a pair is a candidate iff the two
     vectors share at least one probed cell, which makes candidate
     generation an EQUI-JOIN on the cell id — never a cross join.
 
@@ -239,20 +306,31 @@ def ivf_cell_pairs(
     candidate volume at this tiny n; the volume FRACTION shrinks as
     n/C grows — see tools/stress_scale.py for the slope at 10×.
     """
-    cent_arr = _centroid_literals(df, id_col, vec_col, n_centroids)
-    vecs = _with_norm(df, id_col, vec_col, "x")
-    probes = vecs.select(
-        F.col("x").alias("vid"),
-        F.explode(
-            F.slice(
-                F.reverse(
-                    F.array_sort(_cell_scores(cent_arr, F.col("x_v"), F.col("x_n")))
-                ),
-                1,
-                n_probe,
-            )
-        ).alias("p"),
-    ).select("vid", F.col("p")["cid"].alias("cell"))
+    cent_rows = _centroid_rows(df, id_col, vec_col, n_centroids)
+    if not cent_rows:
+        return df.sparkSession.createDataFrame([], "a long, b long")
+    if engine == "arrow":
+        # corpus-wide probe assignment is the hot loop — Arrow matmul
+        # (bit-identical ordering, see _ivf_probes_arrow) instead of
+        # O(n_centroids·dim) interpreted fold steps per row
+        probes = _ivf_probes_arrow(df, id_col, vec_col, cent_rows, n_probe)
+    else:
+        cent_arr = _centroid_literals_from(cent_rows)
+        vecs = _with_norm(df, id_col, vec_col, "x")
+        probes = vecs.select(
+            F.col("x").alias("vid"),
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            _cell_scores(cent_arr, F.col("x_v"), F.col("x_n"))
+                        )
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("p"),
+        ).select("vid", F.col("p")["cid"].alias("cell"))
     a = probes.select(F.col("vid").alias("a"), "cell")
     b = probes.select(F.col("vid").alias("b"), "cell")
     # merge hint: probe-table self-join, both sides corpus-sized — a
@@ -313,6 +391,7 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     k: int = 10,
     query_filter: Column | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """IVF-style ANN top-k: the scale path next to brute-force
     ``cosine_topk``.
@@ -329,21 +408,44 @@ def ivf_topk(
     never shuffled at all; only the candidate subset (~n·n_probe/
     n_centroids rows) hits the final top-k window.
 
-    At 100 TB you raise ``n_centroids`` (√n rule) and swap the literal
-    array for a broadcast variable — the plan shape is unchanged.
+    At 100 TB you raise ``n_centroids`` (√n rule — viable because the
+    default ``engine="arrow"`` assigns corpus cells with one numpy
+    matmul per batch, so per-row cost does not grow with the literal's
+    centroid count) and swap the literal array for a broadcast
+    variable — the plan shape is unchanged.
     """
-    cent_arr = _centroid_literals(df, id_col, vec_col, n_centroids)
+    cent_rows = _centroid_rows(df, id_col, vec_col, n_centroids)
+    if not cent_rows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    cent_arr = _centroid_literals_from(cent_rows)
 
     def cell_scores(vec: Column, n2: Column) -> Column:
         return _cell_scores(cent_arr, vec, n2)
 
-    vecs = _with_norm(df, id_col, vec_col, "x")
-    corpus = vecs.select(
-        F.col("x").alias("neighbor_id"),
-        F.col("x_v").alias("n_v"),
-        F.col("x_n").alias("n_n"),
-        F.array_max(cell_scores(F.col("x_v"), F.col("x_n")))["cid"].alias("cell"),
-    )
+    if engine == "arrow":
+        # corpus cell assignment is the hot loop (n rows × C centroids);
+        # the probe side below stays expression-based — the query set
+        # is small by contract
+        corpus = _ivf_probes_arrow(
+            df, id_col, vec_col, cent_rows, 1, carry_vec=True
+        ).select(
+            F.col("vid").alias("neighbor_id"),
+            F.col("v").alias("n_v"),
+            F.col("n2").alias("n_n"),
+            "cell",
+        )
+    else:
+        vecs = _with_norm(df, id_col, vec_col, "x")
+        corpus = vecs.select(
+            F.col("x").alias("neighbor_id"),
+            F.col("x_v").alias("n_v"),
+            F.col("x_n").alias("n_n"),
+            F.array_max(cell_scores(F.col("x_v"), F.col("x_n")))["cid"].alias(
+                "cell"
+            ),
+        )
     queries = df.where(query_filter) if query_filter is not None else df
     probes = (
         _with_norm(queries, id_col, vec_col, "q")

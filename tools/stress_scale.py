@@ -142,11 +142,15 @@ def main() -> None:
             embs(n), n_planes=max(8, _math.ceil(_math.log2(max(n, 2) / 16)))
         ),
     )
+    # n_centroids follows the operator's own √n sizing rule (viable
+    # since the Arrow cell-assignment engine: per-row cost is one
+    # matmul row, independent of C) — candidates per query track
+    # n_probe·n/C ≈ 4·√n, sublinear
     probe(
         "ivf_topk",
         lambda n: ivf_topk(
             embs(n), query_filter=F.col("vec_id") < 16,
-            n_centroids=16, n_probe=4, k=10,
+            n_centroids=max(16, _math.isqrt(max(n, 1))), n_probe=4, k=10,
         ),
     )
     probe("quality_score", lambda n: quality_score(synth_docs(spark, n)))
