@@ -88,18 +88,27 @@ def _assign_scan_arrow(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
     C = np.array([v for _, v in centroids], dtype=np.int64)
     cc = (C * C).sum(axis=1)
 
+    dim = C.shape[1]
+
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(pdf["__v"].tolist(), dtype=np.int64)
+            vals = pdf["__v"].tolist()
+            keep = [
+                i for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            V = np.array([vals[i] for i in keep], dtype=np.int64)
             d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
             j = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {
-                    "__id": pdf["__id"].to_numpy(),
+                    "__id": pdf["__id"].to_numpy()[keep],
                     "cid": cids[j],
                     "d2": d2[np.arange(len(j)), j],
                 }
@@ -128,7 +137,14 @@ def _update_partials_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(pdf["__v"].tolist(), dtype=np.int64)
+            vals = pdf["__v"].tolist()
+            keep = [
+                i for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            V = np.array([vals[i] for i in keep], dtype=np.int64)
             d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
             j = np.argmin(d2, axis=1)
             n_by = np.bincount(j, minlength=k)
@@ -176,6 +192,12 @@ def kmeans_assign(
     ``engine="expr"`` keeps the pure-Catalyst literal-array form
     (plan-pinned in tests/test_plans.py); both engines share the
     driver-side update/seed logic, so they cannot drift semantically.
+    Degenerate rows (null vector, or a length different from the
+    centroids'): the Arrow engine OMITS them from both assignment
+    output and centroid updates rather than crashing; the expression
+    engine emits them with null distance (and a ragged row's partial
+    elements into updates) — embeddings are non-null fixed-dim by
+    contract, so the difference is outside the supported domain.
     """
     from pyspark import StorageLevel
 
@@ -372,6 +394,22 @@ def semantic_dedup(
         sign_signatures,
     )
 
+    if candidates not in ("exact", "lsh"):
+        raise ValueError(f"unknown candidates geometry: {candidates!r}")
+    if candidates == "exact":
+        # guard BEFORE the (eager, iters+1-job) clustering below — an
+        # over-limit caller must not pay the full Lloyd cost just to
+        # be told the input is too big
+        n = df.count()
+        if n > SEMANTIC_DEDUP_MAX_ROWS:
+            raise ValueError(
+                f"semantic_dedup(candidates='exact') is the flat all-pairs "
+                f"SemDeDup: assignment O(n·k·dim) + per-cell verify O(n²/k) "
+                f"— ~O(n^1.5) total at the optimal k; input has {n:,} "
+                "vectors. Use the default candidates='lsh' path at this "
+                "scale (same cluster semantics, banded-LSH-bounded pairs)."
+            )
+
     # the assignment is consumed by every per-table join —
     # localCheckpoint, not persist: checkpoint blocks free when the
     # DataFrame is garbage collected, so repeated calls in a session
@@ -384,15 +422,6 @@ def semantic_dedup(
     )
 
     if candidates == "exact":
-        n = df.count()
-        if n > SEMANTIC_DEDUP_MAX_ROWS:
-            raise ValueError(
-                f"semantic_dedup(candidates='exact') is the flat all-pairs "
-                f"SemDeDup: assignment O(n·k·dim) + per-cell verify O(n²/k) "
-                f"— ~O(n^1.5) total at the optimal k; input has {n:,} "
-                "vectors. Use the default candidates='lsh' path at this "
-                "scale (same cluster semantics, banded-LSH-bounded pairs)."
-            )
         left = a.select(F.col(id_col).alias("a"), "cluster_id")
         right = a.select(F.col(id_col).alias("b"), "cluster_id")
         cand = (
@@ -428,8 +457,6 @@ def semantic_dedup(
             )
             cand = pairs_t if cand is None else cand.unionByName(pairs_t)
         cand = cand.distinct()
-    else:
-        raise ValueError(f"unknown candidates geometry: {candidates!r}")
 
     pairs = cosine_verify_pairs(df, cand, id_col, vec_col, threshold)
     return (

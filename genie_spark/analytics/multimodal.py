@@ -347,16 +347,17 @@ class AVDecoder(PillowDecoder):
                             arr = aframe.to_ndarray()
                             if arr.dtype.kind == "f":
                                 arr = np.clip(arr * 32768.0, -32768, 32767)
-                            chunks.append(arr.astype("int16"))
-                        if chunks:
-                            # av yields (channels, samples) planes →
-                            # the decoder contract is (samples, channels)
-                            data = np.concatenate(chunks, axis=-1)
-                            if data.ndim == 1:
-                                data = data[:, None]
+                            arr = arr.astype("int16")
+                            n_ch = len(aframe.layout.channels)
+                            if aframe.format.is_planar:
+                                # (channels, samples) planes → (samples, ch)
+                                chunk = arr.T
                             else:
-                                data = data.T
-                            return ("audio", data)
+                                # packed: (1, samples·channels) interleaved
+                                chunk = arr.reshape(-1, n_ch)
+                            chunks.append(chunk)
+                        if chunks:
+                            return ("audio", np.concatenate(chunks, axis=0))
             except Exception:
                 pass  # not an av-readable container — keep the contract
             raise prior_err
@@ -378,7 +379,17 @@ class AVDecoder(PillowDecoder):
         first video frame at/after ``i·every_ms``, re-encoded as
         binary PPM (P6) with stdlib code — so the sampled frames feed
         straight back into ``StdlibDecoder``-based feature passes with
-        no extra codec dependency."""
+        no extra codec dependency.
+
+        Degrade-don't-abort (the module's contract): when the
+        container's metadata duration overstates the decodable stream
+        (so no frame exists at/after the target), the LAST decoded
+        frame is returned; a completely undecodable payload returns
+        empty bytes — one bad row must never abort the whole
+        mapInPandas job.  Each call re-opens and decodes the stream
+        head (O(frames) per sampled index — a documented simplicity
+        trade; a production sampler would seek by pts or emit all
+        indices in one pass)."""
 
         def fn(content: bytes, i: int) -> bytes:
             import io
@@ -386,14 +397,21 @@ class AVDecoder(PillowDecoder):
             import av
 
             target_s = i * every_ms / 1000.0
-            with av.open(io.BytesIO(content or b"")) as container:
-                for frame in container.decode(video=0):
-                    if frame.time is not None and frame.time < target_s:
-                        continue
-                    arr = frame.to_ndarray(format="rgb24")
-                    h, w, _ = arr.shape
-                    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
-            raise ValueError(f"no frame at/after {target_s}s")
+            last = None
+            try:
+                with av.open(io.BytesIO(content or b"")) as container:
+                    for frame in container.decode(video=0):
+                        last = frame
+                        if frame.time is not None and frame.time < target_s:
+                            continue
+                        break
+            except Exception:
+                return b""
+            if last is None:
+                return b""
+            arr = last.to_ndarray(format="rgb24")
+            h, w, _ = arr.shape
+            return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
         return fn
 

@@ -246,16 +246,33 @@ def _ivf_probes_arrow(
         ", v array<long>, n2 long" if carry_vec else ""
     )
 
+    dim = C.shape[1]
+
     def probe(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
+            vals = pdf[vec_col].tolist()
+            # degenerate rows (null / length-mismatched / NaN-carrying
+            # vectors) are OMITTED rather than crashing the scan — the
+            # expression form emits them with null cosine; embeddings
+            # are non-null fixed-dim by contract
+            keep = [
+                i for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            raw = np.array([vals[i] for i in keep], dtype=np.float64)
+            finite = ~np.isnan(raw).any(axis=1)
+            keep = [i for i, good in zip(keep, finite) if good]
+            if not keep:
+                continue
+            pdf = pdf.iloc[keep]
             V = np.floor(
-                np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                * float(QUANT_SCALE)
-                + 0.5
+                raw[finite] * float(QUANT_SCALE) + 0.5
             ).astype(np.int64)
             vn2 = (V * V).sum(axis=1)
             den = np.sqrt(vn2.astype(np.float64))[:, None] * cn[None, :]
@@ -538,10 +555,27 @@ def sign_signatures(
     higher-order-function folds per row.  Pure map, no shuffle.
 
     Null-propagation parity with the expression form: a null vector,
-    or one whose length ≠ ``dim`` (zip_with null-pads → null
-    projection → bit 0), signs to bucket 0 in EVERY table.
+    one whose length ≠ ``dim`` (zip_with null-pads → null projection
+    → bit 0), or one carrying a null/NaN ELEMENT (Arrow surfaces
+    element nulls as NaN; the expression's null product also nulls the
+    projection) signs to bucket 0 in EVERY table.
+
+    Guard: if the data's observed vector length disagrees with
+    ``dim``, EVERY row would sign to bucket 0 and each banded
+    self-join silently degenerates to a full within-key self-join —
+    an unguarded O(n²) blowup — so a wrong ``dim`` raises up front
+    (one single-row job).
     """
     import numpy as np
+
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is not None and first[0] is not None and len(first[0]) != dim:
+        raise ValueError(
+            f"sign_signatures: dim={dim} but the data's {vec_col} vectors "
+            f"have length {len(first[0])} — every row would sign to bucket "
+            "0 and the banded joins would degenerate to full self-joins; "
+            "pass the actual embedding dimensionality"
+        )
 
     P = np.array(
         [
@@ -563,15 +597,18 @@ def sign_signatures(
             if not len(pdf):
                 continue
             vecs = pdf[vec_col].tolist()
-            # Arrow delivers list<float> cells as float ndarrays (element
-            # nulls surface as NaN, not None) — only null/wrong-length
-            # vectors need masking to mirror the expression form
+            # Arrow delivers list<float> cells as float ndarrays
+            # (element nulls surface as NaN, not None); null vectors,
+            # wrong-length vectors, and NaN-carrying vectors all mask
+            # to bucket 0 — the expression form's null propagation
             ok = np.array([v is not None and len(v) == dim for v in vecs])
             out = np.zeros((len(vecs), n_tables), dtype=np.int64)
             if ok.any():
                 V = np.array(
                     [v for v, good in zip(vecs, ok) if good], dtype=np.float64
                 )
+                finite = ~np.isnan(V).any(axis=1)
+                V = np.where(np.isnan(V), 0.0, V)
                 # exact mirror of quantized(): double(x)*1000.0+0.5, floor
                 Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype(np.int64)
                 bits = (Q @ P.T) > 0  # (n_ok, n_tables*n_planes)
@@ -579,6 +616,7 @@ def sign_signatures(
                     bits.reshape(len(Q), n_tables, n_planes).astype(np.int64)
                     * weights[None, None, :]
                 ).sum(axis=2)
+                buckets[~finite] = 0
                 out[ok] = buckets
             data = {id_col: pdf[id_col].to_numpy()}
             for t in range(n_tables):

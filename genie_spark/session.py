@@ -15,14 +15,25 @@ from pyspark.sql import SparkSession
 
 
 def _external_master_present(builder: SparkSession.Builder) -> bool:
-    """True when a cluster master is already configured — a shared
-    builder conf (``.config("spark.master", …)``) or spark-submit's
-    ``--master`` (surfaced via PYSPARK_SUBMIT_ARGS) — in which case
-    the factory must NOT pin local mode over it."""
-    opts = getattr(builder, "_options", {}) or {}
-    if "spark.master" in opts:
+    """True when a launcher already owns the master setting, in which
+    case the factory must NOT pin local mode over it:
+
+    * ``PYSPARK_GATEWAY_PORT`` — the process was started by
+      spark-submit / the pyspark shell, whose JVM gateway already
+      carries the resolved ``spark.master`` (possibly yarn/k8s);
+      calling ``.master()`` here would override it;
+    * ``--master`` in ``PYSPARK_SUBMIT_ARGS`` (the pyspark-shell
+      launch path);
+    * a ``spark.master`` set on THIS builder's options (shared-builder
+      configuration; note ``SparkSession.builder`` returns a fresh
+      Builder per access, so this only covers a builder passed
+      around explicitly)."""
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
         return True
-    return "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    opts = getattr(builder, "_options", {}) or {}
+    return "spark.master" in opts
 
 
 def get_spark(

@@ -1250,3 +1250,34 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     full = bloom_build(bench, n=8)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_sign_signatures_guard_and_null_tolerance(spark):
+    """A dim that disagrees with the data raises up front (every row
+    would sign to bucket 0 — an unguarded quadratic self-join);
+    null / NaN-free parity: a null vector signs to bucket 0 in every
+    table, and the Arrow k-means engine omits null rows rather than
+    crashing the scan."""
+    import pytest as pt
+
+    from genie_spark.analytics.clustering import kmeans_assign
+    from genie_spark.analytics.similarity import sign_signatures
+
+    bad_dim = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pt.raises(ValueError, match="dim=64"):
+        sign_signatures(bad_dim, "vec_id", "embedding", 64, 4, 2)
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows + [(99, None)], "vec_id long, embedding array<float>"
+    )
+    sigs = {
+        r["vec_id"]: (r["b0"], r["b1"])
+        for r in sign_signatures(df, "vec_id", "embedding", 8, 4, 2).collect()
+    }
+    assert sigs[99] == (0, 0)  # null vector → bucket 0, every table
+    out = kmeans_assign(df, k=2, iters=1)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {0, 1, 2, 3, 4, 5}  # null row omitted, scan survives

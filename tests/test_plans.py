@@ -390,8 +390,13 @@ def test_no_nondeterministic_uid_in_package():
     for path in _glob.glob(_os.path.join(pkg, "**", "*.py"), recursive=True):
         with open(path) as f:
             for i, line in enumerate(f, 1):
-                if "monotonically_increasing_id" in line and not (
-                    line.lstrip().startswith("#") or '"' in line or "``" in line
+                # flag CALLS (name followed by "(") anywhere outside a
+                # comment — prose/docstring mentions have no parens; a
+                # blanket quote-exemption would let the common
+                # .withColumn("uid", F.monotonically_increasing_id())
+                # pattern slip through
+                if "monotonically_increasing_id(" in line and not (
+                    line.lstrip().startswith("#")
                 ):
                     offenders.append(f"{path}:{i}: {line.strip()}")
     assert not offenders, offenders

@@ -21,10 +21,22 @@ def test_external_master_detected_from_builder_conf():
 def test_external_master_detected_from_submit_args(monkeypatch):
     b = SparkSession.builder
     monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
     assert not S._external_master_present(b)
     monkeypatch.setenv(
         "PYSPARK_SUBMIT_ARGS", "--master k8s://https://host:6443 pyspark-shell"
     )
+    assert S._external_master_present(b)
+
+
+def test_external_master_detected_from_gateway(monkeypatch):
+    """spark-submit launches python under an existing JVM gateway (it
+    sets PYSPARK_GATEWAY_PORT, not PYSPARK_SUBMIT_ARGS) whose conf
+    already carries the resolved master — the factory must not pin
+    local mode over it."""
+    b = SparkSession.builder
+    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "42001")
     assert S._external_master_present(b)
 
 
