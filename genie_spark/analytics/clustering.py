@@ -201,9 +201,14 @@ def kmeans_assign(
     """
     from pyspark import StorageLevel
 
-    q = df.select(
-        F.col(id_col).alias("__id"), quantized(vec_col).alias("__v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # null vectors are dropped at entry: they carry no position, a
+    # null in the k lowest ids would poison the centroid seed, and
+    # filtering HERE makes both engines emit the identical row set
+    q = (
+        df.select(F.col(id_col).alias("__id"), quantized(vec_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
         init = q.orderBy("__id").limit(k).collect()
         centroids = [(i, list(r["__v"])) for i, r in enumerate(init)]

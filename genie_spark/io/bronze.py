@@ -101,6 +101,16 @@ def _write_manifest(target: str, payload: dict) -> str:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+    # fsync the parent directory so the rename itself is durable — a
+    # power loss after the data-file fsync but before the dirent
+    # reaches disk would otherwise lose the manifest while keeping
+    # staging, which recovery would then roll BACK (discarding a swap
+    # the caller believed committed)
+    dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return path
 
 
