@@ -61,9 +61,11 @@ def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | 
     from genie_spark.io.bronze import recover_bronze
 
     path = _bronze(warehouse, name)
-    # roll forward/back any swap a crashed merge left half-done —
-    # readers must never see a half-old/half-new table
-    recover_bronze(path)
+    # roll FORWARD any swap a crashed merge left half-done — readers
+    # must never see a half-old/half-new table.  clean_leftovers=False:
+    # a manifest-less staging dir may be a LIVE writer's in-progress
+    # output; only writers may delete it (io/bronze.py contract)
+    recover_bronze(path, clean_leftovers=False)
     if not os.path.isdir(path):
         return None
     has_part = any(

@@ -159,7 +159,7 @@ def _apply_whole_swap(manifest: dict) -> None:
     os.remove(target + MANIFEST_SUFFIX)
 
 
-def recover_bronze(target_path: str) -> dict:
+def recover_bronze(target_path: str, clean_leftovers: bool = True) -> dict:
     """Detect and repair an interrupted swap at ``target_path``.
 
     * manifest present → roll the recorded swap FORWARD (staging holds
@@ -170,9 +170,19 @@ def recover_bronze(target_path: str) -> dict:
       a staging dir without a manifest never reached the commit point,
       and a ``.old`` dir without a manifest is post-commit litter.
 
+    ``clean_leftovers=False`` skips the roll-BACK half: READERS pass
+    this, because a manifest-less staging dir is indistinguishable
+    from a live writer's in-progress ``out.write.parquet(staging)``
+    (the manifest is only published at swap time) — a reader deleting
+    it would destroy a concurrent merge.  Writers clean leftovers at
+    entry, where they are about to overwrite the staging path anyway.
+    Concurrency contract: ONE writer per bronze table at a time (the
+    same assumption the staging-path naming already makes); readers
+    may run concurrently and only ever roll manifested swaps forward.
+
     Returns {"action": "rolled_forward" | "rolled_back" | "clean"}.
-    Called automatically by merge/compact/rewrite and the CLI read
-    path, and safe to call any time.
+    Called automatically by merge/compact/rewrite (leftover-cleaning)
+    and the CLI read path (forward-only), and safe to call any time.
     """
     manifest_path = target_path + MANIFEST_SUFFIX
     if os.path.exists(manifest_path):
@@ -183,6 +193,8 @@ def recover_bronze(target_path: str) -> dict:
         else:
             _apply_partition_swap(manifest, verify=True)
         return {"action": "rolled_forward"}
+    if not clean_leftovers:
+        return {"action": "clean"}
     leftovers = [
         p
         for p in (

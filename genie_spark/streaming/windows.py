@@ -243,3 +243,48 @@ def sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bloom_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    n: int = 8,
+    text_col: str = "text",
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+):
+    """Streaming Bloom-store build: each micro-batch of benchmark/eval
+    documents is collapsed to its set bit positions
+    (``analytics.corpus.bloom_build`` — bounded at m_bits rows) and
+    lands in its own ``batch=<id>`` directory; the live filter is the
+    union-distinct of the store (the position-set artifact is
+    mergeable by construction), consumed by
+    ``corpus.bloom_decontaminate`` at any time without re-reading
+    ingested benchmark text.
+
+    Work per batch ∝ |batch| n-grams (explode + one distinct shuffle
+    of single-long rows); like ``sketch_stream`` the store is
+    write-only, and a replayed batch REWRITES its own directory so
+    reads stay idempotent.  Returns the started StreamingQuery."""
+    from genie_spark.analytics.corpus import (
+        BLOOM_K_HASHES,
+        BLOOM_M_BITS,
+        bloom_build,
+    )
+
+    m = m_bits if m_bits is not None else BLOOM_M_BITS
+    kh = k_hashes if k_hashes is not None else BLOOM_K_HASHES
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pos = bloom_build(batch, n=n, text_col=text_col, m_bits=m, k_hashes=kh)
+        pos.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

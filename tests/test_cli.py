@@ -982,8 +982,15 @@ def test_merge_whole_swap_crash_recovers(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(tgt + ".old")
     assert not os.path.isdir(tgt + ".staging")
 
-    # pre-commit crash: staging exists, no manifest → rolled back
+    # pre-commit crash: staging exists, no manifest.  A READER must
+    # leave it intact (it may be a LIVE writer's in-progress output —
+    # the manifest is only published at swap time); a WRITER entry
+    # rolls it back before overwriting the staging path.
     os.makedirs(os.path.join(tgt + ".staging", "CENTER=X"))
+    assert (
+        bronze.recover_bronze(tgt, clean_leftovers=False)["action"] == "clean"
+    )
+    assert os.path.isdir(tgt + ".staging")
     assert bronze.recover_bronze(tgt)["action"] == "rolled_back"
     assert not os.path.isdir(tgt + ".staging")
     assert bronze.recover_bronze(tgt)["action"] == "clean"

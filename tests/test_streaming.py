@@ -246,3 +246,61 @@ def test_sketch_stream_rolling_distinct(spark, tmp_path):
     merged = kmv_merge(shards.drop("batch"), k=64).collect()[0]
     assert merged["n_seen"] == 50                   # distinct union, not 60
     assert merged["est_distinct"] == 50.0
+
+
+def test_bloom_stream_store_matches_batch_build(spark, tmp_path):
+    """Two micro-batches of benchmark docs: the union-distinct of the
+    streamed Bloom store equals bloom_build over the concatenated
+    batches (the mergeability property), and bloom_decontaminate
+    against the store flags the overlapping corpus doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.corpus import bloom_build, bloom_decontaminate
+    from genie_spark.streaming.windows import bloom_stream
+
+    src = tmp_path / "bl_in"
+    src.mkdir()
+    store = str(tmp_path / "bl_store")
+    ckpt = str(tmp_path / "bl_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    b1 = [(1, " ".join(words))]
+    b2 = [(2, " ".join(reversed(words)))]
+
+    def run_batch(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for d, t in rows:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = bloom_stream(stream, store, ckpt, n=8, m_bits=1 << 16, k_hashes=3)
+        q.awaitTermination()
+
+    run_batch("b1.json", b1)
+    run_batch("b2.json", b2)
+
+    streamed = spark.read.parquet(store).select("pos").distinct()
+    bench = spark.createDataFrame(b1 + b2, ["doc_id", "text"])
+    direct = bloom_build(bench, n=8, m_bits=1 << 16, k_hashes=3)
+    assert streamed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(streamed).count() == 0
+
+    corpus = spark.createDataFrame(
+        [(10, " ".join(words)), (11, "totally different words " * 4)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(
+            corpus, streamed, n=8, m_bits=1 << 16, k_hashes=3
+        ).collect()
+    }
+    assert out[10]["is_flagged"] and out[10]["n_flagged"] == out[10]["n_ngrams"]
+    assert not out[11]["is_flagged"]
