@@ -401,3 +401,89 @@ def test_asof_join_matches_bruteforce(spark, left, right, direction):
     assert len(out) == len(lrows)
     for lid, lk, lts in lrows:
         assert out[lid] == model(lk, lts), (lid, direction)
+
+
+pii_frag_st = st.lists(
+    st.sampled_from(
+        [
+            "hello world",
+            "a.b@ex.org",
+            "4111111111111111",
+            "10.0.0.1",
+            "555-123-4567",
+            "4111111111111111@bank.com",
+            "x 12345678901234 y",
+            "192.168.0.255 555.987.6543",
+        ]
+    ),
+    min_size=0,
+    max_size=5,
+)
+
+
+@given(frags=st.lists(pii_frag_st, min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_scrub_pii_counts_equal_placeholders(spark, frags):
+    """The count-then-replace staging invariant: for ANY text, the sum
+    of per-category audit counts equals the number of placeholders
+    actually inserted (overlapping matches never double-count)."""
+    from genie_spark.analytics.text import scrub_pii
+
+    rows = [(i, " ".join(parts)) for i, parts in enumerate(frags)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in scrub_pii(df).collect():
+        inserted = sum(
+            r["scrubbed"].count(p)
+            for p in ("<EMAIL>", "<IP>", "<PHONE>", "<NUM>")
+        )
+        total = r["n_email"] + r["n_ip"] + r["n_phone"] + r["n_longnum"]
+        assert total == inserted, (r["scrubbed"], total, inserted)
+
+
+bloom_docs_st = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+        min_size=8,
+        max_size=14,
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(docs=bloom_docs_st, m_bits=st.sampled_from([8, 1 << 16]))
+@settings(**_SETTINGS)
+def test_bloom_decontaminate_superset_of_exact(spark, docs, m_bits):
+    """Zero-false-negative property under ANY corpus/benchmark split
+    and ANY filter size: per doc, the Bloom path's n_flagged ≥ the
+    exact path's n_contaminated, with equality when m_bits is large
+    enough that no positions collide."""
+    from genie_spark.analytics.corpus import (
+        bloom_build,
+        bloom_decontaminate,
+        decontaminate_ngram,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.where("doc_id % 2 = 0")
+    corpus = df.where("doc_id % 2 = 1")
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in decontaminate_ngram(corpus, bench, n=8).collect()
+    }
+    bloom = bloom_build(bench, n=8, m_bits=m_bits, k_hashes=2)
+    flagged = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_decontaminate(
+            corpus, bloom, n=8, m_bits=m_bits, k_hashes=2
+        ).collect()
+    }
+    assert set(flagged) == set(exact)
+    for d, n_exact in exact.items():
+        assert flagged[d] >= n_exact, (d, flagged[d], n_exact)
+        if m_bits == 1 << 16:
+            # 2 hashes over at most ~60 distinct n-grams in 65536 bits:
+            # collisions are possible in principle but the superset
+            # bound is the property; equality is asserted only loosely
+            assert flagged[d] <= exact.get(d, 0) + 3
