@@ -235,6 +235,19 @@ def main() -> None:
         return decontaminate_ngram(corpus, bench, n=8)
 
     probe("decontaminate", run_decontaminate)
+
+    # Bloom variant: the same fixed benchmark collapsed to a ≤m_bits
+    # position set; corpus probes via broadcast anti join — wall must
+    # track the corpus n-gram explode, like the exact variant
+    def run_bloom_decontaminate(n):
+        from genie_spark.analytics.corpus import bloom_build, bloom_decontaminate
+
+        corpus = docs(n)
+        bench = corpus.where(F.col("doc_id") < 256)
+        bloom = bloom_build(bench, n=8)
+        return bloom_decontaminate(corpus, bloom, n=8)
+
+    probe("bloom_decontaminate", run_bloom_decontaminate)
     probe(
         "pack_sequences",
         lambda n: pack_sequences(
