@@ -758,7 +758,7 @@ def _bloom_decontaminate_sql(
     md5-60bit seeded positions, anti join for missed positions,
     flagged = distinct n-grams − clean n-grams."""
     pos_list = ", ".join(
-        f"CAST(('0x' || substr(md5('{i}:' || ngram), 1, 15)) AS BIGINT) "
+        f"CAST(('0x' || substr(md5(ngram), {1 + 8 * i}, 8)) AS BIGINT) "
         f"% {m_bits}"
         for i in range(k_hashes)
     )
@@ -780,7 +780,9 @@ probes AS (
     SELECT doc_id, ngram, unnest([{pos_list}]) AS pos FROM corp)
 ),
 clean AS (
-  SELECT doc_id, count(DISTINCT ngram) AS n_clean
+  SELECT doc_id,
+         count(DISTINCT CAST(('0x' || substr(md5(ngram), 1, 15)) AS BIGINT))
+           AS n_clean
   FROM probes ANTI JOIN bpos USING (pos)
   GROUP BY doc_id
 ),
