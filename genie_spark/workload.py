@@ -1004,23 +1004,36 @@ _ALL_QUERIES: dict = {
 # a13, w2, j4, a4, a6, j8, j10) — every rotated-out query keeps its
 # historical driver row and still verifies locally via
 # tools/verify_oracle.py.
+# Round-7 rotation (VERDICT r6 item 1 — the FINAL rotation): the 13
+# queries that had never had a driver-green row (set_except_distinct,
+# j3_interval_anti, ann_cosine_pairs, a2_distinct_counts,
+# p7_contains_filter, a16_filtered_counts, dedup_components, ann_topk,
+# a9_duplicate_keys, dedup_ngram_jaccard, ann_ivf_topk, dedup_simhash,
+# text_fingerprint) move INTO the 50-slot window; freed by rotating out
+# 13 queries with green rows in CORRECTNESS_r06.json (ann_lsh_banded,
+# cluster_balanced_sample, corpus_chunk_overlap, corpus_keep_list,
+# corpus_split_shuffle, corpus_stratified_sample,
+# dedup_incremental_minhash, dedup_quality_survivors,
+# sketch_kmv_jaccard, sketch_quantiles, text_lm_surprisal,
+# text_repetition, text_tfidf_topk).  text_pii_scrub keeps its window
+# slot because round 7 touches its audit-count semantics.  After this
+# round, every registered query has had at least one driver-green row.
 _TAIL_QUERIES = [
-    "set_except_distinct", "j3_interval_anti", "ann_cosine_pairs",
-    "a2_distinct_counts",
-    "p7_contains_filter",
-    "a16_filtered_counts",
-    "dedup_components",
-    "ann_topk",
-    "a9_duplicate_keys",
-    "dedup_ngram_jaccard",
-    "ann_ivf_topk",
-    "dedup_simhash",
-    # rotated out for w4_asof_join (a NEW W-family extension): the
-    # fingerprint hash family stays driver-checked via dedup_exact
-    "text_fingerprint",
-    # round-6 rotation: all 14 below are driver-green in
-    # CORRECTNESS_r05.json; their window slots go to the 14
-    # never-driver-checked queries listed above
+    # round-6-green, rotated out this round
+    "ann_lsh_banded",
+    "cluster_balanced_sample",
+    "corpus_chunk_overlap",
+    "corpus_keep_list",
+    "corpus_split_shuffle",
+    "corpus_stratified_sample",
+    "dedup_incremental_minhash",
+    "dedup_quality_survivors",
+    "sketch_kmv_jaccard",
+    "sketch_quantiles",
+    "text_lm_surprisal",
+    "text_repetition",
+    "text_tfidf_topk",
+    # round-5-green, still in the tail from the round-6 rotation
     "j9_code_remap",
     "p4_anti_filter",
     "p12_date_window_filter",
