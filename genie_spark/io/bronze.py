@@ -39,6 +39,8 @@ writes the crash abandoned.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import glob
 import hashlib
 import json
@@ -53,6 +55,36 @@ from genie_spark.operators.upsert import apply_upsert
 PARTITION_COL = "CENTER"
 
 MANIFEST_SUFFIX = ".swap.json"
+
+LOCK_SUFFIX = ".swap.lock"
+
+
+@contextlib.contextmanager
+def _swap_lock(target_path: str):
+    """Exclusive advisory lock serializing swap application per table.
+
+    The manifest is live while a writer applies its own swap, and the
+    CLI read path (plus any second reader) also rolls manifested swaps
+    forward — without exclusion, two appliers can interleave
+    ``isdir(src)`` / ``rmtree(dst)`` / ``rename(src, dst)`` so that one
+    deletes the partition the other just installed and then fails
+    ENOENT, losing the partition from BOTH staging and target.  Every
+    apply (writer swap commit, recovery roll-forward) runs under this
+    ``flock``: the kernel releases it automatically when the holder's
+    fd closes, so a crashed claimant never wedges the table, and a
+    blocked waiter simply resumes once the holder's apply completes
+    (at which point the manifest is gone and the waiter finds nothing
+    to do).  The lockfile is a sibling of the target and is never
+    unlinked — removing it while a waiter holds the old inode would
+    let a third process lock a fresh inode and break exclusion.
+    """
+    fd = os.open(target_path + LOCK_SUFFIX, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _read_target(spark, target_path: str) -> DataFrame | None:
@@ -116,13 +148,26 @@ def _write_manifest(target: str, payload: dict) -> str:
 
 def _apply_partition_swap(manifest: dict, verify: bool = False) -> None:
     """Execute (or resume) the journaled per-partition move loop.
-    Idempotent: an entry whose staging dir is gone was already
-    renamed into the target by a previous attempt."""
+
+    Idempotent, and must be called with the table's swap lock held
+    (``_swap_lock``).  Each entry moves in two renames: staging →
+    ``.<entry>.incoming`` (claims the replacement), then rmtree(dst) +
+    ``.<entry>.incoming`` → dst.  The old partition is never deleted
+    while the replacement is still at a path another pass of the loop
+    could independently consume — combined with the lock this makes a
+    crash at ANY point resumable: src present → start over; only
+    ``.incoming`` present → finish the rmtree+rename; only dst
+    present → entry already applied.
+    """
     staging, target = manifest["staging"], manifest["target"]
     os.makedirs(target, exist_ok=True)
     for entry, expect in manifest["entries"].items():
         src = os.path.join(staging, entry)
         dst = os.path.join(target, entry)
+        # dot-prefixed claim path: Spark/Hadoop scans skip entries
+        # starting with '.' or '_', so a reader racing the swap never
+        # sees the claimed-but-not-installed dir as a bogus partition
+        incoming = os.path.join(target, f".{entry}.incoming")
         if os.path.isdir(src):
             if verify and _entry_listing(src)["md5"] != expect["md5"]:
                 raise RuntimeError(
@@ -131,8 +176,21 @@ def _apply_partition_swap(manifest: dict, verify: bool = False) -> None:
                     "corrupt staging dir; inspect and remove "
                     f"{target + MANIFEST_SUFFIX} manually"
                 )
+            # a foreign dir at the claim path can't be from this
+            # protocol (src and incoming never coexist after the
+            # claim rename) — clear it rather than fail the rename
+            shutil.rmtree(incoming, ignore_errors=True)
+            os.rename(src, incoming)
+        if os.path.isdir(incoming):
+            if verify and _entry_listing(incoming)["md5"] != expect["md5"]:
+                raise RuntimeError(
+                    f"bronze swap recovery: claimed partition {incoming} does "
+                    "not match the manifest listing — refusing to roll "
+                    "forward; inspect and remove "
+                    f"{target + MANIFEST_SUFFIX} manually"
+                )
             shutil.rmtree(dst, ignore_errors=True)
-            os.rename(src, dst)
+            os.rename(incoming, dst)
         elif not os.path.isdir(dst):
             raise RuntimeError(
                 f"bronze swap recovery: partition {entry} is in neither "
@@ -178,7 +236,12 @@ def recover_bronze(target_path: str, clean_leftovers: bool = True) -> dict:
     entry, where they are about to overwrite the staging path anyway.
     Concurrency contract: ONE writer per bronze table at a time (the
     same assumption the staging-path naming already makes); readers
-    may run concurrently and only ever roll manifested swaps forward.
+    may run concurrently.  All swap APPLICATION — a writer committing
+    its own swap and any reader rolling a manifested swap forward —
+    is serialized by a per-table ``flock`` (``_swap_lock``), so a
+    reader that observes a live writer's manifest blocks until the
+    writer finishes and then finds nothing to do, and two concurrent
+    recoveries can never interleave renames over the same partition.
 
     Returns {"action": "rolled_forward" | "rolled_back" | "clean"}.
     Called automatically by merge/compact/rewrite (leftover-cleaning)
@@ -186,12 +249,20 @@ def recover_bronze(target_path: str, clean_leftovers: bool = True) -> dict:
     """
     manifest_path = target_path + MANIFEST_SUFFIX
     if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-        if manifest["mode"] == "whole":
-            _apply_whole_swap(manifest)
-        else:
-            _apply_partition_swap(manifest, verify=True)
+        # exclusive claim before applying: if a live writer (or another
+        # recoverer) holds the lock, block until its apply completes,
+        # then re-check — the manifest is usually gone and there is
+        # nothing to do; if it is still present the holder crashed
+        # between publish and apply and we roll it forward ourselves.
+        with _swap_lock(target_path):
+            if not os.path.exists(manifest_path):
+                return {"action": "clean"}
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            if manifest["mode"] == "whole":
+                _apply_whole_swap(manifest)
+            else:
+                _apply_partition_swap(manifest, verify=True)
         return {"action": "rolled_forward"}
     if not clean_leftovers:
         return {"action": "clean"}
@@ -209,9 +280,10 @@ def recover_bronze(target_path: str, clean_leftovers: bool = True) -> dict:
 
 
 def _swap_whole(staging: str, target: str) -> None:
-    manifest = {"mode": "whole", "staging": staging, "target": target}
-    _write_manifest(target, manifest)
-    _apply_whole_swap(manifest)
+    with _swap_lock(target):
+        manifest = {"mode": "whole", "staging": staging, "target": target}
+        _write_manifest(target, manifest)
+        _apply_whole_swap(manifest)
 
 
 def _swap_partitions(staging: str, target: str, partition_col: str) -> None:
@@ -232,8 +304,9 @@ def _swap_partitions(staging: str, target: str, partition_col: str) -> None:
         "partition_col": partition_col,
         "entries": entries,
     }
-    _write_manifest(target, manifest)
-    _apply_partition_swap(manifest)
+    with _swap_lock(target):
+        _write_manifest(target, manifest)
+        _apply_partition_swap(manifest)
 
 
 def merge_into_bronze(

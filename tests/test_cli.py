@@ -921,11 +921,12 @@ def test_merge_partition_swap_crash_recovers(spark, tmp_path, monkeypatch):
         with pytest.raises(OSError, match="injected crash"):
             bronze.merge_into_bronze(batch, tgt, keys=["SAMPLE_ID"])
 
-    # half-swapped (GOLD renamed in, SAGE cleared but still in
-    # staging) — the journal records the in-flight swap, so the state
-    # is detectable and staging still holds SAGE's replacement
+    # half-swapped (GOLD installed; SAGE cleared, its replacement
+    # claimed at the hidden .incoming path) — the journal records the
+    # in-flight swap, so the state is detectable and the replacement
+    # data survives at a path recovery knows about
     assert os.path.exists(tgt + bronze.MANIFEST_SUFFIX)
-    assert os.path.isdir(os.path.join(tgt + ".staging", "CENTER=SAGE"))
+    assert os.path.isdir(os.path.join(tgt, ".CENTER=SAGE.incoming"))
     vals = {
         r["CENTER"]: r["VAL"] for r in spark.read.parquet(tgt).collect()
     }
@@ -994,6 +995,150 @@ def test_merge_whole_swap_crash_recovers(spark, tmp_path, monkeypatch):
     assert bronze.recover_bronze(tgt)["action"] == "rolled_back"
     assert not os.path.isdir(tgt + ".staging")
     assert bronze.recover_bronze(tgt)["action"] == "clean"
+
+
+def _crashed_partition_swap(spark, tmp_path, monkeypatch, name):
+    """Build a half-applied partition swap (manifest + staging live)."""
+    from genie_spark.io import bronze
+
+    tgt = str(tmp_path / name)
+    base = spark.createDataFrame(
+        [("GENIE-SAGE-1", "old", "SAGE"), ("GENIE-GOLD-1", "old", "GOLD")],
+        "SAMPLE_ID string, VAL string, CENTER string",
+    )
+    bronze.merge_into_bronze(base, tgt, keys=["SAMPLE_ID"])
+    batch = spark.createDataFrame(
+        [("GENIE-SAGE-1", "new", "SAGE"), ("GENIE-GOLD-1", "new", "GOLD")],
+        "SAMPLE_ID string, VAL string, CENTER string",
+    )
+    real_rename = os.rename
+    moved: list[str] = []
+
+    def flaky(src, dst):
+        # install renames only (claim renames go to hidden .incoming)
+        if os.path.basename(dst).startswith("CENTER="):
+            if moved:
+                raise OSError("injected crash between partition renames")
+            moved.append(dst)
+        return real_rename(src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(os, "rename", flaky)
+        with pytest.raises(OSError, match="injected crash"):
+            bronze.merge_into_bronze(batch, tgt, keys=["SAMPLE_ID"])
+    assert os.path.exists(tgt + bronze.MANIFEST_SUFFIX)
+    return tgt
+
+
+def _race_recover(tgt, barrier, results, idx):
+    from genie_spark.io import bronze
+
+    barrier.wait()
+    try:
+        results[idx] = bronze.recover_bronze(tgt)["action"]
+    except Exception as ex:  # noqa: BLE001 - recorded for the assert
+        results[idx] = f"error:{type(ex).__name__}:{ex}"
+
+
+def test_concurrent_recover_is_exclusive(spark, tmp_path, monkeypatch):
+    """N processes racing recover_bronze on the same manifested swap
+    (the ADVICE r6 scenario: CLI readers + a writer all applying the
+    same manifest) must not interleave renames — the per-table flock
+    serializes them, so every process exits cleanly, the table holds
+    exactly the new rows, and nothing is lost from staging AND target."""
+    import multiprocessing as mp
+
+    from genie_spark.io import bronze
+
+    tgt = _crashed_partition_swap(spark, tmp_path, monkeypatch, "bronze_race")
+
+    ctx = mp.get_context("fork")
+    n = 6
+    barrier = ctx.Barrier(n)
+    results = ctx.Manager().dict()
+    procs = [
+        ctx.Process(target=_race_recover, args=(tgt, barrier, results, i))
+        for i in range(n)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    # exactly the serialized outcomes: whoever holds the lock first
+    # rolls forward; everyone who blocked behind them finds it clean
+    acts = sorted(results.values())
+    assert set(acts) <= {"rolled_forward", "clean"}, acts
+    assert acts.count("rolled_forward") >= 1
+    vals = {r["CENTER"]: r["VAL"] for r in spark.read.parquet(tgt).collect()}
+    assert vals == {"SAGE": "new", "GOLD": "new"}
+    assert not os.path.exists(tgt + bronze.MANIFEST_SUFFIX)
+    assert not os.path.isdir(tgt + ".staging")
+
+
+def test_reader_blocks_on_live_writer_swap(spark, tmp_path, monkeypatch):
+    """A reader that sees a manifest while the writer still holds the
+    swap lock must WAIT for the writer, not apply the swap itself —
+    once the writer releases, the reader finds the manifest gone."""
+    import threading
+    import time
+
+    from genie_spark.io import bronze
+
+    tgt = _crashed_partition_swap(spark, tmp_path, monkeypatch, "bronze_wait")
+
+    t0 = time.monotonic()
+    release_after = 0.5
+    seen: dict = {}
+
+    def reader():
+        seen["action"] = bronze.recover_bronze(tgt, clean_leftovers=False)[
+            "action"
+        ]
+        seen["elapsed"] = time.monotonic() - t0
+
+    # hold the lock as the "live writer", finish its apply, then release
+    with bronze._swap_lock(tgt):
+        th = threading.Thread(target=reader)
+        th.start()
+        time.sleep(release_after)
+        with open(tgt + bronze.MANIFEST_SUFFIX) as f:
+            manifest = __import__("json").load(f)
+        bronze._apply_partition_swap(manifest, verify=True)
+    th.join(timeout=30)
+    assert not th.is_alive()
+    # the reader blocked past the writer's hold and then had nothing
+    # to apply (manifest was gone when it acquired the lock)
+    assert seen["action"] == "clean"
+    assert seen["elapsed"] >= release_after
+    vals = {r["CENTER"]: r["VAL"] for r in spark.read.parquet(tgt).collect()}
+    assert vals == {"SAGE": "new", "GOLD": "new"}
+
+
+def test_crash_between_claim_and_install_recovers(spark, tmp_path, monkeypatch):
+    """A kill after src → <dst>.incoming but before incoming → dst
+    leaves the replacement claimed but not installed; recovery resumes
+    from the .incoming dir without touching other partitions."""
+    from genie_spark.io import bronze
+
+    tgt = _crashed_partition_swap(spark, tmp_path, monkeypatch, "bronze_claim")
+    # the injected crash lands exactly between claim and install: the
+    # pending partition sits at the hidden .incoming path, its old dst
+    # is already cleared, and — crucially — a Spark scan of the
+    # half-swapped table must NOT surface the claim dir as a bogus
+    # partition value
+    assert os.path.isdir(os.path.join(tgt, ".CENTER=SAGE.incoming"))
+    centers = {
+        r["CENTER"] for r in spark.read.parquet(tgt).collect()
+    }
+    assert centers == {"GOLD"}
+    assert bronze.recover_bronze(tgt)["action"] == "rolled_forward"
+    vals = {r["CENTER"]: r["VAL"] for r in spark.read.parquet(tgt).collect()}
+    assert vals == {"SAGE": "new", "GOLD": "new"}
+    assert not os.path.exists(tgt + bronze.MANIFEST_SUFFIX)
+    assert not any(
+        e.endswith(".incoming") for e in os.listdir(tgt)
+    )
 
 
 def test_validation_status_workflow(spark, tmp_path, capsys):
