@@ -74,6 +74,31 @@ def _assign_cid(vec: Column, centroids: list[tuple[int, list[int]]]) -> Column:
     return F.array_min(scored)
 
 
+def _finite_int64_batch(np, vals: list, dim: int):
+    """Shared degenerate-row policy for the Arrow k-means scans: keep
+    only rows that are non-null, exactly ``dim`` long, AND all-finite.
+    A null ELEMENT inside an array<long> surfaces through Arrow as a
+    float NaN — casting that straight to int64 yields INT64_MIN
+    garbage that poisons centroid sums and reassigns CLEAN rows
+    (ADVICE r6); building the batch as float64 first and dropping
+    non-finite rows before the int64 cast makes the engines actually
+    OMIT degenerate rows, as the ``kmeans_assign`` docstring promises
+    (mirrors ``similarity._ivf_probes_arrow`` / ``sign_signatures``).
+    Returns (keep_row_indices, int64 matrix)."""
+    keep = [
+        i for i, v in enumerate(vals)
+        if v is not None and len(v) == dim
+    ]
+    if not keep:
+        return [], None
+    raw = np.array([vals[i] for i in keep], dtype=np.float64)
+    finite = np.isfinite(raw).all(axis=1)
+    keep = [i for i, good in zip(keep, finite) if good]
+    if not keep:
+        return [], None
+    return keep, raw[finite].astype(np.int64)
+
+
 def _assign_scan_arrow(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """Final-assignment scan, Arrow engine: one int64 matmul per batch
     (‖v‖² − 2·V·Cᵀ + ‖c‖², exact in int64) and a first-occurrence
@@ -96,14 +121,9 @@ def _assign_scan_arrow(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
         for pdf in batches:
             if not len(pdf):
                 continue
-            vals = pdf["__v"].tolist()
-            keep = [
-                i for i, v in enumerate(vals)
-                if v is not None and len(v) == dim
-            ]
+            keep, V = _finite_int64_batch(np, pdf["__v"].tolist(), dim)
             if not keep:
                 continue
-            V = np.array([vals[i] for i in keep], dtype=np.int64)
             d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
             j = np.argmin(d2, axis=1)
             yield pd.DataFrame(
@@ -137,14 +157,9 @@ def _update_partials_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vals = pdf["__v"].tolist()
-            keep = [
-                i for i, v in enumerate(vals)
-                if v is not None and len(v) == dim
-            ]
+            keep, V = _finite_int64_batch(np, pdf["__v"].tolist(), dim)
             if not keep:
                 continue
-            V = np.array([vals[i] for i in keep], dtype=np.int64)
             d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
             j = np.argmin(d2, axis=1)
             n_by = np.bincount(j, minlength=k)

@@ -776,6 +776,102 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert by_id[0] == by_id[1] and by_id[2] == by_id[3]
 
 
+def test_kmeans_arrow_omits_nan_rows_without_poisoning(spark):
+    """A vector carrying a null ELEMENT (surfaces as NaN through
+    Arrow) must be OMITTED by the Arrow engine — not cast to INT64_MIN
+    garbage that poisons centroid sums and reassigns clean rows
+    (ADVICE r6).  Clean rows' assignments must be identical with and
+    without the degenerate row present."""
+    from genie_spark.analytics.clustering import kmeans_assign
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0 + i * 0.01, 1.0, 0.0]))
+        rows.append((100 + i, [-1.0 - i * 0.01, -1.0, 0.0]))
+    clean = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # a null ELEMENT survives quantized() as a NULL in the array<long>
+    # and surfaces as float NaN through Arrow (a whole-vector NaN is
+    # different: quantized() maps it to 0, a legitimate finite value)
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(998, [2.0, None, 0.0]), (999, [None, -1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    base = {
+        (r["vec_id"], r["cluster_id"], r["d2"])
+        for r in kmeans_assign(clean, k=2, iters=2, engine="arrow").collect()
+    }
+    got = {
+        (r["vec_id"], r["cluster_id"], r["d2"])
+        for r in kmeans_assign(dirty, k=2, iters=2, engine="arrow").collect()
+    }
+    assert got == base  # degenerate rows omitted, clean rows untouched
+
+
+def test_kmeans_engine_parity_with_ties(spark):
+    """arrow and expr engines must produce bit-identical rows, even on
+    planted distance ties (duplicates + points equidistant between the
+    two seeds) — the docstring claims bit-identical output, so pin it
+    (ADVICE r6: the expr fallback could silently regress)."""
+    from genie_spark.analytics.clustering import kmeans_assign
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),
+        (2, [1.0, 0.0]),     # duplicate of seed 0
+        (3, [-1.0, 0.0]),    # duplicate of seed 1
+        (4, [0.0, 0.0]),     # exactly equidistant between the seeds
+        (5, [0.0, 5.0]),     # equidistant, off-axis
+        (6, [0.5, 0.5]),
+        (7, [-0.5, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        tuple(r) for r in kmeans_assign(df, k=2, iters=3, engine="arrow").collect()
+    )
+    e = sorted(
+        tuple(r) for r in kmeans_assign(df, k=2, iters=3, engine="expr").collect()
+    )
+    assert a == e
+
+
+def test_ivf_engine_parity_with_ties(spark):
+    """ivf_cell_pairs and ivf_topk: arrow vs expr engines must emit
+    identical collected rows over a corpus with planted cosine ties
+    (duplicates and scaled copies score cosine 1.0 against several
+    centroids)."""
+    from genie_spark.analytics.similarity import ivf_cell_pairs, ivf_topk
+
+    rows = []
+    for i in range(12):
+        base = [float(i % 4 == 0), float(i % 4 == 1),
+                float(i % 4 == 2), float(i % 4 == 3)]
+        rows.append((i, base))
+        rows.append((100 + i, [2.0 * x for x in base]))   # cosine-tied copy
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pa = sorted(
+        tuple(r)
+        for r in ivf_cell_pairs(df, n_centroids=6, n_probe=3, engine="arrow").collect()
+    )
+    pe = sorted(
+        tuple(r)
+        for r in ivf_cell_pairs(df, n_centroids=6, n_probe=3, engine="expr").collect()
+    )
+    assert pa == pe
+
+    ta = sorted(
+        tuple(r)
+        for r in ivf_topk(df, n_centroids=6, n_probe=3, k=4, engine="arrow").collect()
+    )
+    te = sorted(
+        tuple(r)
+        for r in ivf_topk(df, n_centroids=6, n_probe=3, k=4, engine="expr").collect()
+    )
+    assert ta == te
+
+
 def test_passage_dedup_delimiter_mode(spark):
     """First corpus-wide occurrence of each paragraph survives; later
     repeats are dropped and documents reassemble in original order."""
