@@ -50,6 +50,29 @@ _CASE_LIST_KEYS = (
     "case_list_ids",
 )
 
+# cBioPortal's case_list_category domain (its validator rejects any
+# other value).  The reference's own template
+# (genie/create_case_lists.py:9-15) omits the key entirely — it is
+# OPTIONAL — so the rule fires only when a case list declares one.
+_CASE_LIST_CATEGORIES = frozenset(
+    {
+        "all_cases_in_study",
+        "all_cases_with_mutation_data",
+        "all_cases_with_cna_data",
+        "all_cases_with_log2_cna_data",
+        "all_cases_with_methylation_data",
+        "all_cases_with_mrna_array_data",
+        "all_cases_with_mrna_rnaseq_data",
+        "all_cases_with_rppa_data",
+        "all_cases_with_microrna_data",
+        "all_cases_with_mutation_and_cna_data",
+        "all_cases_with_mutation_and_cna_and_mrna_data",
+        "all_cases_with_gsva_data",
+        "all_cases_with_sv_data",
+        "other",
+    }
+)
+
 
 def _read_release_tsv(
     spark: SparkSession, path: str, comment: str | None = "#"
@@ -186,6 +209,13 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 f"release: {name} stable_id {kv['stable_id']!r} != "
                 f"expected {expect!r}",
             )
+        category = kv.get("case_list_category")
+        if category is not None and category not in _CASE_LIST_CATEGORIES:
+            err(
+                "release.case_list_category",
+                f"release: {name} case_list_category {category!r} is "
+                "outside cBioPortal's accepted domain",
+            )
         ids = [s for s in kv["case_list_ids"].split("\t") if s]
         stray = _missing_from(spark, ids, clin_ids, "SAMPLE_ID")
         if stray:
@@ -260,9 +290,12 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     n=n_bad,
                 )
         # allele charset (genie/validate.py:426-480
-        # get_invalid_allele_rows + genie_registry/maf.py:157-159):
-        # bases from {A,T,C,G,N} in combination, or a pure "-" run
-        allele_ok = r"^([ATCGN]+|-+)$"
+        # get_invalid_allele_rows + genie_registry/maf.py:157-159,
+        # 409-416): bases from {A,T,C,G,N} in combination, or a pure
+        # "-" run.  The reference calls it with ignore_case=True
+        # (lowercase acgt is VALID) and allow_na=False (str.match with
+        # na=False → a null allele IS a violation) — mirror both.
+        allele_ok = r"(?i)^([ATCGN]+|-+)$"
         for logical in (
             "Reference_Allele", "Tumor_Seq_Allele1", "Tumor_Seq_Allele2"
         ):
@@ -270,13 +303,13 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             if acol is None:
                 continue
             n_bad = maf.where(
-                F.col(acol).isNotNull() & ~F.col(acol).rlike(allele_ok)
+                F.col(acol).isNull() | ~F.col(acol).rlike(allele_ok)
             ).count()
             if n_bad:
                 err(
                     "release.maf_allele_charset",
                     f"release: data_mutations_extended.txt has {logical} "
-                    "values outside A/T/C/G/N (or '-')",
+                    "values outside A/T/C/G/N (or '-'), or null",
                     n=n_bad,
                 )
 
@@ -477,6 +510,24 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     "release.seg_numeric",
                     f"release: genie_data_cna_hg19.seg has non-numeric "
                     f"{col_name} values",
+                    n=n_bad,
+                )
+        # coordinate sanity (reference genie_registry/seg.py validates
+        # loc.start/loc.end as integer positions): a segment whose end
+        # precedes its start, or with a non-positive coordinate, is
+        # structurally impossible and poisons downstream interval joins
+        s_col, e_col = _resolve(seg, "loc.start"), _resolve(seg, "loc.end")
+        if s_col is not None and e_col is not None:
+            s = F.expr(f"try_cast(`{s_col}` as bigint)")
+            e = F.expr(f"try_cast(`{e_col}` as bigint)")
+            n_bad = seg.where(
+                s.isNotNull() & e.isNotNull() & ((s > e) | (s <= 0) | (e <= 0))
+            ).count()
+            if n_bad:
+                err(
+                    "release.seg_coordinates",
+                    "release: genie_data_cna_hg19.seg has segments with "
+                    "loc.start > loc.end or non-positive coordinates",
                     n=n_bad,
                 )
 

@@ -560,11 +560,22 @@ def test_release_qc_stage(spark, tmp_path):
     )
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.maf_allele_charset" in ids
-    # clean alleles (incl. the "-" deletion form) do NOT trip it
+    # a null allele is ALSO a violation: the reference runs
+    # get_invalid_allele_rows with allow_na=False (str.match na=False)
     write(
         "data_mutations_extended.txt",
         "Hugo_Symbol\tTumor_Sample_Barcode\tReference_Allele\t"
-        "Tumor_Seq_Allele2\nTP53\tGENIE-SAGE-1-1\tACGTN\t-\n",
+        "Tumor_Seq_Allele2\nTP53\tGENIE-SAGE-1-1\t\tACGT\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.maf_allele_charset" in ids
+    # clean alleles (incl. the "-" deletion form and LOWERCASE, which
+    # the reference accepts via ignore_case=True) do NOT trip it
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\tReference_Allele\t"
+        "Tumor_Seq_Allele2\nTP53\tGENIE-SAGE-1-1\tACGTN\t-\n"
+        "KRAS\tGENIE-SAGE-1-1\tacgtn\ttAcG\n",
     )
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.maf_allele_charset" not in ids
@@ -586,6 +597,52 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.case_list_stable_id" in ids
     assert "release.case_list_study_id" in ids
+
+    # corruption 16: case_list_category outside cBioPortal's domain
+    # (the key is OPTIONAL — the reference template omits it — so a
+    # list without one must NOT trip the rule)
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_category: all_cases_with_telepathy_data\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    write(
+        "case_lists/cases_glioma.txt",
+        "cancer_study_identifier: s\nstable_id: s_glioma\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_category" in ids
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_category: all_cases_in_study\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_category" not in ids
+
+    # corruption 17: seg segment with end before start / non-positive
+    # coordinates
+    write(
+        "genie_data_cna_hg19.seg",
+        "ID\tchrom\tloc.start\tloc.end\tnum.mark\tseg.mean\n"
+        "GENIE-SAGE-1-1\t1\t500\t100\t5\t0.2\n"
+        "GENIE-SAGE-1-1\t2\t0\t100\t5\t0.2\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.seg_coordinates" in ids
+    write(
+        "genie_data_cna_hg19.seg",
+        "ID\tchrom\tloc.start\tloc.end\tnum.mark\tseg.mean\n"
+        "GENIE-SAGE-1-1\t1\t100\t500\t5\t0.2\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.seg_coordinates" not in ids
 
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
