@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from genie_spark.analytics.similarity import quantized
+from genie_spark.analytics.similarity import _cross_term, quantized
 
 # flat-Lloyd SemDeDup's compute envelope (see semantic_dedup docstring)
 SEMANTIC_DEDUP_MAX_ROWS = 200_000
@@ -99,32 +99,46 @@ def _finite_int64_batch(np, vals: list, dim: int):
     return keep, raw[finite].astype(np.int64)
 
 
-def _assign_scan_arrow(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+def _broadcast_centroids(sc, centroids: list[tuple[int, list[int]]]):
+    """Ship the centroid matrix as a Spark broadcast variable — once
+    per executor, cached by the worker process — instead of a
+    task-closure capture (re-pickled per task) or a k·dim plan literal
+    (breaks the plan outright at the √n sizing rule: k≈31k · dim 768
+    → 24M values).  Payload: (cids, Cf, cc, cmax) where ``Cf`` is the
+    centroid matrix as float64 (integer-valued, so float64 math on it
+    is exact — see ``_cross_term``) and ``cmax`` its max |value|."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+    cmax = float(np.abs(C).max()) if C.size else 0.0
+    return sc.broadcast((cids, C.astype(np.float64), cc, cmax))
+
+
+def _assign_scan_arrow(q: DataFrame, bc, dim: int) -> DataFrame:
     """Final-assignment scan, Arrow engine: one int64 matmul per batch
     (‖v‖² − 2·V·Cᵀ + ‖c‖², exact in int64) and a first-occurrence
     argmin — identical values and tie-break (lowest cid wins; the
     centroid rows are in ascending-cid order) as the ``_assign_cid``
     expression, ~10-100× cheaper per row than the interpreted
     higher-order-function fold.  No shuffle: mapInPandas is a pure
-    map, same plan position as the literal-centroid expression."""
+    map, same plan position as the literal-centroid expression.
+    ``bc`` is a ``_broadcast_centroids`` broadcast."""
     import numpy as np
-
-    cids = np.array([c for c, _ in centroids], dtype=np.int64)
-    C = np.array([v for _, v in centroids], dtype=np.int64)
-    cc = (C * C).sum(axis=1)
-
-    dim = C.shape[1]
 
     def score(batches):
         import pandas as pd
 
+        cids, Cf, cc, cmax = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             keep, V = _finite_int64_batch(np, pdf["__v"].tolist(), dim)
             if not keep:
                 continue
-            d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
+            cross = _cross_term(np, V, Cf, cmax, dim)
+            d2 = (V * V).sum(axis=1)[:, None] - 2 * cross + cc[None, :]
             j = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {
@@ -137,30 +151,28 @@ def _assign_scan_arrow(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
     return q.mapInPandas(score, schema="__id long, cid long, d2 long")
 
 
-def _update_partials_arrow(
-    q: DataFrame, centroids: list[tuple[int, list[int]]], dim: int
-) -> DataFrame:
+def _update_partials_arrow(q: DataFrame, bc, dim: int) -> DataFrame:
     """One Lloyd update scan, Arrow engine: assign the batch (same
     exact argmin as ``_assign_scan_arrow``) and COMBINE map-side —
     per-batch (cid, pos, partial_sum, partial_count) via bincount, so
     the shuffle carries k·dim rows per batch, never the n·dim
-    ``posexplode`` row explosion."""
+    ``posexplode`` row explosion.  ``bc`` is a ``_broadcast_centroids``
+    broadcast; the caller unpersists it once the update job finishes."""
     import numpy as np
-
-    C = np.array([v for _, v in centroids], dtype=np.int64)
-    cc = (C * C).sum(axis=1)
-    k = len(centroids)
 
     def partials(batches):
         import pandas as pd
 
+        _cids, Cf, cc, cmax = bc.value
+        k = Cf.shape[0]
         for pdf in batches:
             if not len(pdf):
                 continue
             keep, V = _finite_int64_batch(np, pdf["__v"].tolist(), dim)
             if not keep:
                 continue
-            d2 = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cc[None, :]
+            cross = _cross_term(np, V, Cf, cmax, dim)
+            d2 = (V * V).sum(axis=1)[:, None] - 2 * cross + cc[None, :]
             j = np.argmin(d2, axis=1)
             n_by = np.bincount(j, minlength=k)
             s_by = np.zeros((k, dim), dtype=np.int64)
@@ -234,9 +246,11 @@ def kmeans_assign(
                 [], f"{id_col} long, cluster_id long, d2 long"
             )
         dim = len(centroids[0][1])
+        sc = df.sparkSession.sparkContext
         for _ in range(iters):
             if engine == "arrow":
-                part = _update_partials_arrow(q, centroids, dim)
+                bc = _broadcast_centroids(sc, centroids)
+                part = _update_partials_arrow(q, bc, dim)
             else:
                 assigned = q.withColumn(
                     "__c", _assign_cid(F.col("__v"), centroids)
@@ -251,6 +265,11 @@ def kmeans_assign(
                 .withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
                 .collect()
             )
+            if engine == "arrow":
+                # the update job is done — drop the executor-side copy
+                # now instead of waiting for driver GC (k·dim longs per
+                # iteration adds up at corpus-scale k)
+                bc.unpersist()
             by_cid: dict[int, list[int]] = {}
             for r in sums:
                 by_cid.setdefault(r["cid"], [0] * dim)[r["pos"]] = r["m"]
@@ -258,7 +277,12 @@ def kmeans_assign(
                 (cid, by_cid.get(cid, old)) for cid, old in centroids
             ]
         if engine == "arrow":
-            final = _assign_scan_arrow(q, centroids)
+            # the final-scan broadcast stays alive for the returned
+            # (lazy) DataFrame; Spark's ContextCleaner reclaims it when
+            # the consumer and the Broadcast handle are both dropped
+            final = _assign_scan_arrow(
+                q, _broadcast_centroids(sc, centroids), dim
+            )
         else:
             final = q.withColumn(
                 "__c", _assign_cid(F.col("__v"), centroids)

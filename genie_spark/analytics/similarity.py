@@ -45,6 +45,23 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _cross_term(np, V, Cf, cmax: float, dim: int):
+    """Exact int64 ``V @ Cᵀ`` for integer-valued matrices.  When every
+    product-sum is provably below 2^53 (inputs are integers, so every
+    float64 multiply and add is exact regardless of BLAS ordering or
+    FMA), run the matmul in float64 — BLAS-backed, measured ~5× faster
+    than numpy's non-BLAS int64 gufunc at k=10⁴ — and round-trip to
+    int64 losslessly.  Otherwise fall back to the int64 matmul
+    (quantized embeddings are ~|2000| at QUANT_SCALE=1000, so
+    dim·vmax·cmax ≈ 3·10⁹ ≪ 2^53; the fallback guards out-of-contract
+    magnitudes, not typical data).  ``Cf`` is float64; ``cmax`` its
+    max |value|."""
+    vmax = float(np.abs(V).max()) if V.size else 0.0
+    if float(dim) * vmax * cmax < 2.0**53:
+        return (V.astype(np.float64) @ Cf.T).astype(np.int64)
+    return V @ Cf.astype(np.int64).T
+
+
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     q = quantized(vec_col)
     return df.select(
@@ -170,10 +187,10 @@ def _centroid_literals_from(cent_rows: list) -> Column:
     """Deterministic IVF "training" literal: the ``_centroid_rows``
     set embedded as one array<struct(cid, v, n2)> so per-row cell
     assignment is a PURE MAP inside whole-stage codegen — zero shuffle
-    over the corpus (the ``engine="expr"`` path; the Arrow engine
-    closes over the same rows as numpy arrays instead).  At 100 TB
-    swap the literal for a broadcast variable; the plan shape is
-    unchanged."""
+    over the corpus (the ``engine="expr"`` path ONLY; the Arrow engine
+    ships the same rows as a Spark broadcast variable instead, so its
+    plan size is independent of the centroid count — the expr literal
+    is the small-k fallback)."""
     # ONE F.expr parse instead of n_centroids×(dim+2) nested F.lit
     # Column objects — the per-literal Py4J round-trips dominate plan
     # construction time (measured ~5 s at 32×64 before this change).
@@ -235,6 +252,13 @@ def _ivf_probes_arrow(
     row per probed cell — pure map, no shuffle; per-row cost is one
     matmul row instead of O(n_centroids·dim) interpreted fold steps,
     which is what lets n_centroids follow its √n sizing rule at scale.
+
+    The centroid matrix rides a Spark BROADCAST variable, not a plan
+    literal and not a task-closure capture: at the √n sizing rule the
+    matrix is n_centroids·dim values (k≈31k · dim 768 → ~190 MB on
+    10⁹ vectors) — as a literal the PLAN itself breaks, and as a
+    closure it re-ships with every task; the broadcast ships once per
+    executor and is cached by the worker process.
     """
     import numpy as np
 
@@ -247,10 +271,18 @@ def _ivf_probes_arrow(
     )
 
     dim = C.shape[1]
+    cmax = float(np.abs(C).max()) if C.size else 0.0
+    # float64 centroid matrix: integer-valued, so the BLAS matmul in
+    # _cross_term is exact (every product-sum < 2^53) and ~5× faster
+    # than numpy's non-BLAS int64 gufunc at corpus-scale k
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cids, C.astype(np.float64), cn, cmax)
+    )
 
     def probe(batches):
         import pandas as pd
 
+        cids, Cf, cn, cmax = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -276,7 +308,7 @@ def _ivf_probes_arrow(
             ).astype(np.int64)
             vn2 = (V * V).sum(axis=1)
             den = np.sqrt(vn2.astype(np.float64))[:, None] * cn[None, :]
-            d = (V @ C.T).astype(np.float64)
+            d = _cross_term(np, V, Cf, cmax, dim).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(den > 0, d / den, -np.inf)
             order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
@@ -426,25 +458,26 @@ def ivf_topk(
     n_centroids rows) hits the final top-k window.
 
     At 100 TB you raise ``n_centroids`` (√n rule — viable because the
-    default ``engine="arrow"`` assigns corpus cells with one numpy
-    matmul per batch, so per-row cost does not grow with the literal's
-    centroid count) and swap the literal array for a broadcast
-    variable — the plan shape is unchanged.
+    default ``engine="arrow"`` assigns corpus AND query cells with one
+    numpy matmul per batch, so per-row cost does not grow with the
+    centroid count, and the centroid matrix rides a Spark broadcast
+    variable, so the arrow plan carries NO k·dim literal — plan size
+    is independent of k; plan-pinned in tests/test_plans.py).  The
+    ``engine="expr"`` fallback keeps the literal form and is bounded
+    to small k.
     """
     cent_rows = _centroid_rows(df, id_col, vec_col, n_centroids)
     if not cent_rows:
         return df.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cosine double"
         )
-    cent_arr = _centroid_literals_from(cent_rows)
-
-    def cell_scores(vec: Column, n2: Column) -> Column:
-        return _cell_scores(cent_arr, vec, n2)
-
+    queries = df.where(query_filter) if query_filter is not None else df
     if engine == "arrow":
         # corpus cell assignment is the hot loop (n rows × C centroids);
-        # the probe side below stays expression-based — the query set
-        # is small by contract
+        # the query probe side goes through the SAME Arrow scan (same
+        # tie-break order, see _ivf_probes_arrow) so the arrow plan
+        # carries NO centroid literal at all — at the √n sizing rule
+        # the literal alone would break the plan (k·dim values)
         corpus = _ivf_probes_arrow(
             df, id_col, vec_col, cent_rows, 1, carry_vec=True
         ).select(
@@ -453,7 +486,20 @@ def ivf_topk(
             F.col("n2").alias("n_n"),
             "cell",
         )
+        probes = _ivf_probes_arrow(
+            queries, id_col, vec_col, cent_rows, n_probe, carry_vec=True
+        ).select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("q_v"),
+            F.col("n2").alias("q_n"),
+            "cell",
+        )
     else:
+        cent_arr = _centroid_literals_from(cent_rows)
+
+        def cell_scores(vec: Column, n2: Column) -> Column:
+            return _cell_scores(cent_arr, vec, n2)
+
         vecs = _with_norm(df, id_col, vec_col, "x")
         corpus = vecs.select(
             F.col("x").alias("neighbor_id"),
@@ -463,23 +509,24 @@ def ivf_topk(
                 "cell"
             ),
         )
-    queries = df.where(query_filter) if query_filter is not None else df
-    probes = (
-        _with_norm(queries, id_col, vec_col, "q")
-        .select(
-            F.col("q").alias("query_id"),
-            F.col("q_v"),
-            F.col("q_n"),
-            F.explode(
-                F.slice(
-                    F.reverse(F.array_sort(cell_scores(F.col("q_v"), F.col("q_n")))),
-                    1,
-                    n_probe,
-                )
-            ).alias("p"),
+        probes = (
+            _with_norm(queries, id_col, vec_col, "q")
+            .select(
+                F.col("q").alias("query_id"),
+                F.col("q_v"),
+                F.col("q_n"),
+                F.explode(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(cell_scores(F.col("q_v"), F.col("q_n")))
+                        ),
+                        1,
+                        n_probe,
+                    )
+                ).alias("p"),
+            )
+            .select("query_id", "q_v", "q_n", F.col("p")["cid"].alias("cell"))
         )
-        .select("query_id", "q_v", "q_n", F.col("p")["cid"].alias("cell"))
-    )
     cos = F.try_divide(
         dot(F.col("q_v"), F.col("n_v")), F.sqrt(F.col("q_n")) * F.sqrt(F.col("n_n"))
     )

@@ -377,6 +377,31 @@ def test_asof_join_is_one_exchange_no_join(spark):
     assert "Window" in plan
 
 
+def test_arrow_engines_carry_no_centroid_literal(spark):
+    """The arrow k-means/IVF plans must be k-independent: centroids
+    ride a Spark broadcast variable, never a k·dim plan literal — at
+    the √n sizing rule (k≈31k, dim 768) the literal alone breaks the
+    plan (VERDICT r6 item 2).  The expr engines keep the literal by
+    design (small-k fallback), so assert the arrow plan is literal-free
+    AND much smaller than the expr plan for the same call."""
+    from genie_spark.analytics.clustering import kmeans_assign
+    from genie_spark.analytics.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for build in (
+        lambda engine: kmeans_assign(emb, k=16, iters=0, engine=engine),
+        lambda engine: ivf_topk(
+            emb, n_centroids=16, n_probe=4, k=5, engine=engine
+        ),
+    ):
+        arrow_plan = plan_of(build("arrow"))
+        expr_plan = plan_of(build("expr"))
+        assert "named_struct" not in arrow_plan, arrow_plan[:2000]
+        # the expr plan embeds 16 centroid vectors; the arrow plan
+        # must not embed anything that scales with k
+        assert len(arrow_plan) < len(expr_plan)
+
+
 def test_no_nondeterministic_uid_in_package():
     """Repo policy (functions/ids.py): no monotonically_increasing_id
     anywhere in the package — execution-time uids silently mismatch

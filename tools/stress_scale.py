@@ -296,6 +296,30 @@ def main() -> None:
 
     probe("kmeans", lambda n: kmeans_assign(embs(n), k=8, iters=3))
 
+    # corpus-scale k (VERDICT r6 item 2): the √n sizing rule puts k in
+    # the 10⁴ range long before 100 TB — the literal-centroid plan
+    # chokes on plan SIZE there, so these probes pin that the arrow
+    # engines (broadcast-variable centroids, BLAS cross-term) actually
+    # run at k=10⁴.  One Lloyd iteration / one probe pass: the claim
+    # under test is "the plan builds and the scan is matmul-bound",
+    # not the iteration count.
+    from genie_spark.analytics.similarity import ivf_topk as _ivf_topk
+
+    probe(
+        "kmeans_bigk",
+        lambda n: kmeans_assign(embs(n), k=min(10_000, n), iters=1),
+    )
+    probe(
+        "ivf_topk_bigk",
+        lambda n: _ivf_topk(
+            embs(n),
+            n_centroids=min(10_000, n),
+            n_probe=4,
+            k=5,
+            query_filter=F.col("vec_id") < 64,
+        ),
+    )
+
     # incremental dedup: FIXED 10k-doc batch against a GROWING store —
     # the claim under test is that wall tracks |batch| + matched
     # buckets, not |corpus|, so the ratio across store sizes should be
