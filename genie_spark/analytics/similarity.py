@@ -584,22 +584,64 @@ def _sign_signature(
     return sig
 
 
+def banded_plane_counts(
+    n_rows: int,
+    n_tables: int = 4,
+    target_occupancy: int = 16,
+    min_planes: int = 8,
+    max_planes: int = 62,
+) -> list[int]:
+    """Occupancy-targeted per-table plane counts for banded sign-LSH.
+
+    Uniform ``ceil(log₂(n/B))`` sizing makes expected candidate volume
+    (∝ n²·Σ_t 2^(−r_t)) jump by up to ~12.5× at tier boundaries: n²
+    grows 100× per decade while 2^r grows in whole-power steps
+    (BASELINE.md §5, the embedding_drop_e2e lumpy slope).  Instead,
+    split the FRACTIONAL target r* = log₂(n/B) across tables: m tables
+    get ⌈r*⌉ and the rest ⌊r*⌋, with m chosen so
+    Σ_t 2^(−r_t) ≈ n_tables·2^(−r*) — mean bucket occupancy tracks B
+    continuously and candidate volume stays within a constant factor
+    of n_tables·n·B/2 at EVERY n, not just at powers of two.
+
+    Per-table recall still amplifies as 1−Π_t(1−p^{r_t}); a ⌊r*⌋
+    table is slightly more recall-generous than a ⌈r*⌉ one, so the mix
+    is at least as recall-safe as uniform ceil sizing.
+    """
+    import math
+
+    r_star = math.log2(max(float(n_rows), 1.0) / float(target_occupancy))
+    r_star = min(max(r_star, float(min_planes)), float(max_planes))
+    lo = int(math.floor(r_star))
+    frac = r_star - lo
+    if lo >= max_planes or frac == 0.0:
+        return [lo] * n_tables
+    # expected volume with m ceil-tables: 2^-lo · (n_tables − m/2);
+    # match the fractional target n_tables·2^-(lo+frac)
+    m = round(2.0 * n_tables * (1.0 - 2.0 ** (-frac)))
+    m = min(max(m, 0), n_tables)
+    return [lo + 1] * m + [lo] * (n_tables - m)
+
+
 def sign_signatures(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    n_planes: int,
+    n_planes: int | list[int],
     n_tables: int,
     seed_base: int = 1,
 ) -> DataFrame:
     """All ``n_tables`` banded sign-LSH bucket ids in ONE Arrow scan:
     (id, b0..b{t-1}) via a single int64 matmul against the stacked
-    (n_tables·n_planes)×dim plane matrix — bit-identical to selecting
+    (Σ_t r_t)×dim plane matrix — bit-identical to selecting
     ``_sign_signature`` per table (same md5 planes, seeds
-    ``seed_base + t·n_planes``, same exact-integer projections) but
-    vectorized instead of n_tables·n_planes interpreted
-    higher-order-function folds per row.  Pure map, no shuffle.
+    ``seed_base + Σ_{u<t} r_u``, same exact-integer projections) but
+    vectorized instead of Σ r_t interpreted higher-order-function
+    folds per row.  Pure map, no shuffle.
+
+    ``n_planes`` may be one int (every table identical — the historic
+    form, seed-compatible with it) or a per-table list of counts
+    (``banded_plane_counts`` occupancy-smoothed sizing).
 
     Null-propagation parity with the expression form: a null vector,
     one whose length ≠ ``dim`` (zip_with null-pads → null projection
@@ -624,15 +666,31 @@ def sign_signatures(
             "pass the actual embedding dimensionality"
         )
 
+    counts = (
+        [n_planes] * n_tables if isinstance(n_planes, int) else list(n_planes)
+    )
+    if len(counts) != n_tables:
+        raise ValueError(
+            f"sign_signatures: {len(counts)} per-table plane counts for "
+            f"n_tables={n_tables}"
+        )
+    if any(c < 1 or c > 62 for c in counts):
+        raise ValueError(
+            f"sign_signatures: plane counts {counts} outside [1, 62] "
+            "(bucket ids are int64 bit-sums)"
+        )
+    offsets = [sum(counts[:t]) for t in range(n_tables)]
     P = np.array(
         [
-            _hyperplane(dim, seed_base + t * n_planes + p)
+            _hyperplane(dim, seed_base + offsets[t] + p)
             for t in range(n_tables)
-            for p in range(n_planes)
+            for p in range(counts[t])
         ],
         dtype=np.int64,
     )
-    weights = np.array([2**p for p in range(n_planes)], dtype=np.int64)
+    w_full = np.concatenate(
+        [np.array([2**p for p in range(c)], dtype=np.int64) for c in counts]
+    )
     schema = f"{id_col} long, " + ", ".join(
         f"b{t} long" for t in range(n_tables)
     )
@@ -658,11 +716,12 @@ def sign_signatures(
                 V = np.where(np.isnan(V), 0.0, V)
                 # exact mirror of quantized(): double(x)*1000.0+0.5, floor
                 Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype(np.int64)
-                bits = (Q @ P.T) > 0  # (n_ok, n_tables*n_planes)
-                buckets = (
-                    bits.reshape(len(Q), n_tables, n_planes).astype(np.int64)
-                    * weights[None, None, :]
-                ).sum(axis=2)
+                weighted = ((Q @ P.T) > 0).astype(np.int64) * w_full[None, :]
+                buckets = np.empty((len(Q), n_tables), dtype=np.int64)
+                for t in range(n_tables):
+                    buckets[:, t] = weighted[
+                        :, offsets[t]:offsets[t] + counts[t]
+                    ].sum(axis=1)
                 buckets[~finite] = 0
                 out[ok] = buckets
             data = {id_col: pdf[id_col].to_numpy()}
@@ -678,7 +737,7 @@ def lsh_banded_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = N_HYPERPLANES,
+    n_planes: int | list[int] = N_HYPERPLANES,
     n_tables: int = 4,
 ) -> DataFrame:
     """Multi-table (banded) sign-LSH candidate pairs — the near-LINEAR
@@ -691,6 +750,9 @@ def lsh_banded_pairs(
     r ≈ log₂(n/B) holds expected bucket occupancy at a constant B and
     the candidate volume at ~b·n·B/2 — LINEAR in n — while per-row
     assignment stays O(b·r·dim), independent of the bucket count.
+    Size ``n_planes`` with ``banded_plane_counts(n)``: the per-table
+    ⌊r*⌋/⌈r*⌉ mix tracks the fractional log₂(n/B) target continuously
+    instead of jumping at whole-power tier boundaries.
     Recall for a pair with per-plane agreement p is 1-(1-p^r)^b: raise
     ``n_tables`` to buy recall at linear cost.  This is the generator
     to feed ``cosine_verify_pairs`` at 100 TB; the centroid

@@ -1377,3 +1377,68 @@ def test_sign_signatures_guard_and_null_tolerance(spark):
     out = kmeans_assign(df, k=2, iters=1)
     ids = {r["vec_id"] for r in out.collect()}
     assert ids == {0, 1, 2, 3, 4, 5}  # null row omitted, scan survives
+
+
+def test_banded_plane_counts_smooth_sizing():
+    """Occupancy-targeted sizing: the per-table floor/ceil mix must
+    keep EXPECTED candidate volume (∝ n²·Σ 2^−r_t) within a small
+    constant of the fractional target n_tables·n·B/2 at every n — no
+    12.5× tier-boundary jumps (VERDICT r6 item 3)."""
+    import math
+
+    from genie_spark.analytics.similarity import banded_plane_counts
+
+    b, B = 4, 16
+    # exact power-of-two n: uniform counts, zero fraction
+    assert banded_plane_counts(B * 2**10, n_tables=b, target_occupancy=B) == [10] * b
+    prev_vol = None
+    for n in [10_000 * int(1.5**i) for i in range(18)]:  # 10k → ~15M
+        counts = banded_plane_counts(n, n_tables=b, target_occupancy=B)
+        assert len(counts) == b and max(counts) - min(counts) <= 1
+        vol = n * n / 2.0 * sum(2.0 ** -r for r in counts)
+        target = b * n * B / 2.0
+        # within 2× of the linear target at EVERY n (the old uniform
+        # ceil rule drifts to ~2^1 = 2× low right before a boundary
+        # and jumps back; the mix keeps the ratio near 1)
+        assert 0.5 < vol / target < 2.0, (n, counts, vol / target)
+        if prev_vol is not None:
+            # volume growth per 1.5× n step stays near-linear — never
+            # the multi-× jump of a whole-power resize
+            assert vol / prev_vol < 2.5, (n, counts)
+        prev_vol = vol
+
+
+def test_sign_signatures_per_table_counts_parity(spark):
+    """A per-table counts list must be bit-identical to evaluating
+    ``_sign_signature`` per table with the cumulative-offset seeds —
+    the contract that lets occupancy-smoothed sizing reuse the same
+    oracle construction."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.similarity import _sign_signature, sign_signatures
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    counts = [5, 4, 4]
+    got = {
+        r["vec_id"]: (r["b0"], r["b1"], r["b2"])
+        for r in sign_signatures(
+            df, "vec_id", "embedding", 8, counts, 3
+        ).collect()
+    }
+    offsets = [0, 5, 9]
+    expected_df = df.select(
+        "vec_id",
+        *[
+            _sign_signature("embedding", 8, counts[t], seed0=1 + offsets[t]).alias(f"b{t}")
+            for t in range(3)
+        ],
+    )
+    expected = {
+        r["vec_id"]: (r["b0"], r["b1"], r["b2"]) for r in expected_df.collect()
+    }
+    assert got == expected
+    # distinct per-table widths actually produce distinct bucket spaces
+    assert any(v[0] >= 16 for v in got.values()) or any(
+        v[1] != v[2] for v in got.values()
+    )

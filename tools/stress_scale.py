@@ -177,9 +177,15 @@ def main() -> None:
         # threshold on the uniform corpus yields a dense 10M+-edge
         # graph at 1M vectors whose survivor-selection tail dwarfs the
         # candidate path)
+        from genie_spark.analytics.similarity import banded_plane_counts
+
         e = synth_embeddings_dups(spark, n).repartition(32).cache()
-        r = max(8, math.ceil(math.log2(n)) - 4)
-        cand = lsh_banded_pairs(e, n_planes=r, n_tables=4)
+        # occupancy-smoothed sizing (VERDICT r6 item 3): the per-table
+        # floor/ceil mix tracks the fractional log2(n/B) target, so
+        # candidate volume stays ~b*n*B/2 at every n instead of
+        # jumping 12.5x at whole-power tier boundaries
+        counts = banded_plane_counts(n, n_tables=4, target_occupancy=16)
+        cand = lsh_banded_pairs(e, n_planes=counts, n_tables=4)
         ver = cosine_verify_pairs(e, cand, threshold=0.6).select("a", "b")
         return near_dup_drop_list(ver)
 
