@@ -380,22 +380,39 @@ def semantic_dedup(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 4,
+    resolve: str = "any",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
     compare pairs only WITHIN a cluster and drop every vector that has
     a near-duplicate (cosine > threshold) with a smaller id.  Returns
     the drop list (id, kept_witness, max_cosine).
 
-    Drop semantics (read this before trusting ``kept_witness``): a
-    vector is dropped iff it has ANY smaller-id near-dup among the
-    candidate pairs — drop-if-any-smaller-id-neighbor, not a
-    sequential greedy.  In a chain a~b, b~c (a≁c) both b and c are
-    dropped, and c's ``kept_witness`` is b — the SMALLEST-ID
-    near-duplicate, which may itself appear in the drop list.  The
-    surviving set is exactly {ids with no smaller-id near-dup}; to
-    find a dropped row's surviving representative, follow
-    ``kept_witness`` transitively (or use ``quality_survivors``,
-    which resolves connected components).
+    Drop semantics (read this before trusting ``kept_witness``) —
+    chosen by ``resolve``:
+
+    * ``resolve="any"`` (default): a vector is dropped iff it has ANY
+      smaller-id near-dup among the candidate pairs —
+      drop-if-any-smaller-id-neighbor, not a sequential greedy.  In a
+      chain a~b, b~c (a≁c) both b and c are dropped, and c's
+      ``kept_witness`` is b — the SMALLEST-ID near-duplicate, which
+      may itself appear in the drop list.  The surviving set is
+      exactly {ids with no smaller-id near-dup}; to find a dropped
+      row's surviving representative, follow ``kept_witness``
+      transitively.
+    * ``resolve="greedy"``: chain-resolved via connected components
+      over the verified pair graph (the transitive closure of the
+      follow-the-witness walk above, computed with the same O(log d)
+      pointer-jumping as ``quality_survivors``): each component keeps
+      its min-id member, every other member is dropped with
+      ``kept_witness`` = that representative — GUARANTEED kept
+      (property-tested).  ``max_cosine`` is the max over the dropped
+      row's own verified pairs, as in the default mode.  Drops a
+      SUPERSET of the default mode's ids: every row with a smaller-id
+      neighbor is non-min in its component, but a row with only
+      larger-id neighbors can still lose to a smaller id elsewhere in
+      the component (star 5~1, 5~3: default keeps {1, 3}, greedy
+      keeps only 1) — one-survivor-per-component is the standard
+      dedup-pipeline contract (``near_dup_drop_list``).
 
     Candidate geometries (the candidates→verify family: MinHash bands
     are lexical, IVF cells one-shot spatial, LLOYD cells adapt to the
@@ -440,6 +457,8 @@ def semantic_dedup(
 
     if candidates not in ("exact", "lsh"):
         raise ValueError(f"unknown candidates geometry: {candidates!r}")
+    if resolve not in ("any", "greedy"):
+        raise ValueError(f"unknown resolve policy: {resolve!r}")
     if candidates == "exact":
         # guard BEFORE the (eager, iters+1-job) clustering below — an
         # over-limit caller must not pay the full Lloyd cost just to
@@ -503,6 +522,27 @@ def semantic_dedup(
         cand = cand.distinct()
 
     pairs = cosine_verify_pairs(df, cand, id_col, vec_col, threshold)
+    if resolve == "greedy":
+        from genie_spark.analytics.dedup import connected_components
+
+        # two consumers below (components + the per-node cosine agg)
+        pairs = pairs.localCheckpoint(eager=True)
+        comp = connected_components(pairs.select("a", "b"))
+        node_cos = (
+            pairs.select(F.col("a").alias("node"), "cosine")
+            .unionByName(pairs.select(F.col("b").alias("node"), "cosine"))
+            .groupBy("node")
+            .agg(F.max("cosine").alias("max_cosine"))
+        )
+        return (
+            comp.where(F.col("node") != F.col("cluster_id"))
+            .join(node_cos, "node")
+            .select(
+                F.col("node").alias(id_col),
+                F.col("cluster_id").alias("kept_witness"),
+                "max_cosine",
+            )
+        )
     return (
         pairs.groupBy("b")
         .agg(

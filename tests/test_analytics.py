@@ -1379,6 +1379,43 @@ def test_sign_signatures_guard_and_null_tolerance(spark):
     assert ids == {0, 1, 2, 3, 4, 5}  # null row omitted, scan survives
 
 
+def test_semantic_dedup_greedy_witness_always_kept(spark):
+    """resolve='greedy' (ADVICE r6 #1 / VERDICT r7 item 4): every
+    dropped row's kept_witness must itself survive — unlike the
+    default mode, where a chain's witness can appear in the drop list.
+    Chain corpus: 0~1~2~3 with non-adjacent cosines below threshold."""
+    from genie_spark.analytics.clustering import semantic_dedup
+
+    # near-orthogonal-ish chain: consecutive vectors are near-dups,
+    # distant ones are not (rotate a base vector in small steps)
+    import math
+
+    rows = []
+    for i in range(4):
+        ang = i * 0.5  # cos(0.5)≈0.878 adjacent, cos(1.0)≈0.540 skip
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+    rows.append((10, [0.0, 0.0, 1.0, 0.0]))  # isolated
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kwargs = dict(k=1, iters=1, threshold=0.8, candidates="exact")
+    default = semantic_dedup(df, resolve="any", **kwargs).collect()
+    greedy = semantic_dedup(df, resolve="greedy", **kwargs).collect()
+
+    # the chain is one component {0,1,2,3}: greedy keeps only 0
+    g_dropped = {r["vec_id"] for r in greedy}
+    g_witness = {r["kept_witness"] for r in greedy}
+    assert g_dropped == {1, 2, 3}
+    assert g_witness == {0}
+    assert not (g_witness & g_dropped)  # witness never in drop list
+    # default mode: 3's witness is 2 — itself dropped (the documented
+    # chain caveat the greedy mode exists to remove)
+    d = {r["vec_id"]: r["kept_witness"] for r in default}
+    assert d[3] == 2 and 2 in d
+    # greedy max_cosine is the row's own best verified pair
+    g = {r["vec_id"]: r["max_cosine"] for r in greedy}
+    assert g[1] == pytest.approx(math.cos(0.5), abs=1e-3)
+
+
 def test_banded_plane_counts_smooth_sizing():
     """Occupancy-targeted sizing: the per-table floor/ceil mix must
     keep EXPECTED candidate volume (∝ n²·Σ 2^−r_t) within a small
