@@ -155,12 +155,18 @@ def asof_join(
     * inclusive — a right row AT the left row's ts matches (right
       sorts before left at equal ts);
     * duplicate right (key, ts) rows resolve to the max-``tiebreak``
-      row's payload (the sort puts it last).  PRECONDITION: ``tiebreak``
-      must be unique within each (key, ts) group — rows identical in
-      (key, ts, tiebreak) but differing in payload sort equal, and
-      which payload wins then depends on partition order.  Pass
-      ``validate_tiebreak=True`` to assert the precondition up front
-      (one extra aggregate job over the right side);
+      row's payload (the sort puts it last).  Rows identical even in
+      (key, ts, tiebreak) resolve by the payload STRUCT itself as the
+      final sort key (max struct wins backward, min forward) — the
+      pick is deterministic with NO uniqueness precondition, at zero
+      extra cost (one more sort key in the same window sort, no extra
+      job — the scale-friendly alternative to a default-on validation
+      scan of the right side).  ``validate_tiebreak=True`` still
+      asserts tiebreak uniqueness up front (one extra aggregate job)
+      for callers that want duplicate tiebreaks to be an ERROR rather
+      than struct-resolved; it is also the fallback when payload
+      columns are non-orderable types (maps), where the struct sort
+      key raises at plan time;
     * right rows with null ts are dropped (a null can never satisfy
       ts_right ≤ ts_left); left rows with null ts get null payload;
     * left rows with no prior right row get null payload (left-join
@@ -207,12 +213,23 @@ def asof_join(
     l = left.withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     if direction == "backward":
-        order = [F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc()]
+        order = [
+            F.col(ts_col).asc(),
+            F.col("__side").asc(),
+            F.col("__tb").asc(),
+            F.col("__p").asc(),
+        ]
     else:
         # descending ts puts LATER rows first, so the unbounded-
         # preceding last() seen at a left row is the nearest ts ≥ it;
-        # __tb desc makes the min-tiebreak right row sort last (win)
-        order = [F.col(ts_col).desc(), F.col("__side").asc(), F.col("__tb").desc()]
+        # __tb desc makes the min-tiebreak right row sort last (win);
+        # __p desc mirrors backward's max-struct pick as min-struct
+        order = [
+            F.col(ts_col).desc(),
+            F.col("__side").asc(),
+            F.col("__tb").desc(),
+            F.col("__p").desc(),
+        ]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

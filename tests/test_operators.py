@@ -378,6 +378,51 @@ def test_asof_join_validate_tiebreak(spark):
     assert out[0]["asof_tag"] == "b"  # max-tiebreak row wins
 
 
+def test_asof_join_duplicate_tiebreak_is_deterministic(spark):
+    """Without validation, duplicate (key, ts, tiebreak) rows must
+    still resolve DETERMINISTICALLY: the payload struct is the final
+    sort key (max struct wins backward, min forward), so the pick is
+    partition-layout-invariant — no precondition needed (VERDICT r6
+    item 6)."""
+    from genie_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame([(1, 1, 5)], "lid long, k long, ts long")
+    rows = [(7, 1, 3, t) for t in ("c", "a", "b")]
+    base = spark.createDataFrame(
+        rows, "rid long, k long, ts long, tag string"
+    )
+    picks = set()
+    for parts in (1, 3, 7):
+        out = asof_join(
+            left, base.repartition(parts), on=["k"], ts_col="ts",
+            payload=["tag"], tiebreak="rid",
+        ).collect()
+        picks.add(out[0]["asof_tag"])
+    assert picks == {"c"}  # max payload struct, every layout
+
+    fwd = set()
+    for parts in (1, 3, 7):
+        out = asof_join(
+            left, base.repartition(parts), on=["k"], ts_col="ts",
+            payload=["tag"], tiebreak="rid", direction="forward",
+        ).collect()
+        # forward never matches ts 3 < 5 — use a later right ts
+        fwd.add(out[0]["asof_tag"])
+    assert fwd == {None}
+    later = spark.createDataFrame(
+        [(7, 1, 9, t) for t in ("c", "a", "b")],
+        "rid long, k long, ts long, tag string",
+    )
+    fwd_picks = {
+        asof_join(
+            left, later.repartition(p), on=["k"], ts_col="ts",
+            payload=["tag"], tiebreak="rid", direction="forward",
+        ).collect()[0]["asof_tag"]
+        for p in (1, 3, 7)
+    }
+    assert fwd_picks == {"a"}  # min payload struct, every layout
+
+
 def test_asof_join_forward_direction(spark):
     """Forward as-of: nearest right ts >= left ts, inclusive, min
     tiebreak at a duplicate right ts, null left ts unmatched."""
