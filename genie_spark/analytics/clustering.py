@@ -500,26 +500,32 @@ def semantic_dedup(
         # localCheckpoint: 2·n_tables join branches consume this frame
         # — without it every branch recomputes the signature scan.
         tagged = sigs.join(a.hint("merge"), id_col).localCheckpoint(eager=True)
-        cand = None
-        for t in range(n_tables):
-            x = tagged.select(
-                F.col(id_col).alias("a"),
-                "cluster_id",
-                F.col(f"b{t}").alias("bucket"),
-            )
-            y = tagged.select(
-                F.col(id_col).alias("b"),
-                "cluster_id",
-                F.col(f"b{t}").alias("bucket"),
-            )
-            pairs_t = (
-                x.hint("merge")
-                .join(y, ["cluster_id", "bucket"])
-                .where(F.col("a") < F.col("b"))
-                .select("a", "b")
-            )
-            cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-        cand = cand.distinct()
+        # melt the n_tables band columns to long form and self-join
+        # ONCE on (cluster_id, table, bucket): the per-table loop this
+        # replaces shuffled `tagged` n_tables times (one exchange pair
+        # per branch); the long frame carries the same n·n_tables rows
+        # through a single exchange, which the identical other side
+        # reuses (ReusedExchange — plan-pinned in tests/test_plans.py)
+        long_form = tagged.select(
+            id_col,
+            "cluster_id",
+            F.posexplode(
+                F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+            ).alias("table", "bucket"),
+        )
+        x = long_form.select(
+            F.col(id_col).alias("a"), "cluster_id", "table", "bucket"
+        )
+        y = long_form.select(
+            F.col(id_col).alias("b"), "cluster_id", "table", "bucket"
+        )
+        cand = (
+            x.hint("merge")
+            .join(y, ["cluster_id", "table", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
 
     pairs = cosine_verify_pairs(df, cand, id_col, vec_col, threshold)
     if resolve == "greedy":

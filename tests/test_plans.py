@@ -347,6 +347,16 @@ def test_semantic_dedup_shuffle_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" in plan
+    # single-exchange candidate generation (VERDICT r6 item 7): the
+    # melted long form self-joins ONCE on (cluster_id, table, bucket)
+    # — exactly 3 joins total (1 candidate + 2 verify), not
+    # n_tables + 2; a regression back to per-table branches would
+    # multiply the candidate shuffles by n_tables
+    assert plan.count("SortMergeJoin") == 3, plan
+    import re
+
+    cand_joins = re.findall(r"SortMergeJoin \[cluster_id#\d+L?, table#", plan)
+    assert len(cand_joins) == 1, plan
 
 
 def test_kmv_sketch_dedupes_before_window(spark):
