@@ -109,6 +109,46 @@ BLOOM_M_BITS = 1 << 20
 BLOOM_K_HASHES = 3
 
 
+def bloom_size(
+    expected_ngrams: int, target_fp_rate: float
+) -> tuple[int, int]:
+    """Size a Bloom artifact from (expected distinct benchmark
+    n-grams, target false-positive rate): the textbook optimum
+    m = ⌈−n·ln p / ln²2⌉ bits, k = round(m/n · ln 2) hashes, with k
+    clamped to [1, 4] (``bloom_bit_positions`` derives positions from
+    one md5, four 32-bit slices max) and m re-inflated when the clamp
+    binds so the PREDICTED rate (``bloom_fp_rate``) still meets the
+    target: at fixed k, (1−e^(−k·n/m))^k ≤ p ⟺ m ≥ k·n / −ln(1−p^(1/k)).
+    Returns (m_bits, k_hashes) ready to pass to ``bloom_build`` /
+    ``bloom_decontaminate`` / ``streaming.bloom_stream``."""
+    import math
+
+    if expected_ngrams < 1:
+        raise ValueError(f"expected_ngrams={expected_ngrams} must be ≥ 1")
+    if not 0.0 < target_fp_rate < 1.0:
+        raise ValueError(f"target_fp_rate={target_fp_rate} must be in (0, 1)")
+    n, p = float(expected_ngrams), float(target_fp_rate)
+    m = math.ceil(-n * math.log(p) / (math.log(2.0) ** 2))
+    k = min(4, max(1, round(m / n * math.log(2.0))))
+    # if k was clamped below the optimum, the optimal-m formula no
+    # longer meets p — solve m for the CLAMPED k instead
+    m = max(m, math.ceil(k * n / -math.log(1.0 - p ** (1.0 / k))))
+    if m > 1 << 32:
+        raise ValueError(
+            f"sized m_bits={m} exceeds the 32-bit position space; "
+            "shard the benchmark and merge the (mergeable) artifacts"
+        )
+    return m, k
+
+
+def bloom_fp_rate(m_bits: int, k_hashes: int, n_ngrams: int) -> float:
+    """Predicted false-positive rate of an (m, k) filter holding n
+    distinct n-grams: (1 − e^(−k·n/m))^k."""
+    import math
+
+    return (1.0 - math.exp(-k_hashes * n_ngrams / float(m_bits))) ** k_hashes
+
+
 def bloom_bit_positions(
     col: Column, m_bits: int = BLOOM_M_BITS, k_hashes: int = BLOOM_K_HASHES
 ) -> Column:

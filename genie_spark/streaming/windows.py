@@ -288,3 +288,40 @@ def bloom_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bloom_compact(spark, store_path: str) -> dict:
+    """Compact a ``bloom_stream`` store: merge every ``batch=<id>``
+    shard into ONE distinct position set under ``batch=-1`` (reserved
+    — ``foreachBatch`` ids are non-negative, so a later replayed batch
+    can never overwrite the compacted shard).
+
+    Per-shard positions overlap heavily once the store has seen many
+    batches (each shard is ≤ m_bits rows drawn from the same space),
+    so reader-side union-distinct cost grows with shard COUNT while
+    the information content is bounded at m_bits rows — compaction
+    restores the bound.  The rewrite reuses the journaled whole-dir
+    swap from ``io.bronze`` (manifest + atomic renames), so a crash
+    mid-compaction rolls forward to the compacted store and never
+    loses positions.  Run while the stream is STOPPED (the swap
+    replaces the directory a live writer would be appending shards
+    into).  Returns {"shards_before", "rows_after"}."""
+    import glob as _glob
+    import os as _os
+
+    from genie_spark.io.bronze import _swap_whole, recover_bronze
+
+    recover_bronze(store_path)
+    shards = [
+        p
+        for p in _glob.glob(_os.path.join(_glob.escape(store_path), "batch=*"))
+        if _os.path.isdir(p)
+    ]
+    merged = spark.read.parquet(store_path).select("pos").distinct()
+    staging = store_path + ".staging"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(staging, "batch=-1")
+    )
+    rows = spark.read.parquet(_os.path.join(staging, "batch=-1")).count()
+    _swap_whole(staging, store_path)
+    return {"shards_before": len(shards), "rows_after": rows}

@@ -304,3 +304,60 @@ def test_bloom_stream_store_matches_batch_build(spark, tmp_path):
     }
     assert out[10]["is_flagged"] and out[10]["n_flagged"] == out[10]["n_ngrams"]
     assert not out[11]["is_flagged"]
+
+
+def test_bloom_compact_preserves_positions(spark, tmp_path):
+    """Compacting a multi-shard Bloom store into the reserved
+    batch=-1 shard must preserve the exact distinct position set
+    (reads before == after), shrink the shard count to one, and stay
+    idempotent — and decontamination against the compacted store is
+    unchanged (VERDICT r6 item 8)."""
+    import os
+
+    from genie_spark.analytics.corpus import bloom_build, bloom_decontaminate
+    from genie_spark.streaming.windows import bloom_compact
+
+    store = str(tmp_path / "bl_store")
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    batches = [
+        [(1, " ".join(words))],
+        [(2, " ".join(reversed(words)))],
+        [(3, " ".join(words[3:] + words[:3]))],
+    ]
+    for bid, rows in enumerate(batches):
+        bench = spark.createDataFrame(rows, ["doc_id", "text"])
+        bloom_build(bench, n=8, m_bits=1 << 16, k_hashes=3).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch={bid}")
+
+    before = {
+        r["pos"] for r in spark.read.parquet(store).select("pos").distinct().collect()
+    }
+    report = bloom_compact(spark, store)
+    assert report["shards_before"] == 3
+    after = {r["pos"] for r in spark.read.parquet(store).select("pos").collect()}
+    assert after == before
+    assert report["rows_after"] == len(after)
+    shards = [e for e in os.listdir(store) if e.startswith("batch=")]
+    assert shards == ["batch=-1"]
+    # idempotent: compacting a compacted store is a no-op rewrite
+    again = bloom_compact(spark, store)
+    assert again["rows_after"] == len(after)
+    assert {
+        r["pos"] for r in spark.read.parquet(store).select("pos").collect()
+    } == before
+
+    # decontamination through the compacted store: identical verdicts
+    corpus = spark.createDataFrame(
+        [(10, " ".join(words)), (11, "totally different words " * 4)],
+        ["doc_id", "text"],
+    )
+    merged = spark.read.parquet(store).select("pos")
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(
+            corpus, merged, n=8, m_bits=1 << 16, k_hashes=3
+        ).collect()
+    }
+    assert out[10]["is_flagged"]
+    assert not out[11]["is_flagged"]
