@@ -50,6 +50,37 @@ _CASE_LIST_KEYS = (
     "case_list_ids",
 )
 
+# cBioPortal validateData's accepted Variant_Classification values
+# (MutationsExtendedValidator); anything else breaks oncoprint and
+# annotation rendering on import
+_VARIANT_CLASSIFICATIONS = frozenset(
+    {
+        "3'Flank",
+        "3'UTR",
+        "5'Flank",
+        "5'UTR",
+        "De_novo_Start_InFrame",
+        "De_novo_Start_OutOfFrame",
+        "Frame_Shift_Del",
+        "Frame_Shift_Ins",
+        "Fusion",
+        "IGR",
+        "In_Frame_Del",
+        "In_Frame_Ins",
+        "Intron",
+        "Missense_Mutation",
+        "Nonsense_Mutation",
+        "Nonstop_Mutation",
+        "RNA",
+        "Silent",
+        "Splice_Region",
+        "Splice_Site",
+        "Targeted_Region",
+        "Translation_Start_Site",
+        "Unknown",
+    }
+)
+
 # cBioPortal's case_list_category domain (its validator rejects any
 # other value).  The reference's own template
 # (genie/create_case_lists.py:9-15) omits the key entirely — it is
@@ -289,6 +320,24 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     "Start_Position values",
                     n=n_bad,
                 )
+        # Variant_Classification domain (cBioPortal validateData's
+        # MutationsExtendedValidator catalog): values outside the
+        # accepted set break oncoprint/annotation rendering.  Null is
+        # allowed (the column is optional in several importers).
+        vc = _resolve(maf, "Variant_Classification")
+        if vc is not None:
+            n_bad = maf.where(
+                F.col(vc).isNotNull()
+                & ~F.col(vc).isin(sorted(_VARIANT_CLASSIFICATIONS))
+            ).count()
+            if n_bad:
+                err(
+                    "release.maf_variant_classification",
+                    "release: data_mutations_extended.txt has "
+                    "Variant_Classification values outside the cBioPortal "
+                    "accepted set",
+                    n=n_bad,
+                )
         # allele charset (genie/validate.py:426-480
         # get_invalid_allele_rows + genie_registry/maf.py:157-159,
         # 409-416): bases from {A,T,C,G,N} in combination, or a pure
@@ -436,6 +485,7 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
         )
     if not os.path.isfile(os.path.join(release_dir, "meta_study.txt")):
         err("release.meta_study", "release: meta_study.txt is missing")
+    meta_study_ids: dict[str, str] = {}
     for m in sorted(glob.glob(os.path.join(release_dir, "meta_*.txt"))):
         kv = _parse_kv_text(m)
         data_ref = kv.get("data_filename")
@@ -447,6 +497,19 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 f"release: {os.path.basename(m)} references missing "
                 f"{data_ref}",
             )
+        sid = kv.get("cancer_study_identifier")
+        if sid is not None:
+            meta_study_ids[os.path.basename(m)] = sid
+    # every meta file must agree on cancer_study_identifier — a
+    # mismatched id imports the artifact into a DIFFERENT study (or
+    # fails outright); cBioPortal's validator checks this per file
+    if len(set(meta_study_ids.values())) > 1:
+        err(
+            "release.meta_study_id",
+            "release: meta files disagree on cancer_study_identifier",
+            n=len(meta_study_ids),
+            examples=sorted(set(meta_study_ids.values()))[:5],
+        )
 
     # --- CNA matrix headers ---------------------------------------------
     cna_path = os.path.join(release_dir, "data_CNA.txt")

@@ -644,6 +644,38 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.seg_coordinates" not in ids
 
+    # corruption 18: Variant_Classification outside cBioPortal's
+    # accepted catalog (a valid value and a null both pass)
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\tVariant_Classification\n"
+        "TP53\tGENIE-SAGE-1-1\tMissense_Mutatoin\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.maf_variant_classification" in ids
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\tVariant_Classification\n"
+        "TP53\tGENIE-SAGE-1-1\tMissense_Mutation\n"
+        "KRAS\tGENIE-SAGE-1-1\t\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.maf_variant_classification" not in ids
+
+    # corruption 19: meta files disagreeing on cancer_study_identifier
+    write("meta_clinical.txt", "cancer_study_identifier: s\n"
+          "data_filename: data_clinical.txt\n")
+    write("meta_mutations_extended.txt",
+          "cancer_study_identifier: OTHER\n"
+          "data_filename: data_mutations_extended.txt\n")
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_study_id" in ids
+    write("meta_mutations_extended.txt",
+          "cancer_study_identifier: s\n"
+          "data_filename: data_mutations_extended.txt\n")
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_study_id" not in ids
+
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
     """--release-dir/--prev-release-dir wire the per-column value-count
