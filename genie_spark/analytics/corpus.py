@@ -680,3 +680,83 @@ def corpus_keep_list(
         & F.col("repetition_ok")
         & F.col("surprisal_ok"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bin_bits: int = 12,
+) -> DataFrame:
+    """Token-budgeted corpus selection: per group, keep documents in a
+    deterministic shuffled order until the group's token budget is
+    reached — the data-mixing primitive that turns per-domain weight
+    targets ("20 B tokens of code, 5 B of forums") into a concrete
+    document set.  A document is kept iff the tokens BEFORE it in the
+    order are < ``budget`` (greedy fill; the straddling document is
+    included, so every non-empty group with budget ≥ 1 yields at
+    least one document).  The order is (md5-60bit(id), id) — the same
+    content-independent hash family as every sampling op, so reruns,
+    shards, and engines agree.
+
+    Scale shape (the reason this is not ONE window over the corpus):
+    a global per-group cumulative sum would sort every group's
+    documents.  Instead docs are binned by the hash's top
+    ``n_bin_bits`` bits (bins partition the order into contiguous
+    ranges), per-bin token sums roll up to a groups×2^n_bin_bits
+    artifact whose cumulative sums locate each group's cutoff bin —
+    bins strictly before it are kept map-side with NO sort, bins
+    after are dropped map-side, and only the ONE straddling bin per
+    group pays the exact within-bin window (≈1/2^n_bin_bits of the
+    data).  The kept SET is identical to the naive global window
+    (same total order), which is exactly what the SQL oracle runs.
+
+    Returns (id, group, n_tokens) for the kept documents.
+    """
+    from pyspark.sql import Window
+
+    from genie_spark.analytics.dedup import shingle_hash
+    from genie_spark.analytics.text import tokens
+
+    if budget < 0:
+        raise ValueError(f"budget={budget} must be ≥ 0")
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        shingle_hash(F.col(id_col).cast("string")).alias("__h"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    shift = 60 - n_bin_bits
+    binned = base.withColumn("__bin", F.expr(f"shiftright(__h, {shift})"))
+    per_bin = binned.groupBy(group_col, "__bin").agg(
+        F.sum("n_tokens").alias("__bin_tok")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bins_cum = (
+        per_bin.withColumn("__cum_end", F.sum("__bin_tok").over(wb))
+        .withColumn("__cum_before", F.col("__cum_end") - F.col("__bin_tok"))
+    )
+    # groups × 2^n_bin_bits rows — dim-sized by construction
+    tagged = binned.join(F.broadcast(bins_cum), [group_col, "__bin"])
+    whole_bins = tagged.where(F.col("__cum_end") <= budget)
+    straddle = tagged.where(
+        (F.col("__cum_before") < budget) & (F.col("__cum_end") > budget)
+    )
+    ws = (
+        Window.partitionBy(group_col, "__bin")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    straddle_kept = straddle.withColumn(
+        "__cum", F.col("__cum_before") + F.sum("n_tokens").over(ws)
+    ).where(F.col("__cum") - F.col("n_tokens") < budget)
+    cols = [id_col, group_col, "n_tokens"]
+    return whole_bins.select(*cols).unionByName(straddle_kept.select(*cols))

@@ -259,3 +259,115 @@ def sampled_quantiles(
             "n_sample",
         )
     )
+
+
+CM_WIDTH = 1 << 12
+CM_DEPTH = 3
+
+
+def cm_positions(
+    col: Column, width: int = CM_WIDTH, depth: int = CM_DEPTH
+) -> Column:
+    """The ``depth`` Count-Min bucket positions of one value as an
+    array<long>: row i's bucket = the i-th 8-hex-char (32-bit) slice
+    of ONE md5(value), mod ``width`` — the same single-digest
+    Kirsch–Mitzenmacher construction as ``corpus.bloom_bit_positions``
+    (one md5 per value, not depth), and the identical substr
+    arithmetic runs in the DuckDB oracle, so every bucket id is
+    engine-exact.  128 md5 bits / 32 per slice caps ``depth`` at 4."""
+    if not 1 <= depth <= 4:
+        raise ValueError(
+            f"depth={depth}: one 128-bit md5 yields at most four 32-bit "
+            "bucket slices"
+        )
+    if width > 1 << 32:
+        raise ValueError(f"width={width} exceeds the 32-bit slice space")
+    digest = F.md5(col.cast("string"))
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("long"),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: Column | str,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over
+    one occurrence per input row of ``value_col``: returns the sketch
+    as a DataFrame (row, bucket, cnt) with ≤ depth·width rows — a
+    first-class, MERGEABLE artifact (two sketches with the same
+    (width, depth) merge by summing cnt per (row, bucket):
+    ``count_min_merge``), like the KMV and Bloom artifacts.
+
+    Estimates (``count_min_lookup``) are min-over-rows of the bucket
+    counts: an OVERESTIMATE of the true frequency, never an under-
+    estimate (property-tested), with error ≤ 2·N/width at probability
+    1 − (1/2)^depth per the standard bound.
+
+    Spark shape: one ``posexplode`` of the depth positions (computed
+    map-side from a single md5) and ONE groupBy((row, bucket)) —
+    partial aggregation collapses each partition to ≤ depth·width
+    rows before the shuffle, so shuffle volume is sketch-sized, not
+    corpus-sized, at any scale.  No RNG, no platform salt: the same
+    corpus always produces the identical artifact, and a DuckDB
+    oracle reproduces cnt values bit-for-bit."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.where(c.isNotNull())
+        .select(
+            F.posexplode(cm_positions(c, width, depth)).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-shape Count-Min sketches: sum cnt per
+    (row, bucket).  Associative and commutative — shard sketches
+    combine into exactly the whole-corpus sketch (tested)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+) -> DataFrame:
+    """Frequency estimates for ``queries[value_col]`` against a
+    ``count_min_sketch`` artifact: est = min over rows i of
+    cnt[i, bucket_i(value)], with a missing (row, bucket) cell read
+    as 0 (the value was never seen on that row — the min is then 0,
+    the exact answer for an unseen value).
+
+    Spark shape: the query side explodes to depth rows and joins the
+    sketch on (row, bucket) — the sketch side is ≤ depth·width rows,
+    broadcastable; the corpus is never touched."""
+    q = (
+        queries.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).alias("value"),
+            F.posexplode(
+                cm_positions(F.col(value_col), width, depth)
+            ).alias("row", "bucket"),
+        )
+    )
+    return (
+        q.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

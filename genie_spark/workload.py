@@ -1052,6 +1052,14 @@ _TAIL_QUERIES = [
     # fixed-memory Bloom decontamination): set-ops stay driver-checked
     # via the historical a14 row + the local set_except check
     "a14_distinct_union",
+    # round-7: two slots freed for the NEW X35 sketch_count_min
+    # (mergeable Count-Min frequency artifact) and X36
+    # corpus_token_budget (token-budgeted data-mixing selection) —
+    # both r6-green rows rotate out; the sketch family keeps
+    # count_min in-window, the text family keeps text_quality,
+    # text_token_stats and text_pii_scrub
+    "text_lang_id",
+    "sketch_kmv_distinct",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -1414,6 +1414,119 @@ FROM documents
 """
 
 
+CM_Q_WIDTH = 1 << 12
+CM_Q_DEPTH = 3
+CM_Q_PROBES = (
+    "the", "a", "and", "of", "to", "in", "is", "it", "for", "on",
+)
+
+
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency sketch (X35): build the mergeable
+    (row, bucket, cnt) artifact over every token occurrence in the
+    corpus, then estimate the frequency of a fixed probe-token set
+    and join the exact counts — demonstrating the one-sided
+    overestimate bound (``est_count ≥ true_count`` always;
+    ``bound_holds`` is the per-probe witness)."""
+    from genie_spark.analytics.sketches import count_min_lookup, count_min_sketch
+    from genie_spark.analytics.text import tokens
+
+    occurrences = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+    ).select(F.explode(tokens("text")).alias("value"))
+    sketch = count_min_sketch(
+        occurrences, "value", width=CM_Q_WIDTH, depth=CM_Q_DEPTH
+    )
+    probes = spark.createDataFrame([(p,) for p in CM_Q_PROBES], ["value"])
+    est = count_min_lookup(
+        sketch, probes, "value", width=CM_Q_WIDTH, depth=CM_Q_DEPTH
+    )
+    truth = (
+        occurrences.join(F.broadcast(probes), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(truth, "value", "left")
+        .withColumn("true_count", F.coalesce("true_count", F.lit(0)))
+        .select(
+            "value",
+            "est_count",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias("bound_holds"),
+        )
+    )
+
+
+def _count_min_sql(width: int = CM_Q_WIDTH, depth: int = CM_Q_DEPTH) -> str:
+    """DuckDB mirror of count_min_sketch + count_min_lookup: identical
+    single-md5 8-hex-slice bucket arithmetic (the bloom idiom), exact
+    integer counts, min-over-rows estimate with missing cells as 0."""
+    probes = ", ".join(f"'{p}'" for p in CM_Q_PROBES)
+    bucket = (
+        "CAST(('0x' || substr(md5(value), 1 + 8 * r.row, 8)) AS BIGINT) "
+        f"% {width}"
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS value FROM documents WHERE text IS NOT NULL
+),
+rows_i AS (SELECT unnest([{", ".join(str(i) for i in range(depth))}]) AS row),
+sketch AS (
+  SELECT r.row AS row, {bucket} AS bucket, count(*) AS cnt
+  FROM tok, rows_i r GROUP BY 1, 2
+),
+probes AS (SELECT unnest([{probes}]) AS value),
+ppos AS (
+  SELECT value, r.row AS row, {bucket} AS bucket FROM probes, rows_i r
+),
+est AS (
+  SELECT value, min(coalesce(cnt, 0)) AS est_count
+  FROM ppos LEFT JOIN sketch USING (row, bucket) GROUP BY value
+),
+truth AS (SELECT value, count(*) AS true_count FROM tok GROUP BY value)
+SELECT e.value, est_count, coalesce(true_count, 0) AS true_count,
+       est_count >= coalesce(true_count, 0) AS bound_holds
+FROM est e LEFT JOIN truth USING (value)
+"""
+
+
+TOKEN_BUDGET = 5_000
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted per-language corpus selection (X36): greedy-fill
+    each language's deterministic shuffle order until the token budget
+    is reached — the data-mixing primitive (per-domain token targets →
+    concrete document set).  The binned two-pass implementation keeps
+    whole hash-ranges map-side and sorts only the straddling bin; the
+    kept set equals the naive global window the oracle runs."""
+    from genie_spark.analytics.corpus import token_budget_select
+
+    return token_budget_select(
+        _docs(spark, sf_dir), budget=TOKEN_BUDGET, group_col="lang"
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS tokens_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE tokens_before < {TOKEN_BUDGET}
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1451,6 +1564,8 @@ ANALYTICS_QUERIES: dict = {
     "text_pii_scrub": text_pii_scrub,
     "corpus_keep_list": corpus_keep_list_q,
     "multimodal_features": multimodal_features,
+    "sketch_count_min": sketch_count_min,
+    "corpus_token_budget": corpus_token_budget,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -1492,4 +1607,6 @@ ANALYTICS_ORACLES: dict = {
     "text_pii_scrub": _pii_scrub_sql(),
     "corpus_keep_list": _keep_list_sql(),
     "multimodal_features": MULTIMODAL_SQL,
+    "sketch_count_min": _count_min_sql(),
+    "corpus_token_budget": TOKEN_BUDGET_SQL,
 }

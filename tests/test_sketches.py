@@ -205,3 +205,100 @@ def test_sampled_quantiles_sample_is_deterministic(spark):
     assert a == b and len(a) == 4
     n = a[0]["n_sample"]
     assert 100 < n < 350  # ≈10% of 2000, md5-binomial
+
+
+def test_count_min_overestimates_and_merges(spark):
+    """Count-Min contracts: (1) est ≥ true for EVERY queried value,
+    with unseen values estimating small (0 unless every row
+    collides); (2) shard sketches merged with count_min_merge equal
+    the whole-corpus sketch row-for-row (mergeability — the property
+    that makes the artifact useful across shards/releases)."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import (
+        count_min_lookup,
+        count_min_merge,
+        count_min_sketch,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.extend([(f"tok{i % 7}",)] * (i % 3 + 1))  # skewed counts
+    occ = spark.createDataFrame(rows, ["value"]).repartition(5)
+    width, depth = 64, 3  # narrow width → real collisions
+    sk = count_min_sketch(occ, "value", width=width, depth=depth)
+
+    probes = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(7)] + [("never-seen",)], ["value"]
+    )
+    est = {
+        r["value"]: r["est_count"]
+        for r in count_min_lookup(sk, probes, "value", width=width, depth=depth).collect()
+    }
+    true = {
+        r["value"]: r["cnt"]
+        for r in occ.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)
+    assert est["never-seen"] >= 0
+
+    # mergeability: split by hash of the row, sketch halves, merge
+    tagged = occ.withColumn("half", F.abs(F.xxhash64("value")) % 2)
+    s0 = count_min_sketch(tagged.where("half = 0"), "value", width=width, depth=depth)
+    s1 = count_min_sketch(tagged.where("half = 1"), "value", width=width, depth=depth)
+    merged = count_min_merge(s0, s1)
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in sk.collect())
+    assert a == b
+
+
+def test_token_budget_select_matches_naive_window(spark):
+    """The binned two-pass token_budget_select must keep EXACTLY the
+    set the naive global window keeps (docs whose tokens-before in
+    (md5(id), id) order are < budget), including the straddling doc;
+    budget 0 keeps nothing, a huge budget keeps everything."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.corpus import token_budget_select
+    from genie_spark.analytics.dedup import shingle_hash
+    from genie_spark.analytics.text import tokens
+
+    rows = [
+        (i, "en" if i % 3 else "fr", " ".join(f"w{i}_{j}" for j in range(i % 11 + 1)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    budget = 150
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in token_budget_select(df, budget, group_col="lang").collect()
+    }
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        df.select(
+            "doc_id",
+            "lang",
+            shingle_hash(F.col("doc_id").cast("string")).alias("__h"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .where(F.col("before") < budget)
+    )
+    expected = {
+        (r["doc_id"], r["lang"], r["n_tokens"]) for r in naive.collect()
+    }
+    assert got == expected
+    assert len({l for _, l, _ in got}) == 2  # both groups represented
+    # the greedy fill genuinely truncates: not everything survives
+    assert len(got) < 200
+
+    assert token_budget_select(df, 0, group_col="lang").count() == 0
+    assert token_budget_select(df, 10**9, group_col="lang").count() == 200

@@ -326,6 +326,38 @@ def main() -> None:
         ),
     )
 
+    # Count-Min sketch: explode to depth rows + ONE bounded groupBy —
+    # shuffle is sketch-sized (≤ depth·width rows post-partial-agg),
+    # so wall should track the scan
+    from genie_spark.analytics.sketches import count_min_lookup, count_min_sketch
+    from genie_spark.analytics.text import tokens as _tokens
+
+    def run_count_min(n):
+        occ = synth_docs(spark, n).repartition(32).select(
+            F.explode(_tokens("text")).alias("value")
+        )
+        sk = count_min_sketch(occ, "value", width=1 << 12, depth=3)
+        probes = spark.range(64).select(
+            F.concat(F.lit("probe"), F.col("id")).alias("value")
+        )
+        return count_min_lookup(sk, probes, "value", width=1 << 12, depth=3)
+
+    probe("count_min", run_count_min)
+
+    # token-budget selection: per-bin rollup (bounded) + the ONE
+    # straddling bin's window sort — wall should track the scan, not
+    # a global per-group sort
+    from genie_spark.analytics.corpus import token_budget_select
+
+    def run_token_budget(n):
+        d = synth_docs(spark, n).repartition(32).withColumn(
+            "lang", F.concat(F.lit("l"), F.pmod(F.col("doc_id"), F.lit(4)))
+        )
+        # budget scaled to keep ~half of each group at any n
+        return token_budget_select(d, budget=n * 4, group_col="lang")
+
+    probe("token_budget", run_token_budget)
+
     # incremental dedup: FIXED 10k-doc batch against a GROWING store —
     # the claim under test is that wall tracks |batch| + matched
     # buckets, not |corpus|, so the ratio across store sizes should be
