@@ -59,21 +59,30 @@ def main() -> None:
         report["signatures_s"] = round(time.time() - t, 2)
 
         t = time.time()
-        cand = None
-        for tt in range(n_tables):
-            x = tagged.select(
-                F.col("vec_id").alias("a"), "cluster_id", F.col(f"__b{tt}").alias("bucket")
-            )
-            y = tagged.select(
-                F.col("vec_id").alias("b"), "cluster_id", F.col(f"__b{tt}").alias("bucket")
-            )
-            p = (
-                x.hint("merge").join(y, ["cluster_id", "bucket"])
-                .where(F.col("a") < F.col("b"))
-                .select("a", "b")
-            )
-            cand = p if cand is None else cand.unionByName(p)
-        cand = cand.distinct().localCheckpoint(eager=True)
+        # mirrors semantic_dedup's round-7 single-exchange melt: long
+        # form + ONE self-join on (cluster_id, table, bucket) instead
+        # of n_tables per-table join branches
+        long_form = tagged.select(
+            "vec_id",
+            "cluster_id",
+            F.posexplode(
+                F.array(*[F.col(f"__b{tt}") for tt in range(n_tables)])
+            ).alias("table", "bucket"),
+        )
+        x = long_form.select(
+            F.col("vec_id").alias("a"), "cluster_id", "table", "bucket"
+        )
+        y = long_form.select(
+            F.col("vec_id").alias("b"), "cluster_id", "table", "bucket"
+        )
+        cand = (
+            x.hint("merge")
+            .join(y, ["cluster_id", "table", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         n_cand = cand.count()
         report["candidates_s"] = round(time.time() - t, 2)
         report["n_cand"] = n_cand
