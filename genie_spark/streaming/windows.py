@@ -290,6 +290,87 @@ def bloom_stream(
     )
 
 
+def count_min_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    width: int | None = None,
+    depth: int | None = None,
+):
+    """Streaming Count-Min frequency sketching: each micro-batch's
+    token occurrences are sketched (``sketches.count_min_sketch`` —
+    ≤ depth·width rows) into their own ``batch=<id>`` shard; the
+    rolling-frequency question is answered any time by summing cnt
+    per (row, bucket) across the store (``count_min_merge``'s
+    associative law — equivalently ONE groupBy over the whole store),
+    never by re-reading ingested text.  Same store conventions as
+    ``sketch_stream`` / ``bloom_stream``: write-only per batch,
+    replays rewrite their own directory, reads stay idempotent.
+    Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        count_min_sketch,
+    )
+    from genie_spark.analytics.text import tokens
+
+    w = width if width is not None else CM_WIDTH
+    d = depth if depth is not None else CM_DEPTH
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        occ = batch.where(F.col(text_col).isNotNull()).select(
+            F.explode(tokens(text_col)).alias("value")
+        )
+        sk = count_min_sketch(occ, "value", width=w, depth=d)
+        sk.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def count_min_compact(spark, store_path: str) -> dict:
+    """Compact a ``count_min_stream`` store: sum cnt per (row, bucket)
+    across every shard into the reserved ``batch=-1`` shard via the
+    same journaled whole-dir swap as ``bloom_compact`` — the merged
+    artifact is ≤ depth·width rows regardless of how many batches the
+    store has seen.  Run while the stream is STOPPED.  Returns
+    {"shards_before", "rows_after"}."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from genie_spark.io.bronze import _swap_whole, recover_bronze
+
+    recover_bronze(store_path)
+    shards = [
+        p
+        for p in _glob.glob(_os.path.join(_glob.escape(store_path), "batch=*"))
+        if _os.path.isdir(p)
+    ]
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    staging = store_path + ".staging"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(staging, "batch=-1")
+    )
+    rows = spark.read.parquet(_os.path.join(staging, "batch=-1")).count()
+    _swap_whole(staging, store_path)
+    return {"shards_before": len(shards), "rows_after": rows}
+
+
 def bloom_compact(spark, store_path: str) -> dict:
     """Compact a ``bloom_stream`` store: merge every ``batch=<id>``
     shard into ONE distinct position set under ``batch=-1`` (reserved

@@ -361,3 +361,80 @@ def test_bloom_compact_preserves_positions(spark, tmp_path):
     }
     assert out[10]["is_flagged"]
     assert not out[11]["is_flagged"]
+
+
+def test_count_min_stream_store_matches_batch_sketch(spark, tmp_path):
+    """Two micro-batches: summing the streamed Count-Min store per
+    (row, bucket) equals count_min_sketch over the concatenated
+    batches (the associative merge law), lookups against the merged
+    store honor the overestimate bound, and count_min_compact folds
+    the shards into the bounded batch=-1 artifact."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.sketches import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+    from genie_spark.analytics.text import tokens
+    from genie_spark.streaming.windows import count_min_compact, count_min_stream
+
+    src = tmp_path / "cm_in"
+    src.mkdir()
+    store = str(tmp_path / "cm_store")
+    ckpt = str(tmp_path / "cm_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = [(1, "alpha beta alpha gamma"), (2, "beta beta delta")]
+    b2 = [(3, "alpha epsilon epsilon zeta")]
+
+    def run_batch(name, rows):
+        with open(src / name, "w") as f:
+            for d, t in rows:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = count_min_stream(stream, store, ckpt, width=256, depth=3)
+        q.awaitTermination()
+
+    run_batch("b1.json", b1)
+    run_batch("b2.json", b2)
+
+    streamed = (
+        spark.read.parquet(store)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    all_docs = spark.createDataFrame(b1 + b2, ["doc_id", "text"])
+    occ = all_docs.select(F.explode(tokens("text")).alias("value"))
+    direct = count_min_sketch(occ, "value", width=256, depth=3)
+    assert sorted(tuple(r) for r in streamed.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("never",)], ["value"]
+    )
+    est = {
+        r["value"]: r["est_count"]
+        for r in count_min_lookup(
+            streamed, probes, "value", width=256, depth=3
+        ).collect()
+    }
+    assert est["alpha"] >= 3 and est["beta"] >= 3
+    assert est["never"] >= 0
+
+    report = count_min_compact(spark, store)
+    assert report["shards_before"] == 2
+    shards = [e for e in os.listdir(store) if e.startswith("batch=")]
+    assert shards == ["batch=-1"]
+    compacted = spark.read.parquet(store).select("row", "bucket", "cnt")
+    assert sorted(tuple(r) for r in compacted.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
