@@ -684,22 +684,26 @@ def corpus_keep_list(
 
 def token_budget_select(
     df: DataFrame,
-    budget: int,
+    budget: int | dict[str, int],
     group_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bin_bits: int = 12,
+    default_budget: int = 0,
 ) -> DataFrame:
     """Token-budgeted corpus selection: per group, keep documents in a
     deterministic shuffled order until the group's token budget is
     reached — the data-mixing primitive that turns per-domain weight
     targets ("20 B tokens of code, 5 B of forums") into a concrete
-    document set.  A document is kept iff the tokens BEFORE it in the
-    order are < ``budget`` (greedy fill; the straddling document is
-    included, so every non-empty group with budget ≥ 1 yields at
-    least one document).  The order is (md5-60bit(id), id) — the same
-    content-independent hash family as every sampling op, so reruns,
-    shards, and engines agree.
+    document set.  ``budget`` is one int for every group, or a
+    {group: budget} dict for true mixture targets (groups absent from
+    the dict get ``default_budget`` — 0 drops them, the usual "only
+    the listed domains" policy).  A document is kept iff the tokens
+    BEFORE it in the order are < its group's budget (greedy fill; the
+    straddling document is included, so every non-empty group with
+    budget ≥ 1 yields at least one document).  The order is
+    (md5-60bit(id), id) — the same content-independent hash family as
+    every sampling op, so reruns, shards, and engines agree.
 
     Scale shape (the reason this is not ONE window over the corpus):
     a global per-group cumulative sum would sort every group's
@@ -720,8 +724,18 @@ def token_budget_select(
     from genie_spark.analytics.dedup import shingle_hash
     from genie_spark.analytics.text import tokens
 
-    if budget < 0:
-        raise ValueError(f"budget={budget} must be ≥ 0")
+    if isinstance(budget, dict):
+        if default_budget < 0 or any(b < 0 for b in budget.values()):
+            raise ValueError("budgets must be ≥ 0")
+        # group-keyed budget literal: a CASE over the dict (dim-sized
+        # by contract — domains, not data), evaluated map-side
+        b_col = F.lit(default_budget).cast("long")
+        for g, b in sorted(budget.items()):
+            b_col = F.when(F.col(group_col) == g, F.lit(b).cast("long")).otherwise(b_col)
+    else:
+        if budget < 0:
+            raise ValueError(f"budget={budget} must be ≥ 0")
+        b_col = F.lit(budget).cast("long")
     base = df.where(
         F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(
@@ -745,10 +759,13 @@ def token_budget_select(
         .withColumn("__cum_before", F.col("__cum_end") - F.col("__bin_tok"))
     )
     # groups × 2^n_bin_bits rows — dim-sized by construction
-    tagged = binned.join(F.broadcast(bins_cum), [group_col, "__bin"])
-    whole_bins = tagged.where(F.col("__cum_end") <= budget)
+    tagged = binned.join(F.broadcast(bins_cum), [group_col, "__bin"]).withColumn(
+        "__budget", b_col
+    )
+    whole_bins = tagged.where(F.col("__cum_end") <= F.col("__budget"))
     straddle = tagged.where(
-        (F.col("__cum_before") < budget) & (F.col("__cum_end") > budget)
+        (F.col("__cum_before") < F.col("__budget"))
+        & (F.col("__cum_end") > F.col("__budget"))
     )
     ws = (
         Window.partitionBy(group_col, "__bin")
@@ -757,6 +774,6 @@ def token_budget_select(
     )
     straddle_kept = straddle.withColumn(
         "__cum", F.col("__cum_before") + F.sum("n_tokens").over(ws)
-    ).where(F.col("__cum") - F.col("n_tokens") < budget)
+    ).where(F.col("__cum") - F.col("n_tokens") < F.col("__budget"))
     cols = [id_col, group_col, "n_tokens"]
     return whole_bins.select(*cols).unionByName(straddle_kept.select(*cols))

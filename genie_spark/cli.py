@@ -1105,6 +1105,62 @@ def cmd_corpus_sketch(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_mix(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Token-budgeted data-mixing selection: per-domain token targets →
+    a concrete kept-document set (``analytics.corpus.
+    token_budget_select`` — binned two-pass, only the straddling bin
+    sorts).  ``--budgets lang=tokens,...`` sets per-group targets
+    (unlisted groups are dropped unless ``--default-budget``);
+    ``--budget N`` applies one target to every group."""
+    from genie_spark.analytics.corpus import token_budget_select
+
+    docs = spark.read.parquet(args.input)
+    for c in (args.group_col, args.id_col, args.text_col):
+        if c not in docs.columns:
+            print(f"corpus-mix: input is missing column {c!r}; found {docs.columns}")
+            return 2
+    if args.budgets:
+        budget: int | dict = {}
+        for part in args.budgets.split(","):
+            g, _, v = part.partition("=")
+            if not _ or not v.isdigit():
+                print(f"corpus-mix: bad --budgets entry {part!r} (want group=tokens)")
+                return 2
+            budget[g] = int(v)
+    elif args.budget is not None:
+        budget = args.budget
+    else:
+        print("corpus-mix: pass --budget N or --budgets g=N,...")
+        return 2
+    kept = token_budget_select(
+        docs,
+        budget,
+        group_col=args.group_col,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        default_budget=args.default_budget,
+    )
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+        kept = spark.read.parquet(args.out)
+    rows = (
+        kept.groupBy(args.group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy(args.group_col)
+        .collect()
+    )
+    for r in rows:
+        print(
+            f"corpus-mix: {r[args.group_col]}\tkept {r['n_docs']} docs, "
+            f"{r['n_tokens']} tokens"
+        )
+    print(f"corpus-mix: {len(rows)} groups selected")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="genie-spark", description="PySpark-native GENIE pipeline"
@@ -1294,6 +1350,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="print cross-shard Jaccard/intersection estimates",
     )
     cs.set_defaults(fn=cmd_corpus_sketch)
+    cm = sub.add_parser(
+        "corpus-mix",
+        help="token-budgeted per-domain selection (data mixing)",
+    )
+    cm.add_argument("--input", required=True, help="documents parquet dir")
+    cm.add_argument("--group-col", dest="group_col", default="lang")
+    cm.add_argument("--id-col", dest="id_col", default="doc_id")
+    cm.add_argument("--text-col", dest="text_col", default="text")
+    cm.add_argument("--budget", type=int, help="one token budget for every group")
+    cm.add_argument(
+        "--budgets", help="per-group targets: lang=tokens,lang=tokens,..."
+    )
+    cm.add_argument(
+        "--default-budget", dest="default_budget", type=int, default=0,
+        help="budget for groups absent from --budgets (default 0 = drop)",
+    )
+    cm.add_argument("--out", help="write the kept (id, group, n_tokens) parquet here")
+    cm.set_defaults(fn=cmd_corpus_mix)
     return p
 
 

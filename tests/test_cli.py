@@ -1732,3 +1732,45 @@ def test_corpus_sketch_k_mismatch_merges_at_min_k(spark, tmp_path, capsys):
 
     est = float(re.search(r"est_distinct=([0-9.]+)", out).group(1))
     assert 80 < est < 500
+
+
+def test_corpus_mix_cli(spark, tmp_path, capsys):
+    """corpus-mix: per-group --budgets fill each listed domain to its
+    token target, write the kept set, and report per-group totals;
+    bad input columns and malformed budgets exit 2."""
+    from genie_spark.cli import cmd_corpus_mix
+
+    rows = [
+        (i, ["en", "fr", "de"][i % 3], " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(90)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(inp)
+    out = str(tmp_path / "kept")
+
+    ns = _ns(
+        input=inp, group_col="lang", id_col="doc_id", text_col="text",
+        budget=None, budgets="en=55,fr=1000000", default_budget=0, out=out,
+    )
+    assert cmd_corpus_mix(spark, ns) == 0
+    text = capsys.readouterr().out
+    assert "en\tkept 6 docs, 60 tokens" in text
+    assert "fr\tkept 30 docs, 300 tokens" in text
+    assert "de" not in text.replace("kept", "")  # unlisted → dropped
+    kept = spark.read.parquet(out)
+    assert kept.count() == 36
+    assert set(kept.columns) == {"doc_id", "lang", "n_tokens"}
+
+    bad = _ns(
+        input=inp, group_col="nope", id_col="doc_id", text_col="text",
+        budget=None, budgets=None, default_budget=0, out=None,
+    )
+    assert cmd_corpus_mix(spark, bad) == 2
+    capsys.readouterr()
+    malformed = _ns(
+        input=inp, group_col="lang", id_col="doc_id", text_col="text",
+        budget=None, budgets="en=xyz", default_budget=0, out=None,
+    )
+    assert cmd_corpus_mix(spark, malformed) == 2

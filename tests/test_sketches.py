@@ -302,3 +302,40 @@ def test_token_budget_select_matches_naive_window(spark):
 
     assert token_budget_select(df, 0, group_col="lang").count() == 0
     assert token_budget_select(df, 10**9, group_col="lang").count() == 200
+
+
+def test_token_budget_dict_budgets(spark):
+    """Per-group budget dict: each listed group fills to ITS target,
+    unlisted groups get default_budget (0 = dropped)."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.corpus import token_budget_select
+
+    rows = [
+        (i, ["en", "fr", "de"][i % 3], " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = token_budget_select(
+        df, {"en": 55, "fr": 10**6}, group_col="lang"
+    )
+    per = {
+        r["lang"]: (r["n"], r["tok"])
+        for r in out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert "de" not in per                      # unlisted → dropped
+    assert per["fr"] == (30, 300)               # huge budget → all kept
+    # en fills to its own target: 55 tokens → 6 docs of 10 (greedy
+    # includes the straddler)
+    assert per["en"] == (6, 60)
+    # default_budget resurrects unlisted groups
+    out2 = token_budget_select(
+        df, {"en": 55}, group_col="lang", default_budget=25
+    )
+    per2 = {
+        r["lang"]: r["n"]
+        for r in out2.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per2["de"] == 3 and per2["fr"] == 3  # 25 tokens → 3 docs
