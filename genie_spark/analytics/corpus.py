@@ -762,10 +762,16 @@ def token_budget_select(
     tagged = binned.join(F.broadcast(bins_cum), [group_col, "__bin"]).withColumn(
         "__budget", b_col
     )
-    whole_bins = tagged.where(F.col("__cum_end") <= F.col("__budget"))
+    # strict cum_end < budget for the sort-free path: in a bin with
+    # cum_end == budget, a ZERO-token document at the exact end has
+    # tokens_before == budget and the naive rule drops it — such bins
+    # must go through the exact per-doc filter (a <= here kept those
+    # rows and diverged from the oracle at budget 0 / exact-boundary
+    # corpora)
+    whole_bins = tagged.where(F.col("__cum_end") < F.col("__budget"))
     straddle = tagged.where(
         (F.col("__cum_before") < F.col("__budget"))
-        & (F.col("__cum_end") > F.col("__budget"))
+        & (F.col("__cum_end") >= F.col("__budget"))
     )
     ws = (
         Window.partitionBy(group_col, "__bin")

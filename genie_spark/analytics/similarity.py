@@ -233,6 +233,22 @@ def _centroid_rows(
     )
 
 
+def _ivf_centroid_broadcast(df: DataFrame, cent_rows: list):
+    """Build the (cids, Cf, cn, cmax) centroid broadcast once; callers
+    issuing several Arrow probe scans over the same centroids (e.g.
+    ``ivf_topk``'s corpus + query sides) share it instead of shipping
+    the k·dim payload twice per executor."""
+    import numpy as np
+
+    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmax = float(np.abs(C).max()) if C.size else 0.0
+    return df.sparkSession.sparkContext.broadcast(
+        (cids, C.astype(np.float64), cn, cmax)
+    )
+
+
 def _ivf_probes_arrow(
     df: DataFrame,
     id_col: str,
@@ -240,6 +256,7 @@ def _ivf_probes_arrow(
     cent_rows: list,
     n_probe: int,
     carry_vec: bool = False,
+    bc=None,
 ) -> DataFrame:
     """Per-vector top-``n_probe`` IVF cells, Arrow engine: one float64
     cosine matrix per batch (exact int64 dot, then the IDENTICAL IEEE
@@ -262,22 +279,16 @@ def _ivf_probes_arrow(
     """
     import numpy as np
 
-    C = np.array([list(r["v"]) for r in cent_rows], dtype=np.int64)
-    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     n_probe = min(n_probe, len(cent_rows))
     schema = f"vid long, cell long" + (
         ", v array<long>, n2 long" if carry_vec else ""
     )
-
-    dim = C.shape[1]
-    cmax = float(np.abs(C).max()) if C.size else 0.0
+    dim = len(cent_rows[0]["v"])
     # float64 centroid matrix: integer-valued, so the BLAS matmul in
     # _cross_term is exact (every product-sum < 2^53) and ~5× faster
     # than numpy's non-BLAS int64 gufunc at corpus-scale k
-    bc = df.sparkSession.sparkContext.broadcast(
-        (cids, C.astype(np.float64), cn, cmax)
-    )
+    if bc is None:
+        bc = _ivf_centroid_broadcast(df, cent_rows)
 
     def probe(batches):
         import pandas as pd
@@ -298,7 +309,10 @@ def _ivf_probes_arrow(
             if not keep:
                 continue
             raw = np.array([vals[i] for i in keep], dtype=np.float64)
-            finite = ~np.isnan(raw).any(axis=1)
+            # isfinite, not just not-NaN: an Inf element would survive
+            # to the int64 cast as INT64_MIN garbage and poison the
+            # cell assignment (same policy as _finite_int64_batch)
+            finite = np.isfinite(raw).all(axis=1)
             keep = [i for i, good in zip(keep, finite) if good]
             if not keep:
                 continue
@@ -478,8 +492,9 @@ def ivf_topk(
         # tie-break order, see _ivf_probes_arrow) so the arrow plan
         # carries NO centroid literal at all — at the √n sizing rule
         # the literal alone would break the plan (k·dim values)
+        shared_bc = _ivf_centroid_broadcast(df, cent_rows)
         corpus = _ivf_probes_arrow(
-            df, id_col, vec_col, cent_rows, 1, carry_vec=True
+            df, id_col, vec_col, cent_rows, 1, carry_vec=True, bc=shared_bc
         ).select(
             F.col("vid").alias("neighbor_id"),
             F.col("v").alias("n_v"),
@@ -487,7 +502,8 @@ def ivf_topk(
             "cell",
         )
         probes = _ivf_probes_arrow(
-            queries, id_col, vec_col, cent_rows, n_probe, carry_vec=True
+            queries, id_col, vec_col, cent_rows, n_probe, carry_vec=True,
+            bc=shared_bc,
         ).select(
             F.col("vid").alias("query_id"),
             F.col("v").alias("q_v"),
@@ -712,8 +728,10 @@ def sign_signatures(
                 V = np.array(
                     [v for v, good in zip(vecs, ok) if good], dtype=np.float64
                 )
-                finite = ~np.isnan(V).any(axis=1)
-                V = np.where(np.isnan(V), 0.0, V)
+                # isfinite, not just not-NaN: Inf would quantize to
+                # int64 garbage before the bucket mask zeroes the row
+                finite = np.isfinite(V).all(axis=1)
+                V = np.where(np.isfinite(V), V, 0.0)
                 # exact mirror of quantized(): double(x)*1000.0+0.5, floor
                 Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype(np.int64)
                 weighted = ((Q @ P.T) > 0).astype(np.int64) * w_full[None, :]

@@ -1128,6 +1128,9 @@ def cmd_corpus_mix(spark: SparkSession, args: argparse.Namespace) -> int:
                 return 2
             budget[g] = int(v)
     elif args.budget is not None:
+        if args.budget < 0:
+            print(f"corpus-mix: --budget {args.budget} must be ≥ 0")
+            return 2
         budget = args.budget
     else:
         print("corpus-mix: pass --budget N or --budgets g=N,...")

@@ -122,6 +122,20 @@ def latest_per_key(
     )
 
 
+def _orderable(dt) -> bool:
+    """True iff Spark can sort on this type: maps are unorderable,
+    arrays/structs inherit from their element/field types."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -164,9 +178,11 @@ def asof_join(
       scan of the right side).  ``validate_tiebreak=True`` still
       asserts tiebreak uniqueness up front (one extra aggregate job)
       for callers that want duplicate tiebreaks to be an ERROR rather
-      than struct-resolved; it is also the fallback when payload
-      columns are non-orderable types (maps), where the struct sort
-      key raises at plan time;
+      than struct-resolved.  Payloads containing non-orderable types
+      (maps) skip the struct sort key automatically (sorting on them
+      raises at plan time) and keep the historic partition-order
+      behavior for duplicate tiebreaks — pass ``validate_tiebreak=
+      True`` there to make duplicates an error instead;
     * right rows with null ts are dropped (a null can never satisfy
       ts_right ≤ ts_left); left rows with null ts get null payload;
     * left rows with no prior right row get null payload (left-join
@@ -212,13 +228,21 @@ def asof_join(
     )
     l = left.withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
+    # the payload struct joins the sort order ONLY when every payload
+    # type is orderable — sorting a struct containing a map raises at
+    # plan time, so map-carrying payloads keep the historic order (and
+    # validate_tiebreak is their determinism guard, per the docstring)
+    payload_sortable = all(
+        _orderable(right.schema[c].dataType) for c in payload
+    )
     if direction == "backward":
         order = [
             F.col(ts_col).asc(),
             F.col("__side").asc(),
             F.col("__tb").asc(),
-            F.col("__p").asc(),
         ]
+        if payload_sortable:
+            order.append(F.col("__p").asc())
     else:
         # descending ts puts LATER rows first, so the unbounded-
         # preceding last() seen at a left row is the nearest ts ≥ it;
@@ -228,8 +252,9 @@ def asof_join(
             F.col(ts_col).desc(),
             F.col("__side").asc(),
             F.col("__tb").desc(),
-            F.col("__p").desc(),
         ]
+        if payload_sortable:
+            order.append(F.col("__p").desc())
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

@@ -337,17 +337,18 @@ def count_min_stream(
     )
 
 
-def count_min_compact(spark, store_path: str) -> dict:
-    """Compact a ``count_min_stream`` store: sum cnt per (row, bucket)
-    across every shard into the reserved ``batch=-1`` shard via the
-    same journaled whole-dir swap as ``bloom_compact`` — the merged
-    artifact is ≤ depth·width rows regardless of how many batches the
-    store has seen.  Run while the stream is STOPPED.  Returns
-    {"shards_before", "rows_after"}."""
+def _compact_store(spark, store_path: str, merge_fn) -> dict:
+    """Shared shard-store compaction protocol: roll forward any
+    interrupted swap, merge every ``batch=<id>`` shard with
+    ``merge_fn(store_df)`` into the reserved ``batch=-1`` shard
+    (``foreachBatch`` ids are non-negative, so a replayed batch can
+    never overwrite it), and install it via the journaled whole-dir
+    swap from ``io.bronze`` — a crash mid-compaction rolls forward
+    and never loses sketch state.  Run while the stream is STOPPED
+    (the swap replaces the directory a live writer would be appending
+    shards into).  Returns {"shards_before", "rows_after"}."""
     import glob as _glob
     import os as _os
-
-    from pyspark.sql import functions as F
 
     from genie_spark.io.bronze import _swap_whole, recover_bronze
 
@@ -357,11 +358,7 @@ def count_min_compact(spark, store_path: str) -> dict:
         for p in _glob.glob(_os.path.join(_glob.escape(store_path), "batch=*"))
         if _os.path.isdir(p)
     ]
-    merged = (
-        spark.read.parquet(store_path)
-        .groupBy("row", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    merged = merge_fn(spark.read.parquet(store_path))
     staging = store_path + ".staging"
     merged.coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(staging, "batch=-1")
@@ -369,40 +366,29 @@ def count_min_compact(spark, store_path: str) -> dict:
     rows = spark.read.parquet(_os.path.join(staging, "batch=-1")).count()
     _swap_whole(staging, store_path)
     return {"shards_before": len(shards), "rows_after": rows}
+
+
+def count_min_compact(spark, store_path: str) -> dict:
+    """Compact a ``count_min_stream`` store: sum cnt per (row, bucket)
+    across every shard — the merged artifact is ≤ depth·width rows
+    regardless of how many batches the store has seen.  Protocol in
+    ``_compact_store``."""
+    from pyspark.sql import functions as F
+
+    return _compact_store(
+        spark,
+        store_path,
+        lambda df: df.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")),
+    )
 
 
 def bloom_compact(spark, store_path: str) -> dict:
-    """Compact a ``bloom_stream`` store: merge every ``batch=<id>``
-    shard into ONE distinct position set under ``batch=-1`` (reserved
-    — ``foreachBatch`` ids are non-negative, so a later replayed batch
-    can never overwrite the compacted shard).
-
-    Per-shard positions overlap heavily once the store has seen many
-    batches (each shard is ≤ m_bits rows drawn from the same space),
-    so reader-side union-distinct cost grows with shard COUNT while
-    the information content is bounded at m_bits rows — compaction
-    restores the bound.  The rewrite reuses the journaled whole-dir
-    swap from ``io.bronze`` (manifest + atomic renames), so a crash
-    mid-compaction rolls forward to the compacted store and never
-    loses positions.  Run while the stream is STOPPED (the swap
-    replaces the directory a live writer would be appending shards
-    into).  Returns {"shards_before", "rows_after"}."""
-    import glob as _glob
-    import os as _os
-
-    from genie_spark.io.bronze import _swap_whole, recover_bronze
-
-    recover_bronze(store_path)
-    shards = [
-        p
-        for p in _glob.glob(_os.path.join(_glob.escape(store_path), "batch=*"))
-        if _os.path.isdir(p)
-    ]
-    merged = spark.read.parquet(store_path).select("pos").distinct()
-    staging = store_path + ".staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(staging, "batch=-1")
+    """Compact a ``bloom_stream`` store into ONE distinct position
+    set: per-shard positions overlap heavily once the store has seen
+    many batches (each shard is ≤ m_bits rows drawn from the same
+    space), so reader-side union-distinct cost grows with shard COUNT
+    while the information content is bounded at m_bits rows —
+    compaction restores the bound.  Protocol in ``_compact_store``."""
+    return _compact_store(
+        spark, store_path, lambda df: df.select("pos").distinct()
     )
-    rows = spark.read.parquet(_os.path.join(staging, "batch=-1")).count()
-    _swap_whole(staging, store_path)
-    return {"shards_before": len(shards), "rows_after": rows}

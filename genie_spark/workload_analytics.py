@@ -1431,9 +1431,14 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from genie_spark.analytics.sketches import count_min_lookup, count_min_sketch
     from genie_spark.analytics.text import tokens
 
-    occurrences = _docs(spark, sf_dir).where(
-        F.col("text").isNotNull()
-    ).select(F.explode(tokens("text")).alias("value"))
+    # two consumers (the sketch groupBy and the exact-truth join) —
+    # localCheckpoint so the corpus token-explode scans once
+    occurrences = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("value"))
+        .localCheckpoint(eager=True)
+    )
     sketch = count_min_sketch(
         occurrences, "value", width=CM_Q_WIDTH, depth=CM_Q_DEPTH
     )

@@ -1527,3 +1527,39 @@ def test_sign_signatures_per_table_counts_parity(spark):
     assert any(v[0] >= 16 for v in got.values()) or any(
         v[1] != v[2] for v in got.values()
     )
+
+
+def test_ivf_arrow_omits_infinite_vectors(spark):
+    """A vector carrying +/-Inf must be OMITTED by the Arrow IVF scan
+    (isfinite screening, not just not-NaN) — an Inf element would
+    cast to INT64_MIN garbage and poison its cell assignment
+    (code-review r7)."""
+    from genie_spark.analytics.similarity import ivf_topk, sign_signatures
+
+    rows = [(i, [float(i % 3 == j) for j in range(3)]) for i in range(9)]
+    clean = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(99, [float("inf"), 0.0, 0.0]), (98, [0.0, float("-inf"), 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    base = sorted(
+        tuple(r)
+        for r in ivf_topk(clean, n_centroids=4, n_probe=2, k=3, engine="arrow")
+        .where("query_id < 90 and neighbor_id < 90")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk(dirty, n_centroids=4, n_probe=2, k=3, engine="arrow")
+        .where("query_id < 90 and neighbor_id < 90")
+        .collect()
+    )
+    assert got == base
+    # signature scan: the Inf row signs to bucket 0 in every table
+    sigs = {
+        r["vec_id"]: (r["b0"], r["b1"])
+        for r in sign_signatures(dirty, "vec_id", "embedding", 3, 4, 2).collect()
+    }
+    assert sigs[99] == (0, 0)

@@ -447,3 +447,23 @@ def test_asof_join_forward_direction(spark):
     assert out[2] == (12, "b")      # duplicate ts=50: MIN rid wins
     assert out[3] == (None, None)   # nothing at/after 500
     assert out[4] == (None, None)   # null left ts
+
+
+def test_asof_join_map_payload_skips_struct_tiebreak(spark):
+    """A map-typed payload column cannot join the sort order (maps are
+    unorderable) — the struct tiebreak is skipped automatically and
+    the join still works; validate_tiebreak remains the determinism
+    guard there (code-review r7 regression: the unconditional sort key
+    raised AnalysisException at plan time)."""
+    from genie_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame([(1, 1, 5)], "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        [(7, 1, 3, {"x": "a"}), (8, 1, 4, {"x": "b"})],
+        "rid long, k long, ts long, m map<string,string>",
+    )
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", payload=["m"], tiebreak="rid",
+        validate_tiebreak=True,
+    ).collect()
+    assert out[0]["asof_m"] == {"x": "b"}  # latest ts <= 5 wins

@@ -339,3 +339,52 @@ def test_token_budget_dict_budgets(spark):
         for r in out2.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per2["de"] == 3 and per2["fr"] == 3  # 25 tokens → 3 docs
+
+
+def test_token_budget_zero_token_docs_at_boundary(spark):
+    """Zero-token documents must obey the strict naive rule: budget 0
+    keeps NOTHING (even empty-text docs), and an unlisted group under
+    a dict budget with default 0 is fully dropped even when it
+    contains empty docs (code-review r7: the <= whole-bin condition
+    kept them)."""
+    from genie_spark.analytics.corpus import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, "en", ""), (2, "en", "one two"), (3, "fr", "   "), (4, "fr", "a b c")],
+        "doc_id long, lang string, text string",
+    )
+    assert token_budget_select(df, 0, group_col="lang").count() == 0
+    out = token_budget_select(df, {"fr": 100}, group_col="lang").collect()
+    assert {r["lang"] for r in out} == {"fr"}
+    # exact-boundary: budget equal to the group's leading tokens —
+    # a trailing zero-token doc whose tokens_before == budget drops
+    df2 = spark.createDataFrame(
+        [(i, "en", "t1 t2") for i in range(10)] + [(99, "en", "")],
+        "doc_id long, lang string, text string",
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.dedup import shingle_hash
+    from genie_spark.analytics.text import tokens as _tok
+
+    for budget in (2, 4, 20, 22):
+        got = {
+            r["doc_id"]
+            for r in token_budget_select(df2, budget, group_col="lang").collect()
+        }
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        naive = (
+            df2.select(
+                "doc_id", "lang",
+                shingle_hash(F.col("doc_id").cast("string")).alias("__h"),
+                F.size(_tok("text")).cast("long").alias("n_tokens"),
+            )
+            .withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .where(F.col("before") < budget)
+        )
+        assert got == {r["doc_id"] for r in naive.collect()}, budget
