@@ -487,3 +487,87 @@ def test_bloom_decontaminate_superset_of_exact(spark, docs, m_bits):
             # collisions are possible in principle but the superset
             # bound is the property; equality is asserted only loosely
             assert flagged[d] <= exact.get(d, 0) + 3
+
+
+token_budget_docs_st = st.lists(
+    st.tuples(
+        st.integers(0, 500),                      # doc_id (dups dropped)
+        st.sampled_from(["en", "fr"]),
+        st.integers(0, 8),                        # token count (0 = empty)
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    docs=token_budget_docs_st,
+    budget=st.sampled_from([0, 1, 5, 17, 10**6]),
+)
+@settings(**_SETTINGS)
+def test_token_budget_matches_naive_window(spark, docs, budget):
+    """For ANY corpus (including empty docs and exact-boundary
+    budgets), the binned two-pass keeps exactly the naive
+    global-window set: docs whose tokens-before in (md5(id), id)
+    order are < budget."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.corpus import token_budget_select
+    from genie_spark.analytics.dedup import shingle_hash
+    from genie_spark.analytics.text import tokens
+
+    rows = [
+        (i, g, " ".join(f"w{i}x{j}" for j in range(n))) for i, g, n in docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(df, budget, group_col="lang").collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        df.select(
+            "doc_id", "lang",
+            shingle_hash(F.col("doc_id").cast("string")).alias("__h"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .where(F.col("before") < budget)
+    )
+    assert got == {r["doc_id"] for r in naive.collect()}
+
+
+count_min_vals_st = st.lists(
+    st.sampled_from([f"t{i}" for i in range(9)]), min_size=1, max_size=30
+)
+
+
+@given(vals=count_min_vals_st, width=st.sampled_from([4, 64]))
+@settings(**_SETTINGS)
+def test_count_min_never_underestimates(spark, vals, width):
+    """For ANY occurrence multiset and ANY width (4 forces heavy
+    collisions), est(v) ≥ true(v) for every distinct value — the
+    Count-Min one-sided bound."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import count_min_lookup, count_min_sketch
+
+    occ = spark.createDataFrame([(v,) for v in vals], ["value"])
+    sk = count_min_sketch(occ, "value", width=width, depth=3)
+    probes = occ.distinct()
+    est = {
+        r["value"]: r["est_count"]
+        for r in count_min_lookup(sk, probes, "value", width=width, depth=3).collect()
+    }
+    true = {
+        r["value"]: r["n"]
+        for r in occ.groupBy("value").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)
