@@ -10,11 +10,13 @@ Spark shape — the 100 TB one:
 * The corpus is quantized once (`similarity.quantized`, exact integer
   vectors) and persisted; each Lloyd iteration is ONE scan of that
   cached table with a PURE MAP assignment (centroids are collected
-  driver-side — k·dim longs, tiny by contract — and embedded as a
-  literal array, the same broadcast-argmax shape as
-  ``similarity.ivf_topk``) followed by ONE partial-aggregable
-  groupBy((cid, dim)) shuffle for the centroid update.  No iteration
-  ever shuffles the vectors themselves.
+  driver-side — k·dim longs — and shipped back out as a Spark
+  BROADCAST variable consumed by the Arrow matmul engine, so plan
+  size and per-task cost are independent of k; the ``engine="expr"``
+  fallback embeds them as a literal array instead, bounded to small
+  k) followed by ONE partial-aggregable groupBy((cid, dim)) shuffle
+  for the centroid update.  No iteration ever shuffles the vectors
+  themselves.
 * k and iters are FIXED hyper-parameters, so the whole run is
   iters + 1 jobs regardless of corpus size; at 1000 executors each
   job is scan + map + a k·dim-row aggregate.
