@@ -20,6 +20,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: int = 600,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-bound: a right
+    row matches a left row with equal ``on`` keys whose event times
+    are within ``max_delay_seconds`` of each other — the canonical
+    Structured Streaming two-stream correlation (upload events ⋈
+    validation results per (center, filename), click ⋈ view
+    attribution, request ⋈ response pairing).
+
+    Both sides carry a watermark plus the time-range join condition,
+    which is exactly what lets Spark BOUND the join state: a buffered
+    row is dropped once the other side's watermark passes its match
+    window, so state is O(rate·delay) per key range, not unbounded
+    history.  ``how="left_outer"`` emits unmatched left rows (null
+    right payload) only after the watermark closes their window —
+    same late-emission contract as windowed aggregation.
+
+    Right-side non-key columns come back prefixed with
+    ``right_prefix`` (both sides keep their own event-time column:
+    ``<left_ts>`` and ``<right_prefix><right_ts>``).
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    for c in r.columns:
+        if c not in on:
+            r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    r_ts = f"{right_prefix}{right_ts}"
+    cond = None
+    for k in on:
+        eq = l[k] == r[k]
+        cond = eq if cond is None else (cond & eq)
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")
+    cond = cond & (F.col(r_ts) >= lo) & (F.col(r_ts) <= hi)
+    joined = l.join(r, cond, how)
+    # drop the right side's duplicate key columns (null for unmatched
+    # left_outer rows anyway — the left copy is authoritative)
+    return joined.drop(*[r[k] for k in on])
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str,

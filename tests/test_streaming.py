@@ -438,3 +438,89 @@ def test_count_min_stream_store_matches_batch_sketch(spark, tmp_path):
     assert sorted(tuple(r) for r in compacted.collect()) == sorted(
         tuple(r) for r in direct.collect()
     )
+
+
+def test_stream_stream_join_time_bound(spark, tmp_path):
+    """Watermarked stream-stream join: validation results pair with
+    upload events for the same (center, fname) only within the delay
+    bound; a result outside the bound never matches; left_outer emits
+    the unmatched upload with null result once the watermark closes."""
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import stream_stream_join
+
+    up_dir, res_dir = tmp_path / "up", tmp_path / "res"
+    up_dir.mkdir(), res_dir.mkdir()
+    (up_dir / "u1.csv").write_text(
+        "center,fname,uts\n"
+        "SAGE,clin.txt,2026-01-01 10:00:00\n"
+        "GOLD,maf.txt,2026-01-01 10:00:00\n"
+        "SAGE,cna.txt,2026-01-01 10:02:00\n"
+    )
+    (res_dir / "r1.csv").write_text(
+        "center,fname,rts,status\n"
+        "SAGE,clin.txt,2026-01-01 10:05:00,VALID\n"      # within 10 min
+        "GOLD,maf.txt,2026-01-01 11:30:00,VALID\n"       # outside bound
+        "SAGE,other.txt,2026-01-01 10:01:00,INVALID\n"   # key mismatch
+    )
+    up_schema = T.StructType(
+        [
+            T.StructField("center", T.StringType()),
+            T.StructField("fname", T.StringType()),
+            T.StructField("uts", T.TimestampType()),
+        ]
+    )
+    res_schema = T.StructType(
+        [
+            T.StructField("center", T.StringType()),
+            T.StructField("fname", T.StringType()),
+            T.StructField("rts", T.TimestampType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+
+    def run(how, out_name, ckpt_name):
+        ups = spark.readStream.schema(up_schema).option("header", "true").csv(
+            str(up_dir)
+        )
+        res = spark.readStream.schema(res_schema).option("header", "true").csv(
+            str(res_dir)
+        )
+        j = stream_stream_join(
+            ups, res, on=["center", "fname"], left_ts="uts", right_ts="rts",
+            max_delay_seconds=600, watermark="5 minutes", how=how,
+        )
+        out = str(tmp_path / out_name)
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    out = run("inner", "inner_out", "inner_ckpt")
+    rows = {
+        (r["center"], r["fname"], r["r_status"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {("SAGE", "clin.txt", "VALID")}
+
+    # left_outer: late rows advance the watermark past the unmatched
+    # uploads' windows, then a second pass emits them with null status
+    out2 = run("left_outer", "outer_out", "outer_ckpt")
+    (up_dir / "u2.csv").write_text("center,fname,uts\nX,late.txt,2026-01-01 13:00:00\n")
+    (res_dir / "r2.csv").write_text(
+        "center,fname,rts,status\nX,late.txt,2026-01-01 13:00:01,VALID\n"
+    )
+    run("left_outer", "outer_out", "outer_ckpt")
+    got = {
+        (r["center"], r["fname"], r["r_status"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert ("SAGE", "clin.txt", "VALID") in got
+    assert ("GOLD", "maf.txt", None) in got       # matched nothing in bound
+    assert ("SAGE", "cna.txt", None) in got
