@@ -1774,3 +1774,66 @@ def test_corpus_mix_cli(spark, tmp_path, capsys):
         budget=None, budgets="en=xyz", default_budget=0, out=None,
     )
     assert cmd_corpus_mix(spark, malformed) == 2
+
+
+def _stress_recover(tgt, stop_flag, errors, idx):
+    from genie_spark.io import bronze
+
+    while not stop_flag.is_set():
+        try:
+            bronze.recover_bronze(tgt, clean_leftovers=False)
+        except Exception as ex:  # noqa: BLE001 - recorded for the assert
+            errors.append(f"{idx}: {type(ex).__name__}: {ex}")
+            return
+
+
+def test_bronze_swap_stress_under_concurrent_readers(tmp_path):
+    """Filesystem-level stress of the flock protocol: a writer commits
+    20 successive partition swaps while 3 reader processes hammer
+    recover_bronze in a loop.  Every swap must land atomically — after
+    each commit the partition holds exactly the new generation's file
+    set — and no process may ever error (the pre-fix interleaving lost
+    partitions with ENOENT).  Pure os-level: no Spark needed, so the
+    loop runs hot."""
+    import multiprocessing as mp
+    import os
+
+    from genie_spark.io import bronze
+
+    tgt = str(tmp_path / "bronze_stress")
+    os.makedirs(os.path.join(tgt, "CENTER=SAGE"))
+    with open(os.path.join(tgt, "CENTER=SAGE", "part-0.parquet"), "w") as f:
+        f.write("gen-0")
+
+    ctx = mp.get_context("fork")
+    mgr = ctx.Manager()
+    stop = mgr.Event()
+    errors = mgr.list()
+    readers = [
+        ctx.Process(target=_stress_recover, args=(tgt, stop, errors, i))
+        for i in range(3)
+    ]
+    for p in readers:
+        p.start()
+    try:
+        for gen in range(1, 21):
+            staging = tgt + ".staging"
+            part = os.path.join(staging, "CENTER=SAGE")
+            os.makedirs(part)
+            with open(os.path.join(part, f"part-{gen}.parquet"), "w") as f:
+                f.write(f"gen-{gen}")
+            bronze._swap_partitions(staging, tgt, "CENTER")
+            listing = sorted(os.listdir(os.path.join(tgt, "CENTER=SAGE")))
+            assert listing == [f"part-{gen}.parquet"], (gen, listing)
+            with open(
+                os.path.join(tgt, "CENTER=SAGE", f"part-{gen}.parquet")
+            ) as f:
+                assert f.read() == f"gen-{gen}"
+            assert not os.path.exists(tgt + bronze.MANIFEST_SUFFIX)
+    finally:
+        stop.set()
+        for p in readers:
+            p.join(timeout=30)
+    assert list(errors) == []
+    for p in readers:
+        assert p.exitcode == 0
