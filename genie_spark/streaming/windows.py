@@ -48,23 +48,53 @@ def stream_stream_join(
 
     Right-side non-key columns come back prefixed with
     ``right_prefix`` (both sides keep their own event-time column:
-    ``<left_ts>`` and ``<right_prefix><right_ts>``).
+    ``<left_ts>`` and ``<right_prefix><right_ts>``); a prefixed name
+    that collides with an existing column raises up front.  ``on``
+    must be non-empty: Spark's streaming engine rejects stream-stream
+    joins without an equality predicate ("Stream-stream join without
+    equality predicate is not supported"), so a pure time-window
+    correlation needs a synthetic constant key on both sides — and
+    that key routes EVERY row through one state partition, which is
+    exactly the unbounded-state shape the equality requirement exists
+    to prevent; this wrapper raises instead of constructing it.
     """
     if how not in ("inner", "left_outer"):
         raise ValueError(f"how must be inner or left_outer, got {how!r}")
+    if not on:
+        raise ValueError(
+            "stream_stream_join needs at least one equi-key: Spark "
+            "rejects stream-stream joins without an equality predicate, "
+            "and a synthetic constant key would funnel all state "
+            "through one partition (see docstring)"
+        )
+    if not isinstance(max_delay_seconds, int) or max_delay_seconds < 0:
+        # a negative window makes lo > hi (the predicate silently
+        # matches nothing); a fractional one would truncate — both are
+        # caller sign/unit confusion, not a meaningful request
+        raise ValueError(
+            f"max_delay_seconds={max_delay_seconds!r} must be a "
+            "non-negative int"
+        )
+    renames = {
+        c: f"{right_prefix}{c}" for c in right.columns if c not in on
+    }
+    collisions = sorted(
+        (set(renames.values()) & set(left.columns))
+        | (set(renames.values()) & (set(right.columns) - set(renames)))
+    )
+    if collisions:
+        raise ValueError(
+            f"stream_stream_join: prefixed right columns {collisions} "
+            "collide with existing columns — pick another right_prefix"
+        )
     l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
-    for c in r.columns:
-        if c not in on:
-            r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    r = right.withWatermark(right_ts, watermark).withColumnsRenamed(renames)
     r_ts = f"{right_prefix}{right_ts}"
-    cond = None
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
+    cond = (F.col(r_ts) >= lo) & (F.col(r_ts) <= hi)
     for k in on:
-        eq = l[k] == r[k]
-        cond = eq if cond is None else (cond & eq)
-    lo = F.col(left_ts) - F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")
-    hi = F.col(left_ts) + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")
-    cond = cond & (F.col(r_ts) >= lo) & (F.col(r_ts) <= hi)
+        cond = cond & (l[k] == r[k])
     joined = l.join(r, cond, how)
     # drop the right side's duplicate key columns (null for unmatched
     # left_outer rows anyway — the left copy is authoritative)

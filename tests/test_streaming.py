@@ -524,3 +524,56 @@ def test_stream_stream_join_time_bound(spark, tmp_path):
     assert ("SAGE", "clin.txt", "VALID") in got
     assert ("GOLD", "maf.txt", None) in got       # matched nothing in bound
     assert ("SAGE", "cna.txt", None) in got
+
+
+def test_stream_stream_join_guards_and_keyless(spark, tmp_path):
+    """Robustness guards (code-review r7): negative/fractional delay,
+    prefix collisions, and an empty `on` list all raise up front with
+    clear messages (Spark itself rejects keyless stream-stream joins,
+    and the pre-fix code built a silently-null predicate instead)."""
+    import pytest as pt
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import stream_stream_join
+
+    schema_l = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("uts", T.TimestampType()),
+        ]
+    )
+    schema_r = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("rts", T.TimestampType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    l_dir.mkdir(), r_dir.mkdir()
+    (l_dir / "a.csv").write_text(
+        "k,uts\nA,2026-01-01 10:00:00\nB,2026-01-01 12:00:00\n"
+    )
+    (r_dir / "a.csv").write_text(
+        "k,rts,status\nZ,2026-01-01 10:03:00,VALID\n"
+    )
+    ls = spark.readStream.schema(schema_l).option("header", "true").csv(str(l_dir))
+    rs = spark.readStream.schema(schema_r).option("header", "true").csv(str(r_dir))
+
+    with pt.raises(ValueError, match="non-negative int"):
+        stream_stream_join(ls, rs, on=["k"], left_ts="uts", right_ts="rts",
+                           max_delay_seconds=-600)
+    with pt.raises(ValueError, match="non-negative int"):
+        stream_stream_join(ls, rs, on=["k"], left_ts="uts", right_ts="rts",
+                           max_delay_seconds=0.5)
+
+    # collision: left already carries the prefixed name
+    ls_bad = ls.withColumn("r_status", ls["k"])
+    with pt.raises(ValueError, match="collide"):
+        stream_stream_join(ls_bad, rs, on=["k"], left_ts="uts", right_ts="rts")
+
+    # keyless: Spark cannot execute a stream-stream join without an
+    # equality predicate — raise the clear wrapper error, never the
+    # silently-null predicate the pre-fix code built
+    with pt.raises(ValueError, match="at least one equi-key"):
+        stream_stream_join(ls, rs, on=[], left_ts="uts", right_ts="rts")
