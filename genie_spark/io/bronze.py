@@ -89,9 +89,48 @@ def _swap_lock(target_path: str):
 
 def _read_target(spark, target_path: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(target_path)
+        # mergeSchema: after a schema-evolving partition-scoped MERGE,
+        # partitions the batch did not touch still carry the narrower
+        # schema on disk — the union read surfaces evolved columns as
+        # nulls there (on Delta/Iceberg the table schema does this; a
+        # metastore would avoid the footer scan at very large n_files)
+        return spark.read.option("mergeSchema", "true").parquet(target_path)
     except Exception:
         return None
+
+
+def _align_schemas(
+    existing: DataFrame, batch: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Union-schema alignment for a MERGE (reference
+    genie/process_functions.py:970-1001 ``create_missing_columns``,
+    which pads an upload to the table schema with NA defaults — plus
+    the reverse direction, since a center upload may also ADD columns
+    the table has never seen):
+
+    * a column only in ``existing`` joins ``batch`` as a typed null —
+      upserted rows take NA there (whole-row replace, the reference's
+      Synapse ``update_table`` semantics);
+    * a column only in ``batch`` joins ``existing`` as a typed null —
+      historical rows read NA until re-uploaded;
+    * a column in both with DIFFERENT types: the batch side casts to
+      the table's type (table wins; a bad value fails the job loudly
+      under ANSI rather than silently nulling).
+
+    Returns (existing, batch) with identical column order: the
+    table's order, new batch columns appended."""
+    e_types = {f.name: f.dataType for f in existing.schema.fields}
+    b_types = {f.name: f.dataType for f in batch.schema.fields}
+    for name, dt in e_types.items():
+        if name not in b_types:
+            batch = batch.withColumn(name, F.lit(None).cast(dt))
+        elif b_types[name] != dt:
+            batch = batch.withColumn(name, F.col(name).cast(dt))
+    for name, dt in b_types.items():
+        if name not in e_types:
+            existing = existing.withColumn(name, F.lit(None).cast(dt))
+    cols = [f.name for f in existing.schema.fields]
+    return existing.select(*cols), batch.select(*cols)
 
 
 def _is_partitioned_layout(target_path: str, partition_col: str) -> bool:
@@ -354,11 +393,11 @@ def merge_into_bronze(
             # null-partition rows must participate in the merge or
             # they'd be silently discarded.
             pred = pred | F.col(partition_col).isNull()
-        subset = existing.where(pred)
+        subset, batch_aligned = _align_schemas(existing.where(pred), batch)
         if keys:
-            out = apply_upsert(batch, subset.select(*batch.columns), list(keys))
+            out = apply_upsert(batch_aligned, subset, list(keys))
         else:
-            out = subset.select(*batch.columns).unionByName(batch)
+            out = subset.unionByName(batch_aligned)
         if keys:
             # key-sorted row groups: parquet min/max stats then prune
             # row groups on key lookups, and sorted columns compress
@@ -370,11 +409,12 @@ def merge_into_bronze(
     else:
         # legacy full rewrite (also the one-time migration to the
         # partitioned layout)
+        existing_aligned, batch_aligned = _align_schemas(existing, batch)
         if keys:
-            out = apply_upsert(batch, existing.select(*batch.columns), list(keys))
+            out = apply_upsert(batch_aligned, existing_aligned, list(keys))
             out = out.sortWithinPartitions(*keys)
         else:
-            out = existing.select(*batch.columns).unionByName(batch)
+            out = existing_aligned.unionByName(batch_aligned)
 
     writer = out.write.mode("overwrite")
     if partitioned:

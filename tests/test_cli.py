@@ -1837,3 +1837,56 @@ def test_bronze_swap_stress_under_concurrent_readers(tmp_path):
     assert list(errors) == []
     for p in readers:
         assert p.exitcode == 0
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Center uploads evolve schemas: a batch ADDING a column merges
+    (old rows read null there), a NARROWER batch must not drop the
+    table's columns (untouched rows keep their values; the upserted
+    row takes NA for the columns its upload lacked — the reference's
+    create_missing_columns + whole-row update_table semantics), and a
+    type conflict resolves to the table's type."""
+    from genie_spark.io.bronze import merge_into_bronze
+
+    tgt = str(tmp_path / "bronze_evo")
+    base = spark.createDataFrame(
+        [("S1", "SAGE", 30), ("G1", "GOLD", 40)],
+        "SAMPLE_ID string, CENTER string, AGE int",
+    )
+    merge_into_bronze(base, tgt, keys=["SAMPLE_ID"])
+
+    # batch adds NEW_COL
+    wide = spark.createDataFrame(
+        [("S2", "SAGE", 35, "x")],
+        "SAMPLE_ID string, CENTER string, AGE int, NEW_COL string",
+    )
+    merge_into_bronze(wide, tgt, keys=["SAMPLE_ID"])
+    rows = {
+        r["SAMPLE_ID"]: (r["AGE"], r["NEW_COL"])
+        for r in spark.read.option("mergeSchema", "true").parquet(tgt).collect()
+    }
+    assert rows == {"S1": (30, None), "G1": (40, None), "S2": (35, "x")}
+
+    # narrower batch: updates S1 without AGE/NEW_COL — table keeps the
+    # columns; S1's AGE goes NA (whole-row replace), G1 untouched
+    narrow = spark.createDataFrame(
+        [("S1", "SAGE")], "SAMPLE_ID string, CENTER string"
+    )
+    merge_into_bronze(narrow, tgt, keys=["SAMPLE_ID"])
+    rows = {
+        r["SAMPLE_ID"]: (r["AGE"], r["NEW_COL"])
+        for r in spark.read.option("mergeSchema", "true").parquet(tgt).collect()
+    }
+    assert rows == {"S1": (None, None), "G1": (40, None), "S2": (35, "x")}
+
+    # type conflict: AGE arrives as a string of digits → cast to the
+    # table's int
+    retyped = spark.createDataFrame(
+        [("S3", "SAGE", "50")], "SAMPLE_ID string, CENTER string, AGE string"
+    )
+    merge_into_bronze(retyped, tgt, keys=["SAMPLE_ID"])
+    got = {
+        r["SAMPLE_ID"]: r["AGE"]
+        for r in spark.read.option("mergeSchema", "true").parquet(tgt).collect()
+    }
+    assert got["S3"] == 50 and got["S2"] == 35
