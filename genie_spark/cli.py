@@ -76,7 +76,10 @@ def _read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame | 
     )
     if not has_part:
         return None
-    return spark.read.parquet(path)
+    # mergeSchema: a schema-evolving MERGE only rewrites the batch's
+    # partitions — the union read surfaces evolved columns (as nulls)
+    # on partitions still carrying the narrower on-disk schema
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def _norm_assay_id(c: F.Column) -> F.Column:
