@@ -261,10 +261,25 @@ def kmeans_assign(
                     F.col("__c")["cid"].alias("cid"),
                     F.posexplode("__v").alias("pos", "x"),
                 ).select("cid", "pos", F.col("x").alias("s"), F.lit(1).alias("n"))
+            # collapse the k·dim (cid, pos) rows to k position-sorted
+            # ARRAYS before collecting: the driver receives k plain
+            # int lists instead of k·dim Row objects — at the √n rule
+            # (k≈31k, dim 768) that is 31k rows instead of 24M, the
+            # difference between a cheap round-trip and a driver
+            # bottleneck.  Values are bit-identical (same sums, same
+            # floor-divide; a live cid always carries ALL dim
+            # positions, so the sorted transform is a full vector).
             sums = (
                 part.groupBy("cid", "pos")
                 .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
                 .withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda x: x["m"],
+                    ).alias("mv")
+                )
                 .collect()
             )
             if engine == "arrow":
@@ -272,9 +287,9 @@ def kmeans_assign(
                 # now instead of waiting for driver GC (k·dim longs per
                 # iteration adds up at corpus-scale k)
                 bc.unpersist()
-            by_cid: dict[int, list[int]] = {}
-            for r in sums:
-                by_cid.setdefault(r["cid"], [0] * dim)[r["pos"]] = r["m"]
+            by_cid: dict[int, list[int]] = {
+                r["cid"]: list(r["mv"]) for r in sums
+            }
             centroids = [
                 (cid, by_cid.get(cid, old)) for cid, old in centroids
             ]
