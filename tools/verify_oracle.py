@@ -6,6 +6,8 @@ row count, column names, and an order-insensitive value comparison
 (sorted rows, stringified values).  Usage:
 
     python tools/verify_oracle.py [sf_dir] [query ...]
+    python tools/verify_oracle.py [sf_dir] --window   # first 50 only,
+                                  # exactly what the round driver runs
 """
 
 from __future__ import annotations
@@ -49,6 +51,10 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if "--window" in only:
+        # the driver's correctness gate runs the FIRST 50 entries —
+        # simulate exactly that membership
+        only = set(list(qs)[:50])
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
