@@ -267,8 +267,11 @@ def kmeans_assign(
             # (k≈31k, dim 768) that is 31k rows instead of 24M, the
             # difference between a cheap round-trip and a driver
             # bottleneck.  Values are bit-identical (same sums, same
-            # floor-divide; a live cid always carries ALL dim
-            # positions, so the sorted transform is a full vector).
+            # floor-divide); positions are contiguous from 0, so the
+            # sorted transform is a full vector for conforming input —
+            # the pad/truncate below preserves the old zero-default
+            # degrade for the expr engine's documented out-of-contract
+            # ragged rows (shorter vectors leave tail positions at 0).
             sums = (
                 part.groupBy("cid", "pos")
                 .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
@@ -288,7 +291,7 @@ def kmeans_assign(
                 # iteration adds up at corpus-scale k)
                 bc.unpersist()
             by_cid: dict[int, list[int]] = {
-                r["cid"]: list(r["mv"]) for r in sums
+                r["cid"]: (list(r["mv"]) + [0] * dim)[:dim] for r in sums
             }
             centroids = [
                 (cid, by_cid.get(cid, old)) for cid, old in centroids

@@ -88,15 +88,29 @@ def _swap_lock(target_path: str):
 
 
 def _read_target(spark, target_path: str) -> DataFrame | None:
-    try:
-        # mergeSchema: after a schema-evolving partition-scoped MERGE,
-        # partitions the batch did not touch still carry the narrower
-        # schema on disk — the union read surfaces evolved columns as
-        # nulls there (on Delta/Iceberg the table schema does this; a
-        # metastore would avoid the footer scan at very large n_files)
-        return spark.read.option("mergeSchema", "true").parquet(target_path)
-    except Exception:
+    """The existing bronze table, or None iff it is genuinely ABSENT
+    (no directory, or no committed parquet part).  A present table
+    that fails to READ raises: mapping a corrupt footer (or a
+    mergeSchema type conflict from foreign files) to None would make
+    ``merge_into_bronze`` take its first-write path and _swap_whole
+    the batch OVER every other center's data."""
+    if not os.path.isdir(target_path):
         return None
+    has_part = any(
+        f.endswith(".parquet") or f.startswith("part-")
+        for root, _dirs, files in os.walk(target_path)
+        if "_temporary" not in root
+        for f in files
+        if not f.startswith((".", "_"))
+    )
+    if not has_part:
+        return None
+    # mergeSchema: after a schema-evolving partition-scoped MERGE,
+    # partitions the batch did not touch still carry the narrower
+    # schema on disk — the union read surfaces evolved columns as
+    # nulls there (on Delta/Iceberg the table schema does this; a
+    # metastore would avoid the footer scan at very large n_files)
+    return spark.read.option("mergeSchema", "true").parquet(target_path)
 
 
 def _align_schemas(
@@ -117,20 +131,40 @@ def _align_schemas(
       the table's type (table wins; a bad value fails the job loudly
       under ANSI rather than silently nulling).
 
-    Returns (existing, batch) with identical column order: the
-    table's order, new batch columns appended."""
-    e_types = {f.name: f.dataType for f in existing.schema.fields}
-    b_types = {f.name: f.dataType for f in batch.schema.fields}
-    for name, dt in e_types.items():
-        if name not in b_types:
-            batch = batch.withColumn(name, F.lit(None).cast(dt))
-        elif b_types[name] != dt:
-            batch = batch.withColumn(name, F.col(name).cast(dt))
-    for name, dt in b_types.items():
-        if name not in e_types:
-            existing = existing.withColumn(name, F.lit(None).cast(dt))
-    cols = [f.name for f in existing.schema.fields]
-    return existing.select(*cols), batch.select(*cols)
+    Name matching is CASE-INSENSITIVE (Spark's own resolution default:
+    a batch header ``Age`` IS the table's ``AGE`` column — treating it
+    as missing would null both sides), and the batch column is
+    re-aliased to the table's casing.  Built as two explicit SELECTs,
+    never ``withColumn`` (whose case-insensitive resolution silently
+    REPLACES a same-name-different-case column).
+
+    Returns (existing, batch) with identical column order and casing:
+    the table's order, new batch columns appended."""
+    e_fields = [(f.name, f.dataType) for f in existing.schema.fields]
+    b_fields = [(f.name, f.dataType) for f in batch.schema.fields]
+    b_lower = {n.lower(): (n, dt) for n, dt in b_fields}
+    e_lower = {n.lower() for n, _ in e_fields}
+    if len(b_lower) != len(b_fields) or len(e_lower) != len(e_fields):
+        raise ValueError(
+            "bronze merge: a side carries columns differing only in "
+            "case — ambiguous under Spark's case-insensitive resolution"
+        )
+    new_cols = [(n, dt) for n, dt in b_fields if n.lower() not in e_lower]
+    e_select = [F.col(n) for n, _ in e_fields] + [
+        F.lit(None).cast(dt).alias(n) for n, dt in new_cols
+    ]
+    b_select = []
+    for n, dt in e_fields:
+        hit = b_lower.get(n.lower())
+        if hit is None:
+            b_select.append(F.lit(None).cast(dt).alias(n))
+        else:
+            c = F.col(hit[0])
+            if hit[1] != dt:
+                c = c.cast(dt)
+            b_select.append(c.alias(n))
+    b_select += [F.col(n).alias(n) for n, _ in new_cols]
+    return existing.select(*e_select), batch.select(*b_select)
 
 
 def _is_partitioned_layout(target_path: str, partition_col: str) -> bool:

@@ -67,14 +67,24 @@ def stream_stream_join(
             "and a synthetic constant key would funnel all state "
             "through one partition (see docstring)"
         )
-    if not isinstance(max_delay_seconds, int) or max_delay_seconds < 0:
-        # a negative window makes lo > hi (the predicate silently
-        # matches nothing); a fractional one would truncate — both are
-        # caller sign/unit confusion, not a meaningful request
+    # accept any integral real (int, numpy integer, 600.0) but reject
+    # negatives (lo > hi silently matches nothing), fractions (would
+    # truncate), and bool (INTERVAL True SECONDS is a parse error)
+    try:
+        delay = int(max_delay_seconds)
+    except (TypeError, ValueError):
+        delay = None
+    if (
+        delay is None
+        or isinstance(max_delay_seconds, bool)
+        or delay != max_delay_seconds
+        or delay < 0
+    ):
         raise ValueError(
             f"max_delay_seconds={max_delay_seconds!r} must be a "
-            "non-negative int"
+            "non-negative integral number of seconds"
         )
+    max_delay_seconds = delay
     renames = {
         c: f"{right_prefix}{c}" for c in right.columns if c not in on
     }

@@ -1890,3 +1890,18 @@ def test_merge_schema_evolution(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(tgt).collect()
     }
     assert got["S3"] == 50 and got["S2"] == 35
+
+    # case-insensitive name matching (code-review r7): a batch header
+    # differing only in CASE is the SAME column — it must carry its
+    # data through, never null both sides, and never fork a duplicate
+    # column in the table schema
+    cased = spark.createDataFrame(
+        [("S4", "SAGE", 60)], "Sample_Id string, Center string, Age int"
+    )
+    merge_into_bronze(cased, tgt, keys=["SAMPLE_ID"])
+    out = spark.read.option("mergeSchema", "true").parquet(tgt)
+    assert sorted(c.lower() for c in out.columns) == sorted(
+        {"sample_id", "center", "age", "new_col"}
+    )
+    got = {r["SAMPLE_ID"]: r["AGE"] for r in out.collect()}
+    assert got["S4"] == 60 and got["S2"] == 35

@@ -35,8 +35,10 @@ def normalize(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -51,10 +53,12 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
-    if "--window" in only:
+    if window:
         # the driver's correctness gate runs the FIRST 50 entries —
-        # simulate exactly that membership
-        only = set(list(qs)[:50])
+        # simulate exactly that membership (intersected with explicit
+        # names, if any were also given)
+        first50 = set(list(qs)[:50])
+        only = (only & first50) if only else first50
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
