@@ -165,7 +165,7 @@ def _update_partials_arrow(q: DataFrame, bc, dim: int) -> DataFrame:
     def partials(batches):
         import pandas as pd
 
-        _cids, Cf, cc, cmax = bc.value
+        cids, Cf, cc, cmax = bc.value
         k = Cf.shape[0]
         for pdf in batches:
             if not len(pdf):
@@ -182,7 +182,11 @@ def _update_partials_arrow(q: DataFrame, bc, dim: int) -> DataFrame:
             live = np.flatnonzero(n_by)
             yield pd.DataFrame(
                 {
-                    "cid": np.repeat(live, dim),
+                    # the broadcast's REAL centroid ids, not the row
+                    # index: bit-identical while kmeans_assign seeds
+                    # cids as 0..k-1, and stays correct if a caller
+                    # ever seeds real vector ids (ADVICE r7)
+                    "cid": np.repeat(cids[live], dim),
                     "pos": np.tile(np.arange(dim), len(live)),
                     "s": s_by[live].ravel(),
                     "n": np.repeat(n_by[live], dim),

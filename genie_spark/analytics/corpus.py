@@ -27,6 +27,12 @@ from genie_spark.analytics.text import tokens
 # sampling granularity: basis points of 1/10_000 on a md5-uniform
 SAMPLE_DENOM = 10_000
 
+# token_budget_select's per-bin rollup broadcast is capped at this many
+# rows (groups × 2^n_bin_bits ≈ 4M rows ≈ low hundreds of MB worst
+# case) — bin bits shrink to fit, and a group count alone above it is
+# a caller error (doc-level column passed as the domain column)
+_BUDGET_BROADCAST_MAX = 1 << 22
+
 
 def token_ngrams(text_col: str | Column, n: int) -> Column:
     """Contiguous token ``n``-grams (space-joined, order-preserving,
@@ -744,6 +750,27 @@ def token_budget_select(
         shingle_hash(F.col(id_col).cast("string")).alias("__h"),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
     )
+    # the bins_cum broadcast below is groups × 2^n_bin_bits rows —
+    # dim-sized ONLY while group_col is a domain column.  A doc-level
+    # group_col (an easy caller mistake) would broadcast a multi-GB
+    # artifact and OOM the driver (ADVICE r7), so: estimate the group
+    # count (one partial-agg job, no wide shuffle), shrink the bin
+    # bits so the artifact stays ≤ _BUDGET_BROADCAST_MAX rows (the
+    # kept SET is n_bin_bits-independent — binning is pure execution
+    # strategy), and refuse outright when the groups ALONE blow the
+    # cap.  The 1.1 factor absorbs approx_count_distinct's rsd.
+    n_groups = int(
+        (base.agg(F.approx_count_distinct(group_col)).first()[0] or 0) * 1.1
+    ) or 1
+    if n_groups > _BUDGET_BROADCAST_MAX:
+        raise ValueError(
+            f"token_budget_select: group_col={group_col!r} has ~{n_groups:,} "
+            "distinct values — groups are domains (dim-sized by contract); "
+            "a document-level group column would broadcast a "
+            "groups-sized artifact. Pass the domain/mixture column."
+        )
+    while n_bin_bits > 0 and n_groups << n_bin_bits > _BUDGET_BROADCAST_MAX:
+        n_bin_bits -= 1
     shift = 60 - n_bin_bits
     binned = base.withColumn("__bin", F.expr(f"shiftright(__h, {shift})"))
     per_bin = binned.groupBy(group_col, "__bin").agg(

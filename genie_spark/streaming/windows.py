@@ -437,24 +437,43 @@ def _compact_store(spark, store_path: str, merge_fn) -> dict:
     swap from ``io.bronze`` — a crash mid-compaction rolls forward
     and never loses sketch state.  Run while the stream is STOPPED
     (the swap replaces the directory a live writer would be appending
-    shards into).  Returns {"shards_before", "rows_after"}."""
+    shards into) — enforced below: the shard set is re-listed just
+    before the swap and a concurrent writer's new/changed shards abort
+    the compaction with the store untouched (ADVICE r7; the staging
+    directory is left for inspection-free retry — `mode("overwrite")`
+    reclaims it).  Returns {"shards_before", "rows_after"}."""
     import glob as _glob
     import os as _os
 
     from genie_spark.io.bronze import _swap_whole, recover_bronze
 
+    def _list_shards() -> set[str]:
+        return {
+            _os.path.basename(p)
+            for p in _glob.glob(
+                _os.path.join(_glob.escape(store_path), "batch=*")
+            )
+            if _os.path.isdir(p)
+        }
+
     recover_bronze(store_path)
-    shards = [
-        p
-        for p in _glob.glob(_os.path.join(_glob.escape(store_path), "batch=*"))
-        if _os.path.isdir(p)
-    ]
+    shards = _list_shards()
     merged = merge_fn(spark.read.parquet(store_path))
     staging = store_path + ".staging"
     merged.coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(staging, "batch=-1")
     )
     rows = spark.read.parquet(_os.path.join(staging, "batch=-1")).count()
+    # the scan above saw exactly the shard snapshot listed at
+    # read.parquet() time (InMemoryFileIndex); any drift since means a
+    # stream is STILL RUNNING and the swap would delete its new shards
+    now = _list_shards()
+    if now != shards:
+        raise RuntimeError(
+            f"_compact_store({store_path}): shard set changed during "
+            f"compaction (added/removed: {sorted(now ^ shards)}) — a "
+            "stream is still writing this store; stop it and re-run"
+        )
     _swap_whole(staging, store_path)
     return {"shards_before": len(shards), "rows_after": rows}
 

@@ -388,3 +388,38 @@ def test_token_budget_zero_token_docs_at_boundary(spark):
             .where(F.col("before") < budget)
         )
         assert got == {r["doc_id"] for r in naive.collect()}, budget
+
+
+def test_token_budget_group_cardinality_guard(spark, monkeypatch):
+    """A doc-level group_col must raise a descriptive error instead of
+    broadcasting a groups-sized artifact, and a legitimate group count
+    near the cap shrinks the bin bits (result unchanged — binning is
+    pure execution strategy) rather than failing (ADVICE r7)."""
+    import pytest as _pytest
+
+    from genie_spark.analytics import corpus
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}", "tok " * 3) for i in range(64)],
+        "doc_id long, lang string, text string",
+    )
+    monkeypatch.setattr(corpus, "_BUDGET_BROADCAST_MAX", 16)
+    with _pytest.raises(ValueError, match="dim-sized by contract"):
+        corpus.token_budget_select(df, 10, group_col="lang")
+
+    # 4 groups under a 16-row cap: bits shrink from 12 to 2; the kept
+    # set must equal the default-bits run on the same corpus
+    df4 = spark.createDataFrame(
+        [(i, f"g{i % 4}", "tok " * (i % 5 + 1)) for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in corpus.token_budget_select(df4, 9, group_col="lang").collect()
+    }
+    monkeypatch.setattr(corpus, "_BUDGET_BROADCAST_MAX", 1 << 22)
+    want = {
+        r["doc_id"]
+        for r in corpus.token_budget_select(df4, 9, group_col="lang").collect()
+    }
+    assert got == want

@@ -363,6 +363,49 @@ def test_bloom_compact_preserves_positions(spark, tmp_path):
     assert not out[11]["is_flagged"]
 
 
+def test_compact_store_aborts_on_concurrent_shard_write(spark, tmp_path):
+    """A shard appearing between the compaction's store read and its
+    whole-dir swap means a stream is still writing — the swap would
+    silently delete that shard (ADVICE r7).  _compact_store must
+    re-list just before the swap, raise, and leave the store's shard
+    set untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from genie_spark.streaming.windows import _compact_store
+
+    store = str(tmp_path / "cm_store")
+    for bid in (0, 1):
+        spark.createDataFrame(
+            [(0, bid, 5)], "row int, bucket int, cnt long"
+        ).write.mode("overwrite").parquet(f"{store}/batch={bid}")
+
+    from pyspark.sql import functions as F
+
+    def sneaky_merge(df):
+        # a "still-running stream" lands a new shard mid-compaction
+        spark.createDataFrame(
+            [(0, 7, 1)], "row int, bucket int, cnt long"
+        ).write.mode("overwrite").parquet(f"{store}/batch=2")
+        return df.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+    with _pytest.raises(RuntimeError, match="shard set changed"):
+        _compact_store(spark, store, sneaky_merge)
+    shards = sorted(e for e in os.listdir(store) if e.startswith("batch="))
+    assert shards == ["batch=0", "batch=1", "batch=2"]
+    # the store still reads whole and a clean retry compacts all three
+    report = _compact_store(
+        spark,
+        store,
+        lambda df: df.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")),
+    )
+    assert report["shards_before"] == 3
+    assert sorted(
+        e for e in os.listdir(store) if e.startswith("batch=")
+    ) == ["batch=-1"]
+
+
 def test_count_min_stream_store_matches_batch_sketch(spark, tmp_path):
     """Two micro-batches: summing the streamed Count-Min store per
     (row, bucket) equals count_min_sketch over the concatenated
