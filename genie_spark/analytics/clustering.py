@@ -24,7 +24,13 @@ Spark shape — the 100 TB one:
 Determinism (the property that lets a DuckDB oracle mirror the run
 bit-for-bit, and reruns reproduce):
 
-* init: the k lowest-id vectors ARE the initial centroids (no RNG);
+* init: the k vectors with the smallest ``(md5(id), id)`` ARE the
+  initial centroids (no RNG — the same engine-portable hash family as
+  every sampling op).  Hash order is content-INDEPENDENT: on corpora
+  where id order correlates with content (ingest order, sorted
+  shards) the k lowest ids would all sit in one region and cost Lloyd
+  iterations (VERDICT r7); ``seed="first"`` keeps the legacy
+  lowest-id rule;
 * distance: squared Euclidean on quantized integers — exact longs;
 * ties: lowest centroid id wins (struct-min on (d2, cid));
 * update: element-wise ``floor(sum/count)`` — sum and count are exact
@@ -203,10 +209,19 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 3,
     engine: str = "arrow",
+    seed: str = "md5",
 ) -> DataFrame:
     """Lloyd's k-means over an ``array<float>`` column; returns
     (id, cluster_id, d2) — the final assignment and its exact squared
     quantized distance.
+
+    ``seed="md5"`` (default) takes the k smallest ``(md5(id), id)``
+    vectors as initial centroids — deterministic, engine-portable,
+    and content-independent (an id-sorted corpus spreads its seeds
+    across the data instead of clustering them in the lowest-id
+    region).  ``seed="first"`` is the legacy k-lowest-ids rule.  Both
+    are a single TakeOrdered job; the oracle mirrors whichever rule
+    the query uses.
 
     Each iteration: assignment is a centroid-literal map over the
     persisted quantized corpus; the update aggregates per-dimension
@@ -242,8 +257,19 @@ def kmeans_assign(
         .where(F.col("__v").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if seed not in ("md5", "first"):
+        raise ValueError(f"unknown seed rule: {seed!r}")
     try:
-        init = q.orderBy("__id").limit(k).collect()
+        # seed screen: a vector with a null ELEMENT (in-contract
+        # embeddings are non-null fixed-dim, but don't let an
+        # out-of-contract row poison the centroid matrix) never seeds;
+        # the oracle mirrors the same list_filter screen
+        cand = q.where(~F.exists("__v", lambda x: x.isNull()))
+        if seed == "md5":
+            order = [F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc()]
+        else:
+            order = [F.col("__id").asc()]
+        init = cand.orderBy(*order).limit(k).collect()
         centroids = [(i, list(r["__v"])) for i, r in enumerate(init)]
         if not centroids:
             # empty corpus: no centroids to seed — an empty literal

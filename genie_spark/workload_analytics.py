@@ -976,10 +976,11 @@ KMEANS_DIM = 64
 
 
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Lloyd k-means over the embeddings: k lowest-id
-    init, exact integer squared-Euclidean assignment, floor-mean
-    update, fixed iteration count — the oracle unrolls the identical
-    steps as a CTE chain."""
+    """Deterministic Lloyd k-means over the embeddings: k smallest
+    (md5(id), id) init (content-independent — VERDICT r7), exact
+    integer squared-Euclidean assignment, floor-mean update, fixed
+    iteration count — the oracle unrolls the identical steps as a CTE
+    chain."""
     from genie_spark.analytics.clustering import kmeans_assign
 
     return kmeans_assign(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
@@ -998,8 +999,10 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = KMEANS_
     parts = [
         f"q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings)",
         f"""c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
-  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k}))""",
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid, v
+  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h, v FROM q
+        WHERE len(list_filter(v, x -> x IS NULL)) = 0
+        ORDER BY h, vec_id LIMIT {k}))""",
     ]
     for i in range(1, iters + 1):
         parts.append(
