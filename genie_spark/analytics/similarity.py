@@ -622,6 +622,11 @@ def banded_plane_counts(
     Per-table recall still amplifies as 1−Π_t(1−p^{r_t}); a ⌊r*⌋
     table is slightly more recall-generous than a ⌈r*⌉ one, so the mix
     is at least as recall-safe as uniform ceil sizing.
+
+    This sizing is OPEN-LOOP (assumes uniform bucket occupancy); on
+    skewed corpora the realized volume creeps above the target as n
+    grows — use ``measured_plane_counts`` (closed-loop, samples the
+    actual occupancy) when the corpus is at hand.
     """
     import math
 
@@ -636,6 +641,139 @@ def banded_plane_counts(
     m = round(2.0 * n_tables * (1.0 - 2.0 ** (-frac)))
     m = min(max(m, 0), n_tables)
     return [lo + 1] * m + [lo] * (n_tables - m)
+
+
+def measured_plane_counts(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    target_occupancy: int = 16,
+    n_rows: int | None = None,
+    slack: float = 1.25,
+    sample_rows: int = 200_000,
+    min_planes: int = 8,
+    max_planes: int = 62,
+    seed_base: int = 1,
+) -> list[int]:
+    """CLOSED-LOOP per-table plane counts for banded sign-LSH: measure
+    each table's actual candidate volume on a sample and pick the
+    smallest plane count that keeps it inside ``slack`` × the linear
+    n·B/2 per-table target.
+
+    ``banded_plane_counts`` sizes open-loop from n assuming UNIFORM
+    bucket occupancy; real corpora concentrate mass in hot buckets
+    (correlated dimensions, duplicate-heavy regions), and the measured
+    excess GROWS with n — 1.47× the linear target at 100 k, 1.99× at
+    1 M on the stress corpus (BASELINE.md round-7 tier), crossing the
+    2× envelope at the next decade.  Closing the loop caps the total
+    at ``slack`` × n_tables·n·B/2 at EVERY n by construction.
+
+    Mechanics — exact, not analogy: table t's final planes are seeds
+    ``seed_base + Σ_{u<t} r_u + p``, and because per-plane bit weights
+    are 2^p, the bucket under r planes is ``bucket_R & (2^r − 1)`` of
+    the same table's R-plane bucket.  So ONE signature scan per table
+    at the max probed count R yields every candidate r's buckets by
+    masking, and Σ_buckets c·(c−1)/2 on a Bernoulli sample is an
+    UNBIASED estimator of f²·(true pair volume) — each pair survives
+    the sample with probability f² (hot buckets, the ones that matter,
+    are the best-sampled).  Tables are sized sequentially because
+    table t's seed offset is the sum of the final counts before it —
+    each table is measured with the exact planes it will run with.
+
+    Cost: one bounded sample materialization + n_tables small
+    scan+agg jobs over ≤ ``sample_rows`` rows — a fixed prelude,
+    independent of corpus size, amortized against the corpus-sized
+    banded join it protects.  Recall: raising r lowers per-table
+    recall; the floor stays at the open-loop probe range's bottom and
+    banding across ``n_tables`` amplifies as 1−Π(1−p^{r_t}), so the
+    closed loop trades BOUNDED recall for BOUNDED cost only where the
+    measured data demands it.  The probe window starts at the
+    open-loop estimate ±2 and ESCALATES (4 planes per round, one
+    bounded scan each) until the budget is met, the volume stops
+    improving (exact-duplicate mass — no plane count splits identical
+    sign patterns; cap those rows upstream like ``ngram_jaccard``'s
+    hot-shingle cap), or ``max_planes`` is reached.
+    """
+    import math
+
+    n = n_rows if n_rows is not None else df.count()
+    if n <= 1:
+        return [min_planes] * n_tables
+    r_star = math.log2(max(float(n), 2.0) / float(target_occupancy))
+    r_star = min(max(r_star, float(min_planes)), float(max_planes))
+    lo = max(min_planes, int(math.floor(r_star)) - 2)
+    hi = min(max_planes, int(math.ceil(r_star)) + 2)
+    lo = min(lo, hi)
+
+    f = min(1.0, float(sample_rows) / float(n))
+    s = df.select(id_col, vec_col)
+    if f < 1.0:
+        s = s.sample(fraction=f, seed=7)
+    # one bounded materialization shared by the n_tables probe scans
+    s = s.localCheckpoint(eager=True)
+    m = s.count()
+    if m <= 1:
+        return [min(max(int(round(r_star)), min_planes), max_planes)] * n_tables
+    f2 = (float(m) / float(n)) ** 2
+    budget = slack * float(n) * float(target_occupancy) / 2.0
+
+    def probe_vols(offset: int, r_lo: int, r_hi: int) -> dict[int, int]:
+        sig = sign_signatures(
+            s, id_col, vec_col, dim, [r_hi], 1, seed_base=seed_base + offset
+        )
+        masked = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.col("b0").bitwiseAND(F.lit((1 << r) - 1)).alias("mb"),
+                    )
+                    for r in range(r_lo, r_hi + 1)
+                ]
+            )
+        ).alias("x")
+        return {
+            row["r"]: int(row["v"])
+            for row in (
+                sig.select(masked)
+                .select("x.r", "x.mb")
+                .groupBy("r", "mb")
+                .count()
+                # c·(c−1) is always even — DIV keeps the sum exact long
+                .groupBy("r")
+                .agg(F.sum(F.expr("count * (count - 1) DIV 2")).alias("v"))
+                .collect()
+            )
+        }
+
+    counts: list[int] = []
+    for _t in range(n_tables):
+        offset = sum(counts)
+        chosen: int | None = None
+        r_lo, r_hi = lo, hi
+        prev_floor: int | None = None
+        while chosen is None:
+            vols = probe_vols(offset, r_lo, r_hi)
+            for r in range(r_lo, r_hi + 1):
+                if float(vols.get(r, 0)) / f2 <= budget:
+                    chosen = r
+                    break
+            if chosen is not None:
+                break
+            floor_v = vols.get(r_hi, 0)
+            if r_hi >= max_planes or (
+                prev_floor is not None and floor_v >= prev_floor
+            ):
+                # ceiling reached, or more planes stopped helping
+                # (exact-duplicate sign patterns never split)
+                chosen = r_hi
+                break
+            prev_floor = floor_v
+            r_lo, r_hi = r_hi + 1, min(max_planes, r_hi + 4)
+        counts.append(chosen)
+    return counts
 
 
 def sign_signatures(

@@ -1587,3 +1587,86 @@ def test_kmeans_md5_seeding_beats_first_k_on_sorted_corpus(spark):
         return out.agg(F.sum("d2").alias("s")).first()["s"]
 
     assert total_d2("md5") < total_d2("first")
+
+
+def test_measured_plane_counts_masking_mechanics(spark):
+    """The closed-loop sizer's core mechanic: a table's bucket under r
+    planes equals its R-plane bucket masked to the low r bits (same
+    seed offset), so ONE probe scan prices every candidate r.  Pin the
+    equality against sign_signatures run at r outright."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.similarity import sign_signatures
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)).cast("double")
+                / 1000.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    R = 12
+    wide = {
+        r["vec_id"]: r["b0"]
+        for r in sign_signatures(df, "vec_id", "embedding", 16, [R], 1).collect()
+    }
+    for r in (5, 9):
+        narrow = {
+            row["vec_id"]: row["b0"]
+            for row in sign_signatures(
+                df, "vec_id", "embedding", 16, [r], 1
+            ).collect()
+        }
+        assert {k: v & ((1 << r) - 1) for k, v in wide.items()} == narrow
+
+
+def test_measured_plane_counts_bounds_volume_on_skewed_corpus(spark):
+    """On a corpus whose vectors all lean toward one shared direction
+    (hot sign-buckets), the open-loop banded_plane_counts blows far
+    past the linear b·n·B/2 candidate target while the closed-loop
+    measured_plane_counts escalates its probe window until the
+    REALIZED volume is inside slack × target (VERDICT r7 item 1)."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.similarity import (
+        banded_plane_counts,
+        lsh_banded_pairs,
+        measured_plane_counts,
+    )
+
+    n, B, b = 8000, 16, 4
+    shared = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(i < 32, F.lit(0.6)).otherwise(F.lit(-0.6)),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)).cast("double")
+            / 1000.0
+            - 1.0
+        ),
+    )
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(shared, noise, lambda a, z: (a + z).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        .cache()
+    )
+    target = b * n * B / 2
+    open_counts = banded_plane_counts(n, n_tables=b, target_occupancy=B)
+    closed = measured_plane_counts(df, n_rows=n, n_tables=b, target_occupancy=B)
+    assert len(closed) == b and all(8 <= c <= 62 for c in closed)
+    # the loop responded to the measured skew: every table sized up
+    assert all(c > o for c, o in zip(closed, open_counts))
+    vc = lsh_banded_pairs(df, n_planes=closed, n_tables=b).count()
+    assert vc <= 1.5 * target
+    df.unpersist()

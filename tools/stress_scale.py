@@ -177,14 +177,15 @@ def main() -> None:
         # threshold on the uniform corpus yields a dense 10M+-edge
         # graph at 1M vectors whose survivor-selection tail dwarfs the
         # candidate path)
-        from genie_spark.analytics.similarity import banded_plane_counts
+        from genie_spark.analytics.similarity import measured_plane_counts
 
         e = synth_embeddings_dups(spark, n).repartition(32).cache()
-        # occupancy-smoothed sizing (VERDICT r6 item 3): the per-table
-        # floor/ceil mix tracks the fractional log2(n/B) target, so
-        # candidate volume stays ~b*n*B/2 at every n instead of
-        # jumping 12.5x at whole-power tier boundaries
-        counts = banded_plane_counts(n, n_tables=4, target_occupancy=16)
+        # closed-loop sizing (VERDICT r7 item 1): per-table plane
+        # counts from MEASURED bucket occupancy on a bounded sample,
+        # so candidate volume stays <= slack*b*n*B/2 at every n — the
+        # open-loop banded_plane_counts crept to 1.99x the target at
+        # 1M on this corpus's occupancy skew
+        counts = measured_plane_counts(e, n_rows=n, n_tables=4, target_occupancy=16)
         cand = lsh_banded_pairs(e, n_planes=counts, n_tables=4)
         ver = cosine_verify_pairs(e, cand, threshold=0.6).select("a", "b")
         return near_dup_drop_list(ver)
