@@ -18,7 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family — scan/agg, join chain, window,
-# interval join, pivot, upsert, dedup-ish group, text analytics.
+# interval join, pivot, upsert, dedup-ish group, text analytics, plus
+# (round 8) the round-7 LLM-pipeline families so a regression there is
+# visible in BENCH_r*.json: semantic dedup, Bloom decontamination,
+# Count-Min sketch, token-budgeted selection.
 HEADLINE = [
     "q1_pricing_summary",
     "j1_revenue_per_nation",
@@ -33,6 +36,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk",
     "text_quality",
+    "dedup_semantic",
+    "corpus_bloom_decontaminate",
+    "sketch_count_min",
+    "corpus_token_budget",
 ]
 
 
