@@ -18,7 +18,9 @@ Other centers' partition directories are untouched — not read, not
 rewritten (asserted on file mtimes in tests/test_cli.py).  On a real
 deployment the swap step is Delta/Iceberg ``MERGE INTO`` with dynamic
 partition overwrite; the directory swap is the dependency-free parquet
-equivalent with the same two-phase-safety property.
+equivalent with the same two-phase-safety property, and it sits behind
+the ``TableCommit`` seam (prepare-staging → commit → recover) so a
+Delta/Iceberg backend drops in without touching the merge logic.
 
 Crash atomicity: the reference inherits transactional upserts from
 Synapse tables (genie/load.py:129-296); a bare directory swap does
@@ -359,6 +361,66 @@ def _swap_whole(staging: str, target: str) -> None:
         _apply_whole_swap(manifest)
 
 
+class TableCommit:
+    """The seam between bronze MERGE logic and the table format's
+    transactional machinery.  ``merge_into_bronze`` / ``compact_bronze``
+    / ``rewrite_bronze`` drive ONLY this three-step protocol:
+
+      1. ``recover(target)`` — repair any interrupted prior commit
+         before reading the table;
+      2. ``staging_path(target, token)`` — where the writer
+         materializes the full replacement data (prepare);
+      3. ``commit_whole(staging, target)`` or
+         ``commit_partitions(staging, target, partition_col)`` —
+         atomically install it.
+
+    ``DirectorySwapCommit`` (the default) is the dependency-free
+    single-filesystem implementation: journaled POSIX renames under a
+    per-table flock (module docstring).  A Delta/Iceberg backend is a
+    drop-in: ``recover`` is a no-op (the table format's own log
+    subsumes it), ``staging_path`` names a temp view/table, and the
+    two commits become ``MERGE INTO``/``replaceWhere`` (partition
+    scope) or ``CREATE OR REPLACE TABLE`` (whole) — the merge logic
+    above this seam is unchanged.
+    """
+
+    def recover(self, target_path: str, clean_leftovers: bool = True) -> dict:
+        raise NotImplementedError
+
+    def staging_path(self, target_path: str, token: str = "staging") -> str:
+        raise NotImplementedError
+
+    def commit_whole(self, staging: str, target_path: str) -> None:
+        raise NotImplementedError
+
+    def commit_partitions(
+        self, staging: str, target_path: str, partition_col: str
+    ) -> None:
+        raise NotImplementedError
+
+
+class DirectorySwapCommit(TableCommit):
+    """Default backend: the journaled, flock-serialized directory swap
+    defined by this module."""
+
+    def recover(self, target_path: str, clean_leftovers: bool = True) -> dict:
+        return recover_bronze(target_path, clean_leftovers)
+
+    def staging_path(self, target_path: str, token: str = "staging") -> str:
+        return f"{target_path}.{token}"
+
+    def commit_whole(self, staging: str, target_path: str) -> None:
+        _swap_whole(staging, target_path)
+
+    def commit_partitions(
+        self, staging: str, target_path: str, partition_col: str
+    ) -> None:
+        _swap_partitions(staging, target_path, partition_col)
+
+
+DEFAULT_COMMIT = DirectorySwapCommit()
+
+
 def _swap_partitions(staging: str, target: str, partition_col: str) -> None:
     """Move only the ``CENTER=<c>`` dirs produced in staging into the
     target, replacing same-named dirs; everything else stays put.
@@ -387,6 +449,7 @@ def merge_into_bronze(
     target_path: str,
     keys: list[str] | None,
     partition_col: str = PARTITION_COL,
+    commit: TableCommit = DEFAULT_COMMIT,
 ) -> None:
     """MERGE ``batch`` into the bronze table at ``target_path``.
 
@@ -395,16 +458,17 @@ def merge_into_bronze(
     touches only the batch's partitions.  A legacy unpartitioned target
     (or a batch without the partition column) falls back to the full
     two-phase rewrite, migrating to the partitioned layout when
-    possible.
+    possible.  All prepare/commit/recover steps go through ``commit``
+    (``TableCommit``) — swap in a Delta/Iceberg backend there.
     """
     spark = batch.sparkSession
-    recover_bronze(target_path)
+    commit.recover(target_path)
     existing = _read_target(spark, target_path)
     partitioned = (
         partition_col in batch.columns
         and (existing is None or partition_col in existing.columns)
     )
-    staging = target_path + ".staging"
+    staging = commit.staging_path(target_path)
 
     if existing is None:
         out = batch
@@ -438,7 +502,7 @@ def merge_into_bronze(
             # better — free data-skipping at 100 TB
             out = out.sortWithinPartitions(*keys)
         out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-        _swap_partitions(staging, target_path, partition_col)
+        commit.commit_partitions(staging, target_path, partition_col)
         return
     else:
         # legacy full rewrite (also the one-time migration to the
@@ -454,7 +518,7 @@ def merge_into_bronze(
     if partitioned:
         writer = writer.partitionBy(partition_col)
     writer.parquet(staging)
-    _swap_whole(staging, target_path)
+    commit.commit_whole(staging, target_path)
 
 
 def compact_bronze(
@@ -463,6 +527,7 @@ def compact_bronze(
     partition_col: str = PARTITION_COL,
     target_file_bytes: int = 128 * 1024 * 1024,
     centers: list[str] | None = None,
+    commit: TableCommit = DEFAULT_COMMIT,
 ) -> dict:
     """Compact small files inside each ``CENTER=<c>`` partition.
 
@@ -476,10 +541,10 @@ def compact_bronze(
     compaction never corrupts the target.
 
     On Delta/Iceberg this is ``OPTIMIZE``; the directory swap is the
-    dependency-free parquet equivalent.  Returns per-partition
-    {files_before, files_after} for observability.
+    dependency-free parquet equivalent (seam: ``commit``).  Returns
+    per-partition {files_before, files_after} for observability.
     """
-    recover_bronze(target_path)
+    commit.recover(target_path)
     if not _is_partitioned_layout(target_path, partition_col):
         raise ValueError(f"{target_path} is not a {partition_col}-partitioned layout")
     prefix = f"{partition_col}="
@@ -502,14 +567,14 @@ def compact_bronze(
         if len(files) <= n_target:
             report[value] = {"files_before": len(files), "files_after": len(files)}
             continue
-        staging = target_path + f".compact.{value}"
+        staging = commit.staging_path(target_path, f"compact.{value}")
         (
             spark.read.parquet(part_dir)
             .coalesce(n_target)
             .write.mode("overwrite")
             .parquet(os.path.join(staging, entry))
         )
-        _swap_partitions(staging, target_path, partition_col)
+        commit.commit_partitions(staging, target_path, partition_col)
         after = len([
             f for f in os.listdir(part_dir)
             if f.endswith(".parquet") or f.startswith("part-")
@@ -518,13 +583,18 @@ def compact_bronze(
     return report
 
 
-def rewrite_bronze(df: DataFrame, target_path: str, partition_col: str = PARTITION_COL) -> None:
+def rewrite_bronze(
+    df: DataFrame,
+    target_path: str,
+    partition_col: str = PARTITION_COL,
+    commit: TableCommit = DEFAULT_COMMIT,
+) -> None:
     """Full two-phase rewrite (used by retraction, which may touch any
     partition); keeps the partitioned layout when the column is present."""
-    recover_bronze(target_path)
-    staging = target_path + ".staging"
+    commit.recover(target_path)
+    staging = commit.staging_path(target_path)
     writer = df.write.mode("overwrite")
     if partition_col in df.columns:
         writer = writer.partitionBy(partition_col)
     writer.parquet(staging)
-    _swap_whole(staging, target_path)
+    commit.commit_whole(staging, target_path)

@@ -445,7 +445,7 @@ def _compact_store(spark, store_path: str, merge_fn) -> dict:
     import glob as _glob
     import os as _os
 
-    from genie_spark.io.bronze import _swap_whole, recover_bronze
+    from genie_spark.io.bronze import DEFAULT_COMMIT
 
     def _list_shards() -> set[str]:
         return {
@@ -456,10 +456,10 @@ def _compact_store(spark, store_path: str, merge_fn) -> dict:
             if _os.path.isdir(p)
         }
 
-    recover_bronze(store_path)
+    DEFAULT_COMMIT.recover(store_path)
     shards = _list_shards()
     merged = merge_fn(spark.read.parquet(store_path))
-    staging = store_path + ".staging"
+    staging = DEFAULT_COMMIT.staging_path(store_path)
     merged.coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(staging, "batch=-1")
     )
@@ -474,7 +474,7 @@ def _compact_store(spark, store_path: str, merge_fn) -> dict:
             f"compaction (added/removed: {sorted(now ^ shards)}) — a "
             "stream is still writing this store; stop it and re-run"
         )
-    _swap_whole(staging, store_path)
+    DEFAULT_COMMIT.commit_whole(staging, store_path)
     return {"shards_before": len(shards), "rows_after": rows}
 
 

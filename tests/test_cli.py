@@ -1905,3 +1905,72 @@ def test_merge_schema_evolution(spark, tmp_path):
     )
     got = {r["SAMPLE_ID"]: r["AGE"] for r in out.collect()}
     assert got["S4"] == 60 and got["S2"] == 35
+
+
+def test_table_commit_seam_is_the_only_commit_path(spark, tmp_path):
+    """merge_into_bronze / compact_bronze / rewrite_bronze must drive
+    ONLY the TableCommit protocol (recover → staging_path → commit_*),
+    so a Delta/Iceberg backend is a drop-in (VERDICT r7 item 3).  A
+    recording backend delegating to the directory implementation sees
+    the full protocol; the table state is identical to the default."""
+    import os
+
+    from genie_spark.io import bronze
+
+    calls: list[tuple] = []
+
+    class Recording(bronze.DirectorySwapCommit):
+        def recover(self, target_path, clean_leftovers=True):
+            calls.append(("recover",))
+            return super().recover(target_path, clean_leftovers)
+
+        def staging_path(self, target_path, token="staging"):
+            calls.append(("staging_path", token))
+            return super().staging_path(target_path, token)
+
+        def commit_whole(self, staging, target_path):
+            calls.append(("commit_whole",))
+            return super().commit_whole(staging, target_path)
+
+        def commit_partitions(self, staging, target_path, partition_col):
+            calls.append(("commit_partitions", partition_col))
+            return super().commit_partitions(staging, target_path, partition_col)
+
+    rec = Recording()
+    tgt = str(tmp_path / "wh" / "maf")
+    base = spark.createDataFrame(
+        [(f"GENIE-SAGE-{i}", "SAGE") for i in range(4)],
+        "SAMPLE_ID string, CENTER string",
+    ).repartition(4)
+    # first write: whole swap
+    bronze.merge_into_bronze(base, tgt, keys=["SAMPLE_ID"], commit=rec)
+    assert calls == [("recover",), ("staging_path", "staging"), ("commit_whole",)]
+    calls.clear()
+    # second write: partition-scoped commit
+    batch = spark.createDataFrame(
+        [("GENIE-SAGE-0", "SAGE")], "SAMPLE_ID string, CENTER string"
+    )
+    bronze.merge_into_bronze(batch, tgt, keys=["SAMPLE_ID"], commit=rec)
+    assert calls == [
+        ("recover",),
+        ("staging_path", "staging"),
+        ("commit_partitions", "CENTER"),
+    ]
+    calls.clear()
+    # compaction: per-partition staging token + partition commit
+    report = bronze.compact_bronze(spark, tgt, centers=["SAGE"], commit=rec)
+    assert calls[0] == ("recover",)
+    assert ("staging_path", "compact.SAGE") in calls
+    assert ("commit_partitions", "CENTER") in calls
+    assert report["SAGE"]["files_after"] == 1
+    calls.clear()
+    # full rewrite
+    bronze.rewrite_bronze(
+        spark.read.parquet(tgt).where("SAMPLE_ID != 'GENIE-SAGE-3'"),
+        tgt,
+        commit=rec,
+    )
+    assert calls == [("recover",), ("staging_path", "staging"), ("commit_whole",)]
+    got = {r["SAMPLE_ID"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {"GENIE-SAGE-0", "GENIE-SAGE-1", "GENIE-SAGE-2"}
+    assert not os.path.isdir(tgt + ".staging")
