@@ -1018,8 +1018,34 @@ _ALL_QUERIES: dict = {
 # text_repetition, text_tfidf_topk).  text_pii_scrub keeps its window
 # slot because round 7 touches its audit-count semantics.  After this
 # round, every registered query has had at least one driver-green row.
+# Round-8 rotation (VERDICT r7 item 4 — freshness, not first-coverage:
+# every query already has a driver-green row somewhere): the 15 queries
+# whose latest driver row was ROUND 5 (three rounds of engine drift
+# ago) rotate back INTO the window — j9, p4, p12, p14, a4–a7, a11,
+# a13, a14, w2, j4, j8, j10 — freed by rotating out the 15 YOUNGEST
+# green rows: the 13 round-7 first-timers (redundant family variants
+# by construction — that's why they were checked last) plus
+# text_pii_scrub (text family stays via text_quality/text_token_stats)
+# and a17_value_decreases (the decrease family's a6 rotates IN).
 _TAIL_QUERIES = [
-    # round-6-green, rotated out this round
+    # r7-green, rotated out this round (round-7 first-timers)
+    "set_except_distinct",
+    "j3_interval_anti",
+    "ann_cosine_pairs",
+    "a2_distinct_counts",
+    "p7_contains_filter",
+    "a16_filtered_counts",
+    "dedup_components",
+    "ann_topk",
+    "a9_duplicate_keys",
+    "dedup_ngram_jaccard",
+    "ann_ivf_topk",
+    "dedup_simhash",
+    "text_fingerprint",
+    # r7-green, rotated out this round (family coverage preserved)
+    "text_pii_scrub",
+    "a17_value_decreases",
+    # round-6-green, still in the tail from the round-7 rotation
     "ann_lsh_banded",
     "cluster_balanced_sample",
     "corpus_chunk_overlap",
@@ -1033,31 +1059,6 @@ _TAIL_QUERIES = [
     "text_lm_surprisal",
     "text_repetition",
     "text_tfidf_topk",
-    # round-5-green, still in the tail from the round-6 rotation
-    "j9_code_remap",
-    "p4_anti_filter",
-    "p12_date_window_filter",
-    "p14_group_count_filter",
-    "a5_lag_difference",
-    "a7_median",
-    "a11_fill_count_algebra",
-    "a13_group_concat",
-    "w2_latest_per_key",
-    "j4_containment_join",
-    "a4_completeness",
-    "a6_release_diff",
-    "j8_broadcast_lookup",
-    "j10_symbol_remap",
-    # rotated out for corpus_bloom_decontaminate (NEW round-6 family:
-    # fixed-memory Bloom decontamination): set-ops stay driver-checked
-    # via the historical a14 row + the local set_except check
-    "a14_distinct_union",
-    # round-7: two slots freed for the NEW X35 sketch_count_min
-    # (mergeable Count-Min frequency artifact) and X36
-    # corpus_token_budget (token-budgeted data-mixing selection) —
-    # both r6-green rows rotate out; the sketch family keeps
-    # count_min in-window, the text family keeps text_quality,
-    # text_token_stats and text_pii_scrub
     "text_lang_id",
     "sketch_kmv_distinct",
 ]
