@@ -25,7 +25,12 @@ cBioPortal ingestion depends on:
 - per-column value catalog (cBioPortal validateData.py): no duplicate
   clinical SAMPLE_ID rows, no blank PATIENT_ID, maf Chromosome in
   1-22/X/Y/MT and integer Start_Position, CNA calls in the discrete
-  -2/-1.5/-1/0/1/2/NA domain, seg numeric columns parse.
+  -2/-1.5/-1/0/1/2/NA domain, seg numeric columns parse;
+- clinical enum columns (SEX/PRIMARY_RACE/ETHNICITY) carry remap-table
+  LABELS, not raw codes (genie_registry/clinical.py:321-382);
+- SV NCBI_BUILD in GRCh37/GRCh38
+  (genie_registry/structural_variant.py:209-217) and MAF↔SV agree on
+  one normalized reference build.
 
 Set-containment checks over data-sized artifacts (clinical, maf) run
 as Spark anti-joins; only KB-scale driver-rendered texts (case lists,
@@ -210,6 +215,47 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 n=n_blank,
             )
 
+    # clinical enum domains vs the remap tables (reference
+    # genie_registry/clinical.py:321-382 ``remap_clinical_values``
+    # applied at release QC time): a RELEASED SEX / PRIMARY_RACE /
+    # ETHNICITY column must carry the remapped LABELS — a raw integer
+    # code means the remap step was skipped for that file.  Release
+    # sentinels and null/blank are allowed.  ONE fused agg job prices
+    # every present enum column.
+    from genie_spark.transform import DEFAULT_CLINICAL_MAPPINGS
+
+    _ENUM_SENTINELS = ["Unknown", "Not Collected", "Not Applicable",
+                       "Not Released", ""]
+    enum_aggs: list[tuple[str, object]] = []
+    for logical, mapping in sorted(DEFAULT_CLINICAL_MAPPINGS.items()):
+        actual = _resolve(clinical, logical)
+        if actual is None:
+            continue
+        allowed = sorted(set(mapping.values())) + _ENUM_SENTINELS
+        enum_aggs.append(
+            (
+                logical,
+                F.sum(
+                    F.when(
+                        F.col(actual).isNotNull()
+                        & ~F.trim(F.col(actual)).isin(allowed),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"__bad_{logical}"),
+            )
+        )
+    if enum_aggs:
+        counts = clinical.agg(*[a for _, a in enum_aggs]).first()
+        for (logical, _), n_bad in zip(enum_aggs, counts):
+            if n_bad:
+                err(
+                    "release.clinical_enum_domain",
+                    f"release: data_clinical.txt {logical} has values "
+                    "outside the remap-table label domain (raw codes "
+                    "mean the remap step was skipped)",
+                    n=int(n_bad),
+                )
+
     # --- case lists ------------------------------------------------------
     case_dir = os.path.join(release_dir, "case_lists")
     case_files = sorted(glob.glob(os.path.join(case_dir, "cases_*.txt")))
@@ -361,6 +407,71 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     "values outside A/T/C/G/N (or '-'), or null",
                     n=n_bad,
                 )
+
+    # --- NCBI build: SV domain + MAF↔SV consistency -----------------------
+    # The reference's SV validator restricts NCBI_BUILD to
+    # GRCh37/GRCh38 with NA allowed
+    # (genie_registry/structural_variant.py:209-217
+    # check_col_and_values); and a release whose MAF and SV disagree on
+    # the normalized build imports coordinates from two genomes into
+    # one cBioPortal study (the meta declares ONE reference_genome).
+    def _norm_build(c):
+        up = F.upper(F.trim(c))
+        return (
+            F.when(up.isin("37", "GRCH37", "HG19"), F.lit("GRCh37"))
+            .when(up.isin("38", "GRCH38", "HG38"), F.lit("GRCh38"))
+            .otherwise(F.trim(c))
+        )
+
+    builds_by_file: dict[str, set[str]] = {}
+
+    def _collect_builds(df: DataFrame, col: str, fname: str) -> None:
+        vals = {
+            r[0]
+            for r in df.where(
+                F.col(col).isNotNull() & (F.trim(F.col(col)) != "")
+                & (F.upper(F.trim(F.col(col))) != "NA")
+            )
+            .select(_norm_build(F.col(col)))
+            .distinct()
+            .collect()
+        }
+        if vals:
+            builds_by_file[fname] = vals
+
+    if os.path.isfile(maf_path):
+        maf_nb = _resolve(maf, "NCBI_Build")
+        if maf_nb is not None:
+            _collect_builds(maf, maf_nb, "data_mutations_extended.txt")
+    sv_path = os.path.join(release_dir, "data_sv.txt")
+    if os.path.isfile(sv_path):
+        sv = _read_release_tsv(spark, sv_path, comment=None)
+        sv_nb = _resolve(sv, "NCBI_BUILD")
+        if sv_nb is not None:
+            n_bad = sv.where(
+                F.col(sv_nb).isNotNull()
+                & (F.trim(F.col(sv_nb)) != "")
+                & (F.upper(F.trim(F.col(sv_nb))) != "NA")
+                & ~F.trim(F.col(sv_nb)).isin("GRCh37", "GRCh38")
+            ).count()
+            if n_bad:
+                err(
+                    "release.sv_ncbi_build",
+                    "release: data_sv.txt has NCBI_BUILD values outside "
+                    "GRCh37/GRCh38",
+                    n=n_bad,
+                )
+            _collect_builds(sv, sv_nb, "data_sv.txt")
+    all_builds = set().union(*builds_by_file.values()) if builds_by_file else set()
+    if len(all_builds) > 1:
+        err(
+            "release.ncbi_build_consistency",
+            "release: MAF/SV artifacts disagree on the reference "
+            "genome build: "
+            + "; ".join(
+                f"{f}={sorted(v)}" for f, v in sorted(builds_by_file.items())
+            ),
+        )
 
     # --- gene matrix ↔ gene panel files ---------------------------------
     panel_files = {

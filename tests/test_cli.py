@@ -1487,12 +1487,18 @@ def _build_clean_release(spark, root):
 
     write(
         "data_clinical.txt",
-        "#Sample Id\tPatient Id\n#desc\tdesc\n#STRING\tSTRING\n#1\t1\n"
-        "SAMPLE_ID\tPATIENT_ID\nGENIE-SAGE-1-1\tGENIE-SAGE-1\n",
+        "#Sample Id\tPatient Id\tSex\n#desc\tdesc\tdesc\n"
+        "#STRING\tSTRING\tSTRING\n#1\t1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\tSEX\nGENIE-SAGE-1-1\tGENIE-SAGE-1\tMale\n",
     )
     write(
         "data_mutations_extended.txt",
-        "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-SAGE-1-1\n",
+        "Hugo_Symbol\tTumor_Sample_Barcode\tNCBI_Build\n"
+        "TP53\tGENIE-SAGE-1-1\tGRCh37\n",
+    )
+    write(
+        "data_sv.txt",
+        "SAMPLE_ID\tNCBI_BUILD\nGENIE-SAGE-1-1\tGRCh37\n",
     )
     write(
         "data_gene_matrix.txt",
@@ -1566,6 +1572,39 @@ def _drop_meta_study(out):
     os.remove(os.path.join(out, "meta_study.txt"))
 
 
+def _clinical_raw_sex_code(out):
+    # the remap-skipped shape: a raw integer code where the release
+    # must carry the remap table's LABEL (reference
+    # genie_registry/clinical.py:321-382)
+    with open(os.path.join(out, "data_clinical.txt"), "w") as f:
+        f.write(
+            "#a\tb\tc\n#a\tb\tc\n#a\tb\tc\n#a\tb\tc\n"
+            "SAMPLE_ID\tPATIENT_ID\tSEX\nGENIE-SAGE-1-1\tGENIE-SAGE-1\t1\n"
+        )
+
+
+def _sv_bad_build(out):
+    with open(os.path.join(out, "data_sv.txt"), "w") as f:
+        f.write("SAMPLE_ID\tNCBI_BUILD\nGENIE-SAGE-1-1\tb37-lite\n")
+
+
+def _sv_build_disagrees_with_maf(out):
+    # GRCh38 is inside the SV domain, so ONLY the consistency rule
+    # fires (the maf declares GRCh37)
+    with open(os.path.join(out, "data_sv.txt"), "w") as f:
+        f.write("SAMPLE_ID\tNCBI_BUILD\nGENIE-SAGE-1-1\tGRCh38\n")
+
+
+def _maf_hg38_alias_disagrees(out):
+    # normalization: maf "38" and sv "GRCh37" normalize to different
+    # builds → consistency fires without any domain violation
+    with open(os.path.join(out, "data_mutations_extended.txt"), "w") as f:
+        f.write(
+            "Hugo_Symbol\tTumor_Sample_Barcode\tNCBI_Build\n"
+            "TP53\tGENIE-SAGE-1-1\t38\n"
+        )
+
+
 @pytest.mark.parametrize(
     "mutate,rule_id",
     [
@@ -1578,6 +1617,10 @@ def _drop_meta_study(out):
         (_panel_empty_genes, "release.gene_panel_empty"),
         (_maf_no_barcode, "release.maf_barcode"),
         (_drop_meta_study, "release.meta_study"),
+        (_clinical_raw_sex_code, "release.clinical_enum_domain"),
+        (_sv_bad_build, "release.sv_ncbi_build"),
+        (_sv_build_disagrees_with_maf, "release.ncbi_build_consistency"),
+        (_maf_hg38_alias_disagrees, "release.ncbi_build_consistency"),
     ],
     ids=lambda p: p if isinstance(p, str) else p.__name__,
 )
