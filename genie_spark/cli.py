@@ -1167,6 +1167,98 @@ def cmd_corpus_mix(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest_correlate(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Correlate a center-upload event stream with a validation-result
+    stream per (center, name) — the streaming analog of the batch
+    ``validation_status`` table (io/status.py; reference
+    genie/input_to_database.py:519-603 tracks the same pairing as
+    Synapse-table upserts).  Each upload pairs with the verdict that
+    lands within ``--max-delay-seconds`` of it
+    (``streaming.windows.stream_stream_join`` — watermark + time-range
+    bound keep join state at O(rate·delay)); with the default
+    ``--how left_outer`` an upload whose verdict never arrives in
+    bound is emitted with a NULL status once the watermark closes —
+    the "validation overdue" signal a batch status table cannot
+    produce.  Inputs are header CSV directories (new files appear as
+    new micro-batches; re-runs resume from ``--checkpoint``); output
+    appends to a parquet table.
+
+    Upload rows: ``center,name,uts`` (event time); result rows:
+    ``center,name,rts,status``.
+    """
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import stream_stream_join
+
+    up_schema = T.StructType(
+        [
+            T.StructField("center", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("uts", T.TimestampType()),
+        ]
+    )
+    res_schema = T.StructType(
+        [
+            T.StructField("center", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("rts", T.TimestampType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    ups = (
+        spark.readStream.schema(up_schema)
+        .option("header", "true")
+        .csv(args.uploads)
+    )
+    res = (
+        spark.readStream.schema(res_schema)
+        .option("header", "true")
+        .csv(args.results)
+    )
+    joined = stream_stream_join(
+        ups,
+        res,
+        on=["center", "name"],
+        left_ts="uts",
+        right_ts="rts",
+        max_delay_seconds=args.max_delay_seconds,
+        watermark=args.watermark,
+        how=args.how,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", args.out)
+        .outputMode("append")
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        done = spark.read.parquet(args.out)
+    except Exception:
+        print("ingest-correlate: no correlated rows emitted yet")
+        return 0
+    rows = (
+        done.groupBy("center")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("r_status").isNull(), 1).otherwise(0)
+            ).alias("n_overdue"),
+        )
+        .orderBy("center")
+        .collect()
+    )
+    for r in rows:
+        print(
+            f"ingest-correlate: {r['center']}\t{r['n']} uploads correlated, "
+            f"{r['n_overdue']} overdue (no in-bound verdict)"
+        )
+    print(f"ingest-correlate: {len(rows)} centers")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="genie-spark", description="PySpark-native GENIE pipeline"
@@ -1374,6 +1466,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cm.add_argument("--out", help="write the kept (id, group, n_tokens) parquet here")
     cm.set_defaults(fn=cmd_corpus_mix)
+
+    ic = sub.add_parser(
+        "ingest-correlate",
+        help="correlate upload-event and validation-result streams "
+        "per (center, name)",
+    )
+    ic.add_argument("--uploads", required=True, help="upload-events CSV dir")
+    ic.add_argument("--results", required=True, help="validation-results CSV dir")
+    ic.add_argument("--out", required=True, help="correlated parquet table")
+    ic.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    ic.add_argument(
+        "--max-delay-seconds", dest="max_delay_seconds", type=int, default=600,
+        help="max |result_ts - upload_ts| to count as the upload's verdict",
+    )
+    ic.add_argument("--watermark", default="5 minutes", help="late-data bound")
+    ic.add_argument(
+        "--how", choices=("inner", "left_outer"), default="left_outer",
+        help="left_outer also emits overdue uploads (null status) once "
+        "the watermark closes",
+    )
+    ic.set_defaults(fn=cmd_ingest_correlate)
     return p
 
 

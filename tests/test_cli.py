@@ -2017,3 +2017,60 @@ def test_table_commit_seam_is_the_only_commit_path(spark, tmp_path):
     got = {r["SAMPLE_ID"] for r in spark.read.parquet(tgt).collect()}
     assert got == {"GENIE-SAGE-0", "GENIE-SAGE-1", "GENIE-SAGE-2"}
     assert not os.path.isdir(tgt + ".staging")
+
+
+def test_ingest_correlate_command(spark, tmp_path, capsys):
+    """ingest-correlate pairs upload events with in-bound validation
+    verdicts per (center, name), emits overdue uploads with null
+    status only after the watermark closes their window, and resumes
+    from its checkpoint across invocations (VERDICT r7 item 9)."""
+    from genie_spark.cli import cmd_ingest_correlate
+
+    up_dir, res_dir = tmp_path / "up", tmp_path / "res"
+    up_dir.mkdir(), res_dir.mkdir()
+    (up_dir / "u1.csv").write_text(
+        "center,name,uts\n"
+        "SAGE,clin.txt,2026-01-01 10:00:00\n"
+        "GOLD,maf.txt,2026-01-01 10:00:00\n"
+    )
+    (res_dir / "r1.csv").write_text(
+        "center,name,rts,status\n"
+        "SAGE,clin.txt,2026-01-01 10:05:00,VALID\n"      # within 10 min
+        "GOLD,maf.txt,2026-01-01 11:30:00,INVALID\n"     # outside bound
+    )
+    ns = _ns(
+        uploads=str(up_dir),
+        results=str(res_dir),
+        out=str(tmp_path / "corr"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_delay_seconds=600,
+        watermark="5 minutes",
+        how="left_outer",
+    )
+    assert cmd_ingest_correlate(spark, ns) == 0
+    got = {
+        (r["center"], r["name"], r["r_status"])
+        for r in spark.read.parquet(ns.out).collect()
+    }
+    # on-time verdict pairs immediately; GOLD's window is still open
+    # (nothing has advanced the watermark past it), so no overdue row yet
+    assert got == {("SAGE", "clin.txt", "VALID")}
+
+    # a later batch advances the watermark past GOLD's window → the
+    # overdue upload is emitted with a NULL status on the next run
+    (up_dir / "u2.csv").write_text(
+        "center,name,uts\nSAGE,cna.txt,2026-01-01 13:00:00\n"
+    )
+    (res_dir / "r2.csv").write_text(
+        "center,name,rts,status\nSAGE,cna.txt,2026-01-01 13:01:00,VALID\n"
+    )
+    assert cmd_ingest_correlate(spark, ns) == 0
+    got = {
+        (r["center"], r["name"], r["r_status"])
+        for r in spark.read.parquet(ns.out).collect()
+    }
+    assert ("SAGE", "clin.txt", "VALID") in got
+    assert ("SAGE", "cna.txt", "VALID") in got
+    assert ("GOLD", "maf.txt", None) in got  # overdue, late-emitted
+    out_text = capsys.readouterr().out
+    assert "overdue" in out_text
