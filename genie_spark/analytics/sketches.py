@@ -9,8 +9,14 @@ KMV (SIGMOD'07): with h uniform on [0, 1), the k-th smallest hash
 h_(k) of D distinct values concentrates around k/D, so
 ``(k-1) / h_(k)`` estimates D with relative error ~1/sqrt(k-2).
 
+Also here: HyperLogLog register tables (``hll_sketch``, X38) — the
+same mergeable-artifact contract with 2^p max-merged registers and a
+raw estimator arranged so the harmonic sum is EXACT integer math (the
+usual float 2^−M_j sum and ln-based small-range correction are the
+engine-portability hazards; see ``hll_estimate``).
+
 Engine determinism (what lets a DuckDB oracle reproduce the estimate
-bit-for-bit, unlike HLL whose estimator needs transcendental ln/pow):
+bit-for-bit):
 
 * hash: first 15 md5 hex chars of the stringified value → a 60-bit
   non-negative long — the same md5-uniform family every sampling op in
@@ -370,4 +376,112 @@ def count_min_lookup(
         q.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (X38)
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                      # 2^10 = 1024 registers per group
+HLL_RHO_BITS = KMV_BITS - HLL_P  # hash bits feeding the rank
+HLL_RHO_MAX = HLL_RHO_BITS + 1   # rank of an all-zero rho field
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): per group, a
+    mergeable ≤2^p-row artifact (group, reg, rho) where ``reg`` is the
+    top ``p`` bits of the 60-bit md5 hash, ``rho`` the 1-based
+    position of the highest set bit COUNTED FROM THE TOP of the
+    remaining ``60-p`` bits (all-zero field → ``60-p+1``), and the
+    register keeps the MAX rho seen — so ``hll_merge`` is a max-union
+    and shard/release/rolling-window artifacts combine without
+    re-reading data, the same artifact contract as KMV/Bloom/Count-Min.
+
+    vs KMV (``kmv_sketch``): a KMV artifact is k 8-byte hashes with a
+    one-divide estimator; HLL packs the same accuracy class into 2^p
+    REGISTERS whose merge is idempotent per register (max), which is
+    the shape column stores and stream processors exchange.  Both
+    build with ONE partial-aggregable shuffle: here repeated (group,
+    reg) pairs collapse map-side to a single max-rho row per partition
+    before the exchange, so the shuffle carries ≤ partitions·groups·2^p
+    rows regardless of corpus size.
+
+    Engine determinism: rho needs floor(log2) — computed as the
+    LENGTH OF THE BASE-2 STRING (Spark ``conv(x,10,2)``, DuckDB
+    ``bin(x)``, both render without leading zeros), exact integer
+    arithmetic with no float log anywhere.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_sketch: p={p} outside [4, 16]")
+    rho_bits = KMV_BITS - p
+    h = kmv_hash(value_col)
+    reg = F.shiftright(h, rho_bits)
+    low = h.bitwiseAND(F.lit((1 << rho_bits) - 1))
+    msb = F.length(F.conv(low, 10, 2))  # highest-set-bit position
+    rho = F.when(low == 0, F.lit(rho_bits + 1)).otherwise(
+        F.lit(rho_bits) - msb + 1
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            reg.cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Union two register tables: per (group, reg) the max rho — the
+    associative, idempotent law that makes the artifact mergeable."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Distinct-count estimate from a register table: the raw HLL
+    estimator ``α_m·m²/Σ_j 2^(−M_j)`` with the harmonic sum computed
+    EXACTLY — each register contributes the integer ``2^(rho_max−rho)``
+    (never-hit registers contribute ``2^rho_max``), so Σ fits a long
+    (≤ 2^(p+rho_max) = 2^61 at p=10) and the only float ops are one
+    long→double conversion and one divide by a precomputed literal —
+    engine-portable, no transcendental ln/pow (the classic small-range
+    linear-counting correction needs ln, whose rounding ISN'T
+    IEEE-mandated, so it is deliberately omitted here; for small
+    groups prefer ``kmv_sketch``, which is exact below k).
+
+    Returns (group, n_reg, est_distinct); relative error ≈ 1.04/√m.
+    """
+    m = 1 << p
+    rho_max = KMV_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << rho_max)
+    seen = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_reg"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({rho_max} - rho AS INT))"
+            )
+        ).alias("__s_seen"),
+    )
+    s_total = F.col("__s_seen") + (
+        F.lit(m).cast("long") - F.col("n_reg")
+    ) * F.lit(1 << rho_max).cast("long")
+    return seen.select(
+        F.col(group_col),
+        F.col("n_reg"),
+        (F.lit(numer) / s_total.cast("double")).alias("est_distinct"),
     )

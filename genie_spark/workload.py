@@ -1045,6 +1045,11 @@ _TAIL_QUERIES = [
     # r7-green, rotated out this round (family coverage preserved)
     "text_pii_scrub",
     "a17_value_decreases",
+    # r7-green, slot freed for the NEW X38 sketch_hll_distinct
+    # (HyperLogLog register artifact — first driver row needed); the
+    # decontamination family stays in-window via
+    # corpus_bloom_decontaminate
+    "corpus_decontaminate",
     # round-6-green, still in the tail from the round-7 rotation
     "ann_lsh_banded",
     "cluster_balanced_sample",

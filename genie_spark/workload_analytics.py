@@ -1466,6 +1466,82 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register-table distinct sketch (X38): per-source
+    distinct-token estimate from the mergeable ≤2^p-register artifact,
+    joined against the exact distinct count so the driver's hash pins
+    BOTH the register arithmetic and the estimator (the oracle unrolls
+    the identical top-bits/rank/harmonic-sum steps in exact integer
+    math — no float log2, no ln)."""
+    from genie_spark.analytics.sketches import hll_estimate, hll_sketch
+    from genie_spark.analytics.text import tokens
+
+    # two consumers (sketch build + exact-truth distinct) — one scan
+    occ = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("source", F.explode(tokens("text")).alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    est = hll_estimate(hll_sketch(occ, "source", "value"), "source")
+    exact = (
+        occ.select("source", "value")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "source", "left")
+        .withColumn("exact_distinct", F.coalesce("exact_distinct", F.lit(0)))
+        .select("source", "n_reg", "est_distinct", "exact_distinct")
+    )
+
+
+def _hll_sql(p: int = 10) -> str:
+    """DuckDB mirror of hll_sketch + hll_estimate: same 60-bit md5
+    hash, top-p register bits, base-2-string-length rank (DuckDB
+    ``bin`` == Spark ``conv(x,10,2)``, both unpadded), max-merged
+    registers, exact-integer harmonic sum, one literal-over-long
+    divide."""
+    m = 1 << p
+    rho_bits = 60 - p
+    rho_max = rho_bits + 1
+    mask = (1 << rho_bits) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << rho_max)
+    return f"""
+WITH occ AS (
+  SELECT source, unnest({_TOKS}) AS value
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(value AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM occ WHERE value IS NOT NULL
+),
+rr AS (
+  SELECT source, CAST(h >> {rho_bits} AS INT) AS reg,
+         CAST(CASE WHEN (h & {mask}) = 0 THEN {rho_max}
+              ELSE {rho_bits} - length(bin(h & {mask})) + 1 END AS INT) AS rho
+  FROM h
+),
+sk AS (SELECT source, reg, max(rho) AS rho FROM rr GROUP BY source, reg),
+agg AS (
+  SELECT source, count(*) AS n_reg,
+         sum(CAST(1 AS BIGINT) << ({rho_max} - rho)) AS s_seen
+  FROM sk GROUP BY source
+),
+ex AS (SELECT source, count(DISTINCT value) AS exact_distinct
+       FROM occ GROUP BY source)
+SELECT a.source, a.n_reg,
+       {numer!r} / CAST(a.s_seen + ({m} - a.n_reg) *
+                        (CAST(1 AS BIGINT) << {rho_max}) AS DOUBLE)
+         AS est_distinct,
+       coalesce(ex.exact_distinct, 0) AS exact_distinct
+FROM agg a LEFT JOIN ex USING (source)
+"""
+
+
 def _count_min_sql(width: int = CM_Q_WIDTH, depth: int = CM_Q_DEPTH) -> str:
     """DuckDB mirror of count_min_sketch + count_min_lookup: identical
     single-md5 8-hex-slice bucket arithmetic (the bloom idiom), exact
@@ -1573,6 +1649,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_keep_list": corpus_keep_list_q,
     "multimodal_features": multimodal_features,
     "sketch_count_min": sketch_count_min,
+    "sketch_hll_distinct": sketch_hll_distinct,
     "corpus_token_budget": corpus_token_budget,
 }
 
@@ -1616,5 +1693,6 @@ ANALYTICS_ORACLES: dict = {
     "corpus_keep_list": _keep_list_sql(),
     "multimodal_features": MULTIMODAL_SQL,
     "sketch_count_min": _count_min_sql(),
+    "sketch_hll_distinct": _hll_sql(),
     "corpus_token_budget": TOKEN_BUDGET_SQL,
 }

@@ -298,8 +298,9 @@ vecs_st = st.lists(
 @settings(**_SETTINGS)
 def test_kmeans_matches_sequential_lloyd(spark, vecs, k):
     """kmeans_assign equals a NumPy-free sequential Lloyd model with
-    the same deterministic rules (lowest-id init, (d2, cid) ties,
-    floor-mean update, empty cluster keeps centroid)."""
+    the same deterministic rules (k smallest (md5(id), id) init,
+    (d2, cid) ties, floor-mean update, empty cluster keeps
+    centroid)."""
     from genie_spark.analytics.clustering import kmeans_assign
 
     rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)]
@@ -312,10 +313,16 @@ def test_kmeans_matches_sequential_lloyd(spark, vecs, k):
         ).collect()
     }
 
+    import hashlib
     import math
 
     q = {i: [int(math.floor(x * 1000.0 + 0.5)) for x in v] for i, v in rows}
-    cents = {c: list(q[i]) for c, i in enumerate(sorted(q)[: min(k, len(q))])}
+    seed_order = sorted(
+        q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    cents = {
+        c: list(q[i]) for c, i in enumerate(seed_order[: min(k, len(q))])
+    }
 
     def assign():
         a = {}
