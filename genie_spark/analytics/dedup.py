@@ -632,23 +632,25 @@ def simhash(
     return summed.select(id_col, value.alias("simhash"))
 
 
-def simhash_pairs(
+def hamming_near_dup_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    hash_col: str,
     max_distance: int = 3,
     n_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_distance.
-
-    EXACT banded search, no cross join: the fingerprint is cut into
-    ``max_distance + 1`` bit-bands; by pigeonhole, any pair within
-    ``max_distance`` bit flips agrees exactly on at least one band, so
-    an equi-join on (band index, band value) finds every qualifying
-    pair — candidate generation is a hash join, the XOR+popcount verify
-    runs on candidates only, and duplicates (pairs agreeing on several
-    bands) collapse in the distinct.  Same results as the O(n²) scan at
-    any corpus size."""
+    """Pairs whose ``hash_col`` fingerprints are within
+    ``max_distance`` Hamming bits — the EXACT banded search shared by
+    SimHash text dedup and image perceptual-hash dedup
+    (``multimodal.image_ahash``), no cross join: the fingerprint is
+    cut into ``max_distance + 1`` bit-bands; by pigeonhole, any pair
+    within ``max_distance`` bit flips agrees exactly on at least one
+    band, so an equi-join on (band index, band value) finds every
+    qualifying pair — candidate generation is a hash join, the
+    XOR+popcount verify runs on candidates only, and duplicates
+    (pairs agreeing on several bands) collapse in the distinct.  Same
+    results as the O(n²) scan at any corpus size.  Returns
+    (a, b, hamming)."""
     n_bands = max_distance + 1
     assert n_bands <= n_bits, "max_distance must be < n_bits"
     # uncovered high bits (n_bits % n_bands) can't break band agreement,
@@ -656,16 +658,15 @@ def simhash_pairs(
     # still guarantees one clean band; narrow bands do concentrate the
     # join key space, so keep n_bits/n_bands ≥ ~8 at corpus scale.
     width = n_bits // n_bands
-    s = simhash(df, id_col, text_col, n_bits)
-    bands = s.select(
+    bands = df.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * width)
+                        F.shiftright(F.col(hash_col), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
@@ -673,12 +674,15 @@ def simhash_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select(
+        id_col, hash_col,
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
     a = bands.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "val"
+        F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), "band", "val"
     )
     b = bands.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "val"
+        F.col(id_col).alias("b"), F.col(hash_col).alias("hb"), "band", "val"
     )
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     # merge hint: fingerprint-table self-join, both sides data-sized
@@ -690,3 +694,18 @@ def simhash_pairs(
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_distance —
+    ``simhash`` fingerprints through the shared exact banded search
+    (``hamming_near_dup_pairs``; semantics and plan shape unchanged
+    by the round-8 extraction)."""
+    s = simhash(df, id_col, text_col, n_bits)
+    return hamming_near_dup_pairs(s, id_col, "simhash", max_distance, n_bits)

@@ -550,3 +550,74 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_ahash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash over an image binary column (the
+    classic aHash): REAL decode (``StdlibDecoder`` — binary PPM/PGM
+    parse into a numpy raster), nearest-neighbor downsample to
+    ``grid``×``grid``, channel mean by integer floor-division, and one
+    bit per cell — set iff ``pixel·grid² > Σ pixels`` (strict, exact
+    integer — no float mean, so a SQL oracle reproduces the hash
+    bit-for-bit on images whose pixels it can derive).  Bit j is the
+    row-major cell j with weight 2^j; returns (id, ahash long).
+
+    Rows whose content fails to decode (null, empty, or a compressed
+    codec behind the ``NotImplementedError`` stub) are OMITTED — the
+    same degenerate-row policy as the Arrow k-means/signature engines.
+
+    Feed the result to ``dedup.hamming_near_dup_pairs`` for exact
+    banded near-dup search: near-identical images differ in few cells,
+    so their hashes sit within a small Hamming distance, while the
+    expected distance of unrelated images is grid²/2.
+    """
+    if not 2 <= grid <= 8:
+        raise ValueError(f"image_ahash: grid={grid} outside [2, 8] (bits ≤ 64)")
+    decoder = StdlibDecoder()
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None or len(content) == 0:
+                    continue
+                try:
+                    kind, arr = decoder.decode(bytes(content))
+                except (NotImplementedError, ValueError):
+                    continue
+                if kind != "image":
+                    continue
+                h0, w0, c = arr.shape
+                rows = np.arange(grid) * h0 // grid
+                cols = np.arange(grid) * w0 // grid
+                cells = arr[rows][:, cols].astype(np.int64)
+                gray = cells.sum(axis=2) // c  # integer channel mean
+                flat = gray.ravel()            # row-major cell order
+                total = int(flat.sum())
+                bits = flat * (grid * grid) > total
+                # signed-64 two's complement: bit 63 (grid=8) carries
+                # weight −2^63, so the long stays representable and the
+                # band/mask arithmetic matches the SQL mirror exactly
+                ahash = int(
+                    sum(1 << j for j, b in enumerate(bits[:63]) if b)
+                )
+                if len(bits) > 63 and bits[63]:
+                    ahash -= 1 << 63
+                ids.append(mid)
+                hashes.append(ahash)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=f"{id_col} long, ahash long"
+    )

@@ -1045,11 +1045,14 @@ _TAIL_QUERIES = [
     # r7-green, rotated out this round (family coverage preserved)
     "text_pii_scrub",
     "a17_value_decreases",
-    # r7-green, slot freed for the NEW X38 sketch_hll_distinct
-    # (HyperLogLog register artifact — first driver row needed); the
-    # decontamination family stays in-window via
-    # corpus_bloom_decontaminate
+    # r7-green, slots freed for the NEW X38 sketch_hll_distinct
+    # (HyperLogLog register artifact) and X39 multimodal_phash_dedup
+    # (image average-hash near-dup) — both need a first driver row;
+    # the decontamination family stays in-window via
+    # corpus_bloom_decontaminate, the corpus-assembly family via
+    # corpus_passage_dedup + corpus_token_budget
     "corpus_decontaminate",
+    "corpus_pack_sequences",
     # round-6-green, still in the tail from the round-7 rotation
     "ann_lsh_banded",
     "cluster_balanced_sample",

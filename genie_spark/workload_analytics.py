@@ -1417,6 +1417,111 @@ FROM documents
 """
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual near-dup (X39): synthesize one 8×8 PGM image
+    per document from an md5 pixel chain — every ``doc_id % 8 == 7``
+    document reuses its predecessor's pixels with the LAST HEX NIBBLE
+    zeroed (a one-pixel brightness nudge → Hamming-near average
+    hashes) — then run the REAL pipeline: ``image_ahash`` decodes the
+    PGM binaries via the stdlib parser inside mapInPandas and
+    ``hamming_near_dup_pairs`` finds pairs within 3 bits by exact
+    pigeonhole banding.  The oracle derives the pixels straight from
+    the same md5 hex (it cannot parse PGM; the binary decode is
+    pinned Spark-side by the multimodal pytest suite) and unrolls the
+    identical integer hash/band/popcount arithmetic."""
+    from genie_spark.analytics.dedup import hamming_near_dup_pairs
+    from genie_spark.analytics.multimodal import image_ahash
+
+    base = F.when(
+        F.col("doc_id") % 8 == 7, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    hex_chain = F.concat(
+        *[
+            F.md5(F.concat(F.lit("img_"), base.cast("string"), F.lit(f"_{k}")))
+            for k in range(4)
+        ]
+    )
+    perturbed = F.when(
+        F.col("doc_id") % 8 == 7,
+        F.concat(F.substring(hex_chain, 1, 127), F.lit("0")),
+    ).otherwise(hex_chain)
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(perturbed)).alias("content"),
+    )
+    hashes = image_ahash(media)
+    return hamming_near_dup_pairs(
+        hashes, "media_id", "ahash", max_distance=3, n_bits=64
+    )
+
+
+def _phash_dedup_sql() -> str:
+    """DuckDB mirror of multimodal_phash_dedup: same md5 pixel chain
+    and nibble perturbation, pixel_j·64 > Σ pixels bits, signed-64
+    two's-complement hash (bit 63 via an INT64_MIN add — DuckDB's
+    checked arithmetic can't shift into the sign bit), identical
+    4×16-bit pigeonhole bands and popcount verify."""
+    pixel = "CAST(('0x' || substr(px.hex, 2 * j.j + 1, 2)) AS BIGINT)"
+    bands = "\nUNION ALL\n".join(
+        f"SELECT media_id, ahash, {i} AS band, "
+        f"(ahash >> {i * 16}) & 65535 AS val FROM hashed"
+        for i in range(4)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 8 = 7 THEN doc_id - 1 ELSE doc_id END AS b
+  FROM documents
+),
+chain AS (
+  SELECT media_id,
+         md5('img_' || CAST(b AS VARCHAR) || '_0') ||
+         md5('img_' || CAST(b AS VARCHAR) || '_1') ||
+         md5('img_' || CAST(b AS VARCHAR) || '_2') ||
+         md5('img_' || CAST(b AS VARCHAR) || '_3') AS hex0
+  FROM base
+),
+px AS (
+  SELECT media_id,
+         CASE WHEN media_id % 8 = 7
+              THEN substr(hex0, 1, 127) || '0' ELSE hex0 END AS hex
+  FROM chain
+),
+cells AS (
+  SELECT px.media_id, j.j, {pixel} AS p
+  FROM px, range(0, 64) j(j)
+),
+tot AS (SELECT media_id, sum(p) AS total FROM cells GROUP BY media_id),
+bits AS (
+  SELECT c.media_id, c.j,
+         CASE WHEN c.p * 64 > t.total THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+),
+hashed AS (
+  -- CAST back to BIGINT: DuckDB sum() widens to HUGEINT, and
+  -- bit_count(xor(...)) on INT128 counts 64 extra sign bits for
+  -- negative hashes (66 instead of 2 — found the hard way)
+  SELECT media_id,
+         CAST(sum(CASE WHEN j < 63 THEN bit * (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END)
+              + CASE WHEN max(CASE WHEN j = 63 THEN bit ELSE 0 END) = 1
+                     THEN (-9223372036854775807 - 1) ELSE 0 END
+              AS BIGINT) AS ahash
+  FROM bits GROUP BY media_id
+),
+banded AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         bit_count(xor(x.ahash, y.ahash)) AS hamming
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.val = y.val AND x.media_id < y.media_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 CM_Q_WIDTH = 1 << 12
 CM_Q_DEPTH = 3
 CM_Q_PROBES = (
@@ -1650,6 +1755,7 @@ ANALYTICS_QUERIES: dict = {
     "multimodal_features": multimodal_features,
     "sketch_count_min": sketch_count_min,
     "sketch_hll_distinct": sketch_hll_distinct,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "corpus_token_budget": corpus_token_budget,
 }
 
@@ -1694,5 +1800,6 @@ ANALYTICS_ORACLES: dict = {
     "multimodal_features": MULTIMODAL_SQL,
     "sketch_count_min": _count_min_sql(),
     "sketch_hll_distinct": _hll_sql(),
+    "multimodal_phash_dedup": _phash_dedup_sql(),
     "corpus_token_budget": TOKEN_BUDGET_SQL,
 }

@@ -1670,3 +1670,72 @@ def test_measured_plane_counts_bounds_volume_on_skewed_corpus(spark):
     vc = lsh_banded_pairs(df, n_planes=closed, n_tables=b).count()
     assert vc <= 1.5 * target
     df.unpersist()
+
+
+def test_image_ahash_matches_model_and_omits_degenerates(spark):
+    """image_ahash REALLY decodes PGM binaries (stdlib parser) and its
+    64-bit average-hash matches a pure-Python pixel model, signed-64
+    two's complement included; null / empty / undecodable rows are
+    OMITTED, and a 16×16 image downsamples with the same
+    nearest-neighbor rule as the decoder's resize."""
+    from genie_spark.analytics.multimodal import image_ahash
+
+    def pgm(pixels, w, h):
+        return b"P5\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+    def model(pixels):
+        total = sum(pixels)
+        a = sum(1 << j for j in range(63) if pixels[j] * 64 > total)
+        if pixels[63] * 64 > total:
+            a -= 1 << 63
+        return a
+
+    px1 = [(i * 37) % 256 for i in range(64)]
+    px2 = [255] * 32 + [0] * 32          # bit 63 region dark, low bits set
+    big = [(i * 7) % 256 for i in range(256)]   # 16x16
+    rows = [
+        (1, pgm(px1, 8, 8)),
+        (2, pgm(px2, 8, 8)),
+        (3, None),
+        (4, b""),
+        (5, b"\x89PNG garbage"),
+        (6, pgm(big, 16, 16)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert set(got) == {1, 2, 6}
+    assert got[1] == model(px1)
+    assert got[2] == model(px2)
+    # 16x16 → nearest-neighbor rows/cols arange(8)*16//8 = every 2nd
+    ds = [big[(2 * r) * 16 + 2 * c] for r in range(8) for c in range(8)]
+    assert got[6] == model(ds)
+
+
+def test_phash_near_dup_via_shared_banding(spark):
+    """A one-pixel nudge keeps the pair within the Hamming bound and
+    the shared exact banded search (hamming_near_dup_pairs) finds it;
+    an unrelated image pairs with neither."""
+    from genie_spark.analytics.dedup import hamming_near_dup_pairs
+    from genie_spark.analytics.multimodal import image_ahash
+
+    base = [(i * 53) % 256 for i in range(64)]
+    nudged = list(base)
+    nudged[63] = (nudged[63] + 9) % 256
+    other = [(i * 11 + 128) % 256 for i in range(64)]
+
+    def pgm(p):
+        return b"P5\n8 8\n255\n" + bytes(p)
+
+    df = spark.createDataFrame(
+        [(1, pgm(base)), (2, pgm(nudged)), (3, pgm(other))],
+        "media_id long, content binary",
+    )
+    hashes = image_ahash(df)
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            hashes, "media_id", "ahash", max_distance=3, n_bits=64
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] <= 3
