@@ -30,7 +30,10 @@ cBioPortal ingestion depends on:
   LABELS, not raw codes (genie_registry/clinical.py:321-382);
 - SV NCBI_BUILD in GRCh37/GRCh38
   (genie_registry/structural_variant.py:209-217) and MAF↔SV agree on
-  one normalized reference build.
+  one normalized reference build;
+- mutation-profile samples ⊆ cases_sequenced.txt (validateData's
+  profile↔case-list cross-check) and meta_study.txt carries the four
+  importer-required fields.
 
 Set-containment checks over data-sized artifacts (clinical, maf) run
 as Spark anti-joins; only KB-scale driver-rendered texts (case lists,
@@ -262,9 +265,12 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     if not any(os.path.basename(p) == "cases_all.txt" for p in case_files):
         err("release.case_list_all", "release: case_lists/cases_all.txt missing")
     case_study_ids: dict[str, list[str]] = {}
+    sequenced_ids: list[str] | None = None
     for p in case_files:
         name = os.path.basename(p)
         kv = _parse_kv_text(p)
+        if name == "cases_sequenced.txt" and "case_list_ids" in kv:
+            sequenced_ids = [s for s in kv["case_list_ids"].split("\t") if s]
         missing_keys = [k for k in _CASE_LIST_KEYS if k not in kv]
         if missing_keys:
             err(
@@ -332,6 +338,29 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     "absent from data_clinical.txt",
                     n=n,
                 )
+            # gene-matrix↔case-list cross-check (cBioPortal
+            # validateData: a sample in the mutation profile must be
+            # in the _sequenced case list, or the importer drops its
+            # mutations from analysis views; reference writes
+            # _sequenced = all released samples,
+            # genie/create_case_lists.py:128-147)
+            if sequenced_ids is not None:
+                seq_df = spark.createDataFrame(
+                    [(i,) for i in sequenced_ids], "SAMPLE_ID string"
+                )
+                n = (
+                    maf.select(F.col(tsb).alias("SAMPLE_ID"))
+                    .distinct()
+                    .join(F.broadcast(seq_df), "SAMPLE_ID", "left_anti")
+                    .count()
+                )
+                if n:
+                    err(
+                        "release.cases_sequenced_coverage",
+                        "release: data_mutations_extended.txt has "
+                        "samples missing from cases_sequenced.txt",
+                        n=n,
+                    )
         else:
             err("release.maf_barcode",
                 "release: data_mutations_extended.txt has no "
@@ -594,8 +623,31 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             n=len(missing_meta),
             examples=missing_meta[:5],
         )
-    if not os.path.isfile(os.path.join(release_dir, "meta_study.txt")):
+    meta_study_path = os.path.join(release_dir, "meta_study.txt")
+    if not os.path.isfile(meta_study_path):
         err("release.meta_study", "release: meta_study.txt is missing")
+    else:
+        # cBioPortal's study importer requires these four; a release
+        # missing any fails at import time (validateData.py study meta
+        # checks; our writer emits all four — io/writers.py
+        # cbio_meta_texts — so a violation means hand-edited meta)
+        kv = _parse_kv_text(meta_study_path)
+        missing_fields = [
+            k
+            for k in (
+                "type_of_cancer",
+                "cancer_study_identifier",
+                "name",
+                "description",
+            )
+            if not kv.get(k)
+        ]
+        if missing_fields:
+            err(
+                "release.meta_study_fields",
+                f"release: meta_study.txt missing required fields "
+                f"{missing_fields}",
+            )
     meta_study_ids: dict[str, str] = {}
     for m in sorted(glob.glob(os.path.join(release_dir, "meta_*.txt"))):
         kv = _parse_kv_text(m)

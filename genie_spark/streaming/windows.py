@@ -502,3 +502,60 @@ def bloom_compact(spark, store_path: str) -> dict:
     return _compact_store(
         spark, store_path, lambda df: df.select("pos").distinct()
     )
+
+
+def hll_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    p: int | None = None,
+):
+    """Streaming HyperLogLog distinct sketching: each micro-batch's
+    (group, token) pairs are register-sketched
+    (``sketches.hll_sketch`` — ≤ groups·2^p rows) into their own
+    ``batch=<id>`` shard; the rolling distinct question is answered
+    any time by max-merging rho per (group, reg) across the store
+    (``hll_merge``'s idempotent law — equivalently ONE groupBy over
+    the whole store) and feeding ``hll_estimate``, never by
+    re-reading ingested text.  Same store conventions as
+    ``sketch_stream`` / ``bloom_stream`` / ``count_min_stream``:
+    write-only per batch, replays rewrite their own directory, reads
+    stay idempotent.  Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import HLL_P, hll_sketch
+    from genie_spark.analytics.text import tokens
+
+    pp = p if p is not None else HLL_P
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        occ = batch.where(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(group_col, F.explode(tokens(text_col)).alias("value"))
+        sk = hll_sketch(occ, group_col, "value", p=pp)
+        sk.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_compact(spark, store_path: str, group_col: str = "source") -> dict:
+    """Compact an ``hll_stream`` store: max rho per (group, reg)
+    across every shard — the merged artifact is ≤ groups·2^p rows
+    regardless of how many batches the store has seen.  Protocol in
+    ``_compact_store``."""
+    from pyspark.sql import functions as F
+
+    return _compact_store(
+        spark,
+        store_path,
+        lambda df: df.groupBy(group_col, "reg").agg(F.max("rho").alias("rho")),
+    )

@@ -1605,6 +1605,25 @@ def _maf_hg38_alias_disagrees(out):
         )
 
 
+def _cases_sequenced_misses_maf_sample(out):
+    # a cases_sequenced list that omits the mutation profile's sample
+    # — the profile↔case-list cross-check must flag the maf sample
+    with open(os.path.join(out, "case_lists", "cases_sequenced.txt"), "w") as f:
+        f.write(
+            "cancer_study_identifier: s\nstable_id: s_sequenced\n"
+            "case_list_name: n\ncase_list_description: d\n"
+            "case_list_ids: GENIE-SAGE-OTHER-1\n"
+        )
+
+
+def _meta_study_missing_description(out):
+    kept = []
+    with open(os.path.join(out, "meta_study.txt")) as f:
+        kept = [l for l in f if not l.startswith("description:")]
+    with open(os.path.join(out, "meta_study.txt"), "w") as f:
+        f.writelines(kept)
+
+
 @pytest.mark.parametrize(
     "mutate,rule_id",
     [
@@ -1621,6 +1640,8 @@ def _maf_hg38_alias_disagrees(out):
         (_sv_bad_build, "release.sv_ncbi_build"),
         (_sv_build_disagrees_with_maf, "release.ncbi_build_consistency"),
         (_maf_hg38_alias_disagrees, "release.ncbi_build_consistency"),
+        (_cases_sequenced_misses_maf_sample, "release.cases_sequenced_coverage"),
+        (_meta_study_missing_description, "release.meta_study_fields"),
     ],
     ids=lambda p: p if isinstance(p, str) else p.__name__,
 )

@@ -620,3 +620,83 @@ def test_stream_stream_join_guards_and_keyless(spark, tmp_path):
     # silently-null predicate the pre-fix code built
     with pt.raises(ValueError, match="at least one equi-key"):
         stream_stream_join(ls, rs, on=[], left_ts="uts", right_ts="rts")
+
+
+def test_hll_stream_store_matches_batch_sketch(spark, tmp_path):
+    """Two micro-batches: max-merging the streamed HLL store per
+    (group, reg) equals hll_sketch over the concatenated batches (the
+    idempotent merge law), the estimate from the merged store matches
+    the batch estimate exactly, and hll_compact folds the shards into
+    the bounded batch=-1 artifact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import hll_estimate, hll_sketch
+    from genie_spark.analytics.text import tokens
+    from genie_spark.streaming.windows import hll_compact, hll_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "ckpt")
+    (in_dir / "b1.csv").write_text(
+        "source,text\nwiki,alpha beta gamma delta\nweb,one two three\n"
+    )
+    q = hll_stream(
+        spark.readStream.schema("source string, text string")
+        .option("header", "true").csv(str(in_dir)),
+        store, ckpt,
+    )
+    q.awaitTermination()
+    (in_dir / "b2.csv").write_text(
+        "source,text\nwiki,gamma delta epsilon zeta\nweb,three four\n"
+    )
+    q = hll_stream(
+        spark.readStream.schema("source string, text string")
+        .option("header", "true").csv(str(in_dir)),
+        store, ckpt,
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            ("wiki", "alpha beta gamma delta"),
+            ("web", "one two three"),
+            ("wiki", "gamma delta epsilon zeta"),
+            ("web", "three four"),
+        ],
+        "source string, text string",
+    )
+    occ = batch_docs.select("source", F.explode(tokens("text")).alias("value"))
+    batch_sk = hll_sketch(occ, "source", "value")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in batch_sk.collect()
+    }
+    est_stream = {
+        r["source"]: r["est_distinct"]
+        for r in hll_estimate(merged, "source").collect()
+    }
+    est_batch = {
+        r["source"]: r["est_distinct"]
+        for r in hll_estimate(batch_sk, "source").collect()
+    }
+    assert est_stream == est_batch
+
+    report = hll_compact(spark, store)
+    assert report["shards_before"] == 2
+    shards = [e for e in os.listdir(store) if e.startswith("batch=")]
+    assert shards == ["batch=-1"]
+    compacted = (
+        spark.read.parquet(store)
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert {tuple(r) for r in compacted.collect()} == {
+        tuple(r) for r in batch_sk.collect()
+    }
