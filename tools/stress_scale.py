@@ -353,6 +353,48 @@ def main() -> None:
 
     probe("count_min", run_count_min)
 
+    # HyperLogLog registers: token explode + ONE bounded groupBy —
+    # repeated (group, reg) pairs collapse map-side to ≤ 2^p rows per
+    # partition before the exchange, so wall should track the scan
+    from genie_spark.analytics.sketches import hll_estimate, hll_sketch
+
+    def run_hll(n):
+        occ = docs(n).withColumn(
+            "source", F.pmod("doc_id", F.lit(20)).cast("string")
+        ).select("source", F.explode(_tokens("text")).alias("value"))
+        return hll_estimate(hll_sketch(occ, "source", "value"), "source")
+
+    probe("hll_sketch", run_hll)
+
+    # image perceptual near-dup: md5-synthesized 8x8 PGM binaries with
+    # 1-in-8 planted one-nibble near-copies → REAL decode + avg-hash in
+    # mapInPandas → exact pigeonhole Hamming banding.  All linear:
+    # hash-join candidates, popcount verify on candidates only.
+    from genie_spark.analytics.dedup import hamming_near_dup_pairs
+    from genie_spark.analytics.multimodal import image_ahash
+
+    def run_phash(n):
+        base = F.when(
+            F.col("id") % 8 == 7, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        hex_chain = F.concat(*[
+            F.md5(F.concat(F.lit("img_"), base.cast("string"), F.lit(f"_{k}")))
+            for k in range(4)
+        ])
+        perturbed = F.when(
+            F.col("id") % 8 == 7,
+            F.concat(F.substring(hex_chain, 1, 127), F.lit("0")),
+        ).otherwise(hex_chain)
+        media = spark.range(n).repartition(32).select(
+            F.col("id").alias("media_id"),
+            F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(perturbed)).alias("content"),
+        )
+        return hamming_near_dup_pairs(
+            image_ahash(media), "media_id", "ahash", max_distance=3, n_bits=64
+        )
+
+    probe("image_phash", run_phash)
+
     # token-budget selection: per-bin rollup (bounded) + the ONE
     # straddling bin's window sort — wall should track the scan, not
     # a global per-group sort
