@@ -435,3 +435,55 @@ def test_no_nondeterministic_uid_in_package():
                 ):
                     offenders.append(f"{path}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_hll_sketch_single_bounded_exchange(spark):
+    """The register build is ONE partial-aggregable groupBy: repeated
+    (group, reg) pairs collapse map-side to ≤2^p rows per partition
+    before the exchange — no join, no window, and the estimate adds
+    only the per-group rollup exchange."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import hll_estimate, hll_sketch
+    from genie_spark.analytics.text import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    occ = docs.select("source", F.explode(tokens("text")).alias("value"))
+    est = hll_estimate(hll_sketch(occ, "source", "value"), "source")
+    plan = plan_of(est)
+    assert "Join" not in plan, plan
+    # sketch groupBy + estimate groupBy: two hash exchanges, both with
+    # partial_ aggregation before them (map-side collapse)
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_max" in plan, plan
+
+
+def test_image_phash_banded_join_no_cartesian(spark):
+    """The Hamming search must be an equi-join on (band, val) — never
+    a cartesian/nested-loop pair scan — and the fingerprint-table
+    self-join stays a shuffle join (both sides data-sized)."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.dedup import hamming_near_dup_pairs
+    from genie_spark.analytics.multimodal import image_ahash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"P5\n8 8\n255\n"),
+            F.unhex(
+                F.concat(*[
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(str(k))))
+                    for k in range(4)
+                ])
+            ),
+        ).alias("content"),
+    )
+    pairs = hamming_near_dup_pairs(
+        image_ahash(media), "media_id", "ahash", max_distance=3, n_bits=64
+    )
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan, plan
