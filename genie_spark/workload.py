@@ -1046,13 +1046,16 @@ _TAIL_QUERIES = [
     "text_pii_scrub",
     "a17_value_decreases",
     # r7-green, slots freed for the NEW X38 sketch_hll_distinct
-    # (HyperLogLog register artifact) and X39 multimodal_phash_dedup
-    # (image average-hash near-dup) — both need a first driver row;
-    # the decontamination family stays in-window via
+    # (HyperLogLog register artifact), X39 multimodal_phash_dedup
+    # (image average-hash near-dup) and X40 multimodal_audio_dedup
+    # (WAV energy-fingerprint near-dup) — each needs a first driver
+    # row; the decontamination family stays in-window via
     # corpus_bloom_decontaminate, the corpus-assembly family via
-    # corpus_passage_dedup + corpus_token_budget
+    # corpus_passage_dedup + corpus_token_budget, the text family via
+    # text_quality
     "corpus_decontaminate",
     "corpus_pack_sequences",
+    "text_token_stats",
     # round-6-green, still in the tail from the round-7 rotation
     "ann_lsh_banded",
     "cluster_balanced_sample",

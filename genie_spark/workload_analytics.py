@@ -1455,6 +1455,124 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup (X40): synthesize one mono 16-bit
+    PCM WAV clip (64 samples) per document from an md5 sample chain —
+    every ``doc_id % 8 == 7`` document reuses its predecessor's
+    samples with the LAST HEX NIBBLE zeroed (a one-sample nudge →
+    Hamming-near energy fingerprints) — then run the REAL pipeline:
+    ``audio_fingerprint`` parses the RIFF/fmt/data chunks via the
+    stdlib WAV decoder inside mapInPandas (32 energy windows, strict
+    e·32 > Σe bits) and ``hamming_near_dup_pairs`` finds pairs within
+    3 bits.  The oracle derives the int16 samples straight from the
+    same md5 hex (little-endian byte pairs) and unrolls the identical
+    integer window-energy/band/popcount arithmetic."""
+    import struct
+
+    from genie_spark.analytics.dedup import hamming_near_dup_pairs
+    from genie_spark.analytics.multimodal import audio_fingerprint
+
+    base = F.when(
+        F.col("doc_id") % 8 == 7, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    hex_chain = F.concat(
+        *[
+            F.md5(F.concat(F.lit("wav_"), base.cast("string"), F.lit(f"_{k}")))
+            for k in range(8)
+        ]
+    )
+    perturbed = F.when(
+        F.col("doc_id") % 8 == 7,
+        F.concat(F.substring(hex_chain, 1, 255), F.lit("0")),
+    ).otherwise(hex_chain)
+    n_bytes = 128  # 8 md5s → 64 int16 samples
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", n_bytes)
+    )
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header), F.unhex(perturbed)).alias("content"),
+    )
+    fp = audio_fingerprint(media, n_windows=32)
+    return hamming_near_dup_pairs(
+        fp, "media_id", "afp", max_distance=3, n_bits=32
+    )
+
+
+def _audio_dedup_sql() -> str:
+    """DuckDB mirror of multimodal_audio_dedup: same md5 sample chain
+    and nibble perturbation, little-endian int16 samples, 2-sample
+    window energies, strict e·32 > Σe bits (fingerprint is 32 bits —
+    positive, no sign trick needed), identical 4×8-bit pigeonhole
+    bands and popcount verify.  Sums CAST back to BIGINT (DuckDB
+    HUGEINT widening — see _phash_dedup_sql)."""
+    sample = (
+        "CAST(('0x' || substr(px.hex, 4 * j.j + 1, 2)) AS BIGINT) "
+        "+ 256 * CAST(('0x' || substr(px.hex, 4 * j.j + 3, 2)) AS BIGINT)"
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT media_id, afp, {i} AS band, "
+        f"(afp >> {i * 8}) & 255 AS val FROM fps"
+        for i in range(4)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 8 = 7 THEN doc_id - 1 ELSE doc_id END AS b
+  FROM documents
+),
+chain AS (
+  SELECT media_id,
+         {" || ".join(f"md5('wav_' || CAST(b AS VARCHAR) || '_{k}')" for k in range(8))}
+           AS hex0
+  FROM base
+),
+px AS (
+  SELECT media_id,
+         CASE WHEN media_id % 8 = 7
+              THEN substr(hex0, 1, 255) || '0' ELSE hex0 END AS hex
+  FROM chain
+),
+smp AS (
+  SELECT px.media_id, j.j, {sample} AS raw
+  FROM px, range(0, 64) j(j)
+),
+sv AS (
+  SELECT media_id, j,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM smp
+),
+win AS (
+  SELECT media_id, j // 2 AS w, CAST(sum(v * v) AS BIGINT) AS e
+  FROM sv GROUP BY media_id, j // 2
+),
+tot AS (SELECT media_id, CAST(sum(e) AS BIGINT) AS total
+        FROM win GROUP BY media_id),
+bits AS (
+  SELECT w.media_id, w.w,
+         CASE WHEN w.e * 32 > t.total THEN 1 ELSE 0 END AS bit
+  FROM win w JOIN tot t USING (media_id)
+),
+fps AS (
+  SELECT media_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS afp
+  FROM bits GROUP BY media_id
+),
+banded AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         bit_count(xor(x.afp, y.afp)) AS hamming
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.val = y.val AND x.media_id < y.media_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 def _phash_dedup_sql() -> str:
     """DuckDB mirror of multimodal_phash_dedup: same md5 pixel chain
     and nibble perturbation, pixel_j·64 > Σ pixels bits, signed-64
@@ -1756,6 +1874,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_count_min": sketch_count_min,
     "sketch_hll_distinct": sketch_hll_distinct,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "multimodal_audio_dedup": multimodal_audio_dedup,
     "corpus_token_budget": corpus_token_budget,
 }
 
@@ -1801,5 +1920,6 @@ ANALYTICS_ORACLES: dict = {
     "sketch_count_min": _count_min_sql(),
     "sketch_hll_distinct": _hll_sql(),
     "multimodal_phash_dedup": _phash_dedup_sql(),
+    "multimodal_audio_dedup": _audio_dedup_sql(),
     "corpus_token_budget": TOKEN_BUDGET_SQL,
 }

@@ -1739,3 +1739,67 @@ def test_phash_near_dup_via_shared_banding(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] <= 3
+
+
+def test_audio_fingerprint_matches_model_and_omits_degenerates(spark):
+    """audio_fingerprint REALLY parses WAV (stdlib RIFF/fmt/data) and
+    its energy-window fingerprint matches a pure-Python model —
+    including stereo mono-mix by integer channel sum; null / garbage /
+    too-short rows are OMITTED, and a one-sample nudge stays within
+    the Hamming bound through the shared banded search."""
+    import struct
+
+    from genie_spark.analytics.dedup import hamming_near_dup_pairs
+    from genie_spark.analytics.multimodal import audio_fingerprint
+
+    def wav(samples, channels=1):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, 8000,
+                                    8000 * 2 * channels, 2 * channels, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def model(mono, W=32):
+        n = len(mono)
+        es = [
+            sum(v * v for v in mono[w * n // W:(w + 1) * n // W])
+            for w in range(W)
+        ]
+        tot = sum(es)
+        return sum(1 << w for w in range(W) if es[w] * W > tot)
+
+    mono1 = [((i * 211) % 65536) - 32768 for i in range(64)]
+    mono2 = list(mono1)
+    mono2[63] += 17                      # one-sample nudge
+    st = [((i * 97) % 65536) - 32768 for i in range(128)]  # 64 stereo frames
+    st_mix = [st[2 * i] + st[2 * i + 1] for i in range(64)]
+    rows = [
+        (1, wav(mono1)),
+        (2, wav(mono2)),
+        (3, wav(st, channels=2)),
+        (4, None),
+        (5, b"not a wav"),
+        (6, wav(mono1[:8])),             # fewer samples than windows
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(df, n_windows=32).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == model(mono1)
+    assert got[2] == model(mono2)
+    assert got[3] == model(st_mix)
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            audio_fingerprint(df, n_windows=32), "media_id", "afp",
+            max_distance=3, n_bits=32,
+        ).collect()
+    }
+    # the nudged pair is found; other pairs may appear by chance (a
+    # 32-bit energy fingerprint is a recall primitive, not an exact
+    # content hash — real pipelines verify candidates downstream)
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
