@@ -223,11 +223,18 @@ def _cell_scores(cent_arr: Column, vec: Column, n2: Column) -> Column:
 def _centroid_rows(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> list:
-    """The deterministic IVF "training" set: the n_centroids lowest-id
-    vectors, quantized, collected driver-side (tiny by contract)."""
+    """The deterministic IVF "training" set: the n_centroids vectors
+    with the smallest ``(md5(id), id)``, quantized, collected
+    driver-side (tiny by contract).  Hash order is content-INDEPENDENT
+    — on corpora where id order correlates with content (ingest order,
+    sorted shards) the lowest-id rule put every cell centroid in one
+    region, skewing cell occupancy and blowing up ``ivf_cell_pairs``'
+    within-cell candidate volume (the same failure mode as k-means
+    first-k seeding, VERDICT r7 item 5; mirrored in the SQL oracles'
+    centroid CTEs)."""
     return (
         df.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
-        .orderBy("cid")
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
         .limit(n_centroids)
         .collect()
     )
@@ -459,7 +466,7 @@ def ivf_topk(
     """IVF-style ANN top-k: the scale path next to brute-force
     ``cosine_topk``.
 
-    Deterministic "training": the ``n_centroids`` lowest-id vectors ARE
+    Deterministic "training": the ``n_centroids`` smallest-(md5(id), id) vectors ARE
     the centroids (no RNG — reproducible across engines/rounds).  Each
     corpus vector is assigned to its nearest centroid (cosine argmax,
     ties → lowest centroid id) with a PURE MAP — the centroids are

@@ -224,7 +224,7 @@ def dedup_embedding_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_candidate_sql(n_centroids: int, n_probe: int) -> str:
     """DuckDB mirror of ``ivf_cell_pairs`` + ``cosine_verify_pairs``:
-    same lowest-id centroids, same (ccos DESC, cid) probe ranking, same
+    same smallest-(md5(id), id) centroids, same (ccos DESC, cid) probe ranking, same
     quantized-integer verify — bit-for-bit the Spark candidate set.
     The centroid count applies the same adaptive occupancy rule as the
     Spark side, C = max(floor, count(*)//cell), computed from the data
@@ -236,7 +236,8 @@ ccount AS (SELECT greatest({n_centroids}, count(*) // {EMB_DROP_CELL}) AS c FROM
 cent AS (
   SELECT cid, cv, cn FROM (
     SELECT vec_id AS cid, v AS cv, nn AS cn,
-           row_number() OVER (ORDER BY vec_id) AS rn
+           row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
     FROM nv
   ) WHERE rn <= (SELECT c FROM ccount)
 ),
@@ -382,7 +383,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned cosine top-10 for query vectors (vec_id < 20):
-    deterministic centroids (16 lowest vec_ids), nearest-cell assignment
+    deterministic centroids (16 smallest (md5(vec_id), vec_id)), nearest-cell assignment
     as a shuffle-free map, 4-cell probe, top-k inside probed cells."""
     return ivf_topk(_emb(spark, sf_dir), k=10, query_filter=F.col("vec_id") < 20)
 
@@ -390,7 +391,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVF_SQL = f"""
 WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
 n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
-c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
 assign0 AS (
   SELECT n.vec_id, n.v, n.nn, c.cid,
          CAST(list_dot_product(n.v, c.cv) AS BIGINT) / (sqrt(n.nn) * sqrt(c.cn)) AS ccos
