@@ -589,28 +589,34 @@ def image_ahash(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 if content is None or len(content) == 0:
                     continue
+                # broad catch ON PURPOSE: the omit-degenerates contract
+                # must hold for ANY malformed container (truncated fmt
+                # chunk → struct.error, 0×0 raster → IndexError, …) —
+                # one corrupt file in a corpus must not fail the task
+                # (code-review r8)
                 try:
                     kind, arr = decoder.decode(bytes(content))
-                except (NotImplementedError, ValueError):
+                    if kind != "image" or arr.size == 0:
+                        continue
+                    h0, w0, c = arr.shape
+                    rows = np.arange(grid) * h0 // grid
+                    cols = np.arange(grid) * w0 // grid
+                    cells = arr[rows][:, cols].astype(np.int64)
+                    gray = cells.sum(axis=2) // c  # integer channel mean
+                    flat = gray.ravel()            # row-major cell order
+                    total = int(flat.sum())
+                    bits = flat * (grid * grid) > total
+                    # signed-64 two's complement: bit 63 (grid=8)
+                    # carries weight −2^63, so the long stays
+                    # representable and the band/mask arithmetic
+                    # matches the SQL mirror exactly
+                    ahash = int(
+                        sum(1 << j for j, b in enumerate(bits[:63]) if b)
+                    )
+                    if len(bits) > 63 and bits[63]:
+                        ahash -= 1 << 63
+                except Exception:
                     continue
-                if kind != "image":
-                    continue
-                h0, w0, c = arr.shape
-                rows = np.arange(grid) * h0 // grid
-                cols = np.arange(grid) * w0 // grid
-                cells = arr[rows][:, cols].astype(np.int64)
-                gray = cells.sum(axis=2) // c  # integer channel mean
-                flat = gray.ravel()            # row-major cell order
-                total = int(flat.sum())
-                bits = flat * (grid * grid) > total
-                # signed-64 two's complement: bit 63 (grid=8) carries
-                # weight −2^63, so the long stays representable and the
-                # band/mask arithmetic matches the SQL mirror exactly
-                ahash = int(
-                    sum(1 << j for j, b in enumerate(bits[:63]) if b)
-                )
-                if len(bits) > 63 and bits[63]:
-                    ahash -= 1 << 63
                 ids.append(mid)
                 hashes.append(ahash)
             yield pd.DataFrame(
@@ -663,25 +669,44 @@ def audio_fingerprint(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 if content is None or len(content) == 0:
                     continue
+                # broad catch ON PURPOSE: omit-degenerates must hold
+                # for ANY malformed container (0-channel fmt chunk →
+                # ZeroDivisionError, truncated chunk → struct.error)
+                # rather than fail the task (code-review r8)
                 try:
                     kind, arr = decoder.decode(bytes(content))
-                except (NotImplementedError, ValueError):
+                    if kind != "audio" or arr.shape[0] < n_windows:
+                        continue
+                    mono = arr.astype(np.int64).sum(axis=1)
+                    n = mono.shape[0]
+                    m = int(np.abs(mono).max()) if n else 0
+                    if n * m * m < 2**62:
+                        # int64-safe: squares ≤ m², window sums < 2^62
+                        sq = mono * mono
+                        energies = [
+                            int(sq[w * n // n_windows:(w + 1) * n // n_windows].sum())
+                            for w in range(n_windows)
+                        ]
+                    else:
+                        # pathological length×amplitude: exact Python
+                        # ints (arbitrary precision), never a silent
+                        # int64 wrap (code-review r8)
+                        energies = [
+                            sum(
+                                int(v) * int(v)
+                                for v in mono[w * n // n_windows:(w + 1) * n // n_windows]
+                            )
+                            for w in range(n_windows)
+                        ]
+                    total = sum(energies)
+                    bits = [e * n_windows > total for e in energies]
+                    afp = sum(
+                        1 << w for w in range(min(n_windows, 63)) if bits[w]
+                    )
+                    if n_windows == 64 and bits[63]:
+                        afp -= 1 << 63
+                except Exception:
                     continue
-                if kind != "audio" or arr.shape[0] < n_windows:
-                    continue
-                mono = arr.astype(np.int64).sum(axis=1)
-                n = mono.shape[0]
-                # exact per-window energies via Python ints (a long
-                # clip's Σ s² can pass 2^63 once scaled by n_windows)
-                energies = [
-                    int((mono[w * n // n_windows:(w + 1) * n // n_windows] ** 2).sum())
-                    for w in range(n_windows)
-                ]
-                total = sum(energies)
-                bits = [e * n_windows > total for e in energies]
-                afp = sum(1 << w for w in range(min(n_windows, 63)) if bits[w])
-                if n_windows == 64 and bits[63]:
-                    afp -= 1 << 63
                 ids.append(mid)
                 prints.append(afp)
             yield pd.DataFrame(

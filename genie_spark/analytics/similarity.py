@@ -231,13 +231,38 @@ def _centroid_rows(
     region, skewing cell occupancy and blowing up ``ivf_cell_pairs``'
     within-cell candidate volume (the same failure mode as k-means
     first-k seeding, VERDICT r7 item 5; mirrored in the SQL oracles'
-    centroid CTEs)."""
-    return (
-        df.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
+    centroid CTEs).
+
+    The md5 rule picks WHICH vectors are centroids; the returned rows
+    are then re-sorted by cid, because the Arrow probe engine breaks
+    cosine TIES by stable-argsort column position — equivalent to the
+    (cos DESC, cid ASC) rule the expr engine and the SQL oracles
+    apply only when centroid columns are in ascending-cid order
+    (code-review r8: md5-ordered rows would probe tied cells in md5
+    order and diverge on duplicate/zero-norm centroids).
+
+    Seed screen: a null vector or one carrying a null/NaN/Inf ELEMENT
+    never seeds a cell — the hash order samples the WHOLE id space,
+    so out-of-contract rows that the lowest-id rule happened to skip
+    can now be drawn, and an Inf-poisoned centroid would corrupt
+    every row's cell assignment.  In-contract embeddings are finite
+    fixed-dim, so the screen is a no-op there (and the SQL oracles,
+    which only see in-contract data, don't need to mirror it)."""
+    e = F.col(vec_col)
+    clean = e.isNotNull() & F.forall(
+        e,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    )
+    rows = (
+        df.where(clean)
+        .select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
         .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
         .limit(n_centroids)
         .collect()
     )
+    return sorted(rows, key=lambda r: r["cid"])
 
 
 def _ivf_centroid_broadcast(df: DataFrame, cent_rows: list):

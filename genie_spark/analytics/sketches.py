@@ -464,8 +464,22 @@ def hll_estimate(
     groups prefer ``kmv_sketch``, which is exact below k).
 
     Returns (group, n_reg, est_distinct); relative error ≈ 1.04/√m.
+
+    Guard: a register id ≥ 2^p means the sketch was BUILT with a
+    larger ``p`` than passed — the never-hit-register term would go
+    negative and the estimate silently garbage (code-review r8), so
+    that mismatch raises up front (one artifact-sized agg job).  The
+    converse (sketch built with a SMALLER p) is indistinguishable
+    from sparse data — keep the build and estimate p in lockstep.
     """
     m = 1 << p
+    max_reg = sketch.agg(F.max("reg")).first()[0]
+    if max_reg is not None and max_reg >= m:
+        raise ValueError(
+            f"hll_estimate: register id {max_reg} ≥ 2^p={m} — the sketch "
+            f"was built with a larger p than the {p} passed; estimate "
+            "with the build-time p"
+        )
     rho_max = KMV_BITS - p + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)
     numer = alpha * m * m * float(1 << rho_max)

@@ -1234,9 +1234,15 @@ def cmd_ingest_correlate(spark: SparkSession, args: argparse.Namespace) -> int:
         .start()
     )
     q.awaitTermination()
+    from pyspark.errors import AnalysisException
+
     try:
         done = spark.read.parquet(args.out)
-    except Exception:
+    except AnalysisException:
+        # path missing / schema not inferable = genuinely nothing
+        # emitted yet; any OTHER read failure (corrupt footer,
+        # permissions) must propagate, not masquerade as empty
+        # (code-review r8)
         print("ingest-correlate: no correlated rows emitted yet")
         return 0
     rows = (

@@ -437,24 +437,36 @@ def _compact_store(spark, store_path: str, merge_fn) -> dict:
     swap from ``io.bronze`` — a crash mid-compaction rolls forward
     and never loses sketch state.  Run while the stream is STOPPED
     (the swap replaces the directory a live writer would be appending
-    shards into) — enforced below: the shard set is re-listed just
-    before the swap and a concurrent writer's new/changed shards abort
-    the compaction with the store untouched (ADVICE r7; the staging
-    directory is left for inspection-free retry — `mode("overwrite")`
-    reclaims it).  Returns {"shards_before", "rows_after"}."""
+    shards into) — DETECTED (not fully enforced) below: the shard
+    listing, including per-shard content mtimes, is re-taken just
+    before the swap, so a concurrent writer's new, removed, or
+    in-place-rewritten shards abort the compaction with the store
+    untouched (ADVICE r7 + code-review r8; the staging directory is
+    left for inspection-free retry — `mode("overwrite")` reclaims
+    it).  A writer landing in the instants between the re-list and
+    the rename remains the caller's stopped-stream responsibility.
+    Returns {"shards_before", "rows_after"}."""
     import glob as _glob
     import os as _os
 
     from genie_spark.io.bronze import DEFAULT_COMMIT
 
-    def _list_shards() -> set[str]:
-        return {
-            _os.path.basename(p)
-            for p in _glob.glob(
-                _os.path.join(_glob.escape(store_path), "batch=*")
+    def _list_shards() -> set[tuple]:
+        out = set()
+        for p in _glob.glob(
+            _os.path.join(_glob.escape(store_path), "batch=*")
+        ):
+            if not _os.path.isdir(p):
+                continue
+            newest = max(
+                (
+                    _os.stat(_os.path.join(p, f)).st_mtime_ns
+                    for f in _os.listdir(p)
+                ),
+                default=0,
             )
-            if _os.path.isdir(p)
-        }
+            out.add((_os.path.basename(p), newest))
+        return out
 
     DEFAULT_COMMIT.recover(store_path)
     shards = _list_shards()
@@ -469,9 +481,10 @@ def _compact_store(spark, store_path: str, merge_fn) -> dict:
     # stream is STILL RUNNING and the swap would delete its new shards
     now = _list_shards()
     if now != shards:
+        changed = sorted({name for name, _ in now ^ shards})
         raise RuntimeError(
             f"_compact_store({store_path}): shard set changed during "
-            f"compaction (added/removed: {sorted(now ^ shards)}) — a "
+            f"compaction (added/removed/rewritten: {changed}) — a "
             "stream is still writing this store; stop it and re-run"
         )
     DEFAULT_COMMIT.commit_whole(staging, store_path)
@@ -522,7 +535,11 @@ def hll_stream(
     re-reading ingested text.  Same store conventions as
     ``sketch_stream`` / ``bloom_stream`` / ``count_min_stream``:
     write-only per batch, replays rewrite their own directory, reads
-    stay idempotent.  Returns the started StreamingQuery."""
+    stay idempotent.  Readers must pass the SAME ``p`` to
+    ``hll_estimate`` as the store was built with — a larger build p is
+    detected by the estimate's register-bound guard; a smaller one is
+    not (keep them in lockstep).  Returns the started
+    StreamingQuery."""
     from pyspark.sql import functions as F
 
     from genie_spark.analytics.sketches import HLL_P, hll_sketch

@@ -1434,27 +1434,39 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from genie_spark.analytics.dedup import hamming_near_dup_pairs
     from genie_spark.analytics.multimodal import image_ahash
 
-    base = F.when(
-        F.col("doc_id") % 8 == 7, F.col("doc_id") - 1
-    ).otherwise(F.col("doc_id"))
-    hex_chain = F.concat(
-        *[
-            F.md5(F.concat(F.lit("img_"), base.cast("string"), F.lit(f"_{k}")))
-            for k in range(4)
-        ]
-    )
-    perturbed = F.when(
-        F.col("doc_id") % 8 == 7,
-        F.concat(F.substring(hex_chain, 1, 127), F.lit("0")),
-    ).otherwise(hex_chain)
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
-        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(perturbed)).alias("content"),
+        F.concat(
+            F.lit(b"P5\n8 8\n255\n"), F.unhex(synth_media_hex("img_", 4))
+        ).alias("content"),
     )
     hashes = image_ahash(media)
     return hamming_near_dup_pairs(
         hashes, "media_id", "ahash", max_distance=3, n_bits=64
     )
+
+
+def synth_media_hex(prefix: str, n_md5: int, id_col: str = "doc_id"):
+    """The ONE md5 media-synthesis chain shared by the X39/X40 queries
+    and tools/stress_scale's probes: ``n_md5`` concatenated md5s of
+    ``<prefix><base_id>_<k>`` (pixels/samples are hex byte pairs),
+    where every ``id % 8 == 7`` row reuses its predecessor's chain
+    with the LAST HEX NIBBLE zeroed — a one-unit content nudge that
+    plants Hamming-near fingerprints.  The DuckDB oracles unroll the
+    identical arithmetic; changing this helper desynchronizes them, so
+    change both together (code-review r8 deduplication)."""
+    c = F.col(id_col)
+    base = F.when(c % 8 == 7, c - 1).otherwise(c)
+    chain = F.concat(
+        *[
+            F.md5(F.concat(F.lit(prefix), base.cast("string"), F.lit(f"_{k}")))
+            for k in range(n_md5)
+        ]
+    )
+    return F.when(
+        c % 8 == 7,
+        F.concat(F.substring(chain, 1, 32 * n_md5 - 1), F.lit("0")),
+    ).otherwise(chain)
 
 
 def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,19 +1486,7 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from genie_spark.analytics.dedup import hamming_near_dup_pairs
     from genie_spark.analytics.multimodal import audio_fingerprint
 
-    base = F.when(
-        F.col("doc_id") % 8 == 7, F.col("doc_id") - 1
-    ).otherwise(F.col("doc_id"))
-    hex_chain = F.concat(
-        *[
-            F.md5(F.concat(F.lit("wav_"), base.cast("string"), F.lit(f"_{k}")))
-            for k in range(8)
-        ]
-    )
-    perturbed = F.when(
-        F.col("doc_id") % 8 == 7,
-        F.concat(F.substring(hex_chain, 1, 255), F.lit("0")),
-    ).otherwise(hex_chain)
+    perturbed = synth_media_hex("wav_", 8)
     n_bytes = 128  # 8 md5s → 64 int16 samples
     header = (
         b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVE"

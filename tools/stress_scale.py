@@ -374,20 +374,14 @@ def main() -> None:
     from genie_spark.analytics.multimodal import image_ahash
 
     def run_phash(n):
-        base = F.when(
-            F.col("id") % 8 == 7, F.col("id") - 1
-        ).otherwise(F.col("id"))
-        hex_chain = F.concat(*[
-            F.md5(F.concat(F.lit("img_"), base.cast("string"), F.lit(f"_{k}")))
-            for k in range(4)
-        ])
-        perturbed = F.when(
-            F.col("id") % 8 == 7,
-            F.concat(F.substring(hex_chain, 1, 127), F.lit("0")),
-        ).otherwise(hex_chain)
+        from genie_spark.workload_analytics import synth_media_hex
+
         media = spark.range(n).repartition(32).select(
             F.col("id").alias("media_id"),
-            F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(perturbed)).alias("content"),
+            F.concat(
+                F.lit(b"P5\n8 8\n255\n"),
+                F.unhex(synth_media_hex("img_", 4, id_col="id")),
+            ).alias("content"),
         )
         return hamming_near_dup_pairs(
             image_ahash(media), "media_id", "ahash", max_distance=3, n_bits=64
