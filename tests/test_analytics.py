@@ -1803,3 +1803,50 @@ def test_audio_fingerprint_matches_model_and_omits_degenerates(spark):
     # 32-bit energy fingerprint is a recall primitive, not an exact
     # content hash — real pipelines verify candidates downstream)
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+
+
+def test_media_hashers_omit_malformed_containers(spark):
+    """The omit-degenerates contract must hold for ANY malformed
+    container, not just unknown magics: truncated WAV fmt chunks
+    (struct.error), zero-channel fmt (ZeroDivisionError), and 0×0 PGM
+    rasters (IndexError) are all OMITTED, never task failures
+    (code-review r8)."""
+    import struct
+
+    from genie_spark.analytics.multimodal import audio_fingerprint, image_ahash
+
+    good_px = [(i * 37) % 256 for i in range(64)]
+    good_img = b"P5\n8 8\n255\n" + bytes(good_px)
+    imgs = spark.createDataFrame(
+        [
+            (1, good_img),
+            (2, b"P5\n0 0\n255\n"),                  # 0x0 raster
+            (3, b"P5\n8 8\n255"),                     # truncated header
+        ],
+        "media_id long, content binary",
+    )
+    assert {r["media_id"] for r in image_ahash(imgs).collect()} == {1}
+
+    samples = [((i * 211) % 65536) - 32768 for i in range(64)]
+    data = struct.pack("<64h", *samples)
+    good_wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    zero_ch = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 0, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    trunc_fmt = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    )
+    wavs = spark.createDataFrame(
+        [(1, good_wav), (2, zero_ch), (3, trunc_fmt)],
+        "media_id long, content binary",
+    )
+    assert {
+        r["media_id"] for r in audio_fingerprint(wavs, n_windows=32).collect()
+    } == {1}

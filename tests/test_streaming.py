@@ -700,3 +700,40 @@ def test_hll_stream_store_matches_batch_sketch(spark, tmp_path):
     assert {tuple(r) for r in compacted.collect()} == {
         tuple(r) for r in batch_sk.collect()
     }
+
+
+def test_compact_store_aborts_on_shard_rewrite(spark, tmp_path):
+    """An IN-PLACE rewrite of an existing batch=<id> shard (a
+    replaying stream rewrites its own directory — no name change)
+    must also abort the compaction: the listing includes per-shard
+    content mtimes (code-review r8)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from genie_spark.streaming.windows import _compact_store
+
+    store = str(tmp_path / "cm_store")
+    for bid in (0, 1):
+        spark.createDataFrame(
+            [(0, bid, 5)], "row int, bucket int, cnt long"
+        ).write.mode("overwrite").parquet(f"{store}/batch={bid}")
+
+    def rewriting_merge(df):
+        # materialize BEFORE the rewrite so the staging write doesn't
+        # re-scan the store (a rewrite mid-scan fails the read outright
+        # — also an abort, but this test pins the mtime detection)
+        rows = (
+            df.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
+        )
+        # replay: batch 1 rewritten in place, same name
+        spark.createDataFrame(
+            [(0, 1, 99)], "row int, bucket int, cnt long"
+        ).write.mode("overwrite").parquet(f"{store}/batch=1")
+        return spark.createDataFrame(rows, "row int, bucket int, cnt long")
+
+    with _pytest.raises(RuntimeError, match="rewritten"):
+        _compact_store(spark, store, rewriting_merge)
+    # the replay's shard survived untouched
+    assert {
+        r["cnt"] for r in spark.read.parquet(f"{store}/batch=1").collect()
+    } == {99}
