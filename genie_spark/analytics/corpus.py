@@ -810,3 +810,60 @@ def token_budget_select(
     ).where(F.col("__cum") - F.col("n_tokens") < F.col("__budget"))
     cols = [id_col, group_col, "n_tokens"]
     return whole_bins.select(*cols).unionByName(straddle_kept.select(*cols))
+
+
+def priority_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement per group:
+    priority sampling (Duffield, Lund & Thorup, JACM 2007).
+
+    Each row gets priority ``q = w / u`` with a content-independent
+    uniform ``u = (h+1) / 2^32`` (``h`` = first 8 md5 hex digits of
+    the stringified id, the corpus-wide sampling idiom of
+    ``_uniform_bp``); the k largest priorities per group are the
+    sample.  Rows with large weights are near-certain picks, small
+    weights enter with probability ∝ w — the data-mixing primitive
+    for "sample n docs per source, longer docs proportionally more
+    often" without replacement and without a full per-group pass.
+
+    ``est_weight = max(w, τ)`` (τ = the (k+1)-th priority, 0 when the
+    group has ≤ k rows) makes the sample a subset-sum estimator:
+    E[Σ est_weight over the sample] equals the group's true Σw, so
+    downstream token-count accounting stays unbiased.
+
+    Engine portability: q is computed as the single IEEE divide
+    ``w/(h+1)`` (both operands exactly representable as doubles)
+    scaled by 2^32 (exact exponent shift) — one correctly-rounded
+    operation, bit-identical in any IEEE engine, so ordering, τ and
+    est_weight reproduce exactly.  Shape at scale: ONE shuffle (the
+    per-group window); rank and τ come from two Window nodes over the
+    same partitioning, a single exchange.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    q = (F.col("weight").cast("double") / (h + F.lit(1))) * F.lit(float(2**32))
+    wr = Window.partitionBy(group_col).orderBy(F.col("priority").desc(), id_col)
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, id_col, F.col(weight_col).alias("weight"))
+        .withColumn("priority", q)
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "tau",
+            F.max(F.when(F.col("rk") == k + 1, F.col("priority"))).over(wg),
+        )
+    )
+    return (
+        ranked.where(F.col("rk") <= k)
+        .withColumn(
+            "est_weight",
+            F.greatest(F.col("weight").cast("double"), F.coalesce("tau", F.lit(0.0))),
+        )
+        .select(group_col, id_col, "weight", "priority", "est_weight")
+    )

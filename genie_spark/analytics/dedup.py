@@ -709,3 +709,98 @@ def simhash_pairs(
     by the round-8 extraction)."""
     s = simhash(df, id_col, text_col, n_bits)
     return hamming_near_dup_pairs(s, id_col, "simhash", max_distance, n_bits)
+
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Shingle-set Jaccard ≥ threshold self-join via LOSSLESS prefix
+    filtering (the PPJoin family: Chaudhuri et al. 2006, Xiao et al.
+    2008) — identical output to ``ngram_jaccard_pairs(max_df=None)``
+    with a candidate join that touches only the RARE end of the
+    shingle-frequency distribution.
+
+    Order each document's shingles by ascending global document
+    frequency (ties by shingle value) and keep only the first
+    ``n − ceil(t·n) + 1`` — the prefix.  Two documents can reach
+    Jaccard ≥ t only if their prefixes share a shingle (if all shared
+    shingles sat past A's prefix, |A∩B| ≤ ceil(t·|A|) − 1 < t·|A| ≤
+    t·|A∪B|), so an equi-join on prefix shingles finds every
+    qualifying pair with zero loss.  The hot boilerplate shingles
+    that force ``ngram_jaccard_pairs``' lossy ``max_df`` cap never
+    enter the join: a shingle shared by d documents lands in a
+    prefix only when it is among a document's rarest, so the
+    quadratic d² fan-out concentrates on d≈1 shingles.  A length
+    filter (t·|A| ≤ |B| ≤ |A|/t, integer cross-multiplied) prunes
+    candidates before the distinct.
+
+    Verification is exact and candidate-bounded: per-doc sorted
+    shingle arrays, ``array_intersect`` size, and an integer
+    cross-multiplied threshold (``100·|∩| ≥ t_pct·|∪|`` — no float
+    boundary compare; the reported ``jaccard`` double is a single
+    IEEE divide, engine-portable).  Reference parity: the reference
+    has no set-similarity join; this is the §2.13 extension surface
+    (SURVEY.md X41).  Shape at scale: one shingle shuffle (distinct),
+    one df-count aggregate, one per-doc window, a rare-key candidate
+    join, and two docinfo joins on candidates only.
+    """
+    assert 0 < threshold_pct <= 100
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # global document frequency via a window over the shingle
+    # partitioning — one exchange, not an aggregate + self-join
+    w = Window.partitionBy(id_col)
+    ranked = (
+        sh.withColumn(
+            "df_cnt", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "r",
+            F.row_number().over(w.orderBy("df_cnt", "shingle")),
+        )
+    )
+    # prefix_len = n − ceil(t·n) + 1, all-integer arithmetic
+    prefix = ranked.where(
+        F.col("r") <= F.col("n") - F.floor((F.col("n") * threshold_pct + F.lit(99)) / 100) + 1
+    ).select(id_col, "shingle", "n")
+    a = prefix.select(F.col(id_col).alias("a"), "shingle", F.col("n").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("b"), "shingle", F.col("n").alias("n_b"))
+    # merge hints: both sides are corpus-derived (see ngram_jaccard_pairs
+    # note on Catalyst's static size estimate after aggregates)
+    cand = (
+        a.hint("merge").join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .where(
+            (F.col("n_b") * 100 >= F.col("n_a") * threshold_pct)
+            & (F.col("n_a") * 100 >= F.col("n_b") * threshold_pct)
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    docsets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    da = docsets.select(
+        F.col(id_col).alias("a"), F.col("sset").alias("sa"), F.col("n").alias("na")
+    )
+    db = docsets.select(
+        F.col(id_col).alias("b"), F.col("sset").alias("sb"), F.col("n").alias("nb")
+    )
+    n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        cand.hint("merge").join(da, "a")
+        .hint("merge").join(db, "b")
+        .withColumn("n_common", n_common)
+        .where(F.col("n_common") * 100 >= union * threshold_pct)
+        .withColumn("jaccard", F.col("n_common") / union)
+        .select("a", "b", "n_common", "jaccard")
+    )

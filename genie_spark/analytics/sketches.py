@@ -499,3 +499,83 @@ def hll_estimate(
         F.col("n_reg"),
         (F.lit(numer) / s_total.cast("double")).alias("est_distinct"),
     )
+
+
+def misra_gries_candidates(
+    tokens: DataFrame, token_col: str = "token", m: int = DEFAULT_K
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries, unioned: every token whose
+    partition-local count exceeds N_p/(m+1) survives that partition's
+    summary (the classic guarantee), so — by pigeonhole over the
+    partition sums — every GLOBAL token with count > N/(m+1) appears
+    in the union.  Runs as one narrow Arrow ``mapInPandas`` pass
+    (state = one ≤m-entry dict per partition, carried across record
+    batches); output is ≤ m·P candidate tokens, never the vocabulary.
+    """
+    import pandas as pd
+
+    def part(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf[token_col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < m:
+                    counters[t] = 1
+                else:
+                    # decrement-all step; m is small by construction
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame({token_col: list(counters.keys())})
+
+    return tokens.select(token_col).mapInPandas(
+        part, schema=f"{token_col} string"
+    ).distinct()
+
+
+def heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    m: int = DEFAULT_K,
+    min_share_bp: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters with bounded memory: all tokens holding at
+    least ``min_share_bp`` basis points of total token occurrences,
+    found WITHOUT a vocabulary-sized shuffle.
+
+    Two passes (Misra & Gries 1982 + the standard distributed verify):
+    pass 1 runs per-partition Misra–Gries (``misra_gries_candidates``,
+    narrow, ≤ m·P candidate rows); pass 2 semi-joins the token stream
+    against the broadcast candidate set and aggregates EXACT counts for
+    candidates only — the shuffle carries ≤ m·P distinct keys instead
+    of the vocabulary, and map-side partial aggregation collapses it
+    further.  Requires ``(m+1) · min_share_bp > 10_000`` so pass 1 is
+    lossless (asserted); given that, the result is EXACT and identical
+    for every partitioning: pass 1 can only over-generate, and pass 2's
+    integer threshold (``cnt · 10_000 ≥ min_share_bp · N``) prunes
+    exactly.  Returns (token, cnt, share) with share a single IEEE
+    divide of exact longs.
+    """
+    assert (m + 1) * min_share_bp > 10_000, (
+        "m too small for the share threshold: need (m+1)*min_share_bp > 10000 "
+        "for the Misra-Gries pass to be lossless"
+    )
+    toks = tokens.where(F.col(token_col) != "")
+    total = toks.count()
+    cand = misra_gries_candidates(toks, token_col, m)
+    counts = (
+        toks.join(F.broadcast(cand), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.where(F.col("cnt") * 10_000 >= F.lit(min_share_bp) * F.lit(total))
+        .withColumn("share", F.col("cnt") / F.lit(total).cast("double"))
+        .select(token_col, "cnt", "share")
+    )

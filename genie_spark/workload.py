@@ -1027,7 +1027,26 @@ _ALL_QUERIES: dict = {
 # by construction — that's why they were checked last) plus
 # text_pii_scrub (text family stays via text_quality/text_token_stats)
 # and a17_value_decreases (the decrease family's a6 rotates IN).
+# Round-8 second rotation: the three NEW X41-X43 queries
+# (dedup_setsim_prefix, corpus_priority_sample, sketch_heavy_hitters)
+# need first driver rows, and the four tail queries whose ENGINES
+# CHANGED this round (ann_ivf_topk: IVF md5 reseed; ann_lsh_banded:
+# measured plane sizing; dedup_simhash: shared hamming extraction;
+# cluster_balanced_sample: k-means md5 seeding) rotate back IN for a
+# fresh post-change driver row.  The 7 slots come from r7-green
+# queries untouched by any round-8 change (phi_redaction,
+# scalar_battery, j5_feature_type, a15_case_lists, s15_apply_upsert,
+# j11_containment_check, corpus_passage_dedup) — each keeps its
+# r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
+    # r7-green, untouched by round-8 changes (second r8 rotation)
+    "phi_redaction",
+    "scalar_battery",
+    "j5_feature_type",
+    "a15_case_lists",
+    "s15_apply_upsert",
+    "j11_containment_check",
+    "corpus_passage_dedup",
     # r7-green, rotated out this round (round-7 first-timers)
     "set_except_distinct",
     "j3_interval_anti",
@@ -1039,8 +1058,6 @@ _TAIL_QUERIES = [
     "ann_topk",
     "a9_duplicate_keys",
     "dedup_ngram_jaccard",
-    "ann_ivf_topk",
-    "dedup_simhash",
     "text_fingerprint",
     # r7-green, rotated out this round (family coverage preserved)
     "text_pii_scrub",
@@ -1057,8 +1074,6 @@ _TAIL_QUERIES = [
     "corpus_pack_sequences",
     "text_token_stats",
     # round-6-green, still in the tail from the round-7 rotation
-    "ann_lsh_banded",
-    "cluster_balanced_sample",
     "corpus_chunk_overlap",
     "corpus_keep_list",
     "corpus_split_shuffle",

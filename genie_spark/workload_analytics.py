@@ -19,6 +19,7 @@ from genie_spark.analytics.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     perm_params,
+    setsim_prefix_pairs,
     simhash,
     SIMHASH_BITS,
 )
@@ -301,6 +302,31 @@ def _incremental_minhash_sql() -> str:
     return f"""
 SELECT a, b, jaccard FROM ({_minhash_sql()})
 WHERE a % 2 = 1 OR b % 2 = 1
+"""
+
+
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless prefix-filtered set-similarity self-join (PPJoin
+    family): identical result to the exact all-shingles Jaccard ≥ 0.5
+    join, candidates generated only from each document's globally
+    rarest shingles — the scale path that needs no lossy hot-shingle
+    cap (X41)."""
+    return setsim_prefix_pairs(_docs(spark, sf_dir), k=20, threshold_pct=50)
+
+
+DEDUP_SETSIM_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common,
+       n_common * 1.0 / (na.n + nb.n - n_common) AS jaccard
+FROM common JOIN sizes na ON common.a = na.doc_id
+            JOIN sizes nb ON common.b = nb.doc_id
+WHERE 100 * n_common >= 50 * (na.n + nb.n - n_common)
 """
 
 
@@ -1836,9 +1862,71 @@ SELECT doc_id, lang, n_tokens FROM c WHERE tokens_before < {TOKEN_BUDGET}
 """
 
 
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per source: priority
+    sampling (Duffield-Lund-Thorup), k=5 largest w/u priorities with
+    md5-uniform u and n_chars weights, plus the max(w, tau) subset-sum
+    estimator (X42)."""
+    from genie_spark.analytics.corpus import priority_sample
+
+    return priority_sample(
+        _docs(spark, sf_dir), group_col="source", weight_col="n_chars", k=5
+    )
+
+
+PRIORITY_SAMPLE_SQL = """
+WITH t AS (
+  SELECT source, doc_id, n_chars AS weight,
+         (n_chars * 1.0 /
+          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+         ) * 4294967296 AS priority
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+  FROM t
+),
+tau AS (
+  SELECT source, max(CASE WHEN rk = 6 THEN priority END) AS tau
+  FROM r GROUP BY source
+)
+SELECT r.source, r.doc_id, r.weight, r.priority,
+       greatest(r.weight * 1.0, coalesce(tau.tau, 0.0)) AS est_weight
+FROM r JOIN tau ON r.source = tau.source
+WHERE r.rk <= 5
+"""
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens holding >= 2% of all occurrences)
+    via two-pass bounded-memory Misra-Gries: narrow per-partition
+    summaries, then exact counts for the <= m*P candidates only — no
+    vocabulary-sized shuffle (X43)."""
+    from genie_spark.analytics.sketches import heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return heavy_hitters(toks, m=64, min_share_bp=200)
+
+
+HEAVY_HITTERS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+t AS (SELECT token FROM tok WHERE token <> ''),
+tot AS (SELECT count(*) AS n FROM t)
+SELECT token, count(*) AS cnt,
+       count(*) / (SELECT n * 1.0 FROM tot) AS share
+FROM t GROUP BY token
+HAVING count(*) * 10000 >= 200 * (SELECT n FROM tot)
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_setsim_prefix": dedup_setsim_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_components": dedup_components,
@@ -1878,11 +1966,14 @@ ANALYTICS_QUERIES: dict = {
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "corpus_token_budget": corpus_token_budget,
+    "corpus_priority_sample": corpus_priority_sample,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
 }
 
 ANALYTICS_ORACLES: dict = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_setsim_prefix": DEDUP_SETSIM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_components": _components_sql(),
@@ -1924,4 +2015,6 @@ ANALYTICS_ORACLES: dict = {
     "multimodal_phash_dedup": _phash_dedup_sql(),
     "multimodal_audio_dedup": _audio_dedup_sql(),
     "corpus_token_budget": TOKEN_BUDGET_SQL,
+    "corpus_priority_sample": PRIORITY_SAMPLE_SQL,
+    "sketch_heavy_hitters": HEAVY_HITTERS_SQL,
 }

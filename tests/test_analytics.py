@@ -1850,3 +1850,141 @@ def test_media_hashers_omit_malformed_containers(spark):
     assert {
         r["media_id"] for r in audio_fingerprint(wavs, n_windows=32).collect()
     } == {1}
+
+
+# ---------------------------------------------------------------------------
+# X42 priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_docs(spark, n=40, groups=("s0", "s1")):
+    rows = [
+        (g, i + 1000 * gi, (i % 7 + 1) * 10)
+        for gi, g in enumerate(groups)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+
+
+def test_priority_sample_matches_python_model(spark):
+    """Selection, tau and est_weight reproduce the literal w/u
+    priority model with md5 uniforms."""
+    import hashlib
+
+    from genie_spark.analytics.corpus import priority_sample
+
+    df = _weighted_docs(spark)
+    k = 5
+    got = {
+        (r["source"], r["doc_id"]): (r["weight"], r["priority"], r["est_weight"])
+        for r in priority_sample(df, k=k).collect()
+    }
+
+    def pri(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return (w / (h + 1)) * 2.0**32
+
+    want = {}
+    for g in ("s0", "s1"):
+        rows = [
+            (gi, w, pri(gi, w))
+            for (gg, gi, w) in [
+                (r["source"], r["doc_id"], r["n_chars"])
+                for r in df.collect()
+            ]
+            if gg == g
+        ]
+        rows.sort(key=lambda t: (-t[2], t[0]))
+        tau = rows[k][2] if len(rows) > k else 0.0
+        for gi, w, q in rows[:k]:
+            want[(g, gi)] = (w, q, max(float(w), tau))
+    assert got == want
+
+
+def test_priority_sample_small_group_is_whole_group(spark):
+    """A group with <= k rows is returned whole with est_weight == w
+    (tau = 0): the estimator degrades to the exact sum."""
+    from genie_spark.analytics.corpus import priority_sample
+
+    df = spark.createDataFrame(
+        [("tiny", 1, 50), ("tiny", 2, 70)], ["source", "doc_id", "n_chars"]
+    )
+    out = priority_sample(df, k=5).collect()
+    assert len(out) == 2
+    assert all(r["est_weight"] == float(r["weight"]) for r in out)
+
+
+def test_priority_sample_favors_heavy_weights(spark):
+    """With one dominant weight, that row is (near-)always selected:
+    w/u ordering puts it first unless its uniform is pathological."""
+    from genie_spark.analytics.corpus import priority_sample
+
+    rows = [("s", i, 1) for i in range(100)] + [("s", 999, 1_000_000)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    got = [r["doc_id"] for r in priority_sample(df, k=3).collect()]
+    assert 999 in got
+
+
+# ---------------------------------------------------------------------------
+# X41 lossless prefix-filtered set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def test_setsim_prefix_equals_exact_all_pairs(spark):
+    """Prefix-filtered join returns EXACTLY the unfiltered all-shingle
+    Jaccard join's pairs (losslessness), including boilerplate-heavy
+    corpora where ngram_jaccard's max_df cap would drop shingles."""
+    from genie_spark.analytics.dedup import ngram_jaccard_pairs, setsim_prefix_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again padding "
+    rows = [
+        (0, base + "alpha beta gamma delta"),
+        (1, base + "alpha beta gamma delt!"),
+        (2, base + "totally different tail content here now"),
+        (3, "unrelated short text with its own shape entirely", ),
+        (4, base + "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in rows], ["doc_id", "text"])
+    got = sorted(map(tuple, setsim_prefix_pairs(df, k=8, threshold_pct=60).collect()))
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(df, k=8, threshold=0.6, max_df=None).collect())
+    )
+    assert got == want and len(got) >= 2
+
+
+def test_setsim_prefix_identical_docs_jaccard_one(spark):
+    from genie_spark.analytics.dedup import setsim_prefix_pairs
+
+    df = spark.createDataFrame(
+        [(1, "exactly the same text body right here"),
+         (2, "exactly the same text body right here")],
+        ["doc_id", "text"],
+    )
+    out = setsim_prefix_pairs(df, k=8, threshold_pct=90).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_setsim_prefix_threshold_boundary_integer_exact(spark):
+    """A pair at exactly Jaccard == t is kept (>= via integer
+    cross-multiply, no float boundary loss)."""
+    from genie_spark.analytics.dedup import setsim_prefix_pairs
+    from genie_spark.analytics.dedup import shingles
+
+    # construct two docs, measure their true jaccard, then query at
+    # exactly that threshold (as a pct) when it is a round percent
+    df = spark.createDataFrame(
+        [(1, "aaaabbbbccccdddd"), (2, "aaaabbbbcccceeee")], ["doc_id", "text"]
+    )
+    sh = shingles(df, k=4)
+    sets = {
+        r["doc_id"]: set()
+        for r in df.collect()
+    }
+    for r in sh.collect():
+        sets[r["doc_id"]].add(r["shingle"])
+    inter = len(sets[1] & sets[2])
+    union = len(sets[1] | sets[2])
+    pct = 100 * inter // union
+    if 100 * inter == pct * union:  # exact percent boundary
+        out = setsim_prefix_pairs(df, k=4, threshold_pct=pct).collect()
+        assert any(r["a"] == 1 and r["b"] == 2 for r in out)

@@ -488,3 +488,77 @@ def test_hll_merge_law_and_estimate_accuracy(spark):
 
     with _pytest.raises(ValueError, match="outside"):
         hll_sketch(a, "source", "value", p=2)
+
+
+# ---------------------------------------------------------------------------
+# X43 bounded-memory exact heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _token_df(spark, counts):
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, ["token"]).repartition(4)
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """Result equals the naive full groupBy + threshold, regardless of
+    how tokens were partitioned."""
+    from genie_spark.analytics.sketches import heavy_hitters
+
+    counts = {f"tok{i}": (i + 1) * 7 for i in range(40)}
+    counts["whale"] = 2_000
+    counts["shark"] = 900
+    df = _token_df(spark, counts)
+    total = sum(counts.values())
+    got = {
+        (r["token"], r["cnt"])
+        for r in heavy_hitters(df, m=64, min_share_bp=200).collect()
+    }
+    want = {
+        (t, c) for t, c in counts.items() if c * 10_000 >= 200 * total
+    }
+    assert got == want
+    assert ("whale", 2_000) in got
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """The exact verify pass makes the output identical across 1 vs
+    many partitions (candidates may differ; results must not)."""
+    from genie_spark.analytics.sketches import heavy_hitters
+
+    counts = {f"t{i}": 5 for i in range(200)}
+    counts["big"] = 400
+    one = _token_df(spark, counts).coalesce(1)
+    many = _token_df(spark, counts).repartition(16)
+    r1 = sorted(map(tuple, heavy_hitters(one, m=64, min_share_bp=200).collect()))
+    r2 = sorted(map(tuple, heavy_hitters(many, m=64, min_share_bp=200).collect()))
+    assert r1 == r2 and [t for t, _, _ in r1] == ["big"]
+
+
+def test_misra_gries_candidates_cover_heavy_tokens(spark):
+    """Every token above the global N/(m+1) bar appears in the
+    candidate union (the pigeonhole guarantee), with a small m that
+    actually forces decrements."""
+    from genie_spark.analytics.sketches import misra_gries_candidates
+
+    counts = {f"noise{i}": 2 for i in range(60)}
+    counts.update({"h1": 90, "h2": 70})
+    df = _token_df(spark, counts)
+    m = 8
+    total = sum(counts.values())
+    cand = {r["token"] for r in misra_gries_candidates(df, m=m).collect()}
+    for t, c in counts.items():
+        if c > total / (m + 1):
+            assert t in cand, t
+
+
+def test_heavy_hitters_m_threshold_guard(spark):
+    """(m+1)*min_share_bp must exceed 10_000 or pass 1 could lose a
+    qualifying token — asserted loudly."""
+    import pytest
+
+    from genie_spark.analytics.sketches import heavy_hitters
+
+    df = _token_df(spark, {"a": 3})
+    with pytest.raises(AssertionError, match="m too small"):
+        heavy_hitters(df, m=8, min_share_bp=100)

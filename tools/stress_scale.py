@@ -496,6 +496,73 @@ def main() -> None:
 
     probe("asof_join", run_asof)
 
+    # X41 prefix-filtered set-similarity join on a boilerplate-heavy
+    # corpus: every doc shares a hot boilerplate prefix (its shingles
+    # have df = n — the all-shingle join's quadratic nightmare) and 5%
+    # of docs duplicate their neighbor's unique tail.  Prefixes pick
+    # each doc's RAREST shingles, so candidates ≈ the planted dup
+    # pairs and wall stays linear despite the hot shingles.
+    from genie_spark.analytics.dedup import setsim_prefix_pairs
+
+    def synth_docs_boiler(n):
+        boiler = (
+            "shared boilerplate header every document repeats verbatim "
+            "license terms navigation chrome etc "
+        )
+        base_id = F.when(
+            F.pmod(F.col("id"), 20) == 19, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        words = [
+            F.md5(F.concat(base_id.cast("string"), F.lit(f"_{k}")))
+            for k in range(8)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(boiler), F.concat_ws(" ", *words)).alias("text"),
+        ).repartition(32).cache()
+
+    probe(
+        "setsim_prefix",
+        lambda n: setsim_prefix_pairs(synth_docs_boiler(n), k=20, threshold_pct=80),
+    )
+
+    # X42 priority sampling: per-group top-k window over 32 groups —
+    # one exchange, wall should track the scan+sort
+    from genie_spark.analytics.corpus import priority_sample
+
+    def synth_weighted(n):
+        return spark.range(n).select(
+            F.pmod("id", F.lit(32)).cast("string").alias("source"),
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) + 1).alias("n_chars"),
+        ).repartition(32)
+
+    probe("priority_sample", lambda n: priority_sample(synth_weighted(n), k=10))
+
+    # X43 heavy hitters: 30% of occurrences from 10 hot tokens (3%
+    # share each, above the 2% bar), the rest unique — vocabulary is
+    # ~0.7n but the shuffle carries only the ≤m·P candidates
+    from genie_spark.analytics.sketches import heavy_hitters
+
+    def synth_tokens(n):
+        h = F.pmod(F.xxhash64("id"), F.lit(10))
+        return spark.range(n).select(
+            F.when(
+                h < 3,
+                F.concat(
+                    F.lit("hot"),
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)).cast("string"),
+                ),
+            )
+            .otherwise(F.md5(F.col("id").cast("string")))
+            .alias("token")
+        ).repartition(32)
+
+    probe(
+        "heavy_hitters",
+        lambda n: heavy_hitters(synth_tokens(n), m=64, min_share_bp=200),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
