@@ -398,6 +398,40 @@ class TableCommit:
     ) -> None:
         raise NotImplementedError
 
+    # Read-side half of the seam: which files ARE the table.  The
+    # directory backend answers from the filesystem layout (defaults
+    # below); a log-backed table answers from its version log, so the
+    # merge/compact drivers must ask the backend, never the directory.
+
+    def read(self, spark, target_path: str) -> DataFrame | None:
+        """The current table as a DataFrame, or None iff absent."""
+        return _read_target(spark, target_path)
+
+    def is_partitioned(self, target_path: str, partition_col: str) -> bool:
+        return _is_partitioned_layout(target_path, partition_col)
+
+    def partition_values(self, target_path: str, partition_col: str) -> list[str]:
+        prefix = f"{partition_col}="
+        if not os.path.isdir(target_path):
+            return []
+        return sorted(
+            e[len(prefix):]
+            for e in os.listdir(target_path)
+            if e.startswith(prefix) and os.path.isdir(os.path.join(target_path, e))
+        )
+
+    def partition_files(
+        self, target_path: str, partition_col: str, value: str
+    ) -> list[str]:
+        part_dir = os.path.join(target_path, f"{partition_col}={value}")
+        if not os.path.isdir(part_dir):
+            return []
+        return sorted(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+
 
 class DirectorySwapCommit(TableCommit):
     """Default backend: the journaled, flock-serialized directory swap
@@ -463,7 +497,7 @@ def merge_into_bronze(
     """
     spark = batch.sparkSession
     commit.recover(target_path)
-    existing = _read_target(spark, target_path)
+    existing = commit.read(spark, target_path)
     partitioned = (
         partition_col in batch.columns
         and (existing is None or partition_col in existing.columns)
@@ -474,7 +508,7 @@ def merge_into_bronze(
         out = batch
     elif (
         partitioned
-        and _is_partitioned_layout(target_path, partition_col)
+        and commit.is_partitioned(target_path, partition_col)
     ):
         # partition-scoped path: existing side pruned to the batch's
         # centers (center count is dim-sized by contract; the collect
@@ -545,40 +579,28 @@ def compact_bronze(
     per-partition {files_before, files_after} for observability.
     """
     commit.recover(target_path)
-    if not _is_partitioned_layout(target_path, partition_col):
+    if not commit.is_partitioned(target_path, partition_col):
         raise ValueError(f"{target_path} is not a {partition_col}-partitioned layout")
-    prefix = f"{partition_col}="
     report: dict = {}
-    for entry in sorted(os.listdir(target_path)):
-        if not entry.startswith(prefix):
-            continue
-        value = entry[len(prefix):]
+    for value in commit.partition_values(target_path, partition_col):
         if centers is not None and value not in centers:
             continue
-        part_dir = os.path.join(target_path, entry)
-        files = [
-            f for f in os.listdir(part_dir)
-            if f.endswith(".parquet") or f.startswith("part-")
-        ]
-        size = sum(
-            os.path.getsize(os.path.join(part_dir, f)) for f in files
-        )
+        entry = f"{partition_col}={value}"
+        files = commit.partition_files(target_path, partition_col, value)
+        size = sum(os.path.getsize(f) for f in files)
         n_target = max(1, -(-size // target_file_bytes))
         if len(files) <= n_target:
             report[value] = {"files_before": len(files), "files_after": len(files)}
             continue
         staging = commit.staging_path(target_path, f"compact.{value}")
         (
-            spark.read.parquet(part_dir)
+            spark.read.parquet(*files)
             .coalesce(n_target)
             .write.mode("overwrite")
             .parquet(os.path.join(staging, entry))
         )
         commit.commit_partitions(staging, target_path, partition_col)
-        after = len([
-            f for f in os.listdir(part_dir)
-            if f.endswith(".parquet") or f.startswith("part-")
-        ])
+        after = len(commit.partition_files(target_path, partition_col, value))
         report[value] = {"files_before": len(files), "files_after": after}
     return report
 

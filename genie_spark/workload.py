@@ -1039,6 +1039,11 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
+    # r7-green, untouched by round-8 changes (third r8 rotation): slot
+    # freed for the NEW layout_zorder (Morton-key layout primitive —
+    # first driver row); the interval-join family stays in-window via
+    # j3_interval_join + j4_containment_join
+    "j6_max_overlap_remap",
     # r7-green, untouched by round-8 changes (second r8 rotation)
     "phi_redaction",
     "scalar_battery",

@@ -474,6 +474,57 @@ ORDER BY 1, 2
 """
 
 
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (l_orderkey, l_partkey) —
+    the lakehouse layout primitive behind multi-dimensional file
+    skipping (io/layout.py; Delta OPTIMIZE ZORDER / Iceberg zorder
+    rewrite re-expressed as pure integer column expressions).  Bounds
+    via one min/max aggregate; quantization is a pure right shift
+    (exact, engine-portable); the 32 interleave terms fold into one
+    codegen stage.  Result: per-2^16-wide key bucket, row count and
+    exact key extrema — value-checks every interleaved bit."""
+    from genie_spark.io.layout import with_zorder
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z = with_zorder(li, ["l_orderkey", "l_partkey"], n_bits=16)
+    return z.groupBy(F.shiftright("__z", 16).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__z").alias("z_min"),
+        F.max("__z").alias("z_max"),
+    )
+
+
+def _zorder_sql(n_bits: int = 16) -> str:
+    """DuckDB mirror: identical shift quantization (bin() length ==
+    integer bit_length, the established conv/bin trick) and the same
+    bit-interleave as a sum of disjoint-bit terms."""
+    terms = " + ".join(
+        f"(((ca >> {b}) & 1) << {2 * b}) + (((cb >> {b}) & 1) << {2 * b + 1})"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH b AS (
+  SELECT min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,
+         min(l_partkey) AS lo_p, max(l_partkey) AS hi_p
+  FROM lineitem
+), s AS (
+  SELECT lo_o, lo_p,
+         greatest(length(bin(hi_o - lo_o)) - {n_bits}, 0) AS sh_o,
+         greatest(length(bin(hi_p - lo_p)) - {n_bits}, 0) AS sh_p
+  FROM b
+), c AS (
+  SELECT ((l_orderkey - lo_o) >> sh_o) AS ca,
+         ((l_partkey - lo_p) >> sh_p) AS cb
+  FROM lineitem, s
+), z AS (
+  SELECT ({terms}) AS zval FROM c
+)
+SELECT zval >> 16 AS z_bucket, count(*) AS n_rows,
+       min(zval) AS z_min, max(zval) AS z_max
+FROM z GROUP BY 1
+"""
+
+
 EXTRA_QUERIES: dict = {
     "j5_feature_type": j5_feature_type,
     "a4_completeness": a4_completeness,
@@ -488,6 +539,7 @@ EXTRA_QUERIES: dict = {
     "j8_broadcast_lookup": j8_broadcast_lookup,
     "j10_symbol_remap": j10_symbol_remap,
     "a17_value_decreases": a17_value_decreases,
+    "layout_zorder": layout_zorder,
 }
 
 EXTRA_ORACLES: dict = {
@@ -504,4 +556,5 @@ EXTRA_ORACLES: dict = {
     "j8_broadcast_lookup": J8_SQL,
     "j10_symbol_remap": J10_SQL,
     "a17_value_decreases": A17_SQL,
+    "layout_zorder": _zorder_sql(),
 }
