@@ -33,7 +33,13 @@ cBioPortal ingestion depends on:
   one normalized reference build;
 - mutation-profile samples ⊆ cases_sequenced.txt (validateData's
   profile↔case-list cross-check) and meta_study.txt carries the four
-  importer-required fields.
+  importer-required fields;
+- gene matrix internal + cross-file consistency: one row per sample
+  (reference dedups before writing, database_to_staging.py:1628),
+  `mutations` equals the sample's clinical SEQ_ASSAY_ID (the matrix is
+  built from that column, database_to_staging.py:1622-1626), and every
+  cases_sequenced sample with a panel-backed assay has a matrix row
+  (WES-exempt, mirroring the panel-file exemption).
 
 Set-containment checks over data-sized artifacts (clinical, maf) run
 as Spark anti-joins; only KB-scale driver-rendered texts (case lists,
@@ -571,6 +577,90 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     "with no data_gene_panel_<id>.txt on disk",
                     n=len(missing),
                     examples=missing[:5],
+                )
+        # duplicate matrix rows: the reference build dedups on
+        # SAMPLE_ID before writing (database_to_staging.py:1628
+        # drop_duplicates) — two rows for one sample give the importer
+        # two panel claims and is a malformed release
+        if gm_sid is not None:
+            n_dup = (
+                matrix.groupBy(F.col(gm_sid)).count()
+                .where(F.col("count") > 1).count()
+            )
+            if n_dup:
+                err(
+                    "release.gene_matrix_dup_sample",
+                    "release: data_gene_matrix.txt has samples with "
+                    "multiple rows (the reference dedups on SAMPLE_ID "
+                    "before writing)",
+                    n=n_dup,
+                )
+        # matrix ↔ clinical assay agreement: the matrix IS clinical's
+        # (SAMPLE_ID, SEQ_ASSAY_ID) projection renamed to `mutations`
+        # (database_to_staging.py:1622-1626), so a matrix row whose
+        # panel disagrees with the sample's clinical assay id means
+        # the two artifacts were built from different snapshots
+        clin_assay = _resolve(clinical, "SEQ_ASSAY_ID")
+        if gm_sid is not None and gm_mut is not None and clin_assay is not None:
+            n_mismatch = (
+                matrix.select(
+                    F.col(gm_sid).alias("SAMPLE_ID"),
+                    F.col(gm_mut).alias("__panel"),
+                )
+                .join(
+                    clinical.select(
+                        F.col(clin_sid).alias("SAMPLE_ID"),
+                        F.col(clin_assay).alias("__assay"),
+                    ),
+                    "SAMPLE_ID",
+                )
+                .where(
+                    F.col("__assay").isNotNull()
+                    & (F.col("__panel") != F.col("__assay"))
+                )
+                .count()
+            )
+            if n_mismatch:
+                err(
+                    "release.gene_matrix_assay_mismatch",
+                    "release: data_gene_matrix.txt `mutations` disagrees "
+                    "with the sample's clinical SEQ_ASSAY_ID (the matrix "
+                    "is built from that column)",
+                    n=n_mismatch,
+                )
+        # gene-matrix ↔ case-list cross-check (cBioPortal validateData:
+        # a _sequenced sample with no matrix row has no panel the
+        # importer can attribute its profile to).  WES samples are
+        # exempt when a bed file gives an exemption basis — the
+        # reference REMOVES WES rows from the matrix on purpose
+        # (database_to_staging.py:1631-1632), mirroring the
+        # gene_panel_files exemption above.
+        if gm_sid is not None and sequenced_ids is not None:
+            seq_df = spark.createDataFrame(
+                [(i,) for i in sequenced_ids], "SAMPLE_ID string"
+            )
+            missing_df = seq_df.join(
+                matrix.select(F.col(gm_sid).alias("SAMPLE_ID")).distinct(),
+                "SAMPLE_ID",
+                "left_anti",
+            )
+            if bed_assay_ids is not None and clin_assay is not None:
+                missing_df = missing_df.join(
+                    clinical.select(
+                        F.col(clin_sid).alias("SAMPLE_ID"),
+                        F.col(clin_assay).alias("__assay"),
+                    ),
+                    "SAMPLE_ID",
+                    "left",
+                ).where(F.col("__assay").isin(sorted(bed_assay_ids)))
+            n = missing_df.count()
+            if n:
+                err(
+                    "release.gene_matrix_cases_sequenced",
+                    "release: cases_sequenced.txt lists samples with no "
+                    "data_gene_matrix.txt row (and a panel-backed assay "
+                    "— not WES-exempt)",
+                    n=n,
                 )
 
     # --- gene panels ↔ genomic information ------------------------------

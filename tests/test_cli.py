@@ -676,6 +676,71 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.meta_study_id" not in ids
 
+    # corruption 20: duplicate gene-matrix SAMPLE_ID rows (the
+    # reference dedups before writing, database_to_staging.py:1628)
+    write(
+        "data_gene_matrix.txt",
+        "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-1\n"
+        "GENIE-SAGE-1-1\tSAGE-PANEL-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_matrix_dup_sample" in ids
+    write(
+        "data_gene_matrix.txt",
+        "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_matrix_dup_sample" not in ids
+
+    # corruption 21: matrix `mutations` disagrees with the sample's
+    # clinical SEQ_ASSAY_ID (matrix is BUILT from that column,
+    # database_to_staging.py:1622-1626) — needs clinical to carry the
+    # assay column first
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tCancer Type\tAssay\n#d\td\td\n#STRING\tSTRING\tSTRING\n"
+        "#1\t1\t1\nSAMPLE_ID\tCANCER_TYPE\tSEQ_ASSAY_ID\n"
+        "GENIE-SAGE-1-1\tGlioma\tSAGE-PANEL-1\n"
+        "GENIE-SAGE-2-1\tGlioma\tSAGE-WES-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_matrix_assay_mismatch" not in ids
+    write(
+        "data_gene_matrix.txt",
+        "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-2\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_matrix_assay_mismatch" in ids
+    write(
+        "data_gene_matrix.txt",
+        "SAMPLE_ID\tmutations\nGENIE-SAGE-1-1\tSAGE-PANEL-1\n",
+    )
+
+    # corruption 22: cases_sequenced sample with a panel-backed assay
+    # but no gene-matrix row → flagged; the WES sample (assay absent
+    # from the bed) is exempt — the reference removes WES matrix rows
+    # on purpose (database_to_staging.py:1631-1632)
+    write(
+        "case_lists/cases_sequenced.txt",
+        "cancer_study_identifier: s\nstable_id: s_sequenced\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_category: all_cases_with_mutation_data\n"
+        "case_list_ids: GENIE-SAGE-1-1\tGENIE-SAGE-2-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_matrix_cases_sequenced" not in ids  # WES-exempt
+    # give sample 2 a panel-backed assay: now its missing matrix row is
+    # a real error
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tCancer Type\tAssay\n#d\td\td\n#STRING\tSTRING\tSTRING\n"
+        "#1\t1\t1\nSAMPLE_ID\tCANCER_TYPE\tSEQ_ASSAY_ID\n"
+        "GENIE-SAGE-1-1\tGlioma\tSAGE-PANEL-1\n"
+        "GENIE-SAGE-2-1\tGlioma\tSAGE-PANEL-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.gene_matrix_cases_sequenced" in ids
+
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
     """--release-dir/--prev-release-dir wire the per-column value-count
