@@ -38,15 +38,29 @@ def token_ngrams(text_col: str | Column, n: int) -> Column:
     """Contiguous token ``n``-grams (space-joined, order-preserving,
     NON-distinct) of the whitespace tokenization.  Documents shorter
     than ``n`` tokens yield an empty array (Spark's ``sequence`` with
-    start > stop raises, so the short side is gated explicitly)."""
-    t = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    return F.when(F.size(t) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    start > stop raises, so the short side is gated explicitly).
+
+    The tokenization is bound ONCE per row as a higher-order-function
+    lambda variable (1-element array → ``transform`` → ``[0]``): a
+    naive ``slice(tokens(text), i, n)`` closes over the split+filter
+    EXPRESSION, and because higher-order functions run interpreted
+    (no whole-stage codegen, no subexpression elimination) the regex
+    split re-ran for every n-gram position — O(tokens²) per document.
+    Round-8's intermittent 30–55 s bench stall was exactly this: one
+    scan task re-splitting each doc ~50×, amplified late-session when
+    the interpreted ``Expression.eval`` call sites go megamorphic and
+    the JIT stops inlining.  With the lambda binding, ``split`` runs
+    once per row and every gram is a bounded-cost array slice."""
+    return F.transform(
+        F.array(tokens(text_col)),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
 
 
 def decontaminate_ngram(
@@ -90,10 +104,14 @@ def decontaminate_ngram(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    per_doc = corpus.select(
+    # pre-filter on size(tokens) >= n — equivalent to n_ngrams > 0 but
+    # the pushed-down Filter predicate costs one split, not a rebuild
+    # of the whole gram pipeline (Catalyst substitutes aliases when it
+    # pushes a filter through a Project)
+    per_doc = corpus.where(F.size(tokens(text_col)) >= n).select(
         F.col(id_col),
         F.size(F.array_distinct(token_ngrams(text_col, n))).alias("n_ngrams"),
-    ).where(F.col("n_ngrams") > 0)
+    )
     out = per_doc.join(hits, id_col, "left").withColumn(
         "n_contaminated", F.coalesce("n_contaminated", F.lit(0))
     )
@@ -279,10 +297,10 @@ def bloom_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_clean"))
     )
-    per_doc = corpus.select(
+    per_doc = corpus.where(F.size(tokens(text_col)) >= n).select(
         F.col(id_col),
         F.size(F.array_distinct(token_ngrams(text_col, n))).alias("n_ngrams"),
-    ).where(F.col("n_ngrams") > 0)
+    )
     out = per_doc.join(clean, id_col, "left").withColumn(
         "n_flagged",
         F.col("n_ngrams") - F.coalesce("n_clean", F.lit(0)),

@@ -88,7 +88,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver IS the executor: 8g was 250 MB/core at
+        # local[32] and showed GC-pressure variance on the bench; 24g
+        # (750 MB/core) matches what a real cluster would give each
+        # executor core.  Ignored (with a WARN) if a JVM already runs.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
