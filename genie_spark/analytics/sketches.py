@@ -512,12 +512,30 @@ def misra_gries_candidates(
     (state = one ≤m-entry dict per partition, carried across record
     batches); output is ≤ m·P candidate tokens, never the vocabulary.
     """
+    return (
+        _misra_gries_summary(tokens, token_col, m)
+        .where(F.col(token_col).isNotNull())
+        .select(token_col)
+        .distinct()
+    )
+
+
+def _misra_gries_summary(
+    tokens: DataFrame, token_col: str = "token", m: int = DEFAULT_K
+) -> DataFrame:
+    """One narrow Arrow ``mapInPandas`` pass emitting, per non-empty
+    partition, the ≤m Misra–Gries candidate tokens (``pcount`` 0) PLUS
+    one (NULL-token, partition occurrence count) row — so the global
+    N = Σ pcount rides along with the candidates and ``heavy_hitters``
+    never needs a separate ``count()`` scan of the stream."""
     import pandas as pd
 
     def part(batches):
         counters: dict = {}
+        n = 0
         for pdf in batches:
             for t in pdf[token_col]:
+                n += 1
                 if t in counters:
                     counters[t] += 1
                 elif len(counters) < m:
@@ -531,12 +549,17 @@ def misra_gries_candidates(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        if counters:
-            yield pd.DataFrame({token_col: list(counters.keys())})
+        if n:
+            yield pd.DataFrame(
+                {
+                    token_col: list(counters.keys()) + [None],
+                    "pcount": [0] * len(counters) + [n],
+                }
+            )
 
     return tokens.select(token_col).mapInPandas(
-        part, schema=f"{token_col} string"
-    ).distinct()
+        part, schema=f"{token_col} string, pcount long"
+    )
 
 
 def heavy_hitters(
@@ -549,33 +572,51 @@ def heavy_hitters(
     least ``min_share_bp`` basis points of total token occurrences,
     found WITHOUT a vocabulary-sized shuffle.
 
-    Two passes (Misra & Gries 1982 + the standard distributed verify):
-    pass 1 runs per-partition Misra–Gries (``misra_gries_candidates``,
-    narrow, ≤ m·P candidate rows); pass 2 semi-joins the token stream
-    against the broadcast candidate set and aggregates EXACT counts for
+    Two passes over the stream, EXACTLY (Misra & Gries 1982 + the
+    standard distributed verify): pass 1 runs per-partition Misra–Gries
+    (``_misra_gries_summary``, narrow, ≤ m·P candidate rows) and emits
+    the global N alongside — one (NULL-token, partition count) row per
+    partition, so N = Σ pcount with NO separate ``count()`` scan (the
+    round-8 form read the stream three times; at 100 TB a full extra
+    scan is real money).  Pass 2 semi-joins the token stream against
+    the broadcast candidate set and aggregates EXACT counts for
     candidates only — the shuffle carries ≤ m·P distinct keys instead
     of the vocabulary, and map-side partial aggregation collapses it
-    further.  Requires ``(m+1) · min_share_bp > 10_000`` so pass 1 is
-    lossless (asserted); given that, the result is EXACT and identical
-    for every partitioning: pass 1 can only over-generate, and pass 2's
-    integer threshold (``cnt · 10_000 ≥ min_share_bp · N``) prunes
-    exactly.  Returns (token, cnt, share) with share a single IEEE
-    divide of exact longs.
+    further; the 1-row total joins in by broadcast, keeping the whole
+    threshold inside one declarative plan.  Requires
+    ``(m+1) · min_share_bp > 10_000`` so pass 1 is lossless (asserted);
+    given that, the result is EXACT and identical for every
+    partitioning: pass 1 can only over-generate, and pass 2's integer
+    threshold (``cnt · 10_000 ≥ min_share_bp · N``) prunes exactly.
+    Returns (token, cnt, share) with share a single IEEE divide of
+    exact longs.
     """
     assert (m + 1) * min_share_bp > 10_000, (
         "m too small for the share threshold: need (m+1)*min_share_bp > 10000 "
         "for the Misra-Gries pass to be lossless"
     )
     toks = tokens.where(F.col(token_col) != "")
-    total = toks.count()
-    cand = misra_gries_candidates(toks, token_col, m)
+    # pass 1, materialized once: ≤ (m+1)·P rows pinned via
+    # localCheckpoint (same idiom as sketch_count_min's occurrence
+    # cache) — both the candidate set and the 1-row total derive from
+    # it without re-running the summary scan
+    summary = _misra_gries_summary(toks, token_col, m).localCheckpoint(
+        eager=True
+    )
+    cand = (
+        summary.where(F.col(token_col).isNotNull())
+        .select(token_col)
+        .distinct()
+    )
+    total = summary.groupBy().agg(F.sum("pcount").alias("__total"))
     counts = (
         toks.join(F.broadcast(cand), token_col, "left_semi")
         .groupBy(token_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        counts.where(F.col("cnt") * 10_000 >= F.lit(min_share_bp) * F.lit(total))
-        .withColumn("share", F.col("cnt") / F.lit(total).cast("double"))
+        counts.join(F.broadcast(total))
+        .where(F.col("cnt") * 10_000 >= F.lit(min_share_bp) * F.col("__total"))
+        .withColumn("share", F.col("cnt") / F.col("__total").cast("double"))
         .select(token_col, "cnt", "share")
     )

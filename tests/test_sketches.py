@@ -535,6 +535,32 @@ def test_heavy_hitters_partitioning_invariant(spark):
     assert r1 == r2 and [t for t, _, _ in r1] == ["big"]
 
 
+def test_heavy_hitters_exactly_two_stream_passes(spark):
+    """The token stream is read EXACTLY twice (MG summary pass + exact
+    verify pass): the global N rides along with the candidates as
+    per-partition count rows, so the round-8 third ``count()`` scan is
+    gone.  Pinned with a pass-through mapInPandas tap that counts every
+    row evaluation through an accumulator — AQE-proof, unlike job
+    counting."""
+    from genie_spark.analytics.sketches import heavy_hitters
+
+    counts = {f"t{i}": 5 for i in range(50)}
+    counts["big"] = 300
+    df = _token_df(spark, counts)
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    tapped = df.mapInPandas(tap, schema="token string")
+    res = heavy_hitters(tapped, m=64, min_share_bp=200).collect()
+    total = sum(counts.values())
+    assert [r["token"] for r in res] == ["big"]
+    assert acc.value == 2 * total
+
+
 def test_misra_gries_candidates_cover_heavy_tokens(spark):
     """Every token above the global N/(m+1) bar appears in the
     candidate union (the pigeonhole guarantee), with a small m that
