@@ -27,6 +27,34 @@ from pyspark.sql import functions as F
 # stay < 2^62 (no ANSI long overflow).
 MERSENNE_P = 2_147_483_647
 
+
+def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` when ``result`` is garbage collected.
+
+    The pair functions persist a shared shingle/signature intermediate
+    that the lazily-returned result plan consumes more than once; the
+    function cannot unpersist before returning (the caller has not
+    materialized yet), and leaving it to session end accumulates
+    cache-manager entries in long-running sessions.  A weakref
+    finalizer ties the cache entry to the RESULT's lifetime — the same
+    freed-on-GC discipline ``localCheckpoint`` blocks get — so a
+    caller that collects and drops the result releases the cache
+    without holding a handle to the internals.  Unpersist is
+    non-blocking and exceptions are swallowed (the session may already
+    be gone at interpreter shutdown)."""
+    import weakref
+
+    jdf = cached._jdf
+
+    def _release(jdf=jdf):
+        try:
+            jdf.unpersist(False)
+        except Exception:  # noqa: BLE001 — session/JVM may be gone
+            pass
+
+    weakref.finalize(result, _release)
+    return result
+
 # (a, b) parameters for the minhash permutation family h_i = (a*h+b)%p.
 # Fixed constants (not random) so Spark and the SQL oracle agree.
 def perm_params(n: int) -> list[tuple[int, int]]:
@@ -113,13 +141,14 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         common.join(na.hint("merge"), "a")
         .join(nb.hint("merge"), "b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "n_common", "jaccard")
     )
+    return _release_on_gc(out, sh)
 
 
 def minhash_signatures(
@@ -431,7 +460,9 @@ def minhash_dedup_pairs(
     # small; do not copy this hint to joins whose build side is not
     # volume-bounded by construction (cosine_verify_pairs deliberately
     # uses merge).
-    return _verify_pairs(cand, docinfo, id_col, threshold)
+    return _release_on_gc(
+        _verify_pairs(cand, docinfo, id_col, threshold), docinfo
+    )
 
 
 def connected_components(
@@ -796,7 +827,7 @@ def setsim_prefix_pairs(
     )
     n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.col("na") + F.col("nb") - F.col("n_common")
-    return (
+    out = (
         cand.hint("merge").join(da, "a")
         .hint("merge").join(db, "b")
         .withColumn("n_common", n_common)
@@ -804,3 +835,4 @@ def setsim_prefix_pairs(
         .withColumn("jaccard", F.col("n_common") / union)
         .select("a", "b", "n_common", "jaccard")
     )
+    return _release_on_gc(out, sh)
