@@ -57,13 +57,19 @@ who only trust the log).  There is no journal to roll forward and no
 window where the table is half-swapped.
 
 Scale notes (100 TB): the log is metadata-sized (one JSON per commit,
-one line per file).  Version resolution replays O(#commits) entries;
-a production deployment adds periodic checkpoints (Delta's
-``_last_checkpoint``) — the replay here is the same fold and stays
-driver-side metadata work.  Stats collection reads only parquet
-FOOTERS of the just-written staging files (the writer already has
-them in page cache); at very large file counts per commit it moves
-into the write job itself.
+one line per file).  Version resolution folds from the newest
+CHECKPOINT at or below the requested version (a full live-set
+snapshot written every ``CHECKPOINT_INTERVAL`` commits — Delta's
+``_last_checkpoint`` pattern) plus the suffix of entries after it, so
+replay reads O(interval) files regardless of table age; a
+``_last_checkpoint`` pointer file names the newest checkpoint for
+object stores where LIST is the expensive call (the local resolver
+uses the directory listing it already has).  Checkpoints are an
+OPTIMIZATION only — deleting every ``*.checkpoint.json`` leaves a
+correct table that re-folds from version 1.  Stats collection reads
+only parquet FOOTERS of the just-written staging files (the writer
+already has them in page cache); at very large file counts per commit
+it moves into the write job itself.
 """
 
 from __future__ import annotations
@@ -124,11 +130,63 @@ def _read_entry(table: str, version: int) -> dict:
         return json.load(fh)
 
 
+# a full live-set snapshot is written after every N-th commit; replay
+# then reads at most N entry files plus one checkpoint, however old
+# the table (Delta defaults to 10 — same order here)
+CHECKPOINT_INTERVAL = 10
+
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.checkpoint.json")
+
+
+def _list_checkpoints(table: str) -> list[int]:
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".checkpoint.json") and not name.startswith("."):
+            stem = name[: -len(".checkpoint.json")]
+            if stem.isdigit():
+                out.append(int(stem))
+    return sorted(out)
+
+
+def _read_checkpoint(table: str, version: int) -> dict:
+    with open(_checkpoint_path(table, version)) as fh:
+        return json.load(fh)
+
+
+def _write_checkpoint(table: str, version: int, live: dict[str, dict]) -> None:
+    """Install the live-set snapshot at ``version`` (tmp + atomic
+    rename — idempotent content, so an overwrite race is harmless) and
+    advance the ``_last_checkpoint`` pointer.  Best-effort by contract:
+    callers swallow failures, because a missing checkpoint only costs
+    replay time, never correctness."""
+    d = _log_dir(table)
+    tmp = os.path.join(d, f".tmp-cp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "live": live}, fh, separators=(",", ":"))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, _checkpoint_path(table, version))
+    tmp2 = os.path.join(d, f".tmp-lcp-{uuid.uuid4().hex}")
+    with open(tmp2, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.rename(tmp2, os.path.join(d, _LAST_CHECKPOINT))
+
+
 def snapshot_actions(table: str, version: int | None = None) -> dict[str, dict]:
     """Replay the log up to ``version`` (default: latest) → the live
     set as {relative path: add action}.  Replay is a pure fold:
     ``add`` inserts, ``remove`` deletes; versions are totally ordered
-    by the link-allocated number."""
+    by the link-allocated number.  The fold starts from the newest
+    CHECKPOINT at or below the target version when one exists, so the
+    number of files read is bounded by ``CHECKPOINT_INTERVAL``, not
+    the table's commit count."""
     versions = _list_versions(table)
     if version is not None:
         if version not in versions:
@@ -140,6 +198,15 @@ def snapshot_actions(table: str, version: int | None = None) -> dict[str, dict]:
             )
         versions = [v for v in versions if v <= version]
     live: dict[str, dict] = {}
+    cps = [c for c in _list_checkpoints(table) if not versions or c <= versions[-1]]
+    if cps:
+        try:
+            cp = _read_checkpoint(table, cps[-1])
+            live = dict(cp["live"])
+            versions = [v for v in versions if v > cps[-1]]
+        except (OSError, ValueError, KeyError):
+            # torn/missing checkpoint: fall back to the full fold
+            live = {}
     for v in versions:
         for action in _read_entry(table, v)["actions"]:
             if "add" in action:
@@ -503,8 +570,20 @@ class LogCommit(TableCommit):
                     *({"add": a} for _rel, a in moved),
                 ],
             }
-            if _append_entry(target_path, entry, (cur or 0) + 1):
-                self._base[target_path] = (cur or 0) + 1
+            new_v = (cur or 0) + 1
+            if _append_entry(target_path, entry, new_v):
+                self._base[target_path] = new_v
+                if new_v % CHECKPOINT_INTERVAL == 0:
+                    # best-effort: a lost checkpoint costs replay time
+                    # on a later read, never correctness
+                    try:
+                        _write_checkpoint(
+                            target_path,
+                            new_v,
+                            snapshot_actions(target_path, new_v),
+                        )
+                    except OSError:
+                        pass
                 return
             # lost the version CAS — loop re-evaluates conflicts/removes
 

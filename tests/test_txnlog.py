@@ -334,3 +334,107 @@ def test_log_entries_are_valid_json_with_stats(spark, tmp_path):
     assert adds and adds[0]["rows"] == 1
     assert adds[0]["partition"] == {"CENTER": "A"}
     assert adds[0]["stats"]["AGE"] == {"min": 5, "max": 5, "nulls": 0}
+
+
+def test_checkpoint_written_and_resolution_reads_bounded_files(
+    spark, tmp_path, monkeypatch
+):
+    """A 500-commit table resolves its snapshot reading at most
+    CHECKPOINT_INTERVAL entry files + 1 checkpoint, not 500 (the
+    Delta _last_checkpoint pattern).  Entries are installed through
+    the same _append_entry/_write_checkpoint pair the commit hook
+    uses — metadata-only, so 500 versions stay cheap — and the fold
+    result must be IDENTICAL with and without checkpoints."""
+    import genie_spark.io.txnlog as tx
+
+    tgt = str(tmp_path / "meta")
+    os.makedirs(tgt)
+    for v in range(1, 501):
+        entry = {
+            "version": v,
+            "op": "replace_partitions",
+            "partition_col": "CENTER",
+            "ts": 0.0,
+            "actions": [
+                *(
+                    [{"remove": {"path": f"CENTER=A/f{v-1}.parquet",
+                                 "partition": {"CENTER": "A"}}}]
+                    if v > 1
+                    else []
+                ),
+                {"add": {"path": f"CENTER=A/f{v}.parquet",
+                         "partition": {"CENTER": "A"},
+                         "rows": v, "stats": {}}},
+            ],
+        }
+        assert tx._append_entry(tgt, entry, v)
+        if v % tx.CHECKPOINT_INTERVAL == 0:
+            tx._write_checkpoint(tgt, v, tx.snapshot_actions(tgt, v))
+
+    opens = {"entry": 0, "checkpoint": 0}
+    real_entry, real_cp = tx._read_entry, tx._read_checkpoint
+    monkeypatch.setattr(
+        tx, "_read_entry",
+        lambda t, v: (opens.__setitem__("entry", opens["entry"] + 1),
+                      real_entry(t, v))[1],
+    )
+    monkeypatch.setattr(
+        tx, "_read_checkpoint",
+        lambda t, v: (opens.__setitem__("checkpoint", opens["checkpoint"] + 1),
+                      real_cp(t, v))[1],
+    )
+    live = tx.snapshot_actions(tgt)
+    assert sorted(live) == ["CENTER=A/f500.parquet"]
+    assert opens["checkpoint"] == 1
+    assert opens["entry"] <= tx.CHECKPOINT_INTERVAL
+    # time travel to a mid-history version is also bounded and exact
+    opens["entry"] = opens["checkpoint"] = 0
+    live_253 = tx.snapshot_actions(tgt, 253)
+    assert sorted(live_253) == ["CENTER=A/f253.parquet"]
+    assert opens["checkpoint"] == 1 and opens["entry"] <= tx.CHECKPOINT_INTERVAL
+    # checkpoints are an optimization only: deleting them re-folds to
+    # the identical answer
+    for name in os.listdir(os.path.join(tgt, tx.LOG_DIR)):
+        if name.endswith(".checkpoint.json") or name == tx._LAST_CHECKPOINT:
+            os.unlink(os.path.join(tgt, tx.LOG_DIR, name))
+    assert sorted(tx.snapshot_actions(tgt)) == ["CENTER=A/f500.parquet"]
+    assert sorted(tx.snapshot_actions(tgt, 253)) == ["CENTER=A/f253.parquet"]
+
+
+def test_commit_hook_writes_checkpoint_and_reads_stay_green(
+    spark, tmp_path, monkeypatch
+):
+    """Real merges through the seam cross a checkpoint boundary: the
+    hook writes the checkpoint file, reads/time-travel/vacuum behave
+    exactly as before, and version resolution afterwards never reads
+    pre-checkpoint entries."""
+    import genie_spark.io.txnlog as tx
+
+    monkeypatch.setattr(tx, "CHECKPOINT_INTERVAL", 4)
+    tgt = str(tmp_path / "bronze")
+    lc = _lc()
+    for i in range(1, 7):
+        merge_into_bronze(
+            _clin(spark, [(f"s{i}", "A", i)]), tgt,
+            keys=["SAMPLE_ID"], commit=lc,
+        )
+    assert current_version(tgt) == 6
+    assert os.path.isfile(tx._checkpoint_path(tgt, 4))
+    with open(os.path.join(tgt, tx.LOG_DIR, tx._LAST_CHECKPOINT)) as fh:
+        assert json.load(fh)["version"] == 4
+    # snapshot now == union of all six single-row upserts
+    assert _collect(spark, tgt) == {(f"s{i}", "A", i) for i in range(1, 7)}
+    # time travel BEFORE the checkpoint still folds correctly
+    assert _collect(spark, tgt, version=2) == {("s1", "A", 1), ("s2", "A", 2)}
+    # resolution of the latest version must not read entries <= cp
+    reads: list[int] = []
+    real_entry = tx._read_entry
+    monkeypatch.setattr(
+        tx, "_read_entry",
+        lambda t, v: (reads.append(v), real_entry(t, v))[1],
+    )
+    tx.snapshot_actions(tgt)
+    assert reads and min(reads) > 4
+    # vacuum still green with checkpoints present
+    res = vacuum(tgt, retain_versions=2, grace_s=0.0)
+    assert _collect(spark, tgt) == {(f"s{i}", "A", i) for i in range(1, 7)}
