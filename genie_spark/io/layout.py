@@ -79,19 +79,39 @@ def zorder_key(
     return reduce(lambda a, t: a.bitwiseOR(t), terms, F.lit(0).cast("long"))
 
 
+# string clustering columns are dictionary-encoded with a literal
+# sorted-distinct array; beyond this cardinality the per-row
+# array_position scan stops being cheap — pre-encode a numeric code
+# upstream (or pass ``dicts`` from a metastore) instead
+ZDICT_MAX = 1024
+
+
 def with_zorder(
     df: DataFrame,
     cols: list[str],
     n_bits: int = DEFAULT_BITS,
     ranges: dict[str, tuple[int, int]] | None = None,
     out_col: str = "__z",
+    dicts: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """``df`` plus the Morton key over integer columns ``cols``.
+    """``df`` plus the Morton key over clustering columns ``cols``.
 
-    ``ranges`` supplies {col: (min, max)} when the caller already
-    knows them; otherwise ONE aggregate job collects all bounds (one
-    row).  A null value in any clustered column yields a null key —
-    the range partitioner groups those rows together.
+    Numeric/date columns quantize by the shift rule (module doc);
+    STRING columns are dictionary-encoded: the sorted distinct values
+    (≤ ``ZDICT_MAX`` — CENTER-like dimensions, not free text) map to
+    their 1-based rank via an ``array_position`` against a literal
+    array — narrow, zero-join, and the sort makes the code order the
+    lexicographic order, so footer min/max stats on the string column
+    itself stay meaningful per file.  Higher-cardinality strings raise
+    with the workaround named (pre-encode a numeric code upstream, or
+    pass ``dicts`` from a metastore/previous run).
+
+    ``ranges`` supplies {col: (min, max)} for numeric columns and
+    ``dicts`` supplies {col: sorted values} for string columns when
+    the caller already knows them; anything missing is collected by
+    ONE combined aggregate job (one row, dim-sized).  A null value in
+    any clustered column yields a null key — the range partitioner
+    groups those rows together.
     """
     if not cols:
         raise ValueError("with_zorder: need at least one clustering column")
@@ -100,34 +120,73 @@ def with_zorder(
             f"with_zorder: {len(cols)} cols × {n_bits} bits exceeds a signed "
             "64-bit key; lower n_bits"
         )
-    if ranges is None:
+    dtypes = dict(df.dtypes)
+    str_cols = [c for c in cols if dtypes.get(c) == "string"]
+    num_cols = [c for c in cols if c not in str_cols]
+    dicts = {c: list(v) for c, v in (dicts or {}).items()}
+    if ranges is not None:
+        missing = [c for c in num_cols if c not in ranges]
+        if missing:
+            raise ValueError(f"with_zorder: ranges missing for {missing}")
+        ranges = dict(ranges)
+    else:
+        ranges = {}
+    need_num = [c for c in num_cols if c not in ranges]
+    need_str = [c for c in str_cols if c not in dicts]
+    if need_num or need_str:
         row = df.agg(
             *[
                 g
-                for c in cols
+                for c in need_num
                 for g in (
                     F.min(F.col(c).cast("long")).alias(f"lo_{c}"),
                     F.max(F.col(c).cast("long")).alias(f"hi_{c}"),
                 )
-            ]
+            ],
+            *[
+                F.sort_array(F.collect_set(F.col(c))).alias(f"dv_{c}")
+                for c in need_str
+            ],
         ).first()
-        if row is None or any(row[f"lo_{c}"] is None for c in cols):
+        if (
+            row is None
+            or any(row[f"lo_{c}"] is None for c in need_num)
+            or any(not row[f"dv_{c}"] for c in need_str)
+        ):
             raise ValueError(
                 "with_zorder: empty input or all-null clustering column — "
                 "no bounds to quantize against"
             )
-        ranges = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
-    else:
-        missing = [c for c in cols if c not in ranges]
-        if missing:
-            raise ValueError(f"with_zorder: ranges missing for {missing}")
+        for c in need_num:
+            ranges[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+        for c in need_str:
+            dicts[c] = list(row[f"dv_{c}"])
+    for c in str_cols:
+        if len(dicts[c]) > ZDICT_MAX:
+            raise ValueError(
+                f"with_zorder: string column {c!r} has {len(dicts[c])} "
+                f"distinct values (> ZDICT_MAX={ZDICT_MAX}) — the literal-"
+                "dictionary path is for low-cardinality dimensions; "
+                "pre-encode a numeric code column upstream and cluster on "
+                "that, or pass dicts={...} from a metastore"
+            )
     codes = []
     for c in cols:
-        lo, hi = ranges[c]
-        shift = zorder_shift(lo, hi, n_bits)
-        codes.append(
-            F.shiftright(F.col(c).cast("long") - F.lit(int(lo)), shift)
-        )
+        if c in str_cols:
+            # 1-based rank in the sorted dictionary; null → null key,
+            # like the numeric path
+            codes.append(
+                F.array_position(
+                    F.lit(dicts[c]), F.col(c)
+                ).cast("long")
+            )
+            shift = zorder_shift(0, len(dicts[c]), n_bits)
+        else:
+            lo, hi = ranges[c]
+            shift = zorder_shift(lo, hi, n_bits)
+            codes.append(F.col(c).cast("long") - F.lit(int(lo)))
+        if shift:
+            codes[-1] = F.shiftright(codes[-1], shift)
     return df.withColumn(out_col, zorder_key(codes, n_bits))
 
 
@@ -139,6 +198,7 @@ def write_zordered(
     n_bits: int = DEFAULT_BITS,
     ranges: dict[str, tuple[int, int]] | None = None,
     commit=None,
+    dicts: dict[str, list[str]] | None = None,
 ) -> None:
     """Write ``df`` clustered by the Z-order of ``cols`` into
     ``n_files`` range-partitioned files.
@@ -148,7 +208,7 @@ def write_zordered(
     log, file-level pruning via ``read_snapshot(ranges=...)``.
     Without, a plain parquet directory (footer stats still serve
     row-group pruning)."""
-    z = with_zorder(df, cols, n_bits, ranges)
+    z = with_zorder(df, cols, n_bits, ranges, dicts=dicts)
     ordered = (
         z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
