@@ -272,11 +272,14 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
         err("release.case_list_all", "release: case_lists/cases_all.txt missing")
     case_study_ids: dict[str, list[str]] = {}
     sequenced_ids: list[str] | None = None
+    cases_all_ids: list[str] | None = None
     for p in case_files:
         name = os.path.basename(p)
         kv = _parse_kv_text(p)
         if name == "cases_sequenced.txt" and "case_list_ids" in kv:
             sequenced_ids = [s for s in kv["case_list_ids"].split("\t") if s]
+        if name == "cases_all.txt" and "case_list_ids" in kv:
+            cases_all_ids = [s for s in kv["case_list_ids"].split("\t") if s]
         missing_keys = [k for k in _CASE_LIST_KEYS if k not in kv]
         if missing_keys:
             err(
@@ -324,6 +327,27 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 for sid, files in sorted(case_study_ids.items())
             ),
         )
+    # containment in the OTHER direction (cBioPortal validateData:
+    # the all_cases_in_study list must cover every study sample —
+    # a clinical sample missing from cases_all.txt is silently
+    # excluded from study-wide views after import).  Forward
+    # containment (ids ⊆ clinical) ran per file above; this is the
+    # clinical ⊆ cases_all anti-join, distributed like the rest.
+    if cases_all_ids is not None:
+        all_probe = spark.createDataFrame(
+            [(i,) for i in cases_all_ids], "SAMPLE_ID string"
+        )
+        n = clin_ids.join(
+            F.broadcast(all_probe), "SAMPLE_ID", "left_anti"
+        ).count()
+        if n:
+            err(
+                "release.case_list_all_coverage",
+                "release: data_clinical.txt samples missing from "
+                "case_lists/cases_all.txt (all_cases_in_study must "
+                "cover the study)",
+                n=n,
+            )
 
     # --- maf -------------------------------------------------------------
     maf_path = os.path.join(release_dir, "data_mutations_extended.txt")
@@ -739,20 +763,47 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 f"{missing_fields}",
             )
     meta_study_ids: dict[str, str] = {}
+    meta_data_refs: set[str] = set()
     for m in sorted(glob.glob(os.path.join(release_dir, "meta_*.txt"))):
         kv = _parse_kv_text(m)
         data_ref = kv.get("data_filename")
-        if data_ref and not os.path.isfile(
-            os.path.join(release_dir, data_ref)
-        ):
-            err(
-                "release.meta_dangling",
-                f"release: {os.path.basename(m)} references missing "
-                f"{data_ref}",
-            )
+        if data_ref:
+            meta_data_refs.add(data_ref)
+            if not os.path.isfile(os.path.join(release_dir, data_ref)):
+                err(
+                    "release.meta_dangling",
+                    f"release: {os.path.basename(m)} references missing "
+                    f"{data_ref}",
+                )
         sid = kv.get("cancer_study_identifier")
         if sid is not None:
             meta_study_ids[os.path.basename(m)] = sid
+    # completeness the OTHER way: cBioPortal discovers data files
+    # THROUGH meta files, so a shipped data artifact no meta references
+    # is silently never imported.  The fixed ``meta_for`` catalog above
+    # catches the known pairs; this generalizes to every data_*.txt /
+    # *.seg on disk.  Gene panel files are exempt (the panel importer
+    # reads them directly, no per-panel meta — matching the reference's
+    # release layout, genie/database_to_staging.py store_gene_panel_files).
+    shipped = sorted(
+        n
+        for n in os.listdir(release_dir)
+        if os.path.isfile(os.path.join(release_dir, n))
+        and (
+            (n.startswith("data_") and n.endswith(".txt"))
+            or n.endswith(".seg")
+        )
+        and not n.startswith("data_gene_panel_")
+    )
+    unreferenced = [n for n in shipped if n not in meta_data_refs]
+    if unreferenced:
+        err(
+            "release.meta_unreferenced_data",
+            "release: data files no meta_*.txt references via "
+            "data_filename — cBioPortal would never import them",
+            n=len(unreferenced),
+            examples=unreferenced[:5],
+        )
     # every meta file must agree on cancer_study_identifier — a
     # mismatched id imports the artifact into a DIFFERENT study (or
     # fails outright); cBioPortal's validator checks this per file

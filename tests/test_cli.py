@@ -741,6 +741,41 @@ def test_release_qc_stage(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.gene_matrix_cases_sequenced" in ids
 
+    # corruption 23: containment in the reverse direction — a clinical
+    # sample missing from cases_all.txt (all_cases_in_study must cover
+    # the study; forward ⊆ ran as corruption 1)
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\tGENIE-SAGE-2-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_all_coverage" not in ids
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_all_coverage" in ids
+
+    # corruption 24: a shipped data_* file no meta references — it
+    # would silently never be imported (discovery is THROUGH meta).
+    # data_CNA.txt is ALSO legitimately unreferenced here (corruption 7
+    # deleted meta_CNA.txt), so assert on the specific file.
+    def _unreferenced():
+        for m in validate_release(spark, out).errors:
+            if m.rule_id == "release.meta_unreferenced_data":
+                return m.examples
+        return []
+
+    write("data_timeline.txt", "PATIENT_ID\tSTART_DATE\nGENIE-SAGE-1\t0\n")
+    assert "data_timeline.txt" in _unreferenced()
+    assert "data_CNA.txt" in _unreferenced()  # from corruption 7
+    os.remove(os.path.join(out, "data_timeline.txt"))
+    assert "data_timeline.txt" not in _unreferenced()
+
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
     """--release-dir/--prev-release-dir wire the per-column value-count
