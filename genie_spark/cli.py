@@ -889,8 +889,76 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
         )
     for name, df in outputs.items():
         df.write.mode("overwrite").parquet(os.path.join(args.output, name))
+    html_path = getattr(args, "html", None)
+    if html_path:
+        # render from the STORED parquet, not the in-memory frames —
+        # the artifact documents what was written (same re-read
+        # philosophy as release/qc.py)
+        text = dashboard_html(
+            spark,
+            {n: os.path.join(args.output, n) for n in sorted(outputs)},
+        )
+        with open(html_path, "w") as f:
+            f.write(text)
+        print(f"dashboard html → {html_path}")
     print(f"dashboard tables → {args.output}: {sorted(outputs)}")
     return 0
+
+
+# sample-level tables are release-sized; the human-facing artifact
+# shows the first rows and says so (the aggregate tables are dim-sized
+# and render whole)
+_DASHBOARD_HTML_CAP = 200
+
+
+def dashboard_html(
+    spark: SparkSession, tables: dict[str, str], cap: int = _DASHBOARD_HTML_CAP
+) -> str:
+    """One static HTML page of the dashboard tables — the counterpart
+    of the reference's Rmd-rendered dashboard
+    (bin/consortium_to_public.py:23-40, templates/dashboardTemplate.Rmd),
+    built with the stdlib only: the engine computes the numbers, this
+    renders what landed in parquet.  Rows render sorted by their
+    stringified values so the artifact is deterministic; tables longer
+    than ``cap`` rows show the first ``cap`` with an explicit note
+    (dim-sized aggregates render whole; sample-level matrices get the
+    head + count)."""
+    import html as _html
+
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        "<title>genie_spark dashboard</title>",
+        "<style>body{font-family:sans-serif;margin:2em;}"
+        "table{border-collapse:collapse;margin:1em 0 2em;}"
+        "th,td{border:1px solid #999;padding:4px 8px;text-align:left;}"
+        "th{background:#eee;}caption{font-weight:bold;text-align:left;"
+        "padding:4px 0;}</style></head><body>",
+        "<h1>genie_spark dashboard</h1>",
+    ]
+    for name, path in tables.items():
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        cols = df.columns
+        rows = sorted(
+            ([("" if v is None else str(v)) for v in r] for r in df.collect()),
+        )
+        shown = rows[:cap]
+        parts.append("<table>")
+        note = (
+            f" (first {cap} of {len(rows)} rows)" if len(rows) > cap else ""
+        )
+        parts.append(
+            f"<caption>{_html.escape(name)}{note}</caption>"
+        )
+        parts.append(
+            "<tr>" + "".join(f"<th>{_html.escape(c)}</th>" for c in cols) + "</tr>"
+        )
+        for r in shown:
+            parts.append(
+                "<tr>" + "".join(f"<td>{_html.escape(v)}</td>" for v in r) + "</tr>"
+            )
+        parts.append("</table>")
+    parts.append("</body></html>")
+    return "\n".join(parts)
 
 
 def cmd_process_mutation(spark: SparkSession, args: argparse.Namespace) -> int:
@@ -1397,6 +1465,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument(
         "--prev-release-dir", dest="prev_release_dir", default=None,
         help="previous release dir to diff clinical value counts against",
+    )
+    d.add_argument(
+        "--html", default=None,
+        help="also render the stored dashboard tables to one static "
+        "HTML page (the reference's Rmd dashboard counterpart)",
     )
     d.set_defaults(fn=cmd_dashboard)
 

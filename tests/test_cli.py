@@ -2195,3 +2195,39 @@ def test_ingest_correlate_command(spark, tmp_path, capsys):
     assert ("GOLD", "maf.txt", None) in got  # overdue, late-emitted
     out_text = capsys.readouterr().out
     assert "overdue" in out_text
+
+
+def test_dashboard_html_artifact(spark, tmp_path):
+    """--html renders the STORED dashboard parquet to one static page
+    (reference Rmd dashboard counterpart): every table name appears as
+    a caption and every stored row's values appear as table cells."""
+    import html as _html_mod
+
+    from genie_spark.cli import cmd_dashboard
+
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(wh)
+    spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1-1", "SAGE"),
+            ("GENIE-SAGE-2-1", "SAGE"),
+            ("GENIE-DFCI-1-1", "DFCI"),
+        ],
+        "SAMPLE_ID string, CENTER string",
+    ).write.parquet(os.path.join(wh, "clinical"))
+    dash = str(tmp_path / "dash")
+    page = str(tmp_path / "dashboard.html")
+    rc = cmd_dashboard(spark, _ns(warehouse=wh, output=dash, html=page))
+    assert rc == 0 and os.path.isfile(page)
+    with open(page) as fh:
+        text = fh.read()
+    for name in ("sample_counts", "distinct_samples"):
+        assert f"<caption>{name}</caption>" in text
+        stored = spark.read.parquet(os.path.join(dash, name)).collect()
+        assert stored
+        for r in stored:
+            cells = "".join(
+                f"<td>{_html_mod.escape('' if v is None else str(v))}</td>"
+                for v in r
+            )
+            assert cells in text, (name, tuple(r))
