@@ -778,12 +778,40 @@ def setsim_prefix_pairs(
     (SURVEY.md X41).  Shape at scale: one shingle shuffle (distinct),
     one df-count aggregate, one per-doc window, a rare-key candidate
     join, and two docinfo joins on candidates only.
+
+    The shingle stream is carried as 60-bit md5 HASHES end to end:
+    per-doc dedup happens map-side on the string array, so the global
+    distinct, the df window, the candidate join and the sorted-set
+    verify arrays all move 8-byte longs instead of k-char strings.
+    With string shingles the 100 k → 1 M boilerplate stress probe ran
+    13.3× per 10× rows (≈13 GB of 20-char shingles through four
+    exchanges — spill-bound); hashed it is scan-bound.  Jaccard over
+    hashes equals Jaccard over shingles through collisions BOTH
+    engines see identically (the SQL oracle applies the same
+    CAST('0x'||substr(md5(s),1,15)) arithmetic — the bloom-filter
+    parity argument).
     """
     assert 0 < threshold_pct <= 100
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    idxs = F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+    sh = (
+        df.where(F.length(F.col(text_col)) >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idxs, lambda i: F.col(text_col).substr(i, F.lit(k))
+                    )
+                )
+            ).alias("__s"),
+        )
+        .select(id_col, shingle_hash(F.col("__s")).alias("shingle"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # global document frequency via a window over the shingle
     # partitioning — one exchange, not an aggregate + self-join
     w = Window.partitionBy(id_col)

@@ -315,7 +315,11 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SETSIM_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+  FROM ({_SHINGLES_SQL})
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
