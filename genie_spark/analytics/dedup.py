@@ -864,3 +864,90 @@ def setsim_prefix_pairs(
         .select("a", "b", "n_common", "jaccard")
     )
     return _release_on_gc(out, sh)
+
+
+def edit_near_miss_pairs(
+    df: DataFrame,
+    value_col: str = "value",
+    max_dist: int = 1,
+) -> DataFrame:
+    """LOSSLESS edit-distance ≤ 1 self-join over the DISTINCT values of
+    ``value_col`` — the identifier-typo detector (one-character
+    substitution / insertion / deletion between two IDs, sample
+    barcodes, gene symbols): (a, b, dist) with a < b, dist exact.
+
+    Candidate generation is the FastSS deletion-neighborhood
+    (Bocek et al. 2007): N(s) = {s} ∪ {s minus character i}.  If
+    ed(s, t) ≤ 1 then N(s) ∩ N(t) ≠ ∅ — align the single edit and
+    delete the edited position from whichever side carries it (a
+    substitution deletes that position from BOTH; an insert/delete
+    makes one string a member of the other's neighborhood; equality
+    shares s itself).  The intersection test can over-generate
+    (swap pairs like ab/ba share deletion variants at distance 2),
+    so every candidate is verified with the exact ``levenshtein``
+    — zero loss, zero false positives.
+
+    Spark shape, 100 TB posture: values dedup FIRST (a value repeated
+    d times would fan its neighborhood d-fold and every cross pair
+    d²-fold; distinct values make the blow-up exactly length+1
+    variants per value), variants hash to 60-bit md5 longs so the
+    candidate equi-join shuffles 8-byte keys, and the levenshtein
+    verify runs on candidate pairs only (JVM built-in, codegen —
+    never on the cross product).  Neighborhood depth is 1 by
+    construction; ``max_dist`` must be 1 (depth-k FastSS generates
+    C(n,k) variants — the right tool past k=1 is a different index,
+    asserted loudly rather than silently quadratic).
+
+    Reference parity: the reference has no fuzzy-match operator; this
+    is §2.13 extension surface (SURVEY.md X46) with an exact DuckDB
+    oracle (length-banded levenshtein join over the same distinct
+    values).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            f"edit_near_miss_pairs: max_dist={max_dist} unsupported — the "
+            "deletion-neighborhood index is depth-1; for k ≥ 2 use a "
+            "dedicated q-gram/trie index (candidate count grows C(n,k))"
+        )
+    vals = (
+        df.select(F.col(value_col).alias("val"))
+        .where(F.col("val").isNotNull() & (F.length("val") > 0))
+        .distinct()
+    )
+    # N(s) = {s} ∪ single-char deletions, hashed; the lambda reads the
+    # bound `val` ATTRIBUTE (not an expression tree — the token_ngrams
+    # O(n²) trap does not apply) and substr is O(len) per variant,
+    # inherent to building it
+    variants = vals.select(
+        "val",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("val")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("val")),
+                        lambda i: F.concat(
+                            F.col("val").substr(F.lit(1), i - 1),
+                            F.col("val").substr(i + 1, F.length("val")),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__v"),
+    ).select("val", shingle_hash(F.col("__v")).alias("vh"))
+    a = variants.select(F.col("val").alias("a"), "vh")
+    b = variants.select(F.col("val").alias("b"), "vh")
+    # merge hints: both sides are aggregate-derived (see
+    # ngram_jaccard_pairs on Catalyst's static size misestimates)
+    cand = (
+        a.hint("merge").join(b, "vh")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("a"), F.col("b"))
+    return (
+        cand.withColumn("dist", dist.cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )

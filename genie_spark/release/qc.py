@@ -190,6 +190,52 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             f"release: data_clinical.txt must start with 4 '#' metadata "
             f"lines (found {n_meta})",
         )
+    else:
+        # attribute-metadata row CONTENT (cBioPortal validateData
+        # clinical checks; reference writes labels/descriptions/types/
+        # priorities, genie/process_functions.py:391-399
+        # addClinicalHeaders): every '#' row must have one field per
+        # column, row 3 datatypes must be STRING/NUMBER/BOOLEAN, row 4
+        # priorities must be integers — a shifted or hand-edited
+        # header imports every attribute under the wrong type
+        meta_rows = [
+            line.rstrip("\n").lstrip("#").split("\t") for line in head[:4]
+        ]
+        header_cols = head[4].rstrip("\n").split("\t")
+        bad_width = [
+            i + 1
+            for i, row in enumerate(meta_rows)
+            if len(row) != len(header_cols)
+        ]
+        if bad_width:
+            err(
+                "release.clinical_header_width",
+                f"release: data_clinical.txt metadata lines {bad_width} "
+                f"have a field count != the {len(header_cols)}-column "
+                "header",
+            )
+        bad_types = sorted(
+            {v for v in meta_rows[2] if v not in ("STRING", "NUMBER", "BOOLEAN")}
+        )
+        if bad_types:
+            err(
+                "release.clinical_header_datatype",
+                "release: data_clinical.txt datatype row has values "
+                "outside STRING/NUMBER/BOOLEAN",
+                n=len(bad_types),
+                examples=bad_types[:5],
+            )
+        bad_prio = sorted(
+            {v for v in meta_rows[3] if not v.lstrip("-").isdigit()}
+        )
+        if bad_prio:
+            err(
+                "release.clinical_header_priority",
+                "release: data_clinical.txt priority row has non-integer "
+                "values",
+                n=len(bad_prio),
+                examples=bad_prio[:5],
+            )
 
     clinical = _read_release_tsv(spark, clin_path)
     clin_sid = _resolve(clinical, "SAMPLE_ID")

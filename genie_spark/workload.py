@@ -1039,6 +1039,14 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
+    # Round-9 rotation: slots freed for the NEW layout_zorder_str
+    # (dictionary-encoded string Z-order dims) and dedup_edit_near
+    # (X46 FastSS edit-distance near-miss join) — each needs a first
+    # driver row.  multimodal_phash_dedup / multimodal_audio_dedup are
+    # r8-green first-timers untouched by any round-9 change; the
+    # multimodal family stays in-window via multimodal_features.
+    "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
     # r7-green, untouched by round-8 changes (third r8 rotation): slot
     # freed for the NEW layout_zorder (Morton-key layout primitive —
     # first driver row); the interval-join family stays in-window via

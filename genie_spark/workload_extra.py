@@ -525,6 +525,86 @@ FROM z GROUP BY 1
 """
 
 
+def layout_zorder_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over a (STRING, numeric) pair — the round-9
+    dictionary-encoded string clustering path (io/layout.py
+    ``with_zorder`` string dims): c_mktsegment maps to its 1-based
+    sorted-distinct rank (CENTER-like low cardinality), c_nationkey
+    quantizes by the shift rule; the key interleaves both.  Result
+    shape mirrors ``layout_zorder`` — per-bucket count and exact key
+    extrema value-check every interleaved bit, including the
+    dictionary ranks."""
+    from genie_spark.io.layout import with_zorder
+
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    z = with_zorder(cust, ["c_mktsegment", "c_nationkey"], n_bits=16)
+    return z.groupBy(F.shiftright("__z", 16).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__z").alias("z_min"),
+        F.max("__z").alias("z_max"),
+    )
+
+
+def _zorder_str_sql(n_bits: int = 16) -> str:
+    """DuckDB mirror of the string-dictionary path: rank = row_number
+    over the sorted distinct values (identical to array_position in
+    the sorted literal array), then the same shift/interleave
+    arithmetic as ``_zorder_sql``."""
+    terms = " + ".join(
+        f"(((ca >> {b}) & 1) << {2 * b}) + (((cb >> {b}) & 1) << {2 * b + 1})"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH d AS (
+  SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rk
+  FROM (SELECT DISTINCT c_mktsegment AS s FROM customer)
+), nv AS (SELECT count(*) AS n FROM d),
+b AS (
+  SELECT min(c_nationkey) AS lo_b, max(c_nationkey) AS hi_b FROM customer
+), sh AS (
+  SELECT lo_b,
+         greatest(length(bin(n)) - {n_bits}, 0) AS sh_a,
+         greatest(length(bin(hi_b - lo_b)) - {n_bits}, 0) AS sh_b
+  FROM b, nv
+), c AS (
+  SELECT (d.rk >> sh_a) AS ca,
+         ((c_nationkey - lo_b) >> sh_b) AS cb
+  FROM customer JOIN d ON customer.c_mktsegment = d.s, sh
+), z AS (
+  SELECT ({terms}) AS zval FROM c
+)
+SELECT zval >> 16 AS z_bucket, count(*) AS n_rows,
+       min(zval) AS z_min, max(zval) AS z_max
+FROM z GROUP BY 1
+"""
+
+
+def dedup_edit_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 1 near-miss pairs over distinct customer names
+    (X46: FastSS deletion-neighborhood candidates + exact levenshtein
+    verify — the identifier-typo detector).  Sequentially-numbered
+    c_name values give a dense, non-trivial answer (names differing in
+    exactly one digit)."""
+    from genie_spark.analytics.dedup import edit_near_miss_pairs
+
+    return edit_near_miss_pairs(
+        _t(spark, sf_dir, "customer"), value_col="c_name"
+    )
+
+
+EDIT_NEAR_SQL = """
+WITH v AS (
+  SELECT DISTINCT c_name AS val FROM customer
+  WHERE c_name IS NOT NULL AND length(c_name) > 0
+)
+SELECT a.val AS a, b.val AS b,
+       CAST(levenshtein(a.val, b.val) AS BIGINT) AS dist
+FROM v a JOIN v b
+  ON a.val < b.val AND abs(length(a.val) - length(b.val)) <= 1
+WHERE levenshtein(a.val, b.val) <= 1
+"""
+
+
 EXTRA_QUERIES: dict = {
     "j5_feature_type": j5_feature_type,
     "a4_completeness": a4_completeness,
@@ -540,6 +620,8 @@ EXTRA_QUERIES: dict = {
     "j10_symbol_remap": j10_symbol_remap,
     "a17_value_decreases": a17_value_decreases,
     "layout_zorder": layout_zorder,
+    "layout_zorder_str": layout_zorder_str,
+    "dedup_edit_near": dedup_edit_near,
 }
 
 EXTRA_ORACLES: dict = {
@@ -557,4 +639,6 @@ EXTRA_ORACLES: dict = {
     "j10_symbol_remap": J10_SQL,
     "a17_value_decreases": A17_SQL,
     "layout_zorder": _zorder_sql(),
+    "layout_zorder_str": _zorder_str_sql(),
+    "dedup_edit_near": EDIT_NEAR_SQL,
 }

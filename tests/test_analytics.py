@@ -2010,6 +2010,10 @@ def test_pair_functions_release_shingle_caches(spark):
     df = spark.createDataFrame(
         [(i, base + f"tail {i % 3}") for i in range(30)], ["doc_id", "text"]
     )
+    # other tests in the shared session may hold their own legitimate
+    # caches — the claim is that THESE calls add none that outlive
+    # their results
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     r1 = ngram_jaccard_pairs(df, k=8, threshold=0.5)
     r1.collect()
     r2 = setsim_prefix_pairs(df, k=8, threshold_pct=50)
@@ -2023,8 +2027,51 @@ def test_pair_functions_release_shingle_caches(spark):
     # JVM side — poll briefly rather than flake
     deadline = time.time() + 20
     while time.time() < deadline:
-        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        live = set(dict(spark.sparkContext._jsc.getPersistentRDDs())) - before
         if not live:
             break
         time.sleep(0.5)
     assert not live, f"leaked persisted RDDs: {live}"
+
+
+def test_edit_near_miss_pairs_equals_brute_force(spark):
+    """FastSS candidates + levenshtein verify == the brute-force
+    all-pairs ed<=1 answer: substitution, insertion, deletion all
+    found; the ab/ba swap (shared deletion variants, ed=2) is
+    verified OUT; duplicate values collapse to one distinct node."""
+    from genie_spark.analytics.dedup import edit_near_miss_pairs
+
+    vals = [
+        "GENIE-SAGE-1-1",
+        "GENIE-SAGE-1-2",   # substitution of the last char
+        "GENIE-SAGE-11-1",  # insertion
+        "GENIE-SAGE-1-",    # deletion of the final char
+        "GENIE-SAGE-1-1",   # exact duplicate (must collapse, no 0-pair)
+        "ab",
+        "ba",               # ed=2 from "ab" despite shared del variants
+        "completely-different",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    got = sorted(
+        map(tuple, edit_near_miss_pairs(df, "value").collect())
+    )
+
+    def ed(s, t):
+        dp = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, dp[0] = dp[0], i
+            for j, ct in enumerate(t, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (cs != ct)
+                )
+        return dp[len(t)]
+
+    uniq = sorted(set(vals))
+    want = sorted(
+        (a, b, 1)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if ed(a, b) == 1
+    )
+    assert got == want
+    assert ("ab", "ba", 1) not in got and len(got) >= 3

@@ -776,6 +776,38 @@ def test_release_qc_stage(spark, tmp_path):
     os.remove(os.path.join(out, "data_timeline.txt"))
     assert "data_timeline.txt" not in _unreferenced()
 
+    # corruption 25: clinical attribute-metadata row content — a
+    # datatype outside STRING/NUMBER/BOOLEAN, a non-integer priority,
+    # and a width-shifted metadata row (cBioPortal validateData
+    # clinical header checks; reference addClinicalHeaders writes
+    # labels/descriptions/types/priorities)
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tCancer Type\n#d\td\n#STRING\tVARCHAR\n#1\thigh\n"
+        "SAMPLE_ID\tCANCER_TYPE\nGENIE-SAGE-1-1\tGlioma\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_header_datatype" in ids
+    assert "release.clinical_header_priority" in ids
+    write(
+        "data_clinical.txt",
+        "#Sample Id\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tCANCER_TYPE\nGENIE-SAGE-1-1\tGlioma\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_header_width" in ids
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tCancer Type\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tCANCER_TYPE\nGENIE-SAGE-1-1\tGlioma\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert not ids & {
+        "release.clinical_header_width",
+        "release.clinical_header_datatype",
+        "release.clinical_header_priority",
+    }
+
 
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
     """--release-dir/--prev-release-dir wire the per-column value-count
