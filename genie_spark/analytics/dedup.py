@@ -72,14 +72,30 @@ def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
 ) -> DataFrame:
     """Distinct character k-shingles per document, exploded long-form.
-    Shingling via sequence+substring stays JVM-side."""
-    idx = F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1)))
+
+    Per-document dedup happens MAP-SIDE via ``array_distinct`` on the
+    per-row shingle array: a document's shingles all originate from
+    its single input row, so this IS exact global (id, shingle)
+    distinctness with ZERO exchange — the previous global
+    ``.distinct()`` shuffled every k-char shingle string once before
+    any consumer did its own aggregation (at 1 M docs ≈ 13 GB of
+    strings; removing it cut the minhash headline plan from three
+    exchanges to one).  Assumes one input row per id, the id contract
+    everywhere in this package (duplicated id rows would no longer
+    collapse across rows).  The transform lambda reads the bound text
+    ATTRIBUTE — not an expression tree, so the ``token_ngrams``
+    interpreted-reevaluation trap does not apply; per-element substr
+    is O(k), inherent to building the shingle."""
+    t = F.col(text_col)
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
     return (
-        df.select(id_col, F.col(text_col))
-        .where(F.length(text_col) >= k)
-        .withColumn("__i", idx)
-        .select(id_col, F.expr(f"substring({text_col}, __i, {k})").alias("shingle"))
-        .distinct()
+        df.where(F.length(t) >= k)
+        .select(id_col, F.explode(arr).alias("shingle"))
     )
 
 
