@@ -45,3 +45,17 @@ def test_get_spark_local_default_unchanged(spark):
     still runs a local master — the test fixture itself proves the
     factory's default path keeps working."""
     assert spark.sparkContext.master.startswith("local[")
+
+
+def test_session_scale_confs(spark):
+    """The factory's scale-critical confs survive into the session:
+    AQE on, and the ObjectHashAggregate sort-fallback raised so
+    collect_set-building aggs (signature store) stay hash-based
+    (235 s → 89 s at 1 M docs, BASELINE.md round 9)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        )
+        == "65536"
+    )
