@@ -563,6 +563,22 @@ def main() -> None:
         lambda n: heavy_hitters(synth_tokens(n), m=64, min_share_bp=200),
     )
 
+    # X46 edit-distance near-miss join: sequentially-numbered ID-like
+    # values (dense one-digit-apart neighborhoods).  Variants fan
+    # ~length+1 per distinct value; candidates concentrate in deletion
+    # buckets of the shared prefix+digits shape — wall must track the
+    # variant explode, never n².
+    from genie_spark.analytics.dedup import edit_near_miss_pairs
+
+    def synth_names(n):
+        return spark.range(n).select(
+            F.concat(
+                F.lit("GENIE-SAGE-"), F.lpad(F.col("id").cast("string"), 9, "0")
+            ).alias("value")
+        ).repartition(32)
+
+    probe("edit_near", lambda n: edit_near_miss_pairs(synth_names(n), "value"))
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
