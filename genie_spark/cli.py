@@ -938,13 +938,24 @@ def dashboard_html(
     for name, path in tables.items():
         df = spark.read.option("mergeSchema", "true").parquet(path)
         cols = df.columns
-        rows = sorted(
-            ([("" if v is None else str(v)) for v in r] for r in df.collect()),
+        # sort + limit stay IN Spark — sample-level tables are
+        # release-sized, so collecting everything to the driver just to
+        # render the first ``cap`` rows would be unbounded driver
+        # memory; only count() and the capped head cross the boundary
+        sdf = df.select(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+                for c in cols
+            ]
         )
-        shown = rows[:cap]
+        total = sdf.count()
+        shown = [
+            [r[c] for c in cols]
+            for r in sdf.orderBy(*cols).limit(cap).collect()
+        ]
         parts.append("<table>")
         note = (
-            f" (first {cap} of {len(rows)} rows)" if len(rows) > cap else ""
+            f" (first {cap} of {total} rows)" if total > cap else ""
         )
         parts.append(
             f"<caption>{_html.escape(name)}{note}</caption>"

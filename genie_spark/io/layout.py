@@ -133,6 +133,27 @@ def with_zorder(
         ranges = {}
     need_num = [c for c in num_cols if c not in ranges]
     need_str = [c for c in str_cols if c not in dicts]
+    if need_str:
+        # Sketch-sized pre-flight BEFORE collect_set ships the full
+        # distinct set to the driver in one row: a mistakenly-passed
+        # free-text column would otherwise OOM the driver before the
+        # exact ZDICT_MAX guard below ever runs.  1.5× slack absorbs
+        # the ~5% rsd; anything that slips past is ≤ ~1.5k values and
+        # the exact check still catches it harmlessly.
+        est = df.agg(
+            *[
+                F.approx_count_distinct(c).alias(f"ad_{c}")
+                for c in need_str
+            ]
+        ).first()
+        for c in need_str:
+            if est is not None and (est[f"ad_{c}"] or 0) > ZDICT_MAX * 1.5:
+                raise ValueError(
+                    f"with_zorder: string column {c!r} has ~{est[f'ad_{c}']} "
+                    f"distinct values (>> ZDICT_MAX={ZDICT_MAX}) — refusing "
+                    "to collect the dictionary; pre-encode a numeric code "
+                    "column upstream or pass dicts={...} from a metastore"
+                )
     if need_num or need_str:
         row = df.agg(
             *[

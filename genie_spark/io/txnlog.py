@@ -574,15 +574,20 @@ class LogCommit(TableCommit):
             if _append_entry(target_path, entry, new_v):
                 self._base[target_path] = new_v
                 if new_v % CHECKPOINT_INTERVAL == 0:
-                    # best-effort: a lost checkpoint costs replay time
-                    # on a later read, never correctness
+                    # best-effort BY CONTRACT: the commit is already
+                    # durably installed, so ANY checkpoint failure
+                    # (OSError, a non-JSON-serializable stat, ...) must
+                    # not make the succeeded commit look failed to the
+                    # caller and invite a retry; a lost checkpoint
+                    # costs replay time on a later read, never
+                    # correctness
                     try:
                         _write_checkpoint(
                             target_path,
                             new_v,
                             snapshot_actions(target_path, new_v),
                         )
-                    except OSError:
+                    except Exception:
                         pass
                 return
             # lost the version CAS — loop re-evaluates conflicts/removes

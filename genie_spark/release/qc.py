@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -226,7 +227,7 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 examples=bad_types[:5],
             )
         bad_prio = sorted(
-            {v for v in meta_rows[3] if not v.lstrip("-").isdigit()}
+            {v for v in meta_rows[3] if not re.fullmatch(r"-?\d+", v)}
         )
         if bad_prio:
             err(

@@ -36,6 +36,26 @@ def _external_master_present(builder: SparkSession.Builder) -> bool:
     return "spark.master" in opts
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver heap default: 24g when the host can afford it
+    (local[32] wants ~750 MB/core), capped at HALF of detected physical
+    RAM so a smaller host gets GC pressure instead of the OS OOM
+    killer.  ``SPARK_GRAFT_DRIVER_MEM`` always wins; unreadable
+    /proc/meminfo falls back to the conservative 8g."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(
+                next(l for l in f if l.startswith("MemTotal")).split()[1]
+            )
+        half_gib = (kb // (1024 * 1024)) // 2
+        return f"{max(2, min(24, half_gib))}g"
+    except (OSError, StopIteration, ValueError, IndexError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "genie_spark",
     shuffle_partitions: int | None = None,
@@ -105,8 +125,10 @@ def get_spark(
         # local-mode driver IS the executor: 8g was 250 MB/core at
         # local[32] and showed GC-pressure variance on the bench; 24g
         # (750 MB/core) matches what a real cluster would give each
-        # executor core.  Ignored (with a WARN) if a JVM already runs.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # executor core — capped at half of physical RAM on smaller
+        # hosts (see _default_driver_mem).  Ignored (with a WARN) if a
+        # JVM already runs.
+        .config("spark.driver.memory", _default_driver_mem())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
