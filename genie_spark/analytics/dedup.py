@@ -69,7 +69,11 @@ def shingle_hash(col: Column) -> Column:
 
 
 def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    unique_ids: bool | None = None,
 ) -> DataFrame:
     """Distinct character k-shingles per document, exploded long-form.
 
@@ -80,23 +84,56 @@ def shingles(
     ``.distinct()`` shuffled every k-char shingle string once before
     any consumer did its own aggregation (at 1 M docs ≈ 13 GB of
     strings; removing it cut the minhash headline plan from three
-    exchanges to one).  Assumes one input row per id, the id contract
-    everywhere in this package (duplicated id rows would no longer
-    collapse across rows).  The transform lambda reads the bound text
-    ATTRIBUTE — not an expression tree, so the ``token_ngrams``
-    interpreted-reevaluation trap does not apply; per-element substr
-    is O(k), inherent to building the shingle."""
+    exchanges to one) — PROVIDED the input carries one row per id,
+    the id contract everywhere in this package.
+
+    ``unique_ids`` names that contract at the call site:
+
+    * ``None`` (default) — VERIFY it with one cheap sketch job
+      (``count`` vs ``approx_count_distinct(rsd=0.01)`` over the id
+      column — no shuffle, one narrow pass) and raise ``ValueError``
+      on bulk duplication (the realistic failure: a corpus
+      accidentally unioned with itself).  The 5%-slack sketch cannot
+      see a HANDFUL of duplicated rows — callers that can't promise
+      the contract at all belong on ``unique_ids=False``.
+    * ``True`` — caller promises the contract; zero extra jobs (the
+      100 TB hot path once the corpus is known-deduplicated).
+    * ``False`` — don't assume: an exact global ``(id, shingle)``
+      ``.distinct()`` restores correctness for duplicated-id corpora
+      at the cost of the shingle-stream exchange described above.
+
+    The transform lambda reads the bound text ATTRIBUTE — not an
+    expression tree, so the ``token_ngrams`` interpreted-reevaluation
+    trap does not apply; per-element substr is O(k), inherent to
+    building the shingle."""
     t = F.col(text_col)
+    if unique_ids is None:
+        chk = df.agg(
+            F.count(id_col).alias("n"),
+            F.approx_count_distinct(id_col, rsd=0.01).alias("nd"),
+        ).first()
+        if chk is not None and chk["n"] > (chk["nd"] or 0) * 1.05:
+            raise ValueError(
+                f"shingles: ~{chk['n'] - chk['nd']} of {chk['n']} rows share "
+                f"a duplicated {id_col!r} — the map-side per-document dedup "
+                "is exact only for one row per id.  Collapse the corpus "
+                "first (or pass unique_ids=False for an exact global "
+                "distinct, unique_ids=True to promise the contract and "
+                "skip this check)"
+            )
     arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(t) - (k - 1)),
             lambda i: t.substr(i, F.lit(k)),
         )
     )
-    return (
+    out = (
         df.where(F.length(t) >= k)
         .select(id_col, F.explode(arr).alias("shingle"))
     )
+    if unique_ids is False:
+        out = out.distinct()
+    return out
 
 
 def exact_duplicates(
@@ -117,6 +154,7 @@ def ngram_jaccard_pairs(
     k: int = 20,
     threshold: float = 0.5,
     max_df: int | None = 10_000,
+    unique_ids: bool | None = None,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard ≥ threshold.
 
@@ -129,7 +167,7 @@ def ngram_jaccard_pairs(
     any caller at corpus scale wants that trade.  Jaccard =
     |∩| / (|A|+|B|−|∩|), exact integers → deterministic double.
     """
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingles(df, id_col, text_col, k, unique_ids)
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
@@ -173,11 +211,13 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 20,
     n_perm: int = 16,
+    unique_ids: bool | None = None,
 ) -> DataFrame:
     """MinHash signature per document: n_perm min-aggregates over the
     permuted shingle hashes — one groupBy, partial-aggregated map-side
-    (each doc's signature never exceeds n_perm longs in flight)."""
-    sh = shingles(df, id_col, text_col, k).withColumn(
+    (each doc's signature never exceeds n_perm longs in flight).
+    ``unique_ids`` names the one-row-per-id contract (see ``shingles``)."""
+    sh = shingles(df, id_col, text_col, k, unique_ids).withColumn(
         "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
     )
     aggs = [
@@ -219,6 +259,7 @@ def minhash_docinfo(
     text_col: str = "text",
     k: int = 20,
     n_perm: int = 16,
+    unique_ids: bool | None = None,
 ) -> DataFrame:
     """Per-document dedup state, computed in ONE shingle shuffle: the
     ``n_perm`` minhash columns (for banding) plus the sorted 60-bit
@@ -226,8 +267,9 @@ def minhash_docinfo(
     verification).  This is the SIGNATURE-STORE row format: persist it
     once per corpus and both batch (``minhash_dedup_pairs``) and
     incremental (``incremental_minhash_pairs``) dedup run from it
-    without ever re-shingling old documents."""
-    sh = shingles(df, id_col, text_col, k).withColumn(
+    without ever re-shingling old documents.  ``unique_ids`` names the
+    one-row-per-id contract (see ``shingles``)."""
+    sh = shingles(df, id_col, text_col, k, unique_ids).withColumn(
         "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
     )
     mh_aggs = [
@@ -909,7 +951,14 @@ def edit_near_miss_pairs(
     variants per value), variants hash to 60-bit md5 longs so the
     candidate equi-join shuffles 8-byte keys, and the levenshtein
     verify runs on candidate pairs only (JVM built-in, codegen —
-    never on the cross product).  Neighborhood depth is 1 by
+    never on the cross product).  The candidate pair ``distinct``
+    carries the two 60-bit VALUE hashes, not the strings — a 16-byte
+    exchange row regardless of value length; the strings re-join on
+    their hash only for the verify (two merge joins against the
+    dim-sized distinct-value table).  A 60-bit collision between two
+    distinct values would collapse them to one endpoint — the same
+    2⁻⁶⁰ exposure every hash-carried stream in this package accepts
+    (see ``setsim_prefix_pairs``).  Neighborhood depth is 1 by
     construction; ``max_dist`` must be 1 (depth-k FastSS generates
     C(n,k) variants — the right tool past k=1 is a different index,
     asserted loudly rather than silently quadratic).
@@ -925,17 +974,24 @@ def edit_near_miss_pairs(
             "deletion-neighborhood index is depth-1; for k ≥ 2 use a "
             "dedicated q-gram/trie index (candidate count grows C(n,k))"
         )
+    from pyspark import StorageLevel
+
     vals = (
         df.select(F.col(value_col).alias("val"))
         .where(F.col("val").isNotNull() & (F.length("val") > 0))
         .distinct()
+        .withColumn("h", shingle_hash(F.col("val")))
+        # three consumers (variant stream + both verify sides) —
+        # materialize the distinct once; released when the result is
+        # garbage collected
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # N(s) = {s} ∪ single-char deletions, hashed; the lambda reads the
     # bound `val` ATTRIBUTE (not an expression tree — the token_ngrams
     # O(n²) trap does not apply) and substr is O(len) per variant,
     # inherent to building it
     variants = vals.select(
-        "val",
+        "h",
         F.explode(
             F.array_distinct(
                 F.concat(
@@ -950,20 +1006,193 @@ def edit_near_miss_pairs(
                 )
             )
         ).alias("__v"),
-    ).select("val", shingle_hash(F.col("__v")).alias("vh"))
-    a = variants.select(F.col("val").alias("a"), "vh")
-    b = variants.select(F.col("val").alias("b"), "vh")
+    ).select("h", shingle_hash(F.col("__v")).alias("vh"))
+    a = variants.select(F.col("h").alias("ha"), "vh")
+    b = variants.select(F.col("h").alias("hb"), "vh")
     # merge hints: both sides are aggregate-derived (see
-    # ngram_jaccard_pairs on Catalyst's static size misestimates)
+    # ngram_jaccard_pairs on Catalyst's static size misestimates).
+    # hash-ordering (ha < hb) keeps exactly one orientation per
+    # unordered pair; the string a < b contract is restored after the
+    # value re-join below
     cand = (
         a.hint("merge").join(b, "vh")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .where(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
         .distinct()
     )
-    dist = F.levenshtein(F.col("a"), F.col("b"))
-    return (
-        cand.withColumn("dist", dist.cast("long"))
+    va = vals.select(F.col("h").alias("ha"), F.col("val").alias("x"))
+    vb = vals.select(F.col("h").alias("hb"), F.col("val").alias("y"))
+    dist = F.levenshtein(F.col("x"), F.col("y"))
+    out = (
+        cand.hint("merge").join(va, "ha")
+        .hint("merge").join(vb, "hb")
+        .withColumn("dist", dist.cast("long"))
         .where(F.col("dist") <= max_dist)
-        .select("a", "b", "dist")
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "dist",
+        )
+    )
+    return _release_on_gc(out, vals)
+
+
+def duplicate_span_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate-span detection, MASK form: per
+    document, the maximal token ranges covered by a ``k``-token
+    anchor gram occurring at least ``min_count`` times corpus-wide —
+    the spans document-level (X1/X3) and passage-level (X16) dedup
+    miss: boilerplate, licenses, quoted chains repeated INSIDE
+    otherwise-distinct documents (Lee et al. 2021, arXiv 2107.06499;
+    the CCNet/Dolma pipelines run the same shape).  A within-document
+    repeat counts too (self-repetition is a duplicate span).
+
+    Returns (id, span_start, span_len, n_anchors), positions 1-based
+    in TOKENS: tokens [span_start, span_start+span_len-1] are all
+    covered by duplicated anchors; overlapping/adjacent anchor ranges
+    are merged (interval islands: a break only where consecutive
+    duplicated anchor positions sit more than ``k`` apart, i.e. the
+    k-token coverage windows no longer touch).
+
+    Spark shape — the 100 TB one, and why there is NO pair blow-up:
+    masking needs only each anchor's corpus-wide occurrence COUNT,
+    never the d² occurrence pairs, and never a corpus suffix sort
+    (Lee et al.'s single-node suffix array does not distribute; the
+    anchor formulation is the standard scale-out equivalent).  Three
+    linear stages: (1) one groupBy(hash) count — map-side partial
+    combine, a boilerplate anchor in a million documents is ONE
+    reduced row; (2) one equi-join of the anchor stream against the
+    ≥min_count hash set — merge-hinted (aggregate-derived sizes),
+    AQE-skew-splittable, 8-byte keys; (3) one document-keyed window
+    for the island merge — partitions bounded by document length, so
+    no hot-key task.  Anchors travel as 60-bit md5 longs
+    (``shingle_hash``); the tokenization is bound once per row by
+    ``token_ngrams`` (the interpreted-HOF O(tokens²) trap documented
+    there does not apply).
+    """
+    from pyspark.sql import Window
+
+    from genie_spark.analytics.corpus import token_ngrams
+    from genie_spark.analytics.text import tokens
+
+    anch = (
+        df.where(F.size(tokens(text_col)) >= k)
+        .select(
+            id_col,
+            F.posexplode(token_ngrams(text_col, k)).alias("__p", "__g"),
+        )
+        .select(
+            id_col,
+            (F.col("__p") + 1).cast("long").alias("pos"),
+            shingle_hash(F.col("__g")).alias("ah"),
+        )
+    )
+    hot = (
+        anch.groupBy("ah")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("ah")
+    )
+    # merge hints: both sides corpus-derived (see ngram_jaccard_pairs
+    # on Catalyst's static size misestimates after aggregates)
+    dup = anch.hint("merge").join(hot.hint("merge"), "ah", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    isl = dup.withColumn("__b", brk).withColumn("island", F.sum("__b").over(w))
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(id_col, "span_start", "span_len", "n_anchors")
+    )
+
+
+def duplicate_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int | None = 1_000,
+) -> DataFrame:
+    """Substring-level duplicate-span detection, PAIR form: maximal
+    shared token spans between document pairs — (a, b, a_start,
+    b_start, span_len, n_anchors) with a < b, positions 1-based in
+    tokens.  Two occurrences of a ``k``-token anchor in different
+    documents seed a match; anchor matches on the same alignment
+    DIAGONAL (a_pos − b_pos constant) whose coverage windows touch
+    (gap ≤ k) merge into one maximal span — the bounded extension
+    step of Lee et al. 2021 expressed as interval islands per
+    (a, b, diagonal), no per-pair rescan of the texts.
+
+    The anchor self-join fans out d² on an anchor shared by d
+    documents, so ``max_df`` (ON by default) drops anchors above that
+    document frequency before the join — the standard lossy guard for
+    boilerplate (same trade as ``ngram_jaccard_pairs``; spans seeded
+    only by ubiquitous anchors are under-reported).  Use the MASK form
+    (``duplicate_span_mask``) when the goal is removal: it needs no
+    pairs and no cap.  ``max_df=None`` is exact and quadratic — the
+    oracle/verification path.
+    """
+    from pyspark.sql import Window
+
+    from genie_spark.analytics.corpus import token_ngrams
+    from genie_spark.analytics.text import tokens
+
+    anch = (
+        df.where(F.size(tokens(text_col)) >= k)
+        .select(
+            id_col,
+            F.posexplode(token_ngrams(text_col, k)).alias("__p", "__g"),
+        )
+        .select(
+            id_col,
+            (F.col("__p") + 1).cast("long").alias("pos"),
+            shingle_hash(F.col("__g")).alias("ah"),
+        )
+    )
+    if max_df is not None:
+        hot = (
+            anch.groupBy("ah")
+            .agg(F.count_distinct(F.col(id_col)).alias("__d"))
+            .where(F.col("__d") > max_df)
+            .select("ah")
+        )
+        anch = anch.hint("merge").join(hot.hint("merge"), "ah", "left_anti")
+    a = anch.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "ah")
+    b = anch.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "ah")
+    # merge hints: anchor stream on both sides (aggregate/explode-
+    # derived size estimates are untrustworthy — see ngram_jaccard_pairs)
+    matches = (
+        a.hint("merge")
+        .join(b, "ah")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    brk = F.when(F.col("pa") - F.lag("pa").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    isl = matches.withColumn("__b", brk).withColumn(
+        "island", F.sum("__b").over(w)
+    )
+    return (
+        isl.groupBy("a", "b", "diag", "island")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") - F.min("pa") + k).cast("long").alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select("a", "b", "a_start", "b_start", "span_len", "n_anchors")
     )

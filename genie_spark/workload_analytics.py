@@ -1927,6 +1927,102 @@ HAVING count(*) * 10000 >= 200 * (SELECT n FROM tot)
 """
 
 
+SPAN_K = 8
+SPAN_PAIR_MAX_DF = 1_000
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 substring-level duplicate-span dedup, MASK form: per-doc
+    maximal token ranges covered by an 8-token anchor gram occurring
+    ≥2 times corpus-wide (Lee et al. 2021 / CCNet-Dolma shape)."""
+    from genie_spark.analytics.dedup import duplicate_span_mask
+
+    return duplicate_span_mask(_docs(spark, sf_dir), k=SPAN_K, min_count=2)
+
+
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 substring-level duplicate-span dedup, PAIR form: maximal
+    shared token spans per document pair via alignment-diagonal
+    islands; anchors above the document-frequency cap are dropped
+    before the self-join (no anchor reaches the cap at these sfs, so
+    the oracle's mirrored cap keeps the comparison exact)."""
+    from genie_spark.analytics.dedup import duplicate_span_pairs
+
+    return duplicate_span_pairs(
+        _docs(spark, sf_dir), k=SPAN_K, max_df=SPAN_PAIR_MAX_DF
+    )
+
+
+# anchor stream shared by both span oracles: 1-based token position +
+# 60-bit md5 hash of the space-joined 8-gram (same hash arithmetic as
+# dedup.shingle_hash)
+_SPAN_ANCHORS_SQL = f"""
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+              list_slice(toks, i, i + {SPAN_K - 1}), ' ')), 1, 15))
+              AS BIGINT) AS ah
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {SPAN_K - 2})) AS i
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= {SPAN_K})
+"""
+
+SUBSTRING_SPANS_SQL = f"""
+WITH g AS ({_SPAN_ANCHORS_SQL}),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY ah) AS c FROM g)
+  WHERE c >= 2
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + {SPAN_K} AS BIGINT) AS span_len,
+       count(*) AS n_anchors
+FROM isl GROUP BY doc_id, island
+"""
+
+SUBSTRING_PAIRS_SQL = f"""
+WITH g AS ({_SPAN_ANCHORS_SQL}),
+hot AS (
+  SELECT ah FROM (
+    SELECT ah, count(DISTINCT doc_id) AS d FROM g GROUP BY ah)
+  WHERE d > {SPAN_PAIR_MAX_DF}
+),
+ga AS (SELECT * FROM g ANTI JOIN hot USING (ah)),
+matches AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+         x.pos - y.pos AS diag
+  FROM ga x JOIN ga y ON x.ah = y.ah AND x.doc_id < y.doc_id
+),
+m AS (
+  SELECT a, b, pa, pb, diag,
+         CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b, diag ORDER BY pa)
+                   <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM matches
+),
+isl AS (
+  SELECT a, b, pa, pb, diag,
+         sum(brk) OVER (PARTITION BY a, b, diag ORDER BY pa) AS island
+  FROM m
+)
+SELECT a, b, CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(max(pa) - min(pa) + {SPAN_K} AS BIGINT) AS span_len,
+       count(*) AS n_anchors
+FROM isl GROUP BY a, b, diag, island
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1972,6 +2068,8 @@ ANALYTICS_QUERIES: dict = {
     "corpus_token_budget": corpus_token_budget,
     "corpus_priority_sample": corpus_priority_sample,
     "sketch_heavy_hitters": sketch_heavy_hitters,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_pairs": dedup_substring_pairs,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2021,4 +2119,6 @@ ANALYTICS_ORACLES: dict = {
     "corpus_token_budget": TOKEN_BUDGET_SQL,
     "corpus_priority_sample": PRIORITY_SAMPLE_SQL,
     "sketch_heavy_hitters": HEAVY_HITTERS_SQL,
+    "dedup_substring_spans": SUBSTRING_SPANS_SQL,
+    "dedup_substring_pairs": SUBSTRING_PAIRS_SQL,
 }

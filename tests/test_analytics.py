@@ -2075,3 +2075,95 @@ def test_edit_near_miss_pairs_equals_brute_force(spark):
     )
     assert got == want
     assert ("ab", "ba", 1) not in got and len(got) >= 3
+
+
+def test_shingles_unique_id_contract_guard(spark):
+    """The map-side shingle dedup is exact only for one row per id
+    (dedup.shingles docstring): the default sketch check must REJECT a
+    bulk-duplicated corpus, unique_ids=True must skip the check, and
+    unique_ids=False must restore the exact global distinct."""
+    from genie_spark.analytics.dedup import shingles
+
+    docs = _docs(spark)
+    dup = docs.unionByName(docs)  # corpus accidentally unioned with itself
+    with pytest.raises(ValueError, match="duplicated 'doc_id'"):
+        shingles(dup, k=5)
+    # promise path: no check, runs (but under-dedups — caller's contract)
+    assert shingles(dup, k=5, unique_ids=True).count() > 0
+    # exact path: global distinct makes the duplicated corpus equal the
+    # clean one
+    clean = {(r["doc_id"], r["shingle"]) for r in shingles(docs, k=5).collect()}
+    exact = {
+        (r["doc_id"], r["shingle"])
+        for r in shingles(dup, k=5, unique_ids=False).collect()
+    }
+    assert exact == clean
+    # the clean corpus passes the default check unchanged
+    assert {
+        (r["doc_id"], r["shingle"]) for r in shingles(docs, k=5).collect()
+    } == clean
+
+
+def test_duplicate_span_mask_semantics(spark):
+    """X47 mask form on a hand-built corpus: a 12-token license block
+    shared by two documents (with distinct prefixes/suffixes) yields
+    one merged span per document covering exactly the shared tokens;
+    a document with no repeated anchor yields nothing; a WITHIN-doc
+    repeat is masked too."""
+    from genie_spark.analytics.dedup import duplicate_span_mask
+
+    lic = "this software is provided as is without warranty of any kind whatsoever"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + lic + " delta epsilon"),
+            (2, "one two three four five " + lic),
+            (3, "totally unrelated words nobody repeats here at all today"),
+            # within-doc repeat: the same 10-token run twice
+            (4, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 sep x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["n_anchors"])
+        for r in duplicate_span_mask(docs, k=8, min_count=2).collect()
+    }
+    # doc 1: license tokens are positions 4..15 (3 prefix tokens)
+    assert out[1] == (4, 12, 5)  # 12-token span, 12-8+1=5 anchors
+    # doc 2: license tokens are positions 6..17 (5 prefix tokens)
+    assert out[2] == (6, 12, 5)
+    assert 3 not in out
+    # doc 4: both copies of the 10-token run masked; the runs sit 11
+    # apart (gap > k) → two islands merged? positions 1..3 and 12..14
+    # (anchors), coverage 1..10 and 12..21 — gap 12-3=9 > 8 → 2 spans
+    # ... but collect returns one row per island; doc 4 must have the
+    # two 10-token spans (verify via total coverage)
+    rows4 = [
+        (r["span_start"], r["span_len"])
+        for r in duplicate_span_mask(docs, k=8, min_count=2)
+        .where(F.col("doc_id") == 4)
+        .collect()
+    ]
+    assert sorted(rows4) == [(1, 10), (12, 10)]
+
+
+def test_duplicate_span_pairs_semantics(spark):
+    """X47 pair form: the shared block reports one maximal span per
+    pair with the right start offsets on both sides."""
+    from genie_spark.analytics.dedup import duplicate_span_pairs
+
+    lic = "this software is provided as is without warranty of any kind whatsoever"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + lic + " delta epsilon"),
+            (2, "one two three four five " + lic),
+            (3, "totally unrelated words nobody repeats here at all today"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = duplicate_span_pairs(docs, k=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert (r["a_start"], r["b_start"], r["span_len"], r["n_anchors"]) == (
+        4, 6, 12, 5,
+    )

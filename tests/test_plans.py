@@ -487,3 +487,34 @@ def test_image_phash_banded_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_substring_span_mask_no_cartesian_no_global_sort(spark):
+    """X47 duplicate-span mask must stay linear: no pair blow-up, no
+    full-corpus sort (the suffix-array formulation does NOT distribute
+    — the anchor formulation replaces it), no broadcast of the
+    corpus-derived anchor/hot-set sides, and the anchor count must
+    partially aggregate map-side."""
+    from genie_spark.workload_analytics import dedup_substring_spans
+
+    plan = plan_of(dedup_substring_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # global sorts (Exchange SinglePartition followed by Sort / a
+    # rangepartitioning exchange) would be the suffix-sort smell; the
+    # only sorts allowed are the per-partition window/merge-join sorts
+    assert "rangepartitioning" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_substring_span_pairs_no_cartesian(spark):
+    """X47 pair form: the anchor self-join must be an equi-join on the
+    hashed anchor (merge-hinted shuffle join), never a cartesian or a
+    corpus-side broadcast."""
+    from genie_spark.workload_analytics import dedup_substring_pairs
+
+    plan = plan_of(dedup_substring_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, plan
