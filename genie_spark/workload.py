@@ -1039,67 +1039,65 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
-    # Round-9 rotation: slots freed for the NEW layout_zorder_str
-    # (dictionary-encoded string Z-order dims) and dedup_edit_near
-    # (X46 FastSS edit-distance near-miss join) — each needs a first
-    # driver row.  multimodal_phash_dedup / multimodal_audio_dedup are
-    # r8-green first-timers untouched by any round-9 change; the
-    # multimodal family stays in-window via multimodal_features.
-    "multimodal_phash_dedup",
-    "multimodal_audio_dedup",
-    # r7-green, untouched by round-8 changes (third r8 rotation): slot
-    # freed for the NEW layout_zorder (Morton-key layout primitive —
-    # first driver row); the interval-join family stays in-window via
-    # j3_interval_join + j4_containment_join
-    "j6_max_overlap_remap",
-    # r7-green, untouched by round-8 changes (second r8 rotation)
-    "phi_redaction",
-    "scalar_battery",
-    "j5_feature_type",
-    "a15_case_lists",
-    "s15_apply_upsert",
-    "j11_containment_check",
-    "corpus_passage_dedup",
-    # r7-green, rotated out this round (round-7 first-timers)
-    "set_except_distinct",
-    "j3_interval_anti",
-    "ann_cosine_pairs",
-    "a2_distinct_counts",
-    "p7_contains_filter",
-    "a16_filtered_counts",
-    "dedup_components",
-    "ann_topk",
-    "a9_duplicate_keys",
-    "dedup_ngram_jaccard",
-    "text_fingerprint",
-    # r7-green, rotated out this round (family coverage preserved)
-    "text_pii_scrub",
-    "a17_value_decreases",
-    # r7-green, slots freed for the NEW X38 sketch_hll_distinct
-    # (HyperLogLog register artifact), X39 multimodal_phash_dedup
-    # (image average-hash near-dup) and X40 multimodal_audio_dedup
-    # (WAV energy-fingerprint near-dup) — each needs a first driver
-    # row; the decontamination family stays in-window via
-    # corpus_bloom_decontaminate, the corpus-assembly family via
-    # corpus_passage_dedup + corpus_token_budget, the text family via
-    # text_quality
-    "corpus_decontaminate",
-    "corpus_pack_sequences",
-    "text_token_stats",
-    # round-6-green, still in the tail from the round-7 rotation
-    "corpus_chunk_overlap",
-    "corpus_keep_list",
-    "corpus_split_shuffle",
-    "corpus_stratified_sample",
-    "dedup_incremental_minhash",
-    "dedup_quality_survivors",
-    "sketch_kmv_jaccard",
-    "sketch_quantiles",
-    "text_lm_surprisal",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_lang_id",
-    "sketch_kmv_distinct",
+    # Round-10 rotation (VERDICT r9 item 2 — freshness): every tail
+    # query below was driver-green in ROUND 9 (CORRECTNESS_r09.json,
+    # the youngest possible evidence), and every query it displaces
+    # from the window had only r6/r7/r8-era driver rows (13 r6-green,
+    # 24 r7-green, 2 r8-green — verified per-round from the committed
+    # CORRECTNESS_r0*.json files).  The window therefore now holds:
+    # the 39 oldest-evidence queries, the 2 NEW X47 rows
+    # (dedup_substring_spans / dedup_substring_pairs — first driver
+    # rows), and 9 r9-green keeps whose ENGINES this round touched or
+    # that anchor the bench: q1_pricing_summary (flagship/entry),
+    # dedup_edit_near (X46 hash-carried candidate distinct),
+    # dedup_minhash_lsh (shingles unique-id guard),
+    # layout_zorder + layout_zorder_str (with_zorder approx-distinct
+    # pre-flight), a8_merge_duplicates / corpus_bloom_decontaminate /
+    # dedup_setsim_prefix / sketch_heavy_hitters (bench headlines /
+    # r9 engine changes worth a fresh post-change row).  All tail
+    # queries keep their r9 driver rows and the local
+    # tools/verify_oracle.py sweep.
+    "a11_fill_count_algebra",
+    "a13_group_concat",
+    "a14_distinct_union",
+    "a1_counts_with_total",
+    "a3_pivot_counts",
+    "a4_completeness",
+    "a5_lag_difference",
+    "a6_release_diff",
+    "a7_median",
+    "ann_ivf_topk",
+    "ann_lsh_banded",
+    "ann_lsh_buckets",
+    "cluster_balanced_sample",
+    "cluster_kmeans",
+    "corpus_priority_sample",
+    "corpus_token_budget",
+    "dedup_embedding_drop",
+    "dedup_exact",
+    "dedup_semantic",
+    "dedup_simhash",
+    "j10_symbol_remap",
+    "j1_revenue_per_nation",
+    "j3_interval_join",
+    "j4_containment_join",
+    "j7_upsert_diff",
+    "j8_broadcast_lookup",
+    "j9_code_remap",
+    "multimodal_features",
+    "p12_date_window_filter",
+    "p14_group_count_filter",
+    "p15_retract_cascade",
+    "p3_semi_filter",
+    "p4_anti_filter",
+    "p6_greatest_threshold",
+    "s12_pushdown_scan",
+    "sketch_count_min",
+    "sketch_hll_distinct",
+    "text_quality",
+    "w1_adjacent_events",
+    "w2_latest_per_key",
+    "w4_asof_join",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}
