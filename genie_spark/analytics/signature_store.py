@@ -1,0 +1,225 @@
+"""Persistent MinHash signature store with INCREMENTAL sync.
+
+``minhash_docinfo`` is the expensive step of MinHash+LSH dedup (the
+one shingle shuffle — ~90 s per 1 M docs on the local bench); round 9
+left it rebuilt from scratch every run, with X20
+(``incremental_minhash_pairs``) covering only the QUERY side against a
+prebuilt store.  This module is the build side: the docinfo rows live
+in a transaction-log table (io/txnlog.py) partitioned by an id-hash
+bucket, and ``sync_docinfo_store`` diffs the corpus against the
+store's md5 manifest — the reference's own change-detection idiom
+(Sage-Bionetworks/Genie genie/input_to_database.py:54-113 compares
+entity md5s to skip unchanged inputs) — so ONLY new/changed documents
+are ever re-shingled.
+
+Scale posture (100 TB corpus, daily ~1% churn):
+  * the manifest diff reads THREE slim columns of the store
+    (id, __md5, sig_bucket) — parquet column pruning never touches
+    the fat ``__hs`` hash arrays of unchanged docs;
+  * the shingle+aggregate recompute runs on the DELTA only;
+  * the rewrite is partition-scoped: only buckets containing a
+    new/changed/removed doc are rewritten (two-phase staging + the
+    txnlog's atomic partition swap — a failed sync never corrupts the
+    store), and unchanged docs in those buckets are COPIED from the
+    store, not recomputed;
+  * short documents (< k chars, no shingles) keep a manifest-only row
+    with null signature so they are never re-diagnosed as "new";
+    ``read_docinfo_store`` filters them out, which is exactly the
+    batch ``minhash_docinfo`` behavior.
+
+Bucket-count sizing: ``n_buckets`` bounds write amplification — a
+delta touching d docs rewrites at most min(d, n_buckets) buckets, so
+size buckets to the churn you expect (more buckets → smaller
+rewrites, more files).  The bucket column is ``pmod(xxhash64(id),
+n_buckets)`` — deterministic, engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "sig_bucket"  # no leading underscore: _-prefixed partition dirs are invisible to the txnlog file walk (hadoop hidden-path convention)
+MD5_COL = "__md5"
+
+
+def _manifest(
+    corpus: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    return corpus.select(
+        id_col,
+        F.col(text_col).alias("__text"),
+        F.md5(F.col(text_col)).alias(MD5_COL),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias(BUCKET_COL),
+    )
+
+
+def sync_docinfo_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+    n_buckets: int = 64,
+    commit=None,
+) -> dict:
+    """Bring the signature store at ``store_path`` in sync with
+    ``corpus``, re-shingling ONLY new/changed documents.
+
+    Returns stats: ``mode`` (full / incremental / noop),
+    ``delta_rows`` (docs re-shingled), ``removed_rows`` (store docs no
+    longer in the corpus), ``buckets_rewritten``.  The corpus must
+    satisfy the one-row-per-id contract (checked by ``shingles`` via
+    the manifest-diff semantics: a duplicated id would collide in the
+    diff join; the docinfo build itself runs with the default sketch
+    guard).
+    """
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import minhash_docinfo
+    from genie_spark.io.txnlog import LogCommit
+
+    commit = commit or LogCommit()
+    commit.recover(store_path)
+    existing = commit.read(spark, store_path)
+    man = _manifest(corpus, id_col, text_col, n_buckets)
+
+    if existing is None:
+        info = minhash_docinfo(
+            corpus, id_col, text_col, k, n_perm
+        )
+        out = man.drop("__text").join(info.hint("merge"), id_col, "left")
+        staging = commit.staging_path(store_path)
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        commit.commit_partitions(staging, store_path, BUCKET_COL)
+        # count AFTER the write, from the committed slim manifest
+        # column — counting ``out`` first would run the whole docinfo
+        # build twice (count + write)
+        n = commit.read(spark, store_path).select(id_col).count()
+        return {
+            "mode": "full",
+            "delta_rows": n,
+            "removed_rows": 0,
+            "buckets_rewritten": len(
+                commit.partition_values(store_path, BUCKET_COL)
+            ),
+            "n_buckets": n_buckets,
+        }
+
+    # manifest diff — slim columns only; the store's fat __hs arrays
+    # are never read here (parquet column pruning)
+    store_man = existing.select(id_col, MD5_COL, BUCKET_COL)
+    delta = man.join(
+        store_man.select(id_col, MD5_COL).hint("merge"),
+        [id_col, MD5_COL],
+        "left_anti",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    removed = store_man.join(
+        man.select(id_col, MD5_COL).hint("merge"),
+        [id_col, MD5_COL],
+        "left_anti",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        delta_n = delta.count()
+        removed_n = removed.count()
+        if delta_n == 0 and removed_n == 0:
+            return {
+                "mode": "noop",
+                "delta_rows": 0,
+                "removed_rows": 0,
+                "buckets_rewritten": 0,
+                "n_buckets": n_buckets,
+            }
+        buckets = sorted(
+            r[0]
+            for r in delta.select(BUCKET_COL)
+            .unionByName(removed.select(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        # unchanged docs in affected buckets are COPIED (semi-join on
+        # the still-current manifest rows), never re-shingled
+        keep = existing.where(F.col(BUCKET_COL).isin(buckets)).join(
+            man.select(id_col, MD5_COL).hint("merge"),
+            [id_col, MD5_COL],
+            "left_semi",
+        )
+        delta_info = delta.drop("__text").join(
+            minhash_docinfo(
+                delta.select(id_col, F.col("__text").alias(text_col)),
+                id_col,
+                text_col,
+                k,
+                n_perm,
+                # contract already screened by the manifest diff keys
+                unique_ids=True,
+            ).hint("merge"),
+            id_col,
+            "left",
+        )
+        out = keep.unionByName(delta_info)
+        staging = commit.staging_path(store_path)
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        commit.commit_partitions(staging, store_path, BUCKET_COL)
+        return {
+            "mode": "incremental",
+            "delta_rows": delta_n,
+            "removed_rows": removed_n,
+            "buckets_rewritten": len(buckets),
+            "n_buckets": n_buckets,
+        }
+    finally:
+        delta.unpersist()
+        removed.unpersist()
+
+
+def read_docinfo_store(
+    spark: SparkSession, store_path: str, commit=None
+) -> DataFrame:
+    """The store as a ``minhash_docinfo``-schema DataFrame: manifest
+    bookkeeping columns dropped, manifest-only rows (short docs with
+    no shingles) filtered — byte-identical semantics to a fresh
+    ``minhash_docinfo`` over the synced corpus."""
+    from genie_spark.io.txnlog import LogCommit
+
+    commit = commit or LogCommit()
+    df = commit.read(spark, store_path)
+    if df is None:
+        raise FileNotFoundError(f"no signature store at {store_path}")
+    return df.where(F.col("mh_0").isNotNull()).drop(MD5_COL, BUCKET_COL)
+
+
+def minhash_pairs_from_store(
+    spark: SparkSession,
+    store_path: str,
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    commit=None,
+) -> DataFrame:
+    """Full-corpus MinHash+LSH near-dup pairs from the PERSISTED store
+    — the from-scratch ``minhash_dedup_pairs`` result without its
+    shingle pass (pinned equal by tests/test_analytics.py)."""
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import (
+        _release_on_gc,
+        _verify_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docinfo = read_docinfo_store(spark, store_path, commit).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = lsh_candidate_pairs(
+        docinfo.select(id_col, *[f"mh_{i}" for i in range(n_perm)]),
+        id_col,
+        n_perm,
+        bands,
+    )
+    return _release_on_gc(
+        _verify_pairs(cand, docinfo, id_col, threshold), docinfo
+    )

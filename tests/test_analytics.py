@@ -2167,3 +2167,159 @@ def test_duplicate_span_pairs_semantics(spark):
     assert (r["a_start"], r["b_start"], r["span_len"], r["n_anchors"]) == (
         4, 6, 12, 5,
     )
+
+
+def _store_corpus(spark, n=40, tag=""):
+    # long repetitive texts so minhash finds real near-dup structure
+    rows = []
+    for i in range(n):
+        base = f"document {i % 7} body with shared boilerplate text {tag} "
+        rows.append((i, base * 6 + f"unique suffix {i}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_signature_store_full_then_noop(spark, tmp_path):
+    from genie_spark.analytics.signature_store import (
+        read_docinfo_store,
+        sync_docinfo_store,
+    )
+
+    store = str(tmp_path / "sigstore")
+    docs = _store_corpus(spark)
+    s1 = sync_docinfo_store(spark, docs, store, n_buckets=8)
+    assert s1["mode"] == "full" and s1["delta_rows"] == 40
+    # resync with the identical corpus: nothing recomputed, no commit
+    s2 = sync_docinfo_store(spark, docs, store, n_buckets=8)
+    assert s2 == {
+        "mode": "noop", "delta_rows": 0, "removed_rows": 0,
+        "buckets_rewritten": 0, "n_buckets": 8,
+    }
+    # store contents == fresh minhash_docinfo over the corpus
+    from genie_spark.analytics.dedup import minhash_docinfo
+
+    got = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in read_docinfo_store(spark, store).collect()
+    }
+    want = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in minhash_docinfo(docs).collect()
+    }
+    assert got == want
+
+
+def test_signature_store_incremental_recomputes_only_delta(spark, tmp_path):
+    """+10% growth re-shingles ONLY the new docs (stats say so), leaves
+    every unaffected bucket's files physically untouched (inode +
+    mtime), and the store-backed pairs equal the from-scratch build."""
+    import os
+
+    from genie_spark.analytics.dedup import minhash_dedup_pairs
+    from genie_spark.analytics.signature_store import (
+        BUCKET_COL,
+        minhash_pairs_from_store,
+        sync_docinfo_store,
+    )
+
+    store = str(tmp_path / "sigstore")
+    docs = _store_corpus(spark, n=40)
+    sync_docinfo_store(spark, docs, store, n_buckets=8)
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(store):
+            if d.startswith(f"{BUCKET_COL}="):
+                for f in os.listdir(os.path.join(store, d)):
+                    p = os.path.join(store, d, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    before = bucket_files()
+    grown = docs.unionByName(_store_corpus(spark, n=4, tag="new").select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    ))
+    s = sync_docinfo_store(spark, grown, store, n_buckets=8)
+    assert s["mode"] == "incremental"
+    assert s["delta_rows"] == 4          # ONLY the new docs re-shingled
+    assert s["removed_rows"] == 0
+    assert s["buckets_rewritten"] < 8    # growth localized to its buckets
+    after = bucket_files()
+
+    def bucket_of(path):
+        import re
+
+        return int(re.search(r"sig_bucket=(\d+)", path).group(1))
+
+    changed_buckets = {
+        bucket_of(p)
+        for p in set(before) ^ set(after)
+    } | {
+        bucket_of(p) for p in before if p in after and before[p] != after[p]
+    }
+    # exactly the rewritten buckets changed on disk; every other
+    # bucket's files are the same physical objects (inode + mtime)
+    assert len(changed_buckets) == s["buckets_rewritten"]
+    for p, v in before.items():
+        if bucket_of(p) not in changed_buckets:
+            assert after[p] == v
+    # pairs parity: store-backed == from-scratch
+    got = {
+        (r["a"], r["b"]) for r in minhash_pairs_from_store(spark, store).collect()
+    }
+    want = {(r["a"], r["b"]) for r in minhash_dedup_pairs(grown).collect()}
+    assert got == want
+
+
+def test_signature_store_change_and_removal(spark, tmp_path):
+    from genie_spark.analytics.signature_store import (
+        read_docinfo_store,
+        sync_docinfo_store,
+    )
+    from genie_spark.analytics.dedup import minhash_docinfo
+
+    store = str(tmp_path / "sigstore")
+    docs = _store_corpus(spark, n=20)
+    sync_docinfo_store(spark, docs, store, n_buckets=4)
+    # change doc 3's text, remove doc 7
+    changed = docs.where(F.col("doc_id") != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 3,
+            F.concat(F.col("text"), F.lit(" now edited with fresh content")),
+        ).otherwise(F.col("text")),
+    )
+    s = sync_docinfo_store(spark, changed, store, n_buckets=4)
+    assert s["mode"] == "incremental"
+    assert s["delta_rows"] == 1      # the changed doc only
+    assert s["removed_rows"] == 2    # old row of doc 3 + removed doc 7
+    got = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in read_docinfo_store(spark, store).collect()
+    }
+    want = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in minhash_docinfo(changed).collect()
+    }
+    assert got == want
+
+
+def test_signature_store_short_docs_not_rediagnosed(spark, tmp_path):
+    """A document shorter than k keeps a manifest-only row: the second
+    sync must be a noop, and the read filters it out (batch parity)."""
+    from genie_spark.analytics.signature_store import (
+        read_docinfo_store,
+        sync_docinfo_store,
+    )
+
+    store = str(tmp_path / "sigstore")
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "long enough text to actually shingle " * 4)],
+        ["doc_id", "text"],
+    )
+    s1 = sync_docinfo_store(spark, docs, store, n_buckets=2)
+    assert s1["mode"] == "full"
+    s2 = sync_docinfo_store(spark, docs, store, n_buckets=2)
+    assert s2["mode"] == "noop"
+    ids = {r["doc_id"] for r in read_docinfo_store(spark, store).collect()}
+    assert ids == {2}
