@@ -119,6 +119,25 @@ _CASE_LIST_CATEGORIES = frozenset(
     }
 )
 
+# accepted (genetic_alteration_type, datatype) meta combinations —
+# the subset of cBioPortal validateData's meta dictionary the GENIE
+# release surface uses (io/writers.py cbio_meta_texts emits exactly
+# these; anything else is a hand-edited meta the importer rejects)
+_META_GAT_DATATYPES = frozenset(
+    {
+        ("CLINICAL", "MIXED_ATTRIBUTES"),
+        ("CLINICAL", "PATIENT_ATTRIBUTES"),
+        ("CLINICAL", "SAMPLE_ATTRIBUTES"),
+        ("MUTATION_EXTENDED", "MAF"),
+        ("COPY_NUMBER_ALTERATION", "DISCRETE"),
+        ("COPY_NUMBER_ALTERATION", "SEG"),
+        ("COPY_NUMBER_ALTERATION", "LOG2-VALUE"),
+        ("COPY_NUMBER_ALTERATION", "CONTINUOUS"),
+        ("STRUCTURAL_VARIANT", "SV"),
+        ("GENE_PANEL_MATRIX", "GENE_PANEL_MATRIX"),
+    }
+)
+
 
 def _read_release_tsv(
     spark: SparkSession, path: str, comment: str | None = "#"
@@ -318,11 +337,14 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     if not any(os.path.basename(p) == "cases_all.txt" for p in case_files):
         err("release.case_list_all", "release: case_lists/cases_all.txt missing")
     case_study_ids: dict[str, list[str]] = {}
+    case_stable_ids: dict[str, list[str]] = {}
     sequenced_ids: list[str] | None = None
     cases_all_ids: list[str] | None = None
     for p in case_files:
         name = os.path.basename(p)
         kv = _parse_kv_text(p)
+        if kv.get("stable_id"):
+            case_stable_ids.setdefault(kv["stable_id"], []).append(name)
         if name == "cases_sequenced.txt" and "case_list_ids" in kv:
             sequenced_ids = [s for s in kv["case_list_ids"].split("\t") if s]
         if name == "cases_all.txt" and "case_list_ids" in kv:
@@ -365,6 +387,22 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 n=len(stray),
                 examples=stray[:5],
             )
+    # stable_id uniqueness ACROSS the release (cBioPortal validateData:
+    # two case lists sharing a stable_id overwrite each other at
+    # import — the per-file stem rule above can't see the collision)
+    dup_stable = {
+        sid: files for sid, files in case_stable_ids.items() if len(files) > 1
+    }
+    if dup_stable:
+        err(
+            "release.case_list_stable_id_dup",
+            "release: case lists share a stable_id: "
+            + ", ".join(
+                f"{sid} ({', '.join(files)})"
+                for sid, files in sorted(dup_stable.items())
+            ),
+            n=len(dup_stable),
+        )
     if len(case_study_ids) > 1:
         err(
             "release.case_list_study_id",
@@ -811,7 +849,9 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             )
     meta_study_ids: dict[str, str] = {}
     meta_data_refs: set[str] = set()
+    profile_stable_ids: dict[str, list[str]] = {}
     for m in sorted(glob.glob(os.path.join(release_dir, "meta_*.txt"))):
+        name = os.path.basename(m)
         kv = _parse_kv_text(m)
         data_ref = kv.get("data_filename")
         if data_ref:
@@ -819,12 +859,56 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             if not os.path.isfile(os.path.join(release_dir, data_ref)):
                 err(
                     "release.meta_dangling",
-                    f"release: {os.path.basename(m)} references missing "
+                    f"release: {name} references missing "
                     f"{data_ref}",
                 )
         sid = kv.get("cancer_study_identifier")
         if sid is not None:
-            meta_study_ids[os.path.basename(m)] = sid
+            meta_study_ids[name] = sid
+        # per-profile meta consistency (cBioPortal validateData
+        # MetaFileValidator; the reference runs it as the release gate,
+        # bin/database_to_staging.py:310-332):
+        # (1) a known (genetic_alteration_type, datatype) combination,
+        # (2) a profile meta (show_profile_in_analysis_tab) must carry
+        #     stable_id / profile_name / profile_description,
+        # (3) profile stable_ids must be unique across the release —
+        #     two profiles sharing one overwrite each other at import.
+        gat = kv.get("genetic_alteration_type")
+        dt = kv.get("datatype")
+        if gat is not None and (gat, dt) not in _META_GAT_DATATYPES:
+            err(
+                "release.meta_datatype_domain",
+                f"release: {name} pairs genetic_alteration_type "
+                f"{gat!r} with datatype {dt!r} — outside cBioPortal's "
+                "accepted combinations",
+            )
+        if kv.get("show_profile_in_analysis_tab") is not None:
+            missing_profile = [
+                f
+                for f in ("stable_id", "profile_name", "profile_description")
+                if not kv.get(f)
+            ]
+            if missing_profile:
+                err(
+                    "release.meta_profile_fields",
+                    f"release: profile meta {name} missing "
+                    f"{missing_profile}",
+                )
+        if name != "meta_study.txt" and kv.get("stable_id"):
+            profile_stable_ids.setdefault(kv["stable_id"], []).append(name)
+    dup_profiles = {
+        s: files for s, files in profile_stable_ids.items() if len(files) > 1
+    }
+    if dup_profiles:
+        err(
+            "release.meta_stable_id_dup",
+            "release: meta profiles share a stable_id: "
+            + ", ".join(
+                f"{s} ({', '.join(files)})"
+                for s, files in sorted(dup_profiles.items())
+            ),
+            n=len(dup_profiles),
+        )
     # completeness the OTHER way: cBioPortal discovers data files
     # THROUGH meta files, so a shipped data artifact no meta references
     # is silently never imported.  The fixed ``meta_for`` catalog above

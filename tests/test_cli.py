@@ -2263,3 +2263,102 @@ def test_dashboard_html_artifact(spark, tmp_path):
                 for v in r
             )
             assert cells in text, (name, tuple(r))
+
+
+def test_release_qc_meta_profile_rules(spark, tmp_path):
+    """Round-10 validator notch (cBioPortal validateData meta rules,
+    reference gate bin/database_to_staging.py:310-332): per-profile
+    (genetic_alteration_type, datatype) domain, profile-field
+    completeness, and stable_id uniqueness across meta files AND
+    across case lists — each seeded corruption flips exactly red."""
+    from genie_spark.io.writers import cbio_meta_texts
+    from genie_spark.release.qc import validate_release
+
+    out = str(tmp_path / "rel")
+    os.makedirs(os.path.join(out, "case_lists"))
+
+    def write(path, text):
+        with open(os.path.join(out, path), "w") as f:
+            f.write(text)
+
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tCancer Type\n#desc\tdesc\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tCANCER_TYPE\nGENIE-SAGE-1-1\tGlioma\n",
+    )
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-SAGE-1-1\n",
+    )
+    write("data_CNA.txt", "Hugo_Symbol\tGENIE-SAGE-1-1\nTP53\t-1\n")
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\n",
+    )
+    write(
+        "case_lists/cases_sequenced.txt",
+        "cancer_study_identifier: s\nstable_id: s_sequenced\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    present = {n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))}
+    metas = cbio_meta_texts("s", "1.0", present)
+    for name, text in metas.items():
+        write(name, text)
+    assert validate_release(spark, out).errors == []
+
+    # corruption 1: unknown (genetic_alteration_type, datatype) pair
+    write(
+        "meta_CNA.txt",
+        metas["meta_CNA.txt"].replace(
+            "datatype: DISCRETE", "datatype: WEIRD"
+        ),
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_datatype_domain" in ids
+    write("meta_CNA.txt", metas["meta_CNA.txt"])
+
+    # corruption 2: profile meta loses profile_name
+    write(
+        "meta_mutations_extended.txt",
+        "\n".join(
+            l
+            for l in metas["meta_mutations_extended.txt"].splitlines()
+            if not l.startswith("profile_name:")
+        )
+        + "\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_profile_fields" in ids
+    write(
+        "meta_mutations_extended.txt", metas["meta_mutations_extended.txt"]
+    )
+
+    # corruption 3: two profile metas share a stable_id
+    write(
+        "meta_CNA.txt",
+        metas["meta_CNA.txt"].replace(
+            "stable_id: cna", "stable_id: mutations"
+        ),
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_stable_id_dup" in ids
+    write("meta_CNA.txt", metas["meta_CNA.txt"])
+
+    # corruption 4: two case lists share a stable_id
+    write(
+        "case_lists/cases_sequenced.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_stable_id_dup" in ids
+    write(
+        "case_lists/cases_sequenced.txt",
+        "cancer_study_identifier: s\nstable_id: s_sequenced\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    assert validate_release(spark, out).errors == []
