@@ -436,6 +436,25 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
         qc_errors = len(report.errors)
         for m in report.errors:
             print(f"QC {m.rule_id}: {m.message}", file=sys.stderr)
+    guide_path = getattr(args, "data_guide", None)
+    if guide_path:
+        provenance = {
+            "released clinical samples": counts["clinical"],
+            "released mutation rows": counts["maf"],
+        }
+        for label, df in (
+            ("samples removed by release filters", arts.removed_samples),
+            ("samples flagged (mutations-in-cis)", arts.flagged_samples),
+            ("variants removed (off-bed)", arts.removed_variants),
+        ):
+            if df is not None:
+                provenance[label] = df.count()
+        text = data_guide_html(
+            spark, args.output, study_id, args.version, provenance
+        )
+        with open(guide_path, "w") as f:
+            f.write(text)
+        print(f"data guide → {guide_path}")
     print(
         json.dumps(
             {"release": args.version, "rows": counts, "qc_errors": qc_errors}
@@ -972,6 +991,105 @@ def dashboard_html(
     return "\n".join(parts)
 
 
+def data_guide_html(
+    spark: SparkSession,
+    release_dir: str,
+    study_id: str,
+    version: str,
+    provenance: dict[str, int],
+) -> str:
+    """Static HTML data guide for a written release — the counterpart
+    of the reference's LaTeX data guide
+    (templates/data_guide_template.Rnw, rendered by
+    bin/consortium_to_public.py:23-40): release identity, per-center
+    sample/patient counts, per-center sequencing panels, and the
+    filter-provenance counts (how many samples/variants each release
+    filter removed).  Rendered from the files ON DISK (data_clinical
+    re-read — the same re-read philosophy as release/qc.py), stdlib
+    templating only; the per-center aggregations run in Spark and only
+    dim-sized results cross the driver boundary."""
+    import html as _html
+
+    from genie_spark.release.qc import _read_release_tsv, _resolve
+
+    clin = _read_release_tsv(
+        spark, os.path.join(release_dir, "data_clinical.txt")
+    )
+    sid = _resolve(clin, "SAMPLE_ID")
+    pid = _resolve(clin, "PATIENT_ID")
+    assay = _resolve(clin, "SEQ_ASSAY_ID")
+    center = (
+        F.col("CENTER")
+        if "CENTER" in clin.columns
+        # GENIE-<CENTER>-<patient>-<sample> barcode convention
+        else F.split(F.col(sid), "-")[1]
+    ).alias("center")
+
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_html.escape(study_id)} data guide</title>",
+        "<style>body{font-family:sans-serif;margin:2em;}"
+        "table{border-collapse:collapse;margin:1em 0 2em;}"
+        "th,td{border:1px solid #999;padding:4px 8px;text-align:left;}"
+        "th{background:#eee;}caption{font-weight:bold;text-align:left;"
+        "padding:4px 0;}</style></head><body>",
+        f"<h1>Data guide — {_html.escape(study_id)}</h1>",
+        f"<p>Release <b>{_html.escape(version)}</b></p>",
+    ]
+
+    def table(caption: str, cols: list[str], rows: list[list]) -> None:
+        parts.append("<table>")
+        parts.append(f"<caption>{_html.escape(caption)}</caption>")
+        parts.append(
+            "<tr>"
+            + "".join(f"<th>{_html.escape(c)}</th>" for c in cols)
+            + "</tr>"
+        )
+        for r in rows:
+            parts.append(
+                "<tr>"
+                + "".join(
+                    f"<td>{_html.escape('' if v is None else str(v))}</td>"
+                    for v in r
+                )
+                + "</tr>"
+            )
+        parts.append("</table>")
+
+    aggs = [F.count(F.lit(1)).alias("n_samples")]
+    if pid:
+        aggs.append(F.count_distinct(F.col(pid)).alias("n_patients"))
+    per_center = clin.groupBy(center).agg(*aggs).orderBy("center").collect()
+    table(
+        "Samples per center",
+        ["center", "n_samples"] + (["n_patients"] if pid else []),
+        [
+            [r["center"], r["n_samples"]]
+            + ([r["n_patients"]] if pid else [])
+            for r in per_center
+        ],
+    )
+    if assay:
+        panels = (
+            clin.groupBy(center, F.col(assay).alias("seq_assay_id"))
+            .agg(F.count(F.lit(1)).alias("n_samples"))
+            .orderBy("center", "seq_assay_id")
+            .collect()
+        )
+        table(
+            "Sequencing panels per center",
+            ["center", "seq_assay_id", "n_samples"],
+            [[r["center"], r["seq_assay_id"], r["n_samples"]] for r in panels],
+        )
+    table(
+        "Filter provenance",
+        ["filter", "rows"],
+        [[k, v] for k, v in provenance.items()],
+    )
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
 def cmd_process_mutation(spark: SparkSession, args: argparse.Namespace) -> int:
     """Center maf/vcf processing workflow (reference
     genie/process_mutation.py:180-256; annotation step is the
@@ -1407,6 +1525,14 @@ def build_parser() -> argparse.ArgumentParser:
         dest="skip_qc",
         action="store_true",
         help="skip the post-write release-directory QC stage",
+    )
+    r.add_argument(
+        "--data-guide",
+        dest="data_guide",
+        default=None,
+        help="also render a static HTML data guide (release id, "
+        "per-center sample/panel tables, filter provenance counts — "
+        "the reference's LaTeX data_guide_template.Rnw counterpart)",
     )
     r.set_defaults(fn=cmd_release)
 

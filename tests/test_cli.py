@@ -2362,3 +2362,58 @@ def test_release_qc_meta_profile_rules(spark, tmp_path):
         "case_list_ids: GENIE-SAGE-1-1\n",
     )
     assert validate_release(spark, out).errors == []
+
+
+def test_release_data_guide(spark, tmp_path):
+    """cmd_release --data-guide renders a static HTML guide whose
+    per-center sample/panel tables match the WRITTEN release artifacts
+    (re-read from disk, the reference data_guide_template.Rnw
+    counterpart) and whose provenance block carries the release
+    counts."""
+    import re as _re
+
+    wh = str(tmp_path / "warehouse")
+    out = str(tmp_path / "release")
+    guide = str(tmp_path / "guide.html")
+
+    for paths, ft in [
+        (_write_clinical_pair(tmp_path), None),
+        (_write_maf(tmp_path), None),
+        (_write_bed(tmp_path), "bed"),
+        (_write_assay(tmp_path), None),
+    ]:
+        rc = cmd_ingest(
+            spark,
+            _ns(paths=paths, center=CENTER, warehouse=wh, filetype=ft, force=True),
+        )
+        assert rc == 0
+    rc = cmd_release(
+        spark,
+        _ns(
+            warehouse=wh, output=out, version="TESTv1", pad=10,
+            whitelist=None, data_guide=guide,
+        ),
+    )
+    assert rc == 0
+    with open(guide) as f:
+        html = f.read()
+    assert "Release <b>TESTv1</b>" in html
+    assert "Samples per center" in html
+    assert "Sequencing panels per center" in html
+    assert "Filter provenance" in html
+
+    # the per-center sample count in the guide equals the count in the
+    # written data_clinical.txt for this center
+    with open(os.path.join(out, "data_clinical.txt")) as f:
+        lines = [l for l in f.read().splitlines() if l and not l.startswith("#")]
+    hdr = lines[0].split("\t")
+    sid_idx = hdr.index("SAMPLE_ID")
+    n_samples = sum(
+        1 for l in lines[1:] if l.split("\t")[sid_idx].startswith(f"GENIE-{CENTER}-")
+    )
+    row = _re.search(
+        rf"<tr><td>{CENTER}</td><td>(\d+)</td>", html.replace("\n", "")
+    )
+    assert row and int(row.group(1)) == n_samples
+    # the panel table names the released assay
+    assert f"{CENTER}-PANEL-1" in html
