@@ -41,6 +41,35 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "sig_bucket"  # no leading underscore: _-prefixed partition dirs are invisible to the txnlog file walk (hadoop hidden-path convention)
 MD5_COL = "__md5"
+_META_NAME = "_sigstore_meta.json"
+
+
+def _check_store_params(
+    store_path: str, k: int, n_perm: int, n_buckets: int, create: bool
+) -> None:
+    """Pin (k, n_perm, n_buckets) to the store: a sync with different
+    parameters would silently mix signature spaces (stored rows keep
+    the OLD k/n_perm — unchanged docs are never recomputed), so a
+    mismatch must fail loudly."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(store_path, _META_NAME)
+    want = {"k": k, "n_perm": n_perm, "n_buckets": n_buckets}
+    if _os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            have = _json.load(f)
+        if have != want:
+            raise ValueError(
+                f"signature store {store_path} was built with {have}; "
+                f"sync called with {want} — signatures are not "
+                "comparable across parameters.  Rebuild into a fresh "
+                "store instead."
+            )
+    elif create:
+        _os.makedirs(store_path, exist_ok=True)
+        with open(meta_path, "w") as f:
+            _json.dump(want, f)
 
 
 def _manifest(
@@ -83,6 +112,7 @@ def sync_docinfo_store(
 
     commit = commit or LogCommit()
     commit.recover(store_path)
+    _check_store_params(store_path, k, n_perm, n_buckets, create=True)
     existing = commit.read(spark, store_path)
     man = _manifest(corpus, id_col, text_col, n_buckets)
 

@@ -1172,11 +1172,38 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
         "left_anti",
     )
 
-    # stage 2 — near-dup over the exact survivors
-    pairs = minhash_dedup_pairs(
-        survivors, args.id_col, args.text_col,
-        k=args.shingle, n_perm=16, bands=4, threshold=args.threshold,
-    )
+    # stage 2 — near-dup over the exact survivors.  With
+    # --signature-store the docinfo rows come from (and are synced
+    # into) a persistent txnlog-backed store: only new/changed docs
+    # are re-shingled, so a daily re-run over a slowly-churning corpus
+    # pays delta cost, not corpus cost.
+    sig_store = getattr(args, "signature_store", None)
+    if sig_store:
+        from genie_spark.analytics.signature_store import (
+            minhash_pairs_from_store,
+            sync_docinfo_store,
+        )
+
+        stats = sync_docinfo_store(
+            spark, survivors, sig_store,
+            id_col=args.id_col, text_col=args.text_col,
+            k=args.shingle, n_perm=16,
+        )
+        print(
+            f"corpus-dedup: signature store {stats['mode']} sync — "
+            f"{stats['delta_rows']} re-shingled, "
+            f"{stats['removed_rows']} removed, "
+            f"{stats['buckets_rewritten']} buckets rewritten"
+        )
+        pairs = minhash_pairs_from_store(
+            spark, sig_store, id_col=args.id_col,
+            n_perm=16, bands=4, threshold=args.threshold,
+        )
+    else:
+        pairs = minhash_dedup_pairs(
+            survivors, args.id_col, args.text_col,
+            k=args.shingle, n_perm=16, bands=4, threshold=args.threshold,
+        )
     pairs.write.mode("overwrite").parquet(_os.path.join(out, "near_dup_pairs"))
     pairs = spark.read.parquet(_os.path.join(out, "near_dup_pairs"))
 
@@ -1643,6 +1670,14 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument(
         "--keep-best", action="store_true",
         help="keep the most-token member per cluster instead of min id",
+    )
+    cd.add_argument(
+        "--signature-store",
+        dest="signature_store",
+        default=None,
+        help="persistent txnlog signature store: sync (delta-only "
+        "re-shingle via md5 manifest diff) and compute pairs from it "
+        "instead of rebuilding signatures from scratch",
     )
     cd.set_defaults(fn=cmd_corpus_dedup)
     cs = sub.add_parser(

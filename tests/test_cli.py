@@ -1834,6 +1834,72 @@ def test_corpus_dedup_command(spark, tmp_path):
     assert kept2 == [3, 4, 5]  # longest near-dup copy survives; exact dup 6 dropped
 
 
+def test_corpus_dedup_signature_store(spark, tmp_path, capsys):
+    """--signature-store makes corpus-dedup incremental: the first run
+    full-builds the store, a re-run over the unchanged corpus is a
+    noop sync with an identical drop list, and a grown corpus
+    re-shingles only the delta.  A parameter mismatch fails loudly."""
+    import pytest as _pytest
+
+    from genie_spark.cli import cmd_corpus_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3),
+            (2, base * 3),
+            (3, base * 3 + " extra tail"),
+            (4, "completely different content about query engines " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    store = str(tmp_path / "sigstore")
+
+    ns = lambda out_dir, inp=src: _ns(  # noqa: E731
+        input=inp, output=out_dir, id_col="doc_id", text_col="text",
+        threshold=0.5, shingle=20, keep_best=False, signature_store=store,
+    )
+    out = str(tmp_path / "run1")
+    assert cmd_corpus_dedup(spark, ns(out)) == 0
+    assert "full sync" in capsys.readouterr().out
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "deduped")).collect()
+    )
+    assert kept == [1, 4]
+
+    out2 = str(tmp_path / "run2")
+    assert cmd_corpus_dedup(spark, ns(out2)) == 0
+    assert "noop sync" in capsys.readouterr().out
+    kept2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out2, "deduped")).collect()
+    )
+    assert kept2 == kept
+
+    # grown corpus: delta-only re-shingle
+    grown = docs.unionByName(
+        spark.createDataFrame(
+            [(9, "brand new content that matches nothing else at all " * 4)],
+            ["doc_id", "text"],
+        )
+    )
+    src2 = str(tmp_path / "docs2")
+    grown.write.parquet(src2)
+    out3 = str(tmp_path / "run3")
+    assert cmd_corpus_dedup(spark, ns(out3, inp=src2)) == 0
+    msg = capsys.readouterr().out
+    assert "incremental sync" in msg and "1 re-shingled" in msg
+
+    # parameter mismatch (different shingle k) fails loudly
+    from genie_spark.analytics.signature_store import sync_docinfo_store
+
+    with _pytest.raises(ValueError, match="not\s+comparable|not comparable"):
+        sync_docinfo_store(spark, docs, store, k=10)
+
+
 def test_corpus_sketch_store_accumulates_and_merges(spark, tmp_path, capsys):
     """Two builds with different labels accumulate two shards; the
     merged estimate reflects the distinct UNION across shards (overlap

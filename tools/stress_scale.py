@@ -579,6 +579,101 @@ def main() -> None:
 
     probe("edit_near", lambda n: edit_near_miss_pairs(synth_names(n), "value"))
 
+    # X47 substring duplicate-span MASK: every doc embeds the same
+    # 12-token boilerplate block between unique halves — the hot-anchor
+    # worst case (anchor df = n).  The mask needs only per-anchor
+    # COUNTS + a per-doc window, so wall must track n even though every
+    # anchor is corpus-hot (the pair formulation would be n² here).
+    from genie_spark.analytics.dedup import duplicate_span_mask, duplicate_span_pairs
+
+    def synth_docs_spans(n):
+        boiler = (
+            " shared duplicated span alpha beta gamma delta epsilon "
+            "zeta eta theta iota kappa "
+        )
+        pre = [
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_p{k}")))
+            for k in range(5)
+        ]
+        post = [
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_q{k}")))
+            for k in range(5)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", *pre), F.lit(boiler), F.concat_ws(" ", *post)
+            ).alias("text"),
+        ).repartition(32)
+
+    probe(
+        "substring_spans",
+        lambda n: duplicate_span_mask(synth_docs_spans(n), k=8),
+    )
+
+    # X47 PAIR form under the df cap: boilerplate anchors (df = n) are
+    # dropped by max_df before the self-join; the planted 5%
+    # neighbor-dup tails (df = 2) survive, so output ≈ planted pairs
+    # and wall stays linear — the cap is what makes the pair form
+    # shippable at corpus scale.
+    probe(
+        "substring_pairs",
+        lambda n: duplicate_span_pairs(synth_docs_boiler(n), k=8, max_df=100),
+    )
+
+    # X47-adjacent (round-10 item 3): signature-store incremental sync
+    # vs from-scratch rebuild, SAME +10%-grown corpus.  The A/B claim:
+    # sync re-shingles only the delta (manifest diff over slim columns,
+    # bucket-scoped rewrite), so sync wall ≪ full wall at every n and
+    # the gap widens with corpus size.
+    def probe_sigstore(name):
+        if only is not None and name not in only:
+            return
+        from genie_spark.analytics.signature_store import sync_docinfo_store
+
+        times, fulls = {}, {}
+        for label, n in (("small", small), ("big", big)):
+            import tempfile
+
+            store = tempfile.mkdtemp() + "/sigstore"
+            # untimed: the existing store of n docs (prior runs' cost)
+            sync_docinfo_store(
+                spark, synth_docs(spark, n).repartition(32), store,
+                n_buckets=64,
+            )
+            grown = synth_docs(spark, n + n // 10).repartition(32)
+            times[label] = timed(
+                lambda: sync_docinfo_store(
+                    spark, grown, store, n_buckets=64
+                )
+            )
+            fresh = tempfile.mkdtemp() + "/sigstore_fresh"
+            fulls[label] = timed(
+                lambda: sync_docinfo_store(
+                    spark, grown, fresh, n_buckets=64
+                )
+            )
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        ratio = round(times["big"] / max(times["small"], 0.01), 1)
+        results[name] = {
+            **times,
+            "time_ratio": ratio,
+            "full_small": fulls["small"],
+            "full_big": fulls["big"],
+            "speedup_big": round(fulls["big"] / max(times["big"], 0.01), 1),
+        }
+        print(
+            f"{name}: sync {times['small']}s -> {times['big']}s  ratio "
+            f"{ratio}x; from-scratch {fulls['small']}s -> {fulls['big']}s "
+            f"(big-tier speedup {results[name]['speedup_big']}x)",
+            flush=True,
+        )
+
+    probe_sigstore("sigstore_sync")
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
