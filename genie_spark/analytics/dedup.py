@@ -1023,9 +1023,16 @@ def edit_near_miss_pairs(
     va = vals.select(F.col("h").alias("ha"), F.col("val").alias("x"))
     vb = vals.select(F.col("h").alias("hb"), F.col("val").alias("y"))
     dist = F.levenshtein(F.col("x"), F.col("y"))
+    # shuffle_hash with the SLIM VALUE TABLE as build: on a dense
+    # corpus the candidate stream is output-bound (tens of millions of
+    # true pairs), and a merge join would SORT it twice; the value
+    # table is bounded by the distinct-value count (~30 B/row), so its
+    # per-partition hash build is small by construction — the same
+    # boundedness argument as _verify_pairs.  Never broadcast (corpus-
+    # derived size, see ngram_jaccard_pairs).
     out = (
-        cand.hint("merge").join(va, "ha")
-        .hint("merge").join(vb, "hb")
+        cand.join(va.hint("shuffle_hash"), "ha")
+        .join(vb.hint("shuffle_hash"), "hb")
         .withColumn("dist", dist.cast("long"))
         .where(F.col("dist") <= max_dist)
         .select(

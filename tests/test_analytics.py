@@ -2323,3 +2323,24 @@ def test_signature_store_short_docs_not_rediagnosed(spark, tmp_path):
     assert s2["mode"] == "noop"
     ids = {r["doc_id"] for r in read_docinfo_store(spark, store).collect()}
     assert ids == {2}
+
+
+def test_signature_store_manifest_read_prunes_hash_arrays(spark, tmp_path):
+    """The 100 TB claim of the incremental sync rests on the manifest
+    diff reading ONLY slim columns of the store: pin that a
+    slim-column read through the txnlog path (mergeSchema on) still
+    column-prunes — the fat __hs arrays must not appear in the scan's
+    ReadSchema."""
+    from genie_spark.analytics.signature_store import (
+        BUCKET_COL,
+        MD5_COL,
+        sync_docinfo_store,
+    )
+    from genie_spark.io.txnlog import LogCommit
+
+    store = str(tmp_path / "sigstore")
+    sync_docinfo_store(spark, _store_corpus(spark, n=10), store, n_buckets=2)
+    df = LogCommit().read(spark, store).select("doc_id", MD5_COL, BUCKET_COL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__hs" not in plan, plan
+    assert "mh_0" not in plan, plan
