@@ -1203,3 +1203,110 @@ def duplicate_span_pairs(
         )
         .select("a", "b", "a_start", "b_start", "span_len", "n_anchors")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cleaned corpus from substring-span dedup, KEEP-FIRST semantics
+    (Lee et al. 2021 §4: deduplicate-text-datasets removes all but one
+    occurrence of every duplicated span): tokens covered by a
+    duplicated ``k``-token anchor are dropped from every occurrence
+    EXCEPT the globally-first one (minimum (id, pos), deterministic),
+    so the surviving corpus still contains each span exactly once.
+
+    Returns (id, clean_text, n_tokens, n_tokens_removed) for every
+    input document (docs shorter than ``k`` tokens pass through
+    unchanged — they carry no anchors).
+
+    Spark shape: the ``duplicate_span_mask`` pipeline with one extra
+    dim: the first-occurrence struct-min per anchor hash rides the
+    SAME groupBy that computes the count (no extra shuffle), and the
+    anchor stream anti-filters itself against it during the same
+    semi-join stage.  Span removal is a per-row array fold — token
+    positions covered by any of the doc's spans are filtered out with
+    one ``F.filter`` + ``F.exists`` over the (dim-sized per doc) span
+    array; no second pass over the corpus, no UDF.
+    """
+    from pyspark.sql import Window
+
+    from genie_spark.analytics.corpus import token_ngrams
+    from genie_spark.analytics.text import tokens
+
+    anch = (
+        df.where(F.size(tokens(text_col)) >= k)
+        .select(
+            id_col,
+            F.posexplode(token_ngrams(text_col, k)).alias("__p", "__g"),
+        )
+        .select(
+            id_col,
+            (F.col("__p") + 1).cast("long").alias("pos"),
+            shingle_hash(F.col("__g")).alias("ah"),
+        )
+    )
+    # one aggregate: count AND first occurrence (struct-min) per hash
+    stats = anch.groupBy("ah").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        ),
+    )
+    dup = (
+        anch.hint("merge")
+        .join(stats.where(F.col("__c") >= min_count).hint("merge"), "ah")
+        # keep-first: the globally-first occurrence is NOT masked
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__first.i"))
+                & (F.col("pos") == F.col("__first.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    spans = (
+        dup.withColumn("__b", brk)
+        .withColumn("island", F.sum("__b").over(w))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (k - 1)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("__spans")
+        )
+    )
+    # per-token coverage test against the doc's (dim-sized) span
+    # array; coalesce(false) makes span-less docs keep every token
+    # (exists over a null array is null, and F.filter DROPS on null).
+    # The filter's input array is evaluated once per row by the HOF
+    # itself, and the lambda body reads only bound variables + the
+    # __spans attribute — the token_ngrams interpreted-reevaluation
+    # trap does not apply.
+    toks = tokens(text_col)
+    covered = lambda p: F.coalesce(  # noqa: E731
+        F.exists(
+            F.col("__spans"),
+            lambda sp: (sp["s"] <= p) & (p <= sp["e"]),
+        ),
+        F.lit(False),
+    )
+    kept = F.filter(
+        toks, lambda _tok, i: ~covered(i.cast("long") + 1)
+    )
+    out = df.join(spans.hint("merge"), id_col, "left")
+    return out.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -98,7 +98,17 @@ def cbio_clinical_headers(
 
 
 def write_cbio_clinical(df: DataFrame, path: str, **header_kwargs) -> None:
-    """Clinical release file: 4 metadata lines + header + data."""
+    """Clinical release file: 4 metadata lines + header + data.
+
+    ID columns LEAD the header (SAMPLE_ID, then PATIENT_ID, then the
+    attributes): cBioPortal's clinical validator expects the case ids
+    in the leading columns, and the reference's clinical template
+    orders them the same way (genie/process_functions.py:356-403
+    addClinicalHeaders writes the mapping order, ids first).  The QC
+    rule release.clinical_id_columns_lead pins the written form."""
+    id_cols = [c for c in ("SAMPLE_ID", "PATIENT_ID") if c in df.columns]
+    rest = [c for c in df.columns if c not in id_cols]
+    df = df.select(*id_cols, *rest)
     write_tsv(
         df, path, single=True,
         header_lines=cbio_clinical_headers(df.columns, **header_kwargs),

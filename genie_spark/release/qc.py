@@ -34,6 +34,12 @@ cBioPortal ingestion depends on:
 - mutation-profile samples ⊆ cases_sequenced.txt (validateData's
   profile↔case-list cross-check) and meta_study.txt carries the four
   importer-required fields;
+- per-profile meta consistency (round 10, validateData's meta
+  dictionary): accepted (genetic_alteration_type, datatype) pairs,
+  profile metas carry stable_id/profile_name/profile_description,
+  stable_id unique across meta files AND across case lists;
+- data_clinical.txt id columns (SAMPLE_ID/PATIENT_ID) lead the header
+  (the writer's addClinicalHeaders-order guarantee);
 - gene matrix internal + cross-file consistency: one row per sample
   (reference dedups before writing, database_to_staging.py:1628),
   `mutations` equals the sample's clinical SEQ_ASSAY_ID (the matrix is
@@ -266,6 +272,19 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     clin_ids = clinical.select(
         F.col(clin_sid).alias("SAMPLE_ID")
     ).distinct()
+
+    # id columns must LEAD the header (cBioPortal clinical validator /
+    # the reference's addClinicalHeaders mapping order — the writer
+    # guarantees this, so a violation means a hand-edited release)
+    clin_pid_col = _resolve(clinical, "PATIENT_ID")
+    lead_ids = [c for c in (clin_sid, clin_pid_col) if c is not None]
+    if set(clinical.columns[: len(lead_ids)]) != set(lead_ids):
+        err(
+            "release.clinical_id_columns_lead",
+            "release: data_clinical.txt id columns "
+            f"{lead_ids} must be the leading header columns; header "
+            f"starts {clinical.columns[:3]}",
+        )
 
     # per-column catalog (cBioPortal validateData.py clinical checks):
     # duplicated sample rows and blank patient ids both fail import

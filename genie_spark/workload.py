@@ -1057,6 +1057,10 @@ _TAIL_QUERIES = [
     # r9 engine changes worth a fresh post-change row).  All tail
     # queries keep their r9 driver rows and the local
     # tools/verify_oracle.py sweep.
+    # a8 rotated to the tail late in round 10 to make room for the
+    # third X47 row (dedup_substring_clean — first driver row); the
+    # dup-merge family keeps its r9-green row and the local sweep
+    "a8_merge_duplicates",
     "a11_fill_count_algebra",
     "a13_group_concat",
     "a14_distinct_union",

@@ -2023,6 +2023,65 @@ FROM isl GROUP BY a, b, diag, island
 """
 
 
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 substring-span REMOVAL, keep-first semantics (Lee et al.
+    2021 §4): every occurrence of a duplicated 8-token-anchored span
+    except the globally-first is dropped from the text; returns the
+    cleaned corpus with removal accounting."""
+    from genie_spark.analytics.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), k=SPAN_K, min_count=2)
+
+
+SUBSTRING_CLEAN_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS ({_SPAN_ANCHORS_SQL}),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY ah) AS c,
+           row_number() OVER (PARTITION BY ah ORDER BY doc_id, pos) AS rn
+    FROM g)
+  WHERE c >= 2 AND rn > 1
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+),
+sp AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp)
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+),
+keep AS (SELECT * FROM tok ANTI JOIN cov USING (doc_id, pos)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+           AS n_tokens_removed
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2070,6 +2129,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_pairs": dedup_substring_pairs,
+    "dedup_substring_clean": dedup_substring_clean,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2121,4 +2181,5 @@ ANALYTICS_ORACLES: dict = {
     "sketch_heavy_hitters": HEAVY_HITTERS_SQL,
     "dedup_substring_spans": SUBSTRING_SPANS_SQL,
     "dedup_substring_pairs": SUBSTRING_PAIRS_SQL,
+    "dedup_substring_clean": SUBSTRING_CLEAN_SQL,
 }

@@ -2344,3 +2344,39 @@ def test_signature_store_manifest_read_prunes_hash_arrays(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__hs" not in plan, plan
     assert "mh_0" not in plan, plan
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    """X47 removal: keep-first semantics — the globally-first
+    occurrence of the shared block survives, later occurrences are
+    cut; span-less docs pass through whitespace-normalized; a
+    within-doc repeat keeps its first copy."""
+    from genie_spark.analytics.dedup import remove_duplicate_spans
+
+    lic = "this software is provided as is without warranty of any kind whatsoever"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + lic + " delta epsilon"),
+            (2, "one two three four five " + lic),
+            (3, "totally unrelated  words nobody\trepeats here at all today"),
+            (4, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 sep x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicate_spans(docs, k=8, min_count=2).collect()
+    }
+    # doc 1 is the first occurrence (min (id, pos)) → untouched
+    assert out[1] == ("alpha beta gamma " + lic + " delta epsilon", 17, 0)
+    # doc 2 loses the block (12 tokens)
+    assert out[2] == ("one two three four five", 17, 12)
+    # doc 3: no duplicated anchors; whitespace normalized by the
+    # tokenize-rejoin (documented behavior)
+    assert out[3] == (
+        "totally unrelated words nobody repeats here at all today", 9, 0,
+    )
+    # doc 4: within-doc repeat — the FIRST copy survives
+    assert out[4] == (
+        "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 sep", 21, 10,
+    )

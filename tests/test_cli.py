@@ -1896,7 +1896,7 @@ def test_corpus_dedup_signature_store(spark, tmp_path, capsys):
     # parameter mismatch (different shingle k) fails loudly
     from genie_spark.analytics.signature_store import sync_docinfo_store
 
-    with _pytest.raises(ValueError, match="not\s+comparable|not comparable"):
+    with _pytest.raises(ValueError, match="not comparable"):
         sync_docinfo_store(spark, docs, store, k=10)
 
 
@@ -2483,3 +2483,59 @@ def test_release_data_guide(spark, tmp_path):
     assert row and int(row.group(1)) == n_samples
     # the panel table names the released assay
     assert f"{CENTER}-PANEL-1" in html
+
+
+def test_release_qc_clinical_id_columns_lead(spark, tmp_path):
+    """The id columns must lead data_clinical.txt's header (cBioPortal
+    clinical validator / reference addClinicalHeaders order); the
+    writer reorders, so QC red here means a hand-edited release."""
+    from genie_spark.release.qc import validate_release
+
+    out = str(tmp_path / "rel")
+    os.makedirs(os.path.join(out, "case_lists"))
+
+    def write(path, text):
+        with open(os.path.join(out, path), "w") as f:
+            f.write(text)
+
+    good = (
+        "#Sample Id\tPatient Id\tCancer Type\n#d\td\td\n"
+        "#STRING\tSTRING\tSTRING\n#1\t1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\tCANCER_TYPE\n"
+        "GENIE-SAGE-1-1\tGENIE-SAGE-1\tGlioma\n"
+    )
+    write("data_clinical.txt", good)
+    write(
+        "case_lists/cases_all.txt",
+        "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\n",
+    )
+    from genie_spark.io.writers import cbio_meta_texts
+
+    present = {n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))}
+    for name, text in cbio_meta_texts("s", "1.0", present).items():
+        write(name, text)
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_id_columns_lead" not in ids
+
+    # corruption: an attribute column shoved in front of the ids
+    write(
+        "data_clinical.txt",
+        "#Cancer Type\tSample Id\tPatient Id\n#d\td\td\n"
+        "#STRING\tSTRING\tSTRING\n#1\t1\t1\n"
+        "CANCER_TYPE\tSAMPLE_ID\tPATIENT_ID\n"
+        "Glioma\tGENIE-SAGE-1-1\tGENIE-SAGE-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_id_columns_lead" in ids
+
+    # PATIENT_ID/SAMPLE_ID in either leading order both pass
+    write(
+        "data_clinical.txt",
+        "#Patient Id\tSample Id\tCancer Type\n#d\td\td\n"
+        "#STRING\tSTRING\tSTRING\n#1\t1\t1\n"
+        "PATIENT_ID\tSAMPLE_ID\tCANCER_TYPE\n"
+        "GENIE-SAGE-1\tGENIE-SAGE-1-1\tGlioma\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_id_columns_lead" not in ids
