@@ -253,3 +253,148 @@ def minhash_pairs_from_store(
     return _release_on_gc(
         _verify_pairs(cand, docinfo, id_col, threshold), docinfo
     )
+
+
+def upsert_docinfo_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+    commit=None,
+    on_pairs=None,
+) -> dict:
+    """UPSERT a batch into the signature store and detect its near-dup
+    pairs against the absorbed corpus — the continuous-ingest shape
+    (docs absent from the batch are KEPT; a re-delivered identical doc
+    is a no-op; a re-delivered CHANGED doc replaces its old signature
+    and is re-compared).  Contrast ``sync_docinfo_store``, whose
+    contract is "make the store equal this corpus" (absent = removed).
+
+    ``on_pairs(pairs_df)`` is invoked with the batch's near-dup pairs
+    (new↔new and new↔store, a < b) BEFORE the store commit — the
+    ordering that makes a foreachBatch caller exactly-once: a replayed
+    batch whose commit already landed diffs to an empty delta, skips
+    the callback, and the previously written pairs survive.  Pairs
+    compare the batch only against CURRENT store rows minus the batch
+    ids themselves (a changed doc is not compared to its own stale
+    signature).
+
+    Returns stats: mode (full / incremental / noop), delta_rows,
+    buckets_rewritten, n_buckets.  Raises on duplicated ids INSIDE the
+    batch (the store is one-row-per-id by construction; silently
+    keeping either row would corrupt every later diff).
+    """
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import (
+        _verify_pairs,
+        incremental_minhash_pairs,
+        lsh_candidate_pairs,
+        minhash_docinfo,
+    )
+    from genie_spark.io.txnlog import LogCommit
+
+    commit = commit or LogCommit()
+    commit.recover(store_path)
+    _check_store_params(store_path, k, n_perm, n_buckets, create=True)
+    existing = commit.read(spark, store_path)
+    man = _manifest(batch, id_col, text_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        chk = man.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).first()
+        if chk["n"] != chk["nd"]:
+            raise ValueError(
+                f"upsert_docinfo_store: batch carries {chk['n'] - chk['nd']}"
+                f" duplicated {id_col!r} rows — the store is one-row-per-id;"
+                " collapse the batch first"
+            )
+        if existing is not None:
+            delta = man.join(
+                existing.select(id_col, MD5_COL).hint("merge"),
+                [id_col, MD5_COL],
+                "left_anti",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            delta = man
+        delta_n = delta.count()
+        if delta_n == 0:
+            return {
+                "mode": "noop",
+                "delta_rows": 0,
+                "buckets_rewritten": 0,
+                "n_buckets": n_buckets,
+            }
+        delta_docs = delta.select(id_col, F.col("__text").alias(text_col))
+        if existing is not None:
+            # current store minus the batch's own ids: a changed doc
+            # must not pair with its stale signature.  Delta ids are
+            # batch-bounded → broadcast anti-join, store never shuffles.
+            store_info = existing.where(F.col("mh_0").isNotNull()).drop(
+                MD5_COL, BUCKET_COL
+            ).join(
+                F.broadcast(delta.select(id_col)), id_col, "left_anti"
+            )
+            pairs, new_info = incremental_minhash_pairs(
+                store_info, delta_docs, id_col, text_col,
+                k, n_perm, bands, threshold,
+            )
+        else:
+            new_info = minhash_docinfo(
+                delta_docs, id_col, text_col, k, n_perm, unique_ids=True
+            ).localCheckpoint(eager=True)
+            cand = lsh_candidate_pairs(
+                new_info.select(id_col, *[f"mh_{i}" for i in range(n_perm)]),
+                id_col, n_perm, bands,
+            )
+            pairs = _verify_pairs(cand, new_info, id_col, threshold)
+        if on_pairs is not None:
+            on_pairs(pairs)
+        new_rows = delta.drop("__text").join(
+            new_info.hint("merge"), id_col, "left"
+        )
+        staging = commit.staging_path(store_path)
+        if existing is None:
+            new_rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                staging
+            )
+            commit.commit_partitions(staging, store_path, BUCKET_COL)
+            return {
+                "mode": "full",
+                "delta_rows": delta_n,
+                "buckets_rewritten": len(
+                    commit.partition_values(store_path, BUCKET_COL)
+                ),
+                "n_buckets": n_buckets,
+            }
+        buckets = sorted(
+            r[0] for r in delta.select(BUCKET_COL).distinct().collect()
+        )
+        keep = existing.where(F.col(BUCKET_COL).isin(buckets)).join(
+            F.broadcast(delta.select(id_col)), id_col, "left_anti"
+        )
+        out = keep.unionByName(new_rows)
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        commit.commit_partitions(staging, store_path, BUCKET_COL)
+        return {
+            "mode": "incremental",
+            "delta_rows": delta_n,
+            "buckets_rewritten": len(buckets),
+            "n_buckets": n_buckets,
+        }
+    finally:
+        man.unpersist()
+        if existing is not None:
+            try:
+                delta.unpersist()
+            except Exception:
+                pass

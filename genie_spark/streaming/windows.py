@@ -576,3 +576,58 @@ def hll_compact(spark, store_path: str, group_col: str = "source") -> dict:
         store_path,
         lambda df: df.groupBy(group_col, "reg").agg(F.max("rho").alias("rho")),
     )
+
+
+def near_dup_stream_durable(
+    stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+):
+    """``near_dup_stream`` with the TXNLOG signature store as the
+    durable state backend (``signature_store.upsert_docinfo_store``):
+    atomic bucket-scoped commits instead of one parquet dir per batch,
+    md5-manifest idempotence (a re-delivered identical doc is a no-op,
+    a re-delivered CHANGED doc replaces its signature and is
+    re-compared — the plain variant would stack a second row under the
+    same id and break the one-row-per-id verify contract), and
+    snapshot isolation / time travel / vacuum for free.
+
+    Exactly-once without batch=<id> store dirs: pairs are written
+    BEFORE the store commit, so a batch replayed after a landed commit
+    diffs to an empty delta, skips the pairs write, and the original
+    pairs survive; a batch replayed after a pairs write but before the
+    commit recomputes the identical delta and overwrites its own
+    ``batch=<id>`` pairs directory.
+    """
+    from genie_spark.analytics.signature_store import upsert_docinfo_store
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+
+        def write_pairs(pairs: DataFrame) -> None:
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch={batch_id}"
+            )
+
+        upsert_docinfo_store(
+            batch.sparkSession, batch, store_path,
+            id_col=id_col, text_col=text_col, k=k, n_perm=n_perm,
+            bands=bands, threshold=threshold, n_buckets=n_buckets,
+            on_pairs=write_pairs,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

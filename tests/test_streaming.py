@@ -737,3 +737,66 @@ def test_compact_store_aborts_on_shard_rewrite(spark, tmp_path):
     assert {
         r["cnt"] for r in spark.read.parquet(f"{store}/batch=1").collect()
     } == {99}
+
+
+def test_near_dup_stream_durable_txnlog_store(spark, tmp_path):
+    """Durable variant: the txnlog store absorbs each batch with
+    bucket-scoped commits; a re-delivered IDENTICAL doc is a no-op
+    (no duplicate store row, no duplicate pairs), and a re-delivered
+    CHANGED doc replaces its signature and is re-compared — the
+    contract the plain parquet-dir variant cannot give."""
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.signature_store import read_docinfo_store
+    from genie_spark.streaming.windows import near_dup_stream_durable
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    store = str(tmp_path / "sigstore")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run_batch(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = near_dup_stream_durable(stream, store, pairs_out, ckpt)
+        q.awaitTermination()
+
+    run_batch("b1.json", [(1, base * 3), (2, base * 3), (3, "x y z " * 30)])
+    # batch 2: one new near-dup, one re-delivered IDENTICAL doc (2),
+    # one re-delivered CHANGED doc (3 — now a near-dup of 1)
+    run_batch(
+        "b2.json",
+        [(10, base * 3 + " tail"), (2, base * 3), (3, base * 3 + " changed")],
+    )
+
+    info = read_docinfo_store(spark, store)
+    assert sorted(r["doc_id"] for r in info.collect()) == [1, 2, 3, 10]
+    assert info.count() == 4  # one row per id — changed doc REPLACED
+    pairs = {
+        (r["a"], r["b"]) for r in spark.read.parquet(pairs_out).collect()
+    }
+    assert (1, 2) in pairs            # batch1-internal dup
+    assert (1, 10) in pairs           # cross-batch near-dup
+    assert (1, 3) in pairs            # CHANGED doc re-compared
+    # the re-delivered identical doc 2 creates no second (1, 2) row:
+    # pairs dirs are per-batch; total (1,2) occurrences must be 1
+    from pyspark.sql import functions as SF
+
+    n_12 = (
+        spark.read.parquet(pairs_out)
+        .where((SF.col("a") == 1) & (SF.col("b") == 2))
+        .count()
+    )
+    assert n_12 == 1
