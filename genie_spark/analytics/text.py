@@ -326,3 +326,90 @@ def scrub_pii(
         )
         cur = F.regexp_replace(cur, pat, repl)
     return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a term query under BM25 ranking
+    (Robertson-Spärck Jones, k1 = 1.2, b = 0.75) — the retrieval-
+    scoring primitive of corpus search / RAG candidate selection.
+
+    EXACT-INTEGER scoring (the tf·idf/priority-sample discipline: no
+    libm, engine-bit-reproducible): per (doc, term)
+
+        idf_s   = 1_000_000 * N // df_t                (monotone in ln(N/df))
+        score_t = (idf_s * 22 * tf * T) div (10*T*tf + 3*T + 9*dl*N)
+
+    which is BM25's  idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))  with
+    avgdl = T/N cross-multiplied to integers (k1 = 12/10, b = 3/4) and
+    a floored division — per-term scores and their per-doc sums are
+    identical integers in Spark (`div`) and DuckDB (`//`).  Exact while
+    idf_s·22·tf·T < 2⁶³ (≈ corpora of 10¹² total tokens at typical tf;
+    shrink the 10⁶ idf scale for more headroom).  Ranking ties break
+    on ascending id.
+
+    Spark shape: the token explode filters to the ≤|query| literal
+    terms BEFORE aggregating (narrow, predicate-pushed), so the tf
+    table is |docs with a hit| × |query| at most; df_t is a ≤|query|-
+    row broadcast; dl joins id-keyed (merge-hinted, corpus-sized); the
+    global top-k is orderBy+limit = TakeOrdered, never a full sort.
+    N and T are two corpus constants fetched by ONE 1-row aggregate.
+    Only documents with ≥1 query-term hit are ranked.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    const = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("__toks")).alias("t"),
+    ).first()
+    n_docs, total = int(const["n"]), int(const["t"])
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            id_col,
+            F.size("__toks").alias("dl"),
+            F.explode(
+                F.filter(
+                    F.transform("__toks", lambda x: F.lower(x)),
+                    lambda x: F.array_contains(term_arr, x),
+                )
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "idf_s",
+        F.expr(f"(1000000 * CAST({n_docs} AS BIGINT)) div doc_freq"),
+    )
+    # `div` = exact long division in Spark, `//` in the DuckDB oracle —
+    # no double rounding at any operand magnitude
+    per_term = scored.withColumn(
+        "score_t",
+        F.expr(
+            f"CAST((idf_s * 22 * tf * CAST({total} AS BIGINT)) div "
+            f"(10 * CAST({total} AS BIGINT) * tf"
+            f" + 3 * CAST({total} AS BIGINT)"
+            f" + 9 * dl * CAST({n_docs} AS BIGINT)) AS BIGINT)"
+        ),
+    )
+    ranked = (
+        per_term.groupBy(id_col)
+        .agg(
+            F.sum("score_t").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1061,6 +1061,11 @@ _TAIL_QUERIES = [
     # third X47 row (dedup_substring_clean — first driver row); the
     # dup-merge family keeps its r9-green row and the local sweep
     "a8_merge_duplicates",
+    # corpus_bloom_decontaminate rotated late in round 10 for the NEW
+    # text_bm25_topk row (first driver row); the decontamination
+    # family keeps its r9-green row (bloom fix verified in BENCH_r09 +
+    # this round's bench) and the local sweep
+    "corpus_bloom_decontaminate",
     "a11_fill_count_algebra",
     "a13_group_concat",
     "a14_distinct_union",

@@ -2082,6 +2082,57 @@ FROM t LEFT JOIN agg USING (doc_id)
 """
 
 
+BM25_QUERY = ("hash", "join", "vector")
+BM25_K = 25
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term
+    query over the documents table — exact-integer scoring, global
+    top-25 via TakeOrdered."""
+    from genie_spark.analytics.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), list(BM25_QUERY), k=BM25_K)
+
+
+def _bm25_sql(terms=BM25_QUERY, k=BM25_K) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE len({_TOKS}) > 0
+),
+const AS (SELECT count(*) AS n, sum(len(toks)) AS t FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, len(toks) AS dl,
+           unnest(list_transform(toks, x -> lower(x))) AS term
+    FROM base)
+  WHERE term IN ({term_list})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+per_term AS (
+  SELECT tf.doc_id,
+         CAST(((1000000 * n) // doc_freq) * 22 * tf.tf * t AS BIGINT)
+           // CAST(10 * t * tf.tf + 3 * t + 9 * tf.dl * n AS BIGINT)
+           AS score_t
+  FROM tf JOIN dfreq USING (term) CROSS JOIN const
+),
+ranked AS (
+  SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score,
+         count(*) AS n_terms_hit
+  FROM per_term GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, score, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM ranked
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2130,6 +2181,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_pairs": dedup_substring_pairs,
     "dedup_substring_clean": dedup_substring_clean,
+    "text_bm25_topk": text_bm25_topk,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2182,4 +2234,5 @@ ANALYTICS_ORACLES: dict = {
     "dedup_substring_spans": SUBSTRING_SPANS_SQL,
     "dedup_substring_pairs": SUBSTRING_PAIRS_SQL,
     "dedup_substring_clean": SUBSTRING_CLEAN_SQL,
+    "text_bm25_topk": _bm25_sql(),
 }

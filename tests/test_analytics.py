@@ -2380,3 +2380,36 @@ def test_remove_duplicate_spans_keep_first(spark):
     assert out[4] == (
         "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 sep", 21, 10,
     )
+
+
+def test_bm25_topk_ranking(spark):
+    """BM25 semantics on a hand corpus: a doc with more hits of a
+    rarer term outranks one with hits of a common term; length
+    normalization demotes the long padded doc; docs without hits are
+    absent."""
+    from genie_spark.analytics.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra quick brown"),             # 2 hits of rare term
+            (2, "common common common words here"),     # common term only
+            (3, "zebra common words and more words"),   # one of each
+            (4, "nothing relevant at all"),
+            (5, "common " + "pad " * 60),                # long doc, 1 hit
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["zebra", "common"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # tf saturation (k1 = 1.2): hits on TWO distinct terms beat a
+    # doubled single term — the both-term doc ranks first
+    assert ids[0] == 3
+    # rarer term (zebra, df=2) at similar tf/dl beats the common one
+    assert scores[1] > scores[2]
+    # both-term doc beats the single common-term doc
+    assert scores[3] > scores[2]
+    # length normalization: the padded doc scores below doc 2
+    assert scores[5] < scores[2]
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))

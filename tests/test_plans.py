@@ -518,3 +518,15 @@ def test_substring_span_pairs_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_bm25_topk_take_ordered_and_broadcast_dfreq(spark):
+    """BM25's global top-k must plan as TakeOrdered (never a full
+    sort+exchange of the score table) and the ≤|query|-row df table
+    must broadcast."""
+    from genie_spark.workload_analytics import text_bm25_topk
+
+    plan = plan_of(text_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
