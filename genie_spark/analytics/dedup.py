@@ -1310,3 +1310,104 @@ def remove_duplicate_spans(
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    SIGMOD 2003 — the MOSS algorithm): from the token ``k``-gram hash
+    sequence, select in every window of ``w`` consecutive hashes the
+    minimum (RIGHTMOST minimum on ties — robust winnowing), dedup the
+    selections.  Guarantees: any substring match of at least
+    ``w + k − 1`` tokens shares a selected fingerprint, and selection
+    density is ~2/(w+1) — a bounded-size index per document, the
+    plagiarism/boilerplate-detection trade between X47's exhaustive
+    anchor stream (every position) and a single whole-doc hash.
+
+    Returns (id, pos, fp): 1-based token position of each selected
+    k-gram and its 60-bit hash.
+
+    Spark shape: ENTIRELY map-side — one transform over the window
+    starts per row, O(w) array ops per window, then one explode +
+    per-row distinct; no shuffle at all until a consumer aggregates.
+    The k-gram hash array is bound ONCE as a higher-order-function
+    lambda variable (the ``token_ngrams`` interpreted-reevaluation
+    trap: closing over the expression tree would recompute the hash
+    array per window).
+    """
+    from genie_spark.analytics.corpus import token_ngrams
+    from genie_spark.analytics.text import tokens
+
+    if w < 1:
+        raise ValueError("winnow_fingerprints: w must be >= 1")
+    grams = token_ngrams(text_col, k)
+    hashes = F.transform(grams, lambda g: shingle_hash(g))
+    # rightmost minimum of H[i-1 .. i+w-2] (1-based window start i):
+    # reverse the slice, find the FIRST position of the min there —
+    # rightmost in the original — and dedup selections map-side
+    sels = F.transform(
+        F.array(hashes),
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.size(h) - (w - 1)),
+            lambda i: F.struct(
+                (
+                    i
+                    + F.lit(w)
+                    - F.array_position(
+                        F.reverse(F.slice(h, i, w)),
+                        F.array_min(F.slice(h, i, w)),
+                    )
+                ).cast("long").alias("pos"),
+                F.array_min(F.slice(h, i, w)).alias("fp"),
+            ),
+        ),
+    )[0]
+    return (
+        df.where(F.size(tokens(text_col)) >= k + w - 1)
+        .select(id_col, F.explode(F.array_distinct(sels)).alias("__s"))
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1_000,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS similarity report: by the winnowing guarantee every
+    common substring of ≥ w+k−1 tokens contributes a shared
+    fingerprint, at ~2/(w+1) of the index cost of the full anchor
+    stream (``duplicate_span_pairs``).  ``max_df`` drops
+    corpus-ubiquitous fingerprints before the self-join (the same
+    lossy boilerplate guard as every pair-form operator here).
+    Returns (a, b, n_shared) with a < b."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        id_col, "fp"
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") > max_df)
+            .select("fp")
+        )
+        fps = fps.hint("merge").join(hot.hint("merge"), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        a.hint("merge").join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

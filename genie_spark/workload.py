@@ -1066,6 +1066,11 @@ _TAIL_QUERIES = [
     # family keeps its r9-green row (bloom fix verified in BENCH_r09 +
     # this round's bench) and the local sweep
     "corpus_bloom_decontaminate",
+    # dedup_setsim_prefix / sketch_heavy_hitters rotated late in round
+    # 10 for the NEW X49 winnowing rows (first driver rows); both keep
+    # their r9-green driver rows, r9-era engines untouched this round
+    "dedup_setsim_prefix",
+    "sketch_heavy_hitters",
     "a11_fill_count_algebra",
     "a13_group_concat",
     "a14_distinct_union",

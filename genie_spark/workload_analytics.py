@@ -2133,6 +2133,72 @@ FROM ranked
 """
 
 
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 winnowing fingerprints (Schleimer et al. 2003 / MOSS):
+    rightmost-minimum selection over w=4 windows of 8-gram hashes."""
+    from genie_spark.analytics.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 winnowing similarity report: pairs sharing >= 2 selected
+    fingerprints (guaranteed to include every pair with a common
+    substring of >= w+k-1 tokens)."""
+    from genie_spark.analytics.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W,
+        min_shared=2, max_df=1_000,
+    )
+
+
+def _winnow_sel_sql(k=WINNOW_K, w=WINNOW_W) -> str:
+    grams = (
+        f"list_transform(range(1, len(toks) - {k - 2}), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))"
+    )
+    win_min = f"list_min(list_slice(hs, i, i + {w - 1}))"
+    return f"""
+  SELECT DISTINCT doc_id,
+    CAST(unnest(list_transform(range(1, len(hs) - {w - 2}),
+         i -> i + {w} - list_position(
+                  list_reverse(list_slice(hs, i, i + {w - 1})),
+                  {win_min}))) AS BIGINT) AS pos,
+    unnest(list_transform(range(1, len(hs) - {w - 2}),
+         i -> {win_min})) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform({grams},
+               g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WHERE len(toks) >= {k + w - 1})
+"""
+
+
+WINNOW_FP_SQL = f"SELECT doc_id, pos, fp FROM ({_winnow_sel_sql()})"
+
+WINNOW_PAIRS_SQL = f"""
+WITH sel AS ({_winnow_sel_sql()}),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+hot AS (
+  SELECT fp FROM (SELECT fp, count(*) AS d FROM fps GROUP BY fp)
+  WHERE d > 1000
+),
+ok AS (SELECT * FROM fps ANTI JOIN hot USING (fp))
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM ok x JOIN ok y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING count(*) >= 2
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2182,6 +2248,8 @@ ANALYTICS_QUERIES: dict = {
     "dedup_substring_pairs": dedup_substring_pairs,
     "dedup_substring_clean": dedup_substring_clean,
     "text_bm25_topk": text_bm25_topk,
+    "dedup_winnow_fingerprints": dedup_winnow_fingerprints,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2235,4 +2303,6 @@ ANALYTICS_ORACLES: dict = {
     "dedup_substring_pairs": SUBSTRING_PAIRS_SQL,
     "dedup_substring_clean": SUBSTRING_CLEAN_SQL,
     "text_bm25_topk": _bm25_sql(),
+    "dedup_winnow_fingerprints": WINNOW_FP_SQL,
+    "dedup_winnow_pairs": WINNOW_PAIRS_SQL,
 }

@@ -2413,3 +2413,55 @@ def test_bm25_topk_ranking(spark):
     # length normalization: the padded doc scores below doc 2
     assert scores[5] < scores[2]
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003 thm): any shared
+    substring of >= w+k-1 tokens yields a shared selected fingerprint;
+    selection density is far below one-per-position; ties select the
+    RIGHTMOST minimum (robust winnowing)."""
+    from genie_spark.analytics.dedup import winnow_dup_pairs, winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, "pre one two " + shared + " post three"),
+            (2, shared + " completely different ending here now"),
+            (3, "unrelated content with nothing in common at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    k, w = 8, 4
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: docs 1 and 2 share the 12-token block (>= w+k-1 = 11)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    # density: selections are a strict subset of the positions
+    import collections
+
+    n_sel = collections.Counter(r["doc_id"] for r in rows)
+    for did, text in [(1, "pre one two " + shared + " post three")]:
+        n_positions = len(text.split()) - k + 1
+        assert 0 < n_sel[did] < n_positions
+    # pair report finds exactly the planted pair
+    pairs = winnow_dup_pairs(docs, k=k, w=w, min_shared=1).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
+
+
+def test_winnow_rightmost_tie(spark):
+    """A window of IDENTICAL hashes (same repeated k-gram) must select
+    the rightmost position — the robust-winnowing tie rule that makes
+    the oracle and engine agree bit-for-bit."""
+    from genie_spark.analytics.dedup import winnow_fingerprints
+
+    # 'x x x ... x' — every 3-gram identical → all window hashes equal
+    docs = spark.createDataFrame([(1, "x " * 12)], ["doc_id", "text"])
+    rows = winnow_fingerprints(docs, k=3, w=4).collect()
+    # windows i=1..7 (10 grams), rightmost of each → pos = i+w-1 = 4..10;
+    # all same fp, distinct positions survive
+    assert sorted(r["pos"] for r in rows) == [4, 5, 6, 7, 8, 9, 10]
+    assert len({r["fp"] for r in rows}) == 1
