@@ -530,3 +530,23 @@ def test_bm25_topk_take_ordered_and_broadcast_dfreq(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_fingerprints_map_side_only(spark):
+    """X49 selection must be entirely map-side: no Exchange anywhere in
+    the fingerprint plan (one scan → transform → explode → distinct is
+    per-row array_distinct, not a shuffle)."""
+    from genie_spark.analytics.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(winnow_fingerprints(docs, k=8, w=4))
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_pairs_no_cartesian(spark):
+    from genie_spark.workload_analytics import dedup_winnow_pairs
+
+    plan = plan_of(dedup_winnow_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, plan

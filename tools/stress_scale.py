@@ -674,6 +674,49 @@ def main() -> None:
 
     probe_sigstore("sigstore_sync")
 
+    # X48 BM25: fixed 3-term query over a growing corpus — the tf
+    # table is |hits|×|query| (query-term filter BEFORE aggregation),
+    # top-k is TakeOrdered; wall must track the scan.
+    from genie_spark.analytics.text import bm25_topk
+
+    def synth_docs_query(n):
+        # ~1/3 of docs contain a query term so the tf table is real
+        hit = F.when(
+            F.pmod("id", F.lit(3)) == 0,
+            F.lit(" spark shuffle partition"),
+        ).otherwise(F.lit(""))
+        base = F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_{j}")))
+                for j in range(10)
+            ],
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(base, hit).alias("text"),
+        ).repartition(32)
+
+    probe(
+        "bm25_topk",
+        lambda n: bm25_topk(
+            synth_docs_query(n), ["spark", "shuffle", "partition"], k=25
+        ),
+    )
+
+    # X49 winnowing: selection is map-side (bound-lambda window mins);
+    # the boilerplate corpus makes every doc produce real selections
+    # and the pair report exercises the df cap — wall must track the
+    # gram stream, never pair volume.
+    from genie_spark.analytics.dedup import winnow_dup_pairs
+
+    probe(
+        "winnow_pairs",
+        lambda n: winnow_dup_pairs(
+            synth_docs_boiler(n), k=8, w=4, min_shared=1, max_df=100
+        ),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
