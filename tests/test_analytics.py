@@ -2465,3 +2465,60 @@ def test_winnow_rightmost_tie(spark):
     # all same fp, distinct positions survive
     assert sorted(r["pos"] for r in rows) == [4, 5, 6, 7, 8, 9, 10]
     assert len({r["fp"] for r in rows}) == 1
+
+
+def test_signature_store_compaction_via_bronze_seam(spark, tmp_path):
+    """The signature store is a txnlog table, so the existing
+    compaction machinery drives it unchanged through the TableCommit
+    seam: repeated incremental syncs leave small-file litter per
+    bucket; compact_bronze(partition_col='sig_bucket',
+    commit=LogCommit()) coalesces it; contents are unchanged and the
+    next sync still diffs to a noop."""
+    import glob as _glob
+
+    from genie_spark.analytics.signature_store import (
+        BUCKET_COL,
+        read_docinfo_store,
+        sync_docinfo_store,
+    )
+    from genie_spark.io.bronze import compact_bronze
+    from genie_spark.io.txnlog import LogCommit
+
+    store = str(tmp_path / "sigstore")
+    docs = _store_corpus(spark, n=12)
+    sync_docinfo_store(spark, docs, store, n_buckets=2)
+    # several growth syncs → accumulating files per bucket
+    grown = docs
+    for i in range(3):
+        extra = spark.createDataFrame(
+            [(100 + 10 * i + j, f"grown corpus doc body text {i} {j} " * 6)
+             for j in range(3)],
+            ["doc_id", "text"],
+        )
+        grown = grown.unionByName(extra)
+        sync_docinfo_store(spark, grown, store, n_buckets=2)
+    before = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in read_docinfo_store(spark, store).collect()
+    }
+    n_files_before = len(_glob.glob(f"{store}/{BUCKET_COL}=*/*.parquet"))
+    report = compact_bronze(
+        spark, store, partition_col=BUCKET_COL,
+        target_file_bytes=256 * 1024 * 1024, commit=LogCommit(),
+    )
+    # compaction marks the replaced files removed; vacuum physically
+    # deletes them (retention exercised too)
+    from genie_spark.io.txnlog import vacuum
+
+    vacuum(store, retain_versions=1, grace_s=0.0)
+    n_files_after = len(_glob.glob(f"{store}/{BUCKET_COL}=*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert any(v["files_after"] < v["files_before"] for v in report.values())
+    after = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in read_docinfo_store(spark, store).collect()
+    }
+    assert after == before
+    # manifest survives compaction: resync of the same corpus = noop
+    s = sync_docinfo_store(spark, grown, store, n_buckets=2)
+    assert s["mode"] == "noop"
