@@ -578,3 +578,157 @@ def test_count_min_never_underestimates(spark, vals, width):
     }
     for v, t in true.items():
         assert est[v] >= t, (v, est[v], t)
+
+
+# word pool for span/winnow corpora: tiny vocabulary maximizes shared
+# n-grams across random docs, exercising merges/ties hard
+_words_st = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=24
+)
+_span_docs_st = st.lists(_words_st, min_size=1, max_size=6)
+
+
+def _span_mask_model(docs: list[list[str]], k: int, min_count: int):
+    """Sequential model of duplicate_span_mask: count anchors
+    corpus-wide, mask positions with count >= min_count, merge ranges
+    with gap <= k."""
+    from collections import Counter
+
+    counts = Counter()
+    anchors = {}  # doc -> [(pos, gram)]
+    for did, toks in enumerate(docs):
+        pos_list = []
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            pos_list.append((i + 1, g))
+            counts[g] += 1
+        anchors[did] = pos_list
+    out = set()
+    for did, pos_list in anchors.items():
+        dup = sorted(p for p, g in pos_list if counts[g] >= min_count)
+        if not dup:
+            continue
+        runs = [[dup[0], dup[0]]]
+        for p in dup[1:]:
+            if p - runs[-1][1] <= k:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            n_anchors = sum(1 for p in dup if s <= p <= e)
+            out.add((did, s, e - s + k, n_anchors))
+    return out
+
+
+@given(docs=_span_docs_st)
+@settings(**_SETTINGS)
+def test_duplicate_span_mask_matches_model(spark, docs):
+    """X47 mask == the O(n·m) sequential model on dense tiny-vocab
+    corpora (hot anchors, island merges, within-doc repeats)."""
+    from genie_spark.analytics.dedup import duplicate_span_mask
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["n_anchors"])
+        for r in duplicate_span_mask(df, k=k, min_count=2).collect()
+    }
+    assert got == _span_mask_model(docs, k, 2)
+
+
+def _winnow_model(docs: list[list[str]], k: int, w: int, hash_fn):
+    """Sequential robust winnowing (Schleimer et al.): rightmost min
+    per window, selections deduped per doc."""
+    out = set()
+    for did, toks in enumerate(docs):
+        hs = [
+            hash_fn(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        if len(hs) < w:
+            continue
+        for i in range(len(hs) - w + 1):
+            window = hs[i : i + w]
+            m = min(window)
+            # rightmost index of the min
+            j = max(idx for idx, v in enumerate(window) if v == m)
+            out.add((did, i + j + 1, m))
+    return out
+
+
+@given(docs=_span_docs_st)
+@settings(**_SETTINGS)
+def test_winnow_fingerprints_match_model(spark, docs):
+    """X49 == the sequential robust-winnowing model, including the
+    rightmost tie rule under a colliding tiny vocabulary."""
+    import hashlib
+
+    from genie_spark.analytics.dedup import winnow_fingerprints
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    k, w = 3, 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == _winnow_model(docs, k, w, h60)
+
+
+_bm25_docs_st = st.lists(
+    st.lists(
+        st.sampled_from(["spark", "hash", "join", "scan", "x", "y"]),
+        min_size=1, max_size=15,
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@given(docs=_bm25_docs_st)
+@settings(**_SETTINGS)
+def test_bm25_matches_integer_model(spark, docs):
+    """X48 scores == the exact-integer sequential BM25 model (same
+    scaled idf, same cross-multiplied floored division)."""
+    from collections import Counter
+
+    from genie_spark.analytics.text import bm25_topk
+
+    terms = ["spark", "hash"]
+    n = len(docs)
+    total = sum(len(d) for d in docs)
+    dfreq = Counter()
+    tfs = {}
+    for did, toks in enumerate(docs):
+        c = Counter(t for t in toks if t in terms)
+        tfs[did] = c
+        for t in c:
+            dfreq[t] += 1
+    want = {}
+    for did, c in tfs.items():
+        if not c:
+            continue
+        dl = len(docs[did])
+        s = 0
+        for t, tf in c.items():
+            idf_s = (1_000_000 * n) // dfreq[t]
+            s += (idf_s * 22 * tf * total) // (
+                10 * total * tf + 3 * total + 9 * dl * n
+            )
+        want[did] = (s, len(c))
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["n_terms_hit"])
+        for r in bm25_topk(df, terms, k=100).collect()
+    }
+    assert got == want
