@@ -413,3 +413,91 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hashed_linear_classify(
+    df: DataFrame,
+    n_buckets: int = 1 << 16,
+    weights: dict[int, int] | None = None,
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick linear text classifier — the fastText-style
+    quality filter real pretraining pipelines run (CCNet scores every
+    paragraph with a linear model over hashed bag-of-words features;
+    Gopher/Llama filter on similar learned scores).  Inference only:
+    training happens offline; the model ships as (bucket → weight).
+
+    Each lowercased token hashes to one of ``n_buckets`` feature
+    buckets (60-bit md5 mod n_buckets — the engine-portable hash used
+    everywhere here); the document score is
+
+        score_milli = bias + Σ_tokens weight[bucket(token)]
+
+    with INTEGER milli-unit weights, so the cross-token sum is exact
+    and engine-identical (float weights would make the score depend on
+    Spark's aggregation order).  ``weights`` maps bucket → weight_milli
+    (sparse; missing buckets weigh 0).  When ``weights`` is None, a
+    deterministic md5-derived fixture model is used (weight_milli =
+    (bucket-hash mod 2001) − 1000 — uniform in [−1000, 1000]), which
+    gives tests and the DuckDB oracle a reproducible model without
+    shipping a binary.
+
+    Spark shape, 100 TB posture: the model is dim-sized (≤ n_buckets
+    rows) and BROADCAST; the corpus side is one explode → hash →
+    broadcast-join → per-doc sum (partial map-side combine) — one
+    doc-keyed exchange total, no UDF, no vocabulary-sized shuffle.
+
+    Returns (id, n_tokens, score_milli, keep) — ``keep`` applies the
+    threshold, the usual filter consumer.
+    """
+    toks = tokens(text_col)
+    exploded = df.select(
+        F.col(id_col), F.size(toks).alias("__nt"), F.explode(toks).alias("__t")
+    ).select(
+        id_col,
+        "__nt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.lower(F.col("__t"))), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_buckets),
+        ).alias("__b"),
+    )
+    if weights is None:
+        # md5-derived fixture weights, computed as an EXPRESSION on
+        # the corpus side — no model table needed at all
+        wcol = (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("__b").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        ).alias("__w")
+        scored = exploded.select(id_col, "__nt", wcol)
+    else:
+        spark = df.sparkSession
+        model = spark.createDataFrame(
+            [(int(b), int(w)) for b, w in weights.items()],
+            "__b long, __w long",
+        )
+        scored = exploded.join(F.broadcast(model), "__b", "left").select(
+            id_col, "__nt", F.coalesce("__w", F.lit(0)).alias("__w")
+        )
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.first("__nt").cast("long").alias("n_tokens"),
+            (F.sum("__w") + F.lit(bias_milli)).cast("long").alias(
+                "score_milli"
+            ),
+        )
+    )
+    return out.withColumn(
+        "keep", F.col("score_milli") >= F.lit(threshold_milli)
+    )

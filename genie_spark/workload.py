@@ -1070,6 +1070,11 @@ _TAIL_QUERIES = [
     # their r9-green driver rows, r9-era engines untouched this round
     "dedup_setsim_prefix",
     "sketch_heavy_hitters",
+    # layout_zorder rotated late in round 10 for the NEW X50
+    # text_quality_classifier row (first driver row); the zorder
+    # family keeps BOTH its r9-green rows fresh via the in-window
+    # layout_zorder_str (same with_zorder engine, string + numeric dims)
+    "layout_zorder",
     "a11_fill_count_algebra",
     "a13_group_concat",
     "a14_distinct_union",

@@ -2199,6 +2199,42 @@ HAVING count(*) >= 2
 """
 
 
+CLS_BUCKETS = 1 << 16
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 hashing-trick linear quality classifier (CCNet fastText-
+    filter shape, inference): md5-bucketed bag-of-words, integer
+    milli-unit weights (deterministic md5 fixture model), broadcast
+    model, one doc-keyed exchange."""
+    from genie_spark.analytics.text import hashed_linear_classify
+
+    return hashed_linear_classify(
+        _docs(spark, sf_dir), n_buckets=CLS_BUCKETS
+    )
+
+
+QUALITY_CLS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+e AS (
+  SELECT doc_id, len(toks) AS nt,
+         CAST(('0x' || substr(md5(lower(tok)), 1, 15)) AS BIGINT)
+             % {CLS_BUCKETS} AS b
+  FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM t)
+),
+s AS (
+  SELECT doc_id, nt,
+         (CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2001) - 1000 AS w
+  FROM e
+)
+SELECT doc_id, CAST(min(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS score_milli,
+       CAST(sum(w) AS BIGINT) >= 0 AS keep
+FROM s GROUP BY doc_id
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2250,6 +2286,7 @@ ANALYTICS_QUERIES: dict = {
     "text_bm25_topk": text_bm25_topk,
     "dedup_winnow_fingerprints": dedup_winnow_fingerprints,
     "dedup_winnow_pairs": dedup_winnow_pairs,
+    "text_quality_classifier": text_quality_classifier,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2305,4 +2342,5 @@ ANALYTICS_ORACLES: dict = {
     "text_bm25_topk": _bm25_sql(),
     "dedup_winnow_fingerprints": WINNOW_FP_SQL,
     "dedup_winnow_pairs": WINNOW_PAIRS_SQL,
+    "text_quality_classifier": QUALITY_CLS_SQL,
 }

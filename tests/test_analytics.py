@@ -2522,3 +2522,45 @@ def test_signature_store_compaction_via_bronze_seam(spark, tmp_path):
     # manifest survives compaction: resync of the same corpus = noop
     s = sync_docinfo_store(spark, grown, store, n_buckets=2)
     assert s["mode"] == "noop"
+
+
+def test_hashed_linear_classifier_explicit_weights(spark):
+    """X50 with an explicit sparse model: scores are exact integer
+    sums of the bucket weights; unknown buckets weigh 0; the keep
+    threshold applies; empty docs are absent (no features)."""
+    import hashlib
+
+    from genie_spark.analytics.text import hashed_linear_classify
+
+    n_buckets = 64
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.lower().encode()).hexdigest()[:15], 16) % n_buckets
+
+    weights = {bucket("good"): 500, bucket("bad"): -700}
+    docs = spark.createDataFrame(
+        [
+            (1, "good good words"),       # 2*500 + 0
+            (2, "bad good"),              # -700 + 500
+            (3, "neutral words only"),    # 0
+            (4, "   "),                   # no tokens → absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["score_milli"], r["keep"])
+        for r in hashed_linear_classify(
+            docs, n_buckets=n_buckets, weights=weights,
+            bias_milli=100, threshold_milli=0,
+        ).collect()
+    }
+    # collisions: 'words'/'neutral'/'only' may collide with model
+    # buckets under 64 buckets — compute expected scores honestly
+    def score(toks):
+        return 100 + sum(weights.get(bucket(t), 0) for t in toks)
+
+    assert out[1] == (score(["good", "good", "words"]),
+                      score(["good", "good", "words"]) >= 0)
+    assert out[2] == (score(["bad", "good"]), score(["bad", "good"]) >= 0)
+    assert out[3][0] == score(["neutral", "words", "only"])
+    assert 4 not in out

@@ -550,3 +550,20 @@ def test_winnow_pairs_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_quality_classifier_broadcast_model_one_exchange(spark):
+    """X50: the explicit model must broadcast (dim-sized) and the only
+    data exchange is the doc-keyed aggregation — no vocabulary-sized
+    shuffle."""
+    from genie_spark.analytics.text import hashed_linear_classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = hashed_linear_classify(
+        docs, n_buckets=256, weights={1: 5, 2: -5}
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: the hash-agg exchange (plus AQE bookkeeping); never a
+    # join-key exchange of the exploded token stream
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
