@@ -717,6 +717,15 @@ def main() -> None:
         ),
     )
 
+    # X50 hashed linear classifier: fixture model (md5 expression
+    # weights) — pure explode + hash + per-doc sum; must track the scan
+    from genie_spark.analytics.text import hashed_linear_classify
+
+    probe(
+        "quality_classifier",
+        lambda n: hashed_linear_classify(docs(n), n_buckets=1 << 16),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
