@@ -732,3 +732,53 @@ def test_bm25_matches_integer_model(spark, docs):
         for r in bm25_topk(df, terms, k=100).collect()
     }
     assert got == want
+
+
+_batch_seq_st = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["aa bb cc dd ee", "ff gg hh ii jj", "aa bb cc dd ff"])),
+        min_size=1, max_size=3,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@given(batches=_batch_seq_st)
+@settings(max_examples=6, deadline=None)
+def test_upsert_store_sequence_equals_final_state_build(spark, tmp_path_factory, batches):
+    """ANY sequence of upsert batches (including id overwrites with
+    changed text) leaves the signature store equivalent to a
+    from-scratch minhash_docinfo build over the FINAL corpus state —
+    the invariant that makes the streaming store trustworthy."""
+    from genie_spark.analytics.dedup import minhash_docinfo
+    from genie_spark.analytics.signature_store import (
+        read_docinfo_store,
+        upsert_docinfo_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("props") / "sigstore")
+    final = {}
+    k = 5
+    for batch in batches:
+        # dedupe ids within a batch (the operator rejects in-batch
+        # duplicates by contract — keep the last occurrence)
+        dedup = {}
+        for did, text in batch:
+            dedup[did] = text * 3
+        final.update(dedup)
+        bdf = spark.createDataFrame(
+            list(dedup.items()), "doc_id long, text string"
+        )
+        upsert_docinfo_store(
+            spark, bdf, store, k=k, n_perm=8, n_buckets=2
+        )
+    got = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in read_docinfo_store(spark, store).collect()
+    }
+    fdf = spark.createDataFrame(list(final.items()), "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["__n"], tuple(r["__hs"]))
+        for r in minhash_docinfo(fdf, k=k, n_perm=8).collect()
+    }
+    assert got == want
