@@ -1045,17 +1045,19 @@ _TAIL_QUERIES = [
     # from the window had only r6/r7/r8-era driver rows (13 r6-green,
     # 24 r7-green, 2 r8-green — verified per-round from the committed
     # CORRECTNESS_r0*.json files).  The window therefore now holds:
-    # the 39 oldest-evidence queries, the 6 NEW round-10 rows — X47
+    # the 39 oldest-evidence queries, the 7 NEW round-10 rows — X47
     # dedup_substring_spans / dedup_substring_pairs /
     # dedup_substring_clean, X48 text_bm25_topk, X49
-    # dedup_winnow_fingerprints / dedup_winnow_pairs (first driver
-    # rows each) — and 5 r9-green keeps whose ENGINES this round
-    # touched or that anchor the run: q1_pricing_summary
-    # (flagship/entry), dedup_edit_near (X46 hash-carried candidate
-    # distinct + shuffle_hash verify joins), dedup_minhash_lsh
-    # (shingles unique-id guard), layout_zorder + layout_zorder_str
-    # (with_zorder approx-distinct pre-flight).  All tail queries keep
-    # their r9 driver rows and the local tools/verify_oracle.py sweep.
+    # dedup_winnow_fingerprints / dedup_winnow_pairs, X50
+    # text_quality_classifier (first driver rows each) — and 4
+    # r9-green keeps whose ENGINES this round touched or that anchor
+    # the run: q1_pricing_summary (flagship/entry), dedup_edit_near
+    # (X46 hash-carried candidate distinct + shuffle_hash verify
+    # joins), dedup_minhash_lsh (shingles unique-id guard),
+    # layout_zorder_str (with_zorder approx-distinct pre-flight; the
+    # numeric-dim layout_zorder shares the same engine).  All tail
+    # queries keep their r9 driver rows and the local
+    # tools/verify_oracle.py sweep.
     # a8 rotated to the tail late in round 10 to make room for the
     # third X47 row (dedup_substring_clean — first driver row); the
     # dup-merge family keeps its r9-green row and the local sweep
