@@ -192,7 +192,13 @@ def sync_docinfo_store(
         out = keep.unionByName(delta_info)
         staging = commit.staging_path(store_path)
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-        commit.commit_partitions(staging, store_path, BUCKET_COL)
+        # explicit bucket scope: a bucket whose every doc was REMOVED
+        # stages zero rows (Spark writes no partition dir), so a
+        # staging-derived commit scope would leave its old files live
+        # — the store would keep pairing against deleted documents
+        commit.commit_partitions(
+            staging, store_path, BUCKET_COL, partition_values=buckets
+        )
         return {
             "mode": "incremental",
             "delta_rows": delta_n,
@@ -384,7 +390,12 @@ def upsert_docinfo_store(
         )
         out = keep.unionByName(new_rows)
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-        commit.commit_partitions(staging, store_path, BUCKET_COL)
+        # every touched bucket here stages ≥1 row (each delta doc
+        # writes its own row), but the explicit scope keeps the commit
+        # contract uniform with sync_docinfo_store
+        commit.commit_partitions(
+            staging, store_path, BUCKET_COL, partition_values=buckets
+        )
         return {
             "mode": "incremental",
             "delta_rows": delta_n,

@@ -237,6 +237,12 @@ def _apply_partition_swap(manifest: dict, verify: bool = False) -> None:
     staging, target = manifest["staging"], manifest["target"]
     os.makedirs(target, exist_ok=True)
     for entry, expect in manifest["entries"].items():
+        if expect.get("drop"):
+            # partition committed as empty: removing the target dir IS
+            # the apply; rmtree is idempotent so a resumed recovery
+            # passes straight through
+            shutil.rmtree(os.path.join(target, entry), ignore_errors=True)
+            continue
         src = os.path.join(staging, entry)
         dst = os.path.join(target, entry)
         # dot-prefixed claim path: Spark/Hadoop scans skip entries
@@ -394,8 +400,17 @@ class TableCommit:
         raise NotImplementedError
 
     def commit_partitions(
-        self, staging: str, target_path: str, partition_col: str
+        self,
+        staging: str,
+        target_path: str,
+        partition_col: str,
+        partition_values: list | None = None,
     ) -> None:
+        """``partition_values`` (optional): the explicit partition
+        values this commit replaces.  A partition the writer emptied
+        produces NO staging directory (Spark writes nothing for a
+        zero-row partition), so a staging-derived scope would leave
+        its old files live; naming it here commits it as empty."""
         raise NotImplementedError
 
     # Read-side half of the seam: which files ARE the table.  The
@@ -447,25 +462,41 @@ class DirectorySwapCommit(TableCommit):
         _swap_whole(staging, target_path)
 
     def commit_partitions(
-        self, staging: str, target_path: str, partition_col: str
+        self,
+        staging: str,
+        target_path: str,
+        partition_col: str,
+        partition_values: list | None = None,
     ) -> None:
-        _swap_partitions(staging, target_path, partition_col)
+        _swap_partitions(staging, target_path, partition_col, partition_values)
 
 
 DEFAULT_COMMIT = DirectorySwapCommit()
 
 
-def _swap_partitions(staging: str, target: str, partition_col: str) -> None:
+def _swap_partitions(
+    staging: str,
+    target: str,
+    partition_col: str,
+    partition_values: list | None = None,
+) -> None:
     """Move only the ``CENTER=<c>`` dirs produced in staging into the
     target, replacing same-named dirs; everything else stays put.
     Journaled (see module docstring): the manifest lists every entry
-    and its file inventory before the first rename."""
-    entries = {
+    and its file inventory before the first rename.  A value named in
+    ``partition_values`` with no staging dir commits as EMPTY — its
+    target dir is dropped (journaled like any other entry, so recovery
+    resumes the drop too)."""
+    entries: dict = {
         entry: _entry_listing(os.path.join(staging, entry))
         for entry in sorted(os.listdir(staging))
         if entry.startswith(f"{partition_col}=")
         and os.path.isdir(os.path.join(staging, entry))
     }
+    for v in partition_values or []:
+        name = f"{partition_col}={v}"
+        if name not in entries:
+            entries[name] = {"drop": True}
     manifest = {
         "mode": "partitions",
         "staging": staging,

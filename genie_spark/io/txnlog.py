@@ -427,9 +427,26 @@ class LogCommit(TableCommit):
         self._commit(staging, target_path, partition_col=None)
 
     def commit_partitions(
-        self, staging: str, target_path: str, partition_col: str
+        self,
+        staging: str,
+        target_path: str,
+        partition_col: str,
+        partition_values: list | None = None,
     ) -> None:
-        self._commit(staging, target_path, partition_col=partition_col)
+        """``partition_values`` (optional) is the EXPLICIT list of
+        partition values this commit replaces.  Without it the touched
+        set is derived from the staged files alone — which silently
+        misses a partition the writer emptied (Spark writes no
+        directory for a zero-row partition), leaving its old files
+        live.  Callers that computed the affected-partition list (e.g.
+        a sync that removes every doc in a bucket) must pass it so the
+        emptied partition's files get remove actions."""
+        self._commit(
+            staging,
+            target_path,
+            partition_col=partition_col,
+            partition_values=partition_values,
+        )
 
     # -- internals -----------------------------------------------------
 
@@ -473,7 +490,11 @@ class LogCommit(TableCommit):
         )
 
     def _commit(
-        self, staging: str, target_path: str, partition_col: str | None
+        self,
+        staging: str,
+        target_path: str,
+        partition_col: str | None,
+        partition_values: list | None = None,
     ) -> None:
         if not os.path.isdir(staging):
             # an empty-but-present staging is a legitimate no-op (an
@@ -519,6 +540,12 @@ class LogCommit(TableCommit):
                 )
             )
         shutil.rmtree(staging, ignore_errors=True)
+        if partition_col is not None and partition_values:
+            # explicit scope: partitions the writer emptied wrote no
+            # staged files, but their old files must still be removed
+            # (values stringified to match the directory encoding that
+            # _partition_of yields for staged files)
+            touched.update(str(v) for v in partition_values)
 
         base = self._base.get(target_path)
         while True:

@@ -2325,6 +2325,48 @@ def test_signature_store_short_docs_not_rediagnosed(spark, tmp_path):
     assert ids == {2}
 
 
+def test_signature_store_emptied_bucket_drops_rows(spark, tmp_path):
+    """A bucket whose SOLE doc is removed stages zero rows — Spark
+    writes no partition dir for it — so the commit must carry the
+    explicit bucket scope or the old files stay live and the store
+    keeps pairing against deleted documents (ADVICE r10, high)."""
+    from genie_spark.analytics.signature_store import (
+        read_docinfo_store,
+        sync_docinfo_store,
+    )
+
+    store = str(tmp_path / "sigstore")
+    docs = _store_corpus(spark, n=2)
+    sync_docinfo_store(spark, docs, store, n_buckets=64)
+    # with 64 buckets the two docs land in distinct buckets (pinned
+    # below), so removing one empties its bucket entirely
+    kept = docs.where(F.col("doc_id") == 0)
+    s = sync_docinfo_store(spark, kept, store, n_buckets=64)
+    assert s["mode"] == "incremental"
+    assert s["removed_rows"] == 1 and s["delta_rows"] == 0
+    ids = {r["doc_id"] for r in read_docinfo_store(spark, store).collect()}
+    assert ids == {0}, "store must equal the corpus after sync"
+
+
+def test_signature_store_shrink_to_empty(spark, tmp_path):
+    """Corpus shrinking to EMPTY: every bucket empties, staging holds
+    no partition dirs at all — the explicit scope must still remove
+    every old file (same failure class as the single-bucket case)."""
+    from genie_spark.analytics.signature_store import sync_docinfo_store
+    from genie_spark.io.txnlog import LogCommit
+
+    store = str(tmp_path / "sigstore")
+    docs = _store_corpus(spark, n=6)
+    sync_docinfo_store(spark, docs, store, n_buckets=4)
+    s = sync_docinfo_store(
+        spark, docs.where(F.lit(False)), store, n_buckets=4
+    )
+    assert s["mode"] == "incremental"
+    assert s["removed_rows"] == 6 and s["delta_rows"] == 0
+    left = LogCommit().read(spark, store)
+    assert left is None or left.count() == 0
+
+
 def test_signature_store_manifest_read_prunes_hash_arrays(spark, tmp_path):
     """The 100 TB claim of the incremental sync rests on the manifest
     diff reading ONLY slim columns of the store: pin that a

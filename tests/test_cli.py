@@ -1172,6 +1172,33 @@ def test_merge_partition_swap_crash_recovers(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(tgt + ".staging")
 
 
+def test_directory_swap_commits_explicit_empty_partition(spark, tmp_path):
+    """commit_partitions(partition_values=...) drops a named partition
+    the staging wrote no dir for (a writer emptied it) — the directory
+    backend mirrors the txnlog fix for the stale-bucket bug (ADVICE
+    r10, high): a staging-derived scope can never express 'this
+    partition is now empty'."""
+    from genie_spark.io import bronze
+
+    tgt = str(tmp_path / "swap_tbl")
+    base = spark.createDataFrame(
+        [("a", "SAGE"), ("b", "GOLD")], "ID string, CENTER string"
+    )
+    base.write.partitionBy("CENTER").parquet(tgt)
+    commit = bronze.DirectorySwapCommit()
+    staging = commit.staging_path(tgt)
+    # replacement keeps only SAGE; GOLD is named but stages nothing
+    base.where("CENTER = 'SAGE'").write.mode("overwrite").partitionBy(
+        "CENTER"
+    ).parquet(staging)
+    commit.commit_partitions(
+        staging, tgt, "CENTER", partition_values=["SAGE", "GOLD"]
+    )
+    assert not os.path.isdir(os.path.join(tgt, "CENTER=GOLD"))
+    rows = {r["ID"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {"a"}
+
+
 def test_merge_whole_swap_crash_recovers(spark, tmp_path, monkeypatch):
     """A kill between the two whole-table renames (table renamed
     aside, staging not yet renamed in) leaves NO table at the path —
