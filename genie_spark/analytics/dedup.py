@@ -474,6 +474,7 @@ def minhash_dedup_pairs(
     n_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    unique_ids: bool | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → exact Jaccard verification of candidates only.
@@ -486,8 +487,13 @@ def minhash_dedup_pairs(
     rows (the exploded verify join was the variance source at sf0.1 and
     is quadratic in hot-bucket size at corpus scale).  60-bit hashes make
     intersection counts collision-safe in practice.
+
+    ``unique_ids`` passes through to ``shingles``'s one-row-per-id
+    contract guard: callers that JUST screened the contract (e.g. the
+    corpus-dedup CLI, whose exact-dup stage collapsed duplicate ids)
+    pass True to skip the guard's extra corpus pass.
     """
-    docinfo = minhash_docinfo(df, id_col, text_col, k, n_perm)
+    docinfo = minhash_docinfo(df, id_col, text_col, k, n_perm, unique_ids)
     # docinfo feeds three consumers (banding + both verify sides) that
     # prune different columns, so Catalyst plans three separate
     # scan→shingle→agg subtrees (no ReuseExchange — measured 4 FileScans

@@ -370,6 +370,15 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("__toks")).alias("t"),
     ).first()
+    if const is None or const["n"] == 0 or const["t"] is None:
+        # empty (or all-empty-text) corpus: F.sum over zero rows is
+        # null — return the empty result instead of a TypeError
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"{id_col} {dict(df.dtypes)[id_col]}, score bigint, "
+            "n_terms_hit bigint, rank bigint",
+        )
     n_docs, total = int(const["n"]), int(const["t"])
     term_arr = F.array(*[F.lit(t) for t in terms])
     tf = (

@@ -1142,6 +1142,23 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
         )
         return 2
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # one-row-per-id contract screen, run ONCE here on the bare scan
+    # (count vs approx_count_distinct — the same bulk-duplication
+    # sketch shingles() would run): downstream stages then promise
+    # unique_ids=True instead of re-running the guard against the
+    # fatter survivors plan (scan + md5 groupBy + anti-join), which
+    # re-executed the whole stage-1 pipeline once per call (ADVICE r10)
+    chk = docs.agg(
+        F.count(args.id_col).alias("n"),
+        F.approx_count_distinct(args.id_col, rsd=0.01).alias("nd"),
+    ).first()
+    if chk is not None and chk["n"] > (chk["nd"] or 0) * 1.05:
+        print(
+            f"corpus-dedup: ~{chk['n'] - chk['nd']} of {chk['n']} rows "
+            f"share a duplicated {args.id_col!r} — collapse to one row "
+            "per id first (drop lists and joins key on the id)"
+        )
+        return 2
     out = args.output
     _os.makedirs(out, exist_ok=True)
 
@@ -1203,6 +1220,11 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
         pairs = minhash_dedup_pairs(
             survivors, args.id_col, args.text_col,
             k=args.shingle, n_perm=16, bands=4, threshold=args.threshold,
+            # stage 1 just collapsed byte-identical ids, so the
+            # one-row-per-id contract is already screened — skipping
+            # the guard avoids re-running the survivors anti-join plan
+            # an extra time (ADVICE r10)
+            unique_ids=True,
         )
     pairs.write.mode("overwrite").parquet(_os.path.join(out, "near_dup_pairs"))
     pairs = spark.read.parquet(_os.path.join(out, "near_dup_pairs"))

@@ -2457,6 +2457,20 @@ def test_bm25_topk_ranking(spark):
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
 
 
+def test_bm25_topk_empty_corpus(spark):
+    """Empty (or all-empty-text) corpus: F.sum over zero rows is null
+    — bm25 must return the empty (id, score, n_terms_hit, rank)
+    result, not a TypeError (ADVICE r10)."""
+    from genie_spark.analytics.text import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = bm25_topk(empty, ["zebra"], k=5)
+    assert out.columns == ["doc_id", "score", "n_terms_hit", "rank"]
+    assert out.count() == 0
+    blank = spark.createDataFrame([(1, ""), (2, "  ")], ["doc_id", "text"])
+    assert bm25_topk(blank, ["zebra"], k=5).count() == 0
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """The winnowing guarantee (Schleimer et al. 2003 thm): any shared
     substring of >= w+k-1 tokens yields a shared selected fingerprint;

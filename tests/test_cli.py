@@ -1861,6 +1861,28 @@ def test_corpus_dedup_command(spark, tmp_path):
     assert kept2 == [3, 4, 5]  # longest near-dup copy survives; exact dup 6 dropped
 
 
+def test_corpus_dedup_rejects_bulk_duplicate_ids(spark, tmp_path, capsys):
+    """The CLI screens the one-row-per-id contract ONCE on the bare
+    scan (stage 2 then promises unique_ids=True instead of re-running
+    the guard against the fat survivors plan): a self-unioned corpus
+    exits 2 with a clear message."""
+    from genie_spark.cli import cmd_corpus_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with content " * 3) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs_dup")
+    docs.unionByName(docs).write.parquet(src)
+    rc = cmd_corpus_dedup(
+        spark,
+        _ns(input=src, output=str(tmp_path / "out_dup"), id_col="doc_id",
+            text_col="text", threshold=0.5, shingle=20, keep_best=False),
+    )
+    assert rc == 2
+    assert "duplicated 'doc_id'" in capsys.readouterr().out
+
+
 def test_corpus_dedup_signature_store(spark, tmp_path, capsys):
     """--signature-store makes corpus-dedup incremental: the first run
     full-builds the store, a re-run over the unchanged corpus is a
