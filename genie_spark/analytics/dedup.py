@@ -1050,12 +1050,121 @@ def edit_near_miss_pairs(
     return _release_on_gc(out, vals)
 
 
+def _span_anchor_stream(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """The X47 anchor stream: (id, pos, ah) — 1-based token position
+    and 60-bit hash of each ``k``-token gram — shared by the mask,
+    pair, removal, and cap-audit forms."""
+    from genie_spark.analytics.corpus import token_ngrams
+    from genie_spark.analytics.text import tokens
+
+    return (
+        df.where(F.size(tokens(text_col)) >= k)
+        .select(
+            id_col,
+            F.posexplode(token_ngrams(text_col, k)).alias("__p", "__g"),
+        )
+        .select(
+            id_col,
+            (F.col("__p") + 1).cast("long").alias("pos"),
+            shingle_hash(F.col("__g")).alias("ah"),
+        )
+    )
+
+
+def _df_cap_audit(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_df: int,
+    capped_alias: str,
+    occurrences_alias: str,
+) -> DataFrame:
+    """1-row audit of a lossy document-frequency cap: how many
+    distinct keys sit above ``max_df`` distinct documents, and how
+    many stream occurrences those keys carried — the 'no silent caps'
+    companion for every pair-form operator (the X32 audit-count
+    idiom: the lossy guard stays, but its size is measured)."""
+    per = stream.groupBy(key_col).agg(
+        F.count_distinct(F.col(id_col)).alias("__d"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return per.where(F.col("__d") > max_df).agg(
+        F.count(F.lit(1)).cast("long").alias(capped_alias),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias(
+            occurrences_alias
+        ),
+    )
+
+
+def duplicate_span_pair_cap_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int = 1_000,
+) -> DataFrame:
+    """How much ``duplicate_span_pairs``' ``max_df`` guard drops:
+    1 row (n_anchors_capped, n_positions_capped).  Runs the cap's own
+    aggregate — one groupBy on the anchor stream, no pair join."""
+    return _df_cap_audit(
+        _span_anchor_stream(df, id_col, text_col, k),
+        "ah",
+        id_col,
+        max_df,
+        "n_anchors_capped",
+        "n_positions_capped",
+    )
+
+
+def winnow_pair_cap_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 1_000,
+) -> DataFrame:
+    """How much ``winnow_dup_pairs``' ``max_df`` guard drops: 1 row
+    (n_fingerprints_capped, n_postings_capped) over the same
+    doc-distinct fingerprint stream the pair join consumes."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        id_col, "fp"
+    ).distinct()
+    return _df_cap_audit(
+        fps, "fp", id_col, max_df, "n_fingerprints_capped",
+        "n_postings_capped",
+    )
+
+
+def ngram_jaccard_cap_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    max_df: int = 10_000,
+    unique_ids: bool | None = None,
+) -> DataFrame:
+    """How much ``ngram_jaccard_pairs``' ``max_df`` guard drops: 1 row
+    (n_shingles_capped, n_postings_capped)."""
+    return _df_cap_audit(
+        shingles(df, id_col, text_col, k, unique_ids),
+        "shingle",
+        id_col,
+        max_df,
+        "n_shingles_capped",
+        "n_postings_capped",
+    )
+
+
 def duplicate_span_mask(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     min_count: int = 2,
+    min_span_len: int | None = None,
 ) -> DataFrame:
     """Substring-level duplicate-span detection, MASK form: per
     document, the maximal token ranges covered by a ``k``-token
@@ -1072,6 +1181,12 @@ def duplicate_span_mask(
     are merged (interval islands: a break only where consecutive
     duplicated anchor positions sit more than ``k`` apart, i.e. the
     k-token coverage windows no longer touch).
+
+    ``min_span_len`` (tokens) drops merged islands shorter than the
+    threshold — Lee et al. 2021 deduplicate only spans ≥ 50 tokens;
+    the default (None) keeps every island, i.e. any duplicated
+    ``k``-token anchor masks.  A narrow post-aggregate filter: no
+    extra shuffle.
 
     Spark shape — the 100 TB one, and why there is NO pair blow-up:
     masking needs only each anchor's corpus-wide occurrence COUNT,
@@ -1091,21 +1206,7 @@ def duplicate_span_mask(
     """
     from pyspark.sql import Window
 
-    from genie_spark.analytics.corpus import token_ngrams
-    from genie_spark.analytics.text import tokens
-
-    anch = (
-        df.where(F.size(tokens(text_col)) >= k)
-        .select(
-            id_col,
-            F.posexplode(token_ngrams(text_col, k)).alias("__p", "__g"),
-        )
-        .select(
-            id_col,
-            (F.col("__p") + 1).cast("long").alias("pos"),
-            shingle_hash(F.col("__g")).alias("ah"),
-        )
-    )
+    anch = _span_anchor_stream(df, id_col, text_col, k)
     hot = (
         anch.groupBy("ah")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1120,7 +1221,7 @@ def duplicate_span_mask(
         F.lit(1)
     )
     isl = dup.withColumn("__b", brk).withColumn("island", F.sum("__b").over(w))
-    return (
+    out = (
         isl.groupBy(id_col, "island")
         .agg(
             F.min("pos").alias("span_start"),
@@ -1129,6 +1230,9 @@ def duplicate_span_mask(
         )
         .select(id_col, "span_start", "span_len", "n_anchors")
     )
+    if min_span_len is not None:
+        out = out.where(F.col("span_len") >= min_span_len)
+    return out
 
 
 def duplicate_span_pairs(
@@ -1159,21 +1263,7 @@ def duplicate_span_pairs(
     """
     from pyspark.sql import Window
 
-    from genie_spark.analytics.corpus import token_ngrams
-    from genie_spark.analytics.text import tokens
-
-    anch = (
-        df.where(F.size(tokens(text_col)) >= k)
-        .select(
-            id_col,
-            F.posexplode(token_ngrams(text_col, k)).alias("__p", "__g"),
-        )
-        .select(
-            id_col,
-            (F.col("__p") + 1).cast("long").alias("pos"),
-            shingle_hash(F.col("__g")).alias("ah"),
-        )
-    )
+    anch = _span_anchor_stream(df, id_col, text_col, k)
     if max_df is not None:
         hot = (
             anch.groupBy("ah")
@@ -1217,6 +1307,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_count: int = 2,
+    min_span_len: int | None = None,
 ) -> DataFrame:
     """Cleaned corpus from substring-span dedup, KEEP-FIRST semantics
     (Lee et al. 2021 §4: deduplicate-text-datasets removes all but one
@@ -1229,6 +1320,13 @@ def remove_duplicate_spans(
     input document (docs shorter than ``k`` tokens pass through
     unchanged — they carry no anchors).
 
+    ``min_span_len`` (tokens) removes only merged islands at least
+    that long — Lee et al. 2021's published operating point is 50;
+    the default (None) cuts every duplicated anchor's coverage, a
+    more aggressive policy (common ``k``-token idioms get cut
+    corpus-wide).  The threshold is applied to the island AFTER the
+    keep-first exclusion, mirroring the mask form's filter.
+
     Spark shape: the ``duplicate_span_mask`` pipeline with one extra
     dim: the first-occurrence struct-min per anchor hash rides the
     SAME groupBy that computes the count (no extra shuffle), and the
@@ -1240,21 +1338,9 @@ def remove_duplicate_spans(
     """
     from pyspark.sql import Window
 
-    from genie_spark.analytics.corpus import token_ngrams
     from genie_spark.analytics.text import tokens
 
-    anch = (
-        df.where(F.size(tokens(text_col)) >= k)
-        .select(
-            id_col,
-            F.posexplode(token_ngrams(text_col, k)).alias("__p", "__g"),
-        )
-        .select(
-            id_col,
-            (F.col("__p") + 1).cast("long").alias("pos"),
-            shingle_hash(F.col("__g")).alias("ah"),
-        )
-    )
+    anch = _span_anchor_stream(df, id_col, text_col, k)
     # one aggregate: count AND first occurrence (struct-min) per hash
     stats = anch.groupBy("ah").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -1278,7 +1364,7 @@ def remove_duplicate_spans(
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
         F.lit(1)
     )
-    spans = (
+    islands = (
         dup.withColumn("__b", brk)
         .withColumn("island", F.sum("__b").over(w))
         .groupBy(id_col, "island")
@@ -1286,10 +1372,13 @@ def remove_duplicate_spans(
             F.min("pos").alias("s"),
             (F.max("pos") + (k - 1)).alias("e"),
         )
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("__spans")
+    )
+    if min_span_len is not None:
+        islands = islands.where(
+            F.col("e") - F.col("s") + 1 >= min_span_len
         )
+    spans = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("__spans")
     )
     # per-token coverage test against the doc's (dim-sized) span
     # array; coalesce(false) makes span-less docs keep every token

@@ -2146,6 +2146,98 @@ def test_duplicate_span_mask_semantics(spark):
     assert sorted(rows4) == [(1, 10), (12, 10)]
 
 
+def test_duplicate_span_min_span_len(spark):
+    """Lee et al. 2021's operating point: with min_span_len=50 only
+    duplicated islands >= 50 tokens are masked/removed; the short
+    12-token license block survives (default still cuts it)."""
+    from genie_spark.analytics.dedup import (
+        duplicate_span_mask,
+        remove_duplicate_spans,
+    )
+
+    lic = "this software is provided as is without warranty of any kind whatsoever"
+    big = " ".join(f"w{i}" for i in range(60))  # 60-token shared block
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + lic + " mid " + big + " tail one"),
+            (2, "one two three four five " + lic + " sep " + big),
+            (3, "totally unrelated words nobody repeats here at all today"),
+        ],
+        ["doc_id", "text"],
+    )
+    # default: both blocks mask (12-token and 60-token islands)
+    dft = duplicate_span_mask(docs, k=8, min_count=2)
+    assert {r["span_len"] for r in dft.collect()} == {12, 60}
+    # thresholded: only the 60-token island survives the filter
+    thr = duplicate_span_mask(docs, k=8, min_count=2, min_span_len=50)
+    got = [(r["doc_id"], r["span_len"]) for r in thr.collect()]
+    assert sorted(got) == [(1, 60), (2, 60)]
+
+    # removal: keep-first drops the SECOND occurrence only; with the
+    # threshold the license block is untouched in both docs
+    cleaned = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in remove_duplicate_spans(
+            docs, k=8, min_count=2, min_span_len=50
+        ).collect()
+    }
+    assert lic in cleaned[1][0] and lic in cleaned[2][0]
+    assert big in cleaned[1][0]          # first occurrence survives
+    assert big not in cleaned[2][0]      # later occurrence cut
+    assert cleaned[1][1] == 0 and cleaned[2][1] == 60
+    assert cleaned[3][1] == 0
+    # red->green pin: the default (None) is strictly more aggressive
+    dft_cleaned = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in remove_duplicate_spans(docs, k=8, min_count=2).collect()
+    }
+    assert dft_cleaned[2] > cleaned[2][1]
+
+
+def test_pair_cap_audits_surface_dropped_keys(spark):
+    """'No silent caps': the 1-row audit companions report exactly how
+    many anchors/fingerprints/shingles the lossy max_df guards drop —
+    a boilerplate block planted in every doc trips each cap at
+    max_df=3; a clean corpus audits to zeros."""
+    from genie_spark.analytics.dedup import (
+        duplicate_span_pair_cap_audit,
+        ngram_jaccard_cap_audit,
+        winnow_pair_cap_audit,
+    )
+
+    # 16 shared tokens: 9 shared anchors (k=8), and windows of w=4
+    # hashes fully inside the block select identical fingerprints in
+    # every doc (the winnowing guarantee needs >= w+k-1 = 11 tokens)
+    boiler = " ".join(f"b{j}" for j in range(16))
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c " + boiler + f" t{i}x t{i}y") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    r = duplicate_span_pair_cap_audit(docs, k=8, max_df=3).first()
+    # each of the 9 boilerplate-only anchors appears in 6 docs > 3
+    assert r["n_anchors_capped"] == 9
+    assert r["n_positions_capped"] == 54
+    r = winnow_pair_cap_audit(docs, k=8, w=4, max_df=3).first()
+    assert r["n_fingerprints_capped"] >= 1
+    assert r["n_postings_capped"] >= 6
+    boiler20 = "shared boilerplate характ " * 8  # >20-char shingles repeat
+    docs20 = spark.createDataFrame(
+        [(i, f"unique prefix {i} " + boiler20) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    r = ngram_jaccard_cap_audit(docs20, k=20, max_df=3).first()
+    assert r["n_shingles_capped"] >= 1
+    assert r["n_postings_capped"] >= 5 * 1
+    # clean corpus: both counters zero (not null — coalesced)
+    clean = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+    r = duplicate_span_pair_cap_audit(clean, k=8, max_df=3).first()
+    assert (r["n_anchors_capped"], r["n_positions_capped"]) == (0, 0)
+
+
 def test_duplicate_span_pairs_semantics(spark):
     """X47 pair form: the shared block reports one maximal span per
     pair with the right start offsets on both sides."""
