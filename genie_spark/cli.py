@@ -323,6 +323,16 @@ def cmd_release(spark: SparkSession, args: argparse.Namespace) -> int:
     write_cbio_clinical(
         arts.clinical, os.path.join(args.output, "data_clinical.txt")
     )
+    # split clinical pair the reference stores alongside the merged
+    # file (database_to_staging.py:1361-1368 via addClinicalHeaders)
+    from genie_spark.io.writers import write_cbio_clinical_split
+
+    if {"SAMPLE_ID", "PATIENT_ID"} <= set(arts.clinical.columns):
+        write_cbio_clinical_split(
+            arts.clinical,
+            os.path.join(args.output, "data_clinical_sample.txt"),
+            os.path.join(args.output, "data_clinical_patient.txt"),
+        )
     write_tsv(arts.maf, os.path.join(args.output, "data_mutations_extended.txt"))
     if arts.sv is not None:
         write_tsv(arts.sv, os.path.join(args.output, "data_sv.txt"))
@@ -677,6 +687,14 @@ def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
     )
     os.makedirs(args.output, exist_ok=True)
     write_cbio_clinical(pub.clinical, os.path.join(args.output, "data_clinical.txt"))
+    if {"SAMPLE_ID", "PATIENT_ID"} <= set(pub.clinical.columns):
+        from genie_spark.io.writers import write_cbio_clinical_split
+
+        write_cbio_clinical_split(
+            pub.clinical,
+            os.path.join(args.output, "data_clinical_sample.txt"),
+            os.path.join(args.output, "data_clinical_patient.txt"),
+        )
     write_tsv(pub.maf, os.path.join(args.output, "data_mutations_extended.txt"))
     if pub.sv is not None:
         write_tsv(pub.sv, os.path.join(args.output, "data_sv.txt"))

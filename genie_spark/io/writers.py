@@ -115,6 +115,95 @@ def write_cbio_clinical(df: DataFrame, path: str, **header_kwargs) -> None:
     )
 
 
+# GENIE clinical attribute levels (reference: the clinical tier
+# release scope table's `level` column, genie/database_to_staging.py:
+# 1808-1813 splits fieldName by level == patient/sample; the attribute
+# set is the public GENIE data-guide dictionary).  Unknown attributes
+# default to sample level (they ride the sample file, never silently
+# dropped).
+PATIENT_LEVEL_ATTRS = frozenset(
+    {
+        "PATIENT_ID",
+        "SEX",
+        "PRIMARY_RACE",
+        "SECONDARY_RACE",
+        "TERTIARY_RACE",
+        "ETHNICITY",
+        "BIRTH_YEAR",
+        "CENTER",
+        "YEAR_CONTACT",
+        "YEAR_DEATH",
+        "INT_CONTACT",
+        "INT_DOD",
+        "DEAD",
+    }
+)
+
+
+def write_cbio_clinical_split(
+    df: DataFrame,
+    sample_path: str,
+    patient_path: str,
+    patient_cols: Sequence[str] | None = None,
+    **header_kwargs,
+) -> None:
+    """The SPLIT clinical release pair the reference stores alongside
+    data_clinical.txt (genie/process_functions.py:356-403
+    addClinicalHeaders; called from database_to_staging.py:1361-1368):
+
+    * ``data_clinical_patient.txt`` — patient-level attributes, one
+      row per PATIENT_ID, PATIENT_ID leading;
+    * ``data_clinical_sample.txt`` — PATIENT_ID + the sample-level
+      attributes, one row per SAMPLE_ID, with PATIENT_ID then
+      SAMPLE_ID leading (cBioPortal's clinical-sample validator
+      requires the patient id BEFORE the sample id — the 'patient
+      before sample' ordering validateData enforces).
+
+    Both carry the 4 '#' metadata lines.  ``patient_cols`` overrides
+    the level classification (defaults to the GENIE dictionary in
+    ``PATIENT_LEVEL_ATTRS``; unknown attributes go to the sample
+    file).  One row per id via a deterministic min-struct collapse —
+    the reference's pandas ``drop_duplicates`` keeps an arbitrary
+    first row; a distributed engine must pick a stable one.
+    """
+    plevel = set(
+        patient_cols if patient_cols is not None else PATIENT_LEVEL_ATTRS
+    )
+    pat_attrs = [c for c in df.columns if c in plevel]
+    smp_attrs = [c for c in df.columns if c not in plevel]
+    if "PATIENT_ID" in df.columns:
+        pat_order = ["PATIENT_ID"] + [c for c in pat_attrs if c != "PATIENT_ID"]
+        smp_order = ["PATIENT_ID", "SAMPLE_ID"] + [
+            c for c in smp_attrs if c != "SAMPLE_ID"
+        ]
+    else:
+        pat_order = pat_attrs
+        smp_order = smp_attrs
+
+    def one_per(key: str, cols: list[str]) -> DataFrame:
+        rest = [c for c in cols if c != key]
+        if not rest:
+            return df.select(key).distinct()
+        agg = df.groupBy(key).agg(
+            F.min(F.struct(*[F.col(c).alias(c) for c in rest])).alias("__r")
+        )
+        return agg.select(key, *[F.col(f"__r.{c}").alias(c) for c in rest])
+
+    if pat_order:
+        write_tsv(
+            one_per("PATIENT_ID", pat_order).select(*pat_order),
+            patient_path,
+            single=True,
+            header_lines=cbio_clinical_headers(pat_order, **header_kwargs),
+        )
+    write_tsv(
+        one_per("SAMPLE_ID", smp_order).select(*smp_order),
+        sample_path,
+        single=True,
+        header_lines=cbio_clinical_headers(smp_order, **header_kwargs),
+    )
+
+
 def write_cna_wide(
     cna_long: DataFrame,
     path: str,
@@ -259,6 +348,20 @@ def cbio_meta_texts(
             "genetic_alteration_type: CLINICAL\n"
             "datatype: MIXED_ATTRIBUTES\n"
             "data_filename: data_clinical.txt\n"
+        )
+    if "data_clinical_sample.txt" in present:
+        out["meta_clinical_sample.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: CLINICAL\n"
+            "datatype: SAMPLE_ATTRIBUTES\n"
+            "data_filename: data_clinical_sample.txt\n"
+        )
+    if "data_clinical_patient.txt" in present:
+        out["meta_clinical_patient.txt"] = (
+            f"cancer_study_identifier: {study_id}\n"
+            "genetic_alteration_type: CLINICAL\n"
+            "datatype: PATIENT_ATTRIBUTES\n"
+            "data_filename: data_clinical_patient.txt\n"
         )
     if "data_mutations_extended.txt" in present:
         out["meta_mutations_extended.txt"] = (

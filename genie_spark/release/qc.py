@@ -40,6 +40,13 @@ cBioPortal ingestion depends on:
   stable_id unique across meta files AND across case lists;
 - data_clinical.txt id columns (SAMPLE_ID/PATIENT_ID) lead the header
   (the writer's addClinicalHeaders-order guarantee);
+- clinical attribute priority ordering (round 11, validateData's
+  clinical-attribute checks): priorities non-negative, id columns
+  never hidden (priority 0), and the split
+  data_clinical_patient/_sample.txt pair — 4 '#' lines, PATIENT_ID
+  leading the patient file, PATIENT_ID then SAMPLE_ID leading the
+  sample file (cBioPortal's patient-before-sample order), attributes
+  at their level, split sample ids ⊆ the merged file, metas present;
 - gene matrix internal + cross-file consistency: one row per sample
   (reference dedups before writing, database_to_staging.py:1628),
   `mutations` equals the sample's clinical SEQ_ASSAY_ID (the matrix is
@@ -262,6 +269,36 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 n=len(bad_prio),
                 examples=bad_prio[:5],
             )
+        # priority domain (cBioPortal validateData clinical-attribute
+        # checks): priorities are NON-NEGATIVE integers (0 = hidden);
+        # and the id columns must never be hidden — PATIENT_ID/
+        # SAMPLE_ID at priority 0 disappear from the study view while
+        # every case list still references them (a hand-edit the
+        # importer accepts but the portal renders wrong)
+        neg_prio = sorted(
+            {v for v in meta_rows[3] if re.fullmatch(r"-\d+", v)}
+        )
+        if neg_prio:
+            err(
+                "release.clinical_priority_negative",
+                "release: data_clinical.txt priority row has negative "
+                "values (cBioPortal priorities are >= 0)",
+                n=len(neg_prio),
+                examples=neg_prio[:5],
+            )
+        if not bad_width:
+            hidden_ids = [
+                c
+                for c, p in zip(header_cols, meta_rows[3])
+                if c.upper() in ("SAMPLE_ID", "PATIENT_ID") and p == "0"
+            ]
+            if hidden_ids:
+                err(
+                    "release.clinical_id_priority_hidden",
+                    "release: data_clinical.txt id columns "
+                    f"{hidden_ids} carry priority 0 (hidden) — case "
+                    "identifiers must stay visible",
+                )
 
     clinical = _read_release_tsv(spark, clin_path)
     clin_sid = _resolve(clinical, "SAMPLE_ID")
@@ -285,6 +322,120 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             f"{lead_ids} must be the leading header columns; header "
             f"starts {clinical.columns[:3]}",
         )
+
+    # --- split clinical pair (data_clinical_patient/_sample.txt) ------
+    # cBioPortal validates the split files harder than the merged one
+    # (validateData ClinicalValidator): the patient file must LEAD with
+    # PATIENT_ID; the sample file must lead with PATIENT_ID then
+    # SAMPLE_ID (patient-before-sample ordering); and attributes must
+    # sit at their level — a patient attribute in the sample file (or
+    # vice versa) imports the attribute at the wrong entity and every
+    # per-patient query silently fans out per-sample.
+    from genie_spark.io.writers import PATIENT_LEVEL_ATTRS
+
+    def _split_header(fname: str) -> list[str] | None:
+        path = os.path.join(release_dir, fname)
+        if not os.path.isfile(path):
+            return None
+        with open(path) as fh:
+            lines = [fh.readline() for _ in range(5)]
+        if sum(1 for line in lines if line.startswith("#")) != 4:
+            err(
+                "release.clinical_split_header",
+                f"release: {fname} must start with 4 '#' metadata lines",
+            )
+            return None
+        cols = lines[4].rstrip("\n").split("\t")
+        prio = lines[3].rstrip("\n").lstrip("#").split("\t")
+        if len(prio) == len(cols):
+            bad = sorted({v for v in prio if not re.fullmatch(r"\d+", v)})
+            if bad:
+                err(
+                    "release.clinical_split_priority",
+                    f"release: {fname} priority row has non-(>=0)-integer "
+                    "values",
+                    n=len(bad),
+                    examples=bad[:5],
+                )
+            hidden = [
+                c
+                for c, p in zip(cols, prio)
+                if c.upper() in ("SAMPLE_ID", "PATIENT_ID") and p == "0"
+            ]
+            if hidden:
+                err(
+                    "release.clinical_id_priority_hidden",
+                    f"release: {fname} id columns {hidden} carry "
+                    "priority 0 (hidden)",
+                )
+        else:
+            err(
+                "release.clinical_split_header",
+                f"release: {fname} priority row width != header width",
+            )
+        return cols
+
+    pat_cols = _split_header("data_clinical_patient.txt")
+    smp_cols = _split_header("data_clinical_sample.txt")
+    if pat_cols is not None:
+        if pat_cols[:1] != ["PATIENT_ID"]:
+            err(
+                "release.clinical_split_lead",
+                "release: data_clinical_patient.txt must lead with "
+                f"PATIENT_ID; header starts {pat_cols[:2]}",
+            )
+        stray = [
+            c for c in pat_cols
+            if c.upper() not in PATIENT_LEVEL_ATTRS
+        ]
+        if stray:
+            err(
+                "release.clinical_split_level",
+                "release: data_clinical_patient.txt carries non-patient-"
+                "level attributes",
+                n=len(stray),
+                examples=stray[:5],
+            )
+    if smp_cols is not None:
+        if smp_cols[:2] != ["PATIENT_ID", "SAMPLE_ID"]:
+            err(
+                "release.clinical_split_lead",
+                "release: data_clinical_sample.txt must lead with "
+                "PATIENT_ID then SAMPLE_ID (cBioPortal's patient-before-"
+                f"sample order); header starts {smp_cols[:3]}",
+            )
+        stray = [
+            c for c in smp_cols[1:]
+            if c.upper() in PATIENT_LEVEL_ATTRS and c.upper() != "PATIENT_ID"
+        ]
+        if stray:
+            err(
+                "release.clinical_split_level",
+                "release: data_clinical_sample.txt carries patient-level "
+                "attributes",
+                n=len(stray),
+                examples=stray[:5],
+            )
+        # split sample ids must match the merged file (a regenerated
+        # split from a different snapshot breaks profile case lists)
+        smp_path = os.path.join(release_dir, "data_clinical_sample.txt")
+        split_df = _read_release_tsv(spark, smp_path)
+        split_sid = _resolve(split_df, "SAMPLE_ID")
+        if split_sid is not None:
+            extra_df = (
+                split_df.select(F.col(split_sid).alias("SAMPLE_ID"))
+                .distinct()
+                .join(clin_ids, "SAMPLE_ID", "left_anti")
+            )
+            extra = [r[0] for r in extra_df.limit(6).collect()]
+            if extra:
+                err(
+                    "release.clinical_split_samples",
+                    "release: data_clinical_sample.txt samples absent "
+                    "from data_clinical.txt",
+                    n=len(extra),
+                    examples=extra[:5],
+                )
 
     # per-column catalog (cBioPortal validateData.py clinical checks):
     # duplicated sample rows and blank patient ids both fail import
@@ -822,6 +973,8 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     # must point at a file that exists (cBioPortal import fails on both)
     meta_for = {
         "data_clinical.txt": "meta_clinical.txt",
+        "data_clinical_sample.txt": "meta_clinical_sample.txt",
+        "data_clinical_patient.txt": "meta_clinical_patient.txt",
         "data_mutations_extended.txt": "meta_mutations_extended.txt",
         "data_CNA.txt": "meta_CNA.txt",
         "genie_data_cna_hg19.seg": "meta_cna_hg19_seg.txt",

@@ -809,6 +809,154 @@ def test_release_qc_stage(spark, tmp_path):
     }
 
 
+def test_release_qc_priority_and_split_clinical(spark, tmp_path):
+    """validateData's clinical-attribute priority ordering notch:
+    priorities non-negative, id columns never hidden (priority 0), and
+    the split patient/sample pair leads with the ids in cBioPortal's
+    patient-before-sample order with attributes at their level."""
+    from genie_spark.io.writers import cbio_meta_texts
+    from genie_spark.release.qc import validate_release
+
+    out = str(tmp_path / "rel")
+    os.makedirs(os.path.join(out, "case_lists"))
+
+    def write(path, text):
+        with open(os.path.join(out, path), "w") as f:
+            f.write(text)
+
+    def seed_clean():
+        write(
+            "data_clinical.txt",
+            "#Sample Id\tPatient Id\tSex\n#d\td\td\n#STRING\tSTRING\tSTRING\n"
+            "#1\t1\t1\n"
+            "SAMPLE_ID\tPATIENT_ID\tSEX\nGENIE-SAGE-1-1\tGENIE-SAGE-1\tFemale\n",
+        )
+        write(
+            "data_clinical_patient.txt",
+            "#Patient Id\tSex\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+            "PATIENT_ID\tSEX\nGENIE-SAGE-1\tFemale\n",
+        )
+        write(
+            "data_clinical_sample.txt",
+            "#Patient Id\tSample Id\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+            "PATIENT_ID\tSAMPLE_ID\nGENIE-SAGE-1\tGENIE-SAGE-1-1\n",
+        )
+        write(
+            "data_mutations_extended.txt",
+            "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-SAGE-1-1\n",
+        )
+        write(
+            "case_lists/cases_all.txt",
+            "cancer_study_identifier: s\nstable_id: s_all\n"
+            "case_list_name: n\ncase_list_description: d\n"
+            "case_list_ids: GENIE-SAGE-1-1\n",
+        )
+        present = {
+            n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))
+        }
+        for name, text in cbio_meta_texts("s", "1.0", present).items():
+            write(name, text)
+
+    seed_clean()
+    assert validate_release(spark, out).errors == []
+
+    # negative priority in the merged file
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tPatient Id\tSex\n#d\td\td\n#STRING\tSTRING\tSTRING\n"
+        "#1\t-1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\tSEX\nGENIE-SAGE-1-1\tGENIE-SAGE-1\tFemale\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_priority_negative" in ids
+
+    # id column hidden (priority 0)
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tPatient Id\tSex\n#d\td\td\n#STRING\tSTRING\tSTRING\n"
+        "#0\t1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\tSEX\nGENIE-SAGE-1-1\tGENIE-SAGE-1\tFemale\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_id_priority_hidden" in ids
+    seed_clean()
+
+    # sample file with the ids in the WRONG order (sample before patient)
+    write(
+        "data_clinical_sample.txt",
+        "#Sample Id\tPatient Id\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\nGENIE-SAGE-1-1\tGENIE-SAGE-1\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_split_lead" in ids
+
+    # patient-level attribute (SEX) in the sample file
+    write(
+        "data_clinical_sample.txt",
+        "#Patient Id\tSample Id\tSex\n#d\td\td\n#STRING\tSTRING\tSTRING\n"
+        "#1\t1\t1\n"
+        "PATIENT_ID\tSAMPLE_ID\tSEX\nGENIE-SAGE-1\tGENIE-SAGE-1-1\tFemale\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_split_level" in ids
+
+    # sample-level attribute in the patient file
+    write(
+        "data_clinical_patient.txt",
+        "#Patient Id\tOncotree Code\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+        "PATIENT_ID\tONCOTREE_CODE\nGENIE-SAGE-1\tGLIOMA\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_split_level" in ids
+    seed_clean()
+
+    # split sample id absent from the merged file
+    write(
+        "data_clinical_sample.txt",
+        "#Patient Id\tSample Id\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+        "PATIENT_ID\tSAMPLE_ID\nGENIE-SAGE-9\tGENIE-SAGE-9-9\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_split_samples" in ids
+
+    # split file without its meta
+    seed_clean()
+    os.remove(os.path.join(out, "meta_clinical_sample.txt"))
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.meta_missing" in ids
+
+
+def test_write_cbio_clinical_split(spark, tmp_path):
+    """The split writer mirrors addClinicalHeaders: patient file one
+    row per patient with PATIENT_ID leading; sample file one row per
+    sample with PATIENT_ID then SAMPLE_ID leading; both carry the 4
+    '#' lines and pass release QC level/order rules by construction."""
+    from genie_spark.io.writers import write_cbio_clinical_split
+
+    clin = spark.createDataFrame(
+        [
+            ("GENIE-SAGE-1-1", "GENIE-SAGE-1", "Female", "LUAD"),
+            ("GENIE-SAGE-1-2", "GENIE-SAGE-1", "Female", "GLIOMA"),
+            ("GENIE-SAGE-2-1", "GENIE-SAGE-2", "Male", "LUAD"),
+        ],
+        ["SAMPLE_ID", "PATIENT_ID", "SEX", "ONCOTREE_CODE"],
+    )
+    sp = str(tmp_path / "data_clinical_sample.txt")
+    pp = str(tmp_path / "data_clinical_patient.txt")
+    write_cbio_clinical_split(clin, sp, pp)
+    with open(pp) as f:
+        plines = f.read().splitlines()
+    assert sum(1 for line in plines if line.startswith("#")) == 4
+    assert plines[4].split("\t") == ["PATIENT_ID", "SEX"]
+    assert sorted(plines[5:]) == [
+        "GENIE-SAGE-1\tFemale", "GENIE-SAGE-2\tMale",
+    ]
+    with open(sp) as f:
+        slines = f.read().splitlines()
+    assert slines[4].split("\t") == ["PATIENT_ID", "SAMPLE_ID", "ONCOTREE_CODE"]
+    assert len(slines) == 5 + 3  # one row per sample
+
+
 def test_dashboard_clinical_value_decreases(spark, tmp_path):
     """--release-dir/--prev-release-dir wire the per-column value-count
     decrease check into the dashboard (reference
