@@ -885,3 +885,130 @@ def priority_sample(
         )
         .select(group_col, id_col, "weight", "priority", "est_weight")
     )
+
+
+def _ilog2(x: Column) -> Column:
+    """Exact integer floor(log2(x)) for x >= 1: binary-string length
+    minus one (Spark ``bin`` == DuckDB ``bin``, both unpadded) — no
+    libm, so the oracle agrees bit-for-bit (the lm_surprisal idiom)."""
+    return (F.length(F.bin(x)) - F.lit(1)).cast("long")
+
+
+def _dsir_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Hashed n-gram feature stream for DSIR: one row per unigram AND
+    bigram occurrence, bucketed by the 60-bit md5 hash mod
+    ``n_buckets`` (the hashing trick of Xie et al. 2023 §3; same
+    feature family as ``hashed_linear_classify``).  Narrow: explode of
+    a per-row array, no shuffle."""
+    from genie_spark.analytics.dedup import shingle_hash
+
+    grams = F.concat(tokens(text_col), token_ngrams(text_col, 2))
+    return df.select(
+        id_col, F.explode(grams).alias("__g")
+    ).select(
+        id_col,
+        (shingle_hash(F.col("__g")) % n_buckets).alias("__b"),
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X51 — DSIR data selection by importance resampling (Xie et al.
+    2023, arXiv 2302.03169): score every raw document by how much more
+    likely its hashed n-gram features are under the TARGET corpus's
+    bag-of-ngrams model than under the raw corpus's own, then keep the
+    ``k`` highest-importance documents — the published recipe for
+    "select pretraining data that looks like the target domain".
+
+    Scoring is the paper's log likelihood ratio with add-1 smoothing,
+    at EXACT INTEGER bit resolution (the package's no-libm rule —
+    ``floor(log2)`` via binary-string length, the lm_surprisal idiom):
+
+        lam[b]     = ilog2(cnt_target[b] + 1) - ilog2(cnt_raw[b] + 1)
+        score(doc) = sum over feature occurrences of lam[bucket]
+                     + n_features(doc) * (ilog2(T_raw + B) - ilog2(T_target + B))
+
+    which is ``sum log p_target(f) - log p_raw(f)`` with both
+    normalizers exact.  The resample is the paper's threshold variant
+    made deterministic: rank by (score DESC, md5(id), id) — the
+    md5 key breaks threshold-score ties uniformly, so the selection is
+    reproducible across runs and engines (the priority_sample /
+    _uniform_bp discipline).  Documents with zero features (empty
+    text) are not scored, mirroring ``bm25_topk``.
+
+    Returns (id, score_bits, n_features, rank), rank 1..k.
+
+    Spark shape (the 100 TB one): the feature stream is a narrow
+    explode; both model aggregates are groupBy(bucket) with MAP-SIDE
+    partial combine, so each shuffle carries at most ``n_buckets``
+    rows per task regardless of corpus size; the lambda table is
+    <= ``n_buckets`` rows and is explicitly ``broadcast()`` (aggregate-
+    derived size estimates are untrustworthy — the ngram_jaccard_pairs
+    lesson); scoring is ONE doc-keyed exchange (the groupBy(id)); the
+    top-k plans as TakeOrderedAndProject, never a corpus sort.  T_p /
+    T_q are two 1-row aggregates embedded as literals (the kmeans /
+    lm_surprisal constants contract).
+    """
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import _release_on_gc
+
+    feats_raw = _dsir_features(raw, id_col, text_col, n_buckets)
+    feats_tgt = _dsir_features(target, id_col, text_col, n_buckets)
+    # the model tables are <= n_buckets rows: persist them and derive
+    # the totals from THEM (1-row aggs over B rows), so each corpus's
+    # feature stream is scanned once for the model (+ once more for
+    # raw in the scoring join — the bm25-style inherent second pass)
+    cq = feats_raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__q")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cp = feats_tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__p")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    t_q = cq.agg(F.sum("__q")).first()[0] or 0
+    t_p = cp.agg(F.sum("__p")).first()[0] or 0
+    lam = cq.join(cp, "__b", "left").select(
+        "__b",
+        (
+            _ilog2(F.coalesce(F.col("__p"), F.lit(0)) + F.lit(1))
+            - _ilog2(F.col("__q") + F.lit(1))
+        ).alias("__lam"),
+    )
+    # global length-normalizer constant: exact ints on the driver
+    c_norm = (int(t_q + n_buckets).bit_length() - 1) - (
+        int(t_p + n_buckets).bit_length() - 1
+    )
+    scored = (
+        feats_raw.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("__lam").alias("__s"),
+        )
+        .select(
+            id_col,
+            (F.col("__s") + F.col("n_features") * F.lit(c_norm))
+            .cast("long")
+            .alias("score_bits"),
+            "n_features",
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ranked = scored.withColumn("__h", h).orderBy(
+        F.desc("score_bits"), F.asc("__h"), F.asc(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.desc("score_bits"), F.asc("__h"), F.asc(id_col))
+    out = ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).drop("__h")
+    return _release_on_gc(_release_on_gc(out, cq), cp)

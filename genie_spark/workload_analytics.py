@@ -2235,6 +2235,74 @@ FROM s GROUP BY doc_id
 """
 
 
+DSIR_BUCKETS = 1024
+DSIR_K = 50
+DSIR_TARGET_BP = 2_500
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram features, exact-integer bit-resolution log-ratio
+    importance scores against an md5-deterministic target split (25%
+    of documents), md5-tiebroken top-k resample."""
+    from genie_spark.analytics.corpus import _uniform_bp, dsir_sample
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(_uniform_bp("doc_id") < DSIR_TARGET_BP)
+    return dsir_sample(docs, target, k=DSIR_K, n_buckets=DSIR_BUCKETS)
+
+
+DSIR_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, unnest(toks) AS g FROM t
+    UNION ALL
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+          FROM t WHERE len(toks) >= 2)
+  )
+),
+tgt_ids AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 10000 < {DSIR_TARGET_BP}
+),
+tf AS (SELECT f.* FROM feat f JOIN tgt_ids USING (doc_id)),
+cq AS (SELECT b, count(*) AS q FROM feat GROUP BY b),
+cp AS (SELECT b, count(*) AS p FROM tf GROUP BY b),
+lam AS (
+  SELECT b,
+         (length(bin(coalesce(p, 0) + 1)) - 1)
+         - (length(bin(q + 1)) - 1) AS lam
+  FROM cq LEFT JOIN cp USING (b)
+),
+consts AS (
+  SELECT (SELECT count(*) FROM tf) AS tp, (SELECT count(*) FROM feat) AS tq
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_features, sum(lam) AS s
+  FROM feat JOIN lam USING (b) GROUP BY doc_id
+),
+sc2 AS (
+  SELECT doc_id,
+         CAST(s + n_features * ((length(bin(tq + {DSIR_BUCKETS})) - 1)
+              - (length(bin(tp + {DSIR_BUCKETS})) - 1)) AS BIGINT)
+             AS score_bits,
+         CAST(n_features AS BIGINT) AS n_features,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             AS h
+  FROM sc, consts
+)
+SELECT doc_id, score_bits, n_features,
+       CAST(row_number() OVER (ORDER BY score_bits DESC, h, doc_id)
+            AS BIGINT) AS rank
+FROM sc2 ORDER BY score_bits DESC, h, doc_id LIMIT {DSIR_K}
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2287,6 +2355,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_winnow_fingerprints": dedup_winnow_fingerprints,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "text_quality_classifier": text_quality_classifier,
+    "corpus_dsir_sample": corpus_dsir_sample,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2343,4 +2412,5 @@ ANALYTICS_ORACLES: dict = {
     "dedup_winnow_fingerprints": WINNOW_FP_SQL,
     "dedup_winnow_pairs": WINNOW_PAIRS_SQL,
     "text_quality_classifier": QUALITY_CLS_SQL,
+    "corpus_dsir_sample": DSIR_SQL,
 }

@@ -2712,3 +2712,39 @@ def test_hashed_linear_classifier_explicit_weights(spark):
     assert out[2] == (score(["bad", "good"]), score(["bad", "good"]) >= 0)
     assert out[3][0] == score(["neutral", "words", "only"])
     assert 4 not in out
+
+
+def test_dsir_sample_prefers_target_like_docs(spark):
+    """X51 semantics: documents whose n-grams match the target
+    domain's distribution outrank off-domain ones; ranks are dense
+    1..k; n_features counts unigrams + bigrams."""
+    from genie_spark.analytics.corpus import dsir_sample
+
+    sparkish = "spark shuffle partition executor broadcast join stage task"
+    cookish = "flour butter sugar oven whisk bake dough pan"
+    raw = spark.createDataFrame(
+        [
+            (1, sparkish),
+            (2, sparkish + " spark shuffle extra"),
+            (3, cookish),
+            (4, cookish + " flour butter more"),
+            (5, "mixed spark flour words here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100 + i, sparkish) for i in range(3)], ["doc_id", "text"]
+    )
+    out = dsir_sample(raw, target, k=5, n_buckets=512).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    scores = {r["doc_id"]: r["score_bits"] for r in out}
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+    # the on-domain docs beat the cooking docs
+    assert max(scores[3], scores[4]) < min(scores[1], scores[2])
+    assert ranks[1] <= 2 and ranks[2] <= 2
+    # n_features = unigrams + bigrams = 2 * n_tokens - 1
+    nf = {r["doc_id"]: r["n_features"] for r in out}
+    assert nf[1] == 2 * 8 - 1
+    # determinism: identical rerun, identical rows
+    again = dsir_sample(raw, target, k=5, n_buckets=512).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -567,3 +567,27 @@ def test_quality_classifier_broadcast_model_one_exchange(spark):
     # exchanges: the hash-agg exchange (plus AQE bookkeeping); never a
     # join-key exchange of the exploded token stream
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_dsir_broadcast_model_and_topk(spark):
+    """X51: the lambda model joins as a BROADCAST (<= n_buckets rows;
+    aggregate-derived estimates are pinned explicitly), the model
+    aggregates shuffle only bucket-keyed partial counts, the scoring
+    exchange is doc-keyed, and the top-k plans as TakeOrdered — never
+    a corpus sort."""
+    from genie_spark.analytics.corpus import _uniform_bp, dsir_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.where(_uniform_bp("doc_id") < 2_500)
+    df = dsir_sample(docs, target, k=10, n_buckets=256)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the LIVE pipeline (before the cached model subplans, whose
+    # bucket-keyed agg exchanges re-print inside InMemoryRelation)
+    # carries exactly one exchange: the doc-keyed scoring aggregation
+    # — never a join-key shuffle of the exploded feature stream
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("Exchange hashpartitioning") <= 1, plan

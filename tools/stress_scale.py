@@ -726,6 +726,21 @@ def main() -> None:
         lambda n: hashed_linear_classify(docs(n), n_buckets=1 << 16),
     )
 
+    # X51 DSIR: two bucket-keyed model aggs (map-side partial,
+    # <= n_buckets rows shuffled per task), broadcast lambda join, one
+    # doc-keyed scoring exchange, TakeOrdered top-k — must track the
+    # feature-stream scan, never the corpus sort or a join blowup
+    from genie_spark.analytics.corpus import _uniform_bp, dsir_sample
+
+    def run_dsir(n):
+        d = docs(n)
+        return dsir_sample(
+            d, d.where(_uniform_bp("doc_id") < 2_500), k=50,
+            n_buckets=4096,
+        )
+
+    probe("dsir_sample", run_dsir)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
