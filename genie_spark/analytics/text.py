@@ -510,3 +510,103 @@ def hashed_linear_classify(
     return out.withColumn(
         "keep", F.col("score_milli") >= F.lit(threshold_milli)
     )
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """One BPE iteration's weighted adjacent-pair counts over the
+    vocabulary state table — a narrow split+posexplode and one
+    groupBy(pair) with map-side partial sums (plan-pinned by
+    tests/test_plans.py); the winner is TakeOrdered, never a sort."""
+    arr = F.split(F.ltrim(F.col("__s")), " ")
+    return (
+        state.where(F.size(arr) >= 2)
+        .select(
+            F.posexplode(F.slice(arr, 1, F.size(arr) - 1)).alias(
+                "__i", "__l"
+            ),
+            F.element_at(arr, F.col("__i") + 2).alias("__r"),
+            "__f",
+        )
+        .groupBy("__l", "__r")
+        .agg(F.sum("__f").alias("__c"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X52 — distributed BPE-merge vocabulary training (Sennrich,
+    Haddow & Birch 2016, arXiv 1508.07909): the tokenizer-training
+    primitive every pretraining pipeline runs.  Iteratively count
+    adjacent symbol pairs across the corpus (weighted by word
+    frequency), merge the most frequent pair everywhere (greedy
+    LEFTMOST non-overlapping, the reference implementation's regex
+    semantics), repeat ``n_merges`` times.
+
+    Returns the learned merge table: (step, lhs, rhs, merged,
+    pair_count), step 1..n_merges (fewer if the corpus runs out of
+    pairs).  Ties break on (pair_count DESC, lhs ASC, rhs ASC) — a
+    documented total order (Sennrich's dict-order tie is
+    nondeterministic; a distributed trainer must pin one).
+
+    Spark shape (the 100 TB one): the ONLY corpus-sized operation is
+    the initial word-frequency groupBy (map-side partial combine —
+    a word in a billion documents is one reduced row).  Every
+    iteration then runs on the VOCABULARY table: symbols live as a
+    space-prefixed string (" l o w"), so
+      * pair counting is a narrow split+posexplode over vocab rows
+        followed by a groupBy(pair) with map-side partial sums —
+        the X47 count idiom, never a corpus re-scan;
+      * the winning pair is ONE TakeOrdered(limit=1) row collected
+        to the driver (the kmeans centroid contract);
+      * merge application is a map-side literal ``F.replace`` of
+        " lhs rhs" with " lhsrhs" — leftmost non-overlapping in both
+        the JVM and the DuckDB oracle, which is exactly BPE's greedy
+        merge order, and the space-PREFIX encoding keeps runs
+        adjacent (" a a a a" -> " aa aa", not " aa a a").
+    State is localCheckpointed eagerly per iteration so iteration k
+    never replays the k-1 replace chain.  Iterations are bounded by
+    ``n_merges``; the driver loop moves one 5-field row per step.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .select(
+            # one leading space per symbol: unambiguous, run-safe
+            F.regexp_replace("__w", "(.)", " $1").alias("__s"),
+            "__f",
+        )
+    )
+    state = words.localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(state)
+            .orderBy(F.desc("__c"), F.asc("__l"), F.asc("__r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["__l"], best[0]["__r"], int(best[0]["__c"])
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        state = state.select(
+            F.replace(
+                F.col("__s"),
+                F.lit(f" {lhs} {rhs}"),
+                F.lit(f" {lhs}{rhs}"),
+            ).alias("__s"),
+            "__f",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step bigint, lhs string, rhs string, merged string, "
+        "pair_count bigint",
+    )

@@ -2303,6 +2303,58 @@ FROM sc2 ORDER BY score_bits DESC, h, doc_id LIMIT {DSIR_K}
 """
 
 
+BPE_MERGES = 6
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 distributed BPE-merge vocabulary trainer (Sennrich et al.
+    2016): iterated most-frequent-adjacent-pair counting over the
+    word-frequency table with greedy leftmost merge application;
+    (count DESC, lhs, rhs) deterministic tie order."""
+    from genie_spark.analytics.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """DuckDB mirror of ``bpe_train``: the iteration UNROLLS into a
+    CTE chain (state strings are space-prefixed symbol encodings;
+    ``replace`` is leftmost non-overlapping in both engines, which IS
+    BPE's greedy merge order), so the driver gets a full value-hash
+    check on the exact merge sequence."""
+    ctes = [
+        f"""w AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word
+),
+s0 AS (SELECT regexp_replace(word, '(.)', ' \\1', 'g') AS s, freq FROM w)"""
+    ]
+    sels = []
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT arr[i] AS lhs, arr[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT arr, freq, unnest(range(1, len(arr))) AS i
+    FROM (SELECT regexp_split_to_array(ltrim(s), ' ') AS arr, freq
+          FROM s{i - 1})
+  )
+  GROUP BY lhs, rhs
+),
+b{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+s{i} AS (
+  SELECT replace(s, ' ' || lhs || ' ' || rhs, ' ' || lhs || rhs) AS s, freq
+  FROM s{i - 1}, b{i}
+)"""
+        )
+        sels.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, "
+            f"lhs || rhs AS merged, cnt AS pair_count FROM b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2356,6 +2408,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "text_quality_classifier": text_quality_classifier,
     "corpus_dsir_sample": corpus_dsir_sample,
+    "text_bpe_merges": text_bpe_merges,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2413,4 +2466,5 @@ ANALYTICS_ORACLES: dict = {
     "dedup_winnow_pairs": WINNOW_PAIRS_SQL,
     "text_quality_classifier": QUALITY_CLS_SQL,
     "corpus_dsir_sample": DSIR_SQL,
+    "text_bpe_merges": _bpe_sql(BPE_MERGES),
 }

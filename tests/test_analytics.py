@@ -2748,3 +2748,75 @@ def test_dsir_sample_prefers_target_like_docs(spark):
     # determinism: identical rerun, identical rows
     again = dsir_sample(raw, target, k=5, n_buckets=512).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def _seq_bpe(texts, n_merges):
+    """Sequential BPE reference model (Sennrich et al. 2016 learn_bpe
+    shape) with the engine's documented tie order (count DESC, lhs,
+    rhs) — the X52 oracle-of-record for property tests."""
+    import collections
+
+    wf = collections.Counter(w for t in texts for w in t.split())
+    vocab = {" " + " ".join(w): f for w, f in wf.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for s, f in vocab.items():
+            syms = s.strip().split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((step, l, r, l + r, c))
+        vocab = {
+            s.replace(f" {l} {r}", f" {l}{r}"): f for s, f in vocab.items()
+        }
+    return merges
+
+
+def test_bpe_train_matches_sequential_model(spark):
+    """X52: the distributed trainer produces the EXACT merge sequence
+    of the sequential reference model, including greedy leftmost
+    non-overlap ('aaaa' -> 'aa aa') and the deterministic tie order."""
+    from genie_spark.analytics.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa aaaa baaa",          # overlap semantics
+        "zz zz yy yy",             # count tie -> lhs order decides
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=8).collect()]
+    assert got == _seq_bpe(texts, 8)
+
+
+def test_bpe_train_matches_sequential_on_md5_corpus(spark):
+    """X52 at scale shape: a 300-doc md5-synthetic corpus (hash words,
+    realistic repetition) — the full 10-merge sequence matches the
+    sequential model."""
+    from genie_spark.analytics.text import bpe_train
+
+    texts = []
+    import hashlib
+
+    for i in range(300):
+        ws = [
+            hashlib.md5(f"{i % 37}_{j}".encode()).hexdigest()[:6]
+            for j in range(12)
+        ]
+        texts.append(" ".join(ws))
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
+    want = _seq_bpe(texts, 10)
+    assert got == want
+    # merge steps are dense and counts non-increasing is NOT required
+    # (merges create new pairs), but steps must be 1..10
+    assert [g[0] for g in got] == list(range(1, 11))

@@ -591,3 +591,27 @@ def test_dsir_broadcast_model_and_topk(spark):
     # — never a join-key shuffle of the exploded feature stream
     live = plan.split("InMemoryRelation")[0]
     assert live.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_bpe_pair_counts_partial_agg_takeordered(spark):
+    """X52: each BPE iteration's pair count is a narrow explode with a
+    MAP-SIDE partial sum (the X47 count idiom) and the winner plans as
+    TakeOrdered — no corpus re-scan, no sort, no join."""
+    from genie_spark.analytics.text import _bpe_pair_counts, tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    state = docs.select(
+        F.regexp_replace(
+            F.element_at(tokens("text"), 1), "(.)", " $1"
+        ).alias("__s"),
+        F.lit(1).alias("__f"),
+    ).localCheckpoint(eager=True)
+    pairs = _bpe_pair_counts(state)
+    plan = plan_of(pairs.orderBy(
+        F.desc("__c"), F.asc("__l"), F.asc("__r")
+    ).limit(1))
+    assert "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "FileScan" not in plan, plan  # state is checkpointed, no re-scan
+    assert "Join" not in plan, plan

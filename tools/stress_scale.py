@@ -741,6 +741,19 @@ def main() -> None:
 
     probe("dsir_sample", run_dsir)
 
+    # X52 BPE trainer: one corpus-sized word-count shuffle, then 5
+    # iterations over the vocabulary table (map-side partial pair
+    # counts + TakeOrdered(1) + literal replace, localCheckpoint per
+    # step).  The md5 corpus is the WORST case (every word unique →
+    # vocab scales with corpus); wall must still track the scan.
+    from genie_spark.analytics.text import bpe_train
+
+    def run_bpe(n):
+        out = bpe_train(docs(n), n_merges=5)
+        return out
+
+    probe("bpe_train", run_bpe)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
