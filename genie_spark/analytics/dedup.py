@@ -1489,6 +1489,16 @@ def winnow_dup_pairs(
     fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
         id_col, "fp"
     ).distinct()
+    return _winnow_pairs_from_fps(fps, id_col, min_shared, max_df)
+
+
+def _winnow_pairs_from_fps(
+    fps: DataFrame, id_col: str, min_shared: int, max_df: int | None
+) -> DataFrame:
+    """Pair report over a doc-distinct (id, fp) fingerprint stream —
+    shared by the batch form above and the signature-store query side
+    (``winnow_pairs_from_store``), so both are pinned to the same
+    join/cap semantics."""
     if max_df is not None:
         hot = (
             fps.groupBy("fp")
@@ -1505,4 +1515,28 @@ def winnow_dup_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_fp_docinfo(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint SET as one sorted array row
+    — the persisted row format of the winnow signature store (the
+    second signature family the incremental store carries, ~2/(w+1)
+    the rows of the X47 anchor stream).  Documents shorter than
+    ``k + w − 1`` tokens yield no row (they carry no fingerprints);
+    the store keeps a manifest-only null row for them, exactly the
+    minhash short-doc convention."""
+    return (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_set("fp")).alias("__fps"),
+            F.count_distinct("fp").cast("long").alias("__nfp"),
+        )
     )

@@ -44,18 +44,15 @@ MD5_COL = "__md5"
 _META_NAME = "_sigstore_meta.json"
 
 
-def _check_store_params(
-    store_path: str, k: int, n_perm: int, n_buckets: int, create: bool
-) -> None:
-    """Pin (k, n_perm, n_buckets) to the store: a sync with different
-    parameters would silently mix signature spaces (stored rows keep
-    the OLD k/n_perm — unchanged docs are never recomputed), so a
-    mismatch must fail loudly."""
+def _check_store_params(store_path: str, want: dict, create: bool) -> None:
+    """Pin the signature parameters (family, k, …, n_buckets) to the
+    store: a sync with different parameters would silently mix
+    signature spaces (stored rows keep the OLD parameters — unchanged
+    docs are never recomputed), so a mismatch must fail loudly."""
     import json as _json
     import os as _os
 
     meta_path = _os.path.join(store_path, _META_NAME)
-    want = {"k": k, "n_perm": n_perm, "n_buckets": n_buckets}
     if _os.path.isfile(meta_path):
         with open(meta_path) as f:
             have = _json.load(f)
@@ -94,8 +91,8 @@ def sync_docinfo_store(
     n_buckets: int = 64,
     commit=None,
 ) -> dict:
-    """Bring the signature store at ``store_path`` in sync with
-    ``corpus``, re-shingling ONLY new/changed documents.
+    """Bring the MinHash signature store at ``store_path`` in sync
+    with ``corpus``, re-shingling ONLY new/changed documents.
 
     Returns stats: ``mode`` (full / incremental / noop),
     ``delta_rows`` (docs re-shingled), ``removed_rows`` (store docs no
@@ -105,21 +102,76 @@ def sync_docinfo_store(
     diff join; the docinfo build itself runs with the default sketch
     guard).
     """
+    from genie_spark.analytics.dedup import minhash_docinfo
+
+    def build(docs, unique_ids):
+        return minhash_docinfo(
+            docs, id_col, text_col, k, n_perm, unique_ids=unique_ids
+        )
+
+    return _sync_store(
+        spark, corpus, store_path, id_col, text_col, n_buckets, commit,
+        build, {"family": "minhash", "k": k, "n_perm": n_perm,
+                "n_buckets": n_buckets},
+    )
+
+
+def sync_winnow_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    n_buckets: int = 64,
+    commit=None,
+) -> dict:
+    """Winnowing-fingerprint variant of ``sync_docinfo_store``: the
+    SAME manifest-diff machinery (md5 change detection, bucket-scoped
+    rewrite, explicit empty-bucket commit) over the X49 fingerprint
+    family — rows are (id, __fps sorted array, __nfp), ~2/(w+1) the
+    size of the X47 anchor stream.  Only new/changed documents are
+    re-fingerprinted."""
+    from genie_spark.analytics.dedup import winnow_fp_docinfo
+
+    def build(docs, unique_ids):
+        return winnow_fp_docinfo(docs, id_col, text_col, k, w)
+
+    return _sync_store(
+        spark, corpus, store_path, id_col, text_col, n_buckets, commit,
+        build, {"family": "winnow", "k": k, "w": w,
+                "n_buckets": n_buckets},
+    )
+
+
+def _sync_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    commit,
+    build_info,
+    want_meta: dict,
+) -> dict:
+    """Family-generic store sync: ``build_info(docs, unique_ids)``
+    returns the one-row-per-id signature rows for a document set; the
+    manifest diff / bucket rewrite / commit protocol is identical for
+    every family."""
     from pyspark import StorageLevel
 
-    from genie_spark.analytics.dedup import minhash_docinfo
     from genie_spark.io.txnlog import LogCommit
 
     commit = commit or LogCommit()
     commit.recover(store_path)
-    _check_store_params(store_path, k, n_perm, n_buckets, create=True)
+    _check_store_params(store_path, want_meta, create=True)
     existing = commit.read(spark, store_path)
     man = _manifest(corpus, id_col, text_col, n_buckets)
 
     if existing is None:
-        info = minhash_docinfo(
-            corpus, id_col, text_col, k, n_perm
-        )
+        info = build_info(corpus, None)
         out = man.drop("__text").join(info.hint("merge"), id_col, "left")
         staging = commit.staging_path(store_path)
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
@@ -177,14 +229,9 @@ def sync_docinfo_store(
             "left_semi",
         )
         delta_info = delta.drop("__text").join(
-            minhash_docinfo(
-                delta.select(id_col, F.col("__text").alias(text_col)),
-                id_col,
-                text_col,
-                k,
-                n_perm,
-                # contract already screened by the manifest diff keys
-                unique_ids=True,
+            # contract already screened by the manifest diff keys
+            build_info(
+                delta.select(id_col, F.col("__text").alias(text_col)), True
             ).hint("merge"),
             id_col,
             "left",
@@ -225,6 +272,42 @@ def read_docinfo_store(
     if df is None:
         raise FileNotFoundError(f"no signature store at {store_path}")
     return df.where(F.col("mh_0").isNotNull()).drop(MD5_COL, BUCKET_COL)
+
+
+def read_winnow_store(
+    spark: SparkSession, store_path: str, commit=None
+) -> DataFrame:
+    """The winnow store as a ``winnow_fp_docinfo``-schema DataFrame:
+    manifest columns dropped, manifest-only rows (docs too short to
+    fingerprint) filtered."""
+    from genie_spark.io.txnlog import LogCommit
+
+    commit = commit or LogCommit()
+    df = commit.read(spark, store_path)
+    if df is None:
+        raise FileNotFoundError(f"no signature store at {store_path}")
+    return df.where(F.col("__fps").isNotNull()).drop(MD5_COL, BUCKET_COL)
+
+
+def winnow_pairs_from_store(
+    spark: SparkSession,
+    store_path: str,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = 1_000,
+    commit=None,
+) -> DataFrame:
+    """MOSS pair report from the PERSISTED winnow store — the batch
+    ``winnow_dup_pairs`` result without its fingerprinting pass
+    (pinned equal by tests/test_analytics.py): explode the stored
+    per-doc fingerprint arrays back to the doc-distinct (id, fp)
+    stream and run the SAME shared join/cap stage."""
+    from genie_spark.analytics.dedup import _winnow_pairs_from_fps
+
+    fps = read_winnow_store(spark, store_path, commit).select(
+        id_col, F.explode("__fps").alias("fp")
+    )
+    return _winnow_pairs_from_fps(fps, id_col, min_shared, max_df)
 
 
 def minhash_pairs_from_store(
@@ -296,19 +379,93 @@ def upsert_docinfo_store(
     batch (the store is one-row-per-id by construction; silently
     keeping either row would corrupt every later diff).
     """
-    from pyspark import StorageLevel
-
     from genie_spark.analytics.dedup import (
         _verify_pairs,
         incremental_minhash_pairs,
         lsh_candidate_pairs,
         minhash_docinfo,
     )
+
+    def detect(store_info, delta_docs):
+        if store_info is not None:
+            pairs, new_info = incremental_minhash_pairs(
+                store_info, delta_docs, id_col, text_col,
+                k, n_perm, bands, threshold,
+            )
+        else:
+            new_info = minhash_docinfo(
+                delta_docs, id_col, text_col, k, n_perm, unique_ids=True
+            ).localCheckpoint(eager=True)
+            cand = lsh_candidate_pairs(
+                new_info.select(id_col, *[f"mh_{i}" for i in range(n_perm)]),
+                id_col, n_perm, bands,
+            )
+            pairs = _verify_pairs(cand, new_info, id_col, threshold)
+        if on_pairs is not None:
+            on_pairs(pairs)
+        return new_info
+
+    return _upsert_store(
+        spark, batch, store_path, id_col, text_col, n_buckets, commit,
+        detect, "mh_0",
+        {"family": "minhash", "k": k, "n_perm": n_perm,
+         "n_buckets": n_buckets},
+    )
+
+
+def upsert_winnow_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    n_buckets: int = 64,
+    commit=None,
+) -> dict:
+    """Winnow-family UPSERT: the continuous-ingest shape of
+    ``sync_winnow_store`` (absent docs KEPT, identical re-delivery a
+    no-op, changed docs re-fingerprinted) — same manifest-diff and
+    bucket-rewrite machinery, property-tested to equal the
+    final-state ``winnow_fp_docinfo`` build for ANY batch sequence."""
+    from genie_spark.analytics.dedup import winnow_fp_docinfo
+
+    def detect(store_info, delta_docs):
+        return winnow_fp_docinfo(
+            delta_docs, id_col, text_col, k, w
+        ).localCheckpoint(eager=True)
+
+    return _upsert_store(
+        spark, batch, store_path, id_col, text_col, n_buckets, commit,
+        detect, "__fps",
+        {"family": "winnow", "k": k, "w": w, "n_buckets": n_buckets},
+    )
+
+
+def _upsert_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    commit,
+    detect,
+    probe_col: str,
+    want_meta: dict,
+) -> dict:
+    """Family-generic store upsert.  ``detect(store_info, delta_docs)``
+    builds the delta's signature rows (and may run the family's pair
+    detection against ``store_info`` — the CURRENT store minus the
+    batch's own ids, or None on first build)."""
+    from pyspark import StorageLevel
+
     from genie_spark.io.txnlog import LogCommit
 
     commit = commit or LogCommit()
     commit.recover(store_path)
-    _check_store_params(store_path, k, n_perm, n_buckets, create=True)
+    _check_store_params(store_path, want_meta, create=True)
     existing = commit.read(spark, store_path)
     man = _manifest(batch, id_col, text_col, n_buckets).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -320,7 +477,7 @@ def upsert_docinfo_store(
         ).first()
         if chk["n"] != chk["nd"]:
             raise ValueError(
-                f"upsert_docinfo_store: batch carries {chk['n'] - chk['nd']}"
+                f"upsert store: batch carries {chk['n'] - chk['nd']}"
                 f" duplicated {id_col!r} rows — the store is one-row-per-id;"
                 " collapse the batch first"
             )
@@ -345,26 +502,14 @@ def upsert_docinfo_store(
             # current store minus the batch's own ids: a changed doc
             # must not pair with its stale signature.  Delta ids are
             # batch-bounded → broadcast anti-join, store never shuffles.
-            store_info = existing.where(F.col("mh_0").isNotNull()).drop(
-                MD5_COL, BUCKET_COL
-            ).join(
+            store_info = existing.where(
+                F.col(probe_col).isNotNull()
+            ).drop(MD5_COL, BUCKET_COL).join(
                 F.broadcast(delta.select(id_col)), id_col, "left_anti"
             )
-            pairs, new_info = incremental_minhash_pairs(
-                store_info, delta_docs, id_col, text_col,
-                k, n_perm, bands, threshold,
-            )
         else:
-            new_info = minhash_docinfo(
-                delta_docs, id_col, text_col, k, n_perm, unique_ids=True
-            ).localCheckpoint(eager=True)
-            cand = lsh_candidate_pairs(
-                new_info.select(id_col, *[f"mh_{i}" for i in range(n_perm)]),
-                id_col, n_perm, bands,
-            )
-            pairs = _verify_pairs(cand, new_info, id_col, threshold)
-        if on_pairs is not None:
-            on_pairs(pairs)
+            store_info = None
+        new_info = detect(store_info, delta_docs)
         new_rows = delta.drop("__text").join(
             new_info.hint("merge"), id_col, "left"
         )

@@ -2820,3 +2820,61 @@ def test_bpe_train_matches_sequential_on_md5_corpus(spark):
     # merge steps are dense and counts non-increasing is NOT required
     # (merges create new pairs), but steps must be 1..10
     assert [g[0] for g in got] == list(range(1, 11))
+
+
+def test_winnow_store_sync_and_pairs(spark, tmp_path):
+    """X49 fingerprints in the signature store: full build → noop →
+    incremental change/removal; the store equals a fresh
+    winnow_fp_docinfo build and pairs-from-store equals the batch
+    winnow_dup_pairs result."""
+    from genie_spark.analytics.dedup import winnow_dup_pairs, winnow_fp_docinfo
+    from genie_spark.analytics.signature_store import (
+        read_winnow_store,
+        sync_winnow_store,
+        winnow_pairs_from_store,
+    )
+
+    store = str(tmp_path / "winstore")
+    docs = _store_corpus(spark, n=30)
+    s1 = sync_winnow_store(spark, docs, store, n_buckets=8)
+    assert s1["mode"] == "full" and s1["delta_rows"] == 30
+    assert sync_winnow_store(spark, docs, store, n_buckets=8)["mode"] == "noop"
+
+    def snap(df):
+        return {
+            r["doc_id"]: tuple(r["__fps"]) for r in df.collect()
+        }
+
+    assert snap(read_winnow_store(spark, store)) == snap(
+        winnow_fp_docinfo(docs)
+    )
+    got = {
+        (r["a"], r["b"], r["n_shared"])
+        for r in winnow_pairs_from_store(spark, store, min_shared=1).collect()
+    }
+    want = {
+        (r["a"], r["b"], r["n_shared"])
+        for r in winnow_dup_pairs(docs, min_shared=1).collect()
+    }
+    assert got == want and got  # non-trivial: boilerplate corpus pairs
+
+    # change one doc, remove one: only the delta re-fingerprints
+    changed = docs.where(F.col("doc_id") != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 3,
+            F.concat(F.col("text"), F.lit(" fresh new suffix text here")),
+        ).otherwise(F.col("text")),
+    )
+    s = sync_winnow_store(spark, changed, store, n_buckets=8)
+    assert s["mode"] == "incremental"
+    assert s["delta_rows"] == 1 and s["removed_rows"] == 2
+    assert snap(read_winnow_store(spark, store)) == snap(
+        winnow_fp_docinfo(changed)
+    )
+
+    # parameter pin: a different (k, w) must refuse to mix spaces
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not\\s+comparable|not "):
+        sync_winnow_store(spark, changed, store, k=10, w=4, n_buckets=8)

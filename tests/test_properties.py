@@ -782,3 +782,49 @@ def test_upsert_store_sequence_equals_final_state_build(spark, tmp_path_factory,
         for r in minhash_docinfo(fdf, k=k, n_perm=8).collect()
     }
     assert got == want
+
+
+@given(batches=st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.text("abcd ", min_size=0, max_size=12)),
+        min_size=1, max_size=4,
+    ),
+    min_size=1, max_size=4,
+))
+@settings(max_examples=6, deadline=None)
+def test_winnow_upsert_sequence_equals_final_state_build(
+    spark, tmp_path_factory, batches
+):
+    """ANY sequence of winnow-store upsert batches (including id
+    overwrites) leaves the store equivalent to a from-scratch
+    winnow_fp_docinfo build over the final corpus state — the same
+    invariant the minhash store carries."""
+    from genie_spark.analytics.dedup import winnow_fp_docinfo
+    from genie_spark.analytics.signature_store import (
+        read_winnow_store,
+        upsert_winnow_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("props") / "winstore")
+    final = {}
+    for batch in batches:
+        dedup = {}
+        for did, text in batch:
+            dedup[did] = (text + " ") * 4
+        final.update(dedup)
+        bdf = spark.createDataFrame(
+            list(dedup.items()), "doc_id long, text string"
+        )
+        upsert_winnow_store(spark, bdf, store, k=3, w=2, n_buckets=2)
+    got = {
+        r["doc_id"]: tuple(r["__fps"])
+        for r in read_winnow_store(spark, store).collect()
+    }
+    fdf = spark.createDataFrame(
+        list(final.items()), "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: tuple(r["__fps"])
+        for r in winnow_fp_docinfo(fdf, k=3, w=2).collect()
+    }
+    assert got == want
