@@ -631,9 +631,24 @@ def main() -> None:
             return
         from genie_spark.analytics.signature_store import sync_docinfo_store
 
+        import tempfile
+
+        # untimed warmup at a token size: JIT-compile the exact sync
+        # code paths (manifest diff joins, partitioned write, txnlog
+        # commit) so the small tier measures sync cost, not first-run
+        # JIT tax (round-10's 68 s small-tier reading was exactly that)
+        wstore = tempfile.mkdtemp() + "/sigstore_warm"
+        sync_docinfo_store(
+            spark, synth_docs(spark, 2_000).repartition(32), wstore,
+            n_buckets=64,
+        )
+        sync_docinfo_store(
+            spark, synth_docs(spark, 2_200).repartition(32), wstore,
+            n_buckets=64,
+        )
+
         times, fulls = {}, {}
         for label, n in (("small", small), ("big", big)):
-            import tempfile
 
             store = tempfile.mkdtemp() + "/sigstore"
             # untimed: the existing store of n docs (prior runs' cost)
