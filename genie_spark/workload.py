@@ -1039,85 +1039,73 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
-    # Round-10 rotation (VERDICT r9 item 2 — freshness): every tail
-    # query below was driver-green in ROUND 9 (CORRECTNESS_r09.json,
-    # the youngest possible evidence), and every query it displaces
-    # from the window had only r6/r7/r8-era driver rows (13 r6-green,
-    # 24 r7-green, 2 r8-green — verified per-round from the committed
-    # CORRECTNESS_r0*.json files).  The window therefore now holds:
-    # the 39 oldest-evidence queries, the 7 NEW round-10 rows — X47
-    # dedup_substring_spans / dedup_substring_pairs /
-    # dedup_substring_clean, X48 text_bm25_topk, X49
-    # dedup_winnow_fingerprints / dedup_winnow_pairs, X50
-    # text_quality_classifier (first driver rows each) — and 4
-    # r9-green keeps whose ENGINES this round touched or that anchor
-    # the run: q1_pricing_summary (flagship/entry), dedup_edit_near
-    # (X46 hash-carried candidate distinct + shuffle_hash verify
-    # joins), dedup_minhash_lsh (shingles unique-id guard),
-    # layout_zorder_str (with_zorder approx-distinct pre-flight; the
-    # numeric-dim layout_zorder shares the same engine).  All tail
-    # queries keep their r9 driver rows and the local
-    # tools/verify_oracle.py sweep.
-    # a8 rotated to the tail late in round 10 to make room for the
-    # third X47 row (dedup_substring_clean — first driver row); the
-    # dup-merge family keeps its r9-green row and the local sweep
-    "a8_merge_duplicates",
-    # corpus_bloom_decontaminate rotated late in round 10 for the NEW
-    # text_bm25_topk row (first driver row); the decontamination
-    # family keeps its r9-green row (bloom fix verified in BENCH_r09 +
-    # this round's bench) and the local sweep
-    "corpus_bloom_decontaminate",
-    # dedup_setsim_prefix / sketch_heavy_hitters rotated late in round
-    # 10 for the NEW X49 winnowing rows (first driver rows); both keep
-    # their r9-green driver rows, r9-era engines untouched this round
-    "dedup_setsim_prefix",
-    "sketch_heavy_hitters",
-    # layout_zorder rotated late in round 10 for the NEW X50
-    # text_quality_classifier row (first driver row); the zorder
-    # family keeps BOTH its r9-green rows fresh via the in-window
-    # layout_zorder_str (same with_zorder engine, string + numeric dims)
-    "layout_zorder",
-    "a11_fill_count_algebra",
-    "a13_group_concat",
-    "a14_distinct_union",
-    "a1_counts_with_total",
-    "a3_pivot_counts",
-    "a4_completeness",
-    "a5_lag_difference",
-    "a6_release_diff",
-    "a7_median",
-    "ann_ivf_topk",
-    "ann_lsh_banded",
-    "ann_lsh_buckets",
-    "cluster_balanced_sample",
-    "cluster_kmeans",
-    "corpus_priority_sample",
-    "corpus_token_budget",
-    "dedup_embedding_drop",
-    "dedup_exact",
-    "dedup_semantic",
-    "dedup_simhash",
-    "j10_symbol_remap",
-    "j1_revenue_per_nation",
-    "j3_interval_join",
-    "j4_containment_join",
-    "j7_upsert_diff",
-    "j8_broadcast_lookup",
-    "j9_code_remap",
-    "multimodal_features",
-    "p12_date_window_filter",
-    "p14_group_count_filter",
-    "p15_retract_cascade",
-    "p3_semi_filter",
-    "p4_anti_filter",
-    "p6_greatest_threshold",
-    "s12_pushdown_scan",
-    "sketch_count_min",
-    "sketch_hll_distinct",
-    "text_quality",
-    "w1_adjacent_events",
-    "w2_latest_per_key",
-    "w4_asof_join",
+    # Round-11 rotation (VERDICT r10 item 2 — the standing freshness
+    # practice): every tail query below was driver-green in ROUND 10
+    # (CORRECTNESS_r10.json — the youngest possible evidence), and the
+    # 46 queries they displace from the window all carried only
+    # r9-era driver rows.  The window therefore now holds: the 46
+    # oldest-evidence (r9-green) queries, the THREE new round-11 rows
+    # — X51 corpus_dsir_sample, X52 text_bpe_merges, and
+    # dedup_substring_clean_min50 (the min_span_len operating point)
+    # — each needing a first driver row, and q1_pricing_summary (the
+    # flagship/entry anchor, kept in-window every round).  Engines
+    # touched this round that rotate to the tail anyway keep their
+    # r10 rows AND the local sf0.01 sweep: text_bm25_topk (empty-
+    # corpus guard — unreachable on non-empty sfs),
+    # dedup_substring_clean (min_span_len default None preserves
+    # behavior; the new parameter gets its own in-window row),
+    # dedup_winnow_pairs (pair stage factored verbatim into
+    # _winnow_pairs_from_fps), dedup_minhash_lsh (unique_ids
+    # passthrough, default unchanged).
+    "a15_case_lists",
+    "a16_filtered_counts",
+    "a17_value_decreases",
+    "a2_distinct_counts",
+    "a9_duplicate_keys",
+    "ann_cosine_pairs",
+    "ann_topk",
+    "corpus_chunk_overlap",
+    "corpus_decontaminate",
+    "corpus_keep_list",
+    "corpus_pack_sequences",
+    "corpus_passage_dedup",
+    "corpus_split_shuffle",
+    "corpus_stratified_sample",
+    "dedup_components",
+    "dedup_edit_near",
+    "dedup_incremental_minhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_quality_survivors",
+    "dedup_substring_clean",
+    "dedup_substring_pairs",
+    "dedup_substring_spans",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "j11_containment_check",
+    "j3_interval_anti",
+    "j5_feature_type",
+    "j6_max_overlap_remap",
+    "layout_zorder_str",
+    "multimodal_audio_dedup",
+    "multimodal_phash_dedup",
+    "p7_contains_filter",
+    "phi_redaction",
+    "s15_apply_upsert",
+    "scalar_battery",
+    "set_except_distinct",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "sketch_quantiles",
+    "text_bm25_topk",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lm_surprisal",
+    "text_pii_scrub",
+    "text_quality_classifier",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_token_stats",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

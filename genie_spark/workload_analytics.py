@@ -2033,7 +2033,16 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(_docs(spark, sf_dir), k=SPAN_K, min_count=2)
 
 
-SUBSTRING_CLEAN_SQL = f"""
+def _substring_clean_sql(min_span_len: int | None = None) -> str:
+    """Oracle for remove_duplicate_spans; ``min_span_len`` extends the
+    island CTE with the Lee et al. length predicate (the engine's
+    min_span_len parameter)."""
+    having = (
+        f"HAVING max(pos) + {SPAN_K - 1} - min(pos) + 1 >= {min_span_len}"
+        if min_span_len is not None
+        else ""
+    )
+    return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS ({_SPAN_ANCHORS_SQL}),
 d AS (
@@ -2058,6 +2067,7 @@ isl AS (
 sp AS (
   SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
   FROM isl GROUP BY doc_id, island
+  {having}
 ),
 cov AS (
   SELECT DISTINCT doc_id, pos FROM (
@@ -2080,6 +2090,26 @@ SELECT t.doc_id,
            AS n_tokens_removed
 FROM t LEFT JOIN agg USING (doc_id)
 """
+
+
+SUBSTRING_CLEAN_SQL = _substring_clean_sql()
+
+SPAN_MIN_LEN = 50  # Lee et al. 2021's published operating point
+
+
+def dedup_substring_clean_min50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 substring-span removal at the Lee et al. 2021 operating
+    point: only duplicated islands >= 50 tokens are cut (the
+    min_span_len parameter, round-11) — keep-first semantics
+    otherwise identical to dedup_substring_clean.  Non-degenerate at
+    these sfs: sf0.01 island lengths span 11..93 (median 42), so the
+    threshold filters a real subset."""
+    from genie_spark.analytics.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _docs(spark, sf_dir), k=SPAN_K, min_count=2,
+        min_span_len=SPAN_MIN_LEN,
+    )
 
 
 BM25_QUERY = ("hash", "join", "vector")
@@ -2409,6 +2439,7 @@ ANALYTICS_QUERIES: dict = {
     "text_quality_classifier": text_quality_classifier,
     "corpus_dsir_sample": corpus_dsir_sample,
     "text_bpe_merges": text_bpe_merges,
+    "dedup_substring_clean_min50": dedup_substring_clean_min50,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2467,4 +2498,5 @@ ANALYTICS_ORACLES: dict = {
     "text_quality_classifier": QUALITY_CLS_SQL,
     "corpus_dsir_sample": DSIR_SQL,
     "text_bpe_merges": _bpe_sql(BPE_MERGES),
+    "dedup_substring_clean_min50": _substring_clean_sql(SPAN_MIN_LEN),
 }
