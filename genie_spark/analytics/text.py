@@ -610,3 +610,49 @@ def bpe_train(
         "step bigint, lhs string, rhs string, merged string, "
         "pair_count bigint",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X53 — apply a learned BPE merge table to a corpus (the encode
+    side of ``bpe_train``; Sennrich et al. 2016 apply_bpe): each
+    word's symbol string replays the merges IN LEARNED ORDER, each as
+    a greedy leftmost non-overlapping literal replace — exactly the
+    trainer's semantics, so encoding the training corpus reproduces
+    the trainer's final state.
+
+    Returns (id, bpe_tokens array<string>, n_tokens, n_subwords):
+    per-document subword sequence (document order preserved),
+    whitespace-token and subword counts.
+
+    Spark shape: ENTIRELY map-side — the merge table is a bounded
+    list of literals compiled into a chain of ``F.replace`` column
+    expressions over the per-word symbol encoding (no join, no
+    shuffle, no UDF); one transform over the token array per row.
+    The per-word encode/replace/split runs inside a bound-lambda
+    ``transform`` (the token_ngrams discipline: the token array is
+    materialized once per row).
+    """
+    toks = tokens(text_col)
+
+    def encode_word(w: Column) -> Column:
+        # " a b c" — the regexp inserts one leading space per symbol,
+        # byte-identical to the trainer's state encoding
+        s = F.regexp_replace(w, "(.)", " $1")
+        # chain is driver-side bounded (|merges| literals); Catalyst
+        # folds it into one projection
+        for lhs, rhs in merges:
+            s = F.replace(s, F.lit(f" {lhs} {rhs}"), F.lit(f" {lhs}{rhs}"))
+        return F.split(F.ltrim(s), " ")
+
+    sub = F.flatten(F.transform(toks, encode_word))
+    return df.select(
+        id_col,
+        sub.alias("bpe_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(sub).cast("long").alias("n_subwords"),
+    )

@@ -1047,8 +1047,12 @@ _TAIL_QUERIES = [
     # oldest-evidence (r9-green) queries, the THREE new round-11 rows
     # — X51 corpus_dsir_sample, X52 text_bpe_merges, and
     # dedup_substring_clean_min50 (the min_span_len operating point)
-    # — each needing a first driver row, and q1_pricing_summary (the
-    # flagship/entry anchor, kept in-window every round).  Engines
+    # — each needing a first driver row.  A late round-11 fourth new
+    # row (X53 text_bpe_encode, the apply side of the BPE trainer)
+    # takes the 50th slot; q1_pricing_summary rotates to the tail for
+    # it — q1 keeps its r10-green driver row AND is still executed by
+    # the driver every round as the entry() smoke check, so it is the
+    # one query whose freshness never actually lapses.  Engines
     # touched this round that rotate to the tail anyway keep their
     # r10 rows AND the local sf0.01 sweep: text_bm25_topk (empty-
     # corpus guard — unreachable on non-empty sfs),
@@ -1057,6 +1061,7 @@ _TAIL_QUERIES = [
     # dedup_winnow_pairs (pair stage factored verbatim into
     # _winnow_pairs_from_fps), dedup_minhash_lsh (unique_ids
     # passthrough, default unchanged).
+    "q1_pricing_summary",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

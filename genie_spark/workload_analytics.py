@@ -2385,6 +2385,67 @@ s{i} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 BPE encode: train the merge table on the corpus (the X52
+    trainer) and APPLY it back — per-document subword sequences as a
+    space-joined string plus token/subword accounting.  The apply side
+    is entirely map-side (a bounded chain of literal replaces compiled
+    into one projection — no join, no shuffle, no UDF)."""
+    from genie_spark.analytics.text import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        "n_tokens",
+        "n_subwords",
+    )
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """DuckDB mirror of train-then-encode: the SAME b1..bN merge CTEs
+    as ``_bpe_sql``, then every word replays the replace chain in
+    learned order (cross join against the N one-row winner CTEs)."""
+    # rebuild the training CTE chain (duplicated from _bpe_sql's body
+    # by construction: both oracles must pin the identical chain)
+    train = _bpe_sql(n_merges)
+    ctes = train.split("\nSELECT CAST(1 AS BIGINT)")[0]  # "WITH w AS ... )"
+    chain = f"regexp_replace(w, '(.)', ' \\1', 'g')"
+    for i in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, ' ' || b{i}.lhs || ' ' || b{i}.rhs,"
+            f" ' ' || b{i}.lhs || b{i}.rhs)"
+        )
+    froms = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
+    return f"""{ctes},
+t2 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok2 AS (
+  SELECT doc_id, i, toks[i] AS w
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t2)
+),
+enc AS (
+  SELECT doc_id, i, ltrim({chain}) AS e
+  FROM tok2, {froms}
+),
+agg2 AS (
+  SELECT doc_id, string_agg(e, ' ' ORDER BY i) AS bpe_text,
+         CAST(sum(len(regexp_split_to_array(e, ' '))) AS BIGINT)
+             AS n_subwords
+  FROM enc GROUP BY doc_id
+)
+SELECT t2.doc_id,
+       coalesce(agg2.bpe_text, '') AS bpe_text,
+       CAST(len(t2.toks) AS BIGINT) AS n_tokens,
+       coalesce(agg2.n_subwords, 0) AS n_subwords
+FROM t2 LEFT JOIN agg2 USING (doc_id)
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2440,6 +2501,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_dsir_sample": corpus_dsir_sample,
     "text_bpe_merges": text_bpe_merges,
     "dedup_substring_clean_min50": dedup_substring_clean_min50,
+    "text_bpe_encode": text_bpe_encode,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2499,4 +2561,5 @@ ANALYTICS_ORACLES: dict = {
     "corpus_dsir_sample": DSIR_SQL,
     "text_bpe_merges": _bpe_sql(BPE_MERGES),
     "dedup_substring_clean_min50": _substring_clean_sql(SPAN_MIN_LEN),
+    "text_bpe_encode": _bpe_encode_sql(BPE_MERGES),
 }

@@ -2878,3 +2878,29 @@ def test_winnow_store_sync_and_pairs(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not\\s+comparable|not "):
         sync_winnow_store(spark, changed, store, k=10, w=4, n_buckets=8)
+
+
+def test_bpe_encode_roundtrip_and_shape(spark):
+    """X53: encoding the training corpus with the learned merges
+    reproduces the trainer's final word states (same greedy replace
+    semantics); merged subwords concatenate back to the original
+    words; token accounting is exact."""
+    from genie_spark.analytics.text import bpe_encode, bpe_train
+
+    texts = ["low lower lowest low low", "new newer newest new", ""]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_train(docs, n_merges=4).collect()
+    ]
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    # subwords concatenate back to the original text (no space)
+    for i, t in enumerate(texts):
+        assert "".join(out[i]["bpe_tokens"]) == t.replace(" ", "")
+        assert out[i]["n_tokens"] == len(t.split())
+        assert out[i]["n_subwords"] == len(out[i]["bpe_tokens"])
+    # after ('l','o') and ('lo','w') merges, 'low' encodes as one token
+    if ("l", "o") in merges and ("lo", "w") in merges:
+        toks0 = out[0]["bpe_tokens"]
+        assert "low" in toks0
+    # empty doc: empty sequence
+    assert out[2]["bpe_tokens"] == [] and out[2]["n_subwords"] == 0

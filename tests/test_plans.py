@@ -615,3 +615,17 @@ def test_bpe_pair_counts_partial_agg_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "FileScan" not in plan, plan  # state is checkpointed, no re-scan
     assert "Join" not in plan, plan
+
+
+def test_bpe_encode_map_side_only(spark):
+    """X53: applying the merge table is a pure projection — no join,
+    no aggregate-exchange beyond the loader repartition; the literal
+    replace chain folds into one codegen'd project."""
+    from genie_spark.analytics.text import bpe_encode
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bpe_encode(docs, [("a", "b"), ("ab", "c")])
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
