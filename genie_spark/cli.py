@@ -744,7 +744,27 @@ def cmd_public(spark: SparkSession, args: argparse.Namespace) -> int:
         pub_clin_cl = pub_clin_cl.withColumn(
             "CANCER_TYPE", F.lit(None).cast("string")
         )
-    for name, text in case_list_texts(pub_clin_cl, study_id=study_id).items():
+    cl_texts = dict(case_list_texts(pub_clin_cl, study_id=study_id))
+    # alteration case lists too (reference create_case_lists.main
+    # takes the assay-information file alongside the clinical): read
+    # the released assay_information.txt so cases_cna / cases_sv stay
+    # consistent with the CNA/SV data the public dir carries
+    assay_txt = os.path.join(args.release_dir, "assay_information.txt")
+    if (
+        os.path.isfile(assay_txt)
+        and "SEQ_ASSAY_ID" in pub_clin_cl.columns
+    ):
+        from genie_spark.io.writers import case_list_alteration_texts
+
+        assay_info = (
+            spark.read.option("sep", "\t").option("header", "true")
+            .csv(assay_txt)
+        )
+        if "alteration_types" in assay_info.columns:
+            cl_texts.update(
+                case_list_alteration_texts(pub_clin_cl, assay_info, study_id)
+            )
+    for name, text in cl_texts.items():
         with open(os.path.join(case_dir, name), "w") as f:
             f.write(text)
 

@@ -47,6 +47,10 @@ cBioPortal ingestion depends on:
   leading the patient file, PATIENT_ID then SAMPLE_ID leading the
   sample file (cBioPortal's patient-before-sample order), attributes
   at their level, split sample ids ⊆ the merged file, metas present;
+- profile ↔ case-list cross-references (round 11, completing the
+  validateData notch): mutation/CNA/SV data files require their
+  cases_sequenced/cases_cna/cases_sv lists, and the CNA sample
+  columns / SV samples must appear in them;
 - gene matrix internal + cross-file consistency: one row per sample
   (reference dedups before writing, database_to_staging.py:1628),
   `mutations` equals the sample's clinical SEQ_ASSAY_ID (the matrix is
@@ -510,6 +514,8 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
     case_stable_ids: dict[str, list[str]] = {}
     sequenced_ids: list[str] | None = None
     cases_all_ids: list[str] | None = None
+    cna_case_ids: set[str] | None = None
+    sv_case_ids: set[str] | None = None
     for p in case_files:
         name = os.path.basename(p)
         kv = _parse_kv_text(p)
@@ -519,6 +525,10 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             sequenced_ids = [s for s in kv["case_list_ids"].split("\t") if s]
         if name == "cases_all.txt" and "case_list_ids" in kv:
             cases_all_ids = [s for s in kv["case_list_ids"].split("\t") if s]
+        if name == "cases_cna.txt" and "case_list_ids" in kv:
+            cna_case_ids = {s for s in kv["case_list_ids"].split("\t") if s}
+        if name == "cases_sv.txt" and "case_list_ids" in kv:
+            sv_case_ids = {s for s in kv["case_list_ids"].split("\t") if s}
         missing_keys = [k for k in _CASE_LIST_KEYS if k not in kv]
         if missing_keys:
             err(
@@ -603,6 +613,33 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 "cover the study)",
                 n=n,
             )
+
+    # profile ↔ case-list cross-reference (cBioPortal validateData:
+    # a study with mutation / CNA / SV data MUST ship the matching
+    # cases_sequenced / cases_cna / cases_sv list — the profile is
+    # queried through its case list, so a missing one hides the whole
+    # profile after import; the reference's create_case_lists writes
+    # them from the same data files, so absence means a hand-pruned
+    # release directory)
+    profile_case_lists = {
+        "data_mutations_extended.txt": "cases_sequenced.txt",
+        "data_CNA.txt": "cases_cna.txt",
+        "data_sv.txt": "cases_sv.txt",
+    }
+    present_case_files = {os.path.basename(p) for p in case_files}
+    missing_cl = sorted(
+        cl
+        for d, cl in profile_case_lists.items()
+        if os.path.isfile(os.path.join(release_dir, d))
+        and cl not in present_case_files
+    )
+    if missing_cl:
+        err(
+            "release.case_list_profile",
+            "release: profile data files present without their case "
+            f"lists: {missing_cl}",
+            n=len(missing_cl),
+        )
 
     # --- maf -------------------------------------------------------------
     maf_path = os.path.join(release_dir, "data_mutations_extended.txt")
@@ -776,6 +813,26 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                     n=n_bad,
                 )
             _collect_builds(sv, sv_nb, "data_sv.txt")
+        # profile ⊆ its case list (the cases_sequenced analogue for
+        # the SV profile); data-sized SV table stays distributed
+        sv_sid = _resolve(sv, "SAMPLE_ID")
+        if sv_case_ids is not None and sv_sid is not None:
+            probe = spark.createDataFrame(
+                [(i,) for i in sorted(sv_case_ids)], "SAMPLE_ID string"
+            )
+            n = (
+                sv.select(F.col(sv_sid).alias("SAMPLE_ID"))
+                .distinct()
+                .join(F.broadcast(probe), "SAMPLE_ID", "left_anti")
+                .count()
+            )
+            if n:
+                err(
+                    "release.sv_case_list",
+                    "release: data_sv.txt samples missing from "
+                    "case_lists/cases_sv.txt",
+                    n=n,
+                )
     all_builds = set().union(*builds_by_file.values()) if builds_by_file else set()
     if len(all_builds) > 1:
         err(
@@ -1133,6 +1190,19 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 n=len(stray),
                 examples=stray[:5],
             )
+        # profile ⊆ its case list (validateData: a profiled sample
+        # missing from cases_cna is invisible in CNA views) — both
+        # sides KB-scale driver lists, a set diff suffices
+        if cna_case_ids is not None:
+            not_listed = sorted(set(samples) - cna_case_ids)
+            if not_listed:
+                err(
+                    "release.cna_case_list",
+                    "release: data_CNA.txt sample columns missing from "
+                    "case_lists/cases_cna.txt",
+                    n=len(not_listed),
+                    examples=not_listed[:5],
+                )
         # discrete CNA value domain (validateData.py: GISTIC-style
         # calls must be -2/-1.5/-1/0/1/2 or NA); one distributed pass
         # over an array of all sample columns, no per-column jobs

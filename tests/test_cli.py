@@ -77,6 +77,11 @@ def _write_assay(tmp_path):
         "  target_capture_kit: kit-1\n"
         "  read_length: 100\n"
         "  number_of_genes: 2\n"
+        # the release ships CNA + SV data for this assay, so the assay
+        # declaration must say so (reference genie_registry/assay.py
+        # alteration_types domain) — the QC profile↔case-list rule
+        # catches the inconsistency otherwise
+        "  alteration_types: snv;small_indels;gene_level_cna;structural_variants\n"
     )
     return [str(p)]
 
@@ -407,6 +412,18 @@ def test_release_qc_stage(spark, tmp_path):
     write(
         "case_lists/cases_all.txt",
         "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\tGENIE-SAGE-2-1\n",
+    )
+    # mutation + CNA data require their case lists (round-11
+    # profile↔case-list cross-reference rule)
+    write(
+        "case_lists/cases_sequenced.txt",
+        "cancer_study_identifier: s\nstable_id: s_sequenced\ncase_list_name: n\n"
+        "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\n",
+    )
+    write(
+        "case_lists/cases_cna.txt",
+        "cancer_study_identifier: s\nstable_id: s_cna\ncase_list_name: n\n"
         "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\tGENIE-SAGE-2-1\n",
     )
     from genie_spark.io.writers import cbio_meta_texts
@@ -851,6 +868,12 @@ def test_release_qc_priority_and_split_clinical(spark, tmp_path):
             "case_list_name: n\ncase_list_description: d\n"
             "case_list_ids: GENIE-SAGE-1-1\n",
         )
+        write(
+            "case_lists/cases_sequenced.txt",
+            "cancer_study_identifier: s\nstable_id: s_sequenced\n"
+            "case_list_name: n\ncase_list_description: d\n"
+            "case_list_ids: GENIE-SAGE-1-1\n",
+        )
         present = {
             n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))
         }
@@ -924,6 +947,75 @@ def test_release_qc_priority_and_split_clinical(spark, tmp_path):
     os.remove(os.path.join(out, "meta_clinical_sample.txt"))
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.meta_missing" in ids
+
+
+def test_release_qc_profile_case_list_cross_refs(spark, tmp_path):
+    """validateData's profile↔case-list cross-references: CNA/SV data
+    files require cases_cna/cases_sv, and the profiled samples must
+    appear in them."""
+    from genie_spark.io.writers import cbio_meta_texts
+    from genie_spark.release.qc import validate_release
+
+    out = str(tmp_path / "rel")
+    os.makedirs(os.path.join(out, "case_lists"))
+
+    def write(path, text):
+        with open(os.path.join(out, path), "w") as f:
+            f.write(text)
+
+    write(
+        "data_clinical.txt",
+        "#Sample Id\n#d\n#STRING\n#1\n"
+        "SAMPLE_ID\nGENIE-SAGE-1-1\nGENIE-SAGE-2-1\n",
+    )
+    write(
+        "data_mutations_extended.txt",
+        "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-SAGE-1-1\n",
+    )
+    write("data_CNA.txt", "Hugo_Symbol\tGENIE-SAGE-1-1\tGENIE-SAGE-2-1\nTP53\t-1\t0\n")
+    write(
+        "data_sv.txt",
+        "SAMPLE_ID\tNCBI_BUILD\nGENIE-SAGE-1-1\tGRCh37\n",
+    )
+
+    def case_list(stem, ids):
+        write(
+            f"case_lists/cases_{stem}.txt",
+            f"cancer_study_identifier: s\nstable_id: s_{stem}\n"
+            f"case_list_name: n\ncase_list_description: d\n"
+            f"case_list_ids: {ids}\n",
+        )
+
+    case_list("all", "GENIE-SAGE-1-1\tGENIE-SAGE-2-1")
+    case_list("sequenced", "GENIE-SAGE-1-1\tGENIE-SAGE-2-1")
+    case_list("cna", "GENIE-SAGE-1-1\tGENIE-SAGE-2-1")
+    case_list("sv", "GENIE-SAGE-1-1")
+    present = {
+        n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))
+    }
+    for name, text in cbio_meta_texts("s", "1.0", present).items():
+        write(name, text)
+    assert validate_release(spark, out).errors == []
+
+    # remove cases_cna → existence rule fires
+    os.remove(os.path.join(out, "case_lists", "cases_cna.txt"))
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.case_list_profile" in ids
+
+    # cases_cna missing a profiled sample column → membership rule
+    case_list("cna", "GENIE-SAGE-1-1")
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.cna_case_list" in ids
+    case_list("cna", "GENIE-SAGE-1-1\tGENIE-SAGE-2-1")
+
+    # cases_sv missing an SV-profiled sample → membership rule
+    write(
+        "data_sv.txt",
+        "SAMPLE_ID\tNCBI_BUILD\nGENIE-SAGE-1-1\tGRCh37\n"
+        "GENIE-SAGE-2-1\tGRCh37\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.sv_case_list" in ids
 
 
 def test_write_cbio_clinical_split(spark, tmp_path):
