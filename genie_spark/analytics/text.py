@@ -1,9 +1,11 @@
 """Text analysis over a document table: tokenization stats, quality
 scoring, language identification, fingerprinting.
 
-All pure ``pyspark.sql.functions`` expressions (codegen'd, Arrow-free).
-Ratios are computed as int/int divisions — deterministic across
-engines, so the DuckDB oracle hash-matches.
+All pure ``pyspark.sql.functions`` expressions (codegen'd) except
+``normalize_text``, the module's one documented Arrow escape (Spark
+SQL has no Unicode normalizer; a VECTORIZED pandas_udf, never a
+row-wise Python UDF).  Ratios are computed as int/int divisions —
+deterministic across engines, so the DuckDB oracle hash-matches.
 """
 
 from __future__ import annotations
@@ -655,4 +657,61 @@ def bpe_encode(
         sub.alias("bpe_tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(sub).cast("long").alias("n_subwords"),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    form: str = "NFC",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X54 — Unicode normalization of a text corpus (NFC default;
+    NFD/NFKC/NFKD accepted): the canonicalization step every
+    hash-based dedup/decontamination pipeline needs FIRST — "café"
+    composed and decomposed are different byte strings, so without it
+    exact dedup (X1), shingle hashing (X3), and n-gram
+    decontamination (X12) silently miss equal texts that differ only
+    in codepoint composition (CCNet/Dolma normalize before hashing
+    for exactly this reason).
+
+    Returns (id, text_norm, changed, n_chars, n_chars_norm):
+    normalized text plus the audit columns a cleaning report needs
+    (the X32 audit-count discipline — how many docs the pass touched
+    is one aggregation away, never silent).
+
+    Spark shape: there is no JVM-side Unicode normalizer in Spark
+    SQL, so this is one of the package's few Arrow escapes — a
+    VECTORIZED pandas_udf (Arrow batch transfer, ``unicodedata``'s
+    C implementation per batch; never a row-at-a-time Python UDF).
+    Narrow plan: no shuffle, scales as the scan.  The DuckDB oracle
+    is ``nfc_normalize`` (utf8proc) — both implement canonical
+    Unicode normalization, verified equal on composition,
+    compatibility, and combining-mark cases.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_text: unknown form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_batches(s):  # pd.Series -> pd.Series (hints omitted:
+        # postponed-annotation strings don't resolve for pandas_udf
+        # under `from __future__ import annotations`)
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _norm = pandas_udf(_norm_batches, "string")
+
+    t = F.col(text_col)
+    # bind the UDF result to a NAMED column first: three inline
+    # `_norm(t)` expressions would risk three Arrow evaluations per
+    # row (Python UDFs are opaque to common-subexpression elimination)
+    return df.withColumn("text_norm", _norm(t)).select(
+        id_col,
+        "text_norm",
+        (~(F.col("text_norm") == t)).alias("changed"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
     )

@@ -1062,6 +1062,13 @@ _TAIL_QUERIES = [
     # _winnow_pairs_from_fps), dedup_minhash_lsh (unique_ids
     # passthrough, default unchanged).
     "q1_pricing_summary",
+    # ann_lsh_banded rotated late in round 11 for the NEW X54
+    # text_normalize_nfc row (first driver row): the banded-LSH family
+    # keeps ann_lsh_buckets in-window this round, ann_lsh_banded keeps
+    # its r9-green driver row + the local sweep (same plane-sizing
+    # engine, untouched since round 8) — the r8 redundant-variant
+    # rotation rationale
+    "ann_lsh_banded",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

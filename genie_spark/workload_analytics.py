@@ -2446,6 +2446,25 @@ FROM t2 LEFT JOIN agg2 USING (doc_id)
 """
 
 
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 Unicode NFC normalization with change accounting — the
+    canonicalization pass hash-based dedup needs first.  Arrow
+    pandas_udf (unicodedata) vs DuckDB's utf8proc nfc_normalize."""
+    from genie_spark.analytics.text import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir), form="NFC")
+
+
+NORMALIZE_SQL = """
+SELECT doc_id,
+       nfc_normalize(text) AS text_norm,
+       NOT (nfc_normalize(text) = text) AS changed,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2502,6 +2521,7 @@ ANALYTICS_QUERIES: dict = {
     "text_bpe_merges": text_bpe_merges,
     "dedup_substring_clean_min50": dedup_substring_clean_min50,
     "text_bpe_encode": text_bpe_encode,
+    "text_normalize_nfc": text_normalize_nfc,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2562,4 +2582,5 @@ ANALYTICS_ORACLES: dict = {
     "text_bpe_merges": _bpe_sql(BPE_MERGES),
     "dedup_substring_clean_min50": _substring_clean_sql(SPAN_MIN_LEN),
     "text_bpe_encode": _bpe_encode_sql(BPE_MERGES),
+    "text_normalize_nfc": NORMALIZE_SQL,
 }

@@ -2904,3 +2904,32 @@ def test_bpe_encode_roundtrip_and_shape(spark):
         assert "low" in toks0
     # empty doc: empty sequence
     assert out[2]["bpe_tokens"] == [] and out[2]["n_subwords"] == 0
+
+
+def test_normalize_text_forms_and_audit(spark):
+    """X54: composed/decomposed inputs normalize to equal NFC bytes;
+    the audit columns count what changed; NFKC folds compatibility
+    chars; invalid form raises."""
+    import unicodedata
+
+    from genie_spark.analytics.text import normalize_text
+
+    decomposed = "cafe\u0301 and more"  # e + combining acute, explicit
+    composed = unicodedata.normalize("NFC", decomposed)
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "plain ascii"), (4, "ﬁle")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[1]["text_norm"] == composed and out[1]["changed"]
+    assert out[1]["n_chars"] == out[1]["n_chars_norm"] + 1
+    assert not out[2]["changed"] and not out[3]["changed"]
+    assert not out[4]["changed"]                 # NFC keeps ligatures
+    nfkc = {
+        r["doc_id"]: r for r in normalize_text(docs, form="NFKC").collect()
+    }
+    assert nfkc[4]["text_norm"] == "file" and nfkc[4]["changed"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown form"):
+        normalize_text(docs, form="NFX")
