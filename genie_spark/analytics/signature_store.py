@@ -421,25 +421,105 @@ def upsert_winnow_store(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1_000,
     n_buckets: int = 64,
     commit=None,
+    on_pairs=None,
 ) -> dict:
     """Winnow-family UPSERT: the continuous-ingest shape of
     ``sync_winnow_store`` (absent docs KEPT, identical re-delivery a
     no-op, changed docs re-fingerprinted) — same manifest-diff and
     bucket-rewrite machinery, property-tested to equal the
-    final-state ``winnow_fp_docinfo`` build for ANY batch sequence."""
+    final-state ``winnow_fp_docinfo`` build for ANY batch sequence.
+
+    ``on_pairs(pairs_df)`` (optional) receives the batch's MOSS pair
+    report — (a, b, n_shared) with a < b, ≥ ``min_shared`` shared
+    fingerprints, new↔new AND new↔store, the batch compared only
+    against CURRENT store rows minus its own ids — invoked BEFORE the
+    store commit (the ``upsert_docinfo_store`` exactly-once
+    ordering)."""
     from genie_spark.analytics.dedup import winnow_fp_docinfo
 
     def detect(store_info, delta_docs):
-        return winnow_fp_docinfo(
+        new_info = winnow_fp_docinfo(
             delta_docs, id_col, text_col, k, w
         ).localCheckpoint(eager=True)
+        if on_pairs is not None:
+            new_fps = new_info.select(
+                id_col, F.explode("__fps").alias("fp")
+            )
+            store_fps = (
+                store_info.select(id_col, F.explode("__fps").alias("fp"))
+                if store_info is not None
+                else None
+            )
+            on_pairs(
+                _winnow_batch_pairs(
+                    new_fps, store_fps, id_col, min_shared, max_df
+                )
+            )
+        return new_info
 
     return _upsert_store(
         spark, batch, store_path, id_col, text_col, n_buckets, commit,
         detect, "__fps",
         {"family": "winnow", "k": k, "w": w, "n_buckets": n_buckets},
+    )
+
+
+def _winnow_batch_pairs(
+    new_fps: DataFrame,
+    store_fps: DataFrame | None,
+    id_col: str,
+    min_shared: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Pairs TOUCHING the batch: new↔new (a < b within the batch) plus
+    new↔store, counted per shared fingerprint — each shared fp
+    contributes exactly once per unordered pair (the new↔store join
+    runs one direction; the new↔new self-join is a<b-filtered), so
+    n_shared matches the batch ``winnow_dup_pairs`` semantics.  The
+    ``max_df`` boilerplate cap applies over the COMBINED stream (a
+    fingerprint's corpus frequency, not its batch frequency)."""
+    all_fps = (
+        new_fps.unionByName(store_fps) if store_fps is not None else new_fps
+    )
+    if max_df is not None:
+        hot = (
+            all_fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") > max_df)
+            .select("fp")
+        )
+        new_fps = new_fps.hint("merge").join(
+            hot.hint("merge"), "fp", "left_anti"
+        )
+        if store_fps is not None:
+            store_fps = store_fps.hint("merge").join(
+                hot.hint("merge"), "fp", "left_anti"
+            )
+    a = new_fps.select(F.col(id_col).alias("a"), "fp")
+    nn = (
+        a.hint("merge")
+        .join(new_fps.select(F.col(id_col).alias("b"), "fp"), "fp")
+        .where(F.col("a") < F.col("b"))
+    )
+    parts = [nn]
+    if store_fps is not None:
+        ns = a.hint("merge").join(
+            store_fps.select(F.col(id_col).alias("b"), "fp"), "fp"
+        ).select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "fp",
+        )
+        parts.append(ns)
+    allp = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return (
+        allp.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

@@ -631,3 +631,51 @@ def near_dup_stream_durable(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def winnow_stream_durable(
+    stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1_000,
+    n_buckets: int = 64,
+):
+    """Durable streaming MOSS near-dup — ``near_dup_stream_durable``'s
+    sibling over the winnow signature family: each micro-batch upserts
+    its fingerprint sets into the txnlog-backed winnow store and
+    reports the batch's pair rows (new↔new and new↔store, ≥
+    ``min_shared`` shared fingerprints).  Same exactly-once ordering:
+    pairs land BEFORE the store commit, so a replayed committed batch
+    diffs to an empty delta and skips the pairs write; md5-manifest
+    idempotence makes re-delivered identical docs no-ops and CHANGED
+    docs replace-and-recompare."""
+    from genie_spark.analytics.signature_store import upsert_winnow_store
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+
+        def write_pairs(pairs: DataFrame) -> None:
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch={batch_id}"
+            )
+
+        upsert_winnow_store(
+            batch.sparkSession, batch, store_path,
+            id_col=id_col, text_col=text_col, k=k, w=w,
+            min_shared=min_shared, max_df=max_df, n_buckets=n_buckets,
+            on_pairs=write_pairs,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

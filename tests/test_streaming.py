@@ -800,3 +800,66 @@ def test_near_dup_stream_durable_txnlog_store(spark, tmp_path):
         .count()
     )
     assert n_12 == 1
+
+
+def test_winnow_stream_durable_store(spark, tmp_path):
+    """Durable MOSS streaming: batches upsert the winnow store; pairs
+    report new↔new and new↔store with batch-equal n_shared; identical
+    re-delivery is a no-op; a changed doc replaces and re-compares."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.dedup import winnow_dup_pairs
+    from genie_spark.analytics.signature_store import read_winnow_store
+    from genie_spark.streaming.windows import winnow_stream_durable
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    store = str(tmp_path / "winstore")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run_batch(name, rows):
+        import json as _json
+
+        with open(src / name, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = winnow_stream_durable(stream, store, pairs_out, ckpt, min_shared=2)
+        q.awaitTermination()
+
+    run_batch("b1.json", [(1, base * 3), (2, base * 3), (3, "x y z " * 30)])
+    run_batch(
+        "b2.json",
+        [(10, base * 3 + " tail words"), (2, base * 3)],
+    )
+
+    info = read_winnow_store(spark, store)
+    assert sorted(r["doc_id"] for r in info.collect()) == [1, 2, 3, 10]
+    pairs = spark.read.parquet(pairs_out)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got          # batch1-internal
+    assert (1, 10) in got and (2, 10) in got  # cross-batch
+    # identical re-delivery of doc 2 adds no second (1, 2) row
+    assert pairs.where((SF.col("a") == 1) & (SF.col("b") == 2)).count() == 1
+    # n_shared parity with the batch operator over the final corpus
+    final = spark.createDataFrame(
+        [(1, base * 3), (2, base * 3), (3, "x y z " * 30),
+         (10, base * 3 + " tail words")],
+        ["doc_id", "text"],
+    )
+    want = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in winnow_dup_pairs(final, min_shared=2).collect()
+    }
+    got_shared = {(r["a"], r["b"]): r["n_shared"] for r in pairs.collect()}
+    for key, n in got_shared.items():
+        assert want.get(key) == n, (key, n, want.get(key))
