@@ -715,3 +715,75 @@ def normalize_text(
         F.length(t).cast("long").alias("n_chars"),
         F.length("text_norm").cast("long").alias("n_chars_norm"),
     )
+
+
+def token_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """X55 — token-distribution drift report between two corpora: the
+    top-``k`` tokens whose occurrence RATE differs most between A and
+    B — the distribution-shift diagnostic a data-mixing pipeline runs
+    when a new source lands or a filter changes (which vocabulary did
+    the change add or remove?).  The classic report behind
+    domain-shift dashboards (cf. DSIR's importance diagnostics and
+    data-mixture ablations).
+
+    Rates are EXACT integer parts-per-million (``1e6 * c // T`` — the
+    tf·idf integer-ratio discipline, engine-bit-identical); drift =
+    |ppm_a − ppm_b|, ties broken on token ASC.  Returns
+    (token, c_a, c_b, ppm_a, ppm_b, drift_ppm, rank).  Tokens absent
+    from one side count 0 there (the drift of appearing at all).
+
+    Spark shape: two token-count aggregates with MAP-SIDE partial
+    combine (vocabulary-sized outputs), one FULL OUTER merge join on
+    the token key (vocabulary-sized both sides — never assumed
+    broadcastable; AQE may demote), two 1-row total aggregates
+    embedded as literals (the kmeans constants contract), and a
+    TakeOrdered top-k — the corpus is scanned once per side and never
+    sorted.
+    """
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca = counts(df_a)
+    cb = counts(df_b)
+    t_a = ca.agg(F.sum("c")).first()[0] or 0
+    t_b = cb.agg(F.sum("c")).first()[0] or 0
+    # guard the divide-by-zero of an EMPTY side explicitly: with T=0
+    # the side has no tokens, every rate is 0
+    ppm = lambda c, t: (  # noqa: E731
+        (c * F.lit(1_000_000)).cast("long") / F.lit(int(t))
+        if t
+        else F.lit(0)
+    )
+    merged = (
+        ca.withColumnRenamed("c", "c_a")
+        .join(cb.withColumnRenamed("c", "c_b").hint("merge"), "tok", "full_outer")
+        .select(
+            F.col("tok").alias("token"),
+            F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+        )
+        .select(
+            "token",
+            "c_a",
+            "c_b",
+            F.floor(ppm(F.col("c_a"), t_a)).cast("long").alias("ppm_a"),
+            F.floor(ppm(F.col("c_b"), t_b)).cast("long").alias("ppm_b"),
+        )
+        .withColumn(
+            "drift_ppm", F.abs(F.col("ppm_a") - F.col("ppm_b")).cast("long")
+        )
+    )
+    ranked = merged.orderBy(
+        F.desc("drift_ppm"), F.asc("token")
+    ).limit(k)
+    w = Window.orderBy(F.desc("drift_ppm"), F.asc("token"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

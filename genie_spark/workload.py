@@ -1069,6 +1069,11 @@ _TAIL_QUERIES = [
     # engine, untouched since round 8) — the r8 redundant-variant
     # rotation rationale
     "ann_lsh_banded",
+    # ann_ivf_topk rotated late in round 11 for the NEW X55
+    # text_token_drift row (first driver row): the IVF candidate path
+    # stays driver-checked inside the in-window dedup_embedding_drop
+    # (the round-5 rotation rationale); keeps its r9-green row + sweep
+    "ann_ivf_topk",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

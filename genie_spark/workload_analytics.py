@@ -2465,6 +2465,63 @@ FROM documents
 """
 
 
+DRIFT_K = 100
+
+
+def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 token-distribution drift between the 'en' slice and the
+    rest of the corpus: top-k tokens by |ppm_a - ppm_b| exact-integer
+    rate difference (token ASC ties)."""
+    from genie_spark.analytics.text import token_drift
+
+    docs = _docs(spark, sf_dir)
+    return token_drift(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        k=DRIFT_K,
+    )
+
+
+DRIFT_SQL = f"""
+WITH a AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang = 'en')
+  GROUP BY tok
+),
+b AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang <> 'en')
+  GROUP BY tok
+),
+tots AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM a) AS ta,
+         (SELECT coalesce(sum(c), 0) FROM b) AS tb
+),
+m AS (
+  SELECT coalesce(a.tok, b.tok) AS token,
+         CAST(coalesce(a.c, 0) AS BIGINT) AS c_a,
+         CAST(coalesce(b.c, 0) AS BIGINT) AS c_b
+  FROM a FULL OUTER JOIN b ON a.tok = b.tok
+),
+r AS (
+  SELECT token, c_a, c_b,
+         CASE WHEN ta > 0 THEN (c_a * 1000000) // ta ELSE 0 END AS ppm_a,
+         CASE WHEN tb > 0 THEN (c_b * 1000000) // tb ELSE 0 END AS ppm_b
+  FROM m, tots
+),
+d AS (
+  SELECT token, c_a, c_b,
+         CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
+         CAST(abs(ppm_a - ppm_b) AS BIGINT) AS drift_ppm
+  FROM r
+)
+SELECT token, c_a, c_b, ppm_a, ppm_b, drift_ppm,
+       CAST(row_number() OVER (ORDER BY drift_ppm DESC, token) AS BIGINT)
+           AS rank
+FROM d ORDER BY drift_ppm DESC, token LIMIT {DRIFT_K}
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2522,6 +2579,7 @@ ANALYTICS_QUERIES: dict = {
     "dedup_substring_clean_min50": dedup_substring_clean_min50,
     "text_bpe_encode": text_bpe_encode,
     "text_normalize_nfc": text_normalize_nfc,
+    "text_token_drift": text_token_drift,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2583,4 +2641,5 @@ ANALYTICS_ORACLES: dict = {
     "dedup_substring_clean_min50": _substring_clean_sql(SPAN_MIN_LEN),
     "text_bpe_encode": _bpe_encode_sql(BPE_MERGES),
     "text_normalize_nfc": NORMALIZE_SQL,
+    "text_token_drift": DRIFT_SQL,
 }

@@ -2933,3 +2933,29 @@ def test_normalize_text_forms_and_audit(spark):
 
     with _pytest.raises(ValueError, match="unknown form"):
         normalize_text(docs, form="NFX")
+
+
+def test_token_drift_semantics(spark):
+    """X55: tokens overrepresented on one side rank first with exact
+    ppm rates; shared-rate tokens drift ~0; one-sided tokens count 0
+    on the absent side; an empty side rates 0 everywhere."""
+    from genie_spark.analytics.text import token_drift
+
+    a = spark.createDataFrame(
+        [(1, "alpha alpha alpha shared"), (2, "alpha shared")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(3, "beta beta shared"), (4, "beta shared")],
+        ["doc_id", "text"],
+    )
+    rows = {r["token"]: r for r in token_drift(a, b, k=10).collect()}
+    # A: alpha 4/6, shared 2/6; B: beta 3/5, shared 2/5
+    assert rows["alpha"]["ppm_a"] == 666_666 and rows["alpha"]["ppm_b"] == 0
+    assert rows["beta"]["ppm_b"] == 600_000 and rows["beta"]["c_a"] == 0
+    assert rows["alpha"]["rank"] == 1 and rows["beta"]["rank"] == 2
+    assert rows["shared"]["drift_ppm"] == abs(333_333 - 400_000)
+    # empty side: every A token drifts by its full A rate
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    r2 = {r["token"]: r for r in token_drift(a, empty, k=10).collect()}
+    assert r2["alpha"]["ppm_b"] == 0 and r2["alpha"]["drift_ppm"] == 666_666
