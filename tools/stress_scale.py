@@ -769,6 +769,27 @@ def main() -> None:
 
     probe("bpe_train", run_bpe)
 
+    # X54 Unicode normalization: one Arrow pandas_udf pass — must
+    # track the scan (no shuffle, batch-vectorized unicodedata)
+    from genie_spark.analytics.text import normalize_text
+
+    probe("normalize_text", lambda n: normalize_text(docs(n)))
+
+    # X55 token drift: two map-side-partial token aggregates + one
+    # vocab-keyed full-outer merge join + TakeOrdered — wall must
+    # track the two scans, never a vocab blowup
+    from genie_spark.analytics.text import token_drift
+
+    def run_drift(n):
+        d = docs(n)
+        return token_drift(
+            d.where(F.col("doc_id") % 2 == 0),
+            d.where(F.col("doc_id") % 2 == 1),
+            k=100,
+        )
+
+    probe("token_drift", run_drift)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
