@@ -1916,6 +1916,20 @@ def _build_clean_release(spark, root):
         "cancer_study_identifier: s\nstable_id: s_all\ncase_list_name: n\n"
         "case_list_description: d\ncase_list_ids: GENIE-SAGE-1-1\n",
     )
+    # mutation + SV data require their case lists (round-11
+    # profile↔case-list cross-reference rule)
+    write(
+        "case_lists/cases_sequenced.txt",
+        "cancer_study_identifier: s\nstable_id: s_sequenced\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    write(
+        "case_lists/cases_sv.txt",
+        "cancer_study_identifier: s\nstable_id: s_sv\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
     present = {n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))}
     for name, text in cbio_meta_texts("s", "1.0", present).items():
         write(name, text)
@@ -2654,6 +2668,12 @@ def test_release_qc_meta_profile_rules(spark, tmp_path):
     write(
         "case_lists/cases_sequenced.txt",
         "cancer_study_identifier: s\nstable_id: s_sequenced\n"
+        "case_list_name: n\ncase_list_description: d\n"
+        "case_list_ids: GENIE-SAGE-1-1\n",
+    )
+    write(
+        "case_lists/cases_cna.txt",
+        "cancer_study_identifier: s\nstable_id: s_cna\n"
         "case_list_name: n\ncase_list_description: d\n"
         "case_list_ids: GENIE-SAGE-1-1\n",
     )
