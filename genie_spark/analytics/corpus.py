@@ -1012,3 +1012,43 @@ def dsir_sample(
         "rank", F.row_number().over(w).cast("long")
     ).drop("__h")
     return _release_on_gc(_release_on_gc(out, cq), cp)
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    max_per_group: int = 100,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X56 — per-domain frequency capping (the RefinedWeb/C4 "limit
+    documents per domain" step: a handful of template-heavy domains
+    otherwise dominate a web corpus): keep at most ``max_per_group``
+    documents per ``group_col``, preferring higher ``order_col`` (a
+    quality score / length), ties and the unordered case broken by
+    (md5(id), id) — deterministic across runs and engines (the
+    priority_sample discipline).
+
+    Returns the kept rows plus their ``domain_rank`` (1-based within
+    the group).
+
+    Spark shape: ONE window shuffle keyed by the group; Spark 4 plans
+    the row_number-≤-k filter as a Partial WindowGroupLimit BELOW the
+    exchange (the w2 latest-per-key pin), so each map task ships at
+    most ``max_per_group`` rows per domain instead of the whole
+    corpus — the cap is enforced map-side at 100 TB.  Hot domains are
+    exactly the point (one domain = millions of pages); the group
+    limit bounds the reduce-side rows per key, so no salting is
+    needed.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    order = (
+        [F.desc(order_col)] if order_col is not None else []
+    ) + [h.asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("domain_rank") <= max_per_group)
+    )

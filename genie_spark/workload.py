@@ -1074,6 +1074,11 @@ _TAIL_QUERIES = [
     # stays driver-checked inside the in-window dedup_embedding_drop
     # (the round-5 rotation rationale); keeps its r9-green row + sweep
     "ann_ivf_topk",
+    # cluster_balanced_sample rotated late in round 11 for the NEW X56
+    # corpus_domain_cap row (first driver row): the k-means family
+    # keeps cluster_kmeans in-window; balanced-sample keeps its
+    # r9-green row + sweep (same kmeans_assign engine, untouched)
+    "cluster_balanced_sample",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

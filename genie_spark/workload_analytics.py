@@ -2522,6 +2522,36 @@ FROM d ORDER BY drift_ppm DESC, token LIMIT {DRIFT_K}
 """
 
 
+DOMAIN_CAP = 10
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 per-domain frequency capping (RefinedWeb/C4): keep the top
+    10 docs per source by n_chars (md5/id tiebreak) — one group-keyed
+    window with the map-side WindowGroupLimit reduction."""
+    from genie_spark.analytics.corpus import domain_cap
+
+    return domain_cap(
+        _docs(spark, sf_dir), group_col="source",
+        max_per_group=DOMAIN_CAP, order_col="n_chars",
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT * FROM (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT),
+                    doc_id
+         ) AS BIGINT) AS domain_rank
+  FROM documents
+) WHERE domain_rank <= {DOMAIN_CAP}
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2580,6 +2610,7 @@ ANALYTICS_QUERIES: dict = {
     "text_bpe_encode": text_bpe_encode,
     "text_normalize_nfc": text_normalize_nfc,
     "text_token_drift": text_token_drift,
+    "corpus_domain_cap": corpus_domain_cap,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2642,4 +2673,5 @@ ANALYTICS_ORACLES: dict = {
     "text_bpe_encode": _bpe_encode_sql(BPE_MERGES),
     "text_normalize_nfc": NORMALIZE_SQL,
     "text_token_drift": DRIFT_SQL,
+    "corpus_domain_cap": DOMAIN_CAP_SQL,
 }

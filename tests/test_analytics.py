@@ -2959,3 +2959,31 @@ def test_token_drift_semantics(spark):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     r2 = {r["token"]: r for r in token_drift(a, empty, k=10).collect()}
     assert r2["alpha"]["ppm_b"] == 0 and r2["alpha"]["drift_ppm"] == 666_666
+
+
+def test_domain_cap_semantics(spark):
+    """X56: at most k rows per group survive, highest order_col first,
+    md5/id tiebreak deterministic; unordered mode is md5-uniform."""
+    from genie_spark.analytics.corpus import domain_cap
+
+    rows = [(i, f"d{i % 3}", (i * 7) % 11) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = domain_cap(
+        df, group_col="source", max_per_group=4, order_col="n_chars"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert all(len(v) == 4 for v in by_src.values())
+    for src, kept in by_src.items():
+        kept_chars = sorted((r["n_chars"] for r in kept), reverse=True)
+        all_chars = sorted(
+            (c for i, s, c in rows if s == src), reverse=True
+        )
+        # the kept set's char counts are the top-4 multiset
+        assert kept_chars == all_chars[:4]
+        assert sorted(r["domain_rank"] for r in kept) == [1, 2, 3, 4]
+    again = domain_cap(
+        df, group_col="source", max_per_group=4, order_col="n_chars"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

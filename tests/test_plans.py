@@ -629,3 +629,16 @@ def test_bpe_encode_map_side_only(spark):
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_domain_cap_map_side_group_limit(spark):
+    """X56: the per-domain cap must reduce MAP-SIDE — Spark 4 plans
+    the row_number-<=-k filter as a Partial WindowGroupLimit under the
+    group-keyed exchange (the w2 pin), so a hot domain ships at most
+    k rows per map task, never its whole page set."""
+    from genie_spark.analytics.corpus import domain_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(domain_cap(docs, max_per_group=5, order_col="n_chars"))
+    partial = plan.split("Exchange", 1)[-1]
+    assert "WindowGroupLimit" in partial and "Partial" in partial, plan
