@@ -1200,14 +1200,28 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
     out = args.output
     _os.makedirs(out, exist_ok=True)
 
+    # --normalize: Unicode-NFC the HASH BASIS (X54) so composed and
+    # decomposed renderings of the same text dedup together (the
+    # CCNet normalize-before-hash order); the ORIGINAL text column is
+    # what every artifact keeps — normalization only feeds the hashes
+    hash_col = args.text_col
+    if getattr(args, "normalize", False):
+        from genie_spark.analytics.text import normalize_text
+
+        norm = normalize_text(
+            docs, form="NFC", id_col=args.id_col, text_col=args.text_col
+        ).select(args.id_col, F.col("text_norm").alias("__hb"))
+        docs = docs.join(norm.hint("merge"), args.id_col)
+        hash_col = "__hb"
+
     # stage 1 — exact dedup first (CCNet order): it catches EVERY
     # byte-identical copy, including documents shorter than the
     # shingle length that minhash physically cannot see, and shrinks
     # the near-dup stage's input
-    exact = exact_duplicates(docs, args.id_col, args.text_col)
+    exact = exact_duplicates(docs, args.id_col, hash_col)
     exact.write.mode("overwrite").parquet(_os.path.join(out, "exact_groups"))
     hashed = docs.select(
-        F.col(args.id_col), F.md5(args.text_col).alias("__h")
+        F.col(args.id_col), F.md5(hash_col).alias("__h")
     )
     exact_drops = (
         hashed.join(
@@ -1241,7 +1255,7 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
 
         stats = sync_docinfo_store(
             spark, survivors, sig_store,
-            id_col=args.id_col, text_col=args.text_col,
+            id_col=args.id_col, text_col=hash_col,
             k=args.shingle, n_perm=16,
         )
         print(
@@ -1256,7 +1270,7 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
         )
     else:
         pairs = minhash_dedup_pairs(
-            survivors, args.id_col, args.text_col,
+            survivors, args.id_col, hash_col,
             k=args.shingle, n_perm=16, bands=4, threshold=args.threshold,
             # stage 1 just collapsed byte-identical ids, so the
             # one-row-per-id contract is already screened — skipping
@@ -1286,6 +1300,8 @@ def cmd_corpus_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
         args.id_col,
         "left_anti",
     )
+    if hash_col != args.text_col:
+        cleaned = cleaned.drop(hash_col)
     cleaned.write.mode("overwrite").parquet(_os.path.join(out, "deduped"))
     # ONE summary job: union zero-width tagged scans of the three
     # frames and count per tag (three separate .count() actions cost
@@ -1727,6 +1743,11 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--text-col", dest="text_col", default="text")
     cd.add_argument("--threshold", type=float, default=0.5)
     cd.add_argument("--shingle", type=int, default=20)
+    cd.add_argument(
+        "--normalize", action="store_true",
+        help="Unicode-NFC the hash basis (X54) so composed/decomposed "
+             "renderings dedup together; artifacts keep the original text",
+    )
     cd.add_argument(
         "--keep-best", action="store_true",
         help="keep the most-token member per cluster instead of min id",

@@ -2848,3 +2848,42 @@ def test_release_qc_clinical_id_columns_lead(spark, tmp_path):
     )
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.clinical_id_columns_lead" not in ids
+
+
+def test_corpus_dedup_normalize_flag(spark, tmp_path):
+    """--normalize: composed and decomposed renderings of the same
+    text dedup together (hash basis is NFC); without the flag they
+    survive as distinct docs; artifacts keep the ORIGINAL text."""
+    import unicodedata
+
+    from genie_spark.cli import cmd_corpus_dedup
+
+    decomposed = ("café story body text " * 6).strip()
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert decomposed != composed
+    docs = spark.createDataFrame(
+        [(1, composed), (2, decomposed),
+         (3, "totally different content entirely " * 5)],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    def run(out, normalize):
+        rc = cmd_corpus_dedup(
+            spark,
+            _ns(input=src, output=out, id_col="doc_id", text_col="text",
+                threshold=0.5, shingle=20, keep_best=False,
+                normalize=normalize),
+        )
+        assert rc == 0
+        return spark.read.parquet(os.path.join(out, "deduped"))
+
+    plain = run(str(tmp_path / "out_plain"), False)
+    assert sorted(r["doc_id"] for r in plain.collect()) == [1, 2, 3]
+
+    normed = run(str(tmp_path / "out_norm"), True)
+    rows = {r["doc_id"]: r["text"] for r in normed.collect()}
+    assert sorted(rows) == [1, 3]            # exact dup under NFC
+    assert rows[1] == composed               # original text kept
+    assert "__hb" not in normed.columns
