@@ -828,3 +828,63 @@ def test_winnow_upsert_sequence_equals_final_state_build(
         for r in winnow_fp_docinfo(fdf, k=3, w=2).collect()
     }
     assert got == want
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from("ab cd ef gh ij kl".split()), min_size=0, max_size=8),
+    min_size=1, max_size=10,
+))
+@settings(max_examples=8, deadline=None)
+def test_dsir_matches_python_model(spark, texts):
+    """X51 against an INDEPENDENT sequential model (third
+    implementation — shares neither the Spark plan nor the DuckDB SQL):
+    hashed unigram+bigram bit-log importance scores and the
+    md5-tiebroken ranking reproduce exactly on arbitrary corpora."""
+    import hashlib
+
+    from genie_spark.analytics.corpus import dsir_sample
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    # deterministic target split: even ids
+    target = [(i, t) for i, t in docs if i % 2 == 0]
+    B = 64
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text):
+        ws = text.split()
+        return [h60(w) % B for w in ws] + [
+            h60(f"{a} {b}") % B for a, b in zip(ws, ws[1:])
+        ]
+
+    def ilog2(x):
+        return x.bit_length() - 1
+
+    fq = [b for _, t in docs for b in feats(t)]
+    fp = [b for _, t in target for b in feats(t)]
+    from collections import Counter
+
+    cq, cp = Counter(fq), Counter(fp)
+    c_norm = ilog2(len(fq) + B) - ilog2(len(fp) + B)
+    want = []
+    for i, t in docs:
+        fs = feats(t)
+        if not fs:
+            continue
+        s = sum(ilog2(cp.get(b, 0) + 1) - ilog2(cq[b] + 1) for b in fs)
+        tie = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        want.append((-(s + len(fs) * c_norm), tie, i, len(fs)))
+    want.sort()
+    want = [
+        (i, -neg, nf, rank + 1)
+        for rank, (neg, tie, i, nf) in enumerate(want[:5])
+    ]
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = sdf.where("doc_id % 2 = 0")
+    got = [
+        (r["doc_id"], r["score_bits"], r["n_features"], r["rank"])
+        for r in dsir_sample(sdf, tdf, k=5, n_buckets=B).collect()
+    ]
+    assert sorted(got) == sorted(want)
