@@ -790,6 +790,23 @@ def main() -> None:
 
     probe("token_drift", run_drift)
 
+    # X56 domain cap: one group-keyed window with the Partial
+    # WindowGroupLimit map-side reduction — a 90%-hot-domain corpus is
+    # the worst case and must still track the scan (each map task
+    # ships <= k rows for the hot key)
+    from genie_spark.analytics.corpus import domain_cap
+
+    def run_cap(n):
+        d = synth_docs(spark, n).repartition(32).withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 < 9, "HOT").otherwise(
+                F.concat(F.lit("s"), (F.col("doc_id") % 50).cast("string"))
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        return domain_cap(d, max_per_group=100, order_col="n_chars")
+
+    probe("domain_cap", run_cap)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
