@@ -1052,3 +1052,98 @@ def domain_cap(
         df.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .where(F.col("domain_rank") <= max_per_group)
     )
+
+
+def soft_dedup(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X57 — SoftDeDup frequency-weighted reweighting (He et al., ACL
+    2024 "SoftDedup"): instead of HARD-removing near-duplicates, score
+    every document's "data commonness" — how probable its n-grams are
+    under the corpus's own n-gram distribution — and resample with
+    weight inversely related to commonness, so template-heavy
+    boilerplate is downsampled smoothly while rare text is near-certain
+    to survive.  This is the soft counterpart to the hard dedup family
+    (X1–X5, X47): it preserves mixture coverage where hard dedup would
+    delete.
+
+    Commonness is scored at EXACT INTEGER bit resolution (the
+    lm_surprisal / DSIR idiom — ``floor(log2)`` via binary-string
+    length, no libm): per n-gram occurrence the surprisal is
+    ``ilog2(T) - ilog2(c(g))`` bits (T = total n-gram occurrences,
+    c(g) = the gram's corpus count >= 1), a document's
+    ``rarity_bits`` is the sum over its occurrences, and
+    ``mean_rarity_mbits = rarity_bits*1000 // n_ngrams`` is the
+    per-gram mean in millibits — high mean = rare text, low mean =
+    boilerplate.  The resample weight is ``mean_rarity_mbits + 1``
+    (positive by construction) and selection is deterministic priority
+    sampling (Duffield-Lund-Thorup, the X42 idiom): priority
+    ``q = weight/(h+1) * 2^32`` with the md5-uniform ``h``, keep the
+    global top ``k`` — every arithmetic step is either exact integer
+    or a single correctly-rounded IEEE op, so the DuckDB oracle
+    hash-matches bit-for-bit.
+
+    Documents with fewer than ``n`` tokens have no n-grams and are not
+    scored (the bm25/DSIR empty-feature contract).
+
+    Returns (id, n_ngrams, rarity_bits, mean_rarity_mbits, weight,
+    priority, rank), rank 1..k by priority.
+
+    Spark shape (the 100 TB one): the gram stream is a narrow explode;
+    the count "model" is groupBy(gram) with MAP-SIDE partial combine
+    and is persisted so T comes from a 1-row agg over the vocab-sized
+    table, not a second corpus scan; the scoring join is gram-keyed
+    and MERGE-hinted (the vocabulary is corpus-derived and Zipf-long —
+    never a broadcast estimate; hot grams are AQE's skew-split case);
+    scoring is ONE doc-keyed exchange; the top-k plans as
+    TakeOrderedAndProject, never a corpus sort.
+    """
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import _release_on_gc
+
+    occ = df.select(
+        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("__g")
+    )
+    counts = occ.groupBy("__g").agg(F.count(F.lit(1)).alias("__c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = counts.agg(F.sum("__c")).first()[0] or 0
+    t_bits = max(int(total).bit_length() - 1, 0)
+    bits = (
+        F.lit(t_bits) - (F.length(F.bin(F.col("__c"))) - F.lit(1))
+    ).cast("long")
+    scored = (
+        occ.join(counts.hint("merge"), "__g")
+        .withColumn("__bits", bits)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum("__bits").cast("long").alias("rarity_bits"),
+        )
+        .withColumn(
+            "mean_rarity_mbits",
+            F.floor((F.col("rarity_bits") * 1000) / F.col("n_ngrams")).cast(
+                "long"
+            ),
+        )
+        .withColumn("weight", (F.col("mean_rarity_mbits") + F.lit(1)))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # single correctly-rounded IEEE divide scaled by an exact power of
+    # two — bit-identical in any IEEE engine (the priority_sample rule)
+    q = (F.col("weight").cast("double") / (h + F.lit(1))) * F.lit(float(2**32))
+    ranked = (
+        scored.withColumn("priority", q)
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    out = ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+    return _release_on_gc(out, counts)

@@ -995,3 +995,128 @@ def lsh_cosine_candidates(
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "bucket")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval_rows: int = 1_000_000,
+) -> DataFrame:
+    """X57 — embedding-space benchmark decontamination: flag every
+    corpus vector whose cosine similarity against ANY eval-set vector
+    reaches ``threshold``.  This completes the decontamination ladder —
+    exact n-gram overlap (X12) catches verbatim leakage, the Bloom
+    variant (X34) makes it fixed-memory, and this semantic form catches
+    PARAPHRASED contamination that shares no 8-gram with the benchmark
+    (the embedding-similarity decontamination step of open-LLM data
+    reports, e.g. the Llama/GPT-3 n-gram+fuzzy dedup appendix family).
+
+    Returns (id, eval_id, max_cosine, is_contaminated): the nearest
+    eval vector (ties → lowest eval id), its cosine, and the threshold
+    flag — one row per corpus vector, so the drop step is a trivial
+    filter and the audit counts (how many dropped, against which eval
+    rows) are one aggregation away (the X32 no-silent-drop discipline).
+
+    Determinism: vectors are integer-quantized (``quantized``), dot
+    products are exact int64, and the cosine is the IDENTICAL IEEE op
+    sequence ``dot / (sqrt(nn_a)·sqrt(nn_b))`` as the IVF/ANN oracles —
+    bit-identical between the Arrow matmul and DuckDB.  Zero-norm eval
+    vectors are dropped at build (cosine undefined); a zero-norm corpus
+    vector gets (NULL eval_id, NULL max_cosine, false).
+
+    Spark shape (the 100 TB one): the eval set is genuinely small by
+    contract (benchmark suites are thousands of rows — guarded at
+    ``max_eval_rows``) and rides ONE Spark broadcast as a float64
+    matrix (integer-valued, so the BLAS matmul in ``_cross_term`` is
+    exact below 2^53 — the IVF probe engine); the corpus side is a
+    single ``mapInPandas`` scan with ZERO exchanges — no join, no
+    shuffle, no corpus-side state — so the pass scales exactly as the
+    parquet scan and is embarrassingly parallel across 1000 executors.
+    """
+    import numpy as np
+
+    rows = (
+        evalset.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
+        .orderBy("cid")
+        .collect()
+    )
+    rows = [r for r in rows if any(x != 0 for x in r["v"])]
+    if not rows:
+        raise ValueError(
+            "semantic_decontaminate: eval set is empty (or all zero-norm)"
+        )
+    if len(rows) > max_eval_rows:
+        raise ValueError(
+            f"semantic_decontaminate: eval set has {len(rows)} rows "
+            f"(> max_eval_rows={max_eval_rows}); the eval side must be "
+            "broadcastable — pre-reduce it or raise the guard explicitly"
+        )
+    dim = len(rows[0]["v"])
+    bc = _ivf_centroid_broadcast(corpus, rows)
+    thr = float(threshold)
+
+    def probe(batches):
+        import pandas as pd
+
+        cids, Cf, cn, cmax = bc.value
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[vec_col].tolist()
+            # degenerate rows (null / length-mismatched / non-finite)
+            # are omitted — same policy as _ivf_probes_arrow; the
+            # embedding column is non-null fixed-dim by contract
+            keep = [
+                i for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            raw = np.array([vals[i] for i in keep], dtype=np.float64)
+            finite = np.isfinite(raw).all(axis=1)
+            keep = [i for i, good in zip(keep, finite) if good]
+            if not keep:
+                continue
+            pdf = pdf.iloc[keep]
+            V = np.floor(raw[finite] * float(QUANT_SCALE) + 0.5).astype(
+                np.int64
+            )
+            vn2 = (V * V).sum(axis=1)
+            valid = vn2 > 0
+            den = np.sqrt(vn2.astype(np.float64))[:, None] * cn[None, :]
+            d = _cross_term(np, V, Cf, cmax, dim).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, d / den, -np.inf)
+            # argmax takes the FIRST max — columns are ascending-cid,
+            # so ties resolve to the lowest eval id (the oracle's
+            # ORDER BY cosine DESC, eval_id ASC)
+            j = np.argmax(cos, axis=1)
+            mx = cos[np.arange(len(V)), j]
+            # object columns so a zero-norm row yields SQL NULL (a
+            # float NaN would survive as Spark NaN ≠ the oracle's NULL)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(),
+                    "eval_id": [
+                        int(cids[jj]) if ok else None
+                        for jj, ok in zip(j, valid)
+                    ],
+                    "max_cosine": [
+                        float(m) if ok else None for m, ok in zip(mx, valid)
+                    ],
+                    "is_contaminated": valid & (mx >= thr),
+                }
+            )
+
+    out = corpus.select(id_col, vec_col).mapInPandas(
+        probe,
+        schema=f"vid long, eval_id long, max_cosine double, "
+        f"is_contaminated boolean",
+    )
+    return out.select(
+        F.col("vid").alias(id_col), "eval_id", "max_cosine", "is_contaminated"
+    )

@@ -640,6 +640,20 @@ def bpe_encode(
     materialized once per row).
     """
     toks = tokens(text_col)
+    sub = _bpe_subwords(toks, merges)
+    return df.select(
+        id_col,
+        sub.alias("bpe_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(sub).cast("long").alias("n_subwords"),
+    )
+
+
+def _bpe_subwords(toks: Column, merges: list[tuple[str, str]]) -> Column:
+    """Subword array for a token-array column: replay ``merges`` in
+    learned order, each a greedy leftmost non-overlapping literal
+    replace over the space-prefixed symbol encoding (the bpe_encode
+    engine, shared with bpe_fertility)."""
 
     def encode_word(w: Column) -> Column:
         # " a b c" — the regexp inserts one leading space per symbol,
@@ -651,13 +665,77 @@ def bpe_encode(
             s = F.replace(s, F.lit(f" {lhs} {rhs}"), F.lit(f" {lhs}{rhs}"))
         return F.split(F.ltrim(s), " ")
 
-    sub = F.flatten(F.transform(toks, encode_word))
-    return df.select(
-        id_col,
-        sub.alias("bpe_tokens"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(sub).cast("long").alias("n_subwords"),
+    return F.flatten(F.transform(toks, encode_word))
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """X59 — tokenizer fertility / compression-ratio report per corpus
+    slice: apply a learned BPE merge table (the X52 trainer / X53
+    encoder) and aggregate the two standard tokenizer-quality signals —
+    FERTILITY (subwords emitted per whitespace word; Ács' fertility
+    metric, the number multilingual tokenizer reports lead with) and
+    CHARS-PER-SUBWORD (compression ratio; a tokenizer that can't
+    compress a language inflates its training cost and effective
+    context).  Slicing by language/domain is how a pipeline decides a
+    vocabulary under-serves a corpus slice before committing 100 TB of
+    preprocessing to it.
+
+    Exact integers throughout (the package's no-float-aggregation
+    rule): ``fertility_milli = n_subwords*1000 // n_tokens`` and
+    ``chars_per_subword_milli = n_token_chars*1000 // n_subwords``
+    (NULL for an empty slice via integer-div guard), where
+    ``n_token_chars`` counts characters inside tokens (whitespace
+    excluded; merges preserve characters, so this equals subword
+    chars).
+
+    Returns one row per ``group_col`` value, ordered by it:
+    (group, n_docs, n_tokens, n_subwords, n_token_chars,
+    fertility_milli, chars_per_subword_milli).
+
+    Spark shape: the encode is ENTIRELY map-side (bounded literal
+    replace chain — no join, no shuffle, no UDF; the bpe_encode
+    plan), followed by ONE group-keyed aggregate with map-side partial
+    combine whose reduce side is |groups| rows — the report scales as
+    the scan at any corpus size.
+    """
+    toks = tokens(text_col)
+    sub = _bpe_subwords(toks, merges)
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("long").alias("__nt"),
+        F.size(sub).cast("long").alias("__ns"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__nc"),
     )
+    agg = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.sum("__ns").cast("long").alias("n_subwords"),
+        F.sum("__nc").cast("long").alias("n_token_chars"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        "n_subwords",
+        "n_token_chars",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("n_subwords") * 1000) / F.col("n_tokens")),
+        ).cast("long").alias("fertility_milli"),
+        F.when(
+            F.col("n_subwords") > 0,
+            F.floor((F.col("n_token_chars") * 1000) / F.col("n_subwords")),
+        ).cast("long").alias("chars_per_subword_milli"),
+    ).orderBy(group_col)
 
 
 def normalize_text(
@@ -787,3 +865,136 @@ def token_drift(
     ).limit(k)
     w = Window.orderBy(F.desc("drift_ppm"), F.asc("token"))
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# Gopher rule battery (Rae et al. 2021, arXiv 2112.11446 Table A1) —
+# the published operating points; callers can override any bound.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """X60 — the FULL Gopher/MassiveText quality-rule battery (Rae et
+    al. 2021, Table A1), the de-facto standard pre-filter every open
+    pretraining pipeline starts from (Gopher, RefinedWeb, Dolma,
+    FineWeb all apply this list or a superset).  X11
+    (``repetition_stats``) carries the repetition section of that
+    table; this operator carries the rest, fused into ONE projection:
+
+      - ``r_word_count``      — word count within [50, 100k]
+      - ``r_mean_word_len``   — mean word length within [3, 10]
+      - ``r_symbol_ratio``    — (# of '#' + '...' occurrences) /
+                                words <= 0.1
+      - ``r_bullet_lines``    — <= 90% of lines start with a bullet
+                                ('-', '*', '•')
+      - ``r_ellipsis_lines``  — <= 30% of lines end with an ellipsis
+                                ('...' or '…')
+      - ``r_alpha_words``     — >= 80% of words contain an alphabetic
+                                character
+      - ``r_stop_words``      — document contains >= 2 distinct Gopher
+                                stop words (the/be/to/of/and/that/
+                                have/with)
+
+    plus the metric columns behind each rule (exact integer counts;
+    ratios are single int/int IEEE divides, bitwise-identical across
+    engines — the quality_score discipline) and ``keep`` = AND of all
+    rules.  Per-rule booleans rather than a bare verdict: a cleaning
+    report needs to know WHICH rule fired (the X32 audit discipline),
+    and re-thresholding a single rule must not re-scan the corpus.
+
+    Spark shape: fully NARROW, zero shuffles, no UDF — the token array
+    and line array are each materialized once per row and every rule
+    folds over them JVM-side; the battery is embarrassingly parallel
+    and scan-bound at any corpus size (the X9/X11 posture).
+    """
+    text = F.col(text_col)
+    df = df.withColumn("__toks", tokens(text_col)).withColumn(
+        "__lines", F.split(text, "\n")
+    )
+    t, lines = F.col("__toks"), F.col("__lines")
+    n_words = F.size(t).cast("long")
+    word_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # '#' count via translate-diff (one table pass); '...' occurrences
+    # via replace-diff ÷ 3 (leftmost non-overlapping in both engines);
+    # '…' is one char
+    n_hash = F.length(text) - F.length(F.translate(text, "#", ""))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+        + (F.length(text) - F.length(F.translate(text, "…", "")))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).rlike("^[-*•]"),
+        )
+    ).cast("long")
+    n_ellipsis_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).rlike("(\\.\\.\\.|…)$"),
+        )
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(t, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_hits = F.size(
+        F.filter(
+            stop_arr,
+            lambda s: F.exists(t, lambda w: F.lower(w) == s),
+        )
+    ).cast("long")
+    wc = F.greatest(n_words, F.lit(1))
+    mean_wl_milli = F.floor((word_chars * 1000) / wc).cast("long")
+    per = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl_milli.alias("mean_word_len_milli"),
+        ((n_hash + n_ellipsis) / wc).alias("symbol_word_ratio"),
+        (n_bullet / n_lines).alias("bullet_line_frac"),
+        (n_ellipsis_end / n_lines).alias("ellipsis_line_frac"),
+        (n_alpha_words / wc).alias("alpha_word_frac"),
+        n_stop_hits.alias("n_stop_hits"),
+    )
+    r_word_count = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    r_mean_word_len = (
+        F.col("mean_word_len_milli") >= min_mean_word_len * 1000
+    ) & (F.col("mean_word_len_milli") <= max_mean_word_len * 1000)
+    r_symbol = F.col("symbol_word_ratio") <= max_symbol_word_ratio
+    r_bullet = F.col("bullet_line_frac") <= max_bullet_line_frac
+    r_ellipsis = F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
+    r_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
+    r_stop = F.col("n_stop_hits") >= min_stop_hits
+    return per.select(
+        "*",
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stop_words"),
+        (
+            r_word_count & r_mean_word_len & r_symbol & r_bullet
+            & r_ellipsis & r_alpha & r_stop
+        ).alias("keep"),
+    )

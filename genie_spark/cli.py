@@ -1467,6 +1467,74 @@ def cmd_corpus_mix(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_quality(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Gopher quality-rule battery over a documents parquet dir (X60;
+    Rae et al. 2021 Table A1): per-document rule booleans + metrics as
+    a report artifact, the kept corpus as a second artifact, and the
+    per-rule fail counts printed (the X32 no-silent-drop discipline —
+    a cleaning run must say WHICH rule dropped how many).
+
+    ``--with-repetition`` also applies the X11 repetition section of
+    the same table (dup-5-gram fraction / top-2-gram mass thresholds):
+    keep = gopher.keep AND NOT repetition.flagged.  One narrow pass
+    (plus the equally narrow repetition pass merge-joined on the id) —
+    scan-bound at any corpus size.
+    """
+    import os as _os
+
+    from genie_spark.analytics.text import gopher_quality_filter
+
+    docs = spark.read.parquet(args.input)
+    if args.id_col not in docs.columns or args.text_col not in docs.columns:
+        print(
+            f"corpus-quality: input must have columns "
+            f"({args.id_col}, {args.text_col}); found {docs.columns}"
+        )
+        return 2
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    report = gopher_quality_filter(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        min_words=args.min_words,
+    )
+    rule_cols = [c for c in report.columns if c.startswith("r_")]
+    if args.with_repetition:
+        from genie_spark.analytics.text import repetition_stats
+
+        rep = repetition_stats(
+            docs, id_col=args.id_col, text_col=args.text_col
+        ).select(
+            args.id_col, (~F.col("flagged")).alias("r_repetition")
+        )
+        report = (
+            report.join(rep.hint("merge"), args.id_col)
+            .withColumn("keep", F.col("keep") & F.col("r_repetition"))
+        )
+        rule_cols.append("r_repetition")
+    out = args.output
+    _os.makedirs(out, exist_ok=True)
+    report.write.mode("overwrite").parquet(_os.path.join(out, "quality_report"))
+    report = spark.read.parquet(_os.path.join(out, "quality_report"))
+    kept = docs.join(
+        report.where(F.col("keep")).select(args.id_col).hint("merge"),
+        args.id_col,
+        "left_semi",
+    )
+    kept.write.mode("overwrite").parquet(_os.path.join(out, "kept"))
+    # ONE summary aggregate: total, kept, and per-rule fail counts
+    agg = report.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(c)
+            for c in rule_cols
+        ],
+    ).first()
+    print(f"corpus-quality: {agg['n_kept']}/{agg['n']} documents kept")
+    for c in rule_cols:
+        print(f"corpus-quality: {c} failed by {agg[c]} docs")
+    return 0
+
+
 def cmd_ingest_correlate(spark: SparkSession, args: argparse.Namespace) -> int:
     """Correlate a center-upload event stream with a validation-result
     stream per (center, name) — the streaming analog of the batch
@@ -1798,6 +1866,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cm.add_argument("--out", help="write the kept (id, group, n_tokens) parquet here")
     cm.set_defaults(fn=cmd_corpus_mix)
+    cq = sub.add_parser(
+        "corpus-quality",
+        help="Gopher quality-rule battery: report + kept corpus artifacts",
+    )
+    cq.add_argument("--input", required=True, help="documents parquet dir")
+    cq.add_argument("--output", required=True, help="artifact dir")
+    cq.add_argument("--id-col", dest="id_col", default="doc_id")
+    cq.add_argument("--text-col", dest="text_col", default="text")
+    cq.add_argument(
+        "--min-words", dest="min_words", type=int, default=50,
+        help="lower word-count bound (Gopher operating point: 50)",
+    )
+    cq.add_argument(
+        "--with-repetition", dest="with_repetition", action="store_true",
+        help="also apply the X11 repetition thresholds to keep",
+    )
+    cq.set_defaults(fn=cmd_corpus_quality)
 
     ic = sub.add_parser(
         "ingest-correlate",

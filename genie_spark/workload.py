@@ -1079,6 +1079,32 @@ _TAIL_QUERIES = [
     # keeps cluster_kmeans in-window; balanced-sample keeps its
     # r9-green row + sweep (same kmeans_assign engine, untouched)
     "cluster_balanced_sample",
+    # Late round-11 second rotation: the THREE new X57/X58/X59 rows
+    # (corpus_decontaminate_semantic, corpus_soft_dedup,
+    # text_bpe_fertility) need first driver rows.  The three slots
+    # come from r9-green queries whose ENGINES keep driver coverage
+    # through a sibling row:
+    # - j8_broadcast_lookup: the broadcast-dim join engine is
+    #   exercised in-window by j1_revenue_per_nation (BroadcastHashJoin
+    #   pin + the per-round BENCH j1 wall); keeps its r9-green row +
+    #   the local sweep
+    "j8_broadcast_lookup",
+    # - layout_zorder: the numeric twin of layout_zorder_str — the
+    #   SAME io/layout.py interleave engine — whose tail row is
+    #   r10-green (the r8 redundant-variant rotation rationale);
+    #   keeps its r9-green row + the local sweep
+    "layout_zorder",
+    # - a14_distinct_union: the operators/sets.py engine keeps an
+    #   r10-green driver row via set_except_distinct (same union/
+    #   except code path); keeps its r9-green row + the local sweep
+    "a14_distinct_union",
+    # - dedup_simhash: rotated for the NEW X60 text_gopher_filter row
+    #   (first driver row); the shared Hamming banding/extraction
+    #   engine keeps r10-green driver rows via multimodal_phash_dedup
+    #   AND multimodal_audio_dedup (both in this tail with r10
+    #   evidence, both riding the same banded-Hamming code path);
+    #   keeps its r9-green row + the local sweep
+    "dedup_simhash",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

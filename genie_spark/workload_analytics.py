@@ -2552,6 +2552,216 @@ SELECT * FROM (
 """
 
 
+SEMDECON_THRESHOLD = 0.35
+_EVAL_PRED = "vec_id % 25 = 0"
+
+
+def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 semantic decontamination: max cosine of every corpus vector
+    (vec_id % 25 != 0) against the eval split (vec_id % 25 == 0), eval
+    side broadcast as an exact-int matmul matrix — catches paraphrased
+    benchmark leakage the n-gram forms (X12/X34) can't see."""
+    from genie_spark.analytics.similarity import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    evalset = emb.where(F.col("vec_id") % 25 == 0)
+    corpus = emb.where(F.col("vec_id") % 25 != 0)
+    return semantic_decontaminate(corpus, evalset, threshold=SEMDECON_THRESHOLD)
+
+
+SEMDECON_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
+e AS (SELECT * FROM n WHERE ({_EVAL_PRED}) AND nn > 0),
+c AS (SELECT * FROM n WHERE NOT ({_EVAL_PRED})),
+s AS (
+  SELECT c.vec_id, c.nn AS cnn, e.vec_id AS eval_id,
+         CAST(list_dot_product(c.v, e.v) AS BIGINT)
+             / (sqrt(c.nn) * sqrt(e.nn)) AS cosine
+  FROM c CROSS JOIN e
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rk
+  FROM s
+)
+SELECT vec_id,
+       CASE WHEN cnn > 0 THEN eval_id END AS eval_id,
+       CASE WHEN cnn > 0 THEN cosine END AS max_cosine,
+       CASE WHEN cnn > 0 THEN cosine >= {SEMDECON_THRESHOLD}
+            ELSE false END AS is_contaminated
+FROM r WHERE rk = 1
+"""
+
+
+SOFT_DEDUP_N = 3
+SOFT_DEDUP_K = 200
+
+_NGRAMS_3_SQL = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' '))"
+)
+
+
+def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 SoftDeDup (He et al., ACL 2024): per-doc 3-gram commonness
+    at exact integer bit resolution, inverse-commonness weight,
+    deterministic priority resample of the top 200."""
+    from genie_spark.analytics.corpus import soft_dedup
+
+    return soft_dedup(_docs(spark, sf_dir), n=SOFT_DEDUP_N, k=SOFT_DEDUP_K)
+
+
+SOFT_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= {SOFT_DEDUP_N} THEN {_NGRAMS_3_SQL}
+         ELSE [] END) AS ngram
+  FROM t
+),
+c AS (SELECT ngram, count(*) AS c FROM g GROUP BY ngram),
+tot AS (SELECT length(bin(CAST(sum(c) AS BIGINT))) - 1 AS tbits FROM c),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum((SELECT tbits FROM tot) - (length(bin(c)) - 1))
+              AS BIGINT) AS rarity_bits
+  FROM g JOIN c USING (ngram) GROUP BY doc_id
+),
+wgt AS (
+  SELECT doc_id, n_ngrams, rarity_bits,
+         CAST((rarity_bits * 1000) // n_ngrams AS BIGINT)
+             AS mean_rarity_mbits
+  FROM sc
+),
+pr AS (
+  SELECT doc_id, n_ngrams, rarity_bits, mean_rarity_mbits,
+         CAST(mean_rarity_mbits + 1 AS BIGINT) AS weight,
+         (CAST(mean_rarity_mbits + 1 AS DOUBLE) /
+          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) + 1)) * 4294967296.0 AS priority
+  FROM wgt
+)
+SELECT doc_id, n_ngrams, rarity_bits, mean_rarity_mbits, weight, priority,
+       CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT)
+           AS rank
+FROM pr ORDER BY priority DESC, doc_id LIMIT {SOFT_DEDUP_K}
+"""
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 tokenizer fertility / compression-ratio report per lang:
+    train the X52 merge table on the corpus, apply it map-side (X53),
+    aggregate subwords-per-word and chars-per-subword per language."""
+    from genie_spark.analytics.text import bpe_fertility, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    return bpe_fertility(docs, merges, group_col="lang")
+
+
+def _bpe_fertility_sql(n_merges: int) -> str:
+    """DuckDB mirror of train-then-encode-then-aggregate: the X53
+    encode oracle as a subquery, joined back to documents for the
+    lang slice, then the exact-integer milli ratios."""
+    return f"""
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(enc.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(sum(length(replace(enc.bpe_text, ' ', ''))) AS BIGINT)
+           AS n_token_chars,
+       CASE WHEN sum(enc.n_tokens) > 0 THEN
+         CAST((sum(enc.n_subwords) * 1000) // sum(enc.n_tokens) AS BIGINT)
+       END AS fertility_milli,
+       CASE WHEN sum(enc.n_subwords) > 0 THEN
+         CAST((sum(length(replace(enc.bpe_text, ' ', ''))) * 1000)
+              // sum(enc.n_subwords) AS BIGINT)
+       END AS chars_per_subword_milli
+FROM ({_bpe_encode_sql(n_merges)}) enc
+JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 Gopher quality-rule battery (Rae et al. 2021 Table A1, the
+    non-repetition rules — X11 carries the repetition section): word
+    count / mean word length / symbol ratio / bullet + ellipsis lines /
+    alpha words / stop-word presence, fused into one narrow pass."""
+    from genie_spark.analytics.text import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir))
+
+
+_GOPHER_STOPS_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(len(toks), 1) AS BIGINT) AS wc,
+         CAST(coalesce(list_aggregate(
+             list_transform(toks, w -> length(w)), 'sum'), 0) AS BIGINT)
+             AS word_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+             AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+              + (length(text) - length(replace(text, '…', ''))) AS BIGINT)
+             AS n_ellipsis,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+             ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS BIGINT)
+             AS n_bullet,
+         CAST(len(list_filter(lines,
+             ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$'))) AS BIGINT)
+             AS n_ellipsis_end,
+         CAST(len(list_filter(toks,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+             AS n_alpha_words,
+         CAST(len(list_filter({_GOPHER_STOPS_SQL},
+             s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+             AS BIGINT) AS n_stop_hits
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_words,
+         CAST((word_chars * 1000) // wc AS BIGINT) AS mean_word_len_milli,
+         (n_hash + n_ellipsis) / wc AS symbol_word_ratio,
+         n_bullet / n_lines AS bullet_line_frac,
+         n_ellipsis_end / n_lines AS ellipsis_line_frac,
+         n_alpha_words / wc AS alpha_word_frac,
+         n_stop_hits
+  FROM m
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000)
+           AS r_mean_word_len,
+       (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+       (bullet_line_frac <= 0.9) AS r_bullet_lines,
+       (ellipsis_line_frac <= 0.3) AS r_ellipsis_lines,
+       (alpha_word_frac >= 0.8) AS r_alpha_words,
+       (n_stop_hits >= 2) AS r_stop_words,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000)
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stop_hits >= 2) AS keep
+FROM r
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2611,6 +2821,10 @@ ANALYTICS_QUERIES: dict = {
     "text_normalize_nfc": text_normalize_nfc,
     "text_token_drift": text_token_drift,
     "corpus_domain_cap": corpus_domain_cap,
+    "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
+    "corpus_soft_dedup": corpus_soft_dedup,
+    "text_bpe_fertility": text_bpe_fertility,
+    "text_gopher_filter": text_gopher_filter,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2674,4 +2888,8 @@ ANALYTICS_ORACLES: dict = {
     "text_normalize_nfc": NORMALIZE_SQL,
     "text_token_drift": DRIFT_SQL,
     "corpus_domain_cap": DOMAIN_CAP_SQL,
+    "corpus_decontaminate_semantic": SEMDECON_SQL,
+    "corpus_soft_dedup": SOFT_DEDUP_SQL,
+    "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),
+    "text_gopher_filter": GOPHER_SQL,
 }

@@ -2987,3 +2987,184 @@ def test_domain_cap_semantics(spark):
         df, group_col="source", max_per_group=4, order_col="n_chars"
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_semantic_decontaminate_flags_paraphrase_dup(spark):
+    """X57 semantics: a corpus vector equal (or nearly equal) to an
+    eval vector is flagged with cosine ~1 against the RIGHT eval id;
+    an orthogonal vector is clean; ties resolve to the lowest eval
+    id; a zero-norm corpus vector gets NULL cosine and a false flag."""
+    from genie_spark.analytics.similarity import semantic_decontaminate
+
+    rows = [
+        # eval set
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.0, 0.0]),
+        # corpus: 1 = verbatim copy of eval 100; 2 = near-copy;
+        # 3 = orthogonal; 4 = equidistant from BOTH evals (tie);
+        # 5 = zero-norm
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_decontaminate(
+        df.where("vec_id < 100"), df.where("vec_id >= 100"), threshold=0.9
+    )
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 5
+    assert got[1]["is_contaminated"] and got[1]["eval_id"] == 100
+    assert got[1]["max_cosine"] == 1.0
+    assert got[2]["is_contaminated"] and got[2]["eval_id"] == 100
+    assert not got[3]["is_contaminated"]
+    assert abs(got[3]["max_cosine"]) < 1e-9
+    # exact tie between eval 100 and 101 → lowest eval id wins
+    assert got[4]["eval_id"] == 100
+    assert not got[4]["is_contaminated"]  # cos = 1/sqrt(2) < 0.9
+    assert got[5]["max_cosine"] is None and got[5]["eval_id"] is None
+    assert got[5]["is_contaminated"] is False
+
+
+def test_semantic_decontaminate_guards(spark):
+    """X57 contract: empty / all-zero-norm eval set raises; an
+    oversized eval set trips the broadcastability guard."""
+    import pytest
+
+    from genie_spark.analytics.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = corpus.where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(corpus, empty)
+    zero = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        semantic_decontaminate(corpus, zero)
+    big = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        semantic_decontaminate(corpus, big, max_eval_rows=3)
+
+
+def test_soft_dedup_downweights_boilerplate(spark):
+    """X58 semantics: documents made of corpus-common 3-grams score a
+    LOWER mean rarity (= lower weight) than a document of unique text;
+    sub-n-token documents are unscored; ranks are dense 1..k and the
+    rarest doc is a near-certain survivor."""
+    from genie_spark.analytics.corpus import soft_dedup
+
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [(i, boiler) for i in range(1, 9)]  # 8 boilerplate copies
+    rows.append((20, "quantum chromodynamics lattice renormalization group flow"))
+    rows.append((30, "too short"))  # < 3 tokens → no 3-grams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = soft_dedup(df, n=3, k=20).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 30 not in got  # unscored
+    assert len(got) == 9
+    # every boilerplate gram occurs 8×, every rare gram once
+    assert all(got[i]["mean_rarity_mbits"] == got[1]["mean_rarity_mbits"]
+               for i in range(1, 9))
+    assert got[20]["mean_rarity_mbits"] > got[1]["mean_rarity_mbits"]
+    assert got[20]["weight"] > got[1]["weight"]
+    assert sorted(r["rank"] for r in out) == list(range(1, 10))
+    # n_ngrams = tokens - 2
+    assert got[20]["n_ngrams"] == 6 - 2
+    assert got[1]["n_ngrams"] == 8 - 2
+
+
+def test_soft_dedup_rarity_bits_exact(spark):
+    """X58 exactness: rarity_bits is the exact integer surplus
+    ilog2(T) - ilog2(c) summed over occurrences."""
+    from genie_spark.analytics.corpus import soft_dedup
+
+    # 4 docs of the same 3 tokens → each contributes ONE 3-gram with
+    # corpus count 4; T = 4 → ilog2(T)=2, ilog2(c)=2 → 0 bits
+    rows = [(i, "alpha beta gamma") for i in range(4)]
+    rows.append((10, "delta epsilon zeta eta"))  # two grams, count 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in soft_dedup(df, n=3, k=10).collect()}
+    # T = 4*1 + 2 = 6 → ilog2 = 2
+    assert got[0]["rarity_bits"] == 2 - 2  # c=4 → ilog2=2
+    assert got[10]["rarity_bits"] == 2 * (2 - 0)  # c=1 → ilog2=0
+    assert got[10]["mean_rarity_mbits"] == (4 * 1000) // 2
+    assert got[0]["weight"] == 1
+
+
+def test_bpe_fertility_exact_counts(spark):
+    """X59 semantics: per-group fertility and compression ratios are
+    the exact integer milli values of the applied merge table; an
+    all-empty group reports NULL ratios."""
+    from genie_spark.analytics.text import bpe_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the", "en"),
+            (2, "thethe", "en"),
+            (3, "ab", "de"),
+            (4, "   ", "xx"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = bpe_fertility(df, [("t", "h"), ("th", "e")], group_col="lang")
+    rows = {r["lang"]: r for r in out.collect()}
+    # "the" → " t h e" → " th e" → " the" = 1 subword;
+    # "thethe" → "the the" merged per-word: " th e th e" → " the the"
+    # = 2 subwords
+    en = rows["en"]
+    assert (en["n_docs"], en["n_tokens"], en["n_subwords"]) == (2, 3, 4)
+    assert en["n_token_chars"] == 6 + 6
+    assert en["fertility_milli"] == (4 * 1000) // 3
+    assert en["chars_per_subword_milli"] == (12 * 1000) // 4
+    de = rows["de"]
+    # "ab" has no applicable merge → 2 subwords from 1 token
+    assert (de["n_tokens"], de["n_subwords"]) == (1, 2)
+    assert de["fertility_milli"] == 2000
+    xx = rows["xx"]
+    assert (xx["n_docs"], xx["n_tokens"], xx["n_subwords"]) == (1, 0, 0)
+    assert xx["fertility_milli"] is None
+    assert xx["chars_per_subword_milli"] is None
+    # deterministic group ordering
+    assert [r["lang"] for r in out.collect()] == ["de", "en", "xx"]
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    """X60 semantics: each Gopher rule fires on its targeted pathology
+    and ONLY that rule; a clean 50-word document passes all seven."""
+    from genie_spark.analytics.text import gopher_quality_filter
+
+    clean = ("the be to of and that have with " + "data " * 42).strip()
+    rows = [
+        (1, clean),                                   # passes all
+        (2, "the be short text"),                     # word count
+        (3, ("# " * 30 + clean)),                     # symbol ratio (30 hashes / 80 words)
+        (4, "\n".join("- " + clean for _ in range(10))),  # bullets
+        (5, "\n".join(clean + " ..." for _ in range(10))),  # ellipsis ends
+        (6, "the be " + "12345 " * 60),               # alpha words < 80%
+        (7, ("data " * 60).strip()),                  # no stop words
+        (8, "the be " + "a " * 60),                   # mean word len < 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert got[1]["keep"], got[1]
+    assert all(got[1][c] for c in got[1].asDict() if c.startswith("r_"))
+    assert not got[2]["r_word_count"] and not got[2]["keep"]
+    assert not got[3]["r_symbol_ratio"] and got[3]["r_word_count"]
+    assert not got[4]["r_bullet_lines"] and got[4]["r_symbol_ratio"]
+    assert not got[5]["r_ellipsis_lines"] and got[5]["r_bullet_lines"]
+    assert not got[6]["r_alpha_words"]
+    assert not got[7]["r_stop_words"] and got[7]["r_alpha_words"]
+    assert not got[8]["r_mean_word_len"]
+    # metric exactness spot-checks
+    assert got[2]["n_words"] == 4
+    assert got[7]["n_stop_hits"] == 0
+    assert got[1]["n_stop_hits"] == 8
+    assert got[4]["bullet_line_frac"] == 1.0
+    assert got[5]["ellipsis_line_frac"] == 1.0

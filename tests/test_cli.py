@@ -2887,3 +2887,61 @@ def test_corpus_dedup_normalize_flag(spark, tmp_path):
     assert sorted(rows) == [1, 3]            # exact dup under NFC
     assert rows[1] == composed               # original text kept
     assert "__hb" not in normed.columns
+
+
+def test_corpus_quality_cli(spark, tmp_path, capsys):
+    """corpus-quality: writes the per-doc rule report and the kept
+    corpus, prints total/kept plus per-rule fail counts; with
+    --with-repetition a repetitive doc is additionally dropped; bad
+    columns exit 2."""
+    from genie_spark.cli import cmd_corpus_quality
+
+    # distinct filler words: passes the repetition section too (a
+    # "word word word..." doc is 100% duplicate 5-grams — correctly
+    # flagged by X11, so it can't serve as the clean fixture)
+    clean = (
+        "the be to of and that have with "
+        + " ".join(f"word{i:02d}" for i in range(42))
+    ).strip()
+    repetitive = ("the be to of and that have with " + "loop spin " * 40).strip()
+    rows = [
+        (1, clean),
+        (2, "the be too short"),
+        (3, repetitive),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "qual")
+
+    ns = _ns(
+        input=inp, output=out, id_col="doc_id", text_col="text",
+        min_words=50, with_repetition=False,
+    )
+    assert cmd_corpus_quality(spark, ns) == 0
+    text = capsys.readouterr().out
+    assert "2/3 documents kept" in text
+    assert "r_word_count failed by 1 docs" in text
+    report = spark.read.parquet(f"{out}/quality_report")
+    assert report.count() == 3
+    kept = spark.read.parquet(f"{out}/kept")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+    ns2 = _ns(
+        input=inp, output=str(tmp_path / "qual2"), id_col="doc_id",
+        text_col="text", min_words=50, with_repetition=True,
+    )
+    assert cmd_corpus_quality(spark, ns2) == 0
+    text = capsys.readouterr().out
+    assert "1/3 documents kept" in text
+    # doc 3 (the 40× bigram loop) AND doc 2: a 4-word doc has 3
+    # distinct 2-grams → top-2-gram mass 1/3 > the 8% threshold —
+    # tiny docs legitimately trip the repetition section
+    assert "r_repetition failed by 2 docs" in text
+    kept2 = spark.read.parquet(str(tmp_path / "qual2") + "/kept")
+    assert {r["doc_id"] for r in kept2.collect()} == {1}
+
+    bad = _ns(
+        input=inp, output=out, id_col="nope", text_col="text",
+        min_words=50, with_repetition=False,
+    )
+    assert cmd_corpus_quality(spark, bad) == 2

@@ -642,3 +642,64 @@ def test_domain_cap_map_side_group_limit(spark):
     plan = plan_of(domain_cap(docs, max_per_group=5, order_col="n_chars"))
     partial = plan.split("Exchange", 1)[-1]
     assert "WindowGroupLimit" in partial and "Partial" in partial, plan
+
+
+def test_semantic_decontaminate_zero_exchange(spark):
+    """X57: the eval set rides a Spark broadcast VARIABLE into one
+    mapInPandas scan — the corpus-side plan has ZERO exchanges, no
+    join, no corpus-side state; the pass scales exactly as the scan."""
+    from genie_spark.workload_analytics import corpus_decontaminate_semantic
+
+    plan = plan_of(corpus_decontaminate_semantic(spark, SF))
+    # the only exchange is the test-harness round-robin repartition of
+    # the single-row-group testdata parquet (_emb), never a key-based
+    # shuffle of the operator itself
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_soft_dedup_partial_counts_takeordered(spark):
+    """X58: the 3-gram count model aggregates with MAP-SIDE partial
+    combine, the gram-keyed scoring join is merge (the Zipf-long
+    vocabulary is never broadcast), and the top-k resample plans as
+    TakeOrdered — never a corpus sort, never a cartesian."""
+    from genie_spark.analytics.corpus import soft_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = soft_dedup(docs, n=3, k=10)
+    plan = plan_of(df)
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_fertility_mapside_encode_one_agg(spark):
+    """X59: the encode is a bounded literal replace chain — the plan
+    has NO join and at most the group-agg hashpartitioning exchange
+    plus the |groups|-row ordering exchange; map-side partial sums
+    carry the reduce side."""
+    from genie_spark.analytics.text import bpe_fertility
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bpe_fertility(docs, [("t", "h"), ("th", "e")], group_col="lang")
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_gopher_filter_narrow_zero_shuffle(spark):
+    """X60: the whole rule battery is ONE narrow projection — no
+    exchange, no join, no UDF; scan-bound at any corpus size."""
+    from genie_spark.workload_analytics import text_gopher_filter
+
+    plan = plan_of(text_gopher_filter(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan, plan

@@ -807,6 +807,52 @@ def main() -> None:
 
     probe("domain_cap", run_cap)
 
+    # X57 semantic decontamination: the eval side is FIXED SIZE by
+    # contract (benchmark suites don't grow with the corpus) — 1024
+    # vectors broadcast as one exact-int matmul matrix; the corpus
+    # side is a single zero-exchange mapInPandas scan, so the wall
+    # must track the scan (cost = n·|eval|·dim, linear in n)
+    from genie_spark.analytics.similarity import semantic_decontaminate
+
+    def run_semdecon(n):
+        return semantic_decontaminate(
+            embs(n), synth_embeddings(spark, 1024), threshold=0.9
+        )
+
+    probe("semantic_decontaminate", run_semdecon)
+
+    # X58 SoftDeDup: the md5 corpus is the WORST case (every 3-gram
+    # unique → the count model and the gram-keyed scoring join both
+    # carry a corpus-sized stream); wall must stay linear — two
+    # map-side-partial shuffles + one doc-keyed exchange + TakeOrdered
+    from genie_spark.analytics.corpus import soft_dedup
+
+    probe("soft_dedup", lambda n: soft_dedup(docs(n), n=3, k=100))
+
+    # X59 BPE fertility: a FIXED learned merge table applied map-side
+    # (the bounded literal replace chain) + one group-keyed agg whose
+    # reduce side is |groups| rows — must track the scan.  Training
+    # cost is bpe_train's probe; this pins the report side.
+    from genie_spark.analytics.text import bpe_fertility
+
+    _FERT_MERGES = [
+        ("a", "b"), ("c", "d"), ("e", "f"), ("0", "1"), ("ab", "c"),
+    ]
+
+    def run_fertility(n):
+        d = docs(n).withColumn(
+            "lang", F.concat(F.lit("l"), (F.col("doc_id") % 8).cast("string"))
+        )
+        return bpe_fertility(d, _FERT_MERGES, group_col="lang")
+
+    probe("bpe_fertility", run_fertility)
+
+    # X60 Gopher rule battery: one narrow projection, zero shuffles —
+    # must track the scan exactly (the X9/X11 posture)
+    from genie_spark.analytics.text import gopher_quality_filter
+
+    probe("gopher_filter", lambda n: gopher_quality_filter(docs(n)))
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
