@@ -888,3 +888,117 @@ def test_dsir_matches_python_model(spark, texts):
         for r in dsir_sample(sdf, tdf, k=5, n_buckets=B).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=0, max_size=9),
+    min_size=1, max_size=10,
+))
+@settings(max_examples=8, deadline=None)
+def test_soft_dedup_matches_python_model(spark, texts):
+    """X58 against an INDEPENDENT sequential model (third
+    implementation — shares neither the Spark plan nor the DuckDB SQL):
+    3-gram bit-log commonness, the +1 weight, the IEEE priority
+    divide, and the (priority DESC, id) top-k reproduce exactly on
+    arbitrary small-vocab corpora (heavy gram collisions by design)."""
+    import hashlib
+    from collections import Counter
+
+    from genie_spark.analytics.corpus import soft_dedup
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+
+    def grams(text):
+        ws = text.split()
+        return [" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)]
+
+    cnt = Counter(g for _, t in docs for g in grams(t))
+    T = sum(cnt.values())
+    tbits = max(T.bit_length() - 1, 0)
+    want = []
+    for i, t in docs:
+        gs = grams(t)
+        if not gs:
+            continue
+        rarity = sum(tbits - (cnt[g].bit_length() - 1) for g in gs)
+        mean = (rarity * 1000) // len(gs)
+        w = mean + 1
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        prio = (float(w) / (h + 1)) * float(2**32)  # same IEEE op order
+        want.append((-prio, i, len(gs), rarity, mean, w))
+    want.sort()
+    want = [
+        (i, ng, rb, mm, w, rank + 1)
+        for rank, (negp, i, ng, rb, mm, w) in enumerate(want[:5])
+    ]
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["n_ngrams"], r["rarity_bits"],
+         r["mean_rarity_mbits"], r["weight"], r["rank"])
+        for r in soft_dedup(sdf, n=3, k=5).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+_GOPHER_VOCAB = (
+    "the be to of and that have with data 12345 #tag ... a word "
+    "- * •x longishword …"
+).split()
+
+
+@given(lines=st.lists(
+    st.lists(st.sampled_from(_GOPHER_VOCAB), min_size=0, max_size=12),
+    min_size=1, max_size=5,
+))
+@settings(max_examples=10, deadline=None)
+def test_gopher_filter_matches_python_model(spark, lines):
+    """X60 against an independent pure-Python model: every metric and
+    every rule boolean reproduces on arbitrary multi-line documents
+    mixing stop words, symbols, bullets, ellipses, and numerics."""
+    import re
+
+    from genie_spark.analytics.text import (
+        GOPHER_STOPWORDS,
+        gopher_quality_filter,
+    )
+
+    text = "\n".join(" ".join(ws) for ws in lines)
+    toks = text.split()
+    lns = text.split("\n")
+    wc = max(len(toks), 1)
+    word_chars = sum(len(w) for w in toks)
+    n_hash = text.count("#")
+    n_ellipsis = text.count("...") + text.count("…")
+    n_bullet = sum(1 for ln in lns if re.match(r"^[-*•]", ln.lstrip(" ")))
+    n_ell_end = sum(
+        1 for ln in lns if re.search(r"(\.\.\.|…)$", ln.rstrip(" "))
+    )
+    n_alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+    n_stop = sum(
+        1 for s in GOPHER_STOPWORDS if s in {w.lower() for w in toks}
+    )
+    want = {
+        "n_words": len(toks),
+        "mean_word_len_milli": (word_chars * 1000) // wc,
+        "symbol_word_ratio": (n_hash + n_ellipsis) / wc,
+        "bullet_line_frac": n_bullet / len(lns),
+        "ellipsis_line_frac": n_ell_end / len(lns),
+        "alpha_word_frac": n_alpha / wc,
+        "n_stop_hits": n_stop,
+        "r_word_count": 50 <= len(toks) <= 100_000,
+        "r_mean_word_len": 3000 <= (word_chars * 1000) // wc <= 10_000,
+        "r_symbol_ratio": (n_hash + n_ellipsis) / wc <= 0.1,
+        "r_bullet_lines": n_bullet / len(lns) <= 0.9,
+        "r_ellipsis_lines": n_ell_end / len(lns) <= 0.3,
+        "r_alpha_words": n_alpha / wc >= 0.8,
+        "r_stop_words": n_stop >= 2,
+    }
+    want["keep"] = all(
+        want[k] for k in want if k.startswith("r_")
+    )
+
+    sdf = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = gopher_quality_filter(sdf).collect()[0].asDict()
+    got.pop("doc_id")
+    assert got == want
