@@ -47,6 +47,9 @@ cBioPortal ingestion depends on:
   leading the patient file, PATIENT_ID then SAMPLE_ID leading the
   sample file (cBioPortal's patient-before-sample order), attributes
   at their level, split sample ids ⊆ the merged file, metas present;
+- clinical attribute-id charset (validateData's ClinicalValidator
+  file-format contract): column ids are uppercase [A-Z][A-Z0-9_]*,
+  never digit-leading, in the merged AND split clinical files;
 - profile ↔ case-list cross-references (round 11, completing the
   validateData notch): mutation/CNA/SV data files require their
   cases_sequenced/cases_cna/cases_sv lists, and the CNA sample
@@ -327,6 +330,24 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             f"starts {clinical.columns[:3]}",
         )
 
+    # attribute-id charset (cBioPortal clinical file-format contract,
+    # enforced by validateData's ClinicalValidator: attribute column
+    # ids are UPPERCASE letters/digits/underscores and must not lead
+    # with a digit — a lowercase or punctuated id fails the import,
+    # and a digit-leading id breaks the portal's attribute queries)
+    _ATTR_ID_RE = re.compile(r"[A-Z][A-Z0-9_]*")
+    bad_attr_ids = sorted(
+        c for c in clinical.columns if not _ATTR_ID_RE.fullmatch(c)
+    )
+    if bad_attr_ids:
+        err(
+            "release.clinical_attr_charset",
+            "release: data_clinical.txt attribute ids must match "
+            "[A-Z][A-Z0-9_]* (uppercase, not digit-leading)",
+            n=len(bad_attr_ids),
+            examples=bad_attr_ids[:5],
+        )
+
     # --- split clinical pair (data_clinical_patient/_sample.txt) ------
     # cBioPortal validates the split files harder than the merged one
     # (validateData ClinicalValidator): the patient file must LEAD with
@@ -381,6 +402,21 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
 
     pat_cols = _split_header("data_clinical_patient.txt")
     smp_cols = _split_header("data_clinical_sample.txt")
+    for fname, cols in (
+        ("data_clinical_patient.txt", pat_cols),
+        ("data_clinical_sample.txt", smp_cols),
+    ):
+        if cols is None:
+            continue
+        bad = sorted(c for c in cols if not _ATTR_ID_RE.fullmatch(c))
+        if bad:
+            err(
+                "release.clinical_attr_charset",
+                f"release: {fname} attribute ids must match "
+                "[A-Z][A-Z0-9_]* (uppercase, not digit-leading)",
+                n=len(bad),
+                examples=bad[:5],
+            )
     if pat_cols is not None:
         if pat_cols[:1] != ["PATIENT_ID"]:
             err(

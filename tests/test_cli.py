@@ -948,6 +948,27 @@ def test_release_qc_priority_and_split_clinical(spark, tmp_path):
     ids = {m.rule_id for m in validate_release(spark, out).errors}
     assert "release.meta_missing" in ids
 
+    # attribute-id charset: lowercase id in the merged file
+    seed_clean()
+    write(
+        "data_clinical.txt",
+        "#Sample Id\tPatient Id\tSex\n#d\td\td\n#STRING\tSTRING\tSTRING\n"
+        "#1\t1\t1\n"
+        "SAMPLE_ID\tPATIENT_ID\tsex\nGENIE-SAGE-1-1\tGENIE-SAGE-1\tFemale\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_attr_charset" in ids
+
+    # attribute-id charset: digit-leading id in the split patient file
+    seed_clean()
+    write(
+        "data_clinical_patient.txt",
+        "#Patient Id\t2nd Sex\n#d\td\n#STRING\tSTRING\n#1\t1\n"
+        "PATIENT_ID\t2ND_SEX\nGENIE-SAGE-1\tFemale\n",
+    )
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_attr_charset" in ids
+
 
 def test_release_qc_profile_case_list_cross_refs(spark, tmp_path):
     """validateData's profile↔case-list cross-references: CNA/SV data
