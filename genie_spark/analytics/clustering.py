@@ -40,7 +40,7 @@ bit-for-bit, and reruns reproduce):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from genie_spark.analytics.similarity import _cross_term, quantized
@@ -211,9 +211,24 @@ def kmeans_assign(
     engine: str = "arrow",
     seed: str = "md5",
 ) -> DataFrame:
-    """Lloyd's k-means over an ``array<float>`` column; returns
-    (id, cluster_id, d2) — the final assignment and its exact squared
-    quantized distance.
+    """Assignment-only view of ``kmeans_fit`` (the original public
+    surface): returns just the (id, cluster_id, d2) DataFrame."""
+    return kmeans_fit(df, id_col, vec_col, k, iters, engine, seed)[0]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    engine: str = "arrow",
+    seed: str = "md5",
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Lloyd's k-means over an ``array<float>`` column; returns the
+    (id, cluster_id, d2) assignment DataFrame AND the final quantized
+    centroids ``[(cid, vector), ...]`` — the codebook consumers
+    (product quantization, X61) need alongside the assignment.
 
     ``seed="md5"`` (default) takes the k smallest ``(md5(id), id)``
     vectors as initial centroids — deterministic, engine-portable,
@@ -274,8 +289,11 @@ def kmeans_assign(
         if not centroids:
             # empty corpus: no centroids to seed — an empty literal
             # array would be VOID-typed and break the struct extract
-            return df.sparkSession.createDataFrame(
-                [], f"{id_col} long, cluster_id long, d2 long"
+            return (
+                df.sparkSession.createDataFrame(
+                    [], f"{id_col} long, cluster_id long, d2 long"
+                ),
+                [],
             )
         dim = len(centroids[0][1])
         sc = df.sparkSession.sparkContext
@@ -341,10 +359,13 @@ def kmeans_assign(
                 F.col("__c")["cid"].alias("cid"),
                 F.col("__c")["d2"].alias("d2"),
             )
-        return final.select(
-            F.col("__id").alias(id_col),
-            F.col("cid").alias("cluster_id"),
-            "d2",
+        return (
+            final.select(
+                F.col("__id").alias(id_col),
+                F.col("cid").alias("cluster_id"),
+                "d2",
+            ),
+            centroids,
         )
     finally:
         q.unpersist()
@@ -606,4 +627,259 @@ def semantic_dedup(
             F.max("cosine").alias("max_cosine"),
         )
         .select(F.col("b").alias(id_col), "kept_witness", "max_cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X61 — product quantization (Jégou, Douze & Schmid, TPAMI 2011)
+# ---------------------------------------------------------------------------
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    seed: str = "md5",
+) -> tuple[list[list[tuple[int, list[int]]]], int]:
+    """Train the ``m`` per-subspace PQ codebooks: split the vector into
+    ``m`` contiguous sub-vectors and run the package's deterministic
+    Lloyd k-means (``kmeans_fit`` — md5-seeded, fixed iterations,
+    exact quantized integers) independently on each slice.  Returns
+    (codebooks, sub_dim) where ``codebooks[s]`` is the subspace's
+    final ``[(cid, vector), ...]``.
+
+    The dimension must divide evenly by ``m`` (PQ's standard
+    contract).  Training cost is m × iters bounded-size update
+    aggregates (k·sub_dim rows each) — sketch-sized shuffles, never
+    corpus-sized.
+    """
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq_train: empty corpus (or null leading vector)")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    codebooks = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("__sub"),
+        )
+        _, cb = kmeans_fit(
+            sub, id_col=id_col, vec_col="__sub", k=k, iters=iters, seed=seed
+        )
+        codebooks.append(cb)
+    return codebooks, sub_dim
+
+
+def _pq_codebook_broadcast(sc, codebooks, sub_dim: int):
+    """(cids, C float64 (k×sub_dim, integer-valued), cn2 int64, cmax)
+    per subspace, shipped once per executor."""
+    import numpy as np
+
+    payload = []
+    for cb in codebooks:
+        cb = sorted(cb)  # ascending cid — argmin ties → lowest cid
+        C = np.array([v for _, v in cb], dtype=np.int64)
+        payload.append(
+            (
+                np.array([cid for cid, _ in cb], dtype=np.int64),
+                C.astype(np.float64),
+                (C * C).sum(axis=1),
+                float(np.abs(C).max()) if C.size else 0.0,
+            )
+        )
+    return sc.broadcast((payload, sub_dim))
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    seed: str = "md5",
+    codebooks: list | None = None,
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """X61 — PQ-encode a corpus: each vector becomes ``m`` codebook
+    ids (one per subspace, nearest centroid by exact squared quantized
+    distance, ties → lowest cid) plus the total reconstruction error
+    ``d2`` — the compressed representation that makes billion-vector
+    ANN memory-feasible (64 int8-scale codes instead of 64 floats:
+    the reason IVF-PQ is the standard 100 TB index layout).
+
+    Returns (id, code_1..code_m, d2).
+
+    Spark shape: training is m bounded Lloyd runs (``pq_train``); the
+    encode itself is ONE fused Arrow scan — all m codebooks ride a
+    single broadcast, each batch computes the m argmins as exact
+    int64 matmuls (``_cross_term``), ZERO exchanges, no join.  The
+    same degenerate-row policy as the IVF/k-means Arrow engines:
+    null / wrong-length / non-finite vectors are omitted; embeddings
+    are non-null fixed-dim by contract.
+    """
+    import numpy as np
+
+    from genie_spark.analytics.similarity import QUANT_SCALE, _cross_term
+
+    if codebooks is None:
+        codebooks, sub_dim = pq_train(
+            df, id_col, vec_col, m=m, k=k, iters=iters, seed=seed
+        )
+    assert sub_dim is not None
+    dim = sub_dim * len(codebooks)
+    bc = _pq_codebook_broadcast(df.sparkSession.sparkContext, codebooks, sub_dim)
+    n_sub = len(codebooks)
+
+    def encode(batches):
+        import pandas as pd
+
+        payload, sd = bc.value
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[vec_col].tolist()
+            keep = [
+                i for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            raw = np.array([vals[i] for i in keep], dtype=np.float64)
+            finite = np.isfinite(raw).all(axis=1)
+            keep = [i for i, good in zip(keep, finite) if good]
+            if not keep:
+                continue
+            pdf = pdf.iloc[keep]
+            V = np.floor(raw[finite] * float(QUANT_SCALE) + 0.5).astype(
+                np.int64
+            )
+            data = {"vid": pdf[id_col].to_numpy()}
+            total = np.zeros(len(V), dtype=np.int64)
+            for s, (cids, Cf, cn2, cmax) in enumerate(payload):
+                Vs = V[:, s * sd:(s + 1) * sd]
+                vn2 = (Vs * Vs).sum(axis=1)
+                dots = _cross_term(np, Vs, Cf, cmax, sd)
+                d2 = vn2[:, None] - 2 * dots + cn2[None, :]
+                # first occurrence of the min — rows are ascending-cid,
+                # so ties resolve to the lowest cid (the oracle's
+                # ORDER BY d2, cid)
+                j = np.argmin(d2, axis=1)
+                data[f"code_{s + 1}"] = cids[j]
+                total += d2[np.arange(len(V)), j]
+            data["d2"] = total
+            yield pd.DataFrame(data)
+
+    schema = (
+        "vid long, "
+        + ", ".join(f"code_{s + 1} long" for s in range(n_sub))
+        + ", d2 long"
+    )
+    out = df.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+    return out.select(
+        F.col("vid").alias(id_col),
+        *[f"code_{s + 1}" for s in range(n_sub)],
+        "d2",
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_filter,
+    k_neighbors: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    seed: str = "md5",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """X61 — asymmetric-distance (ADC) top-k over PQ codes: queries
+    stay EXACT vectors, the corpus is its PQ codes, and each
+    (query, subspace, codeword) distance is computed once into a
+    lookup table — scoring a corpus vector is then ``m`` table adds,
+    never a d-dimensional dot product (Jégou et al. 2011 §IV.A, the
+    ADC form every IVF-PQ engine serves).
+
+    Returns (query_id, neighbor_id, rank, adc_d2) with the package's
+    total order (adc_d2 ASC, neighbor_id ASC); the query row itself is
+    excluded.  Approximate BY DESIGN: ranks come from reconstruction-
+    level distances — recall vs the exact baseline is a k/m/iters
+    sizing question (measured in tests against brute-force cosine
+    ordering at the operating point, not asserted equal).
+
+    Spark shape: the LUT is queries × m × k rows (bounded — the query
+    side is a benchmark-style set, guarded at ``max_queries``) built
+    driver-side from collected query vectors and BROADCAST; the corpus
+    codes unpivot narrowly (m rows per vector) and the score is ONE
+    (query, vector)-keyed aggregate with map-side partial sums; top-k
+    per query is a window over ≤ |Q|·n rows.  No corpus-side
+    cross join, no vocabulary-sized shuffle.
+    """
+    import numpy as np
+
+    from genie_spark.analytics.similarity import QUANT_SCALE
+
+    codebooks, sub_dim = pq_train(
+        df, id_col, vec_col, m=m, k=k, iters=iters, seed=seed
+    )
+    codes = pq_encode(
+        df, id_col, vec_col, m=m, codebooks=codebooks, sub_dim=sub_dim
+    )
+    q_rows = (
+        df.where(query_filter)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk: {len(q_rows)} query vectors (> max_queries="
+            f"{max_queries}); the LUT side must stay broadcastable"
+        )
+    lut_rows = []
+    for r in q_rows:
+        v = r[vec_col]
+        if v is None or len(v) != sub_dim * len(codebooks):
+            continue
+        Vq = np.floor(
+            np.array(v, dtype=np.float64) * float(QUANT_SCALE) + 0.5
+        ).astype(np.int64)
+        for s, cb in enumerate(codebooks):
+            qs = Vq[s * sub_dim:(s + 1) * sub_dim]
+            for cid, cv in cb:
+                cvv = np.array(cv, dtype=np.int64)
+                d = qs - cvv
+                lut_rows.append(
+                    (int(r[id_col]), s + 1, int(cid), int((d * d).sum()))
+                )
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, s int, cid long, d2 long"
+    )
+    unpivot = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[F.col(f"code_{s + 1}") for s in range(len(codebooks))])
+        ).alias("pos", "cid"),
+    ).select(
+        "neighbor_id", (F.col("pos") + 1).cast("int").alias("s"), "cid"
+    )
+    scored = (
+        unpivot.join(F.broadcast(lut), ["s", "cid"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
     )

@@ -1105,6 +1105,17 @@ _TAIL_QUERIES = [
     #   evidence, both riding the same banded-Hamming code path);
     #   keeps its r9-green row + the local sweep
     "dedup_simhash",
+    # - a6_release_diff: rotated for the NEW X61 ann_pq_codes row
+    #   (first driver row); the release-ordering + lag engine keeps an
+    #   in-window row via a5_lag_difference (same Window/lag code
+    #   path); keeps its r9-green row + the local sweep
+    "a6_release_diff",
+    # - text_quality: rotated for the NEW X61 ann_pq_topk row (first
+    #   driver row); the quality family keeps driver coverage via
+    #   text_quality_classifier (tail, r10-green) and the NEW
+    #   in-window text_gopher_filter (same tokens()/ratio engine);
+    #   keeps its r9-green row + the local sweep
+    "text_quality",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

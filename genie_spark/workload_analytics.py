@@ -2762,6 +2762,164 @@ FROM r
 """
 
 
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+PQ_DIM = KMEANS_DIM
+PQ_TOPK = 10
+
+
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 product quantization encode (Jégou et al., TPAMI 2011):
+    m=4 per-subspace md5-seeded Lloyd codebooks, one fused Arrow
+    encode scan → (vec_id, code_1..code_4, reconstruction d2)."""
+    from genie_spark.analytics.clustering import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir), m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 ADC top-10 over PQ codes for query vectors (vec_id < 20):
+    exact query subvectors vs a broadcast (query, subspace, codeword)
+    distance LUT; corpus side is codes only."""
+    from genie_spark.analytics.clustering import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir),
+        F.col("vec_id") < 20,
+        k_neighbors=PQ_TOPK,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+    )
+
+
+def _pq_subspace_ctes(
+    p: str, lo: int, hi: int, k: int, iters: int, sub_dim: int
+) -> list[str]:
+    """The kmeans oracle chain (_kmeans_sql) re-instantiated on a
+    sub-vector slice with prefixed CTE names; ends with ``{p}a`` =
+    (vec_id, cid, d2) final assignment and ``{p}c{iters}`` = the
+    final codebook.  Kept in LOCKSTEP with _kmeans_sql — both unroll
+    the same deterministic Lloyd steps."""
+    d2 = (
+        "CAST(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.v)"
+        " + list_dot_product(c.v, c.v) AS BIGINT)"
+    )
+    parts = [
+        f"{p}q AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM pqb)",
+        f"""{p}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid, v
+  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h, v FROM {p}q
+        WHERE len(list_filter(v, x -> x IS NULL)) = 0
+        ORDER BY h, vec_id LIMIT {k}))""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""{p}d{i} AS (
+  SELECT q.vec_id, c.cid, {d2} AS d2
+  FROM {p}q q CROSS JOIN {p}c{i - 1} c)"""
+        )
+        parts.append(
+            f"""{p}a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM {p}d{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""{p}s{i} AS (
+  SELECT a.cid, t.j, CAST(floor(sum(q.v[t.j]) * 1.0 / count(*)) AS BIGINT) AS m
+  FROM {p}a{i} a JOIN {p}q q USING (vec_id), range(1, {sub_dim + 1}) t(j)
+  GROUP BY a.cid, t.j)"""
+        )
+        parts.append(
+            f"""{p}c{i} AS (
+  SELECT c.cid, coalesce(nv.nvv, c.v) AS v
+  FROM {p}c{i - 1} c LEFT JOIN
+    (SELECT cid, list(m ORDER BY j) AS nvv FROM {p}s{i} GROUP BY cid) nv
+    USING (cid))"""
+        )
+    parts.append(
+        f"""{p}df AS (
+  SELECT q.vec_id, c.cid, {d2} AS d2
+  FROM {p}q q CROSS JOIN {p}c{iters} c)"""
+    )
+    parts.append(
+        f"""{p}a AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM {p}df) WHERE rn = 1)"""
+    )
+    return parts
+
+
+def _pq_base_ctes(m: int, k: int, iters: int, dim: int) -> list[str]:
+    sub_dim = dim // m
+    parts = [f"pqb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings)"]
+    for s in range(m):
+        parts += _pq_subspace_ctes(
+            f"s{s + 1}", s * sub_dim + 1, (s + 1) * sub_dim, k, iters, sub_dim
+        )
+    return parts
+
+
+def _pq_codes_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+                  dim: int = PQ_DIM) -> str:
+    parts = _pq_base_ctes(m, k, iters, dim)
+    joins = " ".join(
+        f"JOIN s{s + 1}a USING (vec_id)" for s in range(m)
+    )
+    cols = ", ".join(f"s{s + 1}a.cid AS code_{s + 1}" for s in range(m))
+    total = " + ".join(f"s{s + 1}a.d2" for s in range(m))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT pqb.vec_id, {cols}, CAST({total} AS BIGINT) AS d2"
+        + f"\nFROM pqb {joins}"
+    )
+
+
+def _pq_topk_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+                 dim: int = PQ_DIM, topk: int = PQ_TOPK) -> str:
+    sub_dim = dim // m
+    parts = _pq_base_ctes(m, k, iters, dim)
+    luts = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        luts.append(
+            f"""lut{s + 1} AS (
+  SELECT q.query_id, {s + 1} AS s, c.cid,
+         CAST(list_dot_product(q.qs, q.qs) - 2 * list_dot_product(q.qs, c.v)
+              + list_dot_product(c.v, c.v) AS BIGINT) AS d2
+  FROM (SELECT vec_id AS query_id, list_slice(v, {lo}, {hi}) AS qs
+        FROM pqb WHERE vec_id < 20) q
+  CROSS JOIN s{s + 1}c{iters} c)"""
+        )
+    parts += luts
+    unp = "\nUNION ALL\n".join(
+        f"  SELECT vec_id AS neighbor_id, {s + 1} AS s, cid FROM s{s + 1}a"
+        for s in range(m)
+    )
+    lut_union = " UNION ALL ".join(f"SELECT * FROM lut{s + 1}" for s in range(m))
+    parts.append(f"unp AS (\n{unp})")
+    parts.append(f"lut AS ({lut_union})")
+    parts.append(
+        """scored AS (
+  SELECT query_id, neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM unp JOIN lut l USING (s, cid)
+  WHERE neighbor_id != query_id
+  GROUP BY query_id, neighbor_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2825,6 +2983,8 @@ ANALYTICS_QUERIES: dict = {
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
     "text_gopher_filter": text_gopher_filter,
+    "ann_pq_codes": ann_pq_codes,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -2892,4 +3052,6 @@ ANALYTICS_ORACLES: dict = {
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),
     "text_gopher_filter": GOPHER_SQL,
+    "ann_pq_codes": _pq_codes_sql(),
+    "ann_pq_topk": _pq_topk_sql(),
 }

@@ -3168,3 +3168,63 @@ def test_gopher_filter_rules_fire_individually(spark):
     assert got[1]["n_stop_hits"] == 8
     assert got[4]["bullet_line_frac"] == 1.0
     assert got[5]["ellipsis_line_frac"] == 1.0
+
+
+def test_pq_encode_codes_and_reconstruction(spark):
+    """X61 semantics: identical vectors get identical codes; codes are
+    valid codebook ids; d2 is the exact reconstruction error (zero
+    when a vector IS a final centroid is not guaranteed, but d2 must
+    equal the sum of per-subspace nearest distances — cross-checked
+    against kmeans_fit on each slice)."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.clustering import kmeans_fit, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, k, iters = 4, 8, 2
+    codes = pq_encode(emb, m=m, k=k, iters=iters).collect()
+    assert len(codes) == emb.count()
+    by_id = {r["vec_id"]: r for r in codes}
+    for r in codes[:20]:
+        for s in range(1, m + 1):
+            assert 0 <= r[f"code_{s}"] < k
+        assert r["d2"] >= 0
+    # cross-check: each subspace column equals an independent
+    # kmeans_fit assignment on the slice, and d2 sums the slice d2s
+    dim = 64
+    sub = dim // m
+    total = {vid: 0 for vid in by_id}
+    for s in range(m):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", s * sub + 1, sub).alias("__sub")
+        )
+        adf, _cb = kmeans_fit(sliced, vec_col="__sub", k=k, iters=iters)
+        for r in adf.collect():
+            assert by_id[r["vec_id"]][f"code_{s + 1}"] == r["cluster_id"]
+            total[r["vec_id"]] += r["d2"]
+    assert all(by_id[v]["d2"] == t for v, t in total.items())
+
+
+def test_pq_topk_identical_vector_ties_at_min(spark):
+    """X61 ADC semantics: ADC scores a neighbor by its CODES, so a
+    corpus vector bit-identical to the query sits at the minimal ADC
+    distance (= the query's own reconstruction error) — tied with any
+    other vector sharing all m codes, ties broken by neighbor id.
+    Ranks are dense and the query row itself is excluded."""
+    rows = []
+    base = [1.0, -0.5, 0.25, 2.0] * 16  # dim 64
+    for i in range(40):
+        rows.append((i, [x + 0.05 * i for x in base]))
+    rows.append((100, list(rows[0][1])))  # identical to query 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.clustering import pq_topk
+
+    out = pq_topk(df, F.col("vec_id") == 0, k_neighbors=41, m=4, k=4, iters=2)
+    got = {r["neighbor_id"]: r for r in out.collect()}
+    assert 0 not in got  # query excluded
+    ranks = sorted(r["rank"] for r in got.values())
+    assert ranks == list(range(1, len(got) + 1))  # dense
+    min_d2 = min(r["adc_d2"] for r in got.values())
+    assert got[100]["adc_d2"] == min_d2  # identical vector ties at min

@@ -703,3 +703,29 @@ def test_gopher_filter_narrow_zero_shuffle(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "MapInPandas" not in plan, plan
+
+
+def test_pq_encode_fused_scan_zero_shuffle(spark):
+    """X61 encode: all m codebooks ride one broadcast into ONE fused
+    Arrow scan — no key-based exchange, no join; the compressed index
+    build scales exactly as the corpus scan."""
+    from genie_spark.workload_analytics import ann_pq_codes
+
+    plan = plan_of(ann_pq_codes(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_pq_topk_broadcast_lut_partial_sum(spark):
+    """X61 ADC: the (query, subspace, codeword) LUT joins as a
+    BROADCAST (it is queries×m×k rows by contract), the score is a
+    partial-aggregated sum, and nothing cross-joins the corpus."""
+    from genie_spark.workload_analytics import ann_pq_topk
+
+    plan = plan_of(ann_pq_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -853,6 +853,24 @@ def main() -> None:
 
     probe("gopher_filter", lambda n: gopher_quality_filter(docs(n)))
 
+    # X61 product quantization: training is m×iters bounded update
+    # aggregates (k·sub_dim rows each — sketch-sized), the encode is
+    # ONE fused Arrow scan with all m codebooks on a single broadcast
+    # — total wall must track the corpus scan
+    from genie_spark.analytics.clustering import pq_encode, pq_topk
+
+    probe("pq_encode", lambda n: pq_encode(embs(n), m=4, k=8, iters=2))
+
+    # ADC top-k with a FIXED 16-query set (benchmark-style contract):
+    # LUT broadcast, corpus codes unpivot + one partial-summed
+    # (query, vector) aggregate — linear in n
+    probe(
+        "pq_topk",
+        lambda n: pq_topk(
+            embs(n), F.col("vec_id") < 16, k_neighbors=10, m=4, k=8, iters=2
+        ),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
