@@ -832,14 +832,55 @@ def pq_topk(
     codes = pq_encode(
         df, id_col, vec_col, m=m, codebooks=codebooks, sub_dim=sub_dim
     )
-    q_rows = (
-        df.where(query_filter)
-        .select(id_col, vec_col)
-        .collect()
+    lut = _pq_query_lut(
+        df, query_filter, codebooks, sub_dim, id_col, vec_col, max_queries
     )
+    unpivot = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[F.col(f"code_{s + 1}") for s in range(len(codebooks))])
+        ).alias("pos", "cid"),
+    ).select(
+        "neighbor_id", (F.col("pos") + 1).cast("int").alias("s"), "cid"
+    )
+    scored = (
+        unpivot.join(F.broadcast(lut), ["s", "cid"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )
+
+
+def _pq_query_lut(
+    df: DataFrame,
+    query_filter,
+    codebooks: list,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+) -> DataFrame:
+    """The ADC lookup table: exact squared distance from every query
+    SUB-vector to every codeword — queries × m × k rows, built
+    driver-side from the (guarded-bounded) collected query set and
+    consumed as a broadcast.  Shared by ``pq_topk`` and
+    ``ivfpq_topk``."""
+    import numpy as np
+
+    from genie_spark.analytics.similarity import QUANT_SCALE
+
+    q_rows = df.where(query_filter).select(id_col, vec_col).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"pq_topk: {len(q_rows)} query vectors (> max_queries="
+            f"pq LUT: {len(q_rows)} query vectors (> max_queries="
             f"{max_queries}); the LUT side must stay broadcastable"
         )
     lut_rows = []
@@ -858,9 +899,86 @@ def pq_topk(
                 lut_rows.append(
                     (int(r[id_col]), s + 1, int(cid), int((d * d).sum()))
                 )
-    lut = df.sparkSession.createDataFrame(
+    return df.sparkSession.createDataFrame(
         lut_rows, "query_id long, s int, cid long, d2 long"
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_filter,
+    k_neighbors: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    seed: str = "md5",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """X62 — IVF-PQ top-k (Jégou et al. 2011 §V: the inverted-file +
+    product-quantization composite that IS the standard billion-vector
+    index layout, e.g. FAISS IndexIVFPQ): the IVF coarse quantizer
+    (X8's deterministic md5-chosen centroid cells) prunes the corpus
+    to the query's ``n_probe`` nearest cells, and PQ codes (X61) score
+    only those candidates by asymmetric distance — compute shrinks by
+    ~n_probe/n_centroids AND memory by dim·4/m bytes per vector, which
+    is why this pairing scales where flat indexes cannot.
+
+    This composition uses the package's non-residual PQ form (codes
+    are trained on raw vectors, not per-cell residuals — the simpler
+    published variant; residual training would couple the codebooks
+    to the coarse quantizer).  Coarse pruning is cosine (the X8
+    engine, oracle-proven), ADC scoring is exact squared quantized
+    distance (the X61 engine): approximate BY DESIGN at both stages.
+
+    Returns (query_id, neighbor_id, rank, adc_d2), ties (adc_d2 ASC,
+    neighbor_id ASC), query row excluded.
+
+    Spark shape: centroid matrix + PQ codebooks + the ADC LUT all ride
+    broadcasts; cell assignment and PQ encode are zero-shuffle Arrow
+    scans; candidate generation is an EQUI-JOIN on the cell id (never
+    a cross join); scoring joins the m-row unpivot of candidate codes
+    to the broadcast LUT and partial-sums into ONE (query,
+    vector)-keyed aggregate.  Every corpus-sized stage is a scan or an
+    equi-join — the IVF-PQ shape at any scale.
+    """
+    from genie_spark.analytics.similarity import (
+        _centroid_rows,
+        _ivf_centroid_broadcast,
+        _ivf_probes_arrow,
+    )
+
+    cent_rows = _centroid_rows(df, id_col, vec_col, n_centroids)
+    if not cent_rows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, adc_d2 long"
+        )
+    n_probe = min(n_probe, len(cent_rows))
+    bc = _ivf_centroid_broadcast(df, cent_rows)
+    cells = _ivf_probes_arrow(
+        df, id_col, vec_col, cent_rows, 1, bc=bc
+    ).select(F.col("vid").alias("neighbor_id"), F.col("cell"))
+    qprobes = _ivf_probes_arrow(
+        df.where(query_filter), id_col, vec_col, cent_rows, n_probe, bc=bc
+    ).select(F.col("vid").alias("query_id"), F.col("cell"))
+    codebooks, sub_dim = pq_train(
+        df, id_col, vec_col, m=m, k=k, iters=iters, seed=seed
+    )
+    codes = pq_encode(
+        df, id_col, vec_col, m=m, codebooks=codebooks, sub_dim=sub_dim
+    )
+    lut = _pq_query_lut(
+        df, query_filter, codebooks, sub_dim, id_col, vec_col, max_queries
+    )
+    # a corpus vector sits in exactly ONE cell (n_probe=1 assignment)
+    # and a query's probed cells are distinct, so each (query,
+    # neighbor) candidate appears at most once — no dedup needed
+    cand = qprobes.join(cells, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
     unpivot = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(
@@ -869,9 +987,16 @@ def pq_topk(
     ).select(
         "neighbor_id", (F.col("pos") + 1).cast("int").alias("s"), "cid"
     )
+    # the candidate PAIR set is bounded by |Q|·n_probe·(n/C) — with C
+    # on the √n sizing rule that is |Q|·n_probe·√n rows of two longs
+    # (≈2M rows ≈ 32 MB even at 10⁹ vectors with a 16-query set), so
+    # it BROADCASTS and the n·m code unpivot is never shuffled; the
+    # first probe of this operator used a sort-merge join here and the
+    # full-unpivot sort made the composite SLOWER than flat pq_topk
+    # (33.9 s → 198 s per 10× — recorded in BASELINE.md)
     scored = (
-        unpivot.join(F.broadcast(lut), ["s", "cid"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        unpivot.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )

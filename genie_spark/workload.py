@@ -1116,6 +1116,13 @@ _TAIL_QUERIES = [
     #   in-window text_gopher_filter (same tokens()/ratio engine);
     #   keeps its r9-green row + the local sweep
     "text_quality",
+    # - cluster_kmeans: rotated for the NEW X62 ann_ivfpq_topk row
+    #   (first driver row); the deterministic Lloyd engine
+    #   (kmeans_fit) is now exercised by THREE in-window rows —
+    #   ann_pq_codes, ann_pq_topk, ann_ivfpq_topk each run it per
+    #   subspace against the unrolled oracle chain; keeps its
+    #   r9-green row + the local sweep
+    "cluster_kmeans",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

@@ -2920,6 +2920,107 @@ SELECT query_id, neighbor_id, rank, adc_d2 FROM (
     )
 
 
+IVFPQ_CENTROIDS = 16
+IVFPQ_PROBE = 4
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 IVF-PQ top-10 (Jégou et al. 2011 §V, the FAISS IndexIVFPQ
+    layout): IVF cosine cells prune candidates, PQ codes score them by
+    asymmetric distance — compute AND memory both compressed."""
+    from genie_spark.analytics.clustering import ivfpq_topk
+
+    return ivfpq_topk(
+        _emb(spark, sf_dir),
+        F.col("vec_id") < 20,
+        k_neighbors=PQ_TOPK,
+        n_centroids=IVFPQ_CENTROIDS,
+        n_probe=IVFPQ_PROBE,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+    )
+
+
+def _ivfpq_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+               dim: int = PQ_DIM, topk: int = PQ_TOPK,
+               n_centroids: int = IVFPQ_CENTROIDS,
+               n_probe: int = IVFPQ_PROBE) -> str:
+    """IVF coarse pruning (the ANN_IVF_SQL cell CTEs, pqb-based) +
+    the PQ chain + ADC scoring restricted to candidate pairs."""
+    sub_dim = dim // m
+    parts = _pq_base_ctes(m, k, iters, dim)
+    parts.append(
+        "n2 AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT)"
+        " AS nn FROM pqb)"
+    )
+    parts.append(
+        f"""cc AS (SELECT vec_id AS ccid, v AS cv, nn AS cn FROM n2
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids})"""
+    )
+    parts.append(
+        """as0 AS (
+  SELECT n2.vec_id, cc.ccid,
+         CAST(list_dot_product(n2.v, cc.cv) AS BIGINT)
+             / (sqrt(n2.nn) * sqrt(cc.cn)) AS ccos
+  FROM n2 CROSS JOIN cc)"""
+    )
+    parts.append(
+        """asg AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY ccos DESC, ccid) AS crank
+  FROM as0)"""
+    )
+    parts.append("corpus AS (SELECT vec_id, ccid FROM asg WHERE crank = 1)")
+    parts.append(
+        f"""probes AS (
+  SELECT vec_id, ccid FROM asg WHERE crank <= {n_probe} AND vec_id < 20)"""
+    )
+    parts.append(
+        """cand AS (
+  SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
+  FROM probes p JOIN corpus t USING (ccid)
+  WHERE p.vec_id != t.vec_id)"""
+    )
+    luts = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        luts.append(
+            f"""lut{s + 1} AS (
+  SELECT q.query_id, {s + 1} AS s, c.cid,
+         CAST(list_dot_product(q.qs, q.qs) - 2 * list_dot_product(q.qs, c.v)
+              + list_dot_product(c.v, c.v) AS BIGINT) AS d2
+  FROM (SELECT vec_id AS query_id, list_slice(v, {lo}, {hi}) AS qs
+        FROM pqb WHERE vec_id < 20) q
+  CROSS JOIN s{s + 1}c{iters} c)"""
+        )
+    parts += luts
+    unp = "\nUNION ALL\n".join(
+        f"  SELECT vec_id AS neighbor_id, {s + 1} AS s, cid FROM s{s + 1}a"
+        for s in range(m)
+    )
+    lut_union = " UNION ALL ".join(f"SELECT * FROM lut{s + 1}" for s in range(m))
+    parts.append(f"unp AS (\n{unp})")
+    parts.append(f"lut AS ({lut_union})")
+    parts.append(
+        """scored AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM cand c
+  JOIN unp u ON u.neighbor_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.s = u.s AND l.cid = u.cid
+  GROUP BY c.query_id, c.neighbor_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2985,6 +3086,7 @@ ANALYTICS_QUERIES: dict = {
     "text_gopher_filter": text_gopher_filter,
     "ann_pq_codes": ann_pq_codes,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -3054,4 +3156,5 @@ ANALYTICS_ORACLES: dict = {
     "text_gopher_filter": GOPHER_SQL,
     "ann_pq_codes": _pq_codes_sql(),
     "ann_pq_topk": _pq_topk_sql(),
+    "ann_ivfpq_topk": _ivfpq_sql(),
 }

@@ -3228,3 +3228,37 @@ def test_pq_topk_identical_vector_ties_at_min(spark):
     assert ranks == list(range(1, len(got) + 1))  # dense
     min_d2 = min(r["adc_d2"] for r in got.values())
     assert got[100]["adc_d2"] == min_d2  # identical vector ties at min
+
+
+def test_ivfpq_subset_of_pq_with_same_scores(spark):
+    """X62 semantics: IVF-PQ results are exactly the PQ-ADC results
+    RESTRICTED to the coarse candidate set — for every (query,
+    neighbor) IVF-PQ returns, the full pq_topk run must hold the same
+    adc_d2; and every IVF-PQ rank list is densely 1..n in the package
+    total order."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.clustering import ivfpq_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_d2"]
+        for r in pq_topk(
+            emb, F.col("vec_id") < 5, k_neighbors=10_000, m=4, k=8, iters=2
+        ).collect()
+    }
+    pruned = ivfpq_topk(
+        emb, F.col("vec_id") < 5, k_neighbors=10, n_centroids=16,
+        n_probe=4, m=4, k=8, iters=2,
+    ).collect()
+    assert pruned, "IVF-PQ returned no candidates"
+    by_q: dict = {}
+    for r in pruned:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adc_d2"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_d2"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
+        )

@@ -729,3 +729,16 @@ def test_pq_topk_broadcast_lut_partial_sum(spark):
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivfpq_equijoin_candidates_broadcast_lut(spark):
+    """X62: candidate generation is an EQUI-JOIN on the cell id (never
+    a cross join over the corpus), the ADC LUT joins as a BROADCAST,
+    and the score aggregate partial-sums map-side."""
+    from genie_spark.workload_analytics import ann_ivfpq_topk
+
+    plan = plan_of(ann_ivfpq_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -871,6 +871,20 @@ def main() -> None:
         ),
     )
 
+    # X62 IVF-PQ: coarse cells prune candidates to ~n·p/C before ADC
+    # scoring — with C on the √n rule the scored volume grows ~√n per
+    # query, so the composite must track (or beat) flat pq_topk
+    from genie_spark.analytics.clustering import ivfpq_topk
+
+    probe(
+        "ivfpq_topk",
+        lambda n: ivfpq_topk(
+            embs(n), F.col("vec_id") < 16, k_neighbors=10,
+            n_centroids=max(16, _math.isqrt(max(n, 1))), n_probe=4,
+            m=4, k=8, iters=2,
+        ),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
