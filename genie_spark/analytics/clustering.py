@@ -651,8 +651,12 @@ def pq_train(
 
     The dimension must divide evenly by ``m`` (PQ's standard
     contract).  Training cost is m × iters bounded-size update
-    aggregates (k·sub_dim rows each) — sketch-sized shuffles, never
-    corpus-sized.
+    aggregates (k·sub_dim rows each — sketch-sized shuffles) but each
+    subspace run SCANS the corpus iters+1 times; at real scale pass a
+    deterministic training sample as ``df`` (the standard PQ practice
+    — FAISS trains codebooks on ~100k·k vectors, not the corpus; the
+    md5-uniform ``corpus._uniform_bp`` sampler keeps it reproducible)
+    and encode the full corpus via ``pq_encode(..., codebooks=...)``.
     """
     first = df.select(vec_col).first()
     if first is None or first[0] is None:
@@ -877,11 +881,19 @@ def _pq_query_lut(
 
     from genie_spark.analytics.similarity import QUANT_SCALE
 
-    q_rows = df.where(query_filter).select(id_col, vec_col).collect()
+    # guard BEFORE the full transfer: limit(max+1) bounds the collect,
+    # so an out-of-contract corpus-sized query set raises instead of
+    # OOMing the driver mid-collect
+    q_rows = (
+        df.where(query_filter)
+        .select(id_col, vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"pq LUT: {len(q_rows)} query vectors (> max_queries="
-            f"{max_queries}); the LUT side must stay broadcastable"
+            f"pq LUT: query set exceeds max_queries={max_queries}; "
+            "the LUT side must stay broadcastable"
         )
     lut_rows = []
     for r in q_rows:

@@ -1038,21 +1038,27 @@ def semantic_decontaminate(
     """
     import numpy as np
 
+    # guard BEFORE the full collect (limit(max+1) bounds the driver
+    # transfer, so an out-of-contract corpus-sized eval set raises
+    # instead of OOMing the driver mid-collect)
     rows = (
         evalset.select(F.col(id_col).alias("cid"), quantized(vec_col).alias("v"))
-        .orderBy("cid")
+        .limit(max_eval_rows + 1)
         .collect()
     )
-    rows = [r for r in rows if any(x != 0 for x in r["v"])]
+    if len(rows) > max_eval_rows:
+        raise ValueError(
+            f"semantic_decontaminate: eval set exceeds max_eval_rows="
+            f"{max_eval_rows}; the eval side must be broadcastable — "
+            "pre-reduce it or raise the guard explicitly"
+        )
+    rows = sorted(
+        (r for r in rows if any(x != 0 for x in r["v"])),
+        key=lambda r: r["cid"],
+    )
     if not rows:
         raise ValueError(
             "semantic_decontaminate: eval set is empty (or all zero-norm)"
-        )
-    if len(rows) > max_eval_rows:
-        raise ValueError(
-            f"semantic_decontaminate: eval set has {len(rows)} rows "
-            f"(> max_eval_rows={max_eval_rows}); the eval side must be "
-            "broadcastable — pre-reduce it or raise the guard explicitly"
         )
     dim = len(rows[0]["v"])
     bc = _ivf_centroid_broadcast(corpus, rows)
