@@ -998,3 +998,114 @@ def gopher_quality_filter(
             & r_ellipsis & r_alpha & r_stop
         ).alias("keep"),
     )
+
+
+BIGRAM_BACKOFF_BITS = 4
+
+
+def lm_surprisal_bigram(
+    df: DataFrame,
+    model_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff_bits: int = BIGRAM_BACKOFF_BITS,
+    outlier_centibits: int = 800,
+) -> DataFrame:
+    """X63 — bigram backoff LM surprisal: score a corpus under a
+    CONDITIONAL language model trained on ``model_df`` — the
+    perplexity-filter family one order up from X24's unigram form
+    (CCNet's KenLM filter trains on a reference corpus and scores the
+    target; a 5-gram with Kneser-Ney there, the bigram-with-backoff
+    form here, same pipeline role and the same "train on A, score B"
+    shape — scoring a corpus under its OWN bigrams would never back
+    off).
+
+    Per bigram occurrence (w_prev, w), at EXACT INTEGER bit resolution
+    (the lm_surprisal no-libm idiom):
+
+      seen   (c2(w_prev, w) >= 1):  ilog2(c1(w_prev)) - ilog2(c2)
+                                     ~ -log2 p(w | w_prev)
+      unseen (backoff):              backoff_bits + ilog2(T)
+                                     - ilog2(c1(w) + 1)
+                                     ~ alpha - log2 p_unigram(w),
+                                     +1 smoothing handles OOV
+
+    Documents with fewer than 2 tokens have no bigrams and are not
+    scored (the soft_dedup/bm25 empty-feature contract).  Returns
+    (id, n_bigrams, n_backoff, total_bits, bpt_centibits, is_outlier)
+    — mean conditional bits/bigram ×100 exact, outliers above the
+    threshold (gibberish, wrong-domain, boilerplate soup).
+
+    Spark shape: the model is two groupBy counts with MAP-SIDE partial
+    combine (unigram + bigram tables, persisted; T from a 1-row agg
+    over the unigram table); the scoring stream is a narrow per-row
+    bigram explode joined to the bigram table and both unigram sides
+    — all three joins are vocabulary-keyed and MERGE-hinted (Zipf-long
+    at 100 TB, never a static broadcast; hot heads are AQE's
+    skew-split case) — then ONE doc-keyed aggregate.
+    """
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import _release_on_gc
+
+    mtok = model_df.select(F.explode(tokens(text_col)).alias("w"))
+    c1 = mtok.groupBy("w").agg(F.count(F.lit(1)).alias("__c1")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = c1.agg(F.sum("__c1")).first()[0] or 0
+    t_bits = max(int(total).bit_length() - 1, 0)
+
+    def bigrams(text_column: str) -> Column:
+        return F.transform(
+            F.array(tokens(text_column)),
+            lambda t: F.when(
+                F.size(t) >= 2,
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.struct(a.alias("wp"), b.alias("w")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<wp:string,w:string>>")
+            ),
+        )[0]
+
+    c2 = (
+        model_df.select(F.explode(bigrams(text_col)).alias("__b"))
+        .select(F.col("__b.wp").alias("wp"), F.col("__b.w").alias("w"))
+        .groupBy("wp", "w")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+    occ = df.select(
+        F.col(id_col), F.explode(bigrams(text_col)).alias("__b")
+    ).select(id_col, F.col("__b.wp").alias("wp"), F.col("__b.w").alias("w"))
+    ilog = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    scored = (
+        occ.join(c2.hint("merge"), ["wp", "w"], "left")
+        .join(
+            c1.hint("merge").select(F.col("w").alias("wp"), F.col("__c1").alias("__cp")),
+            "wp",
+            "left",
+        )
+        .join(c1.hint("merge"), "w", "left")
+        .withColumn("__backoff", F.col("__c2").isNull())
+        .withColumn(
+            "__bits",
+            F.when(
+                ~F.col("__backoff"), ilog(F.col("__cp")) - ilog(F.col("__c2"))
+            ).otherwise(
+                F.lit(backoff_bits)
+                + F.lit(t_bits)
+                - ilog(F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(1))
+            ),
+        )
+    )
+    bpt = F.floor((F.sum("__bits") * 100) / F.count(F.lit(1))).cast("long")
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("__backoff").cast("long")).alias("n_backoff"),
+        F.sum("__bits").alias("total_bits"),
+        bpt.alias("bpt_centibits"),
+        (bpt >= F.lit(outlier_centibits)).alias("is_outlier"),
+    )
+    return _release_on_gc(out, c1)

@@ -1123,6 +1123,14 @@ _TAIL_QUERIES = [
     #   subspace against the unrolled oracle chain; keeps its
     #   r9-green row + the local sweep
     "cluster_kmeans",
+    # - dedup_embedding_drop: rotated for the NEW X63 text_lm_bigram
+    #   row (first driver row); its IVF candidate machinery
+    #   (_centroid_rows + _ivf_probes_arrow) is now driver-checked
+    #   in-window by ann_ivfpq_topk (same coarse-cell engine vs the
+    #   same oracle CTEs), and the verify→components tail stays
+    #   covered by dedup_components (in-window); keeps its r9-green
+    #   row + the local sweep
+    "dedup_embedding_drop",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

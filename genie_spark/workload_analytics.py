@@ -3021,6 +3021,63 @@ SELECT query_id, neighbor_id, rank, adc_d2 FROM (
     )
 
 
+BIGRAM_BACKOFF = 4
+BIGRAM_OUTLIER = 800
+
+
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 bigram backoff LM surprisal: model trained on the
+    doc_id % 50 != 0 split, ALL documents scored — held-out docs
+    exercise the backoff path (the CCNet train-on-A-score-B shape)."""
+    from genie_spark.analytics.text import lm_surprisal_bigram
+
+    docs = _docs(spark, sf_dir)
+    return lm_surprisal_bigram(
+        docs,
+        docs.where(F.col("doc_id") % 50 != 0),
+        backoff_bits=BIGRAM_BACKOFF,
+        outlier_centibits=BIGRAM_OUTLIER,
+    )
+
+
+LM_BIGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+mt AS (SELECT unnest(toks) AS w FROM t WHERE doc_id % 50 != 0),
+u AS (SELECT w, count(*) AS cu FROM mt GROUP BY w),
+tt AS (SELECT length(bin(CAST(sum(cu) AS BIGINT))) - 1 AS tbits FROM u),
+mb AS (
+  SELECT toks[i] AS wp, toks[i + 1] AS w
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE doc_id % 50 != 0)
+),
+b AS (SELECT wp, w, count(*) AS cb FROM mb GROUP BY wp, w),
+occ AS (
+  SELECT doc_id, toks[i] AS wp, toks[i + 1] AS w
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+s AS (
+  SELECT occ.doc_id,
+         b.cb IS NULL AS backoff,
+         CASE WHEN b.cb IS NOT NULL
+              THEN (length(bin(up.cu)) - 1) - (length(bin(b.cb)) - 1)
+              ELSE {BIGRAM_BACKOFF} + (SELECT tbits FROM tt)
+                   - (length(bin(coalesce(uw.cu, 0) + 1)) - 1)
+         END AS bits
+  FROM occ
+  LEFT JOIN b ON b.wp = occ.wp AND b.w = occ.w
+  LEFT JOIN u up ON up.w = occ.wp
+  LEFT JOIN u uw ON uw.w = occ.w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       CAST(sum(bits) AS BIGINT) AS total_bits,
+       CAST((sum(bits) * 100) // count(*) AS BIGINT) AS bpt_centibits,
+       ((sum(bits) * 100) // count(*)) >= {BIGRAM_OUTLIER} AS is_outlier
+FROM s GROUP BY doc_id
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3087,6 +3144,7 @@ ANALYTICS_QUERIES: dict = {
     "ann_pq_codes": ann_pq_codes,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "text_lm_bigram": text_lm_bigram,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -3157,4 +3215,5 @@ ANALYTICS_ORACLES: dict = {
     "ann_pq_codes": _pq_codes_sql(),
     "ann_pq_topk": _pq_topk_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
+    "text_lm_bigram": LM_BIGRAM_SQL,
 }

@@ -3262,3 +3262,37 @@ def test_ivfpq_subset_of_pq_with_same_scores(spark):
         assert all(
             rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
         )
+
+
+def test_lm_bigram_backoff_semantics(spark):
+    """X63 semantics: bigrams seen in the model score conditional
+    bits; held-out bigrams take the backoff path (penalty + smoothed
+    unigram); sub-2-token docs are unscored; counts are exact."""
+    from genie_spark.analytics.text import lm_surprisal_bigram
+
+    model = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "a b"),      # seen bigram: c1(a)=3, c2(a,b)=3 → 1-1=0? no:
+                              # ilog2(3)-ilog2(3)=0 bits
+            (11, "b a"),      # seen once: c1(b)=3, c2(b,a)=1 → 1-0=1 bit
+            (12, "c z"),      # UNSEEN bigram, z OOV: 4 + ilog2(8) - ilog2(0+1)
+            (13, "one"),      # 1 token → unscored
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lm_surprisal_bigram(
+        score, model, backoff_bits=4, outlier_centibits=500
+    ).collect()}
+    assert 13 not in out and len(out) == 3
+    # model totals: tokens a,b,a,b,c,a,b,x → T=8, c1: a=3,b=3,c=1,x=1
+    assert out[10]["n_backoff"] == 0
+    assert out[10]["total_bits"] == (3).bit_length() - 1 - ((3).bit_length() - 1)
+    assert out[11]["total_bits"] == ((3).bit_length() - 1) - ((1).bit_length() - 1)
+    assert out[12]["n_backoff"] == 1
+    # backoff: 4 + ilog2(8) - ilog2(0+1) = 4 + 3 - 0 = 7
+    assert out[12]["total_bits"] == 7
+    assert out[12]["is_outlier"]  # 700 centibits >= 500
+    assert not out[10]["is_outlier"]

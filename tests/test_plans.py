@@ -742,3 +742,16 @@ def test_ivfpq_equijoin_candidates_broadcast_lut(spark):
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lm_bigram_merge_joins_partial_counts(spark):
+    """X63: both model tables aggregate with map-side partial combine
+    and every vocabulary-keyed scoring join is a merge join — the
+    Zipf-long bigram vocabulary must never ride a static broadcast."""
+    from genie_spark.workload_analytics import text_lm_bigram
+
+    plan = plan_of(text_lm_bigram(spark, SF))
+    assert "partial_count" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

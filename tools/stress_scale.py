@@ -885,6 +885,18 @@ def main() -> None:
         ),
     )
 
+    # X63 bigram backoff LM: two map-side-partial model aggregates +
+    # three vocab-keyed merge joins on the scoring stream + one
+    # doc-keyed aggregate; the md5 corpus is the worst case (every
+    # bigram unique → model tables scale with the corpus)
+    from genie_spark.analytics.text import lm_surprisal_bigram
+
+    def run_lm_bigram(n):
+        d = docs(n)
+        return lm_surprisal_bigram(d, d.where(F.col("doc_id") % 2 == 0))
+
+    probe("lm_bigram", run_lm_bigram)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
