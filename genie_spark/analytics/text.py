@@ -1109,3 +1109,86 @@ def lm_surprisal_bigram(
         (bpt >= F.lit(outlier_centibits)).alias("is_outlier"),
     )
     return _release_on_gc(out, c1)
+
+
+def line_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_frac: float = 0.30,
+    max_dup_char_frac: float = 0.20,
+) -> DataFrame:
+    """X64 — the LINE/PARAGRAPH repetition section of Gopher Table A1
+    (Rae et al. 2021): fraction of duplicate lines / paragraphs and
+    the fraction of CHARACTERS inside those duplicates.  With X11
+    (n-gram repetition) and X60 (the non-repetition rules) this
+    completes the table: chat logs, scraped boilerplate, and broken
+    extractors all repeat whole lines, which the n-gram signals
+    underweight on long lines.
+
+    A duplicate is every occurrence of a line beyond its first within
+    the document (so a doc of one line repeated 4× has dup fraction
+    3/4).  Ratios are single int/int IEEE divides (engine-identical);
+    ``flagged`` applies the Gopher operating points (> 30% duplicate
+    lines/paragraphs OR > 20% duplicate characters, per unit).
+
+    Spark shape — fully NARROW, zero shuffles (the X11 sorted-run
+    idiom): each unit array is sorted per row and ONE ``F.aggregate``
+    fold counts equal-to-previous run members and their characters;
+    the relational formulation (explode → groupBy(doc, line)) would
+    shuffle the corpus twice for a per-row statistic.
+    """
+    text = F.col(text_col)
+
+    def unit_stats(arr: Column, prefix: str) -> list[Column]:
+        srt = F.array_sort(arr)
+        n = F.size(srt).cast("long")
+        chars = F.aggregate(
+            F.transform(srt, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        # fold: count members equal to their sorted predecessor (every
+        # occurrence beyond a run's first) and their characters
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("dups"),
+            F.lit(0).cast("long").alias("dchars"),
+        )
+        folded = F.aggregate(
+            srt,
+            zero,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(
+                    acc["prev"].isNotNull() & (acc["prev"] == x),
+                    acc["dups"] + 1,
+                ).otherwise(acc["dups"]).alias("dups"),
+                F.when(
+                    acc["prev"].isNotNull() & (acc["prev"] == x),
+                    acc["dchars"] + F.length(x),
+                ).otherwise(acc["dchars"]).alias("dchars"),
+            ),
+        )
+        dups, dchars = folded["dups"], folded["dchars"]
+        return [
+            n.alias(f"n_{prefix}"),
+            dups.alias(f"dup_{prefix}"),
+            (dups / F.greatest(n, F.lit(1))).alias(f"dup_{prefix}_frac"),
+            (dchars / F.greatest(chars, F.lit(1))).alias(
+                f"dup_{prefix}_char_frac"
+            ),
+        ]
+
+    per = df.select(
+        id_col,
+        *unit_stats(F.split(text, "\n", -1), "lines"),
+        *unit_stats(F.split(text, "\n\n", -1), "paras"),
+    )
+    flagged = (
+        (F.col("dup_lines_frac") > max_dup_frac)
+        | (F.col("dup_paras_frac") > max_dup_frac)
+        | (F.col("dup_lines_char_frac") > max_dup_char_frac)
+        | (F.col("dup_paras_char_frac") > max_dup_char_frac)
+    )
+    return per.select("*", flagged.alias("flagged"))

@@ -1131,6 +1131,13 @@ _TAIL_QUERIES = [
     #   covered by dedup_components (in-window); keeps its r9-green
     #   row + the local sweep
     "dedup_embedding_drop",
+    # - corpus_priority_sample: rotated for the NEW X64
+    #   text_line_repetition row (first driver row); the
+    #   priority-sampling engine (the w/(h+1)·2^32 single-IEEE-divide
+    #   idiom + md5 uniform) is now exercised in-window by
+    #   corpus_soft_dedup (X58 resamples with the identical formula);
+    #   keeps its r9-green row + the local sweep
+    "corpus_priority_sample",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

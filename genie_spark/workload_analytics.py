@@ -3078,6 +3078,49 @@ FROM s GROUP BY doc_id
 """
 
 
+def text_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 Gopher line/paragraph repetition section (Rae et al. 2021
+    Table A1): duplicate-line and duplicate-paragraph fractions plus
+    their character fractions, fully narrow (X11 sorted-run fold)."""
+    from genie_spark.analytics.text import line_repetition_stats
+
+    return line_repetition_stats(_docs(spark, sf_dir))
+
+
+def _line_rep_unit_sql(sep_sql: str, prefix: str) -> str:
+    """Relational mirror of one unit (lines / paragraphs): explode,
+    per-(doc, unit) counts, excess occurrences + their characters.
+    The ORACLE may shuffle — only the Spark side must stay narrow."""
+    return f"""
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_{prefix},
+         CAST(sum(c - 1) AS BIGINT) AS dup_{prefix},
+         CAST(sum(c - 1) AS BIGINT)
+             / greatest(CAST(sum(c) AS BIGINT), 1) AS dup_{prefix}_frac,
+         CAST(sum((c - 1) * length(u)) AS BIGINT)
+             / greatest(CAST(sum(c * length(u)) AS BIGINT), 1)
+             AS dup_{prefix}_char_frac
+  FROM (
+    SELECT doc_id, u, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, {sep_sql})) AS u
+          FROM documents)
+    GROUP BY doc_id, u
+  ) GROUP BY doc_id"""
+
+
+LINE_REP_SQL = f"""
+WITH l AS ({_line_rep_unit_sql("chr(10)", "lines")}),
+p AS ({_line_rep_unit_sql("chr(10) || chr(10)", "paras")})
+SELECT doc_id,
+       n_lines, dup_lines, dup_lines_frac, dup_lines_char_frac,
+       n_paras, dup_paras, dup_paras_frac, dup_paras_char_frac,
+       (dup_lines_frac > 0.30 OR dup_paras_frac > 0.30
+        OR dup_lines_char_frac > 0.20 OR dup_paras_char_frac > 0.20)
+           AS flagged
+FROM l JOIN p USING (doc_id)
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3145,6 +3188,7 @@ ANALYTICS_QUERIES: dict = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "text_lm_bigram": text_lm_bigram,
+    "text_line_repetition": text_line_repetition,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -3216,4 +3260,5 @@ ANALYTICS_ORACLES: dict = {
     "ann_pq_topk": _pq_topk_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
     "text_lm_bigram": LM_BIGRAM_SQL,
+    "text_line_repetition": LINE_REP_SQL,
 }

@@ -3296,3 +3296,31 @@ def test_lm_bigram_backoff_semantics(spark):
     assert out[12]["total_bits"] == 7
     assert out[12]["is_outlier"]  # 700 centibits >= 500
     assert not out[10]["is_outlier"]
+
+
+def test_line_repetition_exact_fractions(spark):
+    """X64 semantics on real multi-line/multi-paragraph documents:
+    duplicate counts are occurrences-beyond-first per distinct unit,
+    character fractions weight by unit length, thresholds flag."""
+    from genie_spark.analytics.text import line_repetition_stats
+
+    d1 = "alpha\nbeta\nalpha\nalpha"          # 4 lines, 2 dups of 'alpha'
+    d2 = "para one\n\npara two\n\npara one"   # 3 paras, 1 dup
+    d3 = "unique one\nunique two"             # clean
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in line_repetition_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["dup_lines"]) == (4, 2)
+    assert r1["dup_lines_frac"] == 2 / 4
+    # chars: 5+4+5+5 = 19 line chars, dups carry 10
+    assert r1["dup_lines_char_frac"] == 10 / 19
+    assert r1["flagged"]  # 50% dup lines > 30%
+    r2 = got[2]
+    assert (r2["n_paras"], r2["dup_paras"]) == (3, 1)
+    assert r2["dup_paras_frac"] == 1 / 3
+    assert r2["flagged"]
+    r3 = got[3]
+    assert r3["dup_lines"] == 0 and r3["dup_paras"] == 0
+    assert not r3["flagged"]

@@ -755,3 +755,15 @@ def test_lm_bigram_merge_joins_partial_counts(spark):
     assert "SortMergeJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_repetition_narrow_zero_shuffle(spark):
+    """X64: per-row sorted-run folds — no exchange, no join; the
+    relational explode+groupBy formulation would shuffle the corpus
+    twice for a per-row statistic."""
+    from genie_spark.workload_analytics import text_line_repetition
+
+    plan = plan_of(text_line_repetition(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan

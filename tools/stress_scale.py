@@ -897,6 +897,12 @@ def main() -> None:
 
     probe("lm_bigram", run_lm_bigram)
 
+    # X64 line/paragraph repetition: per-row sorted-run folds, zero
+    # shuffle — must track the scan (the X11/X60 posture)
+    from genie_spark.analytics.text import line_repetition_stats
+
+    probe("line_repetition", lambda n: line_repetition_stats(docs(n)))
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
