@@ -679,3 +679,71 @@ def winnow_stream_durable(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def domain_cap_stream(
+    stream,
+    group_col: str = "source",
+    max_per_group: int = 100,
+    id_col: str = "doc_id",
+):
+    """X65 — streaming per-domain frequency cap: the online form of the
+    X56 batch cap (RefinedWeb/C4 "limit documents per domain") for an
+    INGEST pipeline — admit documents until a domain reaches
+    ``max_per_group``, then drop the rest of that domain forever.
+
+    Semantics: batch ``domain_cap`` keeps the top-k by quality; a
+    streaming append sink cannot retract an admitted row, so the
+    online contract is FIRST-k by arrival (micro-batch order), ties
+    WITHIN a batch broken by (md5(id), id) — the same deterministic
+    idiom as the batch side, so replaying the same batch sequence
+    admits the same rows.  Emits the admitted rows only, each with its
+    1-based ``admit_rank`` within the domain.
+
+    State per key is ONE counter (the admitted count) — O(domains),
+    independent of document volume; hot domains cost the same 8 bytes
+    as cold ones.  The shuffle is the groupBy(domain) exchange each
+    micro-batch; the cap bounds emitted rows per key at k total across
+    the stream's lifetime.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("admit_rank", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("admitted", T.LongType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        ids: list[int] = []
+        for pdf in pdf_iter:
+            ids.extend(int(i) for i in pdf[id_col])
+        admitted = state.get[0] if state.exists else 0
+        # deterministic within-batch order: (md5(id), id) — the batch
+        # domain_cap tie rule
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:8], i))
+        room = max(0, max_per_group - admitted)
+        take = ids[:room]
+        state.update((admitted + len(take),))
+        yield pd.DataFrame(
+            {
+                group_col: [str(key[0])] * len(take),
+                id_col: take,
+                "admit_rank": [admitted + j + 1 for j in range(len(take))],
+            }
+        )
+
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(id_col).cast("long").alias(id_col),
+    )
+    return prepared.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

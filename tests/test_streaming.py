@@ -863,3 +863,73 @@ def test_winnow_stream_durable_store(spark, tmp_path):
     got_shared = {(r["a"], r["b"]): r["n_shared"] for r in pairs.collect()}
     for key, n in got_shared.items():
         assert want.get(key) == n, (key, n, want.get(key))
+
+
+def test_domain_cap_stream_caps_across_batches(spark, tmp_path):
+    """X65: the per-domain counter persists across micro-batches —
+    earlier batches consume the cap first (arrival order), within a
+    batch the (md5(id), id) tie rule orders admission, and a full
+    domain admits nothing further; admit_rank is dense per domain."""
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import domain_cap_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # batch 1: HOT has 3 docs (cap 4 → all admitted), cold has 1
+    (src / "b1.csv").write_text(
+        "source,doc_id\nHOT,1\nHOT,2\nHOT,3\ncold,100\n"
+    )
+    # batch 2: HOT has 3 more (only 1 seat left), cold has 1
+    (src / "b2.csv").write_text(
+        "source,doc_id\nHOT,4\nHOT,5\nHOT,6\ncold,101\n"
+    )
+    os.utime(src / "b1.csv", (1000000000, 1000000000))
+    os.utime(src / "b2.csv", (1000000100, 1000000100))
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    capped = domain_cap_stream(stream, max_per_group=4)
+    q = (
+        capped.writeStream.format("memory")
+        .queryName("capped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from capped").collect()
+    hot = sorted(
+        (r["admit_rank"], r["doc_id"]) for r in rows if r["source"] == "HOT"
+    )
+    cold = sorted(
+        (r["admit_rank"], r["doc_id"]) for r in rows if r["source"] == "cold"
+    )
+    # HOT: all of batch 1 (ranks 1-3 in md5 order), ONE from batch 2
+    assert len(hot) == 4 and [rk for rk, _ in hot] == [1, 2, 3, 4]
+    assert {d for _, d in hot[:3]} == {1, 2, 3}
+    b1_order = sorted(
+        [1, 2, 3],
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:8], i),
+    )
+    assert [d for _, d in hot[:3]] == b1_order
+    b2_first = sorted(
+        [4, 5, 6],
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:8], i),
+    )[0]
+    assert hot[3][1] == b2_first
+    # cold never hits the cap
+    assert [d for _, d in cold] == [100, 101]
