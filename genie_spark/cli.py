@@ -1498,18 +1498,34 @@ def cmd_corpus_quality(spark: SparkSession, args: argparse.Namespace) -> int:
     )
     rule_cols = [c for c in report.columns if c.startswith("r_")]
     if args.with_repetition:
-        from genie_spark.analytics.text import repetition_stats
+        # the REPETITION sections of the same Gopher table: X11's
+        # n-gram rows and X64's line/paragraph rows — with the X60
+        # battery above, --with-repetition applies the complete table
+        from genie_spark.analytics.text import (
+            line_repetition_stats,
+            repetition_stats,
+        )
 
         rep = repetition_stats(
             docs, id_col=args.id_col, text_col=args.text_col
         ).select(
             args.id_col, (~F.col("flagged")).alias("r_repetition")
         )
+        lrep = line_repetition_stats(
+            docs, id_col=args.id_col, text_col=args.text_col
+        ).select(
+            args.id_col, (~F.col("flagged")).alias("r_line_repetition")
+        )
         report = (
             report.join(rep.hint("merge"), args.id_col)
-            .withColumn("keep", F.col("keep") & F.col("r_repetition"))
+            .join(lrep.hint("merge"), args.id_col)
+            .withColumn(
+                "keep",
+                F.col("keep") & F.col("r_repetition")
+                & F.col("r_line_repetition"),
+            )
         )
-        rule_cols.append("r_repetition")
+        rule_cols += ["r_repetition", "r_line_repetition"]
     out = args.output
     _os.makedirs(out, exist_ok=True)
     report.write.mode("overwrite").parquet(_os.path.join(out, "quality_report"))

@@ -2958,6 +2958,9 @@ def test_corpus_quality_cli(spark, tmp_path, capsys):
     # distinct 2-grams → top-2-gram mass 1/3 > the 8% threshold —
     # tiny docs legitimately trip the repetition section
     assert "r_repetition failed by 2 docs" in text
+    # X64 line rows: all three docs are single-line (no duplicate
+    # lines/paragraphs) — the line-repetition rule passes everywhere
+    assert "r_line_repetition failed by 0 docs" in text
     kept2 = spark.read.parquet(str(tmp_path / "qual2") + "/kept")
     assert {r["doc_id"] for r in kept2.collect()} == {1}
 
