@@ -1192,3 +1192,104 @@ def line_repetition_stats(
         | (F.col("dup_paras_char_frac") > max_dup_char_frac)
     )
     return per.select("*", flagged.alias("flagged"))
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_entropy_milli: int = 2000,
+) -> DataFrame:
+    """X66 — character-distribution entropy proxy: the low-entropy /
+    gibberish signal of the cleaning-filter family (a page of repeated
+    symbols, padding, or encoder junk has near-zero character entropy;
+    natural language sits well above it — the compressibility-style
+    filters of Dolma/RefinedWeb play the same role).
+
+    At EXACT INTEGER bit resolution (the package no-libm rule):
+
+        entropy_bits = sum over distinct chars of
+                       cnt_c * (ilog2(N) - ilog2(cnt_c))
+        mean_entropy_milli = entropy_bits * 1000 // N
+
+    where ``ilog2 = floor(log2)`` via binary-string length — a BOUNDED
+    integer proxy of Shannon entropy (each term's floor-log error is
+    < 1 bit; the ORDERING of clean vs degenerate text, which is what
+    the filter consumes, is preserved), deterministic and
+    engine-identical so the oracle hash-matches.  Empty documents are
+    unscored (no characters).
+
+    Returns (id, n_chars, n_distinct_chars, entropy_bits,
+    mean_entropy_milli, is_low_entropy).
+
+    Spark shape: fully NARROW, zero shuffles — per row the distinct
+    character set (bounded by the alphabet) maps to occurrence counts
+    with one transform+filter pass over the char array; the relational
+    explode→groupBy(doc, char) form (which the ORACLE uses) would
+    shuffle corpus-chars rows for a per-row statistic.
+    """
+    text = F.col(text_col)
+    df = df.withColumn("__ch", F.split(text, ""))
+    ch = F.col("__ch")
+    n = F.size(ch).cast("long")
+    distinct = F.array_distinct(ch)
+    ilog = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    counts = F.transform(
+        distinct,
+        lambda c: F.size(F.filter(ch, lambda x: x == c)).cast("long"),
+    )
+    bits = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c * (ilog(n) - ilog(c)),
+    )
+    mean_milli = F.floor((bits * 1000) / n).cast("long")
+    # empty text splits to [''] (one empty element) in BOTH engines —
+    # gate on the text length, not the array size
+    return (
+        df.where(F.length(text) > 0)
+        .select(
+            id_col,
+            n.alias("n_chars"),
+            F.size(distinct).cast("long").alias("n_distinct_chars"),
+            bits.alias("entropy_bits"),
+            mean_milli.alias("mean_entropy_milli"),
+            (mean_milli < F.lit(min_entropy_milli)).alias("is_low_entropy"),
+        )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X67 — blocklist (badwords) filter: the C4 cleaning step (Raffel
+    et al. 2020 §2.2 — "removed any page that contained any word on
+    a blocklist"): flag documents containing ANY blocklist term as a
+    WHOLE lowercase token (whole-token matching avoids the classic
+    substring false positives), with the hit count and the first
+    matched term as audit columns (the X32 no-silent-drop discipline).
+
+    Returns (id, n_blocked_tokens, first_blocked_term, is_blocked).
+
+    Spark shape: the term list is a bounded literal array folded into
+    the projection (broadcast-equivalent; real blocklists are a few
+    hundred terms) — the whole filter is ONE narrow pass, zero
+    shuffle, no UDF.
+    """
+    if not terms:
+        raise ValueError("blocklist_filter: empty terms list")
+    t = tokens(text_col)
+    low = F.transform(t, lambda x: F.lower(x))
+    arr = F.array(*[F.lit(s.lower()) for s in terms])
+    hits = F.filter(low, lambda x: F.array_contains(arr, x))
+    return df.select(
+        id_col,
+        F.size(hits).cast("long").alias("n_blocked_tokens"),
+        # ANSI mode: element_at past the end THROWS — try_element_at
+        # yields NULL for an unblocked doc
+        F.try_element_at(hits, F.lit(1)).alias("first_blocked_term"),
+        (F.size(hits) > 0).alias("is_blocked"),
+    )

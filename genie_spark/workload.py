@@ -1138,6 +1138,19 @@ _TAIL_QUERIES = [
     #   corpus_soft_dedup (X58 resamples with the identical formula);
     #   keeps its r9-green row + the local sweep
     "corpus_priority_sample",
+    # - dedup_exact: rotated for the NEW X66 text_char_entropy row
+    #   (first driver row); the md5-hash first-occurrence groupBy
+    #   idiom keeps an r10-green driver row via corpus_passage_dedup
+    #   (tail, same min-struct collapse engine) and is exercised as
+    #   stage 1 of the corpus-dedup CLI pytest; keeps its r9-green
+    #   row + the local sweep
+    "dedup_exact",
+    # - a1_counts_with_total: rotated for the NEW X67 text_blocklist
+    #   row (first driver row); the counts/aggregations family keeps
+    #   a3_pivot_counts in-window and a16_filtered_counts's r10-green
+    #   tail row (same operators/aggregations.py module); keeps its
+    #   r9-green row + the local sweep
+    "a1_counts_with_total",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",

@@ -3121,6 +3121,64 @@ FROM l JOIN p USING (doc_id)
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 character-entropy proxy: integer-bit low-entropy /
+    gibberish signal, fully narrow per-row."""
+    from genie_spark.analytics.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+ENTROPY_SQL = """
+WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM t),
+g AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY doc_id),
+e AS (
+  SELECT g.doc_id,
+         CAST(sum(g.cnt * ((length(bin(n.n)) - 1)
+                           - (length(bin(g.cnt)) - 1))) AS BIGINT)
+             AS entropy_bits,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         CAST(max(n.n) AS BIGINT) AS n_chars
+  FROM g JOIN n USING (doc_id) GROUP BY g.doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars, entropy_bits,
+       CAST((entropy_bits * 1000) // n_chars AS BIGINT)
+           AS mean_entropy_milli,
+       ((entropy_bits * 1000) // n_chars) < 2000 AS is_low_entropy
+FROM e
+"""
+
+
+BLOCKLIST_TERMS = ("slow", "broken", "error")
+
+
+def text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 C4 blocklist filter: whole-token match against a bounded
+    term list, with hit-count and first-term audit columns."""
+    from genie_spark.analytics.text import blocklist_filter
+
+    return blocklist_filter(_docs(spark, sf_dir), list(BLOCKLIST_TERMS))
+
+
+_BLOCK_SQL_LIST = "[" + ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS) + "]"
+
+BLOCKLIST_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform({_TOKS}, x -> lower(x)),
+                     x -> list_contains({_BLOCK_SQL_LIST}, x)) AS hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_blocked_tokens,
+       CASE WHEN len(hits) > 0 THEN hits[1] END AS first_blocked_term,
+       len(hits) > 0 AS is_blocked
+FROM t
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3189,6 +3247,8 @@ ANALYTICS_QUERIES: dict = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "text_lm_bigram": text_lm_bigram,
     "text_line_repetition": text_line_repetition,
+    "text_char_entropy": text_char_entropy,
+    "text_blocklist": text_blocklist,
 }
 
 ANALYTICS_ORACLES: dict = {
@@ -3261,4 +3321,6 @@ ANALYTICS_ORACLES: dict = {
     "ann_ivfpq_topk": _ivfpq_sql(),
     "text_lm_bigram": LM_BIGRAM_SQL,
     "text_line_repetition": LINE_REP_SQL,
+    "text_char_entropy": ENTROPY_SQL,
+    "text_blocklist": BLOCKLIST_SQL,
 }

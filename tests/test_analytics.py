@@ -3324,3 +3324,57 @@ def test_line_repetition_exact_fractions(spark):
     r3 = got[3]
     assert r3["dup_lines"] == 0 and r3["dup_paras"] == 0
     assert not r3["flagged"]
+
+
+def test_char_entropy_orders_clean_above_degenerate(spark):
+    """X66 semantics: the integer entropy proxy is exact on
+    constructed distributions, orders natural-ish text above repeated
+    symbols, and excludes empty documents."""
+    from genie_spark.analytics.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),        # 1 distinct char → 0 bits
+            (2, "abababab"),        # 2 chars, 4+4 of 8: each term 3-2=1 → 8 bits
+            (3, "abcdefgh"),        # 8 distinct: 8 * (3-0) = 24 bits
+            (4, ""),                # excluded
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 4 not in got and len(got) == 3
+    assert got[1]["entropy_bits"] == 0 and got[1]["is_low_entropy"]
+    assert got[2]["entropy_bits"] == 8
+    assert got[2]["mean_entropy_milli"] == 1000
+    assert got[3]["entropy_bits"] == 24
+    assert got[3]["mean_entropy_milli"] == 3000
+    assert not got[3]["is_low_entropy"]
+    assert got[1]["mean_entropy_milli"] < got[2]["mean_entropy_milli"] \
+        < got[3]["mean_entropy_milli"]
+
+
+def test_blocklist_whole_token_semantics(spark):
+    """X67 semantics: whole-token matching only (no substring false
+    positives), case-insensitive, audit columns exact; empty terms
+    raise."""
+    import pytest
+
+    from genie_spark.analytics.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "this page is SLOW and broken"),
+            (2, "slowly but surely"),       # substring — NOT a match
+            (3, "clean text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in blocklist_filter(
+        df, ["slow", "broken"]
+    ).collect()}
+    assert got[1]["is_blocked"] and got[1]["n_blocked_tokens"] == 2
+    assert got[1]["first_blocked_term"] == "slow"
+    assert not got[2]["is_blocked"] and got[2]["first_blocked_term"] is None
+    assert not got[3]["is_blocked"]
+    with pytest.raises(ValueError, match="empty terms"):
+        blocklist_filter(df, [])

@@ -767,3 +767,15 @@ def test_line_repetition_narrow_zero_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_char_entropy_and_blocklist_narrow(spark):
+    """X66/X67: both are single narrow projections — no exchange, no
+    join, no UDF (the oracle's explode+groupBy is oracle-only)."""
+    from genie_spark.workload_analytics import text_blocklist, text_char_entropy
+
+    for q in (text_char_entropy, text_blocklist):
+        plan = plan_of(q(spark, SF))
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "Join" not in plan, plan

@@ -903,6 +903,15 @@ def main() -> None:
 
     probe("line_repetition", lambda n: line_repetition_stats(docs(n)))
 
+    # X66/X67: single narrow projections — must track the scan
+    from genie_spark.analytics.text import blocklist_filter, char_entropy
+
+    probe("char_entropy", lambda n: char_entropy(docs(n)))
+    probe(
+        "blocklist",
+        lambda n: blocklist_filter(docs(n), ["aaaa", "bbbb", "cccc"]),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
