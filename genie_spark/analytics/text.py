@@ -1080,23 +1080,35 @@ def lm_surprisal_bigram(
         F.col(id_col), F.explode(bigrams(text_col)).alias("__b")
     ).select(id_col, F.col("__b.wp").alias("wp"), F.col("__b.w").alias("w"))
     ilog = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
-    scored = (
-        occ.join(c2.hint("merge"), ["wp", "w"], "left")
-        .join(
-            c1.hint("merge").select(F.col("w").alias("wp"), F.col("__c1").alias("__cp")),
+    # fold ALL bit arithmetic into the model tables (vocab-scale
+    # joins) so the corpus-scale occurrence stream joins only TWICE:
+    # the first cut joined it three times (c2, c1-on-wp, c1-on-w) and
+    # the extra sort of the 250k-bigram stream showed in the sf0.1
+    # wall (9.85 s → see BASELINE.md)
+    b_bits = (
+        c2.join(
+            c1.select(F.col("w").alias("wp"), F.col("__c1").alias("__cp")),
             "wp",
-            "left",
         )
-        .join(c1.hint("merge"), "w", "left")
-        .withColumn("__backoff", F.col("__c2").isNull())
+        .select(
+            "wp", "w", (ilog(F.col("__cp")) - ilog(F.col("__c2"))).alias("__sbits")
+        )
+    )
+    u_bits = c1.select(
+        "w",
+        (
+            F.lit(backoff_bits) + F.lit(t_bits) - ilog(F.col("__c1") + F.lit(1))
+        ).alias("__ubits"),
+    )
+    oov_bits = backoff_bits + t_bits  # ilog2(0 + 1) = 0
+    scored = (
+        occ.join(b_bits.hint("merge"), ["wp", "w"], "left")
+        .join(u_bits.hint("merge"), "w", "left")
+        .withColumn("__backoff", F.col("__sbits").isNull())
         .withColumn(
             "__bits",
-            F.when(
-                ~F.col("__backoff"), ilog(F.col("__cp")) - ilog(F.col("__c2"))
-            ).otherwise(
-                F.lit(backoff_bits)
-                + F.lit(t_bits)
-                - ilog(F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(1))
+            F.coalesce(
+                F.col("__sbits"), F.col("__ubits"), F.lit(oov_bits).cast("long")
             ),
         )
     )

@@ -1002,3 +1002,56 @@ def test_gopher_filter_matches_python_model(spark, lines):
     got = gopher_quality_filter(sdf).collect()[0].asDict()
     got.pop("doc_id")
     assert got == want
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from("aa bb cc dd".split()), min_size=0, max_size=7),
+    min_size=2, max_size=10,
+))
+@settings(max_examples=8, deadline=None)
+def test_lm_bigram_matches_python_model(spark, texts):
+    """X63 against an INDEPENDENT sequential model: conditional bits
+    for seen bigrams, penalty + smoothed unigram for held-out ones
+    (model = even ids, score = all), exact on arbitrary small-vocab
+    corpora where collisions and backoffs both occur."""
+    from collections import Counter
+
+    from genie_spark.analytics.text import lm_surprisal_bigram
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    model = [(i, t) for i, t in docs if i % 2 == 0]
+
+    def bigrams(t):
+        ws = t.split()
+        return list(zip(ws, ws[1:]))
+
+    c1 = Counter(w for _, t in model for w in t.split())
+    c2 = Counter(b for _, t in model for b in bigrams(t))
+    T = sum(c1.values())
+    tb = max(T.bit_length() - 1, 0)
+
+    def il(x):
+        return x.bit_length() - 1
+
+    want = {}
+    for i, t in docs:
+        bs = bigrams(t)
+        if not bs:
+            continue
+        bits, nback = 0, 0
+        for wp, w in bs:
+            if (wp, w) in c2:
+                bits += il(c1[wp]) - il(c2[(wp, w)])
+            else:
+                nback += 1
+                bits += 4 + tb - il(c1.get(w, 0) + 1)
+        want[i] = (len(bs), nback, bits)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_backoff"], r["total_bits"])
+        for r in lm_surprisal_bigram(
+            sdf, sdf.where("doc_id % 2 = 0"), backoff_bits=4
+        ).collect()
+    }
+    assert got == want
