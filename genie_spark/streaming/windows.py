@@ -747,3 +747,77 @@ def domain_cap_stream(
     return prepared.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def token_budget_stream(
+    stream,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    default_budget: int = 0,
+):
+    """X68 — streaming per-group TOKEN-budget admission: the online
+    form of the X36 batch ``token_budget_select`` / `corpus-mix` CLI
+    (data-mixing by token targets) the way X65 is the online form of
+    the X56 doc cap: admit documents while the group's CUMULATIVE
+    token count is below its budget, then drop the group's stream
+    forever.  A document is admitted only if it fits ENTIRELY within
+    the remaining budget (no partial documents — the batch operator's
+    whole-doc contract).
+
+    Groups absent from ``budgets`` get ``default_budget`` (0 = drop,
+    mirroring corpus-mix).  Arrival order across micro-batches;
+    within a batch the (md5(id), id) deterministic order, so replays
+    admit identical rows.  Emits admitted rows with the group's
+    running ``tokens_admitted`` AFTER each admission.
+
+    State per key is ONE token counter — O(groups), independent of
+    stream volume.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(tokens_col, T.LongType()),
+            T.StructField("tokens_admitted", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("used", T.LongType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        rows: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            rows.extend(
+                (int(i), int(t))
+                for i, t in zip(pdf[id_col], pdf[tokens_col])
+            )
+        budget = budgets.get(str(key[0]), default_budget)
+        used = state.get[0] if state.exists else 0
+        rows.sort(
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest()[:8], r[0])
+        )
+        out = []
+        for i, t in rows:
+            if used + t <= budget:
+                used += t
+                out.append((str(key[0]), i, t, used))
+        state.update((used,))
+        yield pd.DataFrame(
+            out, columns=[group_col, id_col, tokens_col, "tokens_admitted"]
+        )
+
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+    )
+    return prepared.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

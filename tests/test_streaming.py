@@ -933,3 +933,58 @@ def test_domain_cap_stream_caps_across_batches(spark, tmp_path):
     assert hot[3][1] == b2_first
     # cold never hits the cap
     assert [d for _, d in cold] == [100, 101]
+
+
+def test_token_budget_stream_whole_doc_admission(spark, tmp_path):
+    """X68: cumulative token budgets persist across micro-batches,
+    documents are admitted whole-or-not-at-all, a too-big doc is
+    skipped but a later smaller one can still fit, unlisted groups
+    use default_budget (0 = drop)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from genie_spark.streaming.windows import token_budget_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # en budget 100: b1 has 60 + 30 (both fit, md5 order), b2 has a
+    # 50-token doc (doesn't fit: 90+50>100) then a 10-token one (fits)
+    (src / "b1.csv").write_text(
+        "source,doc_id,n_tokens\nen,1,60\nen,2,30\nxx,50,5\n"
+    )
+    (src / "b2.csv").write_text(
+        "source,doc_id,n_tokens\nen,3,50\nen,4,10\n"
+    )
+    os.utime(src / "b1.csv", (1000000000, 1000000000))
+    os.utime(src / "b2.csv", (1000000100, 1000000100))
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = token_budget_stream(stream, {"en": 100})
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from tb order by tokens_admitted").collect()
+    got = [(r["doc_id"], r["n_tokens"], r["tokens_admitted"]) for r in rows]
+    # batch1: docs 1 (60) + 2 (30) both fit in some md5 order → used 90;
+    # batch2: doc 3 (50) skipped (would exceed), doc 4 (10) fits → 100
+    assert {d for d, _, _ in got} == {1, 2, 4}
+    assert got[-1] == (4, 10, 100)
+    assert all(r["source"] == "en" for r in rows)  # xx dropped (default 0)
