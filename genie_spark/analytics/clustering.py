@@ -658,10 +658,26 @@ def pq_train(
     md5-uniform ``corpus._uniform_bp`` sampler keeps it reproducible)
     and encode the full corpus via ``pq_encode(..., codebooks=...)``.
     """
-    first = df.select(vec_col).first()
-    if first is None or first[0] is None:
-        raise ValueError("pq_train: empty corpus (or null leading vector)")
-    dim = len(first[0])
+    # infer dim from a small sample of NON-null vectors and demand they
+    # agree — a degenerate/wrong-length leading row must fail loudly
+    # here, not silently set dim and leave pq_encode omitting every
+    # conforming row downstream
+    sample = [
+        r[0]
+        for r in df.select(vec_col).limit(16).collect()
+        if r[0] is not None
+    ]
+    if not sample:
+        raise ValueError("pq_train: empty corpus (or all-null vectors)")
+    dims = {len(v) for v in sample}
+    if len(dims) != 1:
+        raise ValueError(
+            f"pq_train: inconsistent vector dims in corpus sample: "
+            f"{sorted(dims)} — the embedding column must be fixed-dim"
+        )
+    dim = dims.pop()
+    if dim == 0:
+        raise ValueError("pq_train: zero-dimensional vectors")
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub_dim = dim // m
@@ -929,6 +945,7 @@ def ivfpq_topk(
     iters: int = 2,
     seed: str = "md5",
     max_queries: int = 10_000,
+    max_candidate_rows: int = 20_000_000,
 ) -> DataFrame:
     """X62 — IVF-PQ top-k (Jégou et al. 2011 §V: the inverted-file +
     product-quantization composite that IS the standard billion-vector
@@ -955,7 +972,12 @@ def ivfpq_topk(
     a cross join); scoring joins the m-row unpivot of candidate codes
     to the broadcast LUT and partial-sums into ONE (query,
     vector)-keyed aggregate.  Every corpus-sized stage is a scan or an
-    equi-join — the IVF-PQ shape at any scale.
+    equi-join — the IVF-PQ shape at any scale.  The candidate-set
+    broadcast hint applies only while the measured estimate
+    |Q|·n_probe·⌈n/C⌉ ≤ ``max_candidate_rows`` (default 20M rows ≈
+    320 MB of two longs); beyond it the join is left unhinted so AQE
+    sizes the strategy — an unconditional hint would bypass Spark's
+    size threshold and OOM when the caller ignores the √n sizing rule.
     """
     from genie_spark.analytics.similarity import (
         _centroid_rows,
@@ -1005,9 +1027,21 @@ def ivfpq_topk(
     # it BROADCASTS and the n·m code unpivot is never shuffled; the
     # first probe of this operator used a sort-merge join here and the
     # full-unpivot sort made the composite SLOWER than flat pq_topk
-    # (33.9 s → 198 s per 10× — recorded in BASELINE.md)
+    # (33.9 s → 198 s per 10× — recorded in BASELINE.md).  But the √n
+    # sizing is a CALLER convention, not enforced — so the hint is
+    # guarded like the LUT: the estimate is measured (|Q| from the
+    # already-bounded LUT query count, n/C from a cheap count), and an
+    # over-cap candidate set falls back to a plain equi-join where AQE
+    # picks the strategy from the REAL size instead of an unconditional
+    # hint blowing past the BroadcastExchange limit.
+    n_total = df.select(id_col).count()
+    n_q = (
+        df.where(query_filter).select(id_col).limit(max_queries + 1).count()
+    )
+    est = n_q * n_probe * max(1, -(-n_total // max(1, len(cent_rows))))
+    cand_side = F.broadcast(cand) if est <= max_candidate_rows else cand
     scored = (
-        unpivot.join(F.broadcast(cand), "neighbor_id")
+        unpivot.join(cand_side, "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "s", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))

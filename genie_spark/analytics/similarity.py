@@ -1024,8 +1024,9 @@ def semantic_decontaminate(
     products are exact int64, and the cosine is the IDENTICAL IEEE op
     sequence ``dot / (sqrt(nn_a)·sqrt(nn_b))`` as the IVF/ANN oracles —
     bit-identical between the Arrow matmul and DuckDB.  Zero-norm eval
-    vectors are dropped at build (cosine undefined); a zero-norm corpus
-    vector gets (NULL eval_id, NULL max_cosine, false).
+    vectors are dropped at build (cosine undefined), as are NULL /
+    null-element eval embeddings; a zero-norm corpus vector gets
+    (NULL eval_id, NULL max_cosine, false).
 
     Spark shape (the 100 TB one): the eval set is genuinely small by
     contract (benchmark suites are thousands of rows — guarded at
@@ -1052,8 +1053,17 @@ def semantic_decontaminate(
             f"{max_eval_rows}; the eval side must be broadcastable — "
             "pre-reduce it or raise the guard explicitly"
         )
+    # NULL / null-element eval embeddings are omitted like zero-norm
+    # ones (cosine undefined) — the same graceful-omit policy the
+    # corpus side applies, instead of an opaque TypeError mid-iteration
     rows = sorted(
-        (r for r in rows if any(x != 0 for x in r["v"])),
+        (
+            r
+            for r in rows
+            if r["v"] is not None
+            and all(x is not None for x in r["v"])
+            and any(x != 0 for x in r["v"])
+        ),
         key=lambda r: r["cid"],
     )
     if not rows:

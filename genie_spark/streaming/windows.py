@@ -760,17 +760,22 @@ def token_budget_stream(
     """X68 — streaming per-group TOKEN-budget admission: the online
     form of the X36 batch ``token_budget_select`` / `corpus-mix` CLI
     (data-mixing by token targets) the way X65 is the online form of
-    the X56 doc cap: admit documents while the group's CUMULATIVE
-    token count is below its budget, then drop the group's stream
-    forever.  A document is admitted only if it fits ENTIRELY within
-    the remaining budget (no partial documents — the batch operator's
-    whole-doc contract).
+    the X56 doc cap: a document is admitted iff the group's CUMULATIVE
+    token count BEFORE it is < the budget — the batch operator's exact
+    greedy-prefix rule, so the straddling document is admitted whole
+    (the group may overshoot by < one document) and the group's stream
+    is dropped forever after.  No partial documents, no skip-ahead: a
+    doc after the straddling one never back-fills — admitted sets are
+    a PREFIX of the order, exactly like ``token_budget_select``.
 
     Groups absent from ``budgets`` get ``default_budget`` (0 = drop,
     mirroring corpus-mix).  Arrival order across micro-batches;
-    within a batch the (md5(id), id) deterministic order, so replays
-    admit identical rows.  Emits admitted rows with the group's
-    running ``tokens_admitted`` AFTER each admission.
+    within a batch the (md5-60bit(id), id) deterministic order — the
+    batch operator's ``shingle_hash`` key — so replays admit identical
+    rows, and a whole corpus delivered in ONE batch admits the
+    IDENTICAL set ``token_budget_select`` keeps (pinned by pytest).
+    Emits admitted rows with the group's running ``tokens_admitted``
+    AFTER each admission.
 
     State per key is ONE token counter — O(groups), independent of
     stream volume.
@@ -800,12 +805,13 @@ def token_budget_stream(
             )
         budget = budgets.get(str(key[0]), default_budget)
         used = state.get[0] if state.exists else 0
+        # first 15 hex chars ≡ the batch op's 60-bit shingle_hash order
         rows.sort(
-            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest()[:8], r[0])
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest()[:15], r[0])
         )
         out = []
         for i, t in rows:
-            if used + t <= budget:
+            if used < budget:  # tokens-before < budget: straddle admits
                 used += t
                 out.append((str(key[0]), i, t, used))
         state.update((used,))

@@ -3053,6 +3053,85 @@ def test_semantic_decontaminate_guards(spark):
         semantic_decontaminate(corpus, big, max_eval_rows=3)
 
 
+def test_semantic_decontaminate_null_eval_embedding_omitted(spark):
+    """X57 graceful-omit: a NULL (or null-element) eval embedding is
+    skipped at build like a zero-norm one — no TypeError — and the
+    remaining valid eval rows still drive the scan; an ALL-null eval
+    set raises the empty-set error."""
+    import pytest
+
+    from genie_spark.analytics.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    evalset = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, None), (102, [None, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, evalset).collect()
+    }
+    assert got[1]["is_contaminated"] and got[1]["eval_id"] == 100
+    assert not got[2]["is_contaminated"]  # orthogonal to the one valid eval
+    all_null = evalset.where("vec_id > 100")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(corpus, all_null)
+
+
+def test_pq_train_dim_inference_guards(spark):
+    """pq_train infers dim from a non-null SAMPLE and fails loudly on a
+    ragged corpus (instead of silently setting dim from an arbitrary
+    first row and having pq_encode omit every conforming row); all-null
+    and empty corpora raise."""
+    import pytest
+
+    from genie_spark.analytics.clustering import pq_train
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        pq_train(ragged, m=2)
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_train(all_null, m=2)
+    # a leading NULL no longer poisons inference: dim comes from the
+    # non-null sample
+    leading_null = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codebooks, sub_dim = pq_train(leading_null, m=2, k=2, iters=1)
+    assert len(codebooks) == 2 and sub_dim == 1
+
+
+def test_ivfpq_candidate_broadcast_guard_same_results(spark):
+    """X62 guard: with max_candidate_rows=0 the candidate join drops
+    the explicit broadcast hint (AQE sizes it) but the RESULT is
+    identical to the hinted path — the guard changes strategy, never
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.clustering import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(
+        k_neighbors=5, n_centroids=8, n_probe=2, m=4, k=4, iters=1
+    )
+    hinted = ivfpq_topk(emb, F.col("vec_id") < 3, **kw).collect()
+    unhinted = ivfpq_topk(
+        emb, F.col("vec_id") < 3, max_candidate_rows=0, **kw
+    ).collect()
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, unhinted))
+    assert hinted
+
+
 def test_soft_dedup_downweights_boilerplate(spark):
     """X58 semantics: documents made of corpus-common 3-grams score a
     LOWER mean rarity (= lower weight) than a document of unique text;

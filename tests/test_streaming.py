@@ -937,9 +937,10 @@ def test_domain_cap_stream_caps_across_batches(spark, tmp_path):
 
 def test_token_budget_stream_whole_doc_admission(spark, tmp_path):
     """X68: cumulative token budgets persist across micro-batches,
-    documents are admitted whole-or-not-at-all, a too-big doc is
-    skipped but a later smaller one can still fit, unlisted groups
-    use default_budget (0 = drop)."""
+    documents are admitted whole (the straddling doc overshoots, the
+    batch operator's greedy-prefix rule) and a doc arriving AFTER the
+    straddle never back-fills; unlisted groups use default_budget
+    (0 = drop)."""
     import os
 
     from pyspark.sql import types as T
@@ -948,8 +949,10 @@ def test_token_budget_stream_whole_doc_admission(spark, tmp_path):
 
     src = tmp_path / "docs"
     src.mkdir()
-    # en budget 100: b1 has 60 + 30 (both fit, md5 order), b2 has a
-    # 50-token doc (doesn't fit: 90+50>100) then a 10-token one (fits)
+    # en budget 95: b1 has 60 + 30 (tokens-before 0 and 60 both < 95 →
+    # both admitted, used 90); b2's md5 order is doc 4 (a87…) BEFORE
+    # doc 3 (ecc…): doc 4 straddles (90 < 95 → admitted WHOLE, used
+    # 100 — overshoot < one doc), doc 3 arrives after saturation
     (src / "b1.csv").write_text(
         "source,doc_id,n_tokens\nen,1,60\nen,2,30\nxx,50,5\n"
     )
@@ -971,7 +974,7 @@ def test_token_budget_stream_whole_doc_admission(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .csv(str(src))
     )
-    out = token_budget_stream(stream, {"en": 100})
+    out = token_budget_stream(stream, {"en": 95})
     q = (
         out.writeStream.format("memory")
         .queryName("tb")
@@ -983,8 +986,79 @@ def test_token_budget_stream_whole_doc_admission(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("select * from tb order by tokens_admitted").collect()
     got = [(r["doc_id"], r["n_tokens"], r["tokens_admitted"]) for r in rows]
-    # batch1: docs 1 (60) + 2 (30) both fit in some md5 order → used 90;
-    # batch2: doc 3 (50) skipped (would exceed), doc 4 (10) fits → 100
+    # batch1: docs 1 + 2 admitted → used 90; batch2: doc 4 (md5-first)
+    # STRADDLES (90 < 95 → whole, used 100), doc 3 after saturation →
+    # dropped — prefix rule, no back-fill
     assert {d for d, _, _ in got} == {1, 2, 4}
     assert got[-1] == (4, 10, 100)
     assert all(r["source"] == "en" for r in rows)  # xx dropped (default 0)
+
+
+def test_token_budget_stream_single_batch_matches_batch_select(
+    spark, tmp_path
+):
+    """X68 ≡ X36: a corpus delivered in ONE micro-batch admits the
+    IDENTICAL (doc_id, group, n_tokens) set the batch
+    ``token_budget_select`` keeps — same (md5-60bit(id), id) order,
+    same straddle-inclusive greedy-prefix rule."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.corpus import token_budget_select
+    from genie_spark.analytics.text import tokens
+    from genie_spark.streaming.windows import token_budget_stream
+
+    docs = [
+        (i, "en" if i % 3 else "de", "w " * (5 + (i * 7) % 23))
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    budgets = {"en": 120, "de": 60}
+    batch_kept = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in token_budget_select(df, budgets, group_col="lang").collect()
+    }
+    # feed the stream every doc with the SAME token counts the batch
+    # operator derives (F.size(tokens(text)))
+    feed = df.select(
+        F.col("lang").alias("source"),
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    ).collect()
+    src = tmp_path / "docs"
+    src.mkdir()
+    lines = ["source,doc_id,n_tokens"] + [
+        f"{r['source']},{r['doc_id']},{r['n_tokens']}" for r in feed
+    ]
+    (src / "all.csv").write_text("\n".join(lines) + "\n")
+    os.utime(src / "all.csv", (1000000000, 1000000000))
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .csv(str(src))
+    )
+    out = token_budget_stream(stream, budgets)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tb_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_kept = {
+        (r["doc_id"], r["source"], r["n_tokens"])
+        for r in spark.sql("select * from tb_parity").collect()
+    }
+    assert stream_kept == batch_kept
+    assert stream_kept  # non-degenerate: something was admitted
