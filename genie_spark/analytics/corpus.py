@@ -1147,3 +1147,116 @@ def soft_dedup(
     w = Window.orderBy(F.desc("priority"), F.asc(id_col))
     out = ranked.withColumn("rank", F.row_number().over(w).cast("long"))
     return _release_on_gc(out, counts)
+
+
+def temperature_mix(
+    df: DataFrame,
+    n_target: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha_halvings: int = 1,
+) -> DataFrame:
+    """X69 — temperature-based mixture reweighting: the published
+    data-mixing rung between hard budgets (X36/X56/X68) and raw
+    proportions — per-domain sampling weights p_i^α / Σ p_j^α
+    (XLM-R's temperature sampling, Conneau et al. 2020 §3.1; the same
+    exponent-smoothing GPT-3 used for its corpus mixture), so
+    low-resource domains are UPsampled relative to their share and
+    head domains are flattened, without the cliff of a fixed cap.
+
+    Exactness: α is expressed as repeated INTEGER square roots —
+    ``alpha_halvings`` a applies ``s_g = isqrt^a(n_g)`` (a=0 → α=1
+    proportional, a=1 → α=1/2 i.e. temperature T=2, a=2 → α=1/4) —
+    because ``floor(sqrt(bigint))`` is exact in any IEEE engine below
+    2^50 (sqrt is correctly rounded and the gap to the next integer
+    square dwarfs the ulp), while a general ``pow(p, 0.3)`` is a libm
+    call with no cross-engine rounding contract (the float-aggregate
+    oracle rule).  Everything downstream is exact integer arithmetic:
+
+    * weight_ppm  = (s_g * 1_000_000) // S            with S = Σ s_g
+    * target_g    = (n_target * s_g) // S             docs to draw
+    * admit_ppm   = min(1_000_000, (target_g * 1_000_000) // n_g)
+    * keep iff md5-ppm(id) < admit_ppm                (``_uniform_bp``
+      idiom at ppm resolution — content-independent, so reruns,
+      shards, and engines agree; re-running over a grown corpus keeps
+      prior admissions)
+
+    Returns the admitted rows plus (n_docs, s_alpha, weight_ppm,
+    admit_ppm) — the audit columns that make the realized mixture
+    one aggregation away (the X32 no-silent-drop discipline).
+
+    Spark shape (the 100 TB one): ONE domain-keyed aggregate (dim-
+    sized result, map-side partial combine) PERSISTED so Σ s_g comes
+    from a 1-row agg over the dim table — never a second corpus scan
+    (the soft_dedup model-table idiom) — the weight table BROADCAST
+    back onto the corpus, and admission a NARROW map-side filter — no
+    window, no corpus sort, no corpus-keyed shuffle at all.
+    """
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import _release_on_gc
+
+    if n_target < 0:
+        raise ValueError(f"n_target={n_target} must be >= 0")
+    if alpha_halvings < 0:
+        raise ValueError(f"alpha_halvings={alpha_halvings} must be >= 0")
+    base = df.where(F.col(group_col).isNotNull())
+    s: Column = F.col("n_docs")
+    for _ in range(alpha_halvings):
+        s = F.floor(F.sqrt(s.cast("double"))).cast("long")
+    counts = (
+        base.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("s_alpha", s)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = int(counts.agg(F.sum("s_alpha")).first()[0] or 0)
+    if total == 0:
+        return base.sparkSession.createDataFrame(
+            [],
+            base.withColumns(
+                {
+                    "n_docs": F.lit(0).cast("long"),
+                    "s_alpha": F.lit(0).cast("long"),
+                    "weight_ppm": F.lit(0).cast("long"),
+                    "admit_ppm": F.lit(0).cast("long"),
+                }
+            ).schema,
+        )
+    weights = (
+        counts.withColumn(
+            "weight_ppm",
+            F.floor((F.col("s_alpha") * 1_000_000) / F.lit(total)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "__target",
+            F.floor(
+                (F.lit(n_target) * F.col("s_alpha")) / F.lit(total)
+            ).cast("long"),
+        )
+        .withColumn(
+            "admit_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    (F.col("__target") * 1_000_000) / F.col("n_docs")
+                ).cast("long"),
+            ),
+        )
+        .select(group_col, "n_docs", "s_alpha", "weight_ppm", "admit_ppm")
+    )
+    u_ppm = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1_000_000
+    )
+    out = (
+        base.join(F.broadcast(weights), group_col)
+        .withColumn("__u", u_ppm)
+        .where(F.col("__u") < F.col("admit_ppm"))
+        .drop("__u")
+    )
+    return _release_on_gc(out, counts)

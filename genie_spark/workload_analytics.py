@@ -2552,6 +2552,51 @@ SELECT * FROM (
 """
 
 
+TEMP_MIX_TARGET = 300
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 temperature-based mixture reweighting (XLM-R temperature
+    sampling at T=2, i.e. α=1/2 via exact isqrt): per-language weights
+    s_g/Σs with s_g = floor(sqrt(n_g)), integer ppm targets, and
+    narrow md5-ppm admission — one dim-sized domain aggregate, a
+    broadcast weight table, zero corpus-keyed shuffles.  Grouped by
+    ``lang`` (the testdata's skewed axis) so the T=2 flattening is
+    observable: en's share shrinks, tail languages are upsampled."""
+    from genie_spark.analytics.corpus import temperature_mix
+
+    return temperature_mix(
+        _docs(spark, sf_dir), n_target=TEMP_MIX_TARGET, group_col="lang"
+    )
+
+
+TEMP_MIX_SQL = f"""
+WITH n AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+s AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s_alpha
+  FROM n
+),
+tot AS (SELECT CAST(sum(s_alpha) AS BIGINT) AS S FROM s),
+w AS (
+  SELECT lang, n_docs, s_alpha,
+         CAST((s_alpha * 1000000) // S AS BIGINT) AS weight_ppm,
+         CAST(least(1000000,
+              ((({TEMP_MIX_TARGET} * s_alpha) // S) * 1000000) // n_docs)
+          AS BIGINT) AS admit_ppm
+  FROM s, tot
+)
+SELECT d.lang, d.doc_id, d.text, d.source, d.n_chars,
+       w.n_docs, w.s_alpha, w.weight_ppm, w.admit_ppm
+FROM documents d JOIN w USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 < w.admit_ppm
+"""
+
+
 SEMDECON_THRESHOLD = 0.35
 _EVAL_PRED = "vec_id % 25 = 0"
 
@@ -3238,6 +3283,7 @@ ANALYTICS_QUERIES: dict = {
     "text_normalize_nfc": text_normalize_nfc,
     "text_token_drift": text_token_drift,
     "corpus_domain_cap": corpus_domain_cap,
+    "corpus_temperature_mix": corpus_temperature_mix,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -3312,6 +3358,7 @@ ANALYTICS_ORACLES: dict = {
     "text_normalize_nfc": NORMALIZE_SQL,
     "text_token_drift": DRIFT_SQL,
     "corpus_domain_cap": DOMAIN_CAP_SQL,
+    "corpus_temperature_mix": TEMP_MIX_SQL,
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

@@ -3457,3 +3457,47 @@ def test_blocklist_whole_token_semantics(spark):
     assert not got[3]["is_blocked"]
     with pytest.raises(ValueError, match="empty terms"):
         blocklist_filter(df, [])
+
+
+def test_temperature_mix_flattens_head_upsamples_tail(spark):
+    """X69 semantics: T=2 (α=1/2 via exact isqrt) flattens the head
+    group and upsamples tail groups — the tail's admit_ppm exceeds the
+    head's, the realized mixture is closer to uniform than the input,
+    audit columns are exact integers, and admission is deterministic
+    (md5 of the id — rerunning yields the identical set)."""
+    from genie_spark.analytics.corpus import temperature_mix
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = temperature_mix(df, n_target=400, group_col="grp", id_col="doc_id")
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["grp"], []).append(r)
+    meta = {g: (v[0]["n_docs"], v[0]["s_alpha"], v[0]["admit_ppm"]) for g, v in by.items()}
+    # head: n=900 s=30; tail: n=100 s=10; S=40
+    assert meta["head"][:2] == (900, 30)
+    assert meta["tail"][:2] == (100, 10)
+    # targets: head 400*30//40=300 of 900 (admit 333333 ppm);
+    #          tail 400*10//40=100 of 100 (admit capped at 1000000)
+    assert meta["head"][2] == 333333
+    assert meta["tail"][2] == 1_000_000
+    assert len(by["tail"]) == 100  # whole tail admitted
+    # realized head share well under the input's 90%
+    share = len(by["head"]) / len(got)
+    assert 0.5 < share < 0.85
+    # deterministic rerun
+    again = {r["doc_id"] for r in temperature_mix(
+        df, n_target=400, group_col="grp", id_col="doc_id").collect()}
+    assert again == {r["doc_id"] for r in got}
+    # a=0 is proportional sampling: s_alpha == n_docs
+    prop = temperature_mix(
+        df, n_target=400, group_col="grp", alpha_halvings=0
+    ).select("grp", "s_alpha", "n_docs").distinct().collect()
+    assert all(r["s_alpha"] == r["n_docs"] for r in prop)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_target"):
+        temperature_mix(df, n_target=-1, group_col="grp")
+    with pytest.raises(ValueError, match="alpha_halvings"):
+        temperature_mix(df, n_target=1, group_col="grp", alpha_halvings=-1)

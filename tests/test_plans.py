@@ -779,3 +779,25 @@ def test_char_entropy_and_blocklist_narrow(spark):
         assert "Exchange hashpartitioning" not in plan, plan
         assert "Exchange rangepartitioning" not in plan, plan
         assert "Join" not in plan, plan
+
+
+def test_temperature_mix_one_dim_agg_broadcast_narrow(spark):
+    """X69: ONE domain-keyed aggregate (dim-sized), the Σ rides a
+    1-row IdentityBroadcast cross (bounded), the weight table
+    broadcasts back onto the corpus, and admission is pushed INTO the
+    BroadcastHashJoin condition — no window, no corpus sort, no
+    corpus-keyed exchange."""
+    from genie_spark.analytics.corpus import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(temperature_mix(docs, n_target=300, group_col="lang"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the corpus side (everything OUTSIDE the cached dim-sized domain
+    # aggregate) has ZERO key exchanges — scan → filter → broadcast
+    # join with the admission predicate pushed into the join condition
+    outer = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange hashpartitioning" not in outer, plan
+    assert "Exchange rangepartitioning" not in outer, plan
+    assert "InMemoryRelation" in plan, plan  # the dim agg is cached once
