@@ -620,3 +620,185 @@ def heavy_hitters(
         .withColumn("share", F.col("cnt") / F.col("__total").cast("double"))
         .select(token_col, "cnt", "share")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: deterministic md5 level-sampling (X70)
+# ---------------------------------------------------------------------------
+
+QS_TZ_MAX = KMV_BITS  # h == 0 (1-in-2^60) counts as all-60 trailing zeros
+
+
+def _tz_bits(h: Column) -> Column:
+    """Trailing-zero count of a 60-bit hash, EXACT integer: isolate the
+    lowest set bit with ``h & -h`` and take floor(log2) via binary
+    string length (the round-8 no-libm idiom)."""
+    low = h.bitwiseAND(-h)
+    return F.when(h == 0, F.lit(QS_TZ_MAX)).otherwise(
+        (F.length(F.bin(low)) - F.lit(1))
+    ).cast("long")
+
+
+def _qs_pick_level(hist: dict[int, int], k_max: int) -> tuple[int, int]:
+    """(smallest L with |{tz >= L}| <= k_max, total items) from a tz
+    histogram — exact driver-side integer arithmetic over <= 61 rows."""
+    n_items = sum(hist.values())
+    for level in range(QS_TZ_MAX + 1):
+        if sum(c for t, c in hist.items() if t >= level) <= k_max:
+            return level, n_items
+    return QS_TZ_MAX, n_items
+
+
+def quantile_level_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: Column | str,
+    k_max: int = 1024,
+) -> DataFrame:
+    """X70 — mergeable quantile sketch by deterministic md5
+    LEVEL-SAMPLING: the missing quantile artifact of the sketch family
+    (KMV/Bloom/CMS/HLL are all here; X30's sampled quantiles are
+    one-shot, not mergeable).  The published family is the compactor
+    ladder of KLL (Karnin-Lang-Liberty, FOCS'16) / Manku-Rajagopalan-
+    Lindsay; this is its deterministic hash-priority variant: an item
+    survives to level L iff its 60-bit md5 key hash has >= L trailing
+    zero bits (P = 2^-L, but CONTENT-DETERMINED — no RNG, no platform
+    salt), every kept item at the sketch's level represents weight
+    2^L, and the sketch is the smallest level whose survivor set fits
+    ``k_max``.  Estimated rank of v = 2^L * |{kept <= v}|, the same
+    estimator as a KLL top compactor; rank error is O(N/sqrt(k)) w.h.p.
+    (bottom-level sampling / Duffield-Lund-Thorup analysis).
+
+    Why hash-priority instead of the paper's randomized compaction:
+    merges become PURE SET ALGEBRA — membership at level L is a
+    property of the item itself, so union-then-refilter is EXACTLY the
+    sketch of the concatenated stream (``quantile_sketch_merge``; the
+    property test pins merge ≡ rebuild), shards sketched independently
+    on 1000 executors combine without any rank bookkeeping, and a
+    DuckDB oracle reproduces the artifact bit-for-bit.
+
+    Returns the survivor rows ``(v, h60, tz, level, n_items)`` — level
+    and n_items constant columns, so the artifact is self-contained
+    (<= k_max rows; merge-ready, journal-ready).
+
+    Scale shape: one narrow projection + a <= 61-row tz histogram
+    (map-side partial combine, driver-side exact level pick — the
+    dim-sized-collect policy), then a narrow survivor filter on the
+    rescan.  Two scan passes, zero corpus-keyed shuffles, no sort.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("v"),
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h60"),
+    )
+    base = base.withColumn("tz", _tz_bits(F.col("h60")))
+    hist = {
+        r["tz"]: r["c"]
+        for r in base.groupBy("tz").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    level, n_items = _qs_pick_level(hist, k_max)
+    return base.where(F.col("tz") >= level).withColumns(
+        {
+            "level": F.lit(level).cast("long"),
+            "n_items": F.lit(n_items).cast("long"),
+        }
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, k_max: int = 1024
+) -> DataFrame:
+    """Merge two level-sampling quantile sketches: union the survivor
+    sets, refilter at the smallest level whose union fits ``k_max``
+    (>= both input levels by construction).  Because survival is
+    content-determined, the result is EXACTLY the sketch of the
+    concatenated input streams — associative and commutative, the
+    mergeable-artifact contract of the sketch family."""
+    meta = [
+        (r["level"], r["n_items"])
+        for r in (
+            a.select("level", "n_items").limit(1).collect()
+            + b.select("level", "n_items").limit(1).collect()
+        )
+    ]
+    n_items = sum(n for _, n in meta)
+    both = a.select("v", "h60", "tz").unionByName(b.select("v", "h60", "tz"))
+    hist = {
+        r["tz"]: r["c"]
+        for r in both.groupBy("tz").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    floor_level = max((lv for lv, _ in meta), default=0)
+    level, _ = _qs_pick_level(
+        {t: c for t, c in hist.items() if t >= floor_level}, k_max
+    )
+    level = max(level, floor_level)
+    return both.where(F.col("tz") >= level).withColumns(
+        {
+            "level": F.lit(level).cast("long"),
+            "n_items": F.lit(n_items).cast("long"),
+        }
+    )
+
+
+def quantile_sketch_estimates(
+    sketch: DataFrame,
+    phis_milli: tuple[int, ...] = (250, 500, 750, 900),
+) -> DataFrame:
+    """Quantile point estimates from a level-sampling sketch artifact:
+    for each target quantile φ (in exact milli-units), target_rank =
+    max(1, (φ·N) // 1000) and the estimate is the survivor at scaled
+    rank ceil(target_rank / 2^L) in (v, h60) order, clamped to the
+    survivor count — pure integer index arithmetic, no interpolation
+    (the X30 exact-lower-quantile rule).
+
+    Returns (phi_milli, n_items, level, k_kept, target_rank, est_value).
+    Window/sort cost is over <= k_max rows — sketch-sized, never data-
+    sized."""
+    first = sketch.select("level", "n_items").limit(1).collect()
+    if not first:
+        return sketch.sparkSession.createDataFrame(
+            [],
+            "phi_milli long, n_items long, level long, k_kept long, "
+            "target_rank long, est_value long",
+        )
+    level, n_items = int(first[0]["level"]), int(first[0]["n_items"])
+    weight = 1 << level
+    w = Window.orderBy(F.col("v").asc(), F.col("h60").asc())
+    ranked = sketch.select("v", "h60").withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    counted = ranked.withColumn(
+        "k_kept", F.max("rk").over(Window.partitionBy())
+    )
+    phis = sketch.sparkSession.createDataFrame(
+        [(int(p),) for p in phis_milli], "phi_milli long"
+    )
+    targets = phis.select(
+        "phi_milli",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.col("phi_milli") * n_items) / 1000).cast("long"),
+        ).alias("target_rank"),
+    ).withColumn(
+        "rk_sel_raw",
+        F.floor(
+            (F.col("target_rank") + weight - 1) / weight
+        ).cast("long"),
+    )
+    return (
+        counted.join(
+            F.broadcast(targets),
+            F.col("rk")
+            == F.least(F.col("k_kept"), F.greatest(F.lit(1).cast("long"), F.col("rk_sel_raw"))),
+        )
+        .select(
+            "phi_milli",
+            F.lit(n_items).cast("long").alias("n_items"),
+            F.lit(level).cast("long").alias("level"),
+            "k_kept",
+            "target_rank",
+            F.col("v").alias("est_value"),
+        )
+    )

@@ -827,3 +827,99 @@ def token_budget_stream(
     return prepared.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def _quantile_store_merge(df: DataFrame, k_max: int) -> DataFrame:
+    """Merge every shard of a quantile-sketch store into ONE artifact:
+    shards are survivor sets at their own levels, so the union
+    refiltered at the smallest feasible level >= every shard level is
+    EXACTLY the sketch of the concatenated input (the
+    ``quantile_sketch_merge`` set-algebra law, n-ary).  ``df`` must
+    carry the hive ``batch`` partition column; n_items sums over the
+    per-shard metadata rows."""
+    from genie_spark.analytics.sketches import _qs_pick_level
+
+    metas = df.select("batch", "level", "n_items").distinct().collect()
+    n_items = sum(int(r["n_items"]) for r in metas)
+    floor_level = max((int(r["level"]) for r in metas), default=0)
+    hist = {
+        r["tz"]: r["c"]
+        for r in df.where(F.col("tz") >= floor_level)
+        .groupBy("tz")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    level, _ = _qs_pick_level(hist, k_max)
+    level = max(level, floor_level)
+    return (
+        df.where(F.col("tz") >= level)
+        .select("v", "h60", "tz")
+        .withColumns(
+            {
+                "level": F.lit(level).cast("long"),
+                "n_items": F.lit(n_items).cast("long"),
+            }
+        )
+    )
+
+
+def quantile_sketch_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+    k_max: int = 1024,
+):
+    """Streaming quantile sketching (X70): each micro-batch is
+    level-sampled (``sketches.quantile_level_sketch`` — <= k_max
+    survivor rows + constant level/n_items metadata) into its own
+    ``batch=<id>`` shard; the rolling quantile question is answered
+    any time by ``quantile_store_estimates`` — merging shards is set
+    algebra over <= shards*k_max rows, never a re-read of ingested
+    data.  Same store conventions as ``sketch_stream`` /
+    ``bloom_stream`` / ``hll_stream``: write-only per batch, a
+    replayed batch rewrites its own directory, reads stay idempotent.
+    Returns the started StreamingQuery."""
+    from genie_spark.analytics.sketches import quantile_level_sketch
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sk = quantile_level_sketch(batch, value_col, key_col, k_max=k_max)
+        sk.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantile_sketch_compact(spark, store_path: str, k_max: int = 1024) -> dict:
+    """Compact a ``quantile_sketch_stream`` store into ONE merged
+    artifact shard (``batch=-1``): the merge-law reduce keeps the
+    store <= k_max survivor rows regardless of how many batches it has
+    seen, and the result is bit-identical to sketching the whole
+    ingested stream at once.  Journaled whole-dir swap protocol in
+    ``_compact_store``."""
+    return _compact_store(
+        spark, store_path, lambda df: _quantile_store_merge(df, k_max)
+    )
+
+
+def quantile_store_estimates(
+    spark,
+    store_path: str,
+    k_max: int = 1024,
+    phis_milli: tuple[int, ...] = (250, 500, 750, 900),
+) -> DataFrame:
+    """Answer the rolling quantile question from a
+    ``quantile_sketch_stream`` store: merge every shard (set algebra,
+    <= shards*k_max rows) and read point estimates off the merged
+    artifact — ingested data is never re-read."""
+    from genie_spark.analytics.sketches import quantile_sketch_estimates
+
+    merged = _quantile_store_merge(spark.read.parquet(store_path), k_max)
+    return quantile_sketch_estimates(merged, phis_milli=phis_milli)

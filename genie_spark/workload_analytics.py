@@ -1424,6 +1424,150 @@ FROM r JOIN t ON r.source = t.source AND r.rn = t.target_rn
 """
 
 
+QS_K_MAX = 1_024
+QS_PHIS = (250, 500, 750, 900)
+
+
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 mergeable quantile sketch (deterministic md5 level-sampling,
+    the KLL-family compactor): sketch lineitem's extended-price cents
+    at k_max=1024, estimate the 25/50/75/90 quantiles from the
+    artifact, and audit each estimate's EXACT rank error against the
+    corpus — the one-pass corpus audit the no-silent-approximation
+    discipline requires."""
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch,
+        quantile_sketch_estimates,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    items = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.concat_ws(
+            "_", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("item_key"),
+    )
+    sk = quantile_level_sketch(items, "cents", "item_key", k_max=QS_K_MAX)
+    est = quantile_sketch_estimates(sk, phis_milli=QS_PHIS)
+    audit = (
+        items.crossJoin(F.broadcast(est.select("phi_milli", "est_value")))
+        .groupBy("phi_milli")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") < F.col("est_value"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rank_lo"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est_value"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rank_hi"),
+        )
+    )
+    out = est.join(audit, "phi_milli")
+    err = (
+        F.when(
+            F.col("target_rank") > F.col("rank_hi"),
+            F.col("target_rank") - F.col("rank_hi"),
+        )
+        .when(
+            F.col("target_rank") <= F.col("rank_lo"),
+            F.col("rank_lo") + 1 - F.col("target_rank"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return out.select(
+        "phi_milli",
+        "n_items",
+        "level",
+        "k_kept",
+        "target_rank",
+        "est_value",
+        err.alias("rank_err"),
+        (err * 10 <= F.col("n_items")).alias("within_bound"),
+    )
+
+
+SKETCH_KLL_SQL = f"""
+WITH it AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(l_orderkey AS VARCHAR) || '_' ||
+           CAST(l_linenumber AS VARCHAR) AS key
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+hx AS (
+  SELECT v,
+         CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h60
+  FROM it
+),
+tzt AS (
+  SELECT v, h60,
+         CASE WHEN h60 = 0 THEN 60
+              ELSE CAST(length(bin(h60 & (-h60))) - 1 AS BIGINT)
+         END AS tz
+  FROM hx
+),
+hist AS (SELECT tz, count(*) AS c FROM tzt GROUP BY tz),
+lvl AS (
+  SELECT CAST(min(L) AS BIGINT) AS level FROM (
+    SELECT ls.L,
+           (SELECT coalesce(sum(c), 0) FROM hist WHERE tz >= ls.L) AS cnt
+    FROM (SELECT unnest(range(0, 61)) AS L) ls
+  ) WHERE cnt <= {QS_K_MAX}
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM tzt),
+kept AS (
+  SELECT v, h60,
+         CAST(row_number() OVER (ORDER BY v, h60) AS BIGINT) AS rk
+  FROM tzt, lvl WHERE tzt.tz >= lvl.level
+),
+kc AS (SELECT CAST(count(*) AS BIGINT) AS k_kept FROM kept),
+phis AS (SELECT CAST(unnest([{", ".join(str(p) for p in QS_PHIS)}]) AS BIGINT)
+                AS phi_milli),
+t AS (
+  SELECT phi_milli, n_items, level, k_kept,
+         greatest(1, (phi_milli * n_items) // 1000) AS target_rank
+  FROM phis, n, lvl, kc
+),
+sel AS (
+  SELECT t.*,
+         least(k_kept,
+               greatest(1, (target_rank + (1 << level) - 1) // (1 << level)))
+           AS rk_sel
+  FROM t
+),
+est AS (
+  SELECT sel.phi_milli, sel.n_items, sel.level, sel.k_kept,
+         CAST(sel.target_rank AS BIGINT) AS target_rank,
+         kept.v AS est_value
+  FROM sel JOIN kept ON kept.rk = sel.rk_sel
+),
+audit AS (
+  SELECT e.phi_milli,
+         (SELECT count(*) FROM tzt WHERE tzt.v < e.est_value) AS rank_lo,
+         (SELECT count(*) FROM tzt WHERE tzt.v <= e.est_value) AS rank_hi
+  FROM est e
+),
+fin AS (
+  SELECT est.*,
+         CAST(CASE WHEN target_rank > rank_hi THEN target_rank - rank_hi
+                   WHEN target_rank <= rank_lo THEN rank_lo + 1 - target_rank
+                   ELSE 0 END AS BIGINT) AS rank_err
+  FROM est JOIN audit USING (phi_milli)
+)
+SELECT phi_milli, n_items, level, k_kept, target_rank, est_value, rank_err,
+       (rank_err * 10 <= n_items) AS within_bound
+FROM fin
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -3284,6 +3428,7 @@ ANALYTICS_QUERIES: dict = {
     "text_token_drift": text_token_drift,
     "corpus_domain_cap": corpus_domain_cap,
     "corpus_temperature_mix": corpus_temperature_mix,
+    "sketch_kll_quantiles": sketch_kll_quantiles,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -3359,6 +3504,7 @@ ANALYTICS_ORACLES: dict = {
     "text_token_drift": DRIFT_SQL,
     "corpus_domain_cap": DOMAIN_CAP_SQL,
     "corpus_temperature_mix": TEMP_MIX_SQL,
+    "sketch_kll_quantiles": SKETCH_KLL_SQL,
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

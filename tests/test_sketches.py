@@ -588,3 +588,89 @@ def test_heavy_hitters_m_threshold_guard(spark):
     df = _token_df(spark, {"a": 3})
     with pytest.raises(AssertionError, match="m too small"):
         heavy_hitters(df, m=8, min_share_bp=100)
+
+
+def test_quantile_sketch_merge_equals_rebuild_any_split(spark):
+    """X70 merge law: survival is content-determined, so union-then-
+    refilter is EXACTLY the sketch of the concatenated stream — for
+    any split of the data, any merge order, the artifact (survivor
+    set AND level AND n_items) is identical to building once over the
+    whole."""
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch,
+        quantile_sketch_merge,
+    )
+
+    df = spark.range(1, 5001).select(
+        (F.col("id") * 37 % 9973).alias("v"), F.col("id").alias("k")
+    )
+    whole = quantile_level_sketch(df, "v", "k", k_max=128)
+    want = {(r["v"], r["h60"]) for r in whole.collect()}
+    w_meta = whole.select("level", "n_items").first()
+    parts = [
+        quantile_level_sketch(df.where(F.col("k") % 3 == i), "v", "k", k_max=128)
+        for i in range(3)
+    ]
+    for order in ((0, 1, 2), (2, 0, 1)):
+        m = quantile_sketch_merge(parts[order[0]], parts[order[1]], k_max=128)
+        m = quantile_sketch_merge(m, parts[order[2]], k_max=128)
+        got = m.collect()
+        assert {(r["v"], r["h60"]) for r in got} == want
+        assert got[0]["level"] == w_meta["level"]
+        assert got[0]["n_items"] == w_meta["n_items"] == 5000
+
+
+def test_quantile_sketch_exact_below_k(spark):
+    """X70: with n <= k_max the sketch keeps everything at level 0 and
+    the estimates are the EXACT lower quantiles (weight 1, rank
+    selection is plain index arithmetic)."""
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch,
+        quantile_sketch_estimates,
+    )
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("v"), F.col("id").alias("k")
+    )
+    sk = quantile_level_sketch(df, "v", "k", k_max=256)
+    rows = sk.collect()
+    assert len(rows) == 100
+    assert rows[0]["level"] == 0 and rows[0]["n_items"] == 100
+    est = {
+        r["phi_milli"]: r
+        for r in quantile_sketch_estimates(sk, (250, 500, 900)).collect()
+    }
+    # v == its own rank: exact lower quantile = target_rank itself
+    assert est[250]["est_value"] == 25
+    assert est[500]["est_value"] == 50
+    assert est[900]["est_value"] == 90
+    assert all(r["k_kept"] == 100 for r in est.values())
+
+
+def test_quantile_sketch_rank_accuracy(spark):
+    """X70 accuracy: on v == rank data (so rank error is readable off
+    the estimate directly), every estimate's rank error stays within
+    4·N/sqrt(k_kept) — the bottom-level-sampling error regime; the
+    artifact respects the k_max bound and the 2^level weight law."""
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch,
+        quantile_sketch_estimates,
+    )
+
+    n = 20_000
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("v"), F.col("id").alias("k")
+    )
+    sk = quantile_level_sketch(df, "v", "k", k_max=256)
+    rows = sk.collect()
+    assert 0 < len(rows) <= 256
+    level = rows[0]["level"]
+    # survivor count concentrates around n/2^level (binomial)
+    assert 0.7 * n <= len(rows) * (1 << level) <= 1.3 * n
+    ests = quantile_sketch_estimates(sk).collect()
+    assert len(ests) == 4
+    bound = 4 * n / (len(rows) ** 0.5)
+    for r in ests:
+        assert abs(r["est_value"] - r["target_rank"]) <= bound, (
+            r["phi_milli"], r["est_value"], r["target_rank"], bound,
+        )

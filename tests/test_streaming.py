@@ -1062,3 +1062,74 @@ def test_token_budget_stream_single_batch_matches_batch_select(
     }
     assert stream_kept == batch_kept
     assert stream_kept  # non-degenerate: something was admitted
+
+
+def test_quantile_sketch_stream_store_and_compact(spark, tmp_path):
+    """X70 streaming: per-batch shards land write-only; the store
+    answers the rolling quantile question IDENTICALLY to batch-
+    sketching everything ingested so far; compaction reduces to one
+    batch=-1 artifact that is bit-identical to the batch-built sketch
+    (merge law end-to-end through the journaled swap)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch,
+        quantile_sketch_estimates,
+    )
+    from genie_spark.streaming.windows import (
+        quantile_sketch_compact,
+        quantile_sketch_stream,
+        quantile_store_estimates,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    rows = [(i, (i * 37) % 9973) for i in range(1, 1501)]
+    for b in range(3):
+        chunk = rows[b * 500:(b + 1) * 500]
+        (src / f"b{b}.csv").write_text(
+            "doc_id,n_chars\n" + "\n".join(f"{i},{v}" for i, v in chunk) + "\n"
+        )
+        os.utime(src / f"b{b}.csv", (1000000000 + b * 100,) * 2)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    store = str(tmp_path / "store")
+    q = quantile_sketch_stream(
+        stream, store, str(tmp_path / "ckpt"), k_max=64
+    )
+    q.awaitTermination()
+    shards = {p for p in os.listdir(store) if p.startswith("batch=")}
+    assert len(shards) == 3
+    whole = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    batch_sk = quantile_level_sketch(whole, "n_chars", "doc_id", k_max=64)
+    want_rows = {(r["v"], r["h60"]) for r in batch_sk.collect()}
+    want_est = sorted(
+        tuple(r) for r in quantile_sketch_estimates(batch_sk).collect()
+    )
+    got_est = sorted(
+        tuple(r) for r in quantile_store_estimates(spark, store, k_max=64).collect()
+    )
+    assert got_est == want_est
+    stats = quantile_sketch_compact(spark, store, k_max=64)
+    assert stats["shards_before"] == 3
+    compacted = spark.read.parquet(store)
+    assert {r["batch"] for r in compacted.select("batch").distinct().collect()} == {-1}
+    assert {(r["v"], r["h60"]) for r in compacted.collect()} == want_rows
+    # estimates unchanged after compaction
+    got2 = sorted(
+        tuple(r) for r in quantile_store_estimates(spark, store, k_max=64).collect()
+    )
+    assert got2 == want_est
