@@ -572,6 +572,17 @@ def bpe_train(
     State is localCheckpointed eagerly per iteration so iteration k
     never replays the k-1 replace chain.  Iterations are bounded by
     ``n_merges``; the driver loop moves one 5-field row per step.
+
+    Tokenizer-scale note: training cost is ONE Spark job round-trip
+    per merge over the VOCABULARY table (never the corpus — the corpus
+    is scanned exactly once, for the word counts).  At the registered
+    5–6 merges that is negligible; a production 32k-merge vocabulary
+    means 32k driver round-trips over a table that fits in memory —
+    at that operating point train driver-side on the collected word
+    histogram (vocab tables are ~10⁶ rows; the corpus-sized work is
+    still the one Spark word count) and APPLY with
+    ``bpe_encode(engine="arrow")``, whose plan cost is flat in
+    |merges| (tools/probe_bpe_arrow.py).
     """
     from pyspark.sql import Window  # noqa: F401  (parity with siblings)
 
@@ -614,11 +625,15 @@ def bpe_train(
     )
 
 
+BPE_ARROW_THRESHOLD = 64
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "auto",
 ) -> DataFrame:
     """X53 — apply a learned BPE merge table to a corpus (the encode
     side of ``bpe_train``; Sennrich et al. 2016 apply_bpe): each
@@ -631,14 +646,40 @@ def bpe_encode(
     per-document subword sequence (document order preserved),
     whitespace-token and subword counts.
 
-    Spark shape: ENTIRELY map-side — the merge table is a bounded
-    list of literals compiled into a chain of ``F.replace`` column
-    expressions over the per-word symbol encoding (no join, no
-    shuffle, no UDF); one transform over the token array per row.
-    The per-word encode/replace/split runs inside a bound-lambda
-    ``transform`` (the token_ngrams discipline: the token array is
-    materialized once per row).
+    Two plan-equivalent engines (``engine``: "literal" / "arrow" /
+    "auto" = literal up to ``BPE_ARROW_THRESHOLD`` merges):
+
+    * **literal** — the merge table compiles into a chain of
+      ``F.replace`` column expressions, one per merge, over the
+      per-word symbol encoding: zero-UDF, whole-stage-codegen, ideal
+      at oracle-sized tables.  But the expression DEPTH equals
+      |merges|, so a production 32k-merge vocabulary would build a
+      32k-deep Catalyst tree (analysis/codegen limits, interpreted
+      fallback — the round-9 defect class).
+    * **arrow** — a ``mapInPandas`` batch encoder (the X54
+      documented-escape pattern: the parameter axis, not the data
+      axis, outgrew the expression form): per Arrow batch the DISTINCT
+      words are concatenated around a ``\\x00`` sentinel and the merge
+      replay runs as |merges| C-speed ``str.replace`` passes over ONE
+      string — byte-identical semantics (Python ``str.replace`` is the
+      same leftmost non-overlapping rule as ``F.replace``, and every
+      pattern contains a space while the sentinel never does, so no
+      cross-word match is possible) at O(|merges| · unique-chars) per
+      batch instead of a |merges|-deep plan.  Tokenization stays in
+      Spark (narrow ``tokens()`` projection feeds the UDF), so the
+      two engines share one tokenizer.  Pinned equal on the oracle
+      merge tables by pytest; plan/compile time measured flat at
+      1k/8k merges (``tools/probe_bpe_arrow.py``).
+
+    The registered ``text_bpe_encode`` oracle runs the literal engine
+    (auto at 5 merges) — unchanged.
     """
+    if engine not in ("auto", "literal", "arrow"):
+        raise ValueError(f"engine must be auto|literal|arrow, got {engine!r}")
+    if engine == "auto":
+        engine = "literal" if len(merges) <= BPE_ARROW_THRESHOLD else "arrow"
+    if engine == "arrow":
+        return _bpe_encode_arrow(df, merges, id_col, text_col)
     toks = tokens(text_col)
     sub = _bpe_subwords(toks, merges)
     return df.select(
@@ -647,6 +688,86 @@ def bpe_encode(
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(sub).cast("long").alias("n_subwords"),
     )
+
+
+def _bpe_encode_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Arrow batch form of ``bpe_encode`` — see its docstring.  The
+    sentinel contract: a token (or merge symbol) containing the
+    ``\\x00`` sentinel would allow a cross-word match, so such rows
+    fail loudly instead of encoding wrong."""
+    merge_list = [(str(l), str(r)) for l, r in merges]
+    for l, r in merge_list:
+        if "\x00" in l or "\x00" in r:
+            raise ValueError("bpe merge symbols must not contain NUL")
+
+    out_schema = (
+        f"{id_col} long, bpe_tokens array<string>, "
+        "n_tokens long, n_subwords long"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # distinct words across the batch — Zipf repetition means
+            # the replay usually touches far fewer strings than tokens
+            uniq: dict[str, int] = {}
+            for toks_row in pdf["__toks"]:
+                if toks_row is None:  # null text → null array (literal
+                    continue          # engine's propagation, mirrored)
+                for w in toks_row:
+                    if w not in uniq:
+                        uniq[w] = len(uniq)
+            words = list(uniq)
+            if any("\x00" in w for w in words):
+                raise ValueError(
+                    "bpe_encode arrow engine: token contains NUL "
+                    "(sentinel collision) — use engine='literal'"
+                )
+            # " a b c" per word (the trainer's space-prefixed symbol
+            # encoding), joined around the sentinel
+            blob = "\x00".join(
+                "".join(" " + ch for ch in w) for w in words
+            )
+            for l, r in merge_list:
+                blob = blob.replace(f" {l} {r}", f" {l}{r}")
+            encoded = [s.lstrip(" ").split(" ") for s in blob.split("\x00")]
+            table = dict(zip(words, encoded))
+            ids, bpes, nt, ns = [], [], [], []
+            for did, toks_row in zip(pdf[id_col], pdf["__toks"]):
+                ids.append(did)
+                if toks_row is None:
+                    bpes.append(None)
+                    nt.append(None)
+                    ns.append(None)
+                    continue
+                subs: list[str] = []
+                for w in toks_row:
+                    subs.extend(table[w])
+                bpes.append(subs)
+                nt.append(len(toks_row))
+                ns.append(len(subs))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "bpe_tokens": bpes,
+                    "n_tokens": nt,
+                    "n_subwords": ns,
+                }
+            )
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(text_col).alias("__toks"),
+    )
+    return prepared.mapInPandas(encode, out_schema)
 
 
 def _bpe_subwords(toks: Column, merges: list[tuple[str, str]]) -> Column:

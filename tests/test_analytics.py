@@ -3501,3 +3501,56 @@ def test_temperature_mix_flattens_head_upsamples_tail(spark):
         temperature_mix(df, n_target=-1, group_col="grp")
     with pytest.raises(ValueError, match="alpha_halvings"):
         temperature_mix(df, n_target=1, group_col="grp", alpha_halvings=-1)
+
+
+def test_bpe_encode_arrow_equals_literal_chain(spark):
+    """X53 Arrow rung: the mapInPandas batch encoder is BYTE-identical
+    to the literal F.replace chain — on a merge table the trainer
+    itself learned (the oracle contract), on null text (null
+    propagation mirrored), on empty docs, and on auto-selection either
+    side of the threshold."""
+    from genie_spark.analytics.text import (
+        BPE_ARROW_THRESHOLD,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, ""), (90003, "solo")],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    assert merges, "trainer produced no merges"
+    lit = sorted(
+        (r["doc_id"], tuple(r["bpe_tokens"]) if r["bpe_tokens"] is not None
+         else None, r["n_tokens"], r["n_subwords"])
+        for r in bpe_encode(corpus, merges, engine="literal").collect()
+    )
+    arw = sorted(
+        (r["doc_id"], tuple(r["bpe_tokens"]) if r["bpe_tokens"] is not None
+         else None, r["n_tokens"], r["n_subwords"])
+        for r in bpe_encode(corpus, merges, engine="arrow").collect()
+    )
+    assert lit == arw
+    # auto picks literal at oracle size, arrow past the threshold
+    small_plan = (
+        bpe_encode(corpus, merges)  # auto, 6 merges
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in small_plan, small_plan
+    big_table = merges * ((BPE_ARROW_THRESHOLD // len(merges)) + 1)
+    auto_big = bpe_encode(corpus, big_table)
+    plan = auto_big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    import pytest
+
+    with pytest.raises(ValueError, match="NUL"):
+        bpe_encode(corpus, [("a\x00", "b")], engine="arrow")
+    with pytest.raises(ValueError, match="engine"):
+        bpe_encode(corpus, merges, engine="nope")
