@@ -224,6 +224,7 @@ def kmeans_fit(
     iters: int = 3,
     engine: str = "arrow",
     seed: str = "md5",
+    pre_quantized: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Lloyd's k-means over an ``array<float>`` column; returns the
     (id, cluster_id, d2) assignment DataFrame AND the final quantized
@@ -267,8 +268,16 @@ def kmeans_fit(
     # null vectors are dropped at entry: they carry no position, a
     # null in the k lowest ids would poison the centroid seed, and
     # filtering HERE makes both engines emit the identical row set
+    # pre_quantized: the caller's column is ALREADY exact integers
+    # (e.g. IVF residuals — integer minus integer); re-quantizing would
+    # multiply by the scale again
+    vq = (
+        F.col(vec_col).cast("array<long>")
+        if pre_quantized
+        else quantized(vec_col)
+    )
     q = (
-        df.select(F.col(id_col).alias("__id"), quantized(vec_col).alias("__v"))
+        df.select(F.col(id_col).alias("__id"), vq.alias("__v"))
         .where(F.col("__v").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -641,6 +650,7 @@ def pq_train(
     k: int = 8,
     iters: int = 2,
     seed: str = "md5",
+    pre_quantized: bool = False,
 ) -> tuple[list[list[tuple[int, list[int]]]], int]:
     """Train the ``m`` per-subspace PQ codebooks: split the vector into
     ``m`` contiguous sub-vectors and run the package's deterministic
@@ -688,7 +698,8 @@ def pq_train(
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("__sub"),
         )
         _, cb = kmeans_fit(
-            sub, id_col=id_col, vec_col="__sub", k=k, iters=iters, seed=seed
+            sub, id_col=id_col, vec_col="__sub", k=k, iters=iters,
+            seed=seed, pre_quantized=pre_quantized,
         )
         codebooks.append(cb)
     return codebooks, sub_dim
@@ -724,6 +735,7 @@ def pq_encode(
     seed: str = "md5",
     codebooks: list | None = None,
     sub_dim: int | None = None,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """X61 — PQ-encode a corpus: each vector becomes ``m`` codebook
     ids (one per subspace, nearest centroid by exact squared quantized
@@ -748,7 +760,8 @@ def pq_encode(
 
     if codebooks is None:
         codebooks, sub_dim = pq_train(
-            df, id_col, vec_col, m=m, k=k, iters=iters, seed=seed
+            df, id_col, vec_col, m=m, k=k, iters=iters, seed=seed,
+            pre_quantized=pre_quantized,
         )
     assert sub_dim is not None
     dim = sub_dim * len(codebooks)
@@ -776,9 +789,12 @@ def pq_encode(
             if not keep:
                 continue
             pdf = pdf.iloc[keep]
-            V = np.floor(raw[finite] * float(QUANT_SCALE) + 0.5).astype(
-                np.int64
-            )
+            if pre_quantized:  # already exact integers (residuals)
+                V = raw[finite].astype(np.int64)
+            else:
+                V = np.floor(raw[finite] * float(QUANT_SCALE) + 0.5).astype(
+                    np.int64
+                )
             data = {"vid": pdf[id_col].to_numpy()}
             total = np.zeros(len(V), dtype=np.int64)
             for s, (cids, Cf, cn2, cmax) in enumerate(payload):
@@ -1054,3 +1070,212 @@ def ivfpq_topk(
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "adc_d2")
     )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    query_filter,
+    k_neighbors: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    seed: str = "md5",
+    max_queries: int = 10_000,
+    max_candidate_rows: int = 20_000_000,
+) -> DataFrame:
+    """X71 — RESIDUAL IVF-PQ top-k (Jégou et al. 2011 §V eq. 29-33:
+    the actual FAISS IndexIVFPQ): PQ codebooks are trained on the
+    per-cell residuals r(v) = v − c(cell(v)) instead of raw vectors,
+    so the k·m codewords spend their whole budget on the WITHIN-cell
+    geometry the coarse quantizer already localized — at a fixed
+    (m, k) bit budget this recovers recall the non-residual composite
+    (``ivfpq_topk``, X62) leaves on the table
+    (tools/measure_pq_recall.py A/Bs the two).
+
+    Residuals are taken against each cell's MEAN (the paper's coarse
+    centroid), not the md5-chosen seed vector that defines the cell:
+    the mean minimizes within-cell squared distance (law of total
+    variance), which is the entire mechanism of the recall win — a
+    first probe of this operator subtracted the raw seed vectors and
+    measured recall 0.08 vs X62's 0.155 (cosine-assigned seeds have
+    arbitrary magnitude, so ||v − c|| EXCEEDED ||v||); cell means
+    fixed it (see BASELINE.md).  Cell means are exact integers via
+    the kmeans floor-mean idiom (floor(sum/count) per dimension, one
+    dim-sized aggregate), so residuals stay EXACT integer
+    subtractions (no float drift), the residual Lloyd runs reuse
+    ``kmeans_fit`` with ``pre_quantized=True`` (same seeds, same
+    updates), and the ADC lookup table is exact squared integer
+    distance between the QUERY's per-probed-cell residual and each
+    codeword — per (query, cell) as the paper requires, the one
+    structural difference from X62's cell-independent LUT
+    (|Q|·n_probe·m·k rows instead of |Q|·m·k — still broadcast-sized).
+
+    Returns (query_id, neighbor_id, rank, adc_d2), ties (adc_d2 ASC,
+    neighbor_id ASC), query row excluded.
+
+    Spark shape: ONE carry-vec Arrow probe scan assigns cells and
+    ships the quantized vector; residuals are a broadcast dim-table
+    zip_with (map-side, zero exchange); training/encode ride the X61
+    engines over the persisted residual table; candidates are the
+    equi-join on the cell id; scoring joins the m-row code unpivot to
+    the (guard-estimated) broadcast candidate set and the broadcast
+    per-cell LUT, partial-summing into ONE (query, vector)-keyed
+    aggregate — every corpus-sized stage is a scan or an equi-join,
+    exactly the X62 shape plus one integer subtraction.
+    """
+    import numpy as np
+
+    from genie_spark.analytics.dedup import _release_on_gc
+    from genie_spark.analytics.similarity import (
+        QUANT_SCALE,
+        _centroid_rows,
+        _ivf_centroid_broadcast,
+        _ivf_probes_arrow,
+    )
+
+    spark = df.sparkSession
+    out_schema = "query_id long, neighbor_id long, rank long, adc_d2 long"
+    cent_rows = _centroid_rows(df, id_col, vec_col, n_centroids)
+    if not cent_rows:
+        return spark.createDataFrame([], out_schema)
+    n_probe = min(n_probe, len(cent_rows))
+    bc = _ivf_centroid_broadcast(df, cent_rows)
+    dim = len(cent_rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_residual_topk: dim {dim} % m={m} != 0")
+
+    # ONE carry-vec scan: (vid, cell, v quantized, n2), persisted —
+    # it feeds the cell-mean aggregate, the residual table, and the
+    # candidate side
+    from pyspark import StorageLevel
+
+    cells = _ivf_probes_arrow(
+        df, id_col, vec_col, cent_rows, 1, carry_vec=True, bc=bc
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # per-cell MEAN, exact integers (the kmeans floor-mean update
+    # idiom — one dim-sized (cell, pos) aggregate with map-side
+    # partial combine)
+    mean_rows = (
+        cells.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
+        .collect()
+    )
+    cmeans: dict[int, "np.ndarray"] = {}
+    for r in mean_rows:
+        cmeans.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["m"])
+    cmeans = {
+        c: np.array([d[p] for p in range(dim)], dtype=np.int64)
+        for c, d in cmeans.items()
+    }
+    cmean_df = spark.createDataFrame(
+        [(c, [int(x) for x in v]) for c, v in sorted(cmeans.items())],
+        "cell long, cv array<long>",
+    )
+    resid = (
+        cells.join(F.broadcast(cmean_df), "cell")
+        .select(
+            F.col("vid"),
+            F.col("cell"),
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("rvec"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    codebooks, sub_dim = pq_train(
+        resid, "vid", "rvec", m=m, k=k, iters=iters, seed=seed,
+        pre_quantized=True,
+    )
+    codes = pq_encode(
+        resid, "vid", "rvec", m=m, codebooks=codebooks, sub_dim=sub_dim,
+        pre_quantized=True,
+    )
+
+    # bounded query side: probes (distributed, then collected for the
+    # per-cell LUT) + quantized query vectors, both guarded
+    qdf = df.where(query_filter)
+    q_rows = (
+        qdf.select(id_col, vec_col).limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_residual_topk: query set exceeds max_queries="
+            f"{max_queries}; the LUT side must stay broadcastable"
+        )
+    qvecs = {}
+    for r in q_rows:
+        v = r[vec_col]
+        if v is None or len(v) != dim:
+            continue
+        raw = np.array(v, dtype=np.float64)
+        if not np.isfinite(raw).all():
+            continue
+        qvecs[int(r[id_col])] = np.floor(
+            raw * float(QUANT_SCALE) + 0.5
+        ).astype(np.int64)
+    qprobes = _ivf_probes_arrow(
+        qdf, id_col, vec_col, cent_rows, n_probe, bc=bc
+    ).select(F.col("vid").alias("query_id"), F.col("cell"))
+    qp_rows = qprobes.collect()  # ≤ |Q|·n_probe — LUT-sized by guard
+
+    # per-(query, probed cell) residual ADC LUT — exact int64
+    lut_rows = []
+    for r in qp_rows:
+        qid, cell = int(r["query_id"]), int(r["cell"])
+        qv = qvecs.get(qid)
+        if qv is None or cell not in cmeans:
+            continue
+        rq = qv - cmeans[cell]
+        for s, cb in enumerate(codebooks):
+            qs = rq[s * sub_dim:(s + 1) * sub_dim]
+            for cid, cw in cb:
+                d = qs - np.array(cw, dtype=np.int64)
+                lut_rows.append(
+                    (qid, cell, s + 1, int(cid), int((d * d).sum()))
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, cell long, s int, cid long, d2 long"
+    )
+
+    cand = (
+        qprobes.join(
+            cells.select(F.col("vid").alias("neighbor_id"), "cell"), "cell"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cell")
+    )
+    unpivot = codes.select(
+        F.col("vid").alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[F.col(f"code_{s + 1}") for s in range(len(codebooks))])
+        ).alias("pos", "cid"),
+    ).select(
+        "neighbor_id", (F.col("pos") + 1).cast("int").alias("s"), "cid"
+    )
+    # the X62 broadcast guard: hint only while the measured estimate
+    # |Q|·n_probe·⌈n/C⌉ fits; else leave it to AQE
+    n_total = df.select(id_col).count()
+    est = (
+        len(qvecs) * n_probe
+        * max(1, -(-n_total // max(1, len(cent_rows))))
+    )
+    cand_side = F.broadcast(cand) if est <= max_candidate_rows else cand
+    scored = (
+        unpivot.join(cand_side, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "cell", "s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )
+    return _release_on_gc(_release_on_gc(out, resid), cells)

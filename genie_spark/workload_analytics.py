@@ -2984,7 +2984,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_subspace_ctes(
-    p: str, lo: int, hi: int, k: int, iters: int, sub_dim: int
+    p: str, lo: int, hi: int, k: int, iters: int, sub_dim: int,
+    base: str = "pqb",
 ) -> list[str]:
     """The kmeans oracle chain (_kmeans_sql) re-instantiated on a
     sub-vector slice with prefixed CTE names; ends with ``{p}a`` =
@@ -2996,7 +2997,7 @@ def _pq_subspace_ctes(
         " + list_dot_product(c.v, c.v) AS BIGINT)"
     )
     parts = [
-        f"{p}q AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM pqb)",
+        f"{p}q AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM {base})",
         f"""{p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid, v
   FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h, v FROM {p}q
@@ -3197,6 +3198,142 @@ def _ivfpq_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
   FROM cand c
   JOIN unp u ON u.neighbor_id = c.neighbor_id
   JOIN lut l ON l.query_id = c.query_id AND l.s = u.s AND l.cid = u.cid
+  GROUP BY c.query_id, c.neighbor_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+
+
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 RESIDUAL IVF-PQ top-10 (Jégou et al. 2011 §V eq. 29-33, the
+    FAISS IndexIVFPQ): PQ codebooks trained on per-cell residuals —
+    the codeword budget spends entirely on within-cell geometry, the
+    recall rung X62's non-residual form leaves on the table."""
+    from genie_spark.analytics.clustering import ivfpq_residual_topk
+
+    return ivfpq_residual_topk(
+        _emb(spark, sf_dir),
+        F.col("vec_id") < 20,
+        k_neighbors=PQ_TOPK,
+        n_centroids=IVFPQ_CENTROIDS,
+        n_probe=IVFPQ_PROBE,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+    )
+
+
+def _ivfpq_residual_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+                        dim: int = PQ_DIM, topk: int = PQ_TOPK,
+                        n_centroids: int = IVFPQ_CENTROIDS,
+                        n_probe: int = IVFPQ_PROBE) -> str:
+    """The _ivfpq_sql coarse CTEs + EXACT integer residual subtraction
+    (indexed-lambda list_transform) + the PQ kmeans chain re-
+    instantiated over the residual base (prefix rs*), with the ADC LUT
+    built per (query, probed cell) on the query's residual — in
+    lockstep with clustering.ivfpq_residual_topk."""
+    sub_dim = dim // m
+    parts = [f"pqb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings)"]
+    parts.append(
+        "n2 AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT)"
+        " AS nn FROM pqb)"
+    )
+    parts.append(
+        f"""cc AS (SELECT vec_id AS ccid, v AS cv, nn AS cn FROM n2
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids})"""
+    )
+    parts.append(
+        """as0 AS (
+  SELECT n2.vec_id, cc.ccid,
+         CAST(list_dot_product(n2.v, cc.cv) AS BIGINT)
+             / (sqrt(n2.nn) * sqrt(cc.cn)) AS ccos
+  FROM n2 CROSS JOIN cc)"""
+    )
+    parts.append(
+        """asg AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY ccos DESC, ccid) AS crank
+  FROM as0)"""
+    )
+    parts.append("corpus AS (SELECT vec_id, ccid FROM asg WHERE crank = 1)")
+    # per-cell MEAN, exact integers (the kmeans floor-mean idiom) —
+    # the paper's coarse centroid; residuals against the md5 seed
+    # vectors measured WORSE than non-residual (see the Spark
+    # docstring / BASELINE.md)
+    parts.append(
+        f"""cm AS (
+  SELECT ccid, list(m ORDER BY j) AS cmv FROM (
+    SELECT co.ccid, t.j,
+           CAST(floor(sum(n2.v[t.j]) * 1.0 / count(*)) AS BIGINT) AS m
+    FROM corpus co JOIN n2 USING (vec_id), range(1, {dim + 1}) t(j)
+    GROUP BY co.ccid, t.j) GROUP BY ccid)"""
+    )
+    # residual base: exact integer v - cell mean, elementwise
+    parts.append(
+        """rb AS (
+  SELECT n2.vec_id, co.ccid,
+         list_transform(n2.v, (x, i) -> x - cm.cmv[i]) AS v
+  FROM corpus co JOIN n2 USING (vec_id) JOIN cm USING (ccid))"""
+    )
+    for s in range(m):
+        parts += _pq_subspace_ctes(
+            f"rs{s + 1}", s * sub_dim + 1, (s + 1) * sub_dim, k, iters,
+            sub_dim, base="rb",
+        )
+    parts.append(
+        f"""probes AS (
+  SELECT vec_id, ccid FROM asg WHERE crank <= {n_probe} AND vec_id < 20)"""
+    )
+    parts.append(
+        """cand AS (
+  SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id, p.ccid
+  FROM probes p JOIN corpus t USING (ccid)
+  WHERE p.vec_id != t.vec_id)"""
+    )
+    # the query's residual AGAINST EACH PROBED CELL (the §V LUT shape)
+    parts.append(
+        """qres AS (
+  SELECT p.vec_id AS query_id, p.ccid,
+         list_transform(q.v, (x, i) -> x - cm.cmv[i]) AS rv
+  FROM probes p JOIN pqb q ON q.vec_id = p.vec_id
+  JOIN cm ON cm.ccid = p.ccid)"""
+    )
+    luts = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        luts.append(
+            f"""lut{s + 1} AS (
+  SELECT q.query_id, q.ccid, {s + 1} AS s, c.cid,
+         CAST(list_dot_product(q.qs, q.qs) - 2 * list_dot_product(q.qs, c.v)
+              + list_dot_product(c.v, c.v) AS BIGINT) AS d2
+  FROM (SELECT query_id, ccid, list_slice(rv, {lo}, {hi}) AS qs
+        FROM qres) q
+  CROSS JOIN rs{s + 1}c{iters} c)"""
+        )
+    parts += luts
+    unp = "\nUNION ALL\n".join(
+        f"  SELECT vec_id AS neighbor_id, {s + 1} AS s, cid FROM rs{s + 1}a"
+        for s in range(m)
+    )
+    lut_union = " UNION ALL ".join(
+        f"SELECT * FROM lut{s + 1}" for s in range(m)
+    )
+    parts.append(f"unp AS (\n{unp})")
+    parts.append(f"lut AS ({lut_union})")
+    parts.append(
+        """scored AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM cand c
+  JOIN unp u ON u.neighbor_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.ccid = c.ccid
+            AND l.s = u.s AND l.cid = u.cid
   GROUP BY c.query_id, c.neighbor_id)"""
     )
     return (
@@ -3436,6 +3573,7 @@ ANALYTICS_QUERIES: dict = {
     "ann_pq_codes": ann_pq_codes,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
     "text_lm_bigram": text_lm_bigram,
     "text_line_repetition": text_line_repetition,
     "text_char_entropy": text_char_entropy,
@@ -3512,6 +3650,7 @@ ANALYTICS_ORACLES: dict = {
     "ann_pq_codes": _pq_codes_sql(),
     "ann_pq_topk": _pq_topk_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
+    "ann_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "text_lm_bigram": LM_BIGRAM_SQL,
     "text_line_repetition": LINE_REP_SQL,
     "text_char_entropy": ENTROPY_SQL,

@@ -6,7 +6,7 @@ distance (the metric ADC approximates), then recall@k of
 ADC).  Prints one JSON line; evidence for BASELINE.md — PQ recall is
 a sizing question (m, k, iters, n_probe), measured, not asserted.
 
-Usage: python tools/measure_pq_recall.py [sf_dir] [k]
+Usage: python tools/measure_pq_recall.py [sf_dir] [k] [pq_m] [pq_k]
 """
 
 from __future__ import annotations
@@ -20,10 +20,16 @@ sys.path.insert(0, ".")
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    pq_m = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    pq_k = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
     from pyspark.sql import functions as F
 
-    from genie_spark.analytics.clustering import ivfpq_topk, pq_topk
+    from genie_spark.analytics.clustering import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
     from genie_spark.analytics.similarity import dot, quantized
     from genie_spark.session import get_spark
 
@@ -71,14 +77,24 @@ def main() -> None:
     out = {
         "sf_dir": sf_dir,
         "k": k,
+        "pq_m": pq_m,
+        "pq_k": pq_k,
         "n_queries": len(truth),
         "recall_pq_topk": recall(
-            pq_topk(emb, qf, k_neighbors=k, m=4, k=8, iters=2)
+            pq_topk(emb, qf, k_neighbors=k, m=pq_m, k=pq_k, iters=2)
         ),
         "recall_ivfpq_topk": recall(
             ivfpq_topk(
                 emb, qf, k_neighbors=k, n_centroids=16, n_probe=4,
-                m=4, k=8, iters=2,
+                m=pq_m, k=pq_k, iters=2,
+            )
+        ),
+        # X71 A/B: residual training at the IDENTICAL (m, k, iters,
+        # n_centroids, n_probe) budget — the §V recall rung
+        "recall_ivfpq_residual_topk": recall(
+            ivfpq_residual_topk(
+                emb, qf, k_neighbors=k, n_centroids=16, n_probe=4,
+                m=pq_m, k=pq_k, iters=2,
             )
         ),
     }
