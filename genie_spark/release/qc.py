@@ -221,6 +221,7 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
         return ValidationReport("release", msgs)
 
     # header shape: 4 '#' metadata lines, then the column header
+    declared_types: dict[str, str] = {}
     with open(clin_path) as fh:
         head = [fh.readline() for _ in range(5)]
     n_meta = sum(1 for line in head if line.startswith("#"))
@@ -294,6 +295,9 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
                 examples=neg_prio[:5],
             )
         if not bad_width:
+            # remember the declared per-column datatypes for the
+            # value-domain check below (row 3 of the metadata header)
+            declared_types = dict(zip(header_cols, meta_rows[2]))
             hidden_ids = [
                 c
                 for c, p in zip(header_cols, meta_rows[3])
@@ -347,6 +351,57 @@ def validate_release(spark: SparkSession, release_dir: str) -> ValidationReport:
             n=len(bad_attr_ids),
             examples=bad_attr_ids[:5],
         )
+
+    # declared datatype vs ACTUAL values (cBioPortal validateData
+    # ClinicalValidator: a NUMBER-declared column whose cells don't
+    # parse numeric imports as a broken attribute; a BOOLEAN-declared
+    # column must stay in the TRUE/FALSE domain.  The reference ships
+    # the types from addClinicalHeaders,
+    # genie/process_functions.py:391-399, but never re-checks a
+    # hand-edited release).  Sentinel-aware: blank and NA cells are
+    # missing values, not domain violations.  ONE aggregation pass
+    # over the clinical table covers every typed column.
+    typed_checks = []
+    for col in clinical.columns:
+        t = declared_types.get(col)
+        if t not in ("NUMBER", "BOOLEAN"):
+            continue
+        v = F.col(col)
+        not_na = v.isNotNull() & ~v.isin("", "NA")
+        if t == "NUMBER":
+            bad = not_na & v.try_cast("double").isNull()
+        else:
+            bad = not_na & ~v.isin("TRUE", "FALSE")
+        typed_checks.append((col, t, bad, v))
+    if typed_checks:
+        aggs = []
+        for i, (_, _, bad, v) in enumerate(typed_checks):
+            aggs.append(F.sum(bad.cast("long")).alias(f"n_{i}"))
+            aggs.append(
+                F.slice(
+                    F.collect_set(F.when(bad, v)), 1, 5
+                ).alias(f"ex_{i}")
+            )
+        row = clinical.agg(*aggs).first()
+        for i, (col, t, _, _) in enumerate(typed_checks):
+            n_bad = int(row[f"n_{i}"] or 0)
+            if n_bad:
+                rid = (
+                    "release.clinical_datatype_number"
+                    if t == "NUMBER"
+                    else "release.clinical_datatype_boolean"
+                )
+                domain = (
+                    "parse numeric" if t == "NUMBER" else "be TRUE/FALSE"
+                )
+                err(
+                    rid,
+                    f"release: data_clinical.txt column {col} is "
+                    f"declared {t} but {n_bad} value(s) do not {domain} "
+                    "(NA/blank excluded)",
+                    n=n_bad,
+                    examples=sorted(row[f"ex_{i}"]),
+                )
 
     # --- split clinical pair (data_clinical_patient/_sample.txt) ------
     # cBioPortal validates the split files harder than the merged one

@@ -970,6 +970,76 @@ def test_release_qc_priority_and_split_clinical(spark, tmp_path):
     assert "release.clinical_attr_charset" in ids
 
 
+def test_release_qc_declared_datatype_vs_values(spark, tmp_path):
+    """validateData's ClinicalValidator datatype notch: a
+    NUMBER-declared column must parse numeric (NA/blank are missing,
+    not violations) and a BOOLEAN-declared column must stay in
+    TRUE/FALSE — seeded red→green per rule."""
+    from genie_spark.io.writers import cbio_meta_texts
+    from genie_spark.release.qc import validate_release
+
+    out = str(tmp_path / "rel")
+    os.makedirs(os.path.join(out, "case_lists"))
+
+    def write(path, text):
+        with open(os.path.join(out, path), "w") as f:
+            f.write(text)
+
+    def seed(age_vals, smoker_vals):
+        rows = "\n".join(
+            f"GENIE-SAGE-1-{i + 1}\tGENIE-SAGE-1\t{a}\t{s}"
+            for i, (a, s) in enumerate(zip(age_vals, smoker_vals))
+        )
+        write(
+            "data_clinical.txt",
+            "#Sample Id\tPatient Id\tAge\tSmoker\n#d\td\td\td\n"
+            "#STRING\tSTRING\tNUMBER\tBOOLEAN\n#1\t1\t1\t1\n"
+            "SAMPLE_ID\tPATIENT_ID\tAGE\tSMOKER\n" + rows + "\n",
+        )
+        write(
+            "data_mutations_extended.txt",
+            "Hugo_Symbol\tTumor_Sample_Barcode\nTP53\tGENIE-SAGE-1-1\n",
+        )
+        for n in ("cases_all", "cases_sequenced"):
+            write(
+                f"case_lists/{n}.txt",
+                "cancer_study_identifier: s\nstable_id: s_"
+                + n.split("_")[1]
+                + "\ncase_list_name: n\ncase_list_description: d\n"
+                "case_list_ids: "
+                + "\t".join(
+                    f"GENIE-SAGE-1-{i + 1}" for i in range(len(age_vals))
+                )
+                + "\n",
+            )
+        present = {
+            n for n in os.listdir(out) if os.path.isfile(os.path.join(out, n))
+        }
+        for name, text in cbio_meta_texts("s", "1.0", present).items():
+            write(name, text)
+
+    # green: numeric ages (with NA/blank sentinels), TRUE/FALSE domain
+    seed(["62", "NA", "", "80.5"], ["TRUE", "FALSE", "NA", "TRUE"])
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_datatype_number" not in ids
+    assert "release.clinical_datatype_boolean" not in ids
+
+    # red: a NUMBER column with a non-numeric value
+    seed(["62", "eighty", "NA", "80.5"], ["TRUE", "FALSE", "NA", "TRUE"])
+    msgs = validate_release(spark, out).errors
+    ids = {m.rule_id for m in msgs}
+    assert "release.clinical_datatype_number" in ids
+    m = next(
+        m for m in msgs if m.rule_id == "release.clinical_datatype_number"
+    )
+    assert m.n_violations == 1 and "eighty" in m.examples
+
+    # red: a BOOLEAN column outside TRUE/FALSE
+    seed(["62", "70", "NA", "80.5"], ["TRUE", "yes", "False", "TRUE"])
+    ids = {m.rule_id for m in validate_release(spark, out).errors}
+    assert "release.clinical_datatype_boolean" in ids
+
+
 def test_release_qc_profile_case_list_cross_refs(spark, tmp_path):
     """validateData's profile↔case-list cross-references: CNA/SV data
     files require cases_cna/cases_sv, and the profiled samples must
