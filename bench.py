@@ -21,7 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # interval join, pivot, upsert, dedup-ish group, text analytics, plus
 # (round 8) the round-7 LLM-pipeline families so a regression there is
 # visible in BENCH_r*.json: semantic dedup, Bloom decontamination,
-# Count-Min sketch, token-budgeted selection.
+# Count-Min sketch, token-budgeted selection.  Round 12 widens the set
+# (VERDICT r11 item 4) with five round-10/11 family representatives —
+# substring dedup, BPE encode, bigram LM, winnow fingerprint pairs,
+# DSIR resampling — so their walls are driver-tracked round-over-round
+# instead of living only in BASELINE prose.  The FIRST 17 entries are
+# the legacy-17 set, anchor 30.64 s (BASELINE.md) — keep them leading
+# so the subtotal stays comparable; the widened-22 anchor is recorded
+# alongside it.
+LEGACY_17 = 17
 HEADLINE = [
     "q1_pricing_summary",
     "j1_revenue_per_nation",
@@ -40,6 +48,12 @@ HEADLINE = [
     "corpus_bloom_decontaminate",
     "sketch_count_min",
     "corpus_token_budget",
+    # round-12 widening (round-10/11 families)
+    "dedup_substring_spans",
+    "text_bpe_encode",
+    "text_lm_bigram",
+    "dedup_winnow_pairs",
+    "corpus_dsir_sample",
 ]
 
 
@@ -92,6 +106,15 @@ def main() -> None:
         if jvm is not None:
             jvm.System.gc()
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
+    legacy = round(
+        sum(
+            t
+            for name in HEADLINE[:LEGACY_17]
+            for t in [timings.get(name)]
+            if isinstance(t, float)
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -99,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "legacy17_subtotal": legacy,
                 "sf": sf,
             }
         )

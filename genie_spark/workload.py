@@ -1039,118 +1039,71 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
-    # Round-11 rotation (VERDICT r10 item 2 — the standing freshness
-    # practice): every tail query below was driver-green in ROUND 10
-    # (CORRECTNESS_r10.json — the youngest possible evidence), and the
-    # 46 queries they displace from the window all carried only
-    # r9-era driver rows.  The window therefore now holds: the 46
-    # oldest-evidence (r9-green) queries, the THREE new round-11 rows
-    # — X51 corpus_dsir_sample, X52 text_bpe_merges, and
-    # dedup_substring_clean_min50 (the min_span_len operating point)
-    # — each needing a first driver row.  A late round-11 fourth new
-    # row (X53 text_bpe_encode, the apply side of the BPE trainer)
-    # takes the 50th slot; q1_pricing_summary rotates to the tail for
-    # it — q1 keeps its r10-green driver row AND is still executed by
-    # the driver every round as the entry() smoke check, so it is the
-    # one query whose freshness never actually lapses.  Engines
-    # touched this round that rotate to the tail anyway keep their
-    # r10 rows AND the local sf0.01 sweep: text_bm25_topk (empty-
-    # corpus guard — unreachable on non-empty sfs),
-    # dedup_substring_clean (min_span_len default None preserves
-    # behavior; the new parameter gets its own in-window row),
-    # dedup_winnow_pairs (pair stage factored verbatim into
-    # _winnow_pairs_from_fps), dedup_minhash_lsh (unique_ids
-    # passthrough, default unchanged).
-    "q1_pricing_summary",
-    # ann_lsh_banded rotated late in round 11 for the NEW X54
-    # text_normalize_nfc row (first driver row): the banded-LSH family
-    # keeps ann_lsh_buckets in-window this round, ann_lsh_banded keeps
-    # its r9-green driver row + the local sweep (same plane-sizing
-    # engine, untouched since round 8) — the r8 redundant-variant
-    # rotation rationale
-    "ann_lsh_banded",
-    # ann_ivf_topk rotated late in round 11 for the NEW X55
-    # text_token_drift row (first driver row): the IVF candidate path
-    # stays driver-checked inside the in-window dedup_embedding_drop
-    # (the round-5 rotation rationale); keeps its r9-green row + sweep
-    "ann_ivf_topk",
-    # cluster_balanced_sample rotated late in round 11 for the NEW X56
-    # corpus_domain_cap row (first driver row): the k-means family
-    # keeps cluster_kmeans in-window; balanced-sample keeps its
-    # r9-green row + sweep (same kmeans_assign engine, untouched)
-    "cluster_balanced_sample",
-    # Late round-11 second rotation: the THREE new X57/X58/X59 rows
-    # (corpus_decontaminate_semantic, corpus_soft_dedup,
-    # text_bpe_fertility) need first driver rows.  The three slots
-    # come from r9-green queries whose ENGINES keep driver coverage
-    # through a sibling row:
-    # - j8_broadcast_lookup: the broadcast-dim join engine is
-    #   exercised in-window by j1_revenue_per_nation (BroadcastHashJoin
-    #   pin + the per-round BENCH j1 wall); keeps its r9-green row +
-    #   the local sweep
-    "j8_broadcast_lookup",
-    # - layout_zorder: the numeric twin of layout_zorder_str — the
-    #   SAME io/layout.py interleave engine — whose tail row is
-    #   r10-green (the r8 redundant-variant rotation rationale);
-    #   keeps its r9-green row + the local sweep
-    "layout_zorder",
-    # - a14_distinct_union: the operators/sets.py engine keeps an
-    #   r10-green driver row via set_except_distinct (same union/
-    #   except code path); keeps its r9-green row + the local sweep
-    "a14_distinct_union",
-    # - dedup_simhash: rotated for the NEW X60 text_gopher_filter row
-    #   (first driver row); the shared Hamming banding/extraction
-    #   engine keeps r10-green driver rows via multimodal_phash_dedup
-    #   AND multimodal_audio_dedup (both in this tail with r10
-    #   evidence, both riding the same banded-Hamming code path);
-    #   keeps its r9-green row + the local sweep
-    "dedup_simhash",
-    # - a6_release_diff: rotated for the NEW X61 ann_pq_codes row
-    #   (first driver row); the release-ordering + lag engine keeps an
-    #   in-window row via a5_lag_difference (same Window/lag code
-    #   path); keeps its r9-green row + the local sweep
-    "a6_release_diff",
-    # - text_quality: rotated for the NEW X61 ann_pq_topk row (first
-    #   driver row); the quality family keeps driver coverage via
-    #   text_quality_classifier (tail, r10-green) and the NEW
-    #   in-window text_gopher_filter (same tokens()/ratio engine);
-    #   keeps its r9-green row + the local sweep
-    "text_quality",
-    # - cluster_kmeans: rotated for the NEW X62 ann_ivfpq_topk row
-    #   (first driver row); the deterministic Lloyd engine
-    #   (kmeans_fit) is now exercised by THREE in-window rows —
-    #   ann_pq_codes, ann_pq_topk, ann_ivfpq_topk each run it per
-    #   subspace against the unrolled oracle chain; keeps its
-    #   r9-green row + the local sweep
-    "cluster_kmeans",
-    # - dedup_embedding_drop: rotated for the NEW X63 text_lm_bigram
-    #   row (first driver row); its IVF candidate machinery
-    #   (_centroid_rows + _ivf_probes_arrow) is now driver-checked
-    #   in-window by ann_ivfpq_topk (same coarse-cell engine vs the
-    #   same oracle CTEs), and the verify→components tail stays
-    #   covered by dedup_components (in-window); keeps its r9-green
-    #   row + the local sweep
-    "dedup_embedding_drop",
-    # - corpus_priority_sample: rotated for the NEW X64
-    #   text_line_repetition row (first driver row); the
-    #   priority-sampling engine (the w/(h+1)·2^32 single-IEEE-divide
-    #   idiom + md5 uniform) is now exercised in-window by
-    #   corpus_soft_dedup (X58 resamples with the identical formula);
-    #   keeps its r9-green row + the local sweep
-    "corpus_priority_sample",
-    # - dedup_exact: rotated for the NEW X66 text_char_entropy row
-    #   (first driver row); the md5-hash first-occurrence groupBy
-    #   idiom keeps an r10-green driver row via corpus_passage_dedup
-    #   (tail, same min-struct collapse engine) and is exercised as
-    #   stage 1 of the corpus-dedup CLI pytest; keeps its r9-green
-    #   row + the local sweep
-    "dedup_exact",
-    # - a1_counts_with_total: rotated for the NEW X67 text_blocklist
-    #   row (first driver row); the counts/aggregations family keeps
-    #   a3_pivot_counts in-window and a16_filtered_counts's r10-green
-    #   tail row (same operators/aggregations.py module); keeps its
-    #   r9-green row + the local sweep
-    "a1_counts_with_total",
+    # Round-12 rotation (VERDICT r11 item 1 — the standing freshness
+    # practice): the 14 queries whose latest driver evidence was ROUND
+    # 9 rotate back INTO the window (ann_lsh_banded, ann_ivf_topk,
+    # cluster_balanced_sample, j8_broadcast_lookup, layout_zorder,
+    # a14_distinct_union, dedup_simhash, a6_release_diff, text_quality,
+    # cluster_kmeans, dedup_embedding_drop, corpus_priority_sample,
+    # dedup_exact, a1_counts_with_total — all re-verified green in the
+    # judge's own sf0.01 sweep last round), plus the THREE new
+    # round-12 operators needing first driver rows
+    # (corpus_temperature_mix X69, sketch_kll_quantiles X70,
+    # ann_ivfpq_residual_topk X71).  The 17 slots come from r11-green
+    # queries whose ENGINES keep in-window coverage through a sibling
+    # row; every rotated-out query keeps its r11-green driver row AND
+    # the local sf0.01 sweep this session:
+    "q1_pricing_summary",  # driver-executed every round via entry()
+    # - j9_code_remap: the transform.py code->label remap engine keeps
+    #   j10_symbol_remap in-window (same remap module)
+    "j9_code_remap",
+    # - p4_anti_filter: the filters.py semi/anti pair keeps
+    #   p3_semi_filter in-window (adjacent functions, same engine)
+    "p4_anti_filter",
+    # - p12_date_window_filter: the scalar date-window engine stays
+    #   covered by the in-window p15 cascade + scalar family; r11 row
+    "p12_date_window_filter",
+    # - p14_group_count_filter: the group-count filter rides the same
+    #   aggregations/filters modules as in-window p3/p15/a3
+    "p14_group_count_filter",
+    # - a4_completeness / a5_lag_difference / a7_median /
+    #   a11_fill_count_algebra / a13_group_concat: the
+    #   operators/aggregations.py battery keeps a3_pivot_counts and
+    #   a8_merge_duplicates in-window, and the lag engine gets a FRESH
+    #   row via the rotating-in a6_release_diff (same Window/lag path)
+    "a4_completeness",
+    "a5_lag_difference",
+    "a7_median",
+    "a11_fill_count_algebra",
+    "a13_group_concat",
+    # - j4_containment_join: the intervals.py engine keeps
+    #   j3_interval_join in-window (same binned-join module)
+    "j4_containment_join",
+    # - w2_latest_per_key / w4_asof_join: the windows.py module keeps
+    #   w1_adjacent_events in-window; the WindowGroupLimit pin also
+    #   rides corpus_domain_cap (in-window)
+    "w2_latest_per_key",
+    "w4_asof_join",
+    # - ann_lsh_buckets: the plane-sizing LSH engine gets a FRESH row
+    #   via the rotating-in ann_lsh_banded (same banding engine)
+    "ann_lsh_buckets",
+    # - ann_pq_codes: pq_train/pq_encode stay driver-checked in-window
+    #   by ann_pq_topk AND the new ann_ivfpq_residual_topk (which runs
+    #   them per subspace over the residual base)
+    "ann_pq_codes",
+    # - dedup_semantic: the embedding-dedup family gets a FRESH row via
+    #   the rotating-in dedup_embedding_drop, and the Arrow scan engine
+    #   stays in-window via corpus_decontaminate_semantic
+    "dedup_semantic",
+    # - corpus_token_budget: the batch budget engine is UNCHANGED this
+    #   round (only the streaming form changed, pinned by the new
+    #   batch-parity pytest); the budget family keeps the new
+    #   corpus_temperature_mix in-window
+    "corpus_token_budget",
+    # - sketch_hll_distinct: the sketch family keeps sketch_count_min
+    #   and sketch_heavy_hitters in-window plus the NEW
+    #   sketch_kll_quantiles first row
+    "sketch_hll_distinct",
     "a15_case_lists",
     "a16_filtered_counts",
     "a17_value_decreases",
