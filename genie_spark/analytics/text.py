@@ -1131,6 +1131,7 @@ def lm_surprisal_bigram(
     text_col: str = "text",
     backoff_bits: int = BIGRAM_BACKOFF_BITS,
     outlier_centibits: int = 800,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """X63 — bigram backoff LM surprisal: score a corpus under a
     CONDITIONAL language model trained on ``model_df`` — the
@@ -1197,9 +1198,21 @@ def lm_surprisal_bigram(
         .groupBy("wp", "w")
         .agg(F.count(F.lit(1)).alias("__c2"))
     )
+    # carry_cols: per-doc-constant columns (e.g. lang) ride the
+    # occurrence stream and come back via min() in the one doc-keyed
+    # aggregate — zero extra joins/exchanges for the caller
+    reserved = {"n_bigrams", "n_backoff", "total_bits", "bpt_centibits",
+                "is_outlier", "wp", "w"}
+    bad_carry = [c for c in carry_cols if c in reserved or c == id_col]
+    if bad_carry:
+        raise ValueError(f"carry_cols collide with outputs: {bad_carry}")
     occ = df.select(
-        F.col(id_col), F.explode(bigrams(text_col)).alias("__b")
-    ).select(id_col, F.col("__b.wp").alias("wp"), F.col("__b.w").alias("w"))
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        F.explode(bigrams(text_col)).alias("__b"),
+    ).select(
+        id_col, *carry_cols,
+        F.col("__b.wp").alias("wp"), F.col("__b.w").alias("w"),
+    )
     ilog = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
     # fold ALL bit arithmetic into the model tables (vocab-scale
     # joins) so the corpus-scale occurrence stream joins only TWICE:
@@ -1235,6 +1248,7 @@ def lm_surprisal_bigram(
     )
     bpt = F.floor((F.sum("__bits") * 100) / F.count(F.lit(1))).cast("long")
     out = scored.groupBy(id_col).agg(
+        *[F.min(c).alias(c) for c in carry_cols],
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum(F.col("__backoff").cast("long")).alias("n_backoff"),
         F.sum("__bits").alias("total_bits"),
@@ -1425,4 +1439,110 @@ def blocklist_filter(
         # yields NULL for an unblocked doc
         F.try_element_at(hits, F.lit(1)).alias("first_blocked_term"),
         (F.size(hits) > 0).alias("is_blocked"),
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    model_df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff_bits: int = BIGRAM_BACKOFF_BITS,
+    sample_bp: int = 10_000,
+    qs_milli: tuple[int, int] = (333, 667),
+) -> DataFrame:
+    """X72 — CCNet perplexity bucketing (Wenzek et al., LREC 2020 §4.4):
+    score every document under a reference LM and split each language
+    into HEAD / MIDDLE / TAIL by per-language perplexity terciles —
+    the published corpus-curation step where "head" (lowest
+    perplexity, most Wikipedia-like) feeds high-quality training mixes
+    and "tail" is dropped or down-weighted.  CCNet computes the
+    tercile thresholds on a SAMPLE, not the corpus — mirrored here:
+    thresholds are the exact lower quantiles of a deterministic
+    md5-sampled subset (``sample_bp``/10000 of scored docs; 10000 =
+    exact terciles), so the threshold step never sorts the corpus.
+
+    Scoring is the X63 bigram backoff LM (``lm_surprisal_bigram``,
+    exact integer centibits-per-bigram — the KenLM stand-in with the
+    same train-on-A-score-B shape); sub-2-token documents are unscored
+    and excluded, the X63 contract.  Buckets: bpt <= t_head → head,
+    <= t_mid → middle, else tail (lower perplexity = better, ties
+    bucket DOWNWARD — deterministic).
+
+    Returns (id, lang, n_bigrams, total_bits, bpt_centibits,
+    t_head_centibits, t_mid_centibits, bucket).
+
+    Spark shape: the LM model tables + ONE doc-keyed scoring aggregate
+    (X63's pinned shape; ``lang`` rides the same aggregate via
+    carry_cols — no join-back exchange); the threshold pass windows
+    only the md5 SAMPLE per language and emits a langs×2 dim table
+    that BROADCASTS onto the scored stream; bucket assignment is a
+    narrow CASE.  No corpus sort, no corpus-keyed exchange beyond
+    X63's own scoring aggregate.
+    """
+    from genie_spark.analytics.corpus import SAMPLE_DENOM, _uniform_bp
+
+    if not (0 < qs_milli[0] < qs_milli[1] < 1000):
+        raise ValueError(f"qs_milli must be 0 < a < b < 1000, got {qs_milli}")
+    scored = lm_surprisal_bigram(
+        df.where(F.col(lang_col).isNotNull()),
+        model_df,
+        id_col=id_col,
+        text_col=text_col,
+        backoff_bits=backoff_bits,
+        carry_cols=(lang_col,),
+    ).select(id_col, lang_col, "n_bigrams", "total_bits", "bpt_centibits")
+    sample = scored
+    if sample_bp < SAMPLE_DENOM:
+        sample = sample.where(_uniform_bp(id_col) < sample_bp)
+    w = Window.partitionBy(lang_col).orderBy(F.col("bpt_centibits").asc())
+    ranked = sample.select(lang_col, "bpt_centibits").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    counts = ranked.groupBy(lang_col).agg(
+        F.max("__rn").cast("long").alias("__n")
+    )
+    # exact lower quantile ranks (the X30 index-arithmetic rule):
+    # rank = floor(q·(n−1)) + 1, in exact milli units
+    targets = counts.select(
+        lang_col,
+        (F.floor((F.lit(qs_milli[0]) * (F.col("__n") - 1)) / 1000) + 1)
+        .cast("int")
+        .alias("__r_head"),
+        (F.floor((F.lit(qs_milli[1]) * (F.col("__n") - 1)) / 1000) + 1)
+        .cast("int")
+        .alias("__r_mid"),
+    )
+    thresholds = (
+        ranked.join(F.broadcast(targets), lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__rn") == F.col("__r_head"), F.col("bpt_centibits")
+                )
+            ).alias("t_head_centibits"),
+            F.min(
+                F.when(
+                    F.col("__rn") == F.col("__r_mid"), F.col("bpt_centibits")
+                )
+            ).alias("t_mid_centibits"),
+        )
+    )
+    out = scored.join(F.broadcast(thresholds), lang_col)
+    bucket = (
+        F.when(F.col("bpt_centibits") <= F.col("t_head_centibits"), "head")
+        .when(F.col("bpt_centibits") <= F.col("t_mid_centibits"), "middle")
+        .otherwise("tail")
+    )
+    return out.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "total_bits",
+        "bpt_centibits",
+        "t_head_centibits",
+        "t_mid_centibits",
+        bucket.alias("bucket"),
     )

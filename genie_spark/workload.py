@@ -1054,6 +1054,12 @@ _TAIL_QUERIES = [
     # row; every rotated-out query keeps its r11-green driver row AND
     # the local sf0.01 sweep this session:
     "q1_pricing_summary",  # driver-executed every round via entry()
+    # - s12_pushdown_scan: rotated late in round 12 for the NEW X72
+    #   corpus_ccnet_buckets row (first driver row); the pushdown-scan
+    #   engine keeps plan-pin coverage (test_plans
+    #   q1/s12 PushedFilters pins) and q1's every-round entry() smoke;
+    #   keeps its r11-green driver row + the local sf0.01 sweep
+    "s12_pushdown_scan",
     # - j9_code_remap: the transform.py code->label remap engine keeps
     #   j10_symbol_remap in-window (same remap module)
     "j9_code_remap",

@@ -3404,6 +3404,96 @@ FROM s GROUP BY doc_id
 """
 
 
+CCNET_SAMPLE_BP = 5_000
+
+
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 CCNet perplexity bucketing (Wenzek et al. 2020 §4.4):
+    score under the doc_id % 50 != 0 bigram reference LM, split each
+    language head/middle/tail at tercile thresholds computed on a
+    deterministic 50% md5 sample (CCNet's sample-thresholds design —
+    the corpus is never sorted)."""
+    from genie_spark.analytics.text import ccnet_buckets
+
+    docs = _docs(spark, sf_dir)
+    return ccnet_buckets(
+        docs,
+        docs.where(F.col("doc_id") % 50 != 0),
+        backoff_bits=BIGRAM_BACKOFF,
+        sample_bp=CCNET_SAMPLE_BP,
+    )
+
+
+CCNET_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+mt AS (SELECT unnest(toks) AS w FROM t WHERE doc_id % 50 != 0),
+u AS (SELECT w, count(*) AS cu FROM mt GROUP BY w),
+tt AS (SELECT length(bin(CAST(sum(cu) AS BIGINT))) - 1 AS tbits FROM u),
+mb AS (
+  SELECT toks[i] AS wp, toks[i + 1] AS w
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE doc_id % 50 != 0)
+),
+b AS (SELECT wp, w, count(*) AS cb FROM mb GROUP BY wp, w),
+occ AS (
+  SELECT doc_id, toks[i] AS wp, toks[i + 1] AS w
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE lang IS NOT NULL)
+),
+s AS (
+  SELECT occ.doc_id,
+         CASE WHEN b.cb IS NOT NULL
+              THEN (length(bin(up.cu)) - 1) - (length(bin(b.cb)) - 1)
+              ELSE {BIGRAM_BACKOFF} + (SELECT tbits FROM tt)
+                   - (length(bin(coalesce(uw.cu, 0) + 1)) - 1)
+         END AS bits
+  FROM occ
+  LEFT JOIN b ON b.wp = occ.wp AND b.w = occ.w
+  LEFT JOIN u up ON up.w = occ.wp
+  LEFT JOIN u uw ON uw.w = occ.w
+),
+g AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits) AS BIGINT) AS total_bits,
+         CAST((sum(bits) * 100) // count(*) AS BIGINT) AS bpt_centibits
+  FROM s GROUP BY doc_id
+),
+sc AS (SELECT g.*, d.lang FROM g JOIN documents d USING (doc_id)),
+sm AS (
+  SELECT lang, bpt_centibits FROM sc
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 10000 < {CCNET_SAMPLE_BP}
+),
+r AS (
+  SELECT lang, bpt_centibits,
+         row_number() OVER (PARTITION BY lang ORDER BY bpt_centibits) AS rn
+  FROM sm
+),
+c AS (SELECT lang, CAST(max(rn) AS BIGINT) AS n FROM r GROUP BY lang),
+tg AS (
+  SELECT lang,
+         (333 * (n - 1)) // 1000 + 1 AS rh,
+         (667 * (n - 1)) // 1000 + 1 AS rm
+  FROM c
+),
+th AS (
+  SELECT r.lang,
+         CAST(min(CASE WHEN rn = tg.rh THEN bpt_centibits END) AS BIGINT)
+             AS t_head_centibits,
+         CAST(min(CASE WHEN rn = tg.rm THEN bpt_centibits END) AS BIGINT)
+             AS t_mid_centibits
+  FROM r JOIN tg USING (lang) GROUP BY r.lang
+)
+SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.total_bits, sc.bpt_centibits,
+       th.t_head_centibits, th.t_mid_centibits,
+       CASE WHEN sc.bpt_centibits <= th.t_head_centibits THEN 'head'
+            WHEN sc.bpt_centibits <= th.t_mid_centibits THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN th USING (lang)
+"""
+
+
 def text_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X64 Gopher line/paragraph repetition section (Rae et al. 2021
     Table A1): duplicate-line and duplicate-paragraph fractions plus
@@ -3566,6 +3656,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_domain_cap": corpus_domain_cap,
     "corpus_temperature_mix": corpus_temperature_mix,
     "sketch_kll_quantiles": sketch_kll_quantiles,
+    "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -3643,6 +3734,7 @@ ANALYTICS_ORACLES: dict = {
     "corpus_domain_cap": DOMAIN_CAP_SQL,
     "corpus_temperature_mix": TEMP_MIX_SQL,
     "sketch_kll_quantiles": SKETCH_KLL_SQL,
+    "corpus_ccnet_buckets": CCNET_SQL,
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

@@ -3645,3 +3645,56 @@ def test_ivfpq_residual_beats_nonresidual_on_clustered_data(spark):
     r_res = recall(ivfpq_residual_topk(df, F.col("vec_id") < 5, **kw))
     r_raw = recall(ivfpq_topk(df, F.col("vec_id") < 5, **kw))
     assert r_res >= r_raw + 0.1, (r_res, r_raw)
+
+
+def test_ccnet_buckets_terciles_and_carry(spark):
+    """X72 CCNet bucketing: every scored doc lands in exactly one
+    bucket consistent with its language's thresholds (head ≤ t_head <
+    middle ≤ t_mid < tail), thresholds are per-language, lang rides
+    the scoring aggregate (no join-back), sub-2-token docs are
+    unscored, and reruns are identical."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.text import ccnet_buckets, lm_surprisal_bigram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = docs.where(F.col("doc_id") % 50 != 0)
+    out = ccnet_buckets(docs, model, sample_bp=10_000).collect()
+    assert out
+    langs = {r["lang"] for r in out}
+    assert langs == {"en", "de", "es", "fr", "zh"}
+    by_lang: dict = {}
+    for r in out:
+        assert r["bucket"] in ("head", "middle", "tail")
+        t1, t2 = r["t_head_centibits"], r["t_mid_centibits"]
+        assert t1 <= t2
+        if r["bucket"] == "head":
+            assert r["bpt_centibits"] <= t1
+        elif r["bucket"] == "middle":
+            assert t1 < r["bpt_centibits"] <= t2
+        else:
+            assert r["bpt_centibits"] > t2
+        by_lang.setdefault(r["lang"], set()).add((t1, t2))
+    # one threshold pair per language, pairs differ somewhere
+    assert all(len(v) == 1 for v in by_lang.values())
+    assert len({next(iter(v)) for v in by_lang.values()}) > 1
+    # lang carried through the aggregate matches the source table
+    src = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    assert all(src[r["doc_id"]] == r["lang"] for r in out)
+    # every bucket is populated for the biggest language
+    en = {r["bucket"] for r in out if r["lang"] == "en"}
+    assert en == {"head", "middle", "tail"}
+    # deterministic rerun
+    again = {
+        (r["doc_id"], r["bucket"])
+        for r in ccnet_buckets(docs, model, sample_bp=10_000).collect()
+    }
+    assert again == {(r["doc_id"], r["bucket"]) for r in out}
+    with pytest.raises(ValueError, match="qs_milli"):
+        ccnet_buckets(docs, model, qs_milli=(700, 300))
+    with pytest.raises(ValueError, match="carry_cols"):
+        lm_surprisal_bigram(docs, model, carry_cols=("n_bigrams",))
