@@ -1546,3 +1546,115 @@ def ccnet_buckets(
         "t_mid_centibits",
         bucket.alias("bucket"),
     )
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_chars: int = 16,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """X73 — WordPiece greedy longest-match-first encoding (the BERT
+    tokenizer's inference algorithm; Devlin et al. 2019, Song et al.
+    2021 "Fast WordPiece"): per word, repeatedly take the LONGEST
+    vocab piece matching the remaining prefix — continuation pieces
+    carry the ``##`` prefix — and emit ``[UNK]`` for the whole word if
+    any step finds no match or the word exceeds ``max_word_chars``
+    (BERT's max_input_chars_per_word contract).  With X52/X53 (BPE
+    train/encode) this completes the tokenizer ladder: BPE is the GPT
+    family's apply rule, WordPiece is BERT's.
+
+    Deterministic by construction: at a given position the longest
+    matching piece is unique (same raw string → same piece), so there
+    are no ties to break — reruns, shards, and the DuckDB oracle agree
+    exactly.
+
+    Returns (id, wp_text, n_words, n_subwords, n_unk_words): the
+    space-joined subword sequence in document order (an UNK word is
+    one subword) plus whitespace-token / subword / UNK-word counts.
+    NULL-text rows are excluded (tokenization undefined).
+
+    Spark shape: tokenization stays in Spark (the shared ``tokens()``
+    projection); matching runs in an Arrow ``mapInPandas`` batch
+    encoder over each batch's DISTINCT words (the X53-arrow documented
+    escape — greedy longest-match is a data-dependent loop no fixed
+    Catalyst expression expresses), so the per-word cost is paid once
+    per distinct word per batch, never per occurrence.  Zero
+    exchanges — the plan is scan → project → MapInPandas.
+    """
+    if not vocab:
+        raise ValueError("wordpiece_encode: empty vocab")
+    if any(p == "##" or not p for p in vocab):
+        raise ValueError("wordpiece_encode: vocab pieces must be non-empty")
+    head = sorted({p for p in vocab if not p.startswith("##")})
+    cont = sorted({p[2:] for p in vocab if p.startswith("##")})
+
+    out_schema = (
+        f"{id_col} long, wp_text string, n_words long, "
+        "n_subwords long, n_unk_words long"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        head_set, cont_set = set(head), set(cont)
+        max_head = max((len(p) for p in head_set), default=0)
+        max_cont = max((len(p) for p in cont_set), default=0)
+
+        def pieces_of(w: str) -> list[str]:
+            if len(w) > max_word_chars:
+                return [unk]
+            out: list[str] = []
+            pos = 0
+            while pos < len(w):
+                vocab_set = head_set if pos == 0 else cont_set
+                longest = max_head if pos == 0 else max_cont
+                j = min(longest, len(w) - pos)
+                while j > 0 and w[pos:pos + j] not in vocab_set:
+                    j -= 1
+                if j == 0:
+                    return [unk]
+                out.append(
+                    w[pos:pos + j] if pos == 0 else "##" + w[pos:pos + j]
+                )
+                pos += j
+            return out
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, texts, nw, ns, nu = [], [], [], [], []
+            for did, toks_row in zip(pdf[id_col], pdf["__toks"]):
+                subs: list[str] = []
+                unk_words = 0
+                for w in toks_row:
+                    p = cache.get(w)
+                    if p is None:
+                        p = pieces_of(w)
+                        cache[w] = p
+                    subs.extend(p)
+                    if p == [unk]:
+                        unk_words += 1
+                ids.append(did)
+                texts.append(" ".join(subs))
+                nw.append(len(toks_row))
+                ns.append(len(subs))
+                nu.append(unk_words)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "wp_text": texts,
+                    "n_words": nw,
+                    "n_subwords": ns,
+                    "n_unk_words": nu,
+                }
+            )
+
+    prepared = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(text_col).alias("__toks"),
+    )
+    return prepared.mapInPandas(encode, out_schema)

@@ -1414,14 +1414,51 @@ def cmd_corpus_mix(spark: SparkSession, args: argparse.Namespace) -> int:
     token_budget_select`` — binned two-pass, only the straddling bin
     sorts).  ``--budgets lang=tokens,...`` sets per-group targets
     (unlisted groups are dropped unless ``--default-budget``);
-    ``--budget N`` applies one target to every group."""
-    from genie_spark.analytics.corpus import token_budget_select
+    ``--budget N`` applies one target to every group.
+    ``--temperature-target N`` switches to X69 temperature mixture
+    reweighting instead (p^α per-group doc targets with α = 1/2^a via
+    ``--temperature-halvings``, md5-ppm admission — the XLM-R mixing
+    rung)."""
+    from genie_spark.analytics.corpus import temperature_mix, token_budget_select
 
     docs = spark.read.parquet(args.input)
-    for c in (args.group_col, args.id_col, args.text_col):
+    temp_target = getattr(args, "temperature_target", None)
+    need = (args.group_col, args.id_col) if temp_target is not None \
+        else (args.group_col, args.id_col, args.text_col)
+    for c in need:
         if c not in docs.columns:
             print(f"corpus-mix: input is missing column {c!r}; found {docs.columns}")
             return 2
+    if temp_target is not None:
+        if args.budgets or args.budget is not None:
+            print("corpus-mix: --temperature-target is exclusive with --budget/--budgets")
+            return 2
+        kept = temperature_mix(
+            docs,
+            n_target=temp_target,
+            group_col=args.group_col,
+            id_col=args.id_col,
+            alpha_halvings=getattr(args, "temperature_halvings", 1),
+        )
+        if args.out:
+            kept.write.mode("overwrite").parquet(args.out)
+            kept = spark.read.parquet(args.out)
+        rows = (
+            kept.groupBy(
+                args.group_col, "n_docs", "weight_ppm", "admit_ppm"
+            )
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy(args.group_col)
+            .collect()
+        )
+        for r in rows:
+            print(
+                f"corpus-mix: {r[args.group_col]}\tkept {r['n_kept']}/"
+                f"{r['n_docs']} docs (weight {r['weight_ppm']} ppm, "
+                f"admit {r['admit_ppm']} ppm)"
+            )
+        print(f"corpus-mix: {len(rows)} groups temperature-mixed")
+        return 0
     if args.budgets:
         budget: int | dict = {}
         for part in args.budgets.split(","):
@@ -1881,6 +1918,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="budget for groups absent from --budgets (default 0 = drop)",
     )
     cm.add_argument("--out", help="write the kept (id, group, n_tokens) parquet here")
+    cm.add_argument(
+        "--temperature-target", dest="temperature_target", type=int,
+        help="X69 temperature mixing: total doc target (exclusive "
+             "with --budget/--budgets)",
+    )
+    cm.add_argument(
+        "--temperature-halvings", dest="temperature_halvings", type=int,
+        default=1,
+        help="α = 1/2^a (0=proportional, 1=T=2 default, 2=T=4)",
+    )
     cm.set_defaults(fn=cmd_corpus_mix)
     cq = sub.add_parser(
         "corpus-quality",

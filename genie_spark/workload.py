@@ -1054,6 +1054,12 @@ _TAIL_QUERIES = [
     # row; every rotated-out query keeps its r11-green driver row AND
     # the local sf0.01 sweep this session:
     "q1_pricing_summary",  # driver-executed every round via entry()
+    # - sketch_heavy_hitters: rotated late in round 12 for the NEW X73
+    #   text_wordpiece_encode row (first driver row); the sketch
+    #   family keeps sketch_count_min in-window plus the NEW
+    #   sketch_kll_quantiles first row (same sketches.py module);
+    #   keeps its r11-green driver row + the local sf0.01 sweep
+    "sketch_heavy_hitters",
     # - s12_pushdown_scan: rotated late in round 12 for the NEW X72
     #   corpus_ccnet_buckets row (first driver row); the pushdown-scan
     #   engine keeps plan-pin coverage (test_plans

@@ -3404,6 +3404,96 @@ FROM s GROUP BY doc_id
 """
 
 
+WP_MAX_WORD = 16
+# every lowercase letter EXCEPT q (so q-carrying words exercise the
+# [UNK] path), plus multi-char heads/continuations that exercise
+# longest-match-first ("spark" must match whole, not s ##p ##a ##r ##k)
+WP_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1) if c != ord("q")]
+    + ["th", "the", "an", "and", "re", "in", "er", "on", "en", "ing",
+       "sp", "spark", "ta", "table"]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1) if c != ord("q")]
+    + ["##ing", "##ed", "##er", "##es", "##tion", "##ion", "##ark",
+       "##low", "##ow"]
+)
+
+
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 WordPiece greedy longest-match-first encode (BERT's
+    tokenizer inference): fixed lowercase-letter vocabulary with
+    common head/continuation pieces — words carrying digits,
+    punctuation, or uppercase (and words over 16 chars, BERT's
+    max_input_chars_per_word) become [UNK]."""
+    from genie_spark.analytics.text import wordpiece_encode
+
+    return wordpiece_encode(
+        _docs(spark, sf_dir), WP_VOCAB, max_word_chars=WP_MAX_WORD
+    )
+
+
+def _wordpiece_sql(vocab: list[str], max_word: int) -> str:
+    """Unrolled greedy longest-match: one CTE per matching step (a
+    piece consumes >= 1 char, so max_word steps suffice), each taking
+    the longest vocab piece matching the remaining prefix via a
+    correlated max() — in LOCKSTEP with text.wordpiece_encode."""
+    vals = ", ".join(
+        f"('{p[2:]}', true)" if p.startswith("##") else f"('{p}', false)"
+        for p in sorted(set(vocab))
+    )
+    parts = [
+        f"vocab(raw, cont) AS (SELECT * FROM (VALUES {vals}))",
+        f"t AS (SELECT doc_id, {_TOKS} AS toks FROM documents"
+        " WHERE text IS NOT NULL)",
+        """words AS (
+  SELECT doc_id, i AS widx, toks[i] AS word
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t))""",
+        f"""st0 AS (
+  SELECT doc_id, widx, word, 0 AS pos, '' AS acc,
+         length(word) > {max_word} AS failed
+  FROM words)""",
+    ]
+    for step in range(1, max_word + 1):
+        parts.append(
+            f"""st{step} AS (
+  SELECT doc_id, widx, word,
+         CASE WHEN failed OR pos >= length(word) THEN pos
+              ELSE pos + coalesce(bl, 0) END AS pos,
+         CASE WHEN failed OR pos >= length(word) OR bl IS NULL THEN acc
+              WHEN pos = 0 THEN substr(word, 1, bl)
+              ELSE acc || ' ##' || substr(word, pos + 1, bl) END AS acc,
+         failed OR (pos < length(word) AND bl IS NULL) AS failed
+  FROM (
+    SELECT s.*,
+           (SELECT max(length(v.raw)) FROM vocab v
+            WHERE v.cont = (s.pos > 0)
+              AND substr(s.word, s.pos + 1, length(v.raw)) = v.raw) AS bl
+    FROM st{step - 1} s))"""
+        )
+    parts.append(
+        f"""agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN failed THEN '[UNK]' ELSE acc END,
+                    ' ' ORDER BY widx) AS wp_text,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN failed THEN 1
+                       ELSE length(acc) - length(replace(acc, ' ', '')) + 1
+                  END) AS BIGINT) AS n_subwords,
+         CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk_words
+  FROM st{max_word} GROUP BY doc_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT d.doc_id, coalesce(a.wp_text, '') AS wp_text,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_subwords, 0) AS n_subwords,
+       coalesce(a.n_unk_words, 0) AS n_unk_words
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
 CCNET_SAMPLE_BP = 5_000
 
 
@@ -3657,6 +3747,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_temperature_mix": corpus_temperature_mix,
     "sketch_kll_quantiles": sketch_kll_quantiles,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
+    "text_wordpiece_encode": text_wordpiece_encode,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -3735,6 +3826,7 @@ ANALYTICS_ORACLES: dict = {
     "corpus_temperature_mix": TEMP_MIX_SQL,
     "sketch_kll_quantiles": SKETCH_KLL_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
+    "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

@@ -3698,3 +3698,49 @@ def test_ccnet_buckets_terciles_and_carry(spark):
         ccnet_buckets(docs, model, qs_milli=(700, 300))
     with pytest.raises(ValueError, match="carry_cols"):
         lm_surprisal_bigram(docs, model, carry_cols=("n_bigrams",))
+
+
+def test_wordpiece_encode_greedy_longest_match(spark):
+    """X73 WordPiece semantics (BERT inference): longest-match-first
+    per position, ## continuations, whole-word [UNK] on any dead end
+    or over-length word, zero-token and null-text handling, and the
+    guard rails."""
+    import pytest
+
+    from genie_spark.analytics.text import wordpiece_encode
+
+    vocab = ["s", "spark", "sp", "q", "##low", "##l", "##y", "##park"]
+    rows = [
+        (1, "spark"),          # longest head wins: spark (not sp/s)
+        (2, "slowly"),         # s ##low ##l ##y (##low beats ##l)
+        (3, "q qq"),           # q ok; qq dead-ends after q (##q absent)
+        (4, "x"),              # no head match → [UNK]
+        (5, "s" + "p" * 20),   # > 16 chars → [UNK]
+        (6, ""),               # zero tokens
+        (7, None),             # null text excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["wp_text"], r["n_words"], r["n_subwords"], r["n_unk_words"]
+        )
+        for r in wordpiece_encode(df, vocab).collect()
+    }
+    assert got[1] == ("spark", 1, 1, 0)
+    assert got[2] == ("s ##low ##l ##y", 1, 4, 0)
+    assert got[3] == ("q [UNK]", 2, 2, 1)
+    assert got[4] == ("[UNK]", 1, 1, 1)
+    assert got[5] == ("[UNK]", 1, 1, 1)
+    assert got[6] == ("", 0, 0, 0)
+    assert 7 not in got
+    with pytest.raises(ValueError, match="empty vocab"):
+        wordpiece_encode(df, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        wordpiece_encode(df, ["a", "##"])
+    # zero-exchange plan: scan → project → MapInPandas
+    plan = (
+        wordpiece_encode(df, vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan

@@ -3039,3 +3039,39 @@ def test_corpus_quality_cli(spark, tmp_path, capsys):
         min_words=50, with_repetition=False,
     )
     assert cmd_corpus_quality(spark, bad) == 2
+
+
+def test_corpus_mix_cli_temperature(spark, tmp_path, capsys):
+    """corpus-mix --temperature-target: X69 temperature mixing from the
+    CLI — head group flattened, tail fully admitted (admit capped at
+    1e6 ppm), per-group report printed, kept parquet carries the audit
+    columns; exclusive with --budget/--budgets."""
+    from genie_spark.cli import cmd_corpus_mix
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    inp = str(tmp_path / "docs_t")
+    spark.createDataFrame(rows, "doc_id long, lang string").write.parquet(inp)
+    out = str(tmp_path / "kept_t")
+
+    ns = _ns(
+        input=inp, group_col="lang", id_col="doc_id", text_col="text",
+        budget=None, budgets=None, default_budget=0, out=out,
+        temperature_target=400, temperature_halvings=1,
+    )
+    assert cmd_corpus_mix(spark, ns) == 0
+    text = capsys.readouterr().out
+    assert "admit 1000000 ppm" in text       # tail fully admitted
+    assert "2 groups temperature-mixed" in text
+    kept = spark.read.parquet(out)
+    assert {"n_docs", "weight_ppm", "admit_ppm"} <= set(kept.columns)
+    tail = kept.where("lang = 'tail'").count()
+    head = kept.where("lang = 'head'").count()
+    assert tail == 100
+    assert head < 500  # flattened well under the 90% input share
+
+    both = _ns(
+        input=inp, group_col="lang", id_col="doc_id", text_col="text",
+        budget=7, budgets=None, default_budget=0, out=None,
+        temperature_target=10, temperature_halvings=1,
+    )
+    assert cmd_corpus_mix(spark, both) == 2

@@ -912,6 +912,78 @@ def main() -> None:
         lambda n: blocklist_filter(docs(n), ["aaaa", "bbbb", "cccc"]),
     )
 
+    # X69 temperature mixture: one persisted dim-sized domain
+    # aggregate + broadcast narrow admission — must track the scan
+    from genie_spark.analytics.corpus import temperature_mix
+
+    def docs_lang(n):
+        return docs(n).withColumn(
+            "lang",
+            F.concat(F.lit("l"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")),
+        )
+
+    probe(
+        "temperature_mix",
+        lambda n: temperature_mix(docs_lang(n), n_target=n // 2, group_col="lang"),
+    )
+
+    # X70 quantile level-sketch: tz histogram + survivor filter (two
+    # narrow scans, dim-sized aggregates); estimates window is
+    # sketch-sized
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch,
+        quantile_sketch_estimates,
+    )
+
+    def run_kll(n):
+        items = docs(n).select(
+            "doc_id", (F.col("doc_id") * 37 % 99991).alias("v")
+        )
+        return quantile_sketch_estimates(
+            quantile_level_sketch(items, "v", "doc_id", k_max=1024)
+        )
+
+    probe("kll_quantiles", run_kll)
+
+    # X71 residual IVF-PQ at the same √n centroid sizing as the X62
+    # probe: the extra work over X62 is one dim-sized mean aggregate +
+    # an integer zip_with — the slope must match ivfpq_topk's
+    from genie_spark.analytics.clustering import ivfpq_residual_topk
+
+    probe(
+        "ivfpq_residual",
+        lambda n: ivfpq_residual_topk(
+            embs(n), F.col("vec_id") < 16, k_neighbors=10,
+            n_centroids=max(16, _math.isqrt(max(n, 1))), n_probe=4,
+            m=4, k=8, iters=2,
+        ),
+    )
+
+    # X72 CCNet buckets: the X63 scoring shape + a sample-only window
+    # + broadcast thresholds — slope must track lm_bigram's
+    from genie_spark.analytics.text import ccnet_buckets
+
+    def run_ccnet(n):
+        d = docs_lang(n)
+        return ccnet_buckets(
+            d, d.where(F.col("doc_id") % 2 == 0), sample_bp=2_500
+        )
+
+    probe("ccnet_buckets", run_ccnet)
+
+    # X73 WordPiece: zero-exchange Arrow scan over distinct words —
+    # must track the scan (md5 words are hex, so heads/continuations
+    # cover [0-9a-f])
+    from genie_spark.analytics.text import wordpiece_encode
+
+    _hexchars = list("0123456789abcdef")
+    probe(
+        "wordpiece",
+        lambda n: wordpiece_encode(
+            docs(n), _hexchars + ["##" + c for c in _hexchars]
+        ),
+    )
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
