@@ -801,3 +801,72 @@ def test_temperature_mix_one_dim_agg_broadcast_narrow(spark):
     assert "Exchange hashpartitioning" not in outer, plan
     assert "Exchange rangepartitioning" not in outer, plan
     assert "InMemoryRelation" in plan, plan  # the dim agg is cached once
+
+
+def test_kll_sketch_no_corpus_sort(spark):
+    """X70: the sketch BUILD is two narrow scans + a <= 61-row tz
+    histogram — no corpus sort, no join; estimate windows run over
+    sketch-sized survivors only."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch,
+        quantile_sketch_estimates,
+    )
+
+    items = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            F.concat_ws(
+                "_", F.col("l_orderkey"), F.col("l_linenumber")
+            ).alias("k"),
+        )
+    )
+    sk = quantile_level_sketch(items, "v", "k", k_max=256)
+    build_plan = plan_of(sk)
+    assert "Exchange rangepartitioning" not in build_plan, build_plan
+    assert "Join" not in build_plan, build_plan
+    est_plan = plan_of(quantile_sketch_estimates(sk))
+    assert "SortMergeJoin" not in est_plan, est_plan
+    assert "CartesianProduct" not in est_plan, est_plan
+
+
+def test_ccnet_buckets_sample_only_window(spark):
+    """X72: the tercile-threshold window runs over the md5 SAMPLE only
+    (the sample predicate sits in the plan), thresholds broadcast back
+    onto the scored stream, and the corpus is never range-sorted."""
+    from genie_spark.workload_analytics import corpus_ccnet_buckets
+
+    plan = plan_of(corpus_ccnet_buckets(spark, SF))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the md5-bp sample filter feeds the one threshold window
+    assert plan.count("Window [") <= 2, plan
+    assert "% 10000) < 5000" in plan.replace("  ", " "), plan
+
+
+def test_ivfpq_residual_all_broadcast_no_cartesian(spark):
+    """X71: candidates, the per-cell LUT, and the cell-mean dim table
+    all ride broadcasts; scoring is ONE (query, neighbor)-keyed
+    aggregate; top-k reduces map-side (Partial WindowGroupLimit); no
+    sort-merge join, no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.clustering import ivfpq_residual_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        ivfpq_residual_topk(
+            emb, F.col("vec_id") < 5, n_centroids=8, n_probe=2,
+            m=4, k=4, iters=1,
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "MapInPandas" in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
