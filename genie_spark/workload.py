@@ -1054,6 +1054,13 @@ _TAIL_QUERIES = [
     # row; every rotated-out query keeps its r11-green driver row AND
     # the local sf0.01 sweep this session:
     "q1_pricing_summary",  # driver-executed every round via entry()
+    # - text_blocklist: rotated late in round 12 for the NEW X74
+    #   text_wordpiece_coverage row (first driver row); the narrow
+    #   text-battery family keeps text_gopher_filter,
+    #   text_line_repetition, and text_char_entropy in-window (same
+    #   fused-projection engine); keeps its r11-green driver row + the
+    #   local sf0.01 sweep
+    "text_blocklist",
     # - sketch_heavy_hitters: rotated late in round 12 for the NEW X73
     #   text_wordpiece_encode row (first driver row); the sketch
     #   family keeps sketch_count_min in-window plus the NEW

@@ -3494,6 +3494,40 @@ LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def text_wordpiece_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 per-language WordPiece coverage: OOV rate (ppm) and
+    fertility (milli) under the X73 vocabulary — the vocabulary-
+    under-serves-a-slice decision signal."""
+    from genie_spark.analytics.text import wordpiece_coverage
+
+    return wordpiece_coverage(
+        _docs(spark, sf_dir), WP_VOCAB, group_col="lang",
+        max_word_chars=WP_MAX_WORD,
+    )
+
+
+def _wordpiece_coverage_sql(vocab: list[str], max_word: int) -> str:
+    """The X73 unrolled greedy chain aggregated per language slice."""
+    inner = _wordpiece_sql(vocab, max_word)
+    return f"""
+WITH enc AS ({inner})
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       CAST(sum(e.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(sum(e.n_unk_words) AS BIGINT) AS n_unk_words,
+       CAST(CASE WHEN sum(e.n_words) > 0
+                 THEN (sum(e.n_unk_words) * 1000000) // sum(e.n_words)
+            END AS BIGINT) AS unk_ppm,
+       CAST(CASE WHEN sum(e.n_words) > 0
+                 THEN (sum(e.n_subwords) * 1000) // sum(e.n_words)
+            END AS BIGINT) AS fertility_milli
+FROM enc e JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang
+"""
+
+
 CCNET_SAMPLE_BP = 5_000
 
 
@@ -3748,6 +3782,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_kll_quantiles": sketch_kll_quantiles,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "text_wordpiece_encode": text_wordpiece_encode,
+    "text_wordpiece_coverage": text_wordpiece_coverage,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -3827,6 +3862,7 @@ ANALYTICS_ORACLES: dict = {
     "sketch_kll_quantiles": SKETCH_KLL_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
+    "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

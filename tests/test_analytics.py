@@ -3744,3 +3744,35 @@ def test_wordpiece_encode_greedy_longest_match(spark):
     )
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_wordpiece_coverage_slices_and_zero_guard(spark):
+    """X74 coverage semantics: per-slice exact integer OOV rate and
+    fertility; a slice the vocab cannot segment at all reads
+    unk_ppm = 1e6; null-group rows are excluded; zero-word slices get
+    NULL rates, not drops."""
+    from genie_spark.analytics.text import wordpiece_coverage
+
+    vocab = ["a", "b", "##a", "##b"]
+    rows = [
+        (1, "good", "ab ba"),     # fully covered: 2 words, 4 subwords
+        (2, "good", "aa"),        # 1 word, 2 subwords
+        (3, "bad", "xx yy"),      # nothing matches → 2 UNK
+        (4, None, "ab"),          # null group excluded
+        (5, "empty", ""),         # zero words → NULL rates
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: r for r in wordpiece_coverage(df, vocab).collect()
+    }
+    assert set(got) == {"good", "bad", "empty"}
+    g = got["good"]
+    assert (g["n_docs"], g["n_words"], g["n_subwords"], g["n_unk_words"]) \
+        == (2, 3, 6, 0)
+    assert g["unk_ppm"] == 0 and g["fertility_milli"] == 2000
+    b = got["bad"]
+    assert b["unk_ppm"] == 1_000_000 and b["n_unk_words"] == 2
+    assert b["fertility_milli"] == 1000  # each UNK word = 1 subword
+    e = got["empty"]
+    assert e["n_words"] == 0
+    assert e["unk_ppm"] is None and e["fertility_milli"] is None
