@@ -802,3 +802,132 @@ def quantile_sketch_estimates(
             F.col("v").alias("est_value"),
         )
     )
+
+
+def quantile_level_sketch_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: Column | str,
+    k_max: int = 1024,
+) -> DataFrame:
+    """X75 — PER-GROUP level-sampling quantile sketches: one X70
+    artifact per ``group_col`` value (language, domain), each at its
+    own level — the grouped form that makes rolling per-slice
+    thresholds possible (e.g. CCNet perplexity terciles per language
+    answered from a stream store instead of a corpus re-scan).
+
+    Groups are dim-sized by contract (languages/domains, not data);
+    the per-group level pick is driver-side exact arithmetic over a
+    ≤ groups×61-row histogram, shipped back as a broadcast level
+    table.  Survivor rows carry (group, v, h60, tz, level, n_items) —
+    level and n_items constant PER GROUP, so per-group artifacts
+    merge with the same set algebra as the global form
+    (``quantile_sketch_merge`` applied within each group;
+    ``_quantile_store_merge_by`` in streaming.windows is the n-ary
+    store form).
+
+    Spark shape: one narrow projection + ONE (group, tz)-keyed
+    dim-sized aggregate (map-side partials), then a narrow survivor
+    filter against the broadcast level table on the rescan — zero
+    corpus sorts, zero corpus-keyed shuffles.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h60"),
+    )
+    base = base.withColumn("tz", _tz_bits(F.col("h60")))
+    hist_rows = (
+        base.groupBy("g", "tz").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    hists: dict[str, dict[int, int]] = {}
+    for r in hist_rows:
+        hists.setdefault(r["g"], {})[r["tz"]] = r["c"]
+    meta = []
+    for g, hist in sorted(hists.items()):
+        level, n_items = _qs_pick_level(hist, k_max)
+        meta.append((g, level, n_items))
+    if not meta:
+        return base.sparkSession.createDataFrame(
+            [], "g string, v long, h60 long, tz long, level long, n_items long"
+        )
+    levels = base.sparkSession.createDataFrame(
+        meta, "g string, level long, n_items long"
+    )
+    return base.join(F.broadcast(levels), "g").where(
+        F.col("tz") >= F.col("level")
+    )
+
+
+def quantile_sketch_estimates_by(
+    sketch: DataFrame,
+    phis_milli: tuple[int, ...] = (250, 500, 750, 900),
+) -> DataFrame:
+    """Per-group quantile point estimates from grouped X75 artifacts:
+    the X70 index-arithmetic estimator applied within each group —
+    windows run over ≤ groups×k_max survivor rows (sketch-sized,
+    never data-sized).
+
+    Returns (g, phi_milli, n_items, level, k_kept, target_rank,
+    est_value)."""
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("h60").asc())
+    ranked = sketch.select("g", "v", "h60", "level", "n_items").withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    counted = ranked.withColumn(
+        "k_kept", F.max("rk").over(Window.partitionBy("g"))
+    )
+    phis = sketch.sparkSession.createDataFrame(
+        [(int(p),) for p in phis_milli], "phi_milli long"
+    )
+    targets = counted.select("g", "level", "n_items", "k_kept").distinct()
+    targets = (
+        targets.crossJoin(F.broadcast(phis))
+        .withColumn(
+            "target_rank",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor((F.col("phi_milli") * F.col("n_items")) / 1000)
+                .cast("long"),
+            ),
+        )
+        .withColumn(
+            "__w", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))")
+        )
+        .withColumn(
+            "rk_sel",
+            F.least(
+                F.col("k_kept"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        (F.col("target_rank") + F.col("__w") - 1)
+                        / F.col("__w")
+                    ).cast("long"),
+                ),
+            ),
+        )
+    )
+    return (
+        counted.join(
+            targets.select(
+                F.col("g").alias("tg"), "phi_milli", "target_rank", "rk_sel"
+            ),
+            (F.col("g") == F.col("tg")) & (F.col("rk") == F.col("rk_sel")),
+        )
+        .select(
+            "g",
+            "phi_milli",
+            "n_items",
+            "level",
+            "k_kept",
+            "target_rank",
+            F.col("v").alias("est_value"),
+        )
+    )

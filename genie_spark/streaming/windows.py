@@ -923,3 +923,128 @@ def quantile_store_estimates(
 
     merged = _quantile_store_merge(spark.read.parquet(store_path), k_max)
     return quantile_sketch_estimates(merged, phis_milli=phis_milli)
+
+
+def _quantile_store_merge_by(df: DataFrame, k_max: int) -> DataFrame:
+    """Per-GROUP n-ary merge of a grouped quantile-sketch store
+    (``quantile_sketch_stream_by`` shards): within each group the
+    union refiltered at the smallest feasible level >= every shard
+    level is EXACTLY the group's sketch of the concatenated stream —
+    the X70 set-algebra law applied per group.  Groups are dim-sized
+    by contract; level picks are driver-side exact arithmetic."""
+    from genie_spark.analytics.sketches import _qs_pick_level
+
+    metas = df.select("batch", "g", "level", "n_items").distinct().collect()
+    n_by_g: dict[str, int] = {}
+    floor_by_g: dict[str, int] = {}
+    for r in metas:
+        g = r["g"]
+        n_by_g[g] = n_by_g.get(g, 0) + int(r["n_items"])
+        floor_by_g[g] = max(floor_by_g.get(g, 0), int(r["level"]))
+    if not n_by_g:
+        return df.sparkSession.createDataFrame(
+            [], "g string, v long, h60 long, tz long, level long, n_items long"
+        )
+    floors = df.sparkSession.createDataFrame(
+        sorted(floor_by_g.items()), "g string, __floor long"
+    )
+    hist_rows = (
+        df.join(F.broadcast(floors), "g")
+        .where(F.col("tz") >= F.col("__floor"))
+        .groupBy("g", "tz")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    hists: dict[str, dict[int, int]] = {}
+    for r in hist_rows:
+        hists.setdefault(r["g"], {})[r["tz"]] = r["c"]
+    meta = []
+    for g in sorted(n_by_g):
+        level, _ = _qs_pick_level(hists.get(g, {}), k_max)
+        level = max(level, floor_by_g[g])
+        meta.append((g, level, n_by_g[g]))
+    levels = df.sparkSession.createDataFrame(
+        meta, "g string, __level long, __n long"
+    )
+    return (
+        df.select("g", "v", "h60", "tz")
+        .join(F.broadcast(levels), "g")
+        .where(F.col("tz") >= F.col("__level"))
+        .select(
+            "g", "v", "h60", "tz",
+            F.col("__level").alias("level"),
+            F.col("__n").alias("n_items"),
+        )
+    )
+
+
+def quantile_sketch_stream_by(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+    k_max: int = 1024,
+):
+    """X75 streaming: per-batch GROUPED quantile-sketch shards
+    (``sketches.quantile_level_sketch_by``) — the rolling per-slice
+    quantile question (e.g. CCNet perplexity terciles per language,
+    ``ccnet_stream_thresholds``) is answered any time from <=
+    shards×groups×k_max survivor rows, never by re-reading ingested
+    data.  Same store conventions as the global form."""
+    from genie_spark.analytics.sketches import quantile_level_sketch_by
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sk = quantile_level_sketch_by(
+            batch, group_col, value_col, key_col, k_max=k_max
+        )
+        sk.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantile_sketch_compact_by(
+    spark, store_path: str, k_max: int = 1024
+) -> dict:
+    """Compact a grouped quantile store into one batch=-1 artifact per
+    the per-group merge law; journaled swap protocol in
+    ``_compact_store``."""
+    return _compact_store(
+        spark, store_path, lambda df: _quantile_store_merge_by(df, k_max)
+    )
+
+
+def ccnet_stream_thresholds(
+    spark,
+    store_path: str,
+    k_max: int = 1024,
+    qs_milli: tuple[int, int] = (333, 667),
+) -> DataFrame:
+    """Rolling CCNet bucket thresholds from a grouped quantile store
+    (the X72 ∘ X75 composition): per-group tercile ESTIMATES off the
+    merged sketch artifacts — the online form of
+    ``text.ccnet_buckets``'s sample-threshold pass, updating as the
+    scored stream lands without ever re-scanning it.  Returns
+    (g, t_head, t_mid) — feed them to the bucket CASE the batch
+    operator applies."""
+    from genie_spark.analytics.sketches import quantile_sketch_estimates_by
+
+    merged = _quantile_store_merge_by(spark.read.parquet(store_path), k_max)
+    est = quantile_sketch_estimates_by(merged, phis_milli=qs_milli)
+    lo, hi = int(qs_milli[0]), int(qs_milli[1])
+    return est.groupBy("g").agg(
+        F.min(
+            F.when(F.col("phi_milli") == lo, F.col("est_value"))
+        ).alias("t_head"),
+        F.min(
+            F.when(F.col("phi_milli") == hi, F.col("est_value"))
+        ).alias("t_mid"),
+    )

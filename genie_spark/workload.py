@@ -1054,6 +1054,13 @@ _TAIL_QUERIES = [
     # row; every rotated-out query keeps its r11-green driver row AND
     # the local sf0.01 sweep this session:
     "q1_pricing_summary",  # driver-executed every round via entry()
+    # - dedup_setsim_prefix: rotated late in round 12 for the NEW X75
+    #   sketch_kll_grouped row (first driver row); the prefix-filter
+    #   set-similarity engine keeps its r11-green driver row + the
+    #   local sf0.01 sweep, and the dedup family keeps
+    #   dedup_substring_clean_min50 in-window plus the corpus-dedup
+    #   CLI pytest battery
+    "dedup_setsim_prefix",
     # - text_blocklist: rotated late in round 12 for the NEW X74
     #   text_wordpiece_coverage row (first driver row); the narrow
     #   text-battery family keeps text_gopher_filter,

@@ -3528,6 +3528,79 @@ GROUP BY d.lang
 """
 
 
+QS_BY_K_MAX = 64
+QS_BY_PHIS = (333, 667)
+
+
+def sketch_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 per-group mergeable quantile sketches: one X70 artifact per
+    language over documents.n_chars (k_max=64 so per-lang levels are
+    non-trivial), with tercile estimates — the grouped form that
+    answers per-slice thresholds (CCNet terciles) from a rolling store
+    instead of a corpus re-scan."""
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch_by,
+        quantile_sketch_estimates_by,
+    )
+
+    sk = quantile_level_sketch_by(
+        _docs(spark, sf_dir), "lang", "n_chars", "doc_id", k_max=QS_BY_K_MAX
+    )
+    return quantile_sketch_estimates_by(sk, QS_BY_PHIS)
+
+
+SKETCH_KLL_BY_SQL = f"""
+WITH b AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             AS h60
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+tzt AS (
+  SELECT g, v, h60,
+         CASE WHEN h60 = 0 THEN 60
+              ELSE CAST(length(bin(h60 & (-h60))) - 1 AS BIGINT)
+         END AS tz
+  FROM b
+),
+hist AS (SELECT g, tz, count(*) AS c FROM tzt GROUP BY g, tz),
+lv AS (
+  SELECT g, CAST(min(L) AS BIGINT) AS level FROM (
+    SELECT gh.g, ls.L,
+           (SELECT coalesce(sum(c), 0) FROM hist h2
+            WHERE h2.g = gh.g AND h2.tz >= ls.L) AS cnt
+    FROM (SELECT DISTINCT g FROM hist) gh,
+         (SELECT unnest(range(0, 61)) AS L) ls
+  ) WHERE cnt <= {QS_BY_K_MAX} GROUP BY g),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_items FROM tzt GROUP BY g),
+kept AS (
+  SELECT tzt.g, v, h60,
+         CAST(row_number() OVER (PARTITION BY tzt.g ORDER BY v, h60)
+              AS BIGINT) AS rk
+  FROM tzt JOIN lv USING (g) WHERE tzt.tz >= lv.level
+),
+kc AS (SELECT g, CAST(count(*) AS BIGINT) AS k_kept FROM kept GROUP BY g),
+phis AS (SELECT CAST(unnest([{", ".join(str(p) for p in QS_BY_PHIS)}])
+                AS BIGINT) AS phi_milli),
+t AS (
+  SELECT n.g, phi_milli, n_items, level, k_kept,
+         greatest(1, (phi_milli * n_items) // 1000) AS target_rank
+  FROM n JOIN lv USING (g) JOIN kc USING (g), phis
+),
+sel AS (
+  SELECT t.*,
+         least(k_kept,
+               greatest(1, (target_rank + (1 << level) - 1) // (1 << level)))
+           AS rk_sel
+  FROM t
+)
+SELECT sel.g, sel.phi_milli, sel.n_items, sel.level, sel.k_kept,
+       CAST(sel.target_rank AS BIGINT) AS target_rank,
+       kept.v AS est_value
+FROM sel JOIN kept ON kept.g = sel.g AND kept.rk = sel.rk_sel
+"""
+
+
 CCNET_SAMPLE_BP = 5_000
 
 
@@ -3780,6 +3853,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_domain_cap": corpus_domain_cap,
     "corpus_temperature_mix": corpus_temperature_mix,
     "sketch_kll_quantiles": sketch_kll_quantiles,
+    "sketch_kll_grouped": sketch_kll_grouped,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "text_wordpiece_encode": text_wordpiece_encode,
     "text_wordpiece_coverage": text_wordpiece_coverage,
@@ -3860,6 +3934,7 @@ ANALYTICS_ORACLES: dict = {
     "corpus_domain_cap": DOMAIN_CAP_SQL,
     "corpus_temperature_mix": TEMP_MIX_SQL,
     "sketch_kll_quantiles": SKETCH_KLL_SQL,
+    "sketch_kll_grouped": SKETCH_KLL_BY_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),

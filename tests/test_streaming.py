@@ -1133,3 +1133,97 @@ def test_quantile_sketch_stream_store_and_compact(spark, tmp_path):
         tuple(r) for r in quantile_store_estimates(spark, store, k_max=64).collect()
     )
     assert got2 == want_est
+
+
+def test_grouped_quantile_store_and_rolling_ccnet_thresholds(
+    spark, tmp_path
+):
+    """X75 streaming: grouped shards merge per the per-group set-
+    algebra law (store == batch-built grouped sketch, survivors AND
+    levels), compaction preserves it, and ccnet_stream_thresholds
+    answers the rolling per-group terciles the batch estimator gives."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.sketches import (
+        quantile_level_sketch_by,
+        quantile_sketch_estimates_by,
+    )
+    from genie_spark.streaming.windows import (
+        ccnet_stream_thresholds,
+        quantile_sketch_compact_by,
+        quantile_sketch_stream_by,
+    )
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], (i * 37) % 9973)
+        for i in range(1, 1201)
+    ]
+    src = tmp_path / "vals_by"
+    src.mkdir()
+    for b in range(3):
+        chunk = rows[b * 400:(b + 1) * 400]
+        (src / f"b{b}.csv").write_text(
+            "doc_id,lang,n_chars\n"
+            + "\n".join(f"{i},{g},{v}" for i, g, v in chunk)
+            + "\n"
+        )
+        os.utime(src / f"b{b}.csv", (1000000000 + b * 100,) * 2)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    store = str(tmp_path / "store_by")
+    q = quantile_sketch_stream_by(
+        stream, store, str(tmp_path / "ckpt_by"), k_max=64
+    )
+    q.awaitTermination()
+    whole = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    )
+    batch_sk = quantile_level_sketch_by(
+        whole, "lang", "n_chars", "doc_id", k_max=64
+    )
+    want = {
+        (r["g"], r["v"], r["h60"], r["level"], r["n_items"])
+        for r in batch_sk.collect()
+    }
+    want_thr = {
+        tuple(r)
+        for r in quantile_sketch_estimates_by(batch_sk, (333, 667))
+        .groupBy("g")
+        .pivot("phi_milli", [333, 667])
+        .min("est_value")
+        .collect()
+    }
+    got_thr = {
+        tuple(r) for r in ccnet_stream_thresholds(
+            spark, store, k_max=64, qs_milli=(333, 667)
+        ).collect()
+    }
+    assert got_thr == want_thr and len(got_thr) == 3
+    stats = quantile_sketch_compact_by(spark, store, k_max=64)
+    assert stats["shards_before"] == 3
+    compacted = spark.read.parquet(store)
+    got = {
+        (r["g"], r["v"], r["h60"], r["level"], r["n_items"])
+        for r in compacted.collect()
+    }
+    assert got == want
+    # thresholds unchanged after compaction
+    got_thr2 = {
+        tuple(r) for r in ccnet_stream_thresholds(
+            spark, store, k_max=64, qs_milli=(333, 667)
+        ).collect()
+    }
+    assert got_thr2 == want_thr
