@@ -1054,6 +1054,13 @@ _TAIL_QUERIES = [
     # row; every rotated-out query keeps its r11-green driver row AND
     # the local sf0.01 sweep this session:
     "q1_pricing_summary",  # driver-executed every round via entry()
+    # - multimodal_features: rotated late in round 12 for the NEW X76
+    #   layout_hilbert row (first driver row); the multimodal Arrow
+    #   plumbing keeps r10-green tail rows via multimodal_phash_dedup
+    #   and multimodal_audio_dedup (same mapInPandas decode engine)
+    #   plus the stdlib PGM/WAV pytest battery; keeps its r11-green
+    #   driver row + the local sf0.01 sweep
+    "multimodal_features",
     # - dedup_setsim_prefix: rotated late in round 12 for the NEW X75
     #   sketch_kll_grouped row (first driver row); the prefix-filter
     #   set-similarity engine keeps its r11-green driver row + the

@@ -579,6 +579,74 @@ FROM z GROUP BY 1
 """
 
 
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 Hilbert-curve clustering key over (l_orderkey, l_partkey) —
+    the locality upgrade over layout_zorder (consecutive curve cells
+    are always grid-adjacent; Faloutsos & Roseman 1989, the layout
+    Databricks liquid clustering moved to).  Same shift quantization
+    and bucket report shape as layout_zorder, so the two oracles
+    value-check the identical plumbing around the different curves."""
+    from genie_spark.io.layout import with_hilbert
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    h = with_hilbert(li, ["l_orderkey", "l_partkey"], n_bits=16)
+    return h.groupBy(F.shiftright("__h", 16).alias("h_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__h").alias("h_min"),
+        F.max("__h").alias("h_max"),
+    )
+
+
+def _hilbert_sql(n_bits: int = 16) -> str:
+    """DuckDB mirror: identical shift quantization, then the xy→d
+    state loop UNROLLED as one materialized CTE per bit level (the
+    reflect/swap state feeds the next level, which is why the Spark
+    side runs it as an Arrow scan rather than a doubling expression
+    tree — the oracle's CTE steps sidestep that by materializing)."""
+    parts = [
+        """b AS (
+  SELECT min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,
+         min(l_partkey) AS lo_p, max(l_partkey) AS hi_p
+  FROM lineitem
+)""",
+        f"""s AS (
+  SELECT lo_o, lo_p,
+         greatest(length(bin(hi_o - lo_o)) - {n_bits}, 0) AS sh_o,
+         greatest(length(bin(hi_p - lo_p)) - {n_bits}, 0) AS sh_p
+  FROM b
+)""",
+        """h0 AS (
+  SELECT ((l_orderkey - lo_o) >> sh_o) AS hx,
+         ((l_partkey - lo_p) >> sh_p) AS hy,
+         CAST(0 AS BIGINT) AS hd
+  FROM lineitem, s
+)""",
+    ]
+    idx = 0
+    for k in range(n_bits - 1, -1, -1):
+        sv = 1 << k
+        idx += 1
+        parts.append(
+            f"""h{idx} AS (
+  SELECT
+    CASE WHEN ((hy >> {k}) & 1) = 0 THEN
+         CASE WHEN ((hx >> {k}) & 1) = 1 THEN {sv - 1} - hy ELSE hy END
+         ELSE hx END AS hx,
+    CASE WHEN ((hy >> {k}) & 1) = 0 THEN
+         CASE WHEN ((hx >> {k}) & 1) = 1 THEN {sv - 1} - hx ELSE hx END
+         ELSE hy END AS hy,
+    hd + {sv * sv} * xor(3 * ((hx >> {k}) & 1), (hy >> {k}) & 1) AS hd
+  FROM h{idx - 1})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT hd >> 16 AS h_bucket, count(*) AS n_rows,
+       min(hd) AS h_min, max(hd) AS h_max
+FROM h{idx} GROUP BY 1"""
+    )
+
+
 def dedup_edit_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance ≤ 1 near-miss pairs over distinct customer names
     (X46: FastSS deletion-neighborhood candidates + exact levenshtein
@@ -620,6 +688,7 @@ EXTRA_QUERIES: dict = {
     "j10_symbol_remap": j10_symbol_remap,
     "a17_value_decreases": a17_value_decreases,
     "layout_zorder": layout_zorder,
+    "layout_hilbert": layout_hilbert,
     "layout_zorder_str": layout_zorder_str,
     "dedup_edit_near": dedup_edit_near,
 }
@@ -639,6 +708,7 @@ EXTRA_ORACLES: dict = {
     "j10_symbol_remap": J10_SQL,
     "a17_value_decreases": A17_SQL,
     "layout_zorder": _zorder_sql(),
+    "layout_hilbert": _hilbert_sql(),
     "layout_zorder_str": _zorder_str_sql(),
     "dedup_edit_near": EDIT_NEAR_SQL,
 }

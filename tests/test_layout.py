@@ -184,3 +184,52 @@ def test_zorder_string_dim_prunes_files(spark, tmp_path):
     assert got == sorted(
         (s, b) for s in letters if "cc" <= s <= "ee" for b in range(n)
     )
+
+
+def test_hilbert_key_bijection_adjacency_and_nulls(spark):
+    """X76: on the full 2^5 × 2^5 grid the Hilbert key is a bijection
+    onto 0..1023 and CONSECUTIVE keys are always grid-ADJACENT
+    (Manhattan distance 1 — the defining locality property Z-order
+    lacks at power-of-two seams); a null clustering value yields a
+    null key; guards fire on strings / >2 cols / oversized bits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from genie_spark.io.layout import with_hilbert, with_zorder
+
+    n = 32
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rng = {"x": (0, n - 1), "y": (0, n - 1)}
+    out = with_hilbert(grid, ["x", "y"], n_bits=5, ranges=rng)
+    rows = {r["__h"]: (r["x"], r["y"]) for r in out.collect()}
+    assert sorted(rows) == list(range(n * n))  # bijection
+    assert all(
+        abs(rows[d][0] - rows[d + 1][0]) + abs(rows[d][1] - rows[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+    # Z-order on the same grid BREAKS adjacency (the seam jumps) —
+    # the measured reason Hilbert exists
+    z = with_zorder(grid, ["x", "y"], n_bits=5, ranges=rng)
+    zrows = {r["__z"]: (r["x"], r["y"]) for r in z.collect()}
+    z_breaks = sum(
+        abs(zrows[d][0] - zrows[d + 1][0]) + abs(zrows[d][1] - zrows[d + 1][1]) != 1
+        for d in range(n * n - 1)
+    )
+    assert z_breaks > 0
+    # nulls
+    withnull = spark.createDataFrame(
+        [(1, 2), (None, 3)], "x long, y long"
+    )
+    got = {r["y"]: r["__h"] for r in with_hilbert(
+        withnull, ["x", "y"], n_bits=4, ranges={"x": (0, 15), "y": (0, 15)}
+    ).collect()}
+    assert got[3] is None and got[2] is not None
+    with pytest.raises(ValueError, match="exactly two"):
+        with_hilbert(grid, ["x"], n_bits=4)
+    with pytest.raises(ValueError, match="signed key"):
+        with_hilbert(grid, ["x", "y"], n_bits=32)
+    s = spark.createDataFrame([("a", 1)], "s string, y long")
+    with pytest.raises(ValueError, match="pre-encode"):
+        with_hilbert(s, ["s", "y"], n_bits=4)
