@@ -354,3 +354,33 @@ def with_hilbert(
             yield out
 
     return prepared.mapInPandas(key, out_schema)
+
+
+def write_hilbert_ordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    n_bits: int = DEFAULT_BITS,
+    ranges: dict[str, tuple[int, int]] | None = None,
+    commit=None,
+) -> None:
+    """Write ``df`` clustered by the HILBERT key of two numeric
+    ``cols`` into ``n_files`` range-partitioned files — the
+    ``write_zordered`` contract on the better-locality curve: every
+    file covers one curve interval, and Hilbert intervals are
+    CONNECTED grid regions (no power-of-two seam jumps), so per-file
+    min/max boxes are tighter and range scans on either column skip
+    more files.  ``commit`` behaves as in ``write_zordered``."""
+    h = with_hilbert(df, cols, n_bits, ranges)
+    ordered = (
+        h.repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+    if commit is not None:
+        from genie_spark.io.bronze import rewrite_bronze
+
+        rewrite_bronze(ordered, path, commit=commit)
+    else:
+        ordered.write.mode("overwrite").parquet(path)
