@@ -1055,3 +1055,89 @@ def test_lm_bigram_matches_python_model(spark, texts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 5000), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    n_target=st.integers(0, 80),
+    halvings=st.integers(0, 2),
+)
+@settings(**_SETTINGS)
+def test_temperature_mix_matches_sequential_model(
+    spark, docs, n_target, halvings
+):
+    """X69 vs an independent pure-Python model: isqrt^a weights,
+    integer // targets, md5-ppm admission — the kept SET must be
+    identical for any corpus, target, and halving count."""
+    import hashlib
+    import math
+
+    from genie_spark.analytics.corpus import temperature_mix
+
+    df = spark.createDataFrame(docs, "doc_id long, grp string")
+    got = {
+        r["doc_id"]: (r["n_docs"], r["s_alpha"], r["weight_ppm"], r["admit_ppm"])
+        for r in temperature_mix(
+            df, n_target=n_target, group_col="grp", alpha_halvings=halvings
+        ).collect()
+    }
+    # sequential model
+    n_by = {}
+    for _, g in docs:
+        n_by[g] = n_by.get(g, 0) + 1
+    s_by = {}
+    for g, n in n_by.items():
+        s = n
+        for _ in range(halvings):
+            s = math.isqrt(s)
+        s_by[g] = s
+    S = sum(s_by.values())
+    want = {}
+    for i, g in docs:
+        s = s_by[g]
+        target = (n_target * s) // S
+        admit = min(1_000_000, (target * 1_000_000) // n_by[g])
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        if u < admit:
+            w = (s * 1_000_000) // S
+            want[i] = (n_by[g], s, w, admit)
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(1, 100_000), st.integers(-1000, 1000)),
+        min_size=1, max_size=80, unique_by=lambda t: t[0],
+    ),
+    k_max=st.sampled_from([4, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_quantile_sketch_matches_sequential_model(spark, vals, k_max):
+    """X70 vs an independent pure-Python model: trailing-zero levels
+    from the 60-bit md5 key hash, smallest level fitting k_max, the
+    identical survivor set and level."""
+    import hashlib
+
+    from genie_spark.analytics.sketches import quantile_level_sketch
+
+    df = spark.createDataFrame(vals, "k long, v long")
+    rows = quantile_level_sketch(df, "v", "k", k_max=k_max).collect()
+    # model
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    def tz(h):
+        return 60 if h == 0 else (h & -h).bit_length() - 1
+
+    items = [(v, h60(k), tz(h60(k))) for k, v in vals]
+    level = 0
+    while sum(1 for _, _, t in items if t >= level) > k_max:
+        level += 1
+    want = {(v, h) for v, h, t in items if t >= level}
+    assert {(r["v"], r["h60"]) for r in rows} == want
+    if rows:
+        assert rows[0]["level"] == level
+        assert rows[0]["n_items"] == len(vals)
