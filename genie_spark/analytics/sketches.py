@@ -931,3 +931,86 @@ def quantile_sketch_estimates_by(
             F.col("v").alias("est_value"),
         )
     )
+
+
+def moments_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X77 — mergeable MOMENTS artifact per group: (n, Σx, Σx², min,
+    max) as exact BIGINTs — the classic parallel-variance decomposition
+    (Chan, Golub & LeVeque 1979: component-wise sums/min/max merge
+    associatively with zero error, unlike streaming Welford floats)
+    and the moments member of the sketch-artifact ladder (distinct =
+    KMV/HLL, frequency = CMS/Misra-Gries, quantiles = X70/X75,
+    moments = here): per-shard artifacts answer cross-shard /
+    release-over-release mean/variance questions without re-reading
+    data.
+
+    Exactness bound (documented, checked nowhere cheaper than the
+    caller): Σx² must stay inside int64 — |x| ≤ 1e6 over 1e6 rows is
+    safe; wider domains pre-scale or aggregate per shard.  Derived
+    stats (``moments_stats``) stay exact-integer milli units with
+    explicit ``floor`` (DuckDB's ``//`` truncates toward zero on
+    negatives while floor rounds down — the idiom keeps engines in
+    lockstep).
+
+    Spark shape: ONE group-keyed aggregate with map-side partial
+    combine — the artifact is dim-sized.  Returns (g, n, s1, s2,
+    min_v, max_v).
+    """
+    v = F.col(value_col).cast("long")
+    return (
+        df.where(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("g"), v.alias("__v"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__v").cast("long").alias("s1"),
+            F.sum(F.col("__v") * F.col("__v")).cast("long").alias("s2"),
+            F.min("__v").cast("long").alias("min_v"),
+            F.max("__v").cast("long").alias("max_v"),
+        )
+    )
+
+
+def moments_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge moments artifacts: component-wise sums / min / max per
+    group — associative, commutative, exact (the merge law the
+    streaming store reduce reuses)."""
+    if not sketches:
+        raise ValueError("moments_merge: need at least one sketch")
+    allofthem = sketches[0]
+    for s in sketches[1:]:
+        allofthem = allofthem.unionByName(
+            s.select("g", "n", "s1", "s2", "min_v", "max_v")
+        )
+    return allofthem.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+        F.min("min_v").cast("long").alias("min_v"),
+        F.max("max_v").cast("long").alias("max_v"),
+    )
+
+
+def moments_stats(sketch: DataFrame) -> DataFrame:
+    """Derived statistics off a moments artifact, exact integer milli
+    units: mean_milli = floor(1000·Σx / n) and var_milli =
+    floor(1000·(n·Σx² − (Σx)²) / n²) (the population variance —
+    n·Σx² − (Σx)² is exact int64 under the artifact's domain bound).
+    """
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return sketch.select(
+        "g",
+        "n",
+        "s1",
+        "s2",
+        "min_v",
+        "max_v",
+        F.floor((s1 * 1000) / n).cast("long").alias("mean_milli"),
+        F.floor(((n * s2 - s1 * s1) * 1000) / (n * n))
+        .cast("long")
+        .alias("var_milli"),
+    )

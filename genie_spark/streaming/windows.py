@@ -1048,3 +1048,49 @@ def ccnet_stream_thresholds(
             F.when(F.col("phi_milli") == hi, F.col("est_value"))
         ).alias("t_mid"),
     )
+
+
+def moments_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+):
+    """X77 streaming: per-batch moments artifacts (``sketches.
+    moments_sketch`` — dim-sized exact (n, Σx, Σx², min, max) rows)
+    into ``batch=<id>`` shards; the rolling mean/variance question is
+    answered any time by the component-sum merge over the store —
+    never a re-read.  Same store conventions as the sketch family."""
+    from genie_spark.analytics.sketches import moments_sketch
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sk = moments_sketch(batch, group_col, value_col)
+        sk.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def moments_compact(spark, store_path: str) -> dict:
+    """Compact a moments store: component sums / min / max per group
+    — the result is bit-identical to sketching the whole ingested
+    stream at once (exact merge law).  Journaled swap protocol in
+    ``_compact_store``."""
+    return _compact_store(
+        spark,
+        store_path,
+        lambda df: df.groupBy("g").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s1").cast("long").alias("s1"),
+            F.sum("s2").cast("long").alias("s2"),
+            F.min("min_v").cast("long").alias("min_v"),
+            F.max("max_v").cast("long").alias("max_v"),
+        ),
+    )

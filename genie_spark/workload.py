@@ -1054,6 +1054,12 @@ _TAIL_QUERIES = [
     # row; every rotated-out query keeps its r11-green driver row AND
     # the local sf0.01 sweep this session:
     "q1_pricing_summary",  # driver-executed every round via entry()
+    # - j10_symbol_remap: rotated late in round 12 for the NEW X77
+    #   sketch_moments row (first driver row); the remap family's
+    #   engine keeps its r11-green driver row + the local sf0.01
+    #   sweep (j9's identical transform.py remap path sits in the
+    #   tail with its own r11 row)
+    "j10_symbol_remap",
     # - multimodal_features: rotated late in round 12 for the NEW X76
     #   layout_hilbert row (first driver row); the multimodal Arrow
     #   plumbing keeps r10-green tail rows via multimodal_phash_dedup

@@ -3601,6 +3601,35 @@ FROM sel JOIN kept ON kept.g = sel.g AND kept.rk = sel.rk_sel
 """
 
 
+def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 mergeable moments artifact + derived stats per language
+    over documents.n_chars: exact (n, Σx, Σx², min, max) BIGINTs and
+    floor-milli mean/population-variance — the moments member of the
+    sketch-artifact ladder."""
+    from genie_spark.analytics.sketches import moments_sketch, moments_stats
+
+    return moments_stats(moments_sketch(_docs(spark, sf_dir), "lang", "n_chars"))
+
+
+SKETCH_MOMENTS_SQL = """
+WITH m AS (
+  SELECT lang AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+         CAST(min(n_chars) AS BIGINT) AS min_v,
+         CAST(max(n_chars) AS BIGINT) AS max_v
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+  GROUP BY lang
+)
+SELECT g, n, s1, s2, min_v, max_v,
+       CAST(floor((s1 * 1000) * 1.0 / n) AS BIGINT) AS mean_milli,
+       CAST(floor(((n * s2 - s1 * s1) * 1000) * 1.0 / (n * n)) AS BIGINT)
+           AS var_milli
+FROM m
+"""
+
+
 CCNET_SAMPLE_BP = 5_000
 
 
@@ -3854,6 +3883,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_temperature_mix": corpus_temperature_mix,
     "sketch_kll_quantiles": sketch_kll_quantiles,
     "sketch_kll_grouped": sketch_kll_grouped,
+    "sketch_moments": sketch_moments,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "text_wordpiece_encode": text_wordpiece_encode,
     "text_wordpiece_coverage": text_wordpiece_coverage,
@@ -3935,6 +3965,7 @@ ANALYTICS_ORACLES: dict = {
     "corpus_temperature_mix": TEMP_MIX_SQL,
     "sketch_kll_quantiles": SKETCH_KLL_SQL,
     "sketch_kll_grouped": SKETCH_KLL_BY_SQL,
+    "sketch_moments": SKETCH_MOMENTS_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),

@@ -674,3 +674,42 @@ def test_quantile_sketch_rank_accuracy(spark):
         assert abs(r["est_value"] - r["target_rank"]) <= bound, (
             r["phi_milli"], r["est_value"], r["target_rank"], bound,
         )
+
+
+def test_moments_merge_law_and_stats(spark):
+    """X77: component-wise merge of per-shard moments artifacts is
+    bit-identical to sketching the whole (any split), derived
+    mean/variance milli stats are exact floors (negative-value safe),
+    and null rows/groups are excluded."""
+    from genie_spark.analytics.sketches import (
+        moments_merge,
+        moments_sketch,
+        moments_stats,
+    )
+
+    rows = [(i, ["a", "b"][i % 2], (i * 7) % 101 - 50) for i in range(1, 201)]
+    rows += [(900, None, 5), (901, "a", None)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v long")
+    whole = moments_sketch(df, "grp", "v")
+    want = {tuple(r) for r in whole.collect()}
+    parts = [
+        moments_sketch(df.where(F.col("doc_id") % 3 == i), "grp", "v")
+        for i in range(3)
+    ]
+    merged = moments_merge(*parts)
+    assert {tuple(r) for r in merged.collect()} == want
+    got = {r["g"]: r for r in moments_stats(whole).collect()}
+    import math
+
+    model = {}
+    for _, g, v in rows:
+        if g is None or v is None:
+            continue
+        model.setdefault(g, []).append(v)
+    for g, vs in model.items():
+        n, s1, s2 = len(vs), sum(vs), sum(x * x for x in vs)
+        r = got[g]
+        assert (r["n"], r["s1"], r["s2"]) == (n, s1, s2)
+        assert r["min_v"] == min(vs) and r["max_v"] == max(vs)
+        assert r["mean_milli"] == math.floor(s1 * 1000 / n)
+        assert r["var_milli"] == math.floor((n * s2 - s1 * s1) * 1000 / (n * n))

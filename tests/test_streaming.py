@@ -1227,3 +1227,52 @@ def test_grouped_quantile_store_and_rolling_ccnet_thresholds(
         ).collect()
     }
     assert got_thr2 == want_thr
+
+
+def test_moments_stream_store_and_compact(spark, tmp_path):
+    """X77 streaming: per-batch moments shards merge to EXACTLY the
+    batch-built artifact (component-sum law), compaction preserves it."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.sketches import moments_sketch
+    from genie_spark.streaming.windows import moments_compact, moments_stream
+
+    rows = [(i, ["en", "de"][i % 2], (i * 13) % 500) for i in range(1, 601)]
+    src = tmp_path / "mvals"
+    src.mkdir()
+    for b in range(3):
+        chunk = rows[b * 200:(b + 1) * 200]
+        (src / f"b{b}.csv").write_text(
+            "doc_id,lang,n_chars\n"
+            + "\n".join(f"{i},{g},{v}" for i, g, v in chunk) + "\n"
+        )
+        os.utime(src / f"b{b}.csv", (1000000000 + b * 100,) * 2)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    store = str(tmp_path / "mstore")
+    q = moments_stream(stream, store, str(tmp_path / "mckpt"))
+    q.awaitTermination()
+    whole = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    want = {tuple(r) for r in moments_sketch(whole, "lang", "n_chars").collect()}
+    stats = moments_compact(spark, store)
+    assert stats["shards_before"] == 3
+    got = {
+        (r["g"], r["n"], r["s1"], r["s2"], r["min_v"], r["max_v"])
+        for r in spark.read.parquet(store)
+        .select("g", "n", "s1", "s2", "min_v", "max_v")
+        .collect()
+    }
+    assert got == want
