@@ -1039,159 +1039,105 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
-    # Round-12 rotation (VERDICT r11 item 1 — the standing freshness
-    # practice): the 14 queries whose latest driver evidence was ROUND
-    # 9 rotate back INTO the window (ann_lsh_banded, ann_ivf_topk,
-    # cluster_balanced_sample, j8_broadcast_lookup, layout_zorder,
-    # a14_distinct_union, dedup_simhash, a6_release_diff, text_quality,
-    # cluster_kmeans, dedup_embedding_drop, corpus_priority_sample,
-    # dedup_exact, a1_counts_with_total — all re-verified green in the
-    # judge's own sf0.01 sweep last round), plus the THREE new
-    # round-12 operators needing first driver rows
-    # (corpus_temperature_mix X69, sketch_kll_quantiles X70,
-    # ann_ivfpq_residual_topk X71).  The 17 slots come from r11-green
-    # queries whose ENGINES keep in-window coverage through a sibling
-    # row; every rotated-out query keeps its r11-green driver row AND
-    # the local sf0.01 sweep this session:
-    "q1_pricing_summary",  # driver-executed every round via entry()
-    # - j10_symbol_remap: rotated late in round 12 for the NEW X77
-    #   sketch_moments row (first driver row); the remap family's
-    #   engine keeps its r11-green driver row + the local sf0.01
-    #   sweep (j9's identical transform.py remap path sits in the
-    #   tail with its own r11 row)
+    # Round-13 rotation (VERDICT r12 item 1 — the standing freshness
+    # practice): the 50 queries whose freshest driver evidence was
+    # ROUND 10 rotate back INTO the window — a15_case_lists,
+    # a16_filtered_counts, a17_value_decreases, a2_distinct_counts,
+    # a9_duplicate_keys, ann_cosine_pairs, ann_topk, the corpus_* r10
+    # cohort (chunk_overlap, decontaminate, keep_list, pack_sequences,
+    # passage_dedup, split_shuffle, stratified_sample), the dedup_*
+    # r10 cohort (components, edit_near, incremental_minhash,
+    # minhash_lsh, ngram_jaccard, quality_survivors,
+    # substring_clean/pairs/spans, winnow_fingerprints/pairs), j11,
+    # j3_interval_anti, j5, j6, layout_zorder_str,
+    # multimodal_audio/phash, p7, phi_redaction, q1_pricing_summary,
+    # s15, scalar_battery, set_except_distinct,
+    # sketch_kmv_distinct/jaccard, sketch_quantiles, text_bm25_topk,
+    # text_fingerprint, text_lang_id, text_lm_surprisal,
+    # text_pii_scrub, text_quality_classifier, text_repetition,
+    # text_tfidf_topk, text_token_stats.  Exactly 50 — they fill the
+    # window in one round, clearing the repo-wide freshness debt so
+    # every registered query carries r11+ driver evidence after r13.
+    # The 50 freed slots are the round-12 window (all 50 green in
+    # CORRECTNESS_r12.json, rows+schema+hash, 0 err); every rotated-
+    # out query keeps that r12-green driver row AND this session's
+    # local sf0.01 oracle sweep (tools/verify_oracle.py).  The new
+    # round-13 operators (text_wordpiece_train, layout_hilbert_3d)
+    # start in the tail with sf0.001/0.01 local-sweep evidence and
+    # take their first driver rows in the r14 window.
+    "j1_revenue_per_nation",
+    "p3_semi_filter",
+    "p6_greatest_threshold",
+    "p15_retract_cascade",
+    "a1_counts_with_total",
+    "a3_pivot_counts",
+    "a8_merge_duplicates",
+    "j7_upsert_diff",
+    "w1_adjacent_events",
+    "j3_interval_join",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_drop",
+    "ann_ivf_topk",
+    "ann_lsh_banded",
+    "text_quality",
+    "corpus_bloom_decontaminate",
+    "cluster_kmeans",
+    "cluster_balanced_sample",
+    "sketch_count_min",
+    "corpus_priority_sample",
+    "corpus_dsir_sample",
+    "text_bpe_merges",
+    "dedup_substring_clean_min50",
+    "text_bpe_encode",
+    "text_normalize_nfc",
+    "text_token_drift",
+    "corpus_domain_cap",
+    "corpus_temperature_mix",
+    "sketch_kll_quantiles",
+    "sketch_kll_grouped",
+    "sketch_moments",
+    "corpus_ccnet_buckets",
+    "text_wordpiece_encode",
+    "text_wordpiece_coverage",
+    "corpus_decontaminate_semantic",
+    "corpus_soft_dedup",
+    "text_bpe_fertility",
+    "text_gopher_filter",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "text_lm_bigram",
+    "text_line_repetition",
+    "text_char_entropy",
+    "a6_release_diff",
+    "a14_distinct_union",
+    "j8_broadcast_lookup",
+    "layout_zorder",
+    "layout_hilbert",
     "j10_symbol_remap",
-    # - multimodal_features: rotated late in round 12 for the NEW X76
-    #   layout_hilbert row (first driver row); the multimodal Arrow
-    #   plumbing keeps r10-green tail rows via multimodal_phash_dedup
-    #   and multimodal_audio_dedup (same mapInPandas decode engine)
-    #   plus the stdlib PGM/WAV pytest battery; keeps its r11-green
-    #   driver row + the local sf0.01 sweep
     "multimodal_features",
-    # - dedup_setsim_prefix: rotated late in round 12 for the NEW X75
-    #   sketch_kll_grouped row (first driver row); the prefix-filter
-    #   set-similarity engine keeps its r11-green driver row + the
-    #   local sf0.01 sweep, and the dedup family keeps
-    #   dedup_substring_clean_min50 in-window plus the corpus-dedup
-    #   CLI pytest battery
     "dedup_setsim_prefix",
-    # - text_blocklist: rotated late in round 12 for the NEW X74
-    #   text_wordpiece_coverage row (first driver row); the narrow
-    #   text-battery family keeps text_gopher_filter,
-    #   text_line_repetition, and text_char_entropy in-window (same
-    #   fused-projection engine); keeps its r11-green driver row + the
-    #   local sf0.01 sweep
     "text_blocklist",
-    # - sketch_heavy_hitters: rotated late in round 12 for the NEW X73
-    #   text_wordpiece_encode row (first driver row); the sketch
-    #   family keeps sketch_count_min in-window plus the NEW
-    #   sketch_kll_quantiles first row (same sketches.py module);
-    #   keeps its r11-green driver row + the local sf0.01 sweep
     "sketch_heavy_hitters",
-    # - s12_pushdown_scan: rotated late in round 12 for the NEW X72
-    #   corpus_ccnet_buckets row (first driver row); the pushdown-scan
-    #   engine keeps plan-pin coverage (test_plans
-    #   q1/s12 PushedFilters pins) and q1's every-round entry() smoke;
-    #   keeps its r11-green driver row + the local sf0.01 sweep
     "s12_pushdown_scan",
-    # - j9_code_remap: the transform.py code->label remap engine keeps
-    #   j10_symbol_remap in-window (same remap module)
     "j9_code_remap",
-    # - p4_anti_filter: the filters.py semi/anti pair keeps
-    #   p3_semi_filter in-window (adjacent functions, same engine)
     "p4_anti_filter",
-    # - p12_date_window_filter: the scalar date-window engine stays
-    #   covered by the in-window p15 cascade + scalar family; r11 row
     "p12_date_window_filter",
-    # - p14_group_count_filter: the group-count filter rides the same
-    #   aggregations/filters modules as in-window p3/p15/a3
     "p14_group_count_filter",
-    # - a4_completeness / a5_lag_difference / a7_median /
-    #   a11_fill_count_algebra / a13_group_concat: the
-    #   operators/aggregations.py battery keeps a3_pivot_counts and
-    #   a8_merge_duplicates in-window, and the lag engine gets a FRESH
-    #   row via the rotating-in a6_release_diff (same Window/lag path)
     "a4_completeness",
     "a5_lag_difference",
     "a7_median",
     "a11_fill_count_algebra",
     "a13_group_concat",
-    # - j4_containment_join: the intervals.py engine keeps
-    #   j3_interval_join in-window (same binned-join module)
     "j4_containment_join",
-    # - w2_latest_per_key / w4_asof_join: the windows.py module keeps
-    #   w1_adjacent_events in-window; the WindowGroupLimit pin also
-    #   rides corpus_domain_cap (in-window)
     "w2_latest_per_key",
     "w4_asof_join",
-    # - ann_lsh_buckets: the plane-sizing LSH engine gets a FRESH row
-    #   via the rotating-in ann_lsh_banded (same banding engine)
     "ann_lsh_buckets",
-    # - ann_pq_codes: pq_train/pq_encode stay driver-checked in-window
-    #   by ann_pq_topk AND the new ann_ivfpq_residual_topk (which runs
-    #   them per subspace over the residual base)
     "ann_pq_codes",
-    # - dedup_semantic: the embedding-dedup family gets a FRESH row via
-    #   the rotating-in dedup_embedding_drop, and the Arrow scan engine
-    #   stays in-window via corpus_decontaminate_semantic
     "dedup_semantic",
-    # - corpus_token_budget: the batch budget engine is UNCHANGED this
-    #   round (only the streaming form changed, pinned by the new
-    #   batch-parity pytest); the budget family keeps the new
-    #   corpus_temperature_mix in-window
     "corpus_token_budget",
-    # - sketch_hll_distinct: the sketch family keeps sketch_count_min
-    #   and sketch_heavy_hitters in-window plus the NEW
-    #   sketch_kll_quantiles first row
     "sketch_hll_distinct",
-    "a15_case_lists",
-    "a16_filtered_counts",
-    "a17_value_decreases",
-    "a2_distinct_counts",
-    "a9_duplicate_keys",
-    "ann_cosine_pairs",
-    "ann_topk",
-    "corpus_chunk_overlap",
-    "corpus_decontaminate",
-    "corpus_keep_list",
-    "corpus_pack_sequences",
-    "corpus_passage_dedup",
-    "corpus_split_shuffle",
-    "corpus_stratified_sample",
-    "dedup_components",
-    "dedup_edit_near",
-    "dedup_incremental_minhash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_quality_survivors",
-    "dedup_substring_clean",
-    "dedup_substring_pairs",
-    "dedup_substring_spans",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "j11_containment_check",
-    "j3_interval_anti",
-    "j5_feature_type",
-    "j6_max_overlap_remap",
-    "layout_zorder_str",
-    "multimodal_audio_dedup",
-    "multimodal_phash_dedup",
-    "p7_contains_filter",
-    "phi_redaction",
-    "s15_apply_upsert",
-    "scalar_battery",
-    "set_except_distinct",
-    "sketch_kmv_distinct",
-    "sketch_kmv_jaccard",
-    "sketch_quantiles",
-    "text_bm25_topk",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_lm_surprisal",
-    "text_pii_scrub",
-    "text_quality_classifier",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_token_stats",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}
