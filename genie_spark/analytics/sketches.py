@@ -775,16 +775,22 @@ def quantile_sketch_estimates(
     phis = sketch.sparkSession.createDataFrame(
         [(int(p),) for p in phis_milli], "phi_milli long"
     )
+    # ADVICE r12: pure LONG `div` (operands nonnegative, so trunc ==
+    # floor) — `/` + floor routes through float64, which can round a
+    # 2^60-weight rank differently than the oracle's integer `//`
     targets = phis.select(
         "phi_milli",
         F.greatest(
             F.lit(1).cast("long"),
-            F.floor((F.col("phi_milli") * n_items) / 1000).cast("long"),
+            F.expr(
+                f"(phi_milli * CAST({n_items} AS BIGINT)) div 1000"
+            ).cast("long"),
         ).alias("target_rank"),
     ).withColumn(
         "rk_sel_raw",
-        F.floor(
-            (F.col("target_rank") + weight - 1) / weight
+        F.expr(
+            f"(target_rank + CAST({weight} AS BIGINT) - 1) "
+            f"div CAST({weight} AS BIGINT)"
         ).cast("long"),
     )
     return (
@@ -893,8 +899,8 @@ def quantile_sketch_estimates_by(
             "target_rank",
             F.greatest(
                 F.lit(1).cast("long"),
-                F.floor((F.col("phi_milli") * F.col("n_items")) / 1000)
-                .cast("long"),
+                # long `div`, never float `/` + floor (ADVICE r12)
+                F.expr("(phi_milli * n_items) div 1000").cast("long"),
             ),
         )
         .withColumn(
@@ -906,9 +912,8 @@ def quantile_sketch_estimates_by(
                 F.col("k_kept"),
                 F.greatest(
                     F.lit(1).cast("long"),
-                    F.floor(
-                        (F.col("target_rank") + F.col("__w") - 1)
-                        / F.col("__w")
+                    F.expr(
+                        "(target_rank + __w - 1) div __w"
                     ).cast("long"),
                 ),
             ),
@@ -951,10 +956,9 @@ def moments_sketch(
     Exactness bound (documented, checked nowhere cheaper than the
     caller): Σx² must stay inside int64 — |x| ≤ 1e6 over 1e6 rows is
     safe; wider domains pre-scale or aggregate per shard.  Derived
-    stats (``moments_stats``) stay exact-integer milli units with
-    explicit ``floor`` (DuckDB's ``//`` truncates toward zero on
-    negatives while floor rounds down — the idiom keeps engines in
-    lockstep).
+    stats (``moments_stats``) run all intermediates in DECIMAL(38,0)
+    with pmod-based exact floor division, so they are exact for every
+    artifact whose components fit int64 (see its docstring).
 
     Spark shape: ONE group-keyed aggregate with map-side partial
     combine — the artifact is dim-sized.  Returns (g, n, s1, s2,
@@ -998,10 +1002,36 @@ def moments_merge(*sketches: DataFrame) -> DataFrame:
 def moments_stats(sketch: DataFrame) -> DataFrame:
     """Derived statistics off a moments artifact, exact integer milli
     units: mean_milli = floor(1000·Σx / n) and var_milli =
-    floor(1000·(n·Σx² − (Σx)²) / n²) (the population variance —
-    n·Σx² − (Σx)² is exact int64 under the artifact's domain bound).
+    floor(1000·(n·Σx² − (Σx)²) / n²) (the population variance).
+
+    Exactness (ADVICE r12): n·Σx² and (Σx)² do NOT generally fit
+    int64 — at the artifact's own safe bound (|x| ≤ 1e6 over 1e6
+    rows) n·Σx² ≈ 1e24, and Spark's non-ANSI long multiply would wrap
+    SILENTLY.  All intermediates therefore run in DECIMAL(38,0):
+    D = n·s2 − s1² ≤ ~8.5e37 < 10³⁸ whenever n, s1, s2 each fit
+    int64, so D is exact for EVERY representable artifact.  Division
+    never rounds: floor(A/B) is computed as (A − pmod(A,B))/B — the
+    numerator is an exact multiple of B, so Spark's scale-6 decimal
+    division is exact (plain `/` would HALF_UP-round the true
+    quotient at scale 6 and could mis-floor).  var_milli is split as
+    q·1000 + floor(1000·r/n²) so the ×1000 never meets D (exact for
+    n ≤ ~1.8e17, where 1000·n² < 10³⁸); outputs must fit int64 (i.e.
+    1000·variance < 2⁶³), which bounds the value domain, not the
+    arithmetic.  The DuckDB oracle mirrors the same decomposition in
+    HUGEINT (int128) — both engines exact, no silent divergence.
     """
-    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    dec = "decimal(19,0)"
+    n, s1, s2 = (F.col(c).cast(dec) for c in ("n", "s1", "s2"))
+    a = s1 * 1000
+    rm = F.pmod(a, n)
+    mean_milli = ((a - rm) / n).cast("long")
+    d = n * s2 - s1 * s1
+    n2 = n * n
+    r1 = F.pmod(d, n2)
+    q1 = ((d - r1) / n2).cast("long")
+    b = r1 * 1000
+    r2 = F.pmod(b, n2)
+    q2 = ((b - r2) / n2).cast("long")
     return sketch.select(
         "g",
         "n",
@@ -1009,8 +1039,6 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
         "s2",
         "min_v",
         "max_v",
-        F.floor((s1 * 1000) / n).cast("long").alias("mean_milli"),
-        F.floor(((n * s2 - s1 * s1) * 1000) / (n * n))
-        .cast("long")
-        .alias("var_milli"),
+        mean_milli.alias("mean_milli"),
+        (q1 * 1000 + q2).cast("long").alias("var_milli"),
     )

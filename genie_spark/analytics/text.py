@@ -705,9 +705,24 @@ def _bpe_encode_arrow(
         if "\x00" in l or "\x00" in r:
             raise ValueError("bpe merge symbols must not contain NUL")
 
-    out_schema = (
-        f"{id_col} long, bpe_tokens array<string>, "
-        "n_tokens long, n_subwords long"
+    # ADVICE r12: carry the id through with its ORIGINAL type — a
+    # hard cast to long would silently change the output schema (and
+    # fail on non-castable ids) relative to the literal engine the
+    # moment a merge table crosses BPE_ARROW_THRESHOLD
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            # containsNull=False: subword elements are never null —
+            # matches the literal engine's split()-derived array type
+            T.StructField(
+                "bpe_tokens", T.ArrayType(T.StringType(), False), True
+            ),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("n_subwords", T.LongType(), True),
+        ]
     )
 
     def encode(batches):
@@ -763,10 +778,7 @@ def _bpe_encode_arrow(
                 }
             )
 
-    prepared = df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        tokens(text_col).alias("__toks"),
-    )
+    prepared = df.select(id_col, tokens(text_col).alias("__toks"))
     return prepared.mapInPandas(encode, out_schema)
 
 
@@ -1468,7 +1480,10 @@ def ccnet_buckets(
     same train-on-A-score-B shape); sub-2-token documents are unscored
     and excluded, the X63 contract.  Buckets: bpt <= t_head → head,
     <= t_mid → middle, else tail (lower perplexity = better, ties
-    bucket DOWNWARD — deterministic).
+    bucket DOWNWARD — deterministic).  A language whose scored
+    documents ALL fall outside the md5 sample has no threshold row;
+    its documents are KEPT (left join) with NULL thresholds and
+    bucket ``unsampled`` — never silently dropped.
 
     Returns (id, lang, n_bigrams, total_bits, bpt_centibits,
     t_head_centibits, t_mid_centibits, bucket).
@@ -1530,9 +1545,13 @@ def ccnet_buckets(
             ).alias("t_mid_centibits"),
         )
     )
-    out = scored.join(F.broadcast(thresholds), lang_col)
+    # LEFT join: a language with scored docs but zero sampled docs
+    # (possible whenever sample_bp < SAMPLE_DENOM) must not vanish —
+    # it surfaces with NULL thresholds and an explicit bucket
+    out = scored.join(F.broadcast(thresholds), lang_col, "left")
     bucket = (
-        F.when(F.col("bpt_centibits") <= F.col("t_head_centibits"), "head")
+        F.when(F.col("t_head_centibits").isNull(), "unsampled")
+        .when(F.col("bpt_centibits") <= F.col("t_head_centibits"), "head")
         .when(F.col("bpt_centibits") <= F.col("t_mid_centibits"), "middle")
         .otherwise("tail")
     )

@@ -3622,11 +3622,29 @@ WITH m AS (
   FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
   GROUP BY lang
 )
+-- exact int128 mirror of moments_stats' decimal decomposition:
+-- floor(A/B) = (A - floormod(A,B)) // B (numerator exactly divisible,
+-- so //'s toward-zero truncation is exact); var split as q*1000 +
+-- floor(1000*r/n2) so the *1000 never meets D = n*s2 - s1*s1
+, w AS (
+  SELECT g, n, s1, s2, min_v, max_v,
+         CAST(s1 AS HUGEINT) * 1000 AS a,
+         CAST(n AS HUGEINT) AS nh,
+         CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS d,
+         CAST(n AS HUGEINT) * n AS n2
+  FROM m
+), v AS (
+  SELECT *,
+         ((a % nh) + nh) % nh AS rm,
+         d % n2 AS r1
+  FROM w
+)
 SELECT g, n, s1, s2, min_v, max_v,
-       CAST(floor((s1 * 1000) * 1.0 / n) AS BIGINT) AS mean_milli,
-       CAST(floor(((n * s2 - s1 * s1) * 1000) * 1.0 / (n * n)) AS BIGINT)
+       CAST((a - rm) // nh AS BIGINT) AS mean_milli,
+       CAST(((d - r1) // n2) * 1000
+            + ((r1 * 1000) - ((r1 * 1000) % n2)) // n2 AS BIGINT)
            AS var_milli
-FROM m
+FROM v
 """
 
 
@@ -3713,10 +3731,11 @@ th AS (
 )
 SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.total_bits, sc.bpt_centibits,
        th.t_head_centibits, th.t_mid_centibits,
-       CASE WHEN sc.bpt_centibits <= th.t_head_centibits THEN 'head'
+       CASE WHEN th.t_head_centibits IS NULL THEN 'unsampled'
+            WHEN sc.bpt_centibits <= th.t_head_centibits THEN 'head'
             WHEN sc.bpt_centibits <= th.t_mid_centibits THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM sc JOIN th USING (lang)
+FROM sc LEFT JOIN th USING (lang)
 """
 
 

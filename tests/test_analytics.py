@@ -3554,6 +3554,24 @@ def test_bpe_encode_arrow_equals_literal_chain(spark):
         bpe_encode(corpus, [("a\x00", "b")], engine="arrow")
     with pytest.raises(ValueError, match="engine"):
         bpe_encode(corpus, merges, engine="nope")
+    # ADVICE r12: the arrow engine must preserve the ORIGINAL id type
+    # — schema identical to the literal engine, including string ids
+    assert (
+        bpe_encode(corpus, merges, engine="arrow").schema
+        == bpe_encode(corpus, merges, engine="literal").schema
+    )
+    sdocs = corpus.where(F.col("text").isNotNull()).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    s_lit = sorted(
+        (r["doc_id"], r["n_subwords"])
+        for r in bpe_encode(sdocs, merges, engine="literal").collect()
+    )
+    s_arw_df = bpe_encode(sdocs, merges, engine="arrow")
+    assert s_arw_df.schema == bpe_encode(sdocs, merges, engine="literal").schema
+    assert s_lit == sorted(
+        (r["doc_id"], r["n_subwords"]) for r in s_arw_df.collect()
+    )
 
 
 def _clustered_vectors(n=320, dim=16, n_clusters=8):
@@ -3698,6 +3716,38 @@ def test_ccnet_buckets_terciles_and_carry(spark):
         ccnet_buckets(docs, model, qs_milli=(700, 300))
     with pytest.raises(ValueError, match="carry_cols"):
         lm_surprisal_bigram(docs, model, carry_cols=("n_bigrams",))
+
+
+def test_ccnet_buckets_unsampled_language_kept(spark):
+    """ADVICE r12 (medium): a language whose scored docs all miss the
+    md5 threshold sample must NOT vanish — it is kept via a left join
+    with NULL thresholds and the explicit bucket 'unsampled'.  Doc ids
+    1-5 hash to md5 buckets >= 5000 (outside sample_bp=5000), 6-8 to
+    < 5000 (inside) — precomputed from dedup's md5 bucket formula."""
+    from genie_spark.analytics.text import ccnet_buckets
+
+    rows = [
+        (i, "xx", "alpha beta gamma delta epsilon") for i in (1, 2, 3, 4, 5)
+    ] + [(i, "en", "one two three four five six") for i in (6, 7, 8)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_buckets(docs, docs, sample_bp=5_000).collect()
+    xx = [r for r in out if r["lang"] == "xx"]
+    en = [r for r in out if r["lang"] == "en"]
+    # every xx doc survives with NULL thresholds + explicit bucket
+    assert len(xx) == 5
+    assert all(r["bucket"] == "unsampled" for r in xx)
+    assert all(
+        r["t_head_centibits"] is None and r["t_mid_centibits"] is None
+        for r in xx
+    )
+    # the sampled language still gets real terciles
+    assert len(en) == 3
+    assert all(r["bucket"] in ("head", "middle", "tail") for r in en)
+    assert all(r["t_head_centibits"] is not None for r in en)
+    # full sample => no unsampled bucket anywhere
+    full = ccnet_buckets(docs, docs, sample_bp=10_000).collect()
+    assert all(r["bucket"] != "unsampled" for r in full)
+    assert len(full) == 8
 
 
 def test_wordpiece_encode_greedy_longest_match(spark):

@@ -711,5 +711,27 @@ def test_moments_merge_law_and_stats(spark):
         r = got[g]
         assert (r["n"], r["s1"], r["s2"]) == (n, s1, s2)
         assert r["min_v"] == min(vs) and r["max_v"] == max(vs)
-        assert r["mean_milli"] == math.floor(s1 * 1000 / n)
-        assert r["var_milli"] == math.floor((n * s2 - s1 * s1) * 1000 / (n * n))
+        # python int // is an EXACT floor (arbitrary precision) — the
+        # reference model must not route through float
+        assert r["mean_milli"] == (s1 * 1000) // n
+        assert r["var_milli"] == ((n * s2 - s1 * s1) * 1000) // (n * n)
+    assert math.floor(-7 / 2) == -4  # pin: floor semantics, not trunc
+
+
+def test_moments_stats_exact_beyond_int64(spark):
+    """ADVICE r12: n*s2 - s1^2 exceeds int64 even at the artifact's
+    documented-safe domain (|x| <= 1e6); moments_stats must stay
+    EXACT via decimal(38,0) intermediates instead of wrapping in
+    silent long multiply.  Values chosen so n*s2 ~ 3e18 * n digits —
+    far outside int64 — with exact python-int expectations."""
+    from genie_spark.analytics.sketches import moments_sketch, moments_stats
+
+    vs = [1_000_000 + (i * 7) % 101 - 50 for i in range(5000)]
+    rows = [(i, "g1", v) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v long")
+    n, s1, s2 = len(vs), sum(vs), sum(x * x for x in vs)
+    assert n * s2 > 2**63  # the failure mode this test pins
+    r = moments_stats(moments_sketch(df, "grp", "v")).collect()[0]
+    assert (r["n"], r["s1"], r["s2"]) == (n, s1, s2)
+    assert r["mean_milli"] == (s1 * 1000) // n
+    assert r["var_milli"] == ((n * s2 - s1 * s1) * 1000) // (n * n)
