@@ -78,7 +78,30 @@ def main() -> None:
     spark.range(1_000_000).groupBy(F.pmod("id", F.lit(7))).count().write.format(
         "noop"
     ).mode("overwrite").save()
+    # Per-query MEDIAN-of-N within one session (default 3, override
+    # SPARK_GRAFT_BENCH_REPEATS): the round driver takes ONE bench
+    # sample per round, and on this Firecracker host a single sample
+    # of an unchanged plan set ranged 26.3-37.8 s (host steal) — the
+    # median collapses that spread so the anchor comparison tracks
+    # engine changes, not scheduler luck.  Raw per-run walls are kept
+    # in queries_runs for spread inspection.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, object] = {}
+    runs_log: dict[str, list] = {}
+
+    def gc_nudge() -> None:
+        # nudge the ContextCleaner: old executions' shuffle state is
+        # only released on driver GC; letting it pile up degrades
+        # later queries (observed 30×: high sys-CPU, shuffle-file
+        # churn).  _jvm is a classic-mode private handle — absent
+        # under Spark Connect, where the nudge simply doesn't apply.
+        try:
+            jvm = spark.sparkContext._jvm
+        except Exception:  # Connect: sparkContext property itself raises
+            jvm = None
+        if jvm is not None:
+            jvm.System.gc()
+
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
@@ -87,24 +110,19 @@ def main() -> None:
         # round's bench evidence (round 3 lost all numbers to a single
         # AnalysisException with no per-query handling).
         try:
-            df = fn(spark, sf_dir)
-            _ = df.schema  # resolve the plan (no execution)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            runs: list[float] = []
+            for _ in range(repeats):
+                df = fn(spark, sf_dir)  # fresh plan — no reuse of a
+                _ = df.schema           # previously-executed DataFrame
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+                gc_nudge()
+            runs_log[name] = runs
+            timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
-        # nudge the ContextCleaner: old executions' shuffle state is only
-        # released on driver GC; letting it pile up degrades later
-        # queries (observed 30×: high sys-CPU, shuffle-file churn).
-        # _jvm is a classic-mode private handle — absent under Spark
-        # Connect, where the nudge simply doesn't apply (no local JVM).
-        try:
-            jvm = spark.sparkContext._jvm
-        except Exception:  # Connect: sparkContext property itself raises
-            jvm = None
-        if jvm is not None:
-            jvm.System.gc()
+            gc_nudge()
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     legacy = round(
         sum(
@@ -112,6 +130,17 @@ def main() -> None:
             for name in HEADLINE[:LEGACY_17]
             for t in [timings.get(name)]
             if isinstance(t, float)
+        ),
+        3,
+    )
+    first = round(
+        sum(v[0] for v in runs_log.values() if v), 3
+    )
+    legacy_first = round(
+        sum(
+            runs_log[name][0]
+            for name in HEADLINE[:LEGACY_17]
+            if runs_log.get(name)
         ),
         3,
     )
@@ -123,6 +152,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "legacy17_subtotal": legacy,
+                "repeats": repeats,
+                "first_run_total": first,
+                "legacy17_first_run": legacy_first,
+                "queries_runs": runs_log,
                 "sf": sf,
             }
         )
