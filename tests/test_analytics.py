@@ -2820,6 +2820,82 @@ def test_bpe_train_matches_sequential_on_md5_corpus(spark):
     # merge steps are dense and counts non-increasing is NOT required
     # (merges create new pairs), but steps must be 1..10
     assert [g[0] for g in got] == list(range(1, 11))
+    # every batch width produces the same pinned sequence (r13 rung)
+    for bk in (1, 2, 5):
+        assert [
+            tuple(r) for r in bpe_train(docs, n_merges=10, batch_k=bk).collect()
+        ] == want
+
+
+def test_bpe_train_batched_created_pair_adversary(spark):
+    """r13 batched-trainer soundness: merging (a,z) CREATES pair
+    (az,c) with the same count as the disjoint candidate (b,b) and a
+    lex-smaller lhs — a naive disjoint-only batch would emit (b,b)
+    second, but sequential (and the adjacency-bound rule) pick (az,c).
+    Also covers the self-pair and shared-symbol fallbacks."""
+    from genie_spark.analytics.text import bpe_train
+
+    texts = ["azc"] * 90 + ["az"] * 10 + ["bb"] * 90
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    want = _seq_bpe(texts, 4)
+    for bk in (1, 2, 8, 64):
+        got = [
+            tuple(r) for r in bpe_train(docs, n_merges=4, batch_k=bk).collect()
+        ]
+        assert got == want, (bk, got, want)
+    # the adversary really is adversarial: step 2 must be the CREATED
+    # pair, not the disjoint original candidate
+    assert want[0][1:3] == ("a", "z")
+    assert want[1][1:3] == ("az", "c")
+
+
+def test_bpe_train_histogram_engine_equals_spark(spark):
+    """r13 histogram engine: the driver-side heap trainer is byte-
+    identical to the distributed engine — tie order, overlap corpus,
+    the created-pair adversary, AND the space-prefixed encoding's
+    phantom-match corner (' a ab' under merge (a,a): the pattern
+    matches across the 'ab' spelling, so count and replace disagree —
+    consistently in every engine).  Guards: vocab cap raises loudly,
+    auto picks histogram past the threshold."""
+    import pytest
+
+    from genie_spark.analytics.text import (
+        BPE_TRAIN_HISTOGRAM_THRESHOLD,
+        bpe_train,
+    )
+
+    corpora = [
+        ["low lower lowest low low", "new newer newest new",
+         "aaaa aaaa baaa", "zz zz yy yy"],
+        ["azc"] * 90 + ["az"] * 10 + ["bb"] * 90,
+        # phantom corner: merge1 (a,b) makes ' a ab' from 'aab';
+        # merge2 (a,a) string-matches ' a a' INSIDE ' a ab'
+        ["aab"] * 10 + ["ab"] * 30 + ["aa"] * 20,
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        spark_seq = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=8, engine="spark").collect()
+        ]
+        hist_seq = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=8, engine="histogram").collect()
+        ]
+        assert hist_seq == spark_seq, texts[:2]
+        assert hist_seq == _seq_bpe(texts, 8)
+    docs = spark.createDataFrame(
+        list(enumerate(corpora[0])), ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(docs, n_merges=8, engine="histogram", max_vocab_rows=3)
+    with pytest.raises(ValueError, match="engine"):
+        bpe_train(docs, n_merges=8, engine="nope")
+    assert BPE_TRAIN_HISTOGRAM_THRESHOLD == 256
 
 
 def test_winnow_store_sync_and_pairs(spark, tmp_path):
