@@ -243,6 +243,45 @@ def write_zordered(
         ordered.write.mode("overwrite").parquet(path)
 
 
+def _hilbert_nd(codes: list, bits: int):
+    """Vectorized N-D Hilbert index (Skilling, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004 — the Butz/Hamilton
+    state walk in transpose form): axes → transpose (inverse-undo +
+    Gray encode), then bit-interleave with dim 0 most significant per
+    level.  ``codes`` is a list of np.int64 arrays, one per
+    dimension, each value in [0, 2^bits).  Pure numpy over the Arrow
+    batch — the per-level loop is parameter-axis (bits · n_dims
+    iterations), the data axis stays vectorized."""
+    import numpy as np
+
+    n = len(codes)
+    X = [c.copy() for c in codes]
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            inv = (X[i] & q) != 0
+            X[0] = np.where(inv, X[0] ^ p, X[0])
+            t = np.where(inv, 0, (X[0] ^ X[i]) & p)
+            X[0] ^= t
+            X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    q = 1 << (bits - 1)
+    while q > 1:
+        t = np.where((X[n - 1] & q) != 0, t ^ (q - 1), t)
+        q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = np.zeros_like(X[0])
+    for j in range(bits):
+        for i in range(n):
+            d |= ((X[i] >> j) & 1) << (j * n + (n - 1 - i))
+    return d
+
+
 def with_hilbert(
     df: DataFrame,
     cols: list[str],
@@ -250,7 +289,7 @@ def with_hilbert(
     ranges: dict[str, tuple[int, int]] | None = None,
     out_col: str = "__h",
 ) -> DataFrame:
-    """``df`` plus the 2-D HILBERT curve key over two numeric
+    """``df`` plus the HILBERT curve key over two to four numeric
     clustering columns — the locality upgrade over ``with_zorder``
     (Hilbert 1891; Faloutsos & Roseman 1989 showed Hilbert beats
     Z-order on range-query locality because CONSECUTIVE curve cells
@@ -262,18 +301,26 @@ def with_hilbert(
     ``ranges``, null column → null key); strings must be pre-encoded
     (the ZDICT path is Z-order-only — pass the numeric code).
 
-    The key is the standard xy→d state loop (one reflect/swap per
-    bit level).  The state at level k feeds level k−1, so a pure
-    column-expression unroll doubles in size per level (the round-9
-    Catalyst-depth class); the engine is therefore a vectorized Arrow
-    scan (the X53-arrow documented escape: parameter-axis state, not
-    data-axis) — zero exchanges, exact int64 throughout, and the
-    DuckDB oracle unrolls the same loop as materialized CTE steps.
+    Two dimensions use the classic xy→d state loop (one reflect/swap
+    per bit level — kept bit-for-bit stable for the registered 2-D
+    oracle); three or four dimensions use Skilling's transpose form
+    of the Butz/Hamilton walk (``_hilbert_nd`` — round 13, VERDICT
+    r12 item 4).  Either way the state at level k feeds level k−1, so
+    a pure column-expression unroll doubles in size per level (the
+    round-9 Catalyst-depth class); the engine is therefore a
+    vectorized Arrow scan (the X53-arrow documented escape:
+    parameter-axis state, not data-axis) — zero exchanges, exact
+    int64 throughout, and the DuckDB oracles unroll the same loops as
+    materialized CTE steps.
     """
-    if len(cols) != 2:
-        raise ValueError("with_hilbert: exactly two clustering columns")
-    if 2 * n_bits > 62:
-        raise ValueError(f"with_hilbert: 2×{n_bits} bits exceeds a signed key")
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(
+            "with_hilbert: two to four clustering columns"
+        )
+    if len(cols) * n_bits > 62:
+        raise ValueError(
+            f"with_hilbert: {len(cols)}×{n_bits} bits exceeds a signed key"
+        )
     dtypes = dict(df.dtypes)
     if any(dtypes.get(c) == "string" for c in cols):
         raise ValueError(
@@ -311,14 +358,16 @@ def with_hilbert(
         code_cols.append(code)
     from pyspark.sql import types as T
 
-    prepared = df.withColumn("__cx", code_cols[0]).withColumn(
-        "__cy", code_cols[1]
-    )
+    code_names = [f"__c{i}" for i in range(len(code_cols))]
+    prepared = df
+    for name, code in zip(code_names, code_cols):
+        prepared = prepared.withColumn(name, code)
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
     orig_cols = list(df.columns)
     bits = n_bits
+    two_d = len(cols) == 2
 
     def key(batches):
         import numpy as np
@@ -327,25 +376,27 @@ def with_hilbert(
         for pdf in batches:
             if not len(pdf):
                 continue
-            xr = pdf["__cx"].to_numpy(dtype="float64")
-            yr = pdf["__cy"].to_numpy(dtype="float64")
-            ok = np.isfinite(xr) & np.isfinite(yr)
-            x = np.where(ok, xr, 0).astype(np.int64)
-            y = np.where(ok, yr, 0).astype(np.int64)
-            d = np.zeros(len(x), dtype=np.int64)
-            s = 1 << (bits - 1)
-            while s > 0:
-                rx = ((x & s) > 0).astype(np.int64)
-                ry = ((y & s) > 0).astype(np.int64)
-                d += s * s * ((3 * rx) ^ ry)
-                flip = ry == 0
-                fx = np.where(rx == 1, s - 1 - x, x)
-                fy = np.where(rx == 1, s - 1 - y, y)
-                x, y = (
-                    np.where(flip, fy, x),
-                    np.where(flip, fx, y),
-                )
-                s >>= 1
+            raw = [pdf[n].to_numpy(dtype="float64") for n in code_names]
+            ok = np.logical_and.reduce([np.isfinite(a) for a in raw])
+            codes = [np.where(ok, a, 0).astype(np.int64) for a in raw]
+            if two_d:
+                x, y = codes
+                d = np.zeros(len(x), dtype=np.int64)
+                s = 1 << (bits - 1)
+                while s > 0:
+                    rx = ((x & s) > 0).astype(np.int64)
+                    ry = ((y & s) > 0).astype(np.int64)
+                    d += s * s * ((3 * rx) ^ ry)
+                    flip = ry == 0
+                    fx = np.where(rx == 1, s - 1 - x, x)
+                    fy = np.where(rx == 1, s - 1 - y, y)
+                    x, y = (
+                        np.where(flip, fy, x),
+                        np.where(flip, fx, y),
+                    )
+                    s >>= 1
+            else:
+                d = _hilbert_nd(codes, bits)
             out = pdf[orig_cols].copy()
             out[out_col] = pd.array(
                 [int(v) if k else None for v, k in zip(d, ok)],
@@ -365,8 +416,8 @@ def write_hilbert_ordered(
     ranges: dict[str, tuple[int, int]] | None = None,
     commit=None,
 ) -> None:
-    """Write ``df`` clustered by the HILBERT key of two numeric
-    ``cols`` into ``n_files`` range-partitioned files — the
+    """Write ``df`` clustered by the HILBERT key of two to four
+    numeric ``cols`` into ``n_files`` range-partitioned files — the
     ``write_zordered`` contract on the better-locality curve: every
     file covers one curve interval, and Hilbert intervals are
     CONNECTED grid regions (no power-of-two seam jumps), so per-file

@@ -1115,6 +1115,7 @@ _TAIL_QUERIES = [
     "j8_broadcast_lookup",
     "layout_zorder",
     "layout_hilbert",
+    "layout_hilbert_3d",
     "j10_symbol_remap",
     "multimodal_features",
     "dedup_setsim_prefix",

@@ -647,6 +647,114 @@ FROM h{idx} GROUP BY 1"""
     )
 
 
+def layout_hilbert_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 N-D Hilbert clustering key (VERDICT r12 item 4) over
+    (l_orderkey, l_partkey, l_suppkey) — Skilling's transpose form of
+    the Butz/Hamilton walk at 8 bits/dim (24-bit key), same shift
+    quantization and bucket report shape as layout_hilbert, so the
+    2-D and 3-D oracles value-check identical plumbing around the two
+    curve engines."""
+    from genie_spark.io.layout import with_hilbert
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    h = with_hilbert(
+        li, ["l_orderkey", "l_partkey", "l_suppkey"], n_bits=8
+    )
+    return h.groupBy(F.shiftright("__h", 8).alias("h_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__h").alias("h_min"),
+        F.max("__h").alias("h_max"),
+    )
+
+
+def _hilbert3d_sql(n_bits: int = 8) -> str:
+    """DuckDB mirror of the 3-D Skilling walk: identical shift
+    quantization, then the inverse-undo loop UNROLLED as one
+    materialized CTE per (level, dimension) step, followed by the
+    Gray encode, the t-fold over x2's bits, and the bit interleave
+    (dim 0 most significant per level) — exactly ``_hilbert_nd``."""
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    parts = [
+        f"""b AS (
+  SELECT {", ".join(f"min({c}) AS lo_{i}, max({c}) AS hi_{i}"
+                    for i, c in enumerate(cols))}
+  FROM lineitem
+)""",
+        f"""s AS (
+  SELECT {", ".join(f"lo_{i}" for i in range(3))},
+         {", ".join(
+             f"greatest(length(bin(hi_{i} - lo_{i})) - {n_bits}, 0)"
+             f" AS sh_{i}" for i in range(3))}
+  FROM b
+)""",
+        f"""h0 AS (
+  SELECT {", ".join(f"(({c} - lo_{i}) >> sh_{i}) AS x{i}"
+                    for i, c in enumerate(cols))}
+  FROM lineitem, s
+)""",
+    ]
+    idx = 0
+    q = 1 << (n_bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(3):
+            idx += 1
+            if i == 0:
+                sel = (
+                    f"CASE WHEN (x0 & {q}) != 0 THEN xor(x0, {p}) "
+                    f"ELSE x0 END AS x0, x1, x2"
+                )
+            else:
+                others = ", ".join(
+                    f"x{j}" for j in range(1, 3) if j != i
+                )
+                sel = (
+                    f"CASE WHEN (x{i} & {q}) != 0 THEN xor(x0, {p}) "
+                    f"ELSE xor(x0, xor(x0, x{i}) & {p}) END AS x0, "
+                    f"CASE WHEN (x{i} & {q}) != 0 THEN x{i} "
+                    f"ELSE xor(x{i}, xor(x0, x{i}) & {p}) END AS x{i}"
+                    + (f", {others}" if others else "")
+                )
+            parts.append(f"h{idx} AS (SELECT {sel} FROM h{idx - 1})")
+        q >>= 1
+    idx += 1
+    parts.append(
+        f"""h{idx} AS (
+  SELECT x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2
+  FROM h{idx - 1})"""
+    )
+    tfold = "CAST(0 AS BIGINT)"
+    for k in range(1, n_bits):
+        tfold = (
+            f"xor({tfold}, CASE WHEN ((x2 >> {k}) & 1) = 1 "
+            f"THEN {(1 << k) - 1} ELSE 0 END)"
+        )
+    idx += 1
+    parts.append(
+        f"h{idx} AS (SELECT x0, x1, x2, {tfold} AS t FROM h{idx - 1})"
+    )
+    idx += 1
+    parts.append(
+        f"""h{idx} AS (
+  SELECT xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2
+  FROM h{idx - 1})"""
+    )
+    terms = " + ".join(
+        f"(((x{i} >> {j}) & 1) * {1 << (j * 3 + (2 - i))})"
+        for j in range(n_bits)
+        for i in range(3)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT hd >> {n_bits} AS h_bucket, count(*) AS n_rows,
+       min(hd) AS h_min, max(hd) AS h_max
+FROM (SELECT ({terms}) AS hd FROM h{idx}) GROUP BY 1"""
+    )
+
+
 def dedup_edit_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance ≤ 1 near-miss pairs over distinct customer names
     (X46: FastSS deletion-neighborhood candidates + exact levenshtein
@@ -689,6 +797,7 @@ EXTRA_QUERIES: dict = {
     "a17_value_decreases": a17_value_decreases,
     "layout_zorder": layout_zorder,
     "layout_hilbert": layout_hilbert,
+    "layout_hilbert_3d": layout_hilbert_3d,
     "layout_zorder_str": layout_zorder_str,
     "dedup_edit_near": dedup_edit_near,
 }
@@ -709,6 +818,7 @@ EXTRA_ORACLES: dict = {
     "a17_value_decreases": A17_SQL,
     "layout_zorder": _zorder_sql(),
     "layout_hilbert": _hilbert_sql(),
+    "layout_hilbert_3d": _hilbert3d_sql(),
     "layout_zorder_str": _zorder_str_sql(),
     "dedup_edit_near": EDIT_NEAR_SQL,
 }

@@ -226,7 +226,7 @@ def test_hilbert_key_bijection_adjacency_and_nulls(spark):
         withnull, ["x", "y"], n_bits=4, ranges={"x": (0, 15), "y": (0, 15)}
     ).collect()}
     assert got[3] is None and got[2] is not None
-    with pytest.raises(ValueError, match="exactly two"):
+    with pytest.raises(ValueError, match="two to four"):
         with_hilbert(grid, ["x"], n_bits=4)
     with pytest.raises(ValueError, match="signed key"):
         with_hilbert(grid, ["x", "y"], n_bits=32)
@@ -288,3 +288,141 @@ def test_hilbert_prunes_both_dims_and_tightens_boxes(spark, tmp_path):
         .collect()
     )
     assert got == sorted((a, b) for a in range(n) for b in range(10, 14))
+
+
+def _skilling_ref(coords, b, n):
+    """Scalar reference model of Skilling's axes->Hilbert-index walk
+    (AIP Conf. Proc. 707, 2004) — the oracle-of-record for the
+    vectorized _hilbert_nd engine."""
+    X = list(coords)
+    q = 1 << (b - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (b - 1)
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = 0
+    for j in range(b):
+        for i in range(n):
+            d |= ((X[i] >> j) & 1) << (j * n + (n - 1 - i))
+    return d
+
+
+def test_hilbert_3d_bijection_adjacency_and_model(spark):
+    """r13 N-D Hilbert (VERDICT r12 item 4): on the full 16^3 grid the
+    3-D key is a bijection onto 0..4095, consecutive keys are always
+    grid-adjacent (Manhattan distance exactly 1), the vectorized
+    engine matches the scalar Skilling reference on every cell, and
+    3-col Z-order on the same grid breaks adjacency."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.io.layout import with_hilbert, with_zorder
+
+    n = 16
+    grid = spark.range(n * n * n).select(
+        (F.col("id") % n).alias("x"),
+        ((F.col("id") / n).cast("long") % n).alias("y"),
+        (F.col("id") / (n * n)).cast("long").alias("z"),
+    )
+    rng = {c: (0, n - 1) for c in ("x", "y", "z")}
+    out = with_hilbert(grid, ["x", "y", "z"], n_bits=4, ranges=rng)
+    rows = {r["__h"]: (r["x"], r["y"], r["z"]) for r in out.collect()}
+    assert sorted(rows) == list(range(n**3))  # bijection
+    assert all(
+        sum(abs(a - b) for a, b in zip(rows[d], rows[d + 1])) == 1
+        for d in range(n**3 - 1)
+    )  # FULL adjacency
+    assert all(
+        d == _skilling_ref(rows[d], 4, 3) for d in rows
+    )  # engine == scalar model
+    z = with_zorder(grid, ["x", "y", "z"], n_bits=4, ranges=rng)
+    zrows = {r["__z"]: (r["x"], r["y"], r["z"]) for r in z.collect()}
+    z_breaks = sum(
+        sum(abs(a - b) for a, b in zip(zrows[d], zrows[d + 1])) != 1
+        for d in range(n**3 - 1)
+    )
+    assert z_breaks > 0
+    # 4-D smoke: bijection on the 8^4 grid
+    m = 8
+    g4 = spark.range(m**4).select(
+        (F.col("id") % m).alias("a"),
+        ((F.col("id") / m).cast("long") % m).alias("b"),
+        ((F.col("id") / (m * m)).cast("long") % m).alias("c"),
+        (F.col("id") / (m * m * m)).cast("long").alias("d"),
+    )
+    r4 = {c: (0, m - 1) for c in ("a", "b", "c", "d")}
+    h4 = with_hilbert(g4, ["a", "b", "c", "d"], n_bits=3, ranges=r4)
+    keys = sorted(r["__h"] for r in h4.collect())
+    assert keys == list(range(m**4))
+
+
+def test_hilbert_3d_prunes_and_tightens_boxes(spark, tmp_path):
+    """r13: 3-col Hilbert-ordered files prune a narrow range on ANY of
+    the three dimensions through the txn log, and the summed per-file
+    bounding-VOLUME is no worse than 3-col Z-order's; pruned scans
+    stay exact."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.io.layout import write_hilbert_ordered, write_zordered
+    from genie_spark.io.txnlog import (
+        LogCommit,
+        read_snapshot,
+        snapshot_actions,
+        snapshot_files,
+    )
+
+    n, files = 16, 16
+    grid = spark.range(n * n * n).select(
+        (F.col("id") % n).alias("a"),
+        ((F.col("id") / n).cast("long") % n).alias("b"),
+        (F.col("id") / (n * n)).cast("long").alias("c"),
+    )
+    htbl = str(tmp_path / "h3tbl")
+    write_hilbert_ordered(grid, htbl, ["a", "b", "c"], n_files=files,
+                          n_bits=4, commit=LogCommit(orphan_grace_s=0.0))
+    ztbl = str(tmp_path / "z3tbl")
+    write_zordered(grid, ztbl, ["a", "b", "c"], n_files=files, n_bits=4,
+                   commit=LogCommit(orphan_grace_s=0.0))
+
+    assert len(snapshot_files(htbl)) == files
+    for col in ("a", "b", "c"):
+        assert len(
+            snapshot_files(htbl, ranges={col: (5, 6)})
+        ) <= files // 2, col
+
+    def box_volume_sum(table):
+        total = 0
+        for act in snapshot_actions(table).values():
+            st = act["stats"]
+            v = 1
+            for col in ("a", "b", "c"):
+                v *= int(st[col]["max"]) - int(st[col]["min"]) + 1
+            total += v
+        return total
+
+    assert box_volume_sum(htbl) <= box_volume_sum(ztbl)
+
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in read_snapshot(spark, htbl, ranges={"c": (5, 6)})
+        .where(F.col("c").between(5, 6))
+        .collect()
+    )
+    assert got == sorted(
+        (a, b, c) for a in range(n) for b in range(n) for c in (5, 6)
+    )
