@@ -1923,6 +1923,169 @@ def wordpiece_encode(
     return prepared.mapInPandas(encode, out_schema)
 
 
+WORDPIECE_SCORE_SCALE = 1_000_000_000
+
+
+def wordpiece_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
+    """The BERT-style base alphabet of a corpus: every word-initial
+    character as a head piece, every non-initial character as a
+    ``##`` continuation piece — the seed vocabulary
+    ``wordpiece_train`` extends and the floor ``wordpiece_encode``
+    falls back to.  One distinct-aggregate over the word table
+    (dim-sized result: ≤ 2·|charset| pieces)."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .where(F.length("__w") > 0)
+        .distinct()
+    )
+    chars = words.select(
+        F.posexplode(F.split(F.col("__w"), "")).alias("__i", "__ch")
+    ).where(F.length("__ch") > 0)
+    rows = (
+        chars.select(
+            F.when(F.col("__i") == 0, F.col("__ch"))
+            .otherwise(F.concat(F.lit("##"), F.col("__ch")))
+            .alias("piece")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["piece"] for r in rows)
+
+
+def wordpiece_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X78 — WordPiece vocabulary training (Schuster & Nakajima 2012;
+    the BERT tokenizer's train side, completing the BERT family the
+    way X52 completed GPT's): iteratively merge the adjacent symbol
+    pair with the highest LIKELIHOOD gain — score(l, r) =
+    count(l, r) / (count(l)·count(r)) — rather than BPE's raw count
+    (the published WordPiece/unigram-LM distinction; HuggingFace
+    tokenizers implements exactly this scoring rule).
+
+    Determinism and engine parity: the score is kept EXACT-INTEGER as
+    ``score_q = (pair_count · 10⁹) div (count_l · count_r)`` (decimal
+    intermediates, pmod-based floor — the moments_stats idiom, so no
+    float division anywhere), selection order pinned to (score_q
+    DESC, lhs, rhs).  Symbols use BERT's ``##`` continuation
+    convention: a word's state is ``" c ##h ##a ##t"``; merging
+    (l, r) produces ``l + r[2:]`` (the rhs is always a continuation
+    piece by construction), so head pieces stay heads and the learned
+    table feeds ``wordpiece_encode`` directly (vocab = the
+    ``wordpiece_alphabet`` seed + the merged spellings — round-trip
+    pinned by pytest).
+
+    Returns (step, lhs, rhs, merged, pair_count, score_q).
+
+    Spark shape (the plan contract): the corpus is scanned exactly
+    ONCE (the word-frequency groupBy); every iteration then runs on
+    the VOCABULARY state table — one split+posexplode pair count, one
+    explode symbol count, two broadcast joins of the dim-sized symbol
+    table onto the pair table, one TakeOrdered(1) winner, one
+    map-side literal replace, one eager localCheckpoint.  No
+    corpus re-scan, no data-sized shuffle.  The driver loop moves one
+    6-field row per step (the bpe_train contract); a production-sized
+    vocabulary would train driver-side on the collected histogram the
+    way ``bpe_train(engine="histogram")`` does.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .select(
+            # " c ##h ##a ##t": head char plain, continuations ##
+            F.concat(
+                F.lit(" "),
+                F.substring("__w", 1, 1),
+                F.regexp_replace(
+                    F.substring("__w", 2, 1_000_000), "(.)", " ##$1"
+                ),
+            ).alias("__s"),
+            "__f",
+        )
+    )
+    state = words.localCheckpoint(eager=True)
+    dec = "decimal(19,0)"
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.ltrim(F.col("__s")), " ")
+        pairs = (
+            state.where(F.size(arr) >= 2)
+            .select(
+                F.posexplode(F.slice(arr, 1, F.size(arr) - 1)).alias(
+                    "__i", "__l"
+                ),
+                F.element_at(arr, F.col("__i") + 2).alias("__r"),
+                "__f",
+            )
+            .groupBy("__l", "__r")
+            .agg(F.sum("__f").alias("__c"))
+        )
+        syms = (
+            state.select(F.explode(arr).alias("__sym"), "__f")
+            .groupBy("__sym")
+            .agg(F.sum("__f").alias("__n"))
+        )
+        num = F.col("__c").cast(dec) * WORDPIECE_SCORE_SCALE
+        den = F.col("__nl").cast(dec) * F.col("__nr").cast(dec)
+        rm = F.pmod(num, den)
+        scored = (
+            pairs.join(
+                F.broadcast(
+                    syms.select(
+                        F.col("__sym").alias("__l"),
+                        F.col("__n").alias("__nl"),
+                    )
+                ),
+                "__l",
+            )
+            .join(
+                F.broadcast(
+                    syms.select(
+                        F.col("__sym").alias("__r"),
+                        F.col("__n").alias("__nr"),
+                    )
+                ),
+                "__r",
+            )
+            .select(
+                "__l",
+                "__r",
+                "__c",
+                ((num - rm) / den).cast("long").alias("__q"),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("__q"), F.asc("__l"), F.asc("__r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs = best[0]["__l"], best[0]["__r"]
+        cnt, q = int(best[0]["__c"]), int(best[0]["__q"])
+        merged = lhs + rhs[2:]
+        merges.append((step, lhs, rhs, merged, cnt, q))
+        state = state.select(
+            F.replace(
+                F.col("__s"),
+                F.lit(f" {lhs} {rhs}"),
+                F.lit(f" {merged}"),
+            ).alias("__s"),
+            "__f",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step bigint, lhs string, rhs string, merged string, "
+        "pair_count bigint, score_q bigint",
+    )
+
+
 def wordpiece_coverage(
     df: DataFrame,
     vocab: list[str],

@@ -1116,6 +1116,7 @@ _TAIL_QUERIES = [
     "layout_zorder",
     "layout_hilbert",
     "layout_hilbert_3d",
+    "text_wordpiece_train",
     "j10_symbol_remap",
     "multimodal_features",
     "dedup_setsim_prefix",

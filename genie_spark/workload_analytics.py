@@ -3532,6 +3532,77 @@ QS_BY_K_MAX = 64
 QS_BY_PHIS = (333, 667)
 
 
+WP_TRAIN_MERGES = 6
+
+
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 WordPiece vocabulary trainer (Schuster & Nakajima 2012):
+    iterated likelihood-scored merge selection — score = pair_count /
+    (count_l · count_r) in exact integer score_q units — over the
+    word-frequency table with BERT's ## continuation convention;
+    (score_q DESC, lhs, rhs) deterministic order."""
+    from genie_spark.analytics.text import wordpiece_train
+
+    return wordpiece_train(_docs(spark, sf_dir), n_merges=WP_TRAIN_MERGES)
+
+
+def _wordpiece_train_sql(n_merges: int) -> str:
+    """DuckDB mirror of ``wordpiece_train``: the iteration UNROLLS
+    into a CTE chain — per step a pair count, a symbol count, the
+    HUGEINT-exact likelihood score ``(cnt·10⁹) // (n_l·n_r)`` (floor
+    matches Spark's pmod-decimal form on the nonnegative domain), a
+    1-row winner, and the ##-stripping merge replace."""
+    ctes = [
+        f"""w AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word
+),
+s0 AS (
+  SELECT ' ' || substr(word, 1, 1)
+         || regexp_replace(substr(word, 2), '(.)', ' ##\\1', 'g') AS s,
+         freq
+  FROM w)"""
+    ]
+    sels = []
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT regexp_split_to_array(ltrim(s), ' ') AS arr, freq FROM s{i - 1}
+),
+p{i} AS (
+  SELECT arr[i] AS lhs, arr[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT arr, freq, unnest(range(1, len(arr))) AS i FROM a{i})
+  GROUP BY lhs, rhs
+),
+u{i} AS (
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT unnest(arr) AS sym, freq FROM a{i})
+  GROUP BY sym
+),
+b{i} AS (
+  SELECT lhs, rhs, cnt,
+         CAST((CAST(cnt AS HUGEINT) * 1000000000)
+              // (CAST(ul.n AS HUGEINT) * ur.n) AS BIGINT) AS score_q
+  FROM p{i}
+  JOIN u{i} ul ON ul.sym = lhs
+  JOIN u{i} ur ON ur.sym = rhs
+  ORDER BY score_q DESC, lhs, rhs LIMIT 1
+),
+s{i} AS (
+  SELECT replace(s, ' ' || lhs || ' ' || rhs,
+                 ' ' || lhs || substr(rhs, 3)) AS s, freq
+  FROM s{i - 1}, b{i}
+)"""
+        )
+        sels.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, "
+            f"lhs || substr(rhs, 3) AS merged, cnt AS pair_count, "
+            f"score_q FROM b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def sketch_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X75 per-group mergeable quantile sketches: one X70 artifact per
     language over documents.n_chars (k_max=64 so per-lang levels are
@@ -3906,6 +3977,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "text_wordpiece_encode": text_wordpiece_encode,
     "text_wordpiece_coverage": text_wordpiece_coverage,
+    "text_wordpiece_train": text_wordpiece_train,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -3988,6 +4060,7 @@ ANALYTICS_ORACLES: dict = {
     "corpus_ccnet_buckets": CCNET_SQL,
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),
+    "text_wordpiece_train": _wordpiece_train_sql(WP_TRAIN_MERGES),
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

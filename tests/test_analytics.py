@@ -3902,3 +3902,91 @@ def test_wordpiece_coverage_slices_and_zero_guard(spark):
     e = got["empty"]
     assert e["n_words"] == 0
     assert e["unk_ppm"] is None and e["fertility_milli"] is None
+
+
+def _seq_wordpiece(texts, n_merges, scale=1_000_000_000):
+    """Sequential WordPiece trainer reference (Schuster-Nakajima
+    likelihood scoring, exact integer score_q, ## continuation
+    convention) — the X78 oracle-of-record."""
+    import collections
+
+    wf = collections.Counter(w for t in texts for w in t.split())
+    states = {}
+    for w, f in wf.items():
+        states[w] = (" " + w[0] + "".join(" ##" + c for c in w[1:]), f)
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: collections.Counter = collections.Counter()
+        uc: collections.Counter = collections.Counter()
+        for s, f in states.values():
+            syms = s.strip().split(" ")
+            for sym in syms:
+                uc[sym] += f
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        best = None
+        for (l, r), c in pc.items():
+            q = (c * scale) // (uc[l] * uc[r])
+            key = (-q, l, r)
+            if best is None or key < best[0]:
+                best = (key, l, r, c, q)
+        _, l, r, c, q = best
+        merged = l + r[2:]
+        merges.append((step, l, r, merged, c, q))
+        states = {
+            w: (s.replace(f" {l} {r}", f" {merged}"), f)
+            for w, (s, f) in states.items()
+        }
+    return merges
+
+
+def test_wordpiece_train_matches_model_and_roundtrips(spark):
+    """X78: the trainer matches the sequential likelihood-scored
+    reference exactly (including the case where WordPiece's rule
+    picks a DIFFERENT merge than BPE's raw count — the defining
+    distinction), and round-trips with X73: vocab = alphabet seed +
+    merged pieces encodes the corpus with every emitted piece in the
+    vocab and zero UNKs on in-alphabet words."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.text import (
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    # (q,##u) appears only 2x but q and ##u appear nowhere else
+    # (score 2/(2*2) = 0.5); (t,##h) appears 40x but t and ##h are
+    # everywhere (score 40/(40*56)) — BPE's count rule picks (t,##h),
+    # WordPiece's likelihood rule must pick (q,##u)
+    texts = ["the that this than then myth both"] * 8 + ["qu"] * 2
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
+    want = _seq_wordpiece(texts, 6)
+    assert got == want
+    assert got[0][1] == "q"  # the likelihood rule, not the count rule
+    # determinism
+    again = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
+    assert again == got
+    # round-trip with X73
+    vocab = wordpiece_alphabet(docs) + [m[3] for m in got]
+    enc = wordpiece_encode(docs, vocab)
+    rows = enc.collect()
+    assert rows and all(r["n_unk_words"] == 0 for r in rows)
+    vocab_set = set(vocab)
+    for r in rows:
+        for piece in r["wp_text"].split(" "):
+            assert piece in vocab_set, piece
+    # the real corpus shape too: train on sf0.001 docs and round-trip
+    sf_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(150).where(F.col("text").isNotNull())
+    table = [tuple(r) for r in wordpiece_train(sf_docs, n_merges=5).collect()]
+    assert len(table) == 5
+    v2 = set(wordpiece_alphabet(sf_docs)) | {m[3] for m in table}
+    enc2 = wordpiece_encode(sf_docs, sorted(v2), max_word_chars=32)
+    for r in enc2.collect():
+        for piece in r["wp_text"].split(" "):
+            assert piece == "[UNK]" or piece in v2
