@@ -946,6 +946,14 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
         )
     for name, df in outputs.items():
         df.write.mode("overwrite").parquet(os.path.join(args.output, name))
+    render_path = getattr(args, "render", None)
+    if render_path:
+        text = dashboard_markdown(
+            outputs, release=getattr(args, "release_label", None) or "release"
+        )
+        with open(render_path, "w") as f:
+            f.write(text)
+        print(f"dashboard markdown → {render_path}")
     html_path = getattr(args, "html", None)
     if html_path:
         # render from the STORED parquet, not the in-memory frames —
@@ -966,6 +974,130 @@ def cmd_dashboard(spark: SparkSession, args: argparse.Namespace) -> int:
 # shows the first rows and says so (the aggregate tables are dim-sized
 # and render whole)
 _DASHBOARD_HTML_CAP = 200
+
+
+def _md_table(df, cap: int = _DASHBOARD_HTML_CAP, headers=None) -> list[str]:
+    """One GitHub-markdown table from a DataFrame: stringified cells,
+    rows sorted by their values (deterministic artifact), pipes
+    escaped, sample-level tables capped with an explicit note — the
+    dashboard_html row discipline in markdown."""
+    cols = df.columns
+    sdf = df.select(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+            for c in cols
+        ]
+    )
+    total = sdf.count()
+    rows = [
+        [r[c].replace("|", "\\|") for c in cols]
+        for r in sdf.orderBy(*cols).limit(cap).collect()
+    ]
+    names = headers if headers is not None else cols
+    out = [
+        "| " + " | ".join(n.replace("|", "\\|") for n in names) + " |",
+        "|" + "|".join(" --- " for _ in names) + "|",
+    ]
+    out += ["| " + " | ".join(r) + " |" for r in rows]
+    if total > cap:
+        out.append("")
+        out.append(f"_first {cap} of {total} rows_")
+    out.append("")
+    return out
+
+
+def dashboard_markdown(
+    outputs: dict, release: str = "release", cap: int = _DASHBOARD_HTML_CAP
+) -> str:
+    """Markdown dashboard document — the counterpart of the
+    reference's Rmd-rendered release dashboard
+    (R/dashboard_markdown_generator.R renders
+    templates/dashboardTemplate.Rmd per release): the same section
+    ladder — title = release, sample/variant counts per center,
+    samples per release, release-over-release differences with
+    decrease flags, the Genome Nexus failed-annotation summary (the
+    Rmd's exact kable column names), and the clinical-attribute
+    distribution tables — rendered driver-side from the SAME
+    DataFrames the dashboard command stores, stdlib templating only.
+    Sections whose inputs are absent from the warehouse are omitted,
+    like the Rmd's conditional chunks."""
+    lines = [f"# GENIE dashboard — {release}", ""]
+
+    def section(title: str, level: int = 2) -> None:
+        lines.append("#" * level + " " + title)
+        lines.append("")
+
+    def emit(name: str, caption: str | None = None, headers=None) -> None:
+        df = outputs.get(name)
+        if df is None:
+            return
+        if caption:
+            lines.append(f"**{caption}**")
+            lines.append("")
+        lines.extend(_md_table(df, cap, headers=headers))
+
+    if "sample_counts" in outputs or "distinct_samples" in outputs:
+        # templates/dashboardTemplate.Rmd "Sample and Variant Count
+        # per center" (kable of per-center counts)
+        section("Sample and Variant Count per center")
+        emit("sample_counts", "Rows per center (with Total)")
+        emit("distinct_samples", "Distinct samples per center")
+    if "samples_in_release" in outputs:
+        # the Rmd's samplesPerReleaseDf kable: one row per release
+        # with its sample count, derived from the membership matrix
+        section("Samples per release")
+        m = outputs["samples_in_release"]
+        rel_cols = [c for c in m.columns if c != "SAMPLE_ID"]
+        if rel_cols:
+            sums = m.agg(
+                *[F.sum(F.col(c)).cast("long").alias(c) for c in rel_cols]
+            ).first()
+            lines.extend(
+                [
+                    "| Release | Number of samples |",
+                    "| --- | --- |",
+                    *[
+                        f"| {c} | {sums[c]} |"
+                        for c in sorted(rel_cols)
+                    ],
+                    "",
+                ]
+            )
+    if "sample_diff" in outputs or "decrease_check" in outputs:
+        # dashboard_table_updater.py:398-483 update_sample_difference_
+        # table — the Rmd renders the release-over-release deltas and
+        # flags decreases (the retraction-policy watch signal)
+        section("Release-over-release differences")
+        emit("sample_diff", "Per-center deltas vs previous release")
+        emit("decrease_check", "Centers with a count DECREASE")
+    if "failed_annotations" in outputs:
+        # the Rmd's exact kable: col.names = c("Center", "Number of
+        # failed annotations")
+        section("Genome nexus failed annotations summary", level=3)
+        emit(
+            "failed_annotations",
+            headers=["Center", "Number of failed annotations"],
+        )
+    clin = [
+        n
+        for n in (
+            "completeness",
+            "oncotree_matrix",
+            "primary_code_matrix",
+            "clinical_value_decreases",
+        )
+        if n in outputs
+    ]
+    if clin:
+        section("Distribution of Clinical Attributes")
+        emit("completeness", "Completeness per center and column")
+        emit("oncotree_matrix", "Oncotree code × center counts")
+        emit("primary_code_matrix", "Primary oncotree node × center counts")
+        emit(
+            "clinical_value_decreases",
+            "Clinical value-count decreases vs previous release",
+        )
+    return "\n".join(lines)
 
 
 def dashboard_html(
@@ -1831,6 +1963,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--html", default=None,
         help="also render the stored dashboard tables to one static "
         "HTML page (the reference's Rmd dashboard counterpart)",
+    )
+    d.add_argument(
+        "--render", default=None,
+        help="also render the dashboard DataFrames to one markdown "
+        "document with the reference Rmd's section ladder "
+        "(R/dashboard_markdown_generator.R counterpart)",
+    )
+    d.add_argument(
+        "--release-label", dest="release_label", default=None,
+        help="release title for the rendered markdown document",
     )
     d.set_defaults(fn=cmd_dashboard)
 

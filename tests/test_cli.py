@@ -3075,3 +3075,81 @@ def test_corpus_mix_cli_temperature(spark, tmp_path, capsys):
         temperature_target=10, temperature_halvings=1,
     )
     assert cmd_corpus_mix(spark, both) == 2
+
+
+def test_dashboard_markdown_golden(spark, tmp_path):
+    """--render writes the Rmd-counterpart markdown document from the
+    same DataFrames the dashboard stores (r13, VERDICT r12 item 6) —
+    byte-identical to the committed golden file on a fixed literal
+    fixture (literal rows, not testdata, so driver regeneration of
+    /root/testdata can't shift the golden)."""
+    from genie_spark.cli import cmd_dashboard
+
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(wh)
+    centers = ["SAGE", "DFCI", "MSK", "UHN", "VICC"]
+    codes = ["LUAD", "BRCA", "GBM"]
+    rows = [
+        (f"GENIE-{centers[i % 5]}-{i:03d}", centers[i % 5], codes[(i * 7) % 3])
+        for i in range(1, 41)
+    ]
+    spark.createDataFrame(
+        rows, "SAMPLE_ID string, CENTER string, ONCOTREE_CODE string"
+    ).write.parquet(os.path.join(wh, "clinical"))
+    md = str(tmp_path / "dashboard.md")
+    rc = cmd_dashboard(
+        spark,
+        _ns(
+            warehouse=wh, output=str(tmp_path / "dash"), html=None,
+            render=md, release_label="fixture-release",
+        ),
+    )
+    assert rc == 0
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "dashboard_fixture.md"
+    )
+    with open(md) as got, open(golden) as want:
+        assert got.read() == want.read()
+
+
+def test_dashboard_markdown_sections_and_caps(spark, tmp_path):
+    """The renderer emits the reference Rmd's conditional sections —
+    failed-annotation summary with the Rmd's exact kable column names,
+    release-over-release diffs, samples-per-release totals — and caps
+    sample-level tables with an explicit note."""
+    from genie_spark.cli import dashboard_markdown
+
+    clin = spark.createDataFrame(
+        [(f"GENIE-SAGE-{i}", "SAGE") for i in range(5)],
+        "SAMPLE_ID string, CENTER string",
+    )
+    failed = spark.createDataFrame(
+        [("SAGE", 3), ("DFCI", 1)], "Center string, Failed_Annotations long"
+    )
+    diff = spark.createDataFrame(
+        [(f"C{i:03d}", "v2", -2) for i in range(300)],
+        "Center string, Release string, samples long",
+    )
+    matrix = spark.createDataFrame(
+        [(f"GENIE-SAGE-{i}", 1, 1 if i % 2 else 0) for i in range(300)],
+        "SAMPLE_ID string, v1 int, v2 int",
+    )
+    text = dashboard_markdown(
+        {
+            "sample_counts": clin.groupBy("CENTER").count(),
+            "failed_annotations": failed,
+            "sample_diff": diff,
+            "decrease_check": diff,
+            "samples_in_release": matrix,
+        },
+        release="9.9-consortium",
+        cap=100,
+    )
+    assert text.startswith("# GENIE dashboard — 9.9-consortium")
+    assert "## Sample and Variant Count per center" in text
+    assert "### Genome nexus failed annotations summary" in text
+    assert "| Center | Number of failed annotations |" in text
+    assert "## Release-over-release differences" in text
+    assert "## Samples per release" in text
+    assert "| v1 | 300 |" in text and "| v2 | 150 |" in text
+    assert "_first 100 of 300 rows_" in text
