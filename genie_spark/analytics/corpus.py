@@ -1007,9 +1007,10 @@ def dsir_sample(
     ranked = scored.withColumn("__h", h).orderBy(
         F.desc("score_bits"), F.asc("__h"), F.asc(id_col)
     ).limit(k)
-    w = Window.orderBy(F.desc("score_bits"), F.asc("__h"), F.asc(id_col))
-    out = ranked.withColumn(
-        "rank", F.row_number().over(w).cast("long")
+    from genie_spark.functions.ranking import rank_bounded
+
+    out = rank_bounded(
+        ranked, F.desc("score_bits"), F.asc("__h"), F.asc(id_col)
     ).drop("__h")
     return _release_on_gc(_release_on_gc(out, cq), cp)
 
@@ -1144,8 +1145,9 @@ def soft_dedup(
         .orderBy(F.desc("priority"), F.asc(id_col))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("priority"), F.asc(id_col))
-    out = ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+    from genie_spark.functions.ranking import rank_bounded
+
+    out = rank_bounded(ranked, F.desc("priority"), F.asc(id_col))
     return _release_on_gc(out, counts)
 
 

@@ -422,8 +422,9 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+    from genie_spark.functions.ranking import rank_bounded
+
+    return rank_bounded(ranked, F.desc("score"), F.asc(id_col))
 
 
 def hashed_linear_classify(
@@ -1230,8 +1231,9 @@ def token_drift(
     ranked = merged.orderBy(
         F.desc("drift_ppm"), F.asc("token")
     ).limit(k)
-    w = Window.orderBy(F.desc("drift_ppm"), F.asc("token"))
-    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+    from genie_spark.functions.ranking import rank_bounded
+
+    return rank_bounded(ranked, F.desc("drift_ppm"), F.asc("token"))
 
 
 # Gopher rule battery (Rae et al. 2021, arXiv 2112.11446 Table A1) —
