@@ -984,6 +984,31 @@ def main() -> None:
         ),
     )
 
+    # X78 WordPiece trainer: corpus scanned once (word count), then
+    # vocab-table iterations — slope must track the word-count scan
+    from genie_spark.analytics.text import wordpiece_train
+
+    probe("wordpiece_train", lambda n: wordpiece_train(docs(n), n_merges=4))
+
+    # X76 3-D Hilbert: vectorized Skilling walk over an Arrow scan —
+    # slope must track the scan like the 2-D path
+    from genie_spark.io.layout import with_hilbert
+
+    def run_hilbert3d(n):
+        base = spark.range(n).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 37 % 65536).alias("b"),
+            (F.col("id") * 97 % 65536).alias("c"),
+        )
+        return with_hilbert(
+            base,
+            ["a", "b", "c"],
+            n_bits=16,
+            ranges={"a": (0, n), "b": (0, 65535), "c": (0, 65535)},
+        )
+
+    probe("hilbert_3d", run_hilbert3d)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
