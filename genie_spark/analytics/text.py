@@ -1925,6 +1925,133 @@ def wordpiece_encode(
     return prepared.mapInPandas(encode, out_schema)
 
 
+def unigram_encode(
+    df: DataFrame,
+    pieces: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_chars: int = 12,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """X79 — Unigram-LM Viterbi encoding (Kudo, ACL 2018 — the
+    SentencePiece/T5 tokenizer's inference algorithm), completing the
+    tokenizer ladder's third published family (BPE = GPT, WordPiece =
+    BERT, Unigram = T5/SentencePiece): per word, the segmentation
+    maximizing the summed piece scores under a SCORED vocabulary —
+    dynamic programming over prefix positions, not greedy matching
+    (greedy WordPiece can be globally suboptimal; Viterbi is exact).
+
+    ``pieces`` maps piece → integer score (milli log-prob; negative).
+    Determinism contract (mirrored by the DuckDB oracle's unrolled DP
+    CTEs): exact-integer scores, and at equal prefix score the
+    SMALLEST back-pointer wins — i.e. the LONGEST final piece —
+    evaluated in ascending back-pointer order, a total rule with no
+    float and no residual ties.  Words longer than
+    ``max_word_chars`` or with no reachable segmentation become one
+    ``unk`` piece (scoring 0), the X73 whole-word-UNK contract.
+
+    Returns (id, unig_text, n_words, n_pieces, n_unk_words,
+    score_milli): space-joined pieces in document order, whitespace-
+    token / piece / UNK-word counts, and the exact summed score of
+    the non-UNK words.  NULL-text rows are excluded.
+
+    Spark shape: identical to X73 — tokenization in Spark (the shared
+    ``tokens()`` projection), the DP in an Arrow ``mapInPandas``
+    batch encoder with a per-batch distinct-word cache; zero
+    exchanges (scan → project → MapInPandas).
+    """
+    if not pieces:
+        raise ValueError("unigram_encode: empty pieces table")
+    for p in pieces:
+        if not p or " " in p:
+            raise ValueError(
+                f"unigram_encode: invalid piece {p!r} (empty or spaced)"
+            )
+    table = {str(p): int(s) for p, s in pieces.items()}
+    max_piece = max(len(p) for p in table)
+
+    out_schema = (
+        f"{id_col} long, unig_text string, n_words long, "
+        "n_pieces long, n_unk_words long, score_milli long"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        def viterbi(w: str):
+            if not w or len(w) > max_word_chars:
+                return None
+            n = len(w)
+            best: list = [None] * (n + 1)
+            back = [0] * (n + 1)
+            best[0] = 0
+            for j in range(1, n + 1):
+                bj, pj = None, 0
+                for i in range(max(0, j - max_piece), j):
+                    if best[i] is None:
+                        continue
+                    sc = table.get(w[i:j])
+                    if sc is None:
+                        continue
+                    cand = best[i] + sc
+                    # strict > with ascending i: ties keep the
+                    # SMALLEST back-pointer (longest final piece)
+                    if bj is None or cand > bj:
+                        bj, pj = cand, i
+                best[j], back[j] = bj, pj
+            if best[n] is None:
+                return None
+            parts: list[str] = []
+            pos = n
+            while pos > 0:
+                i = back[pos]
+                parts.append(w[i:pos])
+                pos = i
+            return list(reversed(parts)), best[n]
+
+        cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, texts, nw, np_, nu, sm = [], [], [], [], [], []
+            for did, toks_row in zip(pdf[id_col], pdf["__toks"]):
+                segs: list[str] = []
+                unk_words = 0
+                score = 0
+                for w in toks_row:
+                    if w not in cache:
+                        cache[w] = viterbi(w)
+                    r = cache[w]
+                    if r is None:
+                        segs.append(unk)
+                        unk_words += 1
+                    else:
+                        segs.extend(r[0])
+                        score += r[1]
+                ids.append(did)
+                texts.append(" ".join(segs))
+                nw.append(len(toks_row))
+                np_.append(len(segs))
+                nu.append(unk_words)
+                sm.append(score)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "unig_text": texts,
+                    "n_words": nw,
+                    "n_pieces": np_,
+                    "n_unk_words": nu,
+                    "score_milli": sm,
+                }
+            )
+
+    prepared = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(text_col).alias("__toks"),
+    )
+    return prepared.mapInPandas(encode, out_schema)
+
+
 WORDPIECE_SCORE_SCALE = 1_000_000_000
 
 

@@ -1117,6 +1117,7 @@ _TAIL_QUERIES = [
     "layout_hilbert",
     "layout_hilbert_3d",
     "text_wordpiece_train",
+    "text_unigram_encode",
     "j10_symbol_remap",
     "multimodal_features",
     "dedup_setsim_prefix",

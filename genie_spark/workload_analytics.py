@@ -3532,6 +3532,144 @@ QS_BY_K_MAX = 64
 QS_BY_PHIS = (333, 667)
 
 
+UNIG_MAX_WORD = 12
+# scored unigram vocabulary (milli log-probs): single letters as the
+# floor, corpus-frequent multi-char pieces cheaper than their letter
+# spell-outs so the Viterbi DP makes non-trivial choices
+UNIGRAM_VOCAB = {
+    **{chr(c): -6000 for c in range(ord("a"), ord("z") + 1)},
+    "an": -7000, "in": -7000, "er": -7000, "on": -7000, "ing": -7500,
+    "scan": -9000, "sort": -9000, "part": -9000, "line": -9000,
+    "key": -8500, "join": -9000, "order": -9500, "value": -9500,
+    "window": -9800, "column": -9800, "group": -9500, "query": -9500,
+    "merge": -9200, "agg": -8500, "table": -9500, "tion": -8000,
+}
+
+
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 Unigram-LM Viterbi encode (Kudo 2018; the SentencePiece/T5
+    tokenizer inference): exact DP segmentation under a scored
+    vocabulary — completes the tokenizer ladder's third family (BPE =
+    GPT, WordPiece = BERT, Unigram = T5).  Words with characters
+    outside the vocabulary (digits, punctuation) or over 12 chars
+    become [UNK]."""
+    from genie_spark.analytics.text import unigram_encode
+
+    return unigram_encode(
+        _docs(spark, sf_dir), UNIGRAM_VOCAB, max_word_chars=UNIG_MAX_WORD
+    )
+
+
+def _unigram_sql(pieces: dict, max_word: int) -> str:
+    """DuckDB mirror of ``unigram_encode``: the Viterbi DP UNROLLS —
+    one CTE per prefix position j computing b{j} (best score, NULL
+    unreachable) and p{j} (back-pointer, smallest index on ties via
+    an ascending CASE), then one CTE per backtrack step rebuilding
+    the piece string — in LOCKSTEP with the Arrow engine's integer
+    DP."""
+    sent = -(1 << 62)
+    senth = sent // 2
+    max_piece = max(len(p) for p in pieces)
+    vals = ", ".join(
+        f"('{p}', CAST({int(s)} AS BIGINT))" for p, s in sorted(pieces.items())
+    )
+    n = max_word
+    parts = [
+        f"vocab(piece, sc) AS (SELECT * FROM (VALUES {vals}))",
+        f"t AS (SELECT doc_id, {_TOKS} AS toks FROM documents"
+        " WHERE text IS NOT NULL)",
+        """words AS (
+  SELECT doc_id, i AS widx, toks[i] AS word
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t))""",
+        """st0 AS (
+  SELECT doc_id, widx, word, length(word) AS len, CAST(0 AS BIGINT) AS b0
+  FROM words)""",
+    ]
+    for j in range(1, n + 1):
+        lo = max(0, j - max_piece)
+        prev_cols = (
+            ["doc_id", "widx", "word", "len"]
+            + [f"b{i}" for i in range(j)]
+            + [f"p{i}" for i in range(1, j)]
+        )
+        s_exprs = ",\n           ".join(
+            f"CASE WHEN {j} <= len AND b{i} IS NOT NULL THEN b{i} + "
+            f"(SELECT sc FROM vocab v WHERE v.piece = "
+            f"substr(word, {i + 1}, {j - i})) END AS s{i}"
+            for i in range(lo, j)
+        )
+        mx = "greatest(" + ", ".join(
+            f"coalesce(s{i}, CAST({sent} AS BIGINT))" for i in range(lo, j)
+        ) + ")"
+        p_case = " ".join(
+            f"WHEN s{i} = mx THEN {i}" for i in range(lo, j)
+        )
+        parts.append(
+            f"""st{j} AS (
+  SELECT {", ".join(prev_cols)},
+         CASE WHEN mx > {senth} THEN mx END AS b{j},
+         CASE {p_case} END AS p{j}
+  FROM (
+    SELECT *, {mx} AS mx
+    FROM (SELECT *,
+           {s_exprs}
+          FROM st{j - 1})))"""
+        )
+    keep = ["doc_id", "widx", "word", "len"] + [
+        f"p{i}" for i in range(1, n + 1)
+    ]
+    wscore = "CASE " + " ".join(
+        f"WHEN len = {j} THEN b{j}" for j in range(1, n + 1)
+    ) + " END"
+    parts.append(
+        f"""w0 AS (
+  SELECT {", ".join(keep)}, {wscore} AS wscore, len AS pos,
+         CAST('' AS VARCHAR) AS acc,
+         (len > {n}) OR ({wscore}) IS NULL AS failed
+  FROM st{n})"""
+    )
+    isel = "CASE " + " ".join(
+        f"WHEN pos = {j} THEN p{j}" for j in range(1, n + 1)
+    ) + " END"
+    carry = ", ".join(keep + ["wscore", "failed"])
+    for k in range(1, n + 1):
+        parts.append(
+            f"""w{k} AS (
+  SELECT {carry},
+    CASE WHEN failed OR pos = 0 THEN pos ELSE isel END AS pos,
+    CASE WHEN failed OR pos = 0 THEN acc
+         ELSE substr(word, isel + 1, pos - isel)
+              || (CASE WHEN acc = '' THEN '' ELSE ' ' END) || acc
+    END AS acc
+  FROM (SELECT *, {isel} AS isel FROM w{k - 1}))"""
+        )
+    parts.append(
+        f"""agg AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN failed THEN '[UNK]' ELSE acc END,
+               ' ' ORDER BY widx) AS unig_text,
+    CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(CASE WHEN failed THEN 1
+                  ELSE length(acc) - length(replace(acc, ' ', '')) + 1
+             END) AS BIGINT) AS n_pieces,
+    CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+    CAST(sum(CASE WHEN failed THEN 0 ELSE wscore END) AS BIGINT)
+        AS score_milli
+  FROM w{n} GROUP BY doc_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT d.doc_id, coalesce(a.unig_text, '') AS unig_text,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.n_unk_words, 0) AS n_unk_words,
+       coalesce(a.score_milli, 0) AS score_milli
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
 WP_TRAIN_MERGES = 6
 
 
@@ -3978,6 +4116,7 @@ ANALYTICS_QUERIES: dict = {
     "text_wordpiece_encode": text_wordpiece_encode,
     "text_wordpiece_coverage": text_wordpiece_coverage,
     "text_wordpiece_train": text_wordpiece_train,
+    "text_unigram_encode": text_unigram_encode,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -4061,6 +4200,7 @@ ANALYTICS_ORACLES: dict = {
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_train": _wordpiece_train_sql(WP_TRAIN_MERGES),
+    "text_unigram_encode": _unigram_sql(UNIGRAM_VOCAB, UNIG_MAX_WORD),
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

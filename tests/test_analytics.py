@@ -3990,3 +3990,101 @@ def test_wordpiece_train_matches_model_and_roundtrips(spark):
     for r in enc2.collect():
         for piece in r["wp_text"].split(" "):
             assert piece == "[UNK]" or piece in v2
+
+
+def test_unigram_encode_viterbi_model_ties_and_unk(spark):
+    """X79 Unigram-LM Viterbi encode: exact DP under integer scores —
+    beats greedy longest-match where the vocabulary makes greedy
+    suboptimal, resolves exact score ties by the smallest back-pointer
+    (longest FINAL piece), UNKs unreachable/overlong words, and
+    matches a sequential python DP on a real corpus slice."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.text import unigram_encode
+
+    # viterbi vs greedy: greedy longest-first takes ab|c (score -103);
+    # the DP must take a|bc (score -4)
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "zz zz"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    v = {"a": -2, "ab": -1, "bc": -2, "c": -100, "z": -3}
+    rows = {r["doc_id"]: r for r in unigram_encode(docs, v).collect()}
+    assert rows[1]["unig_text"] == "a bc"
+    assert rows[1]["score_milli"] == -4
+    assert rows[1]["n_pieces"] == 2 and rows[1]["n_unk_words"] == 0
+    # "zz" = z|z (-6) per word, two words
+    assert rows[2]["unig_text"] == "z z z z"
+    assert rows[2]["score_milli"] == -12
+    assert 3 not in rows  # null text excluded
+    assert rows[4]["unig_text"] == "" and rows[4]["n_words"] == 0
+    # exact tie: a|bc and ab|c both score -10; smallest back-pointer
+    # wins => the LONGEST final piece => a|bc
+    tie = {"a": -4, "ab": -5, "bc": -6, "c": -5}
+    t = unigram_encode(
+        spark.createDataFrame([(1, "abc")], "doc_id long, text string"), tie
+    ).collect()[0]
+    assert t["unig_text"] == "a bc" and t["score_milli"] == -10
+    # UNK: unreachable word and overlong word each count 1 piece, 0 score
+    u = unigram_encode(
+        spark.createDataFrame(
+            [(1, "ax " + "a" * 20)], "doc_id long, text string"
+        ),
+        {"a": -1},
+        max_word_chars=12,
+    ).collect()[0]
+    assert u["unig_text"] == "[UNK] [UNK]"
+    assert u["n_unk_words"] == 2 and u["score_milli"] == 0
+    with pytest.raises(ValueError, match="empty pieces"):
+        unigram_encode(docs, {})
+    with pytest.raises(ValueError, match="invalid piece"):
+        unigram_encode(docs, {"a b": -1})
+    # sequential python DP cross-check on a real corpus slice
+    from genie_spark.workload_analytics import UNIG_MAX_WORD, UNIGRAM_VOCAB
+
+    sf_docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") < 60))
+        .select("doc_id", "text")
+    )
+    got = {
+        r["doc_id"]: (r["unig_text"], r["score_milli"], r["n_pieces"])
+        for r in unigram_encode(
+            sf_docs, UNIGRAM_VOCAB, max_word_chars=UNIG_MAX_WORD
+        ).collect()
+    }
+
+    def model_word(w):
+        if len(w) > UNIG_MAX_WORD:
+            return None
+        mp = max(len(p) for p in UNIGRAM_VOCAB)
+        best = [None] * (len(w) + 1)
+        back = [0] * (len(w) + 1)
+        best[0] = 0
+        for j in range(1, len(w) + 1):
+            for i in range(max(0, j - mp), j):
+                if best[i] is None or w[i:j] not in UNIGRAM_VOCAB:
+                    continue
+                cand = best[i] + UNIGRAM_VOCAB[w[i:j]]
+                if best[j] is None or cand > best[j]:
+                    best[j], back[j] = cand, i
+        if best[len(w)] is None:
+            return None
+        out, pos = [], len(w)
+        while pos > 0:
+            out.append(w[back[pos]:pos])
+            pos = back[pos]
+        return list(reversed(out)), best[len(w)]
+
+    for r in sf_docs.collect():
+        segs, score = [], 0
+        toks = [t for t in (r["text"] or "").split() if t]
+        for w in toks:
+            m = model_word(w)
+            if m is None:
+                segs.append("[UNK]")
+            else:
+                segs.extend(m[0])
+                score += m[1]
+        assert got[r["doc_id"]] == (" ".join(segs), score, len(segs))

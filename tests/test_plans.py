@@ -879,3 +879,17 @@ def test_ivfpq_residual_all_broadcast_no_cartesian(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "MapInPandas" in plan, plan
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_unigram_encode_zero_exchange(spark):
+    """X79: the Viterbi encoder is scan → project → MapInPandas — no
+    operator exchange, no join (the X73 zero-exchange contract; the
+    one RoundRobin repartition is the documented single-row-group
+    scan fan-out from _docs, not operator work)."""
+    from genie_spark.workload_analytics import text_unigram_encode
+
+    plan = plan_of(text_unigram_encode(spark, SF))
+    n_ex = plan.count("Exchange")
+    assert n_ex == plan.count("Exchange RoundRobinPartitioning"), plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan

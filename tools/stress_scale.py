@@ -1009,6 +1009,13 @@ def main() -> None:
 
     probe("hilbert_3d", run_hilbert3d)
 
+    # X79 Unigram Viterbi: same zero-exchange Arrow-scan shape as X73
+    from genie_spark.analytics.text import unigram_encode
+
+    _hexv = {c: -6000 for c in "0123456789abcdef"}
+    _hexv.update({"ab": -7000, "cd": -7000, "ef": -7000, "0123": -9000})
+    probe("unigram_encode", lambda n: unigram_encode(docs(n), _hexv))
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
