@@ -488,6 +488,56 @@ def train_split_shuffle(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    bounds_bp: dict[str, int] | None = None,
+) -> DataFrame:
+    """X80 — dedup-aware (leakage-safe) train/val/test split: a
+    near-duplicate COMPONENT is assigned as a UNIT, so a near-copy of
+    a validation document can never land in train — the published
+    eval-contamination failure mode that per-document hashing
+    (``train_split_shuffle``) cannot prevent (GPT-3's train/test
+    overlap appendix; Dodge et al. 2021 C4 contamination).
+
+    The split is the same content-independent md5 rule as
+    ``train_split_shuffle`` applied to the component REPRESENTATIVE
+    (the min member id from ``connected_components`` over ``pairs``;
+    a document in no pair represents itself) — so assignments stay
+    stable as the corpus grows, every prior decision is kept, and two
+    documents in one component always share a split by construction.
+
+    Returns (id, rep_id, split).
+
+    Spark shape: components run on the PAIR graph only (pair-touched
+    documents — a small fraction of the corpus), the corpus takes ONE
+    left equi-join against that component table, and the split is a
+    narrow expression on the representative; no corpus-keyed shuffle
+    beyond the one join.
+    """
+    from genie_spark.analytics.dedup import connected_components
+
+    bounds_bp = bounds_bp or SPLIT_BOUNDS_BP
+    comp = connected_components(pairs, a_col, b_col)
+    joined = df.select(id_col).join(
+        comp, F.col(id_col) == F.col("node"), "left"
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    u = _uniform_bp(rep)
+    cuts = sorted(bounds_bp.items(), key=lambda kv: kv[1])
+    split: Column = F.lit("test")
+    for name, bound in reversed(cuts):
+        split = F.when(u < bound, F.lit(name)).otherwise(split)
+    return joined.select(
+        id_col,
+        rep.cast("long").alias("rep_id"),
+        split.alias("split"),
+    )
+
+
 def _ranked_split(
     df: DataFrame,
     id_col: str,

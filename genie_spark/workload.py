@@ -1118,6 +1118,7 @@ _TAIL_QUERIES = [
     "layout_hilbert_3d",
     "text_wordpiece_train",
     "text_unigram_encode",
+    "corpus_leakage_safe_split",
     "j10_symbol_remap",
     "multimodal_features",
     "dedup_setsim_prefix",

@@ -953,6 +953,48 @@ FROM t
 """
 
 
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 dedup-aware split: MinHash near-dup components are assigned
+    to train/val/test as a UNIT via the md5 hash of the component
+    representative — near-copies can never straddle train and eval
+    (the GPT-3 overlap-appendix / C4 contamination failure mode)."""
+    from genie_spark.analytics.corpus import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, k=20, n_perm=16, bands=4, threshold=0.5
+    )
+    return leakage_safe_split(docs, pairs)
+
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({{minhash}}),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs
+  UNION
+  SELECT b AS x, a AS y FROM pairs
+),
+reach(node, label) AS (
+    SELECT x, x FROM edges
+  UNION
+    SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS rep_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, rep_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""
+
+
 def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection: MinHash near-dup components,
     keep the member with the most tokens (most complete copy; tie →
@@ -4117,6 +4159,7 @@ ANALYTICS_QUERIES: dict = {
     "text_wordpiece_coverage": text_wordpiece_coverage,
     "text_wordpiece_train": text_wordpiece_train,
     "text_unigram_encode": text_unigram_encode,
+    "corpus_leakage_safe_split": corpus_leakage_safe_split,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -4201,6 +4244,7 @@ ANALYTICS_ORACLES: dict = {
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_train": _wordpiece_train_sql(WP_TRAIN_MERGES),
     "text_unigram_encode": _unigram_sql(UNIGRAM_VOCAB, UNIG_MAX_WORD),
+    "corpus_leakage_safe_split": LEAKAGE_SPLIT_SQL.format(minhash=_minhash_sql()),
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

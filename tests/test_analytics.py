@@ -4088,3 +4088,58 @@ def test_unigram_encode_viterbi_model_ties_and_unk(spark):
                 segs.extend(m[0])
                 score += m[1]
         assert got[r["doc_id"]] == (" ".join(segs), score, len(segs))
+
+
+def test_leakage_safe_split_components_never_straddle(spark):
+    """X80: every near-dup component lands in ONE split (the leakage
+    guarantee per-document hashing lacks — demonstrated: on the same
+    pair graph the per-doc rule DOES straddle at least one component),
+    singletons follow the plain md5 rule on their own id, and
+    assignments are stable under corpus growth."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.corpus import (
+        _uniform_bp,
+        leakage_safe_split,
+        train_split_shuffle,
+    )
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    # components: chains of 4 over ids 0..199 (50 components), ids
+    # 200..399 singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 4) for i in (i, i + 1, i + 2)][:150],
+        "a long, b long",
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 400
+    by_rep: dict = {}
+    for r in out:
+        by_rep.setdefault(r["rep_id"], set()).add(r["split"])
+    # the leakage guarantee: one split per component
+    assert all(len(s) == 1 for s in by_rep.values())
+    # chain heads: rep = min member = the 4k id
+    for r in out:
+        if r["doc_id"] < 200:
+            assert r["rep_id"] == (r["doc_id"] // 4) * 4
+        else:
+            assert r["rep_id"] == r["doc_id"]
+    # singleton split == the plain per-doc rule
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_split_shuffle(docs).collect()
+    }
+    for r in out:
+        if r["doc_id"] >= 200:
+            assert r["split"] == plain[r["doc_id"]]
+    # the per-doc rule leaks on this graph (some component straddles)
+    straddle: dict = {}
+    for r in out:
+        straddle.setdefault(r["rep_id"], set()).add(plain[r["doc_id"]])
+    assert any(len(s) > 1 for s in straddle.values())
+    # stability under growth: adding docs changes no prior assignment
+    grown = leakage_safe_split(
+        spark.range(600).select(F.col("id").alias("doc_id")), pairs
+    ).collect()
+    want = {(r["doc_id"], r["rep_id"], r["split"]) for r in out}
+    assert want <= {(r["doc_id"], r["rep_id"], r["split"]) for r in grown}
