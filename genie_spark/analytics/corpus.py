@@ -756,6 +756,126 @@ def corpus_keep_list(
     )
 
 
+EPOCH_WEIGHTS_MILLI = (1000, 700, 500, 300)
+
+
+def epoch_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    epoch_weights_milli: tuple[int, ...] = EPOCH_WEIGHTS_MILLI,
+) -> DataFrame:
+    """X81 — repeat-aware epoch budgeting under data-constrained
+    scaling (Muennighoff et al. 2023, arXiv 2305.16264: repeated
+    tokens are worth progressively less, ~worthless past 4 epochs;
+    the "how many epochs of each domain fit my token budget"
+    planning step every data-constrained run does by hand).
+
+    Greedy water-filling in EXACT integer milli-utility: candidates
+    are (domain, epoch k) pairs costing the domain's unique tokens
+    U_d and yielding utility ``epoch_weights_milli[k-1]·U_d``;
+    admitted in (weight DESC, U_d ASC, domain ASC) order — strictly
+    decreasing weights (guarded) make every admitted epoch k imply
+    k-1 admitted earlier, so allocations are proper prefixes — under
+    the X36 greedy-prefix rule: admit iff the cumulative token cost
+    BEFORE the candidate is < ``budget_tokens`` (the straddling
+    candidate is admitted whole; overshoot < one epoch of one
+    domain).
+
+    Returns (domain, unique_tokens, epochs, tokens_used,
+    utility_milli) — epochs 0 rows kept (the report says which
+    domains did NOT fit).
+
+    Scale shape: ONE map-side-partial domain aggregate (the only
+    corpus-sized work); candidates are a domains×epochs dim table
+    whose cumulative sums run as a triangular self-join (dims² tiny,
+    no unpartitioned window); the result is the plan artifact a
+    driver feeds to ``token_budget_select`` — the corpus itself is
+    never re-scanned.
+    """
+    if budget_tokens < 0:
+        raise ValueError("epoch_allocation: negative budget")
+    ws = [int(w) for w in epoch_weights_milli]
+    if not ws or any(
+        ws[i] <= ws[i + 1] for i in range(len(ws) - 1)
+    ):
+        raise ValueError(
+            "epoch_allocation: epoch weights must be strictly decreasing"
+        )
+    spark = df.sparkSession
+    toks = F.size(tokens(text_col)).cast("long")
+    domains = (
+        df.where(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("domain"), toks.alias("__t"))
+        .groupBy("domain")
+        .agg(F.sum("__t").alias("unique_tokens"))
+    )
+    weights = spark.createDataFrame(
+        [(k + 1, w) for k, w in enumerate(ws)], "epoch int, w_milli long"
+    )
+    cand = domains.crossJoin(F.broadcast(weights)).select(
+        "domain",
+        "unique_tokens",
+        "epoch",
+        "w_milli",
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    # candidates BEFORE a in (w DESC, U ASC, domain ASC) order
+    before = (
+        (F.col("b.w_milli") > F.col("a.w_milli"))
+        | (
+            (F.col("b.w_milli") == F.col("a.w_milli"))
+            & (F.col("b.unique_tokens") < F.col("a.unique_tokens"))
+        )
+        | (
+            (F.col("b.w_milli") == F.col("a.w_milli"))
+            & (F.col("b.unique_tokens") == F.col("a.unique_tokens"))
+            & (F.col("b.domain") < F.col("a.domain"))
+        )
+    )
+    cum = (
+        a.join(b, before, "left")
+        .groupBy(
+            F.col("a.domain").alias("domain"),
+            F.col("a.unique_tokens").alias("unique_tokens"),
+            F.col("a.epoch").alias("epoch"),
+            F.col("a.w_milli").alias("w_milli"),
+        )
+        .agg(
+            F.coalesce(F.sum("b.unique_tokens"), F.lit(0))
+            .cast("long")
+            .alias("cum_before")
+        )
+    )
+    admitted = cum.withColumn(
+        "admit", F.col("cum_before") < F.lit(int(budget_tokens))
+    )
+    return (
+        admitted.groupBy("domain", "unique_tokens")
+        .agg(
+            F.sum(F.when(F.col("admit"), 1).otherwise(0))
+            .cast("long")
+            .alias("epochs"),
+            (
+                F.sum(F.when(F.col("admit"), 1).otherwise(0))
+                * F.first("unique_tokens")
+            )
+            .cast("long")
+            .alias("tokens_used"),
+            F.sum(
+                F.when(
+                    F.col("admit"),
+                    F.col("w_milli") * F.col("unique_tokens"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("utility_milli"),
+        )
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int | dict[str, int],

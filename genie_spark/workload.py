@@ -1119,6 +1119,7 @@ _TAIL_QUERIES = [
     "text_wordpiece_train",
     "text_unigram_encode",
     "corpus_leakage_safe_split",
+    "corpus_epoch_allocation",
     "j10_symbol_remap",
     "multimodal_features",
     "dedup_setsim_prefix",

@@ -953,6 +953,59 @@ FROM t
 """
 
 
+def corpus_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 repeat-aware epoch budgeting (Muennighoff et al. 2023
+    data-constrained scaling): greedy integer water-filling of
+    (domain, epoch) candidates under a token budget of 1.5× the
+    corpus — exact milli-utility, pinned (weight DESC, tokens ASC,
+    domain ASC) order, X36 greedy-prefix admission."""
+    from genie_spark.analytics.corpus import epoch_allocation
+
+    docs = _docs(spark, sf_dir)
+    total = int(
+        docs.where(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select(F.sum(F.size(_toks_col())).cast("long").alias("t"))
+        .first()["t"]
+    )
+    return epoch_allocation(docs, (total * 3) // 2)
+
+
+def _toks_col():
+    from genie_spark.analytics.text import tokens
+
+    return tokens("text")
+
+
+EPOCH_ALLOC_SQL = f"""
+WITH d AS (
+  SELECT source AS domain, CAST(sum(len({_TOKS})) AS BIGINT) AS u
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  GROUP BY source
+),
+bud AS (SELECT (sum(u) * 3) // 2 AS b FROM d),
+w(epoch, w_milli) AS (VALUES (1, 1000), (2, 700), (3, 500), (4, 300)),
+cand AS (SELECT domain, u, epoch, CAST(w_milli AS BIGINT) AS w_milli
+         FROM d CROSS JOIN w),
+cum AS (
+  SELECT domain, u, epoch, w_milli,
+         coalesce(sum(u) OVER (
+             ORDER BY w_milli DESC, u ASC, domain ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM cand
+)
+SELECT domain, u AS unique_tokens,
+       CAST(sum(CASE WHEN cum_before < (SELECT b FROM bud)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS epochs,
+       CAST(sum(CASE WHEN cum_before < (SELECT b FROM bud)
+                     THEN 1 ELSE 0 END) * u AS BIGINT) AS tokens_used,
+       CAST(sum(CASE WHEN cum_before < (SELECT b FROM bud)
+                     THEN w_milli * u ELSE 0 END) AS BIGINT)
+           AS utility_milli
+FROM cum GROUP BY domain, u
+"""
+
+
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X80 dedup-aware split: MinHash near-dup components are assigned
     to train/val/test as a UNIT via the md5 hash of the component
@@ -4160,6 +4213,7 @@ ANALYTICS_QUERIES: dict = {
     "text_wordpiece_train": text_wordpiece_train,
     "text_unigram_encode": text_unigram_encode,
     "corpus_leakage_safe_split": corpus_leakage_safe_split,
+    "corpus_epoch_allocation": corpus_epoch_allocation,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -4245,6 +4299,7 @@ ANALYTICS_ORACLES: dict = {
     "text_wordpiece_train": _wordpiece_train_sql(WP_TRAIN_MERGES),
     "text_unigram_encode": _unigram_sql(UNIGRAM_VOCAB, UNIG_MAX_WORD),
     "corpus_leakage_safe_split": LEAKAGE_SPLIT_SQL.format(minhash=_minhash_sql()),
+    "corpus_epoch_allocation": EPOCH_ALLOC_SQL,
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

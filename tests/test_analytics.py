@@ -4143,3 +4143,60 @@ def test_leakage_safe_split_components_never_straddle(spark):
     ).collect()
     want = {(r["doc_id"], r["rep_id"], r["split"]) for r in out}
     assert want <= {(r["doc_id"], r["rep_id"], r["split"]) for r in grown}
+
+
+def test_epoch_allocation_waterfill_model(spark):
+    """X81: greedy integer water-filling matches a sequential model —
+    allocations are proper epoch prefixes (strictly decreasing
+    weights), the straddling candidate is admitted whole (X36 rule),
+    zero-epoch domains stay in the report, and guards fire."""
+    import pytest
+
+    from genie_spark.analytics.corpus import epoch_allocation
+
+    rows = (
+        [(i, "web", "w " * 50) for i in range(10)]       # 500 tokens
+        + [(100 + i, "code", "c " * 30) for i in range(5)]  # 150
+        + [(200 + i, "forum", "f " * 8) for i in range(5)]  # 40
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 900
+
+    def model():
+        u = {"web": 500, "code": 150, "forum": 40}
+        ws = [1000, 700, 500, 300]
+        cands = sorted(
+            ((w, u[d], d) for w in ws for d in u),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        cum, out = 0, {d: [0, 0] for d in u}
+        for w, ud, d in cands:
+            if cum < budget:
+                out[d][0] += 1
+                out[d][1] += w * ud
+            cum += ud
+        return {
+            d: (u[d], e, e * u[d], util) for d, (e, util) in out.items()
+        }
+
+    got = {
+        r["domain"]: (
+            r["unique_tokens"], r["epochs"], r["tokens_used"],
+            r["utility_milli"],
+        )
+        for r in epoch_allocation(docs, budget).collect()
+    }
+    assert got == model()
+    # prefix property: epochs are dense counts 0..4
+    assert all(0 <= v[1] <= 4 for v in got.values())
+    # a zero budget still reports every domain at 0 epochs... except
+    # the straddle rule admits the FIRST candidate only when budget>0
+    z = {
+        r["domain"]: r["epochs"]
+        for r in epoch_allocation(docs, 0).collect()
+    }
+    assert set(z) == {"web", "code", "forum"} and all(v == 0 for v in z.values())
+    with pytest.raises(ValueError, match="decreasing"):
+        epoch_allocation(docs, 10, epoch_weights_milli=(500, 500))
+    with pytest.raises(ValueError, match="negative"):
+        epoch_allocation(docs, -1)
