@@ -490,11 +490,12 @@ def train_split_shuffle(
 
 def leakage_safe_split(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
     bounds_bp: dict[str, int] | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """X80 — dedup-aware (leakage-safe) train/val/test split: a
     near-duplicate COMPONENT is assigned as a UNIT, so a near-copy of
@@ -512,6 +513,11 @@ def leakage_safe_split(
 
     Returns (id, rep_id, split).
 
+    Pass exactly one of ``pairs`` (components computed here) or
+    ``components`` (a precomputed (node, cluster_id) table — e.g. the
+    X82 streaming components store's answer, so a rolling ingest can
+    assign splits without re-running the pair scan).
+
     Spark shape: components run on the PAIR graph only (pair-touched
     documents — a small fraction of the corpus), the corpus takes ONE
     left equi-join against that component table, and the split is a
@@ -521,7 +527,15 @@ def leakage_safe_split(
     from genie_spark.analytics.dedup import connected_components
 
     bounds_bp = bounds_bp or SPLIT_BOUNDS_BP
-    comp = connected_components(pairs, a_col, b_col)
+    if (pairs is None) == (components is None):
+        raise ValueError(
+            "leakage_safe_split: pass exactly one of pairs / components"
+        )
+    comp = (
+        components.select("node", "cluster_id")
+        if components is not None
+        else connected_components(pairs, a_col, b_col)
+    )
     joined = df.select(id_col).join(
         comp, F.col(id_col) == F.col("node"), "left"
     )

@@ -1094,3 +1094,62 @@ def moments_compact(spark, store_path: str) -> dict:
             F.max("max_v").cast("long").alias("max_v"),
         ),
     )
+
+
+def components_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    a_col: str = "a",
+    b_col: str = "b",
+):
+    """X82 streaming: incremental connected components over an
+    arriving near-dup PAIR stream — per batch, the batch's component
+    map (``dedup.connected_components`` → (node, cluster_id) rows)
+    lands as a ``batch=<id>`` shard.  The map is a MERGEABLE artifact:
+    a component map spans exactly its edges' connectivity, so
+    components over the UNION of shard maps (each row read as a
+    node→root edge) equal components over the union of the original
+    edge streams — components(map(E₁) ∪ map(E₂)) = components(E₁ ∪
+    E₂) — and shards are node-sized, never edge-sized.  The rolling
+    "which cluster is this doc in" / leakage-safe-split question is
+    answered any time from the store (``components_from_store`` →
+    ``corpus.leakage_safe_split(components=...)``) without re-scanning
+    ingested pairs.  Same store conventions as the sketch family."""
+    from genie_spark.analytics.dedup import connected_components
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        comp = connected_components(batch, a_col, b_col)
+        comp.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _components_store_merge(df: DataFrame) -> DataFrame:
+    """Merge shard component maps: every (node, cluster_id) row is a
+    node→root edge; components over those edges ARE the components of
+    the full ingested pair stream (the X82 merge law)."""
+    from genie_spark.analytics.dedup import connected_components
+
+    return connected_components(df, "node", "cluster_id")
+
+
+def components_from_store(spark, store_path: str) -> DataFrame:
+    """The rolling component map from an X82 store — bit-identical to
+    batch ``connected_components`` over every ingested pair (parity-
+    pinned), computed from node-sized shards, never the raw pairs."""
+    return _components_store_merge(spark.read.parquet(store_path))
+
+
+def components_compact(spark, store_path: str) -> dict:
+    """Compact an X82 components store to one merged shard — the
+    journaled swap protocol of ``_compact_store``; the store answer
+    is unchanged (merge-law idempotence)."""
+    return _compact_store(spark, store_path, _components_store_merge)

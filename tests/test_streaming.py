@@ -1276,3 +1276,78 @@ def test_moments_stream_store_and_compact(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_components_stream_store_split_parity(spark, tmp_path):
+    """X82 streaming components: the store's merged component map is
+    bit-identical to batch connected_components over every ingested
+    pair — including components STRADDLING batches — compaction
+    preserves it, and leakage_safe_split(components=store) equals the
+    batch split."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from genie_spark.analytics.corpus import leakage_safe_split
+    from genie_spark.analytics.dedup import connected_components
+    from genie_spark.streaming.windows import (
+        components_compact,
+        components_from_store,
+        components_stream,
+    )
+
+    # chains 0-1-2-3, 10-11-12, 20-21; edges split so every chain
+    # straddles at least two batches
+    all_pairs = [(0, 1), (2, 3), (10, 11), (1, 2), (11, 12), (20, 21)]
+    batches = [all_pairs[:2], all_pairs[2:4], all_pairs[4:]]
+    src = tmp_path / "pairs"
+    src.mkdir()
+    for i, chunk in enumerate(batches):
+        (src / f"b{i}.csv").write_text(
+            "a,b\n" + "\n".join(f"{a},{b}" for a, b in chunk) + "\n"
+        )
+        os.utime(src / f"b{i}.csv", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    store = str(tmp_path / "cstore")
+    q = components_stream(stream, store, str(tmp_path / "cckpt"))
+    q.awaitTermination()
+
+    whole = spark.createDataFrame(all_pairs, "a long, b long")
+    want = {tuple(r) for r in connected_components(whole).collect()}
+    got = {tuple(r) for r in components_from_store(spark, store).collect()}
+    assert got == want
+    # the straddle actually happened: 0..3 is ONE component
+    assert {(n, 0) for n in range(4)} <= want
+    stats = components_compact(spark, store)
+    assert stats["shards_before"] == 3
+    assert {
+        tuple(r) for r in components_from_store(spark, store).collect()
+    } == want
+    # split parity: store-driven split == batch pair-driven split
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    batch_split = {
+        tuple(r) for r in leakage_safe_split(docs, whole).collect()
+    }
+    store_split = {
+        tuple(r)
+        for r in leakage_safe_split(
+            docs, components=components_from_store(spark, store)
+        ).collect()
+    }
+    assert store_split == batch_split
+    # guard: both or neither input is an error
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs, whole, components=whole)
