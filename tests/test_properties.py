@@ -1141,3 +1141,77 @@ def test_quantile_sketch_matches_sequential_model(spark, vals, k_max):
     if rows:
         assert rows[0]["level"] == level
         assert rows[0]["n_items"] == len(vals)
+
+
+# ---------------------------------------------------------------------------
+# r13 BPE trainer engines: the histogram engine's lazy-heap loop and
+# the batched distributed prefix rule must BOTH reproduce the
+# sequential reference on arbitrary corpora (including pathological
+# repetition, ties, self-pairs, and phantom-match spellings).
+# ---------------------------------------------------------------------------
+
+_bpe_word_st = st.text(alphabet="abcd", min_size=1, max_size=6)
+_bpe_corpus_st = st.lists(
+    st.lists(_bpe_word_st, min_size=1, max_size=5).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _seq_bpe_model(texts, n_merges):
+    """The test_analytics sequential reference, duplicated here in its
+    row-list (no dict collapse) form — per-WORD states with freqs,
+    string replace semantics, (count DESC, lhs, rhs) tie order."""
+    import collections
+
+    wf = collections.Counter(w for t in texts for w in t.split())
+    states = [[" " + " ".join(w), f] for w, f in sorted(wf.items())]
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: collections.Counter = collections.Counter()
+        for s, f in states:
+            syms = s.strip().split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((step, l, r, l + r, c))
+        for row in states:
+            row[0] = row[0].replace(f" {l} {r}", f" {l}{r}")
+    return merges
+
+
+@given(texts=_bpe_corpus_st, n=st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_bpe_histogram_engine_matches_sequential_model(texts, n):
+    """Pure-python check (no Spark job per example): the lazy-heap
+    histogram trainer == the recount-everything sequential model on
+    random small-alphabet corpora — dense ties and phantom corners."""
+    import collections
+
+    from genie_spark.analytics.text import _bpe_train_histogram
+
+    wf = collections.Counter(w for t in texts for w in t.split())
+    got = _bpe_train_histogram(sorted(wf.items()), n)
+    assert got == _seq_bpe_model(texts, n)
+
+
+@given(texts=_bpe_corpus_st, bk=st.integers(2, 16))
+@settings(max_examples=6, deadline=None)
+def test_bpe_batched_prefix_matches_sequential(spark, texts, bk):
+    """Spark batched trainer (every example is several Spark jobs —
+    few examples, wide batch_k range): the provably-sequential-
+    equivalent prefix rule == the sequential model on random corpora
+    whose small alphabet maximizes overlap/tie/created-pair traffic."""
+    from genie_spark.analytics.text import bpe_train
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = [
+        tuple(r) for r in bpe_train(docs, n_merges=6, batch_k=bk).collect()
+    ]
+    assert got == _seq_bpe_model(texts, 6)
