@@ -195,6 +195,64 @@ def kmv_jaccard_pairs(
     )
 
 
+def kmv_set_ops(
+    sketches: DataFrame,
+    group_col: str = "source",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """X83 — full set-operation estimates between groups from their
+    KMV artifacts alone, completing the sketch set algebra the
+    Jaccard pair report started: per unordered pair (a < b),
+    est_union (the union sketch's own KMV estimate — exact when the
+    union holds fewer than k hashes), est_intersection (Jaccard ·
+    union, Beyer et al. §5), and the inclusion-exclusion DIFFERENCE
+    estimates |A∖B| = max(0, est_A − est_∩) and |B∖A| — the
+    release-over-release "how much is NEW / how much was dropped"
+    question answered without touching raw data.  Clamping at zero is
+    part of the spec (estimator noise can push a near-subset
+    negative); every arithmetic step is the same IEEE op sequence in
+    the DuckDB oracle.
+
+    Input is the SKETCH table (one row per group — dim-sized by
+    contract), so the all-pairs join is groups²-rows tiny."""
+    a = sketches.select(
+        F.col(group_col).alias("a"),
+        F.col("kmin").alias("ak"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("b"),
+        F.col("kmin").alias("bk"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    uk = F.slice(F.array_sort(F.array_union("ak", "bk")), 1, k)
+    staged = pairs.withColumn("uk", uk).select(
+        "a",
+        "b",
+        "est_a",
+        "est_b",
+        F.size(
+            F.array_intersect(F.array_intersect("uk", "ak"), "bk")
+        ).cast("long").alias("n_common"),
+        F.size("uk").cast("long").alias("n_union_k"),
+        "uk",
+    )
+    jac = F.col("n_common").cast("double") / F.col("n_union_k").cast("double")
+    est_union = _estimate(F.col("uk"), F.col("n_union_k"), k)
+    est_int = jac * est_union
+    return staged.select(
+        "a",
+        "b",
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        est_int.alias("est_intersection"),
+        F.greatest(F.lit(0.0), F.col("est_a") - est_int).alias("est_diff_ab"),
+        F.greatest(F.lit(0.0), F.col("est_b") - est_int).alias("est_diff_ba"),
+    )
+
+
 def kmv_union_estimate(
     sketches: DataFrame,
     group_col: str = "source",

@@ -1120,6 +1120,7 @@ _TAIL_QUERIES = [
     "text_unigram_encode",
     "corpus_leakage_safe_split",
     "corpus_epoch_allocation",
+    "sketch_kmv_setops",
     "j10_symbol_remap",
     "multimodal_features",
     "dedup_setsim_prefix",

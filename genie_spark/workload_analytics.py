@@ -1373,6 +1373,82 @@ FROM m
 """
 
 
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 KMV set algebra: per source pair, union / intersection /
+    both set-difference estimates from the sketches alone — the
+    release-over-release new/dropped-content question, never touching
+    raw data."""
+    from genie_spark.analytics.sketches import kmv_set_ops, kmv_sketch
+    from genie_spark.analytics.text import tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    sk = kmv_sketch(toks, "source", "tok", k=SKETCH_KMV_K)
+    return kmv_set_ops(sk, "source", k=SKETCH_KMV_K)
+
+
+SKETCH_SETOPS_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT source, list(h ORDER BY h) AS kmin,
+         CAST(count(*) AS BIGINT) AS n_seen
+  FROM r WHERE rn <= {SKETCH_KMV_K} GROUP BY source
+),
+e AS (
+  SELECT source, kmin, n_seen,
+         CASE WHEN n_seen < {SKETCH_KMV_K} THEN CAST(n_seen AS DOUBLE)
+              ELSE {float(SKETCH_KMV_K - 1)} * {float(1 << 60)}
+                     / CAST(kmin[{SKETCH_KMV_K}] AS DOUBLE)
+         END AS est
+  FROM s
+),
+p AS (
+  SELECT ea.source AS a, eb.source AS b, ea.est AS est_a, eb.est AS est_b,
+         (list_sort(list_distinct(list_concat(ea.kmin, eb.kmin))))
+             [1:{SKETCH_KMV_K}] AS uk,
+         ea.kmin AS ak, eb.kmin AS bk
+  FROM e ea JOIN e eb ON ea.source < eb.source
+),
+m AS (
+  SELECT a, b, est_a, est_b,
+         CAST(len(list_intersect(list_intersect(uk, ak), bk)) AS BIGINT)
+             AS n_common,
+         CAST(len(uk) AS BIGINT) AS n_union_k, uk
+  FROM p
+),
+f AS (
+  SELECT a, b, est_a, est_b,
+         CASE WHEN n_union_k < {SKETCH_KMV_K} THEN CAST(n_union_k AS DOUBLE)
+              ELSE {float(SKETCH_KMV_K - 1)} * {float(1 << 60)}
+                     / CAST(uk[{SKETCH_KMV_K}] AS DOUBLE)
+         END AS est_union,
+         (CAST(n_common AS DOUBLE) / CAST(n_union_k AS DOUBLE)) *
+           (CASE WHEN n_union_k < {SKETCH_KMV_K}
+                 THEN CAST(n_union_k AS DOUBLE)
+                 ELSE {float(SKETCH_KMV_K - 1)} * {float(1 << 60)}
+                        / CAST(uk[{SKETCH_KMV_K}] AS DOUBLE)
+            END) AS est_intersection
+  FROM m
+)
+SELECT a, b, est_a, est_b, est_union, est_intersection,
+       greatest(0.0, est_a - est_intersection) AS est_diff_ab,
+       greatest(0.0, est_b - est_intersection) AS est_diff_ba
+FROM f
+"""
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus PII scrub: typed placeholders + per-category counts,
     narrow plan.  The oracle SQL is GENERATED from the same
@@ -4214,6 +4290,7 @@ ANALYTICS_QUERIES: dict = {
     "text_unigram_encode": text_unigram_encode,
     "corpus_leakage_safe_split": corpus_leakage_safe_split,
     "corpus_epoch_allocation": corpus_epoch_allocation,
+    "sketch_kmv_setops": sketch_kmv_setops,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -4300,6 +4377,7 @@ ANALYTICS_ORACLES: dict = {
     "text_unigram_encode": _unigram_sql(UNIGRAM_VOCAB, UNIG_MAX_WORD),
     "corpus_leakage_safe_split": LEAKAGE_SPLIT_SQL.format(minhash=_minhash_sql()),
     "corpus_epoch_allocation": EPOCH_ALLOC_SQL,
+    "sketch_kmv_setops": SKETCH_SETOPS_SQL,
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

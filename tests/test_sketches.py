@@ -735,3 +735,41 @@ def test_moments_stats_exact_beyond_int64(spark):
     assert (r["n"], r["s1"], r["s2"]) == (n, s1, s2)
     assert r["mean_milli"] == (s1 * 1000) // n
     assert r["var_milli"] == ((n * s2 - s1 * s1) * 1000) // (n * n)
+
+
+def test_kmv_set_ops_inclusion_exclusion(spark):
+    """X83: set-operation estimates from sketches alone — EXACT when
+    both sets are below k (est == true union/intersection/diffs,
+    including a proper subset pair whose difference is exactly one
+    side), clamped at zero, and consistent with kmv_jaccard_pairs'
+    intersection on the same sketches."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import (
+        kmv_jaccard_pairs,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    rows = (
+        [(i, "A", f"tok{i}") for i in range(30)]           # A = 0..29
+        + [(100 + i, "B", f"tok{i + 20}") for i in range(30)]  # B = 20..49
+        + [(200 + i, "C", f"tok{i}") for i in range(10)]   # C = 0..9 ⊂ A
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string, v string")
+    sk = kmv_sketch(df, "g", "v", k=64)
+    got = {(r["a"], r["b"]): r for r in kmv_set_ops(sk, "g", k=64).collect()}
+    ab = got[("A", "B")]
+    assert ab["est_a"] == 30.0 and ab["est_b"] == 30.0
+    assert ab["est_union"] == 50.0 and ab["est_intersection"] == 10.0
+    assert ab["est_diff_ab"] == 20.0 and ab["est_diff_ba"] == 20.0
+    ac = got[("A", "C")]  # C ⊂ A: diff_ca clamps to exactly 0
+    assert ac["est_union"] == 30.0 and ac["est_intersection"] == 10.0
+    assert ac["est_diff_ab"] == 20.0 and ac["est_diff_ba"] == 0.0
+    # intersection agrees with the jaccard pair report
+    jac = {
+        (r["a"], r["b"]): r["est_intersection"]
+        for r in kmv_jaccard_pairs(sk, "g", k=64).collect()
+    }
+    for key, r in got.items():
+        assert r["est_intersection"] == jac[key]
