@@ -2082,11 +2082,58 @@ def wordpiece_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
     return sorted(r["piece"] for r in rows)
 
 
+def _wordpiece_train_histogram(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple]:
+    """Driver-side WordPiece trainer over a collected word histogram —
+    byte-identical semantics to the distributed engine (split-
+    adjacency pair and symbol counts, HuggingFace likelihood score as
+    exact-integer ``score_q = (c·10⁹) // (n_l·n_r)``, (score_q DESC,
+    lhs, rhs) order, ##-stripping string replace).  Unlike BPE, every
+    merge perturbs the UNIGRAM counts of its symbols and therefore
+    the scores of every pair touching them, so a lazy heap buys
+    little — each step recounts from the word states, O(V·L) per
+    merge, the documented production path for histogram-sized
+    vocabularies."""
+    states = [
+        [" " + w[0] + "".join(" ##" + c for c in w[1:]), f]
+        for w, f in words
+    ]
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pc: dict = {}
+        uc: dict = {}
+        for s, f in states:
+            syms = s.strip().split(" ")
+            for sym in syms:
+                uc[sym] = uc.get(sym, 0) + f
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        best = None
+        for (l, r), c in pc.items():
+            q = (c * WORDPIECE_SCORE_SCALE) // (uc[l] * uc[r])
+            key = (-q, l, r)
+            if best is None or key < best[0]:
+                best = (key, l, r, c, q)
+        _, l, r, c, q = best
+        merged = l + r[2:]
+        merges.append((step, l, r, merged, c, q))
+        pat, rep = f" {l} {r}", f" {merged}"
+        for row in states:
+            if pat in row[0]:
+                row[0] = row[0].replace(pat, rep)
+    return merges
+
+
 def wordpiece_train(
     df: DataFrame,
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "auto",
+    max_vocab_rows: int = 5_000_000,
 ) -> DataFrame:
     """X78 — WordPiece vocabulary training (Schuster & Nakajima 2012;
     the BERT tokenizer's train side, completing the BERT family the
@@ -2117,26 +2164,60 @@ def wordpiece_train(
     table onto the pair table, one TakeOrdered(1) winner, one
     map-side literal replace, one eager localCheckpoint.  No
     corpus re-scan, no data-sized shuffle.  The driver loop moves one
-    6-field row per step (the bpe_train contract); a production-sized
-    vocabulary would train driver-side on the collected histogram the
-    way ``bpe_train(engine="histogram")`` does.
+    6-field row per step (the bpe_train contract).
+
+    Engines (``engine``: "spark" / "histogram" / "auto" = spark up to
+    ``BPE_TRAIN_HISTOGRAM_THRESHOLD`` merges — the bpe_train ladder):
+    the histogram engine collects the size-guarded word count and
+    runs the merge loop driver-side with byte-identical semantics
+    (pytest-pinned equal to the spark engine); unlike BPE every merge
+    perturbs its symbols' unigram counts and hence many scores, so it
+    recounts per step (O(V·L) per merge) instead of lazy-heaping.
     """
     spark = df.sparkSession
     words = (
         df.select(F.explode(tokens(text_col)).alias("__w"))
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__f"))
-        .select(
-            # " c ##h ##a ##t": head char plain, continuations ##
-            F.concat(
-                F.lit(" "),
-                F.substring("__w", 1, 1),
-                F.regexp_replace(
-                    F.substring("__w", 2, 1_000_000), "(.)", " ##$1"
-                ),
-            ).alias("__s"),
-            "__f",
+    )
+    out_schema = (
+        "step bigint, lhs string, rhs string, merged string, "
+        "pair_count bigint, score_q bigint"
+    )
+    if engine not in ("auto", "spark", "histogram"):
+        raise ValueError(
+            f"engine must be auto|spark|histogram, got {engine!r}"
         )
+    if engine == "auto":
+        engine = (
+            "histogram"
+            if n_merges > BPE_TRAIN_HISTOGRAM_THRESHOLD
+            else "spark"
+        )
+    if engine == "histogram":
+        # the bpe_train(engine='histogram') contract: ONE distributed
+        # word count, size-guarded collect, driver-side merge loop
+        n_vocab = words.count()
+        if n_vocab > max_vocab_rows:
+            raise ValueError(
+                f"wordpiece_train(engine='histogram'): {n_vocab} "
+                f"distinct words > max_vocab_rows={max_vocab_rows}; "
+                "raise the cap or use engine='spark'"
+            )
+        hist = [(r["__w"], int(r["__f"])) for r in words.collect()]
+        return spark.createDataFrame(
+            _wordpiece_train_histogram(hist, n_merges), out_schema
+        )
+    words = words.select(
+        # " c ##h ##a ##t": head char plain, continuations ##
+        F.concat(
+            F.lit(" "),
+            F.substring("__w", 1, 1),
+            F.regexp_replace(
+                F.substring("__w", 2, 1_000_000), "(.)", " ##$1"
+            ),
+        ).alias("__s"),
+        "__f",
     )
     state = words.localCheckpoint(eager=True)
     dec = "decimal(19,0)"

@@ -3970,6 +3970,17 @@ def test_wordpiece_train_matches_model_and_roundtrips(spark):
     # determinism
     again = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
     assert again == got
+    # the histogram engine (r13, the bpe_train ladder) is byte-equal
+    assert [
+        tuple(r)
+        for r in wordpiece_train(docs, n_merges=6, engine="histogram").collect()
+    ] == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab_rows"):
+        wordpiece_train(docs, n_merges=6, engine="histogram", max_vocab_rows=2)
+    with _pytest.raises(ValueError, match="engine"):
+        wordpiece_train(docs, n_merges=6, engine="nope")
     # round-trip with X73
     vocab = wordpiece_alphabet(docs) + [m[3] for m in got]
     enc = wordpiece_encode(docs, vocab)
