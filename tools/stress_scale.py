@@ -1009,6 +1009,32 @@ def main() -> None:
 
     probe("hilbert_3d", run_hilbert3d)
 
+    # X80 leakage-safe split: components over a synthetic chain-pair
+    # graph (n/4 chains of 4) + ONE corpus left join — slope must
+    # track the components probe, not the corpus
+    from genie_spark.analytics.corpus import epoch_allocation, leakage_safe_split
+
+    def run_leakage(n):
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = (
+            spark.range(n // 2)
+            .where(F.col("id") % 4 != 3)  # chains of 4 over half the ids
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        )
+        return leakage_safe_split(ids, pairs)
+
+    probe("leakage_split", run_leakage)
+
+    # X81 epoch allocation: one domain aggregate + a dims^2 cumsum —
+    # must be scan-bound
+    def run_epoch(n):
+        d = docs(n).withColumn(
+            "source", (F.col("doc_id") % 20).cast("string")
+        )
+        return epoch_allocation(d, 10_000_000)
+
+    probe("epoch_allocation", run_epoch)
+
     # X79 Unigram Viterbi: same zero-exchange Arrow-scan shape as X73
     from genie_spark.analytics.text import unigram_encode
 
