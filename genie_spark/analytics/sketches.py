@@ -1064,6 +1064,11 @@ def moments_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
+# past this n the var_milli decomposition's r1·1000 intermediate
+# (r1 < n²) can leave DECIMAL(38,0) — see moments_stats
+MOMENTS_STATS_MAX_N = 180_000_000_000_000_000
+
+
 def moments_stats(sketch: DataFrame) -> DataFrame:
     """Derived statistics off a moments artifact, exact integer milli
     units: mean_milli = floor(1000·Σx / n) and var_milli =
@@ -1084,6 +1089,13 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
     1000·variance < 2⁶³), which bounds the value domain, not the
     arithmetic.  The DuckDB oracle mirrors the same decomposition in
     HUGEINT (int128) — both engines exact, no silent divergence.
+
+    Runtime bound guard (ADVICE r14): past n > ``MOMENTS_STATS_MAX_N``
+    the r1·1000 intermediate can exceed DECIMAL(38,0), where non-ANSI
+    decimal overflow yields silent NULLs — such rows now raise loudly
+    instead (expression-level ``raise_error`` inside the var_milli
+    branch, so the guard can't be pruned away and costs one long
+    comparison per dim-sized artifact row).
     """
     dec = "decimal(19,0)"
     n, s1, s2 = (F.col(c).cast(dec) for c in ("n", "s1", "s2"))
@@ -1097,6 +1109,18 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
     b = r1 * 1000
     r2 = F.pmod(b, n2)
     q2 = ((b - r2) / n2).cast("long")
+    guarded_var = F.when(
+        F.col("n").cast("long") > F.lit(MOMENTS_STATS_MAX_N),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "moments_stats: n exceeds the exact-decimal bound "
+                    f"({MOMENTS_STATS_MAX_N}) for group "
+                ),
+                F.col("g"),
+            )
+        ).cast("long"),
+    ).otherwise((q1 * 1000 + q2).cast("long"))
     return sketch.select(
         "g",
         "n",
@@ -1105,5 +1129,5 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
         "min_v",
         "max_v",
         mean_milli.alias("mean_milli"),
-        (q1 * 1000 + q2).cast("long").alias("var_milli"),
+        guarded_var.alias("var_milli"),
     )

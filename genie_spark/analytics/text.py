@@ -653,10 +653,25 @@ def bpe_train(
     required; first violation falls back to the merges accepted so
     far, worst case the classic single merge):
 
-    * **disjoint symbols** — candidate j shares no symbol with any
-      earlier accepted merge's {lhs, rhs, merged-spelling}; replace
-      windows then cannot overlap, so the fused chain commutes and
-      every accepted pair's own count is invariant;
+    * **prefix-free symbols** — no PREFIX RELATION (equality, or
+      either direction of proper spelling-prefix) between any of
+      candidate j's {lhs, rhs, merged-spelling} and any earlier
+      accepted merge's; plain disjointness is NOT enough because a
+      replace pattern " l r" phantom-matches " l S…" whenever symbol
+      S spelling-EXTENDS r (the r14 ADVICE counterexample: merging
+      (a,b) eats " a bq…", changing (bq,d)'s count), and the symbols
+      a phantom can touch are exactly the spelling-extensions of an
+      accepted rhs/merged symbol.  Under prefix-freeness the fused
+      chain commutes and every accepted pair's own count is
+      invariant;
+    * **no phantom-capable adjacency** — each accepted merge (l, r)
+      must itself have no adjacency (l, S) at count >= the weakest
+      candidate where S properly spelling-extends r: such a phantom
+      match would destroy/create pairs whose magnitudes the
+      symbol-level analysis cannot bound, so the prefix stops at the
+      first phantom-capable acceptance (lower-count phantoms only
+      perturb pairs whose symbols are prefix-related to an accepted
+      symbol, which the prefix-free rule already excludes);
     * **no outranking risk pair** — the pairs merge i can CREATE are
       exactly (x, m_i) (from an (x, l_i) adjacency, count-capped by
       it) and (m_i, y) (from (r_i, y)); candidate j is accepted only
@@ -773,6 +788,9 @@ def bpe_train(
                         (
                             F.col("__r").isin(lset)
                             | F.col("__l").isin(rset)
+                            # (l, S) adjacencies feed the phantom-
+                            # capability check below
+                            | F.col("__l").isin(lset)
                         )
                         & (F.col("__c") >= min_c)
                     )
@@ -797,16 +815,38 @@ def bpe_train(
                     """Created-pair risks of merging (l, r): [(cap,
                     lhs, rhs)].  None = the merged spelling already
                     participates in pairs (grown-pair caps would need
-                    a second fetch) — caller stops the prefix."""
+                    a second fetch) OR the merge is phantom-capable —
+                    an adjacency (l, S) with S properly spelling-
+                    extending r at count >= min_c, whose phantom
+                    replace destroys/creates pairs the symbol-level
+                    caps can't bound — caller stops the prefix."""
                     m = l + r
                     if m in spelled:
                         return None
+                    for a in by_lhs.get(l, ()):  # (l, S), S extends r
+                        s = a["__r"]
+                        if (
+                            int(a["__c"]) >= min_c
+                            and len(s) > len(r)
+                            and s.startswith(r)
+                        ):
+                            return None
                     out = []
                     for a in by_rhs.get(l, ()):  # (x, l) -> (x, m)
                         out.append((int(a["__c"]), a["__l"], m))
                     for a in by_lhs.get(r, ()):  # (r, y) -> (m, y)
                         out.append((int(a["__c"]), m, a["__r"]))
                     return out
+
+                def prefix_related(sym: str, against: set) -> bool:
+                    """Any prefix relation (equality or either-
+                    direction proper prefix) between sym and a used
+                    symbol — the set of symbols an accepted merge's
+                    replace (incl. its phantom matches) can touch."""
+                    return any(
+                        sym.startswith(u) or u.startswith(sym)
+                        for u in against
+                    )
 
                 used = {
                     cands[0]["__l"],
@@ -818,17 +858,23 @@ def bpe_train(
                     if risks is None:
                         break
                     l, r, cc = c["__l"], c["__r"], int(c["__c"])
-                    # prefix-only acceptance, both conditions required
-                    # for the sequential-equivalence proof: (1) symbols
-                    # incl. produced spellings pairwise disjoint (fused
-                    # replaces then commute and accepted counts are
-                    # invariant); (2) no risk pair can outrank this
-                    # candidate at its sequential step — a cap above
-                    # cc cannot occur here (such a pair would rank
-                    # inside the already-walked prefix), so the live
-                    # case is a cap EQUAL to cc whose created pair
-                    # wins the (count DESC, lhs, rhs) tie
-                    if {l, r, l + r} & used:
+                    # prefix-only acceptance, all conditions required
+                    # for the sequential-equivalence proof: (1) no
+                    # prefix relation between candidate symbols incl.
+                    # the produced spelling and any used symbol (fused
+                    # replaces then commute, phantom matches of earlier
+                    # merges cannot touch this candidate's occurrences,
+                    # and accepted counts are invariant); (2) no risk
+                    # pair can outrank this candidate at its sequential
+                    # step — a cap above cc cannot occur here (such a
+                    # pair would rank inside the already-walked
+                    # prefix), so the live case is a cap EQUAL to cc
+                    # whose created pair wins the (count DESC, lhs,
+                    # rhs) tie; (3) the candidate itself is not
+                    # phantom-capable (risks_of returns None)
+                    if any(
+                        prefix_related(s, used) for s in (l, r, l + r)
+                    ):
                         break
                     if any(
                         cap > cc or (cap == cc and (rl, rr) < (l, r))
@@ -1851,10 +1897,21 @@ def wordpiece_encode(
     if bad_carry:
         raise ValueError(f"carry_cols collide with outputs: {bad_carry}")
 
-    out_schema = (
-        f"{id_col} long, "
-        + "".join(f"{c} string, " for c in carry_cols)
-        + "wp_text string, n_words long, n_subwords long, n_unk_words long"
+    # ADVICE r12/r14: carry the id through with its ORIGINAL type —
+    # a hard cast to long throws under ANSI on string doc ids and
+    # silently changes the output schema relative to the input
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType, id_field.nullable)]
+        + [T.StructField(c, T.StringType(), True) for c in carry_cols]
+        + [
+            T.StructField("wp_text", T.StringType(), True),
+            T.StructField("n_words", T.LongType(), True),
+            T.StructField("n_subwords", T.LongType(), True),
+            T.StructField("n_unk_words", T.LongType(), True),
+        ]
     )
 
     def encode(batches):
@@ -1918,7 +1975,7 @@ def wordpiece_encode(
             yield pd.DataFrame(data)
 
     prepared = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).cast("long").alias(id_col),
+        id_col,
         *[F.col(c).cast("string").alias(c) for c in carry_cols],
         tokens(text_col).alias("__toks"),
     )
@@ -1970,9 +2027,21 @@ def unigram_encode(
     table = {str(p): int(s) for p, s in pieces.items()}
     max_piece = max(len(p) for p in table)
 
-    out_schema = (
-        f"{id_col} long, unig_text string, n_words long, "
-        "n_pieces long, n_unk_words long, score_milli long"
+    # ADVICE r14 (low): carry the id with its ORIGINAL type — the
+    # same hazard _bpe_encode_arrow fixed in r12 (ANSI cast throw on
+    # string ids, silent schema change)
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("unig_text", T.StringType(), True),
+            T.StructField("n_words", T.LongType(), True),
+            T.StructField("n_pieces", T.LongType(), True),
+            T.StructField("n_unk_words", T.LongType(), True),
+            T.StructField("score_milli", T.LongType(), True),
+        ]
     )
 
     def encode(batches):
@@ -2046,7 +2115,7 @@ def unigram_encode(
             )
 
     prepared = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).cast("long").alias(id_col),
+        id_col,
         tokens(text_col).alias("__toks"),
     )
     return prepared.mapInPandas(encode, out_schema)

@@ -2851,6 +2851,42 @@ def test_bpe_train_batched_created_pair_adversary(spark):
     assert want[1][1:3] == ("az", "c")
 
 
+def test_bpe_train_batched_phantom_prefix_adversary(spark):
+    """r14 ADVICE (high): symbol-set disjointness is NOT sufficient
+    for batch acceptance — merging (a,b) phantom-matches ' a bq d'
+    because symbol 'bq' spelling-EXTENDS the rhs 'b', destroying 10
+    of (bq,d)'s 40 occurrences.  The old disjoint-only rule accepted
+    (bq,d) at count 40 in the same batch; sequential emits (x,y,35)
+    first and (bq,d) at 30.  The prefix-relation + phantom-capability
+    rule must reproduce the sequential order on every engine and
+    batch width."""
+    from genie_spark.analytics.text import bpe_train
+
+    texts = (
+        ["bq"] * 100 + ["ab"] * 50 + ["abqd"] * 10
+        + ["bqd"] * 30 + ["xy"] * 35
+    )
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    want = _seq_bpe(texts, 5)
+    # the adversary really is adversarial: sequential's step 3/4 are
+    # (x,y,35) then (bq,d,30) — the phantom-decayed count
+    assert want[2][1:] == ("x", "y", "xy", 35)
+    assert want[3][1:] == ("bq", "d", "bqd", 30)
+    for bk in (2, 8, 64):
+        got = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=5, batch_k=bk).collect()
+        ]
+        assert got == want, (bk, got, want)
+    hist = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=5, engine="histogram").collect()
+    ]
+    assert hist == want
+
+
 def test_bpe_train_histogram_engine_equals_spark(spark):
     """r13 histogram engine: the driver-side heap trainer is byte-
     identical to the distributed engine — tie order, overlap corpus,
@@ -3870,6 +3906,17 @@ def test_wordpiece_encode_greedy_longest_match(spark):
     )
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, plan
+    # ADVICE r14: id carried with its ORIGINAL type — string doc ids
+    # must pass through unchanged (no ANSI long cast)
+    sdf = df.where(F.col("text").isNotNull()).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    sgot = {
+        r["doc_id"]: r["wp_text"]
+        for r in wordpiece_encode(sdf, vocab).collect()
+    }
+    assert sgot["doc-1"] == "spark" and sgot["doc-2"] == "s ##low ##l ##y"
+    assert dict(wordpiece_encode(sdf, vocab).dtypes)["doc_id"] == "string"
 
 
 def test_wordpiece_coverage_slices_and_zero_guard(spark):
@@ -4051,6 +4098,15 @@ def test_unigram_encode_viterbi_model_ties_and_unk(spark):
         unigram_encode(docs, {})
     with pytest.raises(ValueError, match="invalid piece"):
         unigram_encode(docs, {"a b": -1})
+    # ADVICE r14 (low): id carried with its ORIGINAL type — string doc
+    # ids must pass through unchanged (no ANSI long cast)
+    sdocs = spark.createDataFrame(
+        [("d-1", "abc"), ("d-2", "zz")], "doc_id string, text string"
+    )
+    srows = {r["doc_id"]: r for r in unigram_encode(sdocs, v).collect()}
+    assert srows["d-1"]["unig_text"] == "a bc"
+    assert srows["d-2"]["score_milli"] == -6
+    assert dict(unigram_encode(sdocs, v).dtypes)["doc_id"] == "string"
     # sequential python DP cross-check on a real corpus slice
     from genie_spark.workload_analytics import UNIG_MAX_WORD, UNIGRAM_VOCAB
 

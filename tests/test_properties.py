@@ -1150,12 +1150,21 @@ def test_quantile_sketch_matches_sequential_model(spark, vals, k_max):
 # repetition, ties, self-pairs, and phantom-match spellings).
 # ---------------------------------------------------------------------------
 
-_bpe_word_st = st.text(alphabet="abcd", min_size=1, max_size=6)
+_bpe_word_st = st.text(alphabet="abcd", min_size=1, max_size=8)
 _bpe_corpus_st = st.lists(
     st.lists(_bpe_word_st, min_size=1, max_size=5).map(" ".join),
     min_size=1,
     max_size=10,
 )
+# weighted corpora (r14 ADVICE): skewed word counts make phantom-
+# prefix rank flips reachable — a word like 'abqd' at low count next
+# to 'ab'/'bqd' at high counts is exactly the shape that breaks a
+# disjoint-only batch rule
+_bpe_weighted_corpus_st = st.lists(
+    st.tuples(_bpe_word_st, st.integers(1, 60)),
+    min_size=2,
+    max_size=8,
+).map(lambda pairs: [w for w, n in pairs for _ in range(n)])
 
 
 def _seq_bpe_model(texts, n_merges):
@@ -1215,3 +1224,38 @@ def test_bpe_batched_prefix_matches_sequential(spark, texts, bk):
         tuple(r) for r in bpe_train(docs, n_merges=6, batch_k=bk).collect()
     ]
     assert got == _seq_bpe_model(texts, 6)
+
+
+@given(texts=_bpe_weighted_corpus_st, n=st.integers(1, 8))
+@settings(max_examples=150, deadline=None)
+def test_bpe_histogram_matches_sequential_on_weighted_corpora(texts, n):
+    """Pure-python: the histogram trainer == sequential model on
+    SKEWED-count corpora where phantom-prefix decay changes merge
+    order (the r14 ADVICE failure shape)."""
+    import collections
+
+    from genie_spark.analytics.text import _bpe_train_histogram
+
+    wf = collections.Counter(texts)
+    got = _bpe_train_histogram(sorted(wf.items()), n)
+    assert got == _seq_bpe_model([" ".join(texts)], n)
+
+
+@given(texts=_bpe_weighted_corpus_st, bk=st.integers(2, 64))
+@settings(max_examples=6, deadline=None)
+def test_bpe_batched_matches_sequential_on_weighted_corpora(
+    spark, texts, bk
+):
+    """Spark batched trainer on skewed-count corpora (few examples,
+    each is several Spark jobs): the prefix-relation + phantom-
+    capability acceptance rule == the sequential model where the
+    plain disjoint rule provably diverged."""
+    from genie_spark.analytics.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        tuple(r) for r in bpe_train(docs, n_merges=6, batch_k=bk).collect()
+    ]
+    assert got == _seq_bpe_model([" ".join(texts)], 6)

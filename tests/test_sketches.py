@@ -737,6 +737,35 @@ def test_moments_stats_exact_beyond_int64(spark):
     assert r["var_milli"] == ((n * s2 - s1 * s1) * 1000) // (n * n)
 
 
+def test_moments_stats_raises_past_decimal_bound(spark):
+    """ADVICE r14 (low): past n > MOMENTS_STATS_MAX_N the r1*1000
+    intermediate can leave DECIMAL(38,0) where non-ANSI overflow is a
+    SILENT NULL — the guard must raise loudly instead, and artifacts
+    exactly AT the bound must keep computing."""
+    import pytest
+
+    from genie_spark.analytics.sketches import (
+        MOMENTS_STATS_MAX_N,
+        moments_stats,
+    )
+
+    # hand-built artifacts (a real corpus of 1.8e17 rows is not a
+    # test fixture): n over the bound raises, n at the bound is exact
+    over = spark.createDataFrame(
+        [("g1", MOMENTS_STATS_MAX_N + 1, 7, 11, 0, 2)],
+        "g string, n long, s1 long, s2 long, min_v long, max_v long",
+    )
+    with pytest.raises(Exception, match="exact-decimal bound"):
+        moments_stats(over).collect()
+    at = spark.createDataFrame(
+        [("g1", MOMENTS_STATS_MAX_N, 7, 11, 0, 2)],
+        "g string, n long, s1 long, s2 long, min_v long, max_v long",
+    )
+    r = moments_stats(at).collect()[0]
+    n = MOMENTS_STATS_MAX_N
+    assert r["var_milli"] == ((n * 11 - 49) * 1000) // (n * n)
+
+
 def test_kmv_set_ops_inclusion_exclusion(spark):
     """X83: set-operation estimates from sketches alone — EXACT when
     both sets are below k (est == true union/intersection/diffs,
