@@ -1039,32 +1039,25 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
-    # Round-13 rotation (VERDICT r12 item 1 — the standing freshness
-    # practice): the 50 queries whose freshest driver evidence was
-    # ROUND 10 rotate back INTO the window — a15_case_lists,
-    # a16_filtered_counts, a17_value_decreases, a2_distinct_counts,
-    # a9_duplicate_keys, ann_cosine_pairs, ann_topk, the corpus_* r10
-    # cohort (chunk_overlap, decontaminate, keep_list, pack_sequences,
-    # passage_dedup, split_shuffle, stratified_sample), the dedup_*
-    # r10 cohort (components, edit_near, incremental_minhash,
-    # minhash_lsh, ngram_jaccard, quality_survivors,
-    # substring_clean/pairs/spans, winnow_fingerprints/pairs), j11,
-    # j3_interval_anti, j5, j6, layout_zorder_str,
-    # multimodal_audio/phash, p7, phi_redaction, q1_pricing_summary,
-    # s15, scalar_battery, set_except_distinct,
-    # sketch_kmv_distinct/jaccard, sketch_quantiles, text_bm25_topk,
-    # text_fingerprint, text_lang_id, text_lm_surprisal,
-    # text_pii_scrub, text_quality_classifier, text_repetition,
-    # text_tfidf_topk, text_token_stats.  Exactly 50 — they fill the
-    # window in one round, clearing the repo-wide freshness debt so
-    # every registered query carries r11+ driver evidence after r13.
-    # The 50 freed slots are the round-12 window (all 50 green in
-    # CORRECTNESS_r12.json, rows+schema+hash, 0 err); every rotated-
-    # out query keeps that r12-green driver row AND this session's
-    # local sf0.01 oracle sweep (tools/verify_oracle.py).  The new
-    # round-13 operators (text_wordpiece_train, layout_hilbert_3d)
-    # start in the tail with sf0.001/0.01 local-sweep evidence and
-    # take their first driver rows in the r14 window.
+    # Round-14 rotation (VERDICT r13 item 1): the 29 queries whose
+    # driver evidence is stalest rotate INTO the window — the 6
+    # round-13 newcomers with no driver row yet (layout_hilbert_3d,
+    # text_wordpiece_train, text_unigram_encode,
+    # corpus_leakage_safe_split, corpus_epoch_allocation,
+    # sketch_kmv_setops; the two historically-heavy rows were
+    # cheapened first: the wordpiece oracle's state CTEs are now AS
+    # MATERIALIZED — 103 s → 0.4 s — and the split's pair scan is
+    # localCheckpointed) plus the 23 whose freshest row is r11
+    # (a4, a5, a7, a11, a13, ann_lsh_buckets, ann_pq_codes,
+    # corpus_token_budget, dedup_semantic, dedup_setsim_prefix, j4,
+    # j9, j10, multimodal_features, p4, p12, p14, s12,
+    # sketch_heavy_hitters, sketch_hll_distinct, text_blocklist, w2,
+    # w4).  The 29 freed slots come from the r13 window (all 50 green
+    # in CORRECTNESS_r13.json, rows+schema+hash, 0 err) — the 29
+    # heaviest of those move to the tail below, each keeping its
+    # r13-green driver row AND this session's local sf0.001/0.01
+    # oracle sweeps; the 21 cheapest r13-green stay in the window so
+    # the wall absorbs the two heavy rotate-ins.
     "j1_revenue_per_nation",
     "p3_semi_filter",
     "p6_greatest_threshold",
@@ -1115,35 +1108,37 @@ _TAIL_QUERIES = [
     "j8_broadcast_lookup",
     "layout_zorder",
     "layout_hilbert",
-    "layout_hilbert_3d",
-    "text_wordpiece_train",
-    "text_unigram_encode",
-    "corpus_leakage_safe_split",
-    "corpus_epoch_allocation",
-    "sketch_kmv_setops",
-    "j10_symbol_remap",
-    "multimodal_features",
-    "dedup_setsim_prefix",
-    "text_blocklist",
-    "sketch_heavy_hitters",
-    "s12_pushdown_scan",
-    "j9_code_remap",
-    "p4_anti_filter",
-    "p12_date_window_filter",
-    "p14_group_count_filter",
-    "a4_completeness",
-    "a5_lag_difference",
-    "a7_median",
-    "a11_fill_count_algebra",
-    "a13_group_concat",
-    "j4_containment_join",
-    "w2_latest_per_key",
-    "w4_asof_join",
-    "ann_lsh_buckets",
-    "ann_pq_codes",
-    "dedup_semantic",
-    "corpus_token_budget",
-    "sketch_hll_distinct",
+    # r13-green heavy cohort rotated out in r14 (each keeps its
+    # r13-green driver row)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "ann_cosine_pairs",
+    "ann_topk",
+    "text_tfidf_topk",
+    "text_lm_surprisal",
+    "corpus_decontaminate",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_passage_dedup",
+    "dedup_quality_survivors",
+    "dedup_incremental_minhash",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "sketch_quantiles",
+    "corpus_chunk_overlap",
+    "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
+    "dedup_substring_spans",
+    "dedup_substring_pairs",
+    "dedup_substring_clean",
+    "text_bm25_topk",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "text_quality_classifier",
+    "a17_value_decreases",
+    "layout_zorder_str",
+    "dedup_edit_near",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -1017,7 +1017,11 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup_pairs(
         docs, k=20, n_perm=16, bands=4, threshold=0.5
     )
-    return leakage_safe_split(docs, pairs)
+    # r14 (VERDICT watch item): materialize the pair scan ONCE — the
+    # components loop and the final corpus join then iterate over the
+    # tiny checkpointed pair table instead of replaying the MinHash
+    # lineage per materialization
+    return leakage_safe_split(docs, pairs.localCheckpoint(eager=True))
 
 
 LEAKAGE_SPLIT_SQL = f"""
@@ -3860,9 +3864,14 @@ def _wordpiece_train_sql(n_merges: int) -> str:
     into a CTE chain — per step a pair count, a symbol count, the
     HUGEINT-exact likelihood score ``(cnt·10⁹) // (n_l·n_r)`` (floor
     matches Spark's pmod-decimal form on the nonnegative domain), a
-    1-row winner, and the ##-stripping merge replace."""
+    1-row winner, and the ##-stripping merge replace.
+
+    The state CTEs are ``AS MATERIALIZED`` (r14): each ``s{{i-1}}`` is
+    referenced TWICE (by ``a{{i}}`` and ``s{{i}}``), so DuckDB's
+    default CTE inlining re-evaluates the whole chain 2^steps times —
+    measured 103 s → 0.36 s at sf0.01 with byte-identical output."""
     ctes = [
-        f"""w AS (
+        f"""w AS MATERIALIZED (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest({_TOKS}) AS word FROM documents)
   GROUP BY word
@@ -3873,10 +3882,13 @@ s0 AS (
          freq
   FROM w)"""
     ]
+    # first state CTE needs the MATERIALIZED marker too: s0 is
+    # double-referenced by a1 and s1
+    ctes[0] = ctes[0].replace("s0 AS (", "s0 AS MATERIALIZED (")
     sels = []
     for i in range(1, n_merges + 1):
         ctes.append(
-            f"""a{i} AS (
+            f"""a{i} AS MATERIALIZED (
   SELECT regexp_split_to_array(ltrim(s), ' ') AS arr, freq FROM s{i - 1}
 ),
 p{i} AS (
@@ -3898,7 +3910,7 @@ b{i} AS (
   JOIN u{i} ur ON ur.sym = rhs
   ORDER BY score_q DESC, lhs, rhs LIMIT 1
 ),
-s{i} AS (
+s{i} AS MATERIALIZED (
   SELECT replace(s, ' ' || lhs || ' ' || rhs,
                  ' ' || lhs || substr(rhs, 3)) AS s, freq
   FROM s{i - 1}, b{i}
