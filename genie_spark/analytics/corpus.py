@@ -1194,7 +1194,8 @@ def dsir_sample(
     from genie_spark.functions.ranking import rank_bounded
 
     out = rank_bounded(
-        ranked, F.desc("score_bits"), F.asc("__h"), F.asc(id_col)
+        ranked, F.desc("score_bits"), F.asc("__h"), F.asc(id_col),
+        max_rows=k,
     ).drop("__h")
     return _release_on_gc(_release_on_gc(out, cq), cp)
 
@@ -1331,7 +1332,9 @@ def soft_dedup(
     )
     from genie_spark.functions.ranking import rank_bounded
 
-    out = rank_bounded(ranked, F.desc("priority"), F.asc(id_col))
+    out = rank_bounded(
+        ranked, F.desc("priority"), F.asc(id_col), max_rows=k
+    )
     return _release_on_gc(out, counts)
 
 

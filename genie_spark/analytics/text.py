@@ -424,7 +424,9 @@ def bm25_topk(
     )
     from genie_spark.functions.ranking import rank_bounded
 
-    return rank_bounded(ranked, F.desc("score"), F.asc(id_col))
+    return rank_bounded(
+        ranked, F.desc("score"), F.asc(id_col), max_rows=k
+    )
 
 
 def hashed_linear_classify(
@@ -1279,7 +1281,9 @@ def token_drift(
     ).limit(k)
     from genie_spark.functions.ranking import rank_bounded
 
-    return rank_bounded(ranked, F.desc("drift_ppm"), F.asc("token"))
+    return rank_bounded(
+        ranked, F.desc("drift_ppm"), F.asc("token"), max_rows=k
+    )
 
 
 # Gopher rule battery (Rae et al. 2021, arXiv 2112.11446 Table A1) —

@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 
 def rank_bounded(
-    df: DataFrame, *order_cols: Column | str, rank_col: str = "rank"
+    df: DataFrame,
+    *order_cols: Column | str,
+    rank_col: str = "rank",
+    max_rows: int | None = None,
 ) -> DataFrame:
     """``df`` (<= k rows by construction) plus ``rank_col`` = 1..n in
     ``order_cols`` order — row_number() semantics, zero WindowExec.
@@ -32,8 +35,24 @@ def rank_bounded(
     coalesce(1) the partition index is fixed at 0 and the row ordinal
     follows the total sort order, so the rank is a pure function of
     content — task retries reproduce it bit-for-bit.  Callers must
-    pass a TOTAL order (include a unique tie-breaker column)."""
+    pass a TOTAL order (include a unique tie-breaker column).
+
+    ``max_rows`` (VERDICT r13 item 3) turns the <=k-rows precondition
+    from a convention into a runtime contract: when set, any rank
+    past the bound raises loudly at execution (an expression-level
+    guard — one comparison per row, no extra job) instead of letting
+    a mis-sized frame silently serialize through one partition.
+    Call sites pass their own k."""
     out = df.coalesce(1).sortWithinPartitions(*order_cols)
-    return out.withColumn(
-        rank_col, (F.monotonically_increasing_id() + 1).cast("long")
-    )
+    rank = (F.monotonically_increasing_id() + 1).cast("long")
+    if max_rows is not None:
+        rank = F.when(
+            rank > F.lit(int(max_rows)),
+            F.raise_error(
+                F.lit(
+                    f"rank_bounded: frame exceeds max_rows={int(max_rows)}"
+                    " — the caller's <=k-rows precondition is violated"
+                )
+            ).cast("long"),
+        ).otherwise(rank)
+    return out.withColumn(rank_col, rank)

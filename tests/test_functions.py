@@ -93,3 +93,38 @@ def test_redact_phi_interval_and_birth_year(spark):
     assert got["p7"][:2] == ("withheld", "2010")
     assert got["p8"][1] == "withheld"
     assert got["p9"][2] == "withheld"
+
+
+def test_rank_bounded_order_and_max_rows_guard(spark):
+    """VERDICT r13 item 3: rank_bounded's <=k-rows precondition is a
+    runtime contract — ranks within max_rows compute exactly
+    row_number() in the total order; a frame past the bound raises
+    loudly instead of silently serializing through one partition."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from genie_spark.functions.ranking import rank_bounded
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(10)], ["id", "v"]
+    )
+    got = [
+        (r["id"], r["rank"])
+        for r in rank_bounded(
+            df, F.desc("v"), F.asc("id"), max_rows=10
+        ).orderBy("rank").collect()
+    ]
+    want = sorted(
+        [(i, (i * 37) % 11) for i in range(10)],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == [(i, rk + 1) for rk, (i, _) in enumerate(want)]
+    # same frame under a smaller bound: loud raise, not silence
+    with pytest.raises(Exception, match="max_rows=5"):
+        rank_bounded(df, F.asc("id"), max_rows=5).collect()
+    # plan discipline unchanged: no WindowExec in the guarded form
+    plan = (
+        rank_bounded(df, F.asc("id"), max_rows=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
