@@ -1139,6 +1139,9 @@ _TAIL_QUERIES = [
     "a17_value_decreases",
     "layout_zorder_str",
     "dedup_edit_near",
+    # 30th r13-green rotate-out: frees the window slot for the new
+    # r14 store-fed split query (corpus_leakage_split_store)
+    "p7_contains_filter",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

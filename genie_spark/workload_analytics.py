@@ -1024,6 +1024,106 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, pairs.localCheckpoint(eager=True))
 
 
+def corpus_leakage_split_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80+X82 store-fed split (VERDICT r13 item 5): the pair stream
+    is sharded into three "ingest batches" (pair lhs mod 3 — a
+    deterministic stand-in for arrival order), each batch reduced to
+    its node-sized component map exactly as ``components_stream``
+    shards do, the maps merged by the X82 merge law (components over
+    the union of node→root edges == components over the union of the
+    original edge streams), and the merged map fed to
+    ``leakage_safe_split(components=...)`` — the rolling-ingest
+    contract a release pipeline depends on, now driver-checked
+    end-to-end against a recursive-CTE oracle over the same shard
+    decomposition."""
+    from genie_spark.analytics.corpus import leakage_safe_split
+    from genie_spark.analytics.dedup import connected_components
+    from genie_spark.streaming.windows import _components_store_merge
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, k=20, n_perm=16, bands=4, threshold=0.5
+    ).localCheckpoint(eager=True)
+    # all three shard maps in ONE components pass over the DISJOINT
+    # UNION graph: tag each shard's nodes as node*4 + shard (components
+    # of a disjoint union are the per-shard components, and min over
+    # node*4+shard for a fixed shard is (min node)*4+shard, so
+    # untagging with div 4 recovers each shard's own min-label map) —
+    # one iterative loop instead of one per batch; ids must stay below
+    # 2**61, which the doc-id domain satisfies by construction
+    shard = F.pmod(F.col("a"), F.lit(3))
+    tagged = pairs.select(
+        (F.col("a") * 4 + shard).alias("a"),
+        (F.col("b") * 4 + shard).alias("b"),
+    )
+    store = connected_components(tagged).select(
+        F.floor(F.col("node") / 4).cast("long").alias("node"),
+        F.floor(F.col("cluster_id") / 4).cast("long").alias("cluster_id"),
+    )
+    merged = _components_store_merge(store)
+    return leakage_safe_split(docs, components=merged)
+
+
+def _leakage_split_store_sql() -> str:
+    """DuckDB mirror of the store-fed split: per shard a recursive
+    min-label components CTE over that shard's pairs (the shard's
+    component MAP), then recursive components over the UNION of the
+    three maps' node→root edges — the X82 merge law — then the same
+    md5 split rule as the inline form."""
+    shard_ctes = []
+    for i in range(3):
+        shard_ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM pairs WHERE a % 3 = {i}
+  UNION
+  SELECT b AS x, a AS y FROM pairs WHERE a % 3 = {i}
+),
+r{i}(node, label) AS (
+    SELECT x, x FROM e{i}
+  UNION
+    SELECT e.x, r.label FROM e{i} e JOIN r{i} r ON e.y = r.node
+),
+m{i} AS (SELECT node, min(label) AS root FROM r{i} GROUP BY node)"""
+        )
+    return (
+        # pairs is referenced twice per shard (6x total): without
+        # MATERIALIZED DuckDB re-evaluates the whole MinHash subquery
+        # per reference (measured 27 s -> sub-second at sf0.01)
+        "WITH RECURSIVE pairs AS MATERIALIZED ({minhash}),\n"
+        + ",\n".join(shard_ctes)
+        + """,
+store AS MATERIALIZED (
+  SELECT node, root FROM m0
+  UNION ALL SELECT node, root FROM m1
+  UNION ALL SELECT node, root FROM m2
+),
+se AS MATERIALIZED (
+  SELECT node AS x, root AS y FROM store
+  UNION
+  SELECT root AS x, node AS y FROM store
+),
+sreach(node, label) AS (
+    SELECT x, x FROM se
+  UNION
+    SELECT e.x, r.label FROM se e JOIN sreach r ON e.y = r.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM sreach GROUP BY node),
+rep AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS rep_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, rep_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""
+    )
+
+
 LEAKAGE_SPLIT_SQL = f"""
 WITH RECURSIVE pairs AS ({{minhash}}),
 edges AS (
@@ -4301,6 +4401,7 @@ ANALYTICS_QUERIES: dict = {
     "text_wordpiece_train": text_wordpiece_train,
     "text_unigram_encode": text_unigram_encode,
     "corpus_leakage_safe_split": corpus_leakage_safe_split,
+    "corpus_leakage_split_store": corpus_leakage_split_store,
     "corpus_epoch_allocation": corpus_epoch_allocation,
     "sketch_kmv_setops": sketch_kmv_setops,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
@@ -4388,6 +4489,9 @@ ANALYTICS_ORACLES: dict = {
     "text_wordpiece_train": _wordpiece_train_sql(WP_TRAIN_MERGES),
     "text_unigram_encode": _unigram_sql(UNIGRAM_VOCAB, UNIG_MAX_WORD),
     "corpus_leakage_safe_split": LEAKAGE_SPLIT_SQL.format(minhash=_minhash_sql()),
+    "corpus_leakage_split_store": _leakage_split_store_sql().format(
+        minhash=_minhash_sql()
+    ),
     "corpus_epoch_allocation": EPOCH_ALLOC_SQL,
     "sketch_kmv_setops": SKETCH_SETOPS_SQL,
     "corpus_decontaminate_semantic": SEMDECON_SQL,

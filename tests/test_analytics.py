@@ -4267,3 +4267,25 @@ def test_epoch_allocation_waterfill_model(spark):
         epoch_allocation(docs, 10, epoch_weights_milli=(500, 500))
     with pytest.raises(ValueError, match="negative"):
         epoch_allocation(docs, -1)
+
+
+def test_leakage_split_store_query_equals_inline(spark):
+    """r14 (VERDICT r13 item 5): the store-fed split workload query —
+    per-batch component maps via ONE disjoint-union-tagged components
+    pass, merged by the X82 law — produces byte-identical rows to the
+    inline pairs= form on the same corpus (the merge-law contract a
+    rolling release pipeline depends on)."""
+    from genie_spark.workload_analytics import (
+        corpus_leakage_safe_split,
+        corpus_leakage_split_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inline = sorted(
+        tuple(r) for r in corpus_leakage_safe_split(spark, sf).collect()
+    )
+    store_fed = sorted(
+        tuple(r) for r in corpus_leakage_split_store(spark, sf).collect()
+    )
+    assert store_fed == inline
+    assert len(store_fed) == 500
