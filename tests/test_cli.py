@@ -3153,3 +3153,124 @@ def test_dashboard_markdown_sections_and_caps(spark, tmp_path):
     assert "## Samples per release" in text
     assert "| v1 | 300 |" in text and "| v2 | 150 |" in text
     assert "_first 100 of 300 rows_" in text
+
+
+def test_dashboard_markdown_two_release_golden(spark, tmp_path):
+    """r14 (VERDICT r13 item 6): --render over a TWO-snapshot fixture —
+    the release-over-release sections (sample diffs, decrease check,
+    samples-per-release, clinical value-count decreases) render from
+    stored snapshots, byte-identical to the committed golden, and the
+    rendered decrease flags are PARITY-checked against the a17
+    operator (value_count_decreases) run directly on the same release
+    dirs.  Literal rows only — driver regeneration of /root/testdata
+    cannot shift the golden."""
+    import types
+
+    from genie_spark.cli import _append_release_snapshot, cmd_dashboard
+    from genie_spark.operators.aggregations import value_count_decreases
+
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(wh)
+    centers = ["SAGE", "DFCI", "MSK"]
+    rows = [
+        (f"GENIE-{centers[i % 3]}-{i:03d}", centers[i % 3],
+         ["LUAD", "BRCA", "GBM"][(i * 5) % 3])
+        for i in range(1, 31)
+    ]
+    spark.createDataFrame(
+        rows, "SAMPLE_ID string, CENTER string, ONCOTREE_CODE string"
+    ).write.parquet(os.path.join(wh, "clinical"))
+
+    def arts(n):
+        clin = spark.createDataFrame(
+            [(f"GENIE-SAGE-{i:03d}", "SAGE") for i in range(n)],
+            ["SAMPLE_ID", "CENTER"],
+        )
+        return types.SimpleNamespace(
+            clinical=clin, maf=None, cna_long=None, seg=None, sv=None
+        )
+
+    # two stored snapshots: v2 drops two clinical rows -> decrease row
+    _append_release_snapshot(spark, wh, "v1", arts(6))
+    _append_release_snapshot(spark, wh, "v2", arts(4))
+
+    # two release dirs: at SAGE the SAMPLE_TYPE value 'Primary' count
+    # drops 3 -> 1 (a value-distribution decrease); DFCI is unchanged
+    def write_clin(d, rows):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data_clinical.txt"), "w") as f:
+            f.write("SAMPLE_ID\tCENTER\tSAMPLE_TYPE\n")
+            for r in rows:
+                f.write("\t".join(r) + "\n")
+
+    prev_dir = str(tmp_path / "rel_v1")
+    cur_dir = str(tmp_path / "rel_v2")
+    sage = [f"GENIE-SAGE-{i:03d}" for i in range(4)]
+    dfci = [f"GENIE-DFCI-{i:03d}" for i in range(2)]
+    write_clin(prev_dir, [
+        (sage[0], "SAGE", "Primary"),
+        (sage[1], "SAGE", "Primary"),
+        (sage[2], "SAGE", "Primary"),
+        (sage[3], "SAGE", "Metastasis"),
+        (dfci[0], "DFCI", "Primary"),
+        (dfci[1], "DFCI", "Primary"),
+    ])
+    write_clin(cur_dir, [
+        (sage[0], "SAGE", "Primary"),
+        (sage[1], "SAGE", "Metastasis"),
+        (sage[2], "SAGE", "Metastasis"),
+        (sage[3], "SAGE", "Metastasis"),
+        (dfci[0], "DFCI", "Primary"),
+        (dfci[1], "DFCI", "Primary"),
+    ])
+
+    md = str(tmp_path / "dashboard.md")
+    dash = str(tmp_path / "dash")
+    rc = cmd_dashboard(
+        spark,
+        _ns(
+            warehouse=wh, output=dash, html=None, render=md,
+            release_label="fixture-two-release",
+            release_dir=cur_dir, prev_release_dir=prev_dir,
+        ),
+    )
+    assert rc == 0
+
+    # parity: the STORED decrease table == the a17 operator's own
+    # answer on the same release dirs (same reader as cmd_dashboard)
+    def read_clin(d):
+        return (
+            spark.read.option("sep", "\t").option("header", "true")
+            .option("comment", "#")
+            .csv(os.path.join(d, "data_clinical.txt"))
+        )
+
+    want = sorted(
+        (r["CENTER"], r["column"], bool(r["has_decrease"]))
+        for r in value_count_decreases(
+            read_clin(cur_dir), read_clin(prev_dir)
+        ).collect()
+    )
+    got = sorted(
+        (r["CENTER"], r["column"], bool(r["has_decrease"]))
+        for r in spark.read.parquet(
+            os.path.join(dash, "clinical_value_decreases")
+        ).collect()
+    )
+    assert got == want
+    assert ("SAGE", "SAMPLE_TYPE", True) in got
+    assert ("DFCI", "SAMPLE_TYPE", False) in got
+
+    # the rendered document carries the flags and is golden-exact
+    with open(md) as f:
+        text = f.read()
+    assert "## Release-over-release differences" in text
+    assert "| SAGE | SAMPLE_TYPE | true |" in text
+    assert "| DFCI | SAMPLE_TYPE | false |" in text
+    assert "| v2 | -2 |" in text or "| SAGE | v2 | -2 |" in text
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden",
+        "dashboard_two_release_fixture.md",
+    )
+    with open(golden) as f:
+        assert text == f.read()
