@@ -1136,3 +1136,43 @@ def semantic_decontaminate(
     return out.select(
         F.col("vid").alias(id_col), "eval_id", "max_cosine", "is_contaminated"
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 8,
+    dim: int = 64,
+    seed0: int = 1,
+) -> DataFrame:
+    """X85 — signed random projection (Achlioptas 2003
+    "database-friendly" ±1 projections; the Johnson-Lindenstrauss
+    embedding-compression step a retrieval pipeline runs before ANN
+    when the native dimension is too wide to index): each output
+    coordinate j is the exact integer dot product of the quantized
+    vector with a deterministic ±1 plane (the same md5-derived
+    ``_hyperplane`` family the sign-LSH uses, seeds ``seed0 + j``), so
+    E[<p(u), p(v)>] = out_dim·<u, v> and squared distances are
+    preserved within the JL bound — but unlike the LSH signature the
+    PROJECTION VALUES are kept, giving a dim-reduced integer embedding
+    that downstream exact or ANN search can consume.
+
+    Returns (id_col, rp array<long> of length ``out_dim``) — exact
+    integers, reproducible across engines and rounds (no RNG API).
+
+    Spark shape (the 100 TB one): the planes are literals folded into
+    the projection expressions — scan → project, zero exchange, zero
+    UDF, whole-stage codegen; cost O(out_dim·dim) per row independent
+    of corpus size.  Rows whose vector is null or mis-sized project
+    to null (zip_with null-pads, aggregate propagates), mirroring the
+    LSH family's null contract.
+    """
+    if out_dim < 1:
+        raise ValueError(f"random_projection: out_dim must be >= 1, got {out_dim}")
+    q = quantized(vec_col)
+    projs = []
+    for j in range(out_dim):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed0 + j)])
+        projs.append(dot(q, plane).cast("long"))
+    return df.select(F.col(id_col), F.array(*projs).alias("rp"))

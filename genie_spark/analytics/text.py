@@ -2432,3 +2432,76 @@ def wordpiece_coverage(
         .cast("long")
         .alias("fertility_milli"),
     ).orderBy(group_col)
+
+
+def unigram_seed_vocab(
+    df: DataFrame,
+    vocab_size: int = 50,
+    max_piece_len: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """X84 — Unigram-LM SEED vocabulary selection (Kudo, ACL 2018 §3;
+    SentencePiece ``MakeSeedSentencePieces``): the first stage of the
+    Unigram trainer, completing the X79 encode side's family.  The
+    published algorithm enumerates frequent substrings (spm does it
+    with a suffix array over the concatenated corpus), scores each
+    candidate by ``count · len`` (total characters covered), ALWAYS
+    keeps every single character (the required alphabet — coverage
+    must never be lost), and fills the remaining ``vocab_size`` slots
+    with the top multi-character candidates.  Ties break on
+    (score DESC, piece ASC) — the engine's pinned total order.
+
+    Returns (piece, piece_len, n_hits, score, in_alphabet):
+    ``n_hits`` counts every occurrence POSITION (a word containing
+    "aa" twice contributes twice per corpus occurrence, exactly the
+    suffix-array count), ``score = n_hits · piece_len``, alphabet rows
+    are always present regardless of score.
+
+    Spark shape (the 100 TB one): the ONLY corpus-sized operation is
+    the word-frequency groupBy (map-side partial combine — the X52
+    contract); substring enumeration is a nested higher-order
+    ``transform``/``flatten`` over DISTINCT words (zero UDF,
+    whole-stage codegen), and candidate selection is a
+    TakeOrderedAndProject over the piece table.  The single driver
+    action is the alphabet count — alphabet-sized, the kmeans
+    centroid contract.
+    """
+    if vocab_size < 1:
+        raise ValueError(
+            f"unigram_seed_vocab: vocab_size must be >= 1, got {vocab_size}"
+        )
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    # all substrings of length 1..max_piece_len, every start position —
+    # nested SQL lambdas close over the outer variable (ln), all
+    # JVM-side
+    subs = F.expr(
+        f"""flatten(transform(
+  sequence(1, least(length(__w), {int(max_piece_len)})),
+  ln -> transform(
+    sequence(1, length(__w) - ln + 1),
+    i -> substring(__w, i, ln))))"""
+    )
+    pieces = (
+        wc.select(F.explode(subs).alias("piece"), "__f")
+        .groupBy("piece")
+        .agg(F.sum("__f").cast("long").alias("n_hits"))
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "n_hits",
+            (F.length("piece") * F.col("n_hits")).cast("long").alias("score"),
+            (F.length("piece") == 1).alias("in_alphabet"),
+        )
+    )
+    alpha = pieces.where(F.col("in_alphabet"))
+    n_alpha = alpha.count()
+    multi = (
+        pieces.where(~F.col("in_alphabet"))
+        .orderBy(F.desc("score"), F.asc("piece"))
+        .limit(max(0, vocab_size - n_alpha))
+    )
+    return alpha.unionByName(multi)

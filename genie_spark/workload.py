@@ -1139,9 +1139,12 @@ _TAIL_QUERIES = [
     "a17_value_decreases",
     "layout_zorder_str",
     "dedup_edit_near",
-    # 30th r13-green rotate-out: frees the window slot for the new
-    # r14 store-fed split query (corpus_leakage_split_store)
+    # 30th-32nd r13-green rotate-outs: free window slots for the
+    # three new r14 queries (corpus_leakage_split_store,
+    # text_unigram_seed, emb_random_projection)
     "p7_contains_filter",
+    "corpus_keep_list",
+    "corpus_split_shuffle",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -529,6 +529,47 @@ FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vid < b.vid
 ANN_LSH_SQL = _lsh_sql()
 
 
+RP_OUT_DIM = 8
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 signed random projection: the JL embedding-compression step
+    (Achlioptas ±1 planes, md5-derived) — every vector's 8 exact
+    integer projections in long form (vec_id, j, proj)."""
+    from genie_spark.analytics.similarity import random_projection
+
+    rp = random_projection(
+        _emb(spark, sf_dir), out_dim=RP_OUT_DIM, dim=64
+    )
+    return rp.select(
+        "vec_id", F.posexplode("rp").alias("j", "proj")
+    ).select(
+        "vec_id", F.col("j").cast("long").alias("j"), F.col("proj")
+    )
+
+
+def _random_projection_sql() -> str:
+    """DuckDB mirror of ``random_projection``: the same md5-derived ±1
+    planes (seeds 1..out_dim), the same exact integer projections over
+    the quantized vectors, one UNION ALL arm per output coordinate."""
+    from genie_spark.analytics.similarity import _hyperplane
+
+    arms = []
+    for j in range(RP_OUT_DIM):
+        plane = _hyperplane(64, 1 + j)
+        proj = " ".join(
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
+        )
+        arms.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS j, "
+            f"CAST(({proj}) AS BIGINT) AS proj FROM q"
+        )
+    return (
+        f"WITH q AS MATERIALIZED (SELECT vec_id, {_QUANT_SQL} AS v "
+        "FROM embeddings)\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -4024,6 +4065,67 @@ s{i} AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
 
 
+UNIG_SEED_VOCAB = 40
+UNIG_SEED_MAX_LEN = 5
+
+
+def text_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 Unigram-LM seed vocabulary (Kudo 2018 §3 / SentencePiece
+    MakeSeedSentencePieces): every single character plus the top
+    multi-character substrings by count·len — the trainer stage that
+    feeds the X79 Viterbi encoder."""
+    from genie_spark.analytics.text import unigram_seed_vocab
+
+    return unigram_seed_vocab(
+        _docs(spark, sf_dir),
+        vocab_size=UNIG_SEED_VOCAB,
+        max_piece_len=UNIG_SEED_MAX_LEN,
+    )
+
+
+def _unigram_seed_sql(vocab_size: int, max_piece_len: int) -> str:
+    """DuckDB mirror of ``unigram_seed_vocab``: word histogram, nested
+    range-unnest substring enumeration, count·len scores, alphabet
+    rows always kept, top multi-char by (score DESC, piece) filling
+    the remaining slots."""
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT word, count(*) AS f
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word
+),
+s1 AS (
+  SELECT word, f,
+         CAST(unnest(range(1, least(length(word), {max_piece_len}) + 1))
+              AS INT) AS ln
+  FROM w
+),
+s2 AS (
+  SELECT substring(word, CAST(i AS INT), ln) AS piece, f
+  FROM (SELECT word, f, ln,
+               unnest(range(1, length(word) - ln + 2)) AS i
+        FROM s1)
+),
+pc AS MATERIALIZED (
+  SELECT piece,
+         CAST(length(piece) AS BIGINT) AS piece_len,
+         CAST(sum(f) AS BIGINT) AS n_hits,
+         CAST(length(piece) * sum(f) AS BIGINT) AS score,
+         length(piece) = 1 AS in_alphabet
+  FROM s2 GROUP BY piece
+),
+alpha AS (SELECT * FROM pc WHERE in_alphabet),
+multi AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, piece) AS rn
+  FROM pc WHERE NOT in_alphabet
+)
+SELECT piece, piece_len, n_hits, score, in_alphabet FROM alpha
+UNION ALL
+SELECT piece, piece_len, n_hits, score, in_alphabet FROM multi
+WHERE rn <= {vocab_size} - (SELECT count(*) FROM alpha)
+"""
+
+
 def sketch_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X75 per-group mergeable quantile sketches: one X70 artifact per
     language over documents.n_chars (k_max=64 so per-lang levels are
@@ -4400,6 +4502,8 @@ ANALYTICS_QUERIES: dict = {
     "text_wordpiece_coverage": text_wordpiece_coverage,
     "text_wordpiece_train": text_wordpiece_train,
     "text_unigram_encode": text_unigram_encode,
+    "text_unigram_seed": text_unigram_seed,
+    "emb_random_projection": emb_random_projection,
     "corpus_leakage_safe_split": corpus_leakage_safe_split,
     "corpus_leakage_split_store": corpus_leakage_split_store,
     "corpus_epoch_allocation": corpus_epoch_allocation,
@@ -4487,6 +4591,8 @@ ANALYTICS_ORACLES: dict = {
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_train": _wordpiece_train_sql(WP_TRAIN_MERGES),
+    "text_unigram_seed": _unigram_seed_sql(UNIG_SEED_VOCAB, UNIG_SEED_MAX_LEN),
+    "emb_random_projection": _random_projection_sql(),
     "text_unigram_encode": _unigram_sql(UNIGRAM_VOCAB, UNIG_MAX_WORD),
     "corpus_leakage_safe_split": LEAKAGE_SPLIT_SQL.format(minhash=_minhash_sql()),
     "corpus_leakage_split_store": _leakage_split_store_sql().format(

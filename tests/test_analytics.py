@@ -4289,3 +4289,79 @@ def test_leakage_split_store_query_equals_inline(spark):
     )
     assert store_fed == inline
     assert len(store_fed) == 500
+
+
+def test_unigram_seed_vocab_scores_alphabet_and_fill(spark):
+    """X84 seed-vocab semantics (SentencePiece MakeSeedSentencePieces):
+    every occurrence POSITION counts (weighted by word freq), score =
+    count*len, the single-char alphabet is ALWAYS kept, and the
+    remaining slots fill with top multi-char pieces under
+    (score DESC, piece ASC)."""
+    import pytest
+
+    from genie_spark.analytics.text import unigram_seed_vocab
+
+    texts = ["abab"] * 3 + ["ab"] * 2 + ["zz"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    out = unigram_seed_vocab(docs, vocab_size=6, max_piece_len=3)
+    rows = {
+        r["piece"]: (r["piece_len"], r["n_hits"], r["score"], r["in_alphabet"])
+        for r in out.collect()
+    }
+    # alphabet: a,b appear 2x in 'abab' (f=3) + 1x in 'ab' (f=2) = 8
+    assert rows["a"] == (1, 8, 8, True)
+    assert rows["b"] == (1, 8, 8, True)
+    assert rows["z"] == (1, 2, 2, True)  # kept despite low score
+    # multi-char fill (3 slots): ab=8 hits ('abab' has 2 positions),
+    # score 16; aba/bab score 9; ba (score 6) and zz (2) miss the cut
+    assert rows["ab"] == (2, 8, 16, False)
+    assert rows["aba"] == (3, 3, 9, False)
+    assert rows["bab"] == (3, 3, 9, False)
+    assert len(rows) == 6 and "ba" not in rows and "zz" not in rows
+    # vocab smaller than the alphabet: alphabet still complete
+    small = unigram_seed_vocab(docs, vocab_size=2, max_piece_len=3)
+    assert sorted(r["piece"] for r in small.collect()) == ["a", "b", "z"]
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_seed_vocab(docs, vocab_size=0)
+
+
+def test_random_projection_exact_values_and_nulls(spark):
+    """X85 signed random projection: each output coordinate equals the
+    exact integer dot of the quantized vector with the md5-derived
+    ±1 plane (seeds 1..out_dim); null vectors project null; the plan
+    is scan -> project (zero exchange, zero Python)."""
+    import pytest
+
+    from genie_spark.analytics.similarity import (
+        _hyperplane,
+        random_projection,
+    )
+
+    dim = 4
+    vecs = [
+        (1, [1.0, -2.0, 0.5, 3.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, None),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["rp"]
+        for r in random_projection(
+            df, out_dim=3, dim=dim
+        ).collect()
+    }
+    planes = [_hyperplane(dim, 1 + j) for j in range(3)]
+    q1 = [1000, -2000, 500, 3000]  # floor(x*1000 + 0.5)
+    for j in range(3):
+        assert out[1][j] == sum(s * v for s, v in zip(planes[j], q1))
+        assert out[2][j] == 0
+    assert out[3] is None or all(x is None for x in out[3])
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, out_dim=0, dim=dim)
+    plan = (
+        random_projection(df, out_dim=3, dim=dim)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan, plan
