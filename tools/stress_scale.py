@@ -1042,6 +1042,53 @@ def main() -> None:
     _hexv.update({"ab": -7000, "cd": -7000, "ef": -7000, "0123": -9000})
     probe("unigram_encode", lambda n: unigram_encode(docs(n), _hexv))
 
+    # X84 Unigram seed vocab: ONE corpus-sized word count, substring
+    # enumeration over DISTINCT words — must track the scan
+    from genie_spark.analytics.text import unigram_seed_vocab
+
+    probe(
+        "unigram_seed",
+        lambda n: unigram_seed_vocab(
+            synth_docs(spark, n), vocab_size=64, max_piece_len=5
+        ),
+    )
+
+    # X85 signed random projection: scan -> project, literal planes —
+    # must be scan-bound (O(out_dim*dim) per row)
+    from genie_spark.analytics.similarity import random_projection
+
+    probe(
+        "random_projection",
+        lambda n: random_projection(embs(n), out_dim=8, dim=64),
+    )
+
+    # X80+X82 store-fed split: per-batch maps via ONE disjoint-union
+    # tagged components pass, merge-law components, one corpus join —
+    # the corpus-sized work is the final join only
+    from genie_spark.streaming.windows import _components_store_merge
+
+    def run_split_store(n):
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = (
+            spark.range(n // 2)
+            .where(F.col("id") % 4 != 3)
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        ).localCheckpoint(eager=True)
+        shard = F.pmod(F.col("a"), F.lit(3))
+        tagged = pairs.select(
+            (F.col("a") * 4 + shard).alias("a"),
+            (F.col("b") * 4 + shard).alias("b"),
+        )
+        store = connected_components(tagged).select(
+            F.floor(F.col("node") / 4).cast("long").alias("node"),
+            F.floor(F.col("cluster_id") / 4).cast("long").alias("cluster_id"),
+        )
+        return leakage_safe_split(
+            ids, components=_components_store_merge(store)
+        )
+
+    probe("leakage_split_store", run_split_store)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
