@@ -1176,3 +1176,66 @@ def random_projection(
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed0 + j)])
         projs.append(dot(q, plane).cast("long"))
     return df.select(F.col(id_col), F.array(*projs).alias("rp"))
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int = 25,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """X86 — reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009): the standard hybrid-retrieval combiner — fuse N ranked
+    lists (lexical BM25, dense ANN, ...) by summing reciprocal ranks,
+    fused(d) = Σ_lists 1/(c + rank_l(d)), c = 60 in the published
+    recipe.  RRF needs no score calibration across lists (only ranks),
+    which is what makes it the default fusion in RAG candidate
+    selection.
+
+    EXACT-INTEGER scoring (the bm25/tf-idf discipline — no floats, no
+    engine drift): per appearance  s = scale div (c + rank), summed
+    per id; ties break on (rrf_q DESC, id ASC).  With the default
+    scale the integer floor preserves the RRF order for any c + rank
+    < ~3·10⁴ (adjacent reciprocals differ by ≳ scale/(c+rank)² ≥ 1),
+    far beyond practical fused-list depths.
+
+    Returns the fused top-``k``: (id_col, rrf_q, n_lists, best_rank,
+    fused_rank).
+
+    Spark shape: union of dim-sized ranked lists (each already ≤ its
+    own k), ONE aggregate, TakeOrderedAndProject, and a bounded rank —
+    nothing corpus-sized touches the fusion.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    u = None
+    for df in lists:
+        part = df.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias("__r")
+        )
+        u = part if u is None else u.unionByName(part)
+    per = u.select(
+        id_col,
+        F.expr(f"CAST({int(scale)} AS BIGINT) div ({int(c)} + __r)").alias(
+            "__s"
+        ),
+        "__r",
+    )
+    agg = (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("__s").cast("long").alias("rrf_q"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.min("__r").cast("long").alias("best_rank"),
+        )
+        .orderBy(F.desc("rrf_q"), F.asc(id_col))
+        .limit(k)
+    )
+    from genie_spark.functions.ranking import rank_bounded
+
+    return rank_bounded(
+        agg, F.desc("rrf_q"), F.asc(id_col),
+        rank_col="fused_rank", max_rows=k,
+    )

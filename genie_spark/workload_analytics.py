@@ -530,6 +530,66 @@ ANN_LSH_SQL = _lsh_sql()
 
 
 RP_OUT_DIM = 8
+RRF_K = 25
+RRF_C = 60
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 reciprocal rank fusion: the lexical BM25 top-25 (the
+    registered 3-term query) fused with the dense cosine top-25 around
+    query vector 0 (embeddings align 1:1 with documents) — the hybrid
+    RAG candidate-selection step, exact-integer RRF scores."""
+    from genie_spark.analytics.similarity import cosine_topk, rrf_fuse
+    from genie_spark.analytics.text import bm25_topk
+
+    lex = bm25_topk(
+        _docs(spark, sf_dir), list(BM25_QUERY), k=RRF_K
+    ).select("doc_id", "rank")
+    dense = cosine_topk(
+        _emb(spark, sf_dir), k=RRF_K, query_filter=F.col("vec_id") == 0
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], k=RRF_K, c=RRF_C)
+
+
+def _rrf_fusion_sql() -> str:
+    """DuckDB mirror of ``retrieval_rrf_fusion``: the registered BM25
+    SQL and the single-query dense rank as CTE subqueries, then the
+    same integer ``scale // (c + rank)`` fusion and pinned tie order."""
+    return f"""
+WITH lex AS MATERIALIZED ({_bm25_sql(k=RRF_K)}),
+dense AS MATERIALIZED (
+  WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+  n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
+  s AS (
+    SELECT c.vec_id AS doc_id,
+           CAST(list_dot_product(qa.v, c.v) AS BIGINT)
+             / (sqrt(qa.nn) * sqrt(c.nn)) AS cosine
+    FROM n qa JOIN n c ON c.vec_id != qa.vec_id
+    WHERE qa.vec_id = 0
+  )
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM s ORDER BY cosine DESC, doc_id LIMIT {RRF_K}
+),
+uni AS (
+  SELECT doc_id, rank FROM lex
+  UNION ALL
+  SELECT doc_id, rank FROM dense
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(1000000000 // ({RRF_C} + rank)) AS BIGINT) AS rrf_q,
+         CAST(count(*) AS BIGINT) AS n_lists,
+         CAST(min(rank) AS BIGINT) AS best_rank
+  FROM uni GROUP BY doc_id
+  ORDER BY rrf_q DESC, doc_id LIMIT {RRF_K}
+)
+SELECT doc_id, rrf_q, n_lists, best_rank,
+       CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT)
+           AS fused_rank
+FROM agg
+"""
 
 
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4504,6 +4564,7 @@ ANALYTICS_QUERIES: dict = {
     "text_unigram_encode": text_unigram_encode,
     "text_unigram_seed": text_unigram_seed,
     "emb_random_projection": emb_random_projection,
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "corpus_leakage_safe_split": corpus_leakage_safe_split,
     "corpus_leakage_split_store": corpus_leakage_split_store,
     "corpus_epoch_allocation": corpus_epoch_allocation,
@@ -4593,6 +4654,7 @@ ANALYTICS_ORACLES: dict = {
     "text_wordpiece_train": _wordpiece_train_sql(WP_TRAIN_MERGES),
     "text_unigram_seed": _unigram_seed_sql(UNIG_SEED_VOCAB, UNIG_SEED_MAX_LEN),
     "emb_random_projection": _random_projection_sql(),
+    "retrieval_rrf_fusion": _rrf_fusion_sql(),
     "text_unigram_encode": _unigram_sql(UNIGRAM_VOCAB, UNIG_MAX_WORD),
     "corpus_leakage_safe_split": LEAKAGE_SPLIT_SQL.format(minhash=_minhash_sql()),
     "corpus_leakage_split_store": _leakage_split_store_sql().format(

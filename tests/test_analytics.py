@@ -4365,3 +4365,41 @@ def test_random_projection_exact_values_and_nulls(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_rrf_fuse_exact_scores_and_ties(spark):
+    """X86 reciprocal rank fusion (Cormack et al. 2009): exact integer
+    scale//(c+rank) scores summed per id, single-list ids fused too,
+    ties broken on ascending id, the fused rank bounded by k."""
+    import pytest
+
+    from genie_spark.analytics.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank long"
+    )
+    out = {
+        r["doc_id"]: (
+            r["rrf_q"], r["n_lists"], r["best_rank"], r["fused_rank"]
+        )
+        for r in rrf_fuse([lex, dense], c=60, k=4).collect()
+    }
+    s = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    # doc 20: ranks 2+1; doc 10: ranks 1+3; doc 30/40 single-list
+    assert out[20] == (s(2) + s(1), 2, 1, 1)
+    assert out[10] == (s(1) + s(3), 2, 1, 2)
+    assert out[40] == (s(2), 1, 2, 3)
+    assert out[30] == (s(3), 1, 3, 4)
+    # k truncates the fused list deterministically
+    top2 = rrf_fuse([lex, dense], c=60, k=2).collect()
+    assert sorted(r["doc_id"] for r in top2) == [10, 20]
+    # exact-tie: identical rank multisets -> ascending id order
+    a = spark.createDataFrame([(7, 1), (5, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(5, 1), (7, 2)], "doc_id long, rank long")
+    tie = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse([a, b], k=2).collect()}
+    assert tie == {5: 1, 7: 2}
+    with pytest.raises(ValueError, match="ranked list"):
+        rrf_fuse([])
