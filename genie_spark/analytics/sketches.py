@@ -1131,3 +1131,42 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
         mean_milli.alias("mean_milli"),
         guarded_var.alias("var_milli"),
     )
+
+
+def kmv_containment_pairs(
+    sketches: DataFrame,
+    group_col: str = "source",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """X83 rung (r14) — DIRECTIONAL containment estimates from KMV
+    artifacts: cont_ab = |A∩B| / |A| (Broder 1997's containment, vs
+    the symmetric resemblance) — the decontamination question proper
+    ("what fraction of eval set A leaked into corpus B?"), which
+    Jaccard understates whenever |B| >> |A|.
+
+    Derived entirely from ``kmv_set_ops``'s estimates with the same
+    IEEE division both engines run; a zero denominator (an empty
+    side's estimate) yields NULL rather than a fake 0 or Inf.
+    Clamped at 1 from above — estimator noise on a true subset can
+    push the ratio past 1, and containment is a fraction by
+    definition.
+
+    Returns (a, b, est_a, est_b, est_intersection, cont_ab, cont_ba).
+    Input is the dim-sized sketch table; the join is groups²-tiny.
+    """
+    ops = kmv_set_ops(sketches, group_col, k)
+
+    def cont(num: Column, den: Column) -> Column:
+        return F.when(
+            den > F.lit(0.0), F.least(F.lit(1.0), num / den)
+        )
+
+    return ops.select(
+        "a",
+        "b",
+        "est_a",
+        "est_b",
+        "est_intersection",
+        cont(F.col("est_intersection"), F.col("est_a")).alias("cont_ab"),
+        cont(F.col("est_intersection"), F.col("est_b")).alias("cont_ba"),
+    )

@@ -1578,6 +1578,24 @@ FROM m
 """
 
 
+def sketch_kmv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 rung: directional containment estimates |A∩B|/|A| from the
+    per-source token sketches — the decontamination question proper,
+    which symmetric Jaccard understates when the corpus dwarfs the
+    eval set."""
+    from genie_spark.analytics.sketches import (
+        kmv_containment_pairs,
+        kmv_sketch,
+    )
+    from genie_spark.analytics.text import tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    sk = kmv_sketch(toks, "source", "tok", k=SKETCH_KMV_K)
+    return kmv_containment_pairs(sk, "source", k=SKETCH_KMV_K)
+
+
 def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 KMV set algebra: per source pair, union / intersection /
     both set-difference estimates from the sketches alone — the
@@ -4569,6 +4587,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_leakage_split_store": corpus_leakage_split_store,
     "corpus_epoch_allocation": corpus_epoch_allocation,
     "sketch_kmv_setops": sketch_kmv_setops,
+    "sketch_kmv_containment": sketch_kmv_containment,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_soft_dedup": corpus_soft_dedup,
     "text_bpe_fertility": text_bpe_fertility,
@@ -4662,6 +4681,17 @@ ANALYTICS_ORACLES: dict = {
     ),
     "corpus_epoch_allocation": EPOCH_ALLOC_SQL,
     "sketch_kmv_setops": SKETCH_SETOPS_SQL,
+    # containment wraps the set-ops SQL: same estimates, the same IEEE
+    # division, NULL on an empty side, clamped at 1 from above
+    "sketch_kmv_containment": f"""
+WITH base AS MATERIALIZED ({SKETCH_SETOPS_SQL})
+SELECT a, b, est_a, est_b, est_intersection,
+       CASE WHEN est_a > 0 THEN least(1.0, est_intersection / est_a) END
+           AS cont_ab,
+       CASE WHEN est_b > 0 THEN least(1.0, est_intersection / est_b) END
+           AS cont_ba
+FROM base
+""",
     "corpus_decontaminate_semantic": SEMDECON_SQL,
     "corpus_soft_dedup": SOFT_DEDUP_SQL,
     "text_bpe_fertility": _bpe_fertility_sql(BPE_MERGES),

@@ -802,3 +802,40 @@ def test_kmv_set_ops_inclusion_exclusion(spark):
     }
     for key, r in got.items():
         assert r["est_intersection"] == jac[key]
+
+
+def test_kmv_containment_exact_below_k_and_clamps(spark):
+    """X83 containment rung: exact when both sets are below k — a true
+    subset reads containment 1.0 in the subset direction and
+    |∩|/|superset| in the other; consistent with kmv_set_ops'
+    intersection; an empty-side estimate yields NULL, not Inf."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.sketches import (
+        kmv_containment_pairs,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    rows = (
+        [(i, "A", f"tok{i}") for i in range(30)]            # A = 0..29
+        + [(100 + i, "B", f"tok{i + 20}") for i in range(30)]  # B = 20..49
+        + [(200 + i, "C", f"tok{i}") for i in range(10)]    # C = 0..9 ⊂ A
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string, v string")
+    sk = kmv_sketch(df, "g", "v", k=64)
+    got = {
+        (r["a"], r["b"]): r
+        for r in kmv_containment_pairs(sk, "g", k=64).collect()
+    }
+    ab = got[("A", "B")]  # |A∩B| = 10, |A| = |B| = 30
+    assert ab["cont_ab"] == 10.0 / 30.0 and ab["cont_ba"] == 10.0 / 30.0
+    ac = got[("A", "C")]  # C ⊂ A: containment of C in A is exactly 1
+    assert ac["cont_ba"] == 1.0 and ac["cont_ab"] == 10.0 / 30.0
+    # consistency with the set-ops intersection on the same sketches
+    ops = {
+        (r["a"], r["b"]): r["est_intersection"]
+        for r in kmv_set_ops(sk, "g", k=64).collect()
+    }
+    for key, r in got.items():
+        assert r["est_intersection"] == ops[key]
