@@ -663,6 +663,98 @@ def write_training_shards(
     )
 
 
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bounds_bp: dict[str, int] | None = None,
+    n_shards: int = 8,
+    suffix: str = "txt",
+) -> None:
+    """X87 — WebDataset tar-shard sink (the webdataset spec:
+    sequential POSIX tar archives whose member basenames before the
+    first dot are the sample key — the standard packaging for
+    large-scale multimodal/text training loaders): each (split, shard)
+    becomes ONE tar ``{split}-{shard:05d}.tar`` whose members are
+    ``{rank:09d}-{id}.{suffix}`` in shuffle order, so an epoch is
+    "read shards in any order, stream members sequentially" with no
+    random access — the I/O pattern tar exists for.
+
+    Deterministic bytes: the same md5 split/shard/shuffle rule as
+    ``write_training_shards`` (``_ranked_split``), zero-padded rank
+    prefixes make member order the shuffle order, and tar metadata is
+    pinned (mtime 0, uid/gid 0, mode 0644) so re-running the sink
+    reproduces byte-identical archives (the S13 float-strip sink's
+    rerun-stability discipline).
+
+    Scale shape: ``repartition(split, shard)`` co-locates each
+    shard's rows on one task; ``sortWithinPartitions`` orders members
+    without a global sort; each task streams its groups straight into
+    tar files (temp + atomic rename), so memory is O(row), never
+    O(shard).  ``out_dir`` must be a filesystem every executor can
+    write (POSIX/NFS or local staging; object-store deployments stage
+    locally and upload, the standard webdataset practice).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    payload = _ranked_split(
+        df.select(id_col, text_col), id_col, bounds_bp, n_shards
+    )
+    rows = (
+        payload.select(
+            "split",
+            "shard",
+            "shuffle_rank",
+            F.col(id_col).cast("string").alias("__id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+        )
+        .repartition("split", "shard")
+        .sortWithinPartitions("split", "shard", "shuffle_rank")
+    )
+    sfx = str(suffix)
+
+    def write_partition(it):
+        import io
+        import tarfile
+
+        cur = None
+        tf = None
+        tmp = final = None
+
+        def close_current():
+            nonlocal tf
+            if tf is not None:
+                tf.close()
+                os.replace(tmp, final)
+                tf = None
+
+        for r in it:
+            key = (r["split"], int(r["shard"]))
+            if key != cur:
+                close_current()
+                cur = key
+                final = os.path.join(
+                    out_dir, f"{key[0]}-{key[1]:05d}.tar"
+                )
+                tmp = final + ".tmp"
+                tf = tarfile.open(tmp, "w")
+            data = r["__text"].encode("utf-8")
+            info = tarfile.TarInfo(
+                name=f"{int(r['shuffle_rank']):09d}-{r['__id']}.{sfx}"
+            )
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+        close_current()
+
+    rows.foreachPartition(write_partition)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

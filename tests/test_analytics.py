@@ -4403,3 +4403,55 @@ def test_rrf_fuse_exact_scores_and_ties(spark):
     assert tie == {5: 1, 7: 2}
     with pytest.raises(ValueError, match="ranked list"):
         rrf_fuse([])
+
+
+def test_webdataset_shards_content_order_and_determinism(spark, tmp_path):
+    """X87 WebDataset tar sink: every doc lands exactly once, member
+    order inside each tar is the shuffle order, split/shard assignment
+    matches train_split_shuffle's md5 rule, and re-running the sink
+    reproduces byte-identical archives (pinned tar metadata)."""
+    import glob
+    import hashlib
+    import os
+    import tarfile
+
+    from genie_spark.analytics.corpus import (
+        train_split_shuffle,
+        write_webdataset_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}" if i % 50 else None) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(docs, out, n_shards=4)
+
+    want = {
+        r["doc_id"]: (r["split"], r["shard"], r["shuffle_rank"])
+        for r in train_split_shuffle(docs, n_shards=4).collect()
+    }
+    seen = {}
+    for path in glob.glob(os.path.join(out, "*.tar")):
+        base = os.path.basename(path)[: -len(".tar")]
+        split, shard = base.rsplit("-", 1)
+        with tarfile.open(path) as tf:
+            names = tf.getnames()
+            # member order IS shuffle order (zero-padded rank prefix)
+            assert names == sorted(names)
+            for n in names:
+                rank_s, doc_s = n[: -len(".txt")].split("-", 1)
+                did = int(doc_s)
+                assert did not in seen
+                seen[did] = (split, int(shard), int(rank_s))
+                data = tf.extractfile(n).read().decode()
+                assert data == (f"text-{did}" if did % 50 else "")
+    assert seen == want
+    # re-run -> byte-identical archives
+    digests = {
+        p: hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out, "*.tar"))
+    }
+    write_webdataset_shards(docs, out, n_shards=4)
+    for p, d in digests.items():
+        assert hashlib.md5(open(p, "rb").read()).hexdigest() == d
