@@ -755,6 +755,78 @@ def write_webdataset_shards(
     rows.foreachPartition(write_partition)
 
 
+def read_webdataset(
+    spark,
+    in_dir: str,
+    suffix: str = "txt",
+) -> DataFrame:
+    """X87 reader — stream WebDataset tar shards back into a DataFrame:
+    (split, shard, shuffle_rank, key, text), one row per tar member,
+    exactly inverting ``write_webdataset_shards``'s layout (shard
+    identity from the archive name, rank + key from the member name).
+
+    Spark shape: ``binaryFile`` scan of the ``*.tar`` files — one task
+    per shard archive, which is the webdataset contract (a shard is
+    the unit of parallelism) — then an Arrow ``mapInPandas`` that
+    walks each tar SEQUENTIALLY with the stdlib ``tarfile`` (streaming
+    reads; tar has no random access to exploit anyway).  No Python in
+    the per-byte path beyond the member decode.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("split", T.StringType(), False),
+            T.StructField("shard", T.LongType(), False),
+            T.StructField("shuffle_rank", T.LongType(), False),
+            T.StructField("key", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    dot_sfx = "." + str(suffix)
+
+    def decode(batches):
+        import io
+        import os
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.basename(path)
+                if not base.endswith(".tar"):
+                    continue
+                split, shard_s = base[: -len(".tar")].rsplit("-", 1)
+                rows = {
+                    "split": [], "shard": [], "shuffle_rank": [],
+                    "key": [], "text": [],
+                }
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        if not m.isfile() or not m.name.endswith(dot_sfx):
+                            continue
+                        stem = m.name[: -len(dot_sfx)]
+                        rank_s, key = stem.split("-", 1)
+                        rows["split"].append(split)
+                        rows["shard"].append(int(shard_s))
+                        rows["shuffle_rank"].append(int(rank_s))
+                        rows["key"].append(key)
+                        rows["text"].append(
+                            tf.extractfile(m).read().decode("utf-8")
+                        )
+                if rows["key"]:
+                    yield pd.DataFrame(rows)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(in_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(decode, out_schema)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4455,3 +4455,34 @@ def test_webdataset_shards_content_order_and_determinism(spark, tmp_path):
     write_webdataset_shards(docs, out, n_shards=4)
     for p, d in digests.items():
         assert hashlib.md5(open(p, "rb").read()).hexdigest() == d
+
+
+def test_webdataset_reader_roundtrip(spark, tmp_path):
+    """X87 reader: read_webdataset inverts the sink — every (split,
+    shard, rank, id, text) row comes back exactly, one task per shard
+    archive."""
+    from genie_spark.analytics.corpus import (
+        read_webdataset,
+        train_split_shuffle,
+        write_webdataset_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(150)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(docs, out, n_shards=3)
+    back = read_webdataset(spark, out)
+    got = {
+        int(r["key"]): (r["split"], r["shard"], r["shuffle_rank"], r["text"])
+        for r in back.collect()
+    }
+    want = {
+        r["doc_id"]: (r["split"], r["shard"], r["shuffle_rank"])
+        for r in train_split_shuffle(docs, n_shards=3).collect()
+    }
+    assert set(got) == set(want)
+    for did, (split, shard, rank, text) in got.items():
+        assert (split, shard, rank) == want[did]
+        assert text == f"doc {did} text"
