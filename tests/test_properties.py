@@ -1259,3 +1259,45 @@ def test_bpe_batched_matches_sequential_on_weighted_corpora(
         tuple(r) for r in bpe_train(docs, n_merges=6, batch_k=bk).collect()
     ]
     assert got == _seq_bpe_model([" ".join(texts)], 6)
+
+
+@given(texts=_bpe_weighted_corpus_st, vs=st.integers(1, 30))
+@settings(max_examples=5, deadline=None)
+def test_unigram_seed_vocab_matches_python_model(spark, texts, vs):
+    """X84 seed vocab == a pure-python positional-substring model on
+    weighted random corpora: alphabet always complete, multi-char fill
+    exactly the top (score DESC, piece ASC) slice."""
+    import collections
+
+    from genie_spark.analytics.text import unigram_seed_vocab
+
+    max_len = 4
+    wf = collections.Counter(texts)
+    pc: collections.Counter = collections.Counter()
+    for w, f in wf.items():
+        for ln in range(1, min(len(w), max_len) + 1):
+            for i in range(len(w) - ln + 1):
+                pc[w[i:i + ln]] += f
+    alpha = {p for p in pc if len(p) == 1}
+    multi = sorted(
+        ((p, n) for p, n in pc.items() if len(p) > 1),
+        key=lambda t: (-t[1] * len(t[0]), t[0]),
+    )[: max(0, vs - len(alpha))]
+    want = {
+        p: (len(p), n, n * len(p), len(p) == 1)
+        for p, n in list(pc.items()) if len(p) == 1
+    }
+    want.update({p: (len(p), n, n * len(p), False) for p, n in multi})
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["piece"]: (
+            r["piece_len"], r["n_hits"], r["score"], r["in_alphabet"]
+        )
+        for r in unigram_seed_vocab(
+            docs, vocab_size=vs, max_piece_len=max_len
+        ).collect()
+    }
+    assert got == want
