@@ -1144,15 +1144,16 @@ _TAIL_QUERIES = [
     "a17_value_decreases",
     "layout_zorder_str",
     "dedup_edit_near",
-    # 30th-34th r13-green rotate-outs: free window slots for the
-    # five new r14 queries (corpus_leakage_split_store,
+    # 30th-35th r13-green rotate-outs: free window slots for the
+    # six new r14 queries (corpus_leakage_split_store,
     # text_unigram_seed, emb_random_projection, retrieval_rrf_fusion,
-    # sketch_kmv_containment)
+    # sketch_kmv_containment, sketch_moments_sharded)
     "p7_contains_filter",
     "corpus_keep_list",
     "corpus_split_shuffle",
     "text_pii_scrub",
     "text_fingerprint",
+    "text_lang_id",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -4283,6 +4283,33 @@ def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moments_stats(moments_sketch(_docs(spark, sf_dir), "lang", "n_chars"))
 
 
+def sketch_moments_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 merge law, driver-hard (r14): the corpus is split into
+    three ingest shards (doc_id mod 3 — the store's per-batch shape),
+    one moments artifact built per shard, the artifacts merged by
+    component sums, the stats derived from the MERGED artifact — and
+    the oracle computes the GLOBAL aggregates directly, so the
+    value-hash equality IS the merge law (merge(shard artifacts) ==
+    whole-corpus artifact), checked end-to-end against DuckDB rather
+    than only in pytest."""
+    from genie_spark.analytics.sketches import (
+        moments_merge,
+        moments_sketch,
+        moments_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    shards = [
+        moments_sketch(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            "lang",
+            "n_chars",
+        )
+        for i in range(3)
+    ]
+    return moments_stats(moments_merge(*shards))
+
+
 SKETCH_MOMENTS_SQL = """
 WITH m AS (
   SELECT lang AS g,
@@ -4575,6 +4602,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_kll_quantiles": sketch_kll_quantiles,
     "sketch_kll_grouped": sketch_kll_grouped,
     "sketch_moments": sketch_moments,
+    "sketch_moments_sharded": sketch_moments_sharded,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "text_wordpiece_encode": text_wordpiece_encode,
     "text_wordpiece_coverage": text_wordpiece_coverage,
@@ -4667,6 +4695,8 @@ ANALYTICS_ORACLES: dict = {
     "sketch_kll_quantiles": SKETCH_KLL_SQL,
     "sketch_kll_grouped": SKETCH_KLL_BY_SQL,
     "sketch_moments": SKETCH_MOMENTS_SQL,
+    # the sharded form shares the GLOBAL oracle: equality IS the merge law
+    "sketch_moments_sharded": SKETCH_MOMENTS_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),
