@@ -4486,3 +4486,80 @@ def test_webdataset_reader_roundtrip(spark, tmp_path):
     for did, (split, shard, rank, text) in got.items():
         assert (split, shard, rank) == want[did]
         assert text == f"doc {did} text"
+
+
+def test_ivf_store_build_query_append_parity(spark, tmp_path):
+    """X88 IVF index store: (1) store_topk after build == ephemeral
+    ivf_topk row-for-row (same centroid rule, same tie-breaks);
+    (2) the inverted-list scan prunes to the probed cells via a
+    PARTITION filter; (3) append assigns against the STORED centroids
+    (geometry unchanged — FAISS add() semantics), the appended
+    vectors are findable, and returned cosines are exact."""
+    import math
+
+    from genie_spark.analytics.ann_store import (
+        ivf_store_append,
+        ivf_store_build,
+        ivf_store_topk,
+    )
+    from genie_spark.analytics.similarity import ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    store = str(tmp_path / "ivf")
+    meta = ivf_store_build(emb, store, n_centroids=16)
+    assert meta["n_centroids"] == 16
+    queries = emb.where(F.col("vec_id") < 20)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in df.collect()
+        )
+
+    got = ivf_store_topk(spark, store, queries, k=10, n_probe=4)
+    want = ivf_topk(emb, k=10, query_filter=F.col("vec_id") < 20)
+    assert rows(got) == rows(want)
+
+    # partition pruning: the cells scan carries cell IN (...) as a
+    # partition filter, not a row predicate
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # append: near-copies of two build vectors, ids in a fresh range
+    base = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    new_rows = [
+        (9001, [float(x) for x in base[3]]),
+        (9002, [float(x) for x in base[7]]),
+    ]
+    new_df = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<float>"
+    )
+    cents_before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store + "/centroids").collect()
+    )
+    ivf_store_append(new_df, store)
+    cents_after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store + "/centroids").collect()
+    )
+    assert cents_after == cents_before  # geometry never re-trained
+    cells = spark.read.parquet(store + "/cells")
+    assert cells.where(F.col("vec_id") >= 9000).count() == 2
+    assert cells.count() == emb.count() + 2
+
+    # the appended exact copies surface at rank 1 with cosine 1.0
+    q2 = emb.where(F.col("vec_id").isin([3, 7]))
+    top = {
+        r["query_id"]: r
+        for r in ivf_store_topk(spark, store, q2, k=3, n_probe=4)
+        .where(F.col("rank") == 1)
+        .collect()
+    }
+    assert top[3]["neighbor_id"] == 9001
+    assert top[7]["neighbor_id"] == 9002
+    for q in (3, 7):
+        assert math.isclose(top[q]["cosine"], 1.0, rel_tol=1e-12)
