@@ -86,18 +86,43 @@ def ivf_store_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(store_path, "centroids")
     )
-    assigned = _ivf_probes_arrow(
-        df, id_col, vec_col, cent_rows, 1, carry_vec=True
-    ).select(F.col("vid").alias("vec_id"), "v", "n2", "cell")
+    assigned = _assign_or_raise(
+        df, id_col, vec_col, cent_rows, what="build"
+    )
     _write_cells(assigned, store_path, "overwrite")
     meta = {
         "n_centroids": len(cent_rows),
+        "dim": len(cent_rows[0]["v"]),
         "id_col": id_col,
         "vec_col": vec_col,
     }
     with open(_meta_path(store_path), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def _assign_or_raise(
+    df: DataFrame, id_col: str, vec_col: str, cent_rows: list, what: str
+) -> DataFrame:
+    """Cell assignment with a silent-loss guard: the Arrow engine
+    keep-filters mis-dimensioned/non-finite vectors, so an input batch
+    whose vectors don't match the stored geometry would assign ZERO
+    rows and a bare append would 'succeed' while the index silently
+    misses the whole batch (r14 code-review finding).  Materialize
+    the assignment once and raise loudly on the empty-out/non-empty-in
+    combination instead."""
+    assigned = (
+        _ivf_probes_arrow(df, id_col, vec_col, cent_rows, 1, carry_vec=True)
+        .select(F.col("vid").alias("vec_id"), "v", "n2", "cell")
+        .localCheckpoint(eager=True)
+    )
+    if assigned.isEmpty() and not df.isEmpty():
+        raise ValueError(
+            f"ivf_store_{what}: no input vector matched the index "
+            f"geometry (dim={len(cent_rows[0]['v'])}, finite values) — "
+            "refusing to silently drop the batch"
+        )
+    return assigned
 
 
 def _load_centroids(spark, store_path: str) -> list:
@@ -124,9 +149,9 @@ def ivf_store_append(
     stores' manifest discipline; an ANN index has no key semantics)."""
     spark = df_new.sparkSession
     cent_rows = _load_centroids(spark, store_path)
-    assigned = _ivf_probes_arrow(
-        df_new, id_col, vec_col, cent_rows, 1, carry_vec=True
-    ).select(F.col("vid").alias("vec_id"), "v", "n2", "cell")
+    assigned = _assign_or_raise(
+        df_new, id_col, vec_col, cent_rows, what="append"
+    )
     _write_cells(assigned, store_path, "append")
     return {"appended_cells": True, "n_centroids": len(cent_rows)}
 
@@ -148,13 +173,23 @@ def ivf_store_topk(
     the ``ivf_topk`` schema."""
     cent_rows = _load_centroids(spark, store_path)
     bc = _ivf_centroid_broadcast(queries, cent_rows)
-    probes = _ivf_probes_arrow(
-        queries, id_col, vec_col, cent_rows, n_probe, carry_vec=True, bc=bc
-    ).select(
-        F.col("vid").alias("query_id"),
-        F.col("v").alias("q_v"),
-        F.col("n2").alias("q_n"),
-        "cell",
+    probes = (
+        _ivf_probes_arrow(
+            queries, id_col, vec_col, cent_rows, n_probe, carry_vec=True,
+            bc=bc,
+        )
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("q_v"),
+            F.col("n2").alias("q_n"),
+            "cell",
+        )
+        # materialize ONCE: the probe set is read twice (the driver
+        # collect below and the broadcast join) — without this a
+        # nondeterministic query frame could probe different cells on
+        # the second execution and silently lose candidates behind the
+        # partition filter (r14 code-review finding)
+        .localCheckpoint(eager=True)
     )
     probe_cells = sorted(
         {int(r["cell"]) for r in probes.select("cell").distinct().collect()}

@@ -2496,6 +2496,12 @@ def unigram_seed_vocab(
             (F.length("piece") * F.col("n_hits")).cast("long").alias("score"),
             (F.length("piece") == 1).alias("in_alphabet"),
         )
+        # materialize ONCE: the piece table feeds the alphabet count
+        # AND both union branches — without this each consumer replays
+        # the corpus word count + substring aggregation (r14
+        # code-review finding); the table is candidate-sized, not
+        # corpus-sized
+        .localCheckpoint(eager=True)
     )
     alpha = pieces.where(F.col("in_alphabet"))
     n_alpha = alpha.count()

@@ -1052,17 +1052,17 @@ _TAIL_QUERIES = [
     # corpus_token_budget, dedup_semantic, dedup_setsim_prefix, j4,
     # j9, j10, multimodal_features, p4, p12, p14, s12,
     # sketch_heavy_hitters, sketch_hll_distinct, text_blocklist, w2,
-    # w4), plus first rows for the five NEW r14 queries
+    # w4), plus first rows for the SIX new r14 queries
     # (corpus_leakage_split_store, text_unigram_seed,
     # emb_random_projection, retrieval_rrf_fusion,
-    # sketch_kmv_containment).  The 34 freed slots come from the r13
-    # window (all 50 green in CORRECTNESS_r13.json, rows+schema+hash,
-    # 0 err) — the 34 heaviest/most-redundant of those move to the
-    # tail below, each keeping its r13-green driver row AND this
-    # session's local sf0.001/0.01 oracle sweeps; the 16 cheapest
-    # r13-green stay in the window so the wall absorbs the heavy
-    # rotate-ins (measured r14 window sweep: 50/50 green in 3m34s at
-    # sf0.01).
+    # sketch_kmv_containment, sketch_moments_sharded).  The 35 freed
+    # slots come from the r13 window (all 50 green in
+    # CORRECTNESS_r13.json, rows+schema+hash, 0 err) — those 35 move
+    # to the tail below, each keeping its r13-green driver row AND
+    # this session's local sf0.001/0.01 oracle sweeps; the 15
+    # cheapest r13-green stay in the window (29 + 6 + 15 = 50) so the
+    # wall absorbs the heavy rotate-ins (measured r14 window sweep:
+    # 50/50 green in 3m34s at sf0.01).
     "j1_revenue_per_nation",
     "p3_semi_filter",
     "p6_greatest_threshold",
@@ -1144,10 +1144,8 @@ _TAIL_QUERIES = [
     "a17_value_decreases",
     "layout_zorder_str",
     "dedup_edit_near",
-    # 30th-35th r13-green rotate-outs: free window slots for the
-    # six new r14 queries (corpus_leakage_split_store,
-    # text_unigram_seed, emb_random_projection, retrieval_rrf_fusion,
-    # sketch_kmv_containment, sketch_moments_sharded)
+    # 30th-35th r13-green rotate-outs (the list above counts them in
+    # the 35): window slots for the six new r14 queries named above
     "p7_contains_filter",
     "corpus_keep_list",
     "corpus_split_shuffle",

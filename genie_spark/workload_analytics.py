@@ -1158,8 +1158,11 @@ def corpus_leakage_split_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b") * 4 + shard).alias("b"),
     )
     store = connected_components(tagged).select(
-        F.floor(F.col("node") / 4).cast("long").alias("node"),
-        F.floor(F.col("cluster_id") / 4).cast("long").alias("cluster_id"),
+        # integer div, never floor(x/4): long / long is DOUBLE division
+        # in Spark (53-bit mantissa), which silently corrupts ids past
+        # ~2^52 — r14 code-review finding
+        F.expr("node div 4").alias("node"),
+        F.expr("cluster_id div 4").alias("cluster_id"),
     )
     merged = _components_store_merge(store)
     return leakage_safe_split(docs, components=merged)

@@ -4563,3 +4563,40 @@ def test_ivf_store_build_query_append_parity(spark, tmp_path):
     assert top[7]["neighbor_id"] == 9002
     for q in (3, 7):
         assert math.isclose(top[q]["cosine"], 1.0, rel_tol=1e-12)
+
+
+def test_disjoint_union_tag_untag_exact_at_big_ids(spark):
+    """r14 code-review regression: the store-fed split's node*4+shard
+    tag must round-trip through components and `div 4` untagging
+    EXACTLY for ids past 2^52 — floor(x/4) via double division
+    silently corrupts there (53-bit mantissa), which would scatter one
+    component across splits at web-scale id domains."""
+    from genie_spark.analytics.dedup import connected_components
+
+    big = (1 << 60) + 12345
+    pairs = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), ((1 << 52) + 1, (1 << 52) + 5)],
+        "a long, b long",
+    )
+    shard = F.pmod(F.col("a"), F.lit(3))
+    tagged = pairs.select(
+        (F.col("a") * 4 + shard).alias("a"),
+        (F.col("b") * 4 + shard).alias("b"),
+    )
+    store = connected_components(tagged).select(
+        F.expr("node div 4").alias("node"),
+        F.expr("cluster_id div 4").alias("cluster_id"),
+    )
+    got = {r["node"]: r["cluster_id"] for r in store.collect()}
+    # every untagged node is one of the ORIGINAL ids, bit-exact
+    originals = {big, big + 1, big + 2, (1 << 52) + 1, (1 << 52) + 5}
+    assert set(got) == originals
+    assert got[(1 << 52) + 5] == (1 << 52) + 1
+    # the double-division form really is broken at this domain — pin
+    # the counterexample that motivated the integer div: node 2^52+1,
+    # shard 2 untags to the WRONG id under floor(x/4)
+    x = ((1 << 52) + 1) * 4 + 2
+    bad = spark.createDataFrame([(x,)], "x long").select(
+        F.floor(F.col("x") / 4).cast("long").alias("y")
+    ).collect()[0]["y"]
+    assert bad != (1 << 52) + 1

@@ -1080,8 +1080,8 @@ def main() -> None:
             (F.col("b") * 4 + shard).alias("b"),
         )
         store = connected_components(tagged).select(
-            F.floor(F.col("node") / 4).cast("long").alias("node"),
-            F.floor(F.col("cluster_id") / 4).cast("long").alias("cluster_id"),
+            F.expr("node div 4").alias("node"),
+            F.expr("cluster_id div 4").alias("cluster_id"),
         )
         return leakage_safe_split(
             ids, components=_components_store_merge(store)
