@@ -1089,6 +1089,34 @@ def main() -> None:
 
     probe("leakage_split_store", run_split_store)
 
+    # X88 persistent IVF store: build = one assignment scan + one
+    # partitioned write (linear); query = probe-cell partition cut +
+    # candidate join (sublinear in corpus at the sqrt-n sizing)
+    import shutil
+    import tempfile
+
+    from genie_spark.analytics.ann_store import (
+        ivf_store_build,
+        ivf_store_topk,
+    )
+
+    def run_ivf_store(n):
+        d = tempfile.mkdtemp(prefix="ivf_probe_")
+        try:
+            e = embs(n).localCheckpoint(eager=True)
+            ivf_store_build(
+                e, d, n_centroids=max(16, _math.isqrt(max(n, 1)))
+            )
+            return ivf_store_topk(
+                spark, d, e.where(F.col("vec_id") < 16), k=10, n_probe=4
+            ).localCheckpoint(eager=True)
+        finally:
+            # the checkpoint above materialized the result; the store
+            # dir can go
+            shutil.rmtree(d, ignore_errors=True)
+
+    probe("ivf_store_build_query", run_ivf_store)
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
