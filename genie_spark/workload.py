@@ -1152,6 +1152,11 @@ _TAIL_QUERIES = [
     "text_pii_scrub",
     "text_fingerprint",
     "text_lang_id",
+    # late-r14 merge-law newcomers: start in the tail with local
+    # sf0.001+sf0.01 sweep evidence (the r13-newcomer practice);
+    # first driver rows in the r15 rotation
+    "sketch_hll_sharded",
+    "sketch_kmv_sharded",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -2293,6 +2293,80 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 merge law, driver-hard (r14, the sketch_moments_sharded
+    pattern): three per-shard HLL register tables (doc_id mod 3 —
+    the streaming store's per-batch shape) merged by per-(group, reg)
+    max, the estimate derived from the MERGED registers — while the
+    oracle computes the GLOBAL registers directly, so the value-hash
+    equality IS the register merge law (max is associative and
+    idempotent), checked end-to-end against DuckDB."""
+    from genie_spark.analytics.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+    from genie_spark.analytics.text import tokens
+
+    occ = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", F.explode(tokens("text")).alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    shards = [
+        hll_sketch(
+            occ.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            "source",
+            "value",
+        )
+        for i in range(3)
+    ]
+    merged = hll_merge(hll_merge(shards[0], shards[1], "source"), shards[2], "source")
+    est = hll_estimate(merged, "source")
+    exact = (
+        occ.select("source", "value")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "source", "left")
+        .withColumn("exact_distinct", F.coalesce("exact_distinct", F.lit(0)))
+        .select("source", "n_reg", "est_distinct", "exact_distinct")
+    )
+
+
+def sketch_kmv_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 merge law, driver-hard: three per-shard KMV sketches merged
+    (union hashes, re-take the k smallest) vs the oracle's GLOBAL
+    computation — equality is the merge law, same projection as
+    ``sketch_kmv_distinct``."""
+    from genie_spark.analytics.sketches import kmv_merge, kmv_sketch
+
+    docs = _docs(spark, sf_dir)
+    shards = [
+        kmv_sketch(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            "source",
+            "text",
+            k=SKETCH_KMV_K,
+        )
+        for i in range(3)
+    ]
+    merged = kmv_merge(
+        shards[0].unionByName(shards[1]).unionByName(shards[2]),
+        group_col="source",
+        k=SKETCH_KMV_K,
+    )
+    return merged.select(
+        "source",
+        "n_seen",
+        F.try_element_at("kmin", F.lit(SKETCH_KMV_K)).alias("kth_min"),
+        "est_distinct",
+    )
+
+
 def _hll_sql(p: int = 10) -> str:
     """DuckDB mirror of hll_sketch + hll_estimate: same 60-bit md5
     hash, top-p register bits, base-2-string-length rank (DuckDB
@@ -4582,6 +4656,8 @@ ANALYTICS_QUERIES: dict = {
     "multimodal_features": multimodal_features,
     "sketch_count_min": sketch_count_min,
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_hll_sharded": sketch_hll_sharded,
+    "sketch_kmv_sharded": sketch_kmv_sharded,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "corpus_token_budget": corpus_token_budget,
@@ -4675,6 +4751,9 @@ ANALYTICS_ORACLES: dict = {
     "multimodal_features": MULTIMODAL_SQL,
     "sketch_count_min": _count_min_sql(),
     "sketch_hll_distinct": _hll_sql(),
+    # sharded forms share the GLOBAL oracles: equality IS the merge law
+    "sketch_hll_sharded": _hll_sql(),
+    "sketch_kmv_sharded": SKETCH_KMV_SQL,
     "multimodal_phash_dedup": _phash_dedup_sql(),
     "multimodal_audio_dedup": _audio_dedup_sql(),
     "corpus_token_budget": TOKEN_BUDGET_SQL,
