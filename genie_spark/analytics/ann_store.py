@@ -164,13 +164,30 @@ def ivf_store_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_probe: int = N_PROBE,
+    max_query_rows: int | None = 50_000,
 ) -> DataFrame:
     """Top-k from the store: probe cells come from the stored
     centroids (same Arrow engine, same tie-breaks as ``ivf_topk``),
     and the inverted-list scan carries ``cell IN (probed)`` as a
     PARTITION filter — the reader touches only n_probe/n_centroids of
     the stored files.  Returns (query_id, neighbor_id, rank, cosine),
-    the ``ivf_topk`` schema."""
+    the ``ivf_topk`` schema.
+
+    The probe set rides a broadcast AND a driver-side cell collect, so
+    the query frame must be small BY CONTRACT — ``max_query_rows``
+    (VERDICT r14 item 2) enforces that contract at runtime with a loud
+    raise, the ``semantic_decontaminate`` discipline, instead of
+    letting a corpus-sized query set collect onto the driver.  Pass
+    ``max_query_rows=None`` to override deliberately."""
+    if max_query_rows is not None:
+        n = queries.limit(int(max_query_rows) + 1).count()
+        if n > max_query_rows:
+            raise ValueError(
+                f"ivf_store_topk: query set exceeds max_query_rows="
+                f"{max_query_rows} — the probe set must stay broadcast-"
+                "and-driver-sized. Batch the queries, or pass "
+                "max_query_rows=None to override."
+            )
     cent_rows = _load_centroids(spark, store_path)
     bc = _ivf_centroid_broadcast(queries, cent_rows)
     probes = (

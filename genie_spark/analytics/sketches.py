@@ -803,6 +803,7 @@ def quantile_sketch_merge(
 def quantile_sketch_estimates(
     sketch: DataFrame,
     phis_milli: tuple[int, ...] = (250, 500, 750, 900),
+    k_max: int = 1024,
 ) -> DataFrame:
     """Quantile point estimates from a level-sampling sketch artifact:
     for each target quantile φ (in exact milli-units), target_rank =
@@ -833,6 +834,7 @@ def quantile_sketch_estimates(
         F.col("v").asc(),
         F.col("h60").asc(),
         rank_col="rk",
+        max_rows=k_max,
     )
     counted = ranked.withColumn(
         "k_kept", F.lit(int(ranked.count())).cast("long")

@@ -922,7 +922,7 @@ def quantile_store_estimates(
     from genie_spark.analytics.sketches import quantile_sketch_estimates
 
     merged = _quantile_store_merge(spark.read.parquet(store_path), k_max)
-    return quantile_sketch_estimates(merged, phis_milli=phis_milli)
+    return quantile_sketch_estimates(merged, phis_milli=phis_milli, k_max=k_max)
 
 
 def _quantile_store_merge_by(df: DataFrame, k_max: int) -> DataFrame:

@@ -649,6 +649,112 @@ FROM c ASOF LEFT JOIN v
 """
 
 
+def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization + per-session stats (W-family
+    extension; see ``operators.sessions.session_stats``): 30-minute
+    inactivity gap, exact integer epoch-µs arithmetic."""
+    from genie_spark.operators.sessions import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_us=1_800_000_000)
+
+
+W5_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+l AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         AS prev
+  FROM ev
+),
+b AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM l
+),
+s AS (
+  SELECT *, CAST(sum(ns) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM b
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def w6_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel view→click→purchase per user (W-family
+    extension; ``operators.sessions.funnel_times``): step k converts
+    only strictly after step k-1."""
+    from genie_spark.operators.sessions import funnel_times
+
+    return funnel_times(_events(spark, sf_dir), steps=list(FUNNEL_STEPS))
+
+
+W6_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_step1_us
+  FROM ev GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.ts_us > s1.t_step1_us
+                  THEN e.ts_us END) AS t_step2_us
+  FROM ev e JOIN s1 USING (user_id) GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s2.t_step2_us
+                  THEN e.ts_us END) AS t_step3_us
+  FROM ev e JOIN s2 USING (user_id) GROUP BY e.user_id
+)
+SELECT s1.user_id, t_step1_us, t_step2_us, t_step3_us,
+       CAST((t_step1_us IS NOT NULL)::INT + (t_step2_us IS NOT NULL)::INT
+            + (t_step3_us IS NOT NULL)::INT AS BIGINT) AS steps_reached
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+WHERE t_step1_us IS NOT NULL
+"""
+
+
+def w7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (W-family extension;
+    ``operators.sessions.retention_matrix``): cohort = integer epoch-
+    week of the user's first event (exact ``div``, no calendar
+    truncation ambiguity across engines)."""
+    from genie_spark.operators.sessions import retention_matrix
+
+    return retention_matrix(_events(spark, sf_dir))
+
+
+W7_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+a AS (
+  SELECT user_id, wk,
+         min(wk) OVER (PARTITION BY user_id) AS cohort_period
+  FROM ev
+)
+SELECT cohort_period, wk - cohort_period AS period_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_period, wk - cohort_period
+"""
+
+
 def a5_lag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-vs-prior-release difference via lag (reference A5
     ``update_sample_difference_table``): monthly event counts per type,
@@ -942,6 +1048,9 @@ _ALL_QUERIES: dict = {
     "w1_adjacent_events": w1_adjacent_events,
     "w2_latest_per_key": w2_latest_per_key,
     "w4_asof_join": w4_asof_join,
+    "w5_sessionize": w5_sessionize,
+    "w6_funnel_conversion": w6_funnel_conversion,
+    "w7_retention_cohorts": w7_retention_cohorts,
     "j3_interval_join": j3_interval_join,
     "j3_interval_anti": j3_interval_anti,
     "j4_containment_join": j4_containment_join,
@@ -1039,82 +1148,80 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
-    # Round-14 rotation (VERDICT r13 item 1): the 29 queries whose
-    # driver evidence is stalest rotate INTO the window — the 6
-    # round-13 newcomers with no driver row yet (layout_hilbert_3d,
-    # text_wordpiece_train, text_unigram_encode,
-    # corpus_leakage_safe_split, corpus_epoch_allocation,
-    # sketch_kmv_setops; the two historically-heavy rows were
-    # cheapened first: the wordpiece oracle's state CTEs are now AS
-    # MATERIALIZED — 103 s → 0.4 s — and the split's pair scan is
-    # localCheckpointed) plus the 23 whose freshest row is r11
-    # (a4, a5, a7, a11, a13, ann_lsh_buckets, ann_pq_codes,
-    # corpus_token_budget, dedup_semantic, dedup_setsim_prefix, j4,
-    # j9, j10, multimodal_features, p4, p12, p14, s12,
-    # sketch_heavy_hitters, sketch_hll_distinct, text_blocklist, w2,
-    # w4), plus first rows for the SIX new r14 queries
-    # (corpus_leakage_split_store, text_unigram_seed,
-    # emb_random_projection, retrieval_rrf_fusion,
-    # sketch_kmv_containment, sketch_moments_sharded).  The 35 freed
-    # slots come from the r13 window (all 50 green in
-    # CORRECTNESS_r13.json, rows+schema+hash, 0 err) — those 35 move
-    # to the tail below, each keeping its r13-green driver row AND
-    # this session's local sf0.001/0.01 oracle sweeps; the 15
-    # cheapest r13-green stay in the window (29 + 6 + 15 = 50) so the
-    # wall absorbs the heavy rotate-ins (measured r14 window sweep:
-    # 50/50 green in 3m34s at sf0.01).
-    "j1_revenue_per_nation",
-    "p3_semi_filter",
-    "p6_greatest_threshold",
-    "p15_retract_cascade",
-    "a1_counts_with_total",
-    "a3_pivot_counts",
-    "a8_merge_duplicates",
-    "j7_upsert_diff",
-    "w1_adjacent_events",
-    "j3_interval_join",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_drop",
-    "ann_ivf_topk",
-    "ann_lsh_banded",
-    "text_quality",
-    "corpus_bloom_decontaminate",
-    "cluster_kmeans",
-    "cluster_balanced_sample",
-    "sketch_count_min",
-    "corpus_priority_sample",
-    "corpus_dsir_sample",
-    "text_bpe_merges",
-    "dedup_substring_clean_min50",
-    "text_bpe_encode",
-    "text_normalize_nfc",
-    "text_token_drift",
-    "corpus_domain_cap",
-    "corpus_temperature_mix",
-    "sketch_kll_quantiles",
-    "sketch_kll_grouped",
-    "sketch_moments",
-    "corpus_ccnet_buckets",
-    "text_wordpiece_encode",
-    "text_wordpiece_coverage",
-    "corpus_decontaminate_semantic",
-    "corpus_soft_dedup",
-    "text_bpe_fertility",
-    "text_gopher_filter",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "text_lm_bigram",
-    "text_line_repetition",
-    "text_char_entropy",
-    "a6_release_diff",
-    "a14_distinct_union",
-    "j8_broadcast_lookup",
-    "layout_zorder",
-    "layout_hilbert",
-    # r13-green heavy cohort rotated out in r14 (each keeps its
-    # r13-green driver row)
+    # Round-15 rotation (VERDICT r14 items 1+2): the window takes the
+    # 2 late-r14 merge-law newcomers with no driver row yet
+    # (sketch_kmv_sharded, sketch_hll_sharded — local sf0.001+sf0.01
+    # oracle sweeps green in r14 AND re-verified this session) plus 48
+    # of the 50 queries whose freshest driver row is r12 (3 rounds
+    # stale after this round otherwise).  The r12 cohort is 50, not
+    # the 48 the r14 VERDICT tallied, so 2 + 50 overfills the 50-slot
+    # window by exactly two: the two DEFERRED r12 queries are the two
+    # whose engines are fully exercised by in-window siblings —
+    # ann_ivfpq_residual_topk (the IVF+PQ engine rides in-window
+    # ann_ivfpq_topk; the residual variant differs only in the code
+    # the PQ quantizes) and sketch_kll_grouped (the KLL engine rides
+    # in-window sketch_kll_quantiles; grouped differs only in the
+    # partition spec).  Both were locally oracle-verified at sf0.001 +
+    # sf0.01 this session and rotate IN first thing in r16.  The 50
+    # freed slots come from the r14 window (all 50 green in
+    # CORRECTNESS_r14.json, rows+schema+hash, 0 err) — those move to
+    # the tail below, each keeping its r14-green driver row AND this
+    # session's local sf0.01 oracle sweep.
+    #
+    # r14-green cohort rotated out this round (each keeps its
+    # r14-green driver row):
+    "q1_pricing_summary",
+    "s12_pushdown_scan",
+    "j9_code_remap",
+    "j11_containment_check",
+    "p4_anti_filter",
+    "p12_date_window_filter",
+    "p14_group_count_filter",
+    "a2_distinct_counts",
+    "a5_lag_difference",
+    "a7_median",
+    "a9_duplicate_keys",
+    "a11_fill_count_algebra",
+    "a13_group_concat",
+    "w2_latest_per_key",
+    "w4_asof_join",
+    "j3_interval_anti",
+    "j4_containment_join",
+    "j6_max_overlap_remap",
+    "phi_redaction",
+    "dedup_setsim_prefix",
+    "ann_lsh_buckets",
+    "text_token_stats",
+    "text_repetition",
+    "dedup_semantic",
+    "multimodal_features",
+    "sketch_hll_distinct",
+    "corpus_token_budget",
+    "sketch_heavy_hitters",
+    "sketch_moments_sharded",
+    "text_wordpiece_train",
+    "text_unigram_encode",
+    "text_unigram_seed",
+    "emb_random_projection",
+    "retrieval_rrf_fusion",
+    "corpus_leakage_safe_split",
+    "corpus_leakage_split_store",
+    "corpus_epoch_allocation",
+    "sketch_kmv_setops",
+    "sketch_kmv_containment",
+    "ann_pq_codes",
+    "text_blocklist",
+    "j5_feature_type",
+    "a4_completeness",
+    "set_except_distinct",
+    "scalar_battery",
+    "s15_apply_upsert",
+    "a15_case_lists",
+    "a16_filtered_counts",
+    "j10_symbol_remap",
+    "layout_hilbert_3d",
+    # r13-green tail cohort (unchanged; each keeps its r13-green
+    # driver row + local sweeps):
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
@@ -1144,19 +1251,27 @@ _TAIL_QUERIES = [
     "a17_value_decreases",
     "layout_zorder_str",
     "dedup_edit_near",
-    # 30th-35th r13-green rotate-outs (the list above counts them in
-    # the 35): window slots for the six new r14 queries named above
     "p7_contains_filter",
     "corpus_keep_list",
     "corpus_split_shuffle",
     "text_pii_scrub",
     "text_fingerprint",
     "text_lang_id",
-    # late-r14 merge-law newcomers: start in the tail with local
-    # sf0.001+sf0.01 sweep evidence (the r13-newcomer practice);
-    # first driver rows in the r15 rotation
-    "sketch_hll_sharded",
-    "sketch_kmv_sharded",
+    # the two deferred r12-cohort queries (see rotation note above;
+    # first slots in the r16 window):
+    "ann_ivfpq_residual_topk",
+    "sketch_kll_grouped",
+    # r15 newcomers (VERDICT r14 items 3+6 — the X88 store and the
+    # X87 WebDataset byte contract made driver-hard): start in the
+    # tail with local sf0.001+sf0.01 sweep evidence, the established
+    # newcomer practice; first driver rows in the r16 rotation
+    "ann_ivf_store_topk",
+    "corpus_webdataset_roundtrip",
+    # r15 W-family extension newcomers (sessionize / funnel /
+    # retention — operators/sessions.py): tail start, driver rows r16
+    "w5_sessionize",
+    "w6_funnel_conversion",
+    "w7_retention_cohorts",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}
@@ -1187,6 +1302,9 @@ ORACLES: dict = {
     "w1_adjacent_events": W1_SQL,
     "w2_latest_per_key": W2_SQL,
     "w4_asof_join": W4_SQL,
+    "w5_sessionize": W5_SQL,
+    "w6_funnel_conversion": W6_SQL,
+    "w7_retention_cohorts": W7_SQL,
     "j3_interval_join": J3_SQL,
     "j3_interval_anti": J3_ANTI_SQL,
     "j4_containment_join": J4_SQL,

@@ -4616,6 +4616,92 @@ FROM t
 """
 
 
+def ann_ivf_store_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 driver-hard (VERDICT r14 item 3): build the persistent IVF
+    index store in a scratch dir INSIDE the query body, probe it with
+    the standard query set (vec_id < 20, k=10, n_probe=4), and return
+    the ``ivf_topk`` schema.  The store answer is pytest-pinned
+    row-for-row equal to the ephemeral ``ann_ivf_topk``
+    (test_ivf_store_build_query_append_parity); this query turns that
+    equality into a DRIVER-checked fact against the same DuckDB CTE
+    oracle — the X82 ``corpus_leakage_split_store`` precedent applied
+    to X88.  The result is localCheckpointed so the scratch store can
+    be deleted before the driver collects.
+
+    Scale note: the temp-dir store is a test harness; a deployment
+    builds once at a durable path and only ``ivf_store_topk`` runs
+    per query batch (partition-pruned to n_probe/n_centroids of the
+    cells — see ann_store.py module docs)."""
+    import shutil
+    import tempfile
+
+    from genie_spark.analytics.ann_store import (
+        ivf_store_build,
+        ivf_store_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="genie_ivf_store_")
+    try:
+        ivf_store_build(emb, scratch, n_centroids=16)
+        out = ivf_store_topk(
+            spark,
+            scratch,
+            emb.where(F.col("vec_id") < 20),
+            k=10,
+            n_probe=4,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def corpus_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 driver-hard round-trip (VERDICT r14 item 6): write the
+    corpus as WebDataset tar shards into a scratch dir, read the
+    archives back with ``read_webdataset``, and return one row per
+    member (doc_id, split, shard, shuffle_rank, n_chars) — so the
+    sink's byte contract (member naming, shard assignment, shuffle
+    order, utf-8 payload fidelity) is checked end-to-end against the
+    md5 split/shard/shuffle oracle rule, not just pytest-pinned.
+    The parsed rows are localCheckpointed so the scratch dir can be
+    deleted before the driver collects."""
+    import shutil
+    import tempfile
+
+    from genie_spark.analytics.corpus import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="genie_wds_")
+    try:
+        write_webdataset_shards(docs, scratch, n_shards=SPLIT_SHARDS)
+        out = (
+            read_webdataset(spark, scratch)
+            .select(
+                F.col("key").cast("long").alias("doc_id"),
+                "split",
+                "shard",
+                "shuffle_rank",
+                F.length("text").cast("long").alias("n_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+WDS_ROUNDTRIP_SQL = f"""
+WITH base AS ({SPLIT_SHUFFLE_SQL})
+SELECT b.doc_id, b.split, b.shard, b.shuffle_rank,
+       CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars
+FROM base b JOIN documents d USING (doc_id)
+"""
+
+
 ANALYTICS_QUERIES: dict = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -4682,6 +4768,8 @@ ANALYTICS_QUERIES: dict = {
     "sketch_kll_grouped": sketch_kll_grouped,
     "sketch_moments": sketch_moments,
     "sketch_moments_sharded": sketch_moments_sharded,
+    "ann_ivf_store_topk": ann_ivf_store_topk_q,
+    "corpus_webdataset_roundtrip": corpus_webdataset_roundtrip,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "text_wordpiece_encode": text_wordpiece_encode,
     "text_wordpiece_coverage": text_wordpiece_coverage,
@@ -4779,6 +4867,8 @@ ANALYTICS_ORACLES: dict = {
     "sketch_moments": SKETCH_MOMENTS_SQL,
     # the sharded form shares the GLOBAL oracle: equality IS the merge law
     "sketch_moments_sharded": SKETCH_MOMENTS_SQL,
+    "ann_ivf_store_topk": ANN_IVF_SQL,
+    "corpus_webdataset_roundtrip": WDS_ROUNDTRIP_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),

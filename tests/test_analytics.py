@@ -4565,6 +4565,35 @@ def test_ivf_store_build_query_append_parity(spark, tmp_path):
         assert math.isclose(top[q]["cosine"], 1.0, rel_tol=1e-12)
 
 
+def test_ivf_store_topk_query_size_guard(spark, tmp_path):
+    """VERDICT r14 item 2: the store probe path collects the probe
+    cells driver-side, so the query frame is small BY CONTRACT — the
+    ``max_query_rows`` guard turns that contract into a loud runtime
+    raise instead of an unbounded collect."""
+    import pytest
+
+    from genie_spark.analytics.ann_store import ivf_store_build, ivf_store_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    store = str(tmp_path / "ivf_guard")
+    ivf_store_build(emb, store, n_centroids=8)
+    queries = emb.where(F.col("vec_id") < 20)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_store_topk(
+            spark, store, queries, k=3, n_probe=2, max_query_rows=5
+        )
+    # None disables the guard; the tiny frame still answers
+    assert (
+        ivf_store_topk(
+            spark, store, queries, k=3, n_probe=2, max_query_rows=None
+        ).count()
+        > 0
+    )
+
+
 def test_disjoint_union_tag_untag_exact_at_big_ids(spark):
     """r14 code-review regression: the store-fed split's node*4+shard
     tag must round-trip through components and `div 4` untagging

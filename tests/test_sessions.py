@@ -1,0 +1,166 @@
+"""Session / funnel / retention operators (operators/sessions.py —
+the r15 W-family extension): value semantics on literal frames plus
+the plan shapes that make them linear at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+M = 60 * 1_000_000  # one minute in µs
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_us long"
+    )
+
+
+def test_sessionize_gap_boundaries(spark):
+    """A gap strictly greater than gap_us starts a new session; a gap
+    exactly equal to it does NOT (the > rule); ties in ts order by the
+    explicit tie-breaker."""
+    from genie_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, 1, "view", 0 * M),
+        (1, 2, "view", 30 * M),      # gap == 30 min → same session
+        (1, 3, "view", 61 * M),      # gap 31 min  → new session
+        (1, 4, "view", 61 * M),      # tie: event_id orders it after 3
+        (2, 5, "view", 5 * M),       # other user: own numbering
+    ]
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(_ev(spark, rows), gap_us=30 * M).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_session_stats_aggregates(spark):
+    from genie_spark.operators.sessions import session_stats
+
+    rows = [
+        (1, 1, "view", 0 * M),
+        (1, 2, "click", 10 * M),
+        (1, 3, "view", 100 * M),
+    ]
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["start_us"], r["end_us"],
+            r["duration_us"], r["n_event_types"],
+        )
+        for r in session_stats(_ev(spark, rows), gap_us=30 * M).collect()
+    }
+    assert got == {
+        (1, 1): (2, 0, 10 * M, 10 * M, 2),
+        (1, 2): (1, 100 * M, 100 * M, 0, 1),
+    }
+
+
+def test_funnel_strict_after_rule(spark):
+    """Step k converts only STRICTLY after step k-1: a click at the
+    same µs as the view does not convert; a later click does; the
+    purchase chain continues from the converted click."""
+    from genie_spark.operators.sessions import funnel_times
+
+    rows = [
+        # user 1: full conversion
+        (1, 1, "view", 10 * M),
+        (1, 2, "click", 20 * M),
+        (1, 3, "purchase", 30 * M),
+        # user 2: click simultaneous with view → funnel stops at view
+        (2, 4, "view", 10 * M),
+        (2, 5, "click", 10 * M),
+        (2, 6, "purchase", 40 * M),
+        # user 3: never viewed → excluded entirely
+        (3, 7, "click", 5 * M),
+        # user 4: view then purchase without click → stops at step 1
+        (4, 8, "view", 1 * M),
+        (4, 9, "purchase", 2 * M),
+        # user 5: click BEFORE the first view must not count; the one
+        # after does
+        (5, 10, "click", 1 * M),
+        (5, 11, "view", 2 * M),
+        (5, 12, "click", 3 * M),
+    ]
+    got = {
+        r["user_id"]: (
+            r["t_step1_us"], r["t_step2_us"], r["t_step3_us"],
+            r["steps_reached"],
+        )
+        for r in funnel_times(
+            _ev(spark, rows), steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {
+        1: (10 * M, 20 * M, 30 * M, 3),
+        2: (10 * M, None, None, 1),
+        4: (1 * M, None, None, 1),
+        5: (2 * M, 3 * M, None, 2),
+    }
+    assert 3 not in got
+
+
+def test_funnel_empty_steps_raises(spark):
+    from genie_spark.operators.sessions import funnel_times
+
+    with pytest.raises(ValueError, match="steps"):
+        funnel_times(_ev(spark, []), steps=[])
+
+
+def test_retention_matrix_values(spark):
+    """Cohort = epoch-period of first event; offsets count distinct
+    users, not events."""
+    from genie_spark.operators.sessions import retention_matrix
+
+    P = 100
+    rows = [
+        (1, 1, "view", 0),        # cohort 0
+        (1, 2, "view", 50),       # same period (dup activity)
+        (1, 3, "view", 250),      # offset 2
+        (2, 4, "view", 120),      # cohort 1
+        (2, 5, "view", 220),      # offset 1
+        (3, 6, "view", 130),      # cohort 1, offset 0
+    ]
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in retention_matrix(_ev(spark, rows), period_us=P).collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 2, (1, 1): 1}
+
+
+def test_session_plan_single_exchange(spark):
+    """sessionize + session_stats must ride ONE hash exchange: lag,
+    running sum, and the (user, session) aggregate all share the user
+    partitioning."""
+    from genie_spark.workload import w5_sessionize
+
+    plan = w5_sessionize(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_plan_single_exchange_no_join(spark):
+    """funnel_times is windows + one same-key aggregate: no join
+    operator, one hash exchange."""
+    from genie_spark.workload import w6_funnel_conversion
+
+    plan = (
+        w6_funnel_conversion(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_retention_plan_two_exchanges(spark):
+    """retention_matrix: the user window exchange plus the final
+    (cohort, offset) distinct aggregate — nothing else."""
+    from genie_spark.workload import w7_retention_cohorts
+
+    plan = (
+        w7_retention_cohorts(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
