@@ -1239,3 +1239,324 @@ def rrf_fuse(
         agg, F.desc("rrf_q"), F.asc(id_col),
         rank_col="fused_rank", max_rows=k,
     )
+
+
+def sq8_minmax(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[list[int], list[int]]:
+    """X89 — per-dimension (min, max) of the QUANTIZED corpus, the
+    training step of scalar quantization (the SQ8 codec of the FAISS /
+    Milvus / Lucene vector stores: 4× smaller than float32, one byte
+    per dimension).  Exact integers end-to-end, so the trained bounds
+    are reproducible across engines and appends.
+
+    Spark shape: ONE scan with 2·dim codegen'd min/max aggregates
+    (map-side partial → a single dim-sized row on the driver) — the
+    artifact is tiny and never data-scaled.  Rows whose vector is
+    mis-sized are excluded (the Arrow engines' screen rule)."""
+    q = df.select(quantized(vec_col).alias("__v")).where(
+        F.size("__v") == dim
+    )
+    aggs = []
+    for i in range(dim):
+        e = F.element_at("__v", i + 1)
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = q.agg(*aggs).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"sq8_minmax: no vector of dim={dim} to train on"
+        )
+    return (
+        [int(row[f"mn{i}"]) for i in range(dim)],
+        [int(row[f"mx{i}"]) for i in range(dim)],
+    )
+
+
+def sq8_codes(
+    df: DataFrame,
+    mn: list[int],
+    mx: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X89 — encode each vector against trained per-dim bounds:
+    ``code_i = ((v_i - mn_i) * 255) div max(1, mx_i - mn_i)`` — pure
+    integer floor arithmetic (operands nonnegative after the min
+    shift, so ``div`` == floor in both engines), codes in 0..255.
+
+    Spark shape: the bounds are LITERAL arrays folded into one
+    codegen'd ``transform`` — scan → project, zero exchange, zero UDF
+    (the X85 literal-plane pattern).  Mis-sized vectors yield null
+    codes (excluded downstream by the search engine's screen)."""
+    dim = len(mn)
+    if len(mx) != dim:
+        raise ValueError("sq8_codes: mn/mx length mismatch")
+    mn_lit = "array(" + ",".join(f"{int(v)}L" for v in mn) + ")"
+    mx_lit = "array(" + ",".join(f"{int(v)}L" for v in mx) + ")"
+    q = quantized(vec_col)
+    codes = F.expr(
+        f"transform(__q, (x, i) -> "
+        f"((x - element_at({mn_lit}, i + 1)) * 255) div "
+        f"greatest(1L, element_at({mx_lit}, i + 1) - element_at({mn_lit}, i + 1)))"
+    )
+    return (
+        df.select(F.col(id_col), q.alias("__q"))
+        .where(F.size("__q") == dim)
+        .select(F.col(id_col), codes.alias("code"))
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    query_filter: Column | None = None,
+    max_query_rows: int | None = 50_000,
+) -> DataFrame:
+    """X89 — top-k search over SQ8 codes: each side is DECODED back to
+    the exact-integer reconstruction ``d_i = 255·mn_i +
+    code_i·(mx_i − mn_i)`` (the dequantize step of the FAISS/Lucene SQ
+    codec, scaled by 255 to stay integral) and scored by cosine over
+    the reconstructions.  Scoring raw code dot products would be
+    WRONG — the per-dim min shift is affine, and an affine shift does
+    not preserve inner-product order; decode-then-dot is the standard
+    SQ search and is what keeps recall against the exact ranking.
+    |d| ≤ 255·(|mn| + |mx − mn|) ≈ 10⁶ here, so the 64-dim dot stays
+    ≪ 2^53 and the float64 matmul is exact.  Returns (query_id,
+    neighbor_id, rank, qcos), ties by neighbor id.
+
+    The 100 TB shape (the ``cosine_topk`` engine, re-scored): train =
+    one min/max aggregate; encode = map-side literal-array transform;
+    the (small, by contract — ``max_query_rows`` guards it) query code
+    set closes over an Arrow scorer that emits only its partition's
+    LOCAL top-k, so the final window sees partitions × queries × k
+    rows, never the corpus."""
+    mn, mx = sq8_minmax(df, vec_col, dim)
+    codes = sq8_codes(df, mn, mx, id_col, vec_col)
+    queries = (
+        codes.join(
+            df.where(query_filter).select(F.col(id_col)), id_col, "semi"
+        )
+        if query_filter is not None
+        else codes
+    )
+    if max_query_rows is not None:
+        n = queries.limit(int(max_query_rows) + 1).count()
+        if n > max_query_rows:
+            raise ValueError(
+                f"sq8_topk: query set exceeds max_query_rows="
+                f"{max_query_rows} — the query codes ride a driver "
+                "collect + task closure. Batch the queries, or pass "
+                "max_query_rows=None to override."
+            )
+    q_rows = queries.collect()
+    if not q_rows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, qcos double"
+        )
+
+    import numpy as np
+
+    mn_a = np.array(mn, dtype=np.int64)
+    span = np.array(mx, dtype=np.int64) - mn_a
+
+    def decode(codes_mat):
+        # exact-integer reconstruction, scaled by 255 (scale cancels
+        # in the cosine)
+        return 255 * mn_a[None, :] + codes_mat * span[None, :]
+
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_dec = decode(np.array([r[1] for r in q_rows], dtype=np.int64))
+    q_norm = np.sqrt((q_dec * q_dec).sum(axis=1).astype("float64"))
+
+    def score_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            c_dec = decode(np.array(list(pdf["__c"]), dtype=np.int64))
+            c_norm = np.sqrt((c_dec * c_dec).sum(axis=1).astype("float64"))
+            # integer-valued float64 matmul: exact below 2^53
+            qcos = (c_dec.astype(np.float64) @ q_dec.astype(np.float64).T) / (
+                c_norm[:, None] * q_norm[None, :]
+            )
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                idx = np.nonzero(ids != q_ids[j])[0]
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids[idx], -qcos[idx, j]))[:k]
+                sel = idx[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_s.extend(qcos[sel, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "qcos": out_s}
+            )
+
+    local = codes.select(
+        F.col(id_col).alias("__id"), F.col("code").alias("__c")
+    ).mapInPandas(
+        score_partition, schema="query_id long, neighbor_id long, qcos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qcos")
+    )
+
+
+def prefix_rerank_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+    m: int = 50,
+    k: int = 10,
+    query_filter: Column | None = None,
+    max_query_rows: int | None = 50_000,
+) -> DataFrame:
+    """X90 — Matryoshka two-stage retrieval (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): stage 1 ranks by the exact
+    integer dot product of the first ``prefix_dim`` dimensions (the
+    cheap truncated embedding) and keeps the top ``m`` candidates per
+    query; stage 2 reranks ONLY those candidates by full-dimension
+    cosine and returns the top ``k`` — the standard adaptive-retrieval
+    funnel (coarse prefix pass over everything, exact pass over m ≪
+    corpus).
+
+    Determinism: both stages are exact integer dots with
+    (score DESC, neighbor_id ASC) ties, so the candidate SET — not
+    just the final ranking — is engine-reproducible.
+
+    The 100 TB shape: stage 1 is the ``cosine_topk`` local-top-m
+    engine over sliced vectors (scan → Arrow matmul → partition-local
+    top-m → window over partitions × queries × m rows); stage 2 joins
+    the TINY candidate list (queries × m rows, broadcast) back to the
+    corpus for full vectors — one hash join that streams the corpus
+    once, no pair blow-up — then a bounded window ranks queries × m
+    scored rows."""
+    if not 1 <= prefix_dim:
+        raise ValueError("prefix_rerank_topk: prefix_dim must be >= 1")
+    pref = df.select(
+        F.col(id_col), F.slice(quantized(vec_col), 1, prefix_dim).alias("pv")
+    )
+    qset = (
+        pref.join(df.where(query_filter).select(id_col), id_col, "semi")
+        if query_filter is not None
+        else pref
+    )
+    if max_query_rows is not None:
+        n = qset.limit(int(max_query_rows) + 1).count()
+        if n > max_query_rows:
+            raise ValueError(
+                f"prefix_rerank_topk: query set exceeds max_query_rows="
+                f"{max_query_rows} — query vectors ride a driver collect "
+                "+ literal maps. Batch the queries, or pass "
+                "max_query_rows=None to override."
+            )
+    q_rows = qset.collect()
+    if not q_rows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+
+    import numpy as np
+
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.int64)
+
+    def stage1(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["__p"]), dtype=np.int64)
+            pdot = (
+                c_mat.astype(np.float64) @ q_mat.astype(np.float64).T
+            ).astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                idx = np.nonzero(ids != q_ids[j])[0]
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids[idx], -pdot[idx, j]))[:m]
+                sel = idx[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_s.extend(pdot[sel, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "pdot": out_s}
+            )
+
+    local = pref.select(
+        F.col(id_col).alias("__id"), F.col("pv").alias("__p")
+    ).mapInPandas(
+        stage1, schema="query_id long, neighbor_id long, pdot long"
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pdot").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    full = _with_norm(df, id_col, vec_col, "n").select(
+        F.col("n").alias("__fid"), "n_v", "n_n"
+    )
+    qfull = {
+        int(r["n"]): (list(r["n_v"]), int(r["n_n"]))
+        for r in _with_norm(
+            df.where(query_filter) if query_filter is not None else df,
+            id_col,
+            vec_col,
+            "n",
+        ).collect()
+    }
+    qv_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in qfull]),
+        F.array(
+            *[
+                F.array(*[F.lit(int(x)) for x in qfull[i][0]])
+                for i in qfull
+            ]
+        ),
+    )
+    qn_map = F.create_map(
+        *[
+            c
+            for i in qfull
+            for c in (F.lit(i), F.lit(qfull[i][1]))
+        ]
+    )
+    scored = (
+        full.join(F.broadcast(cand), full["__fid"] == cand["neighbor_id"])
+        .withColumn("__qv", qv_map[F.col("query_id")])
+        .withColumn("__qn", qn_map[F.col("query_id")])
+        .withColumn(
+            "cosine",
+            dot(F.col("__qv"), F.col("n_v"))
+            / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("n_n"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1272,6 +1272,10 @@ _TAIL_QUERIES = [
     "w5_sessionize",
     "w6_funnel_conversion",
     "w7_retention_cohorts",
+    # r15 X89/X90 newcomers (SQ8 scalar quantization; Matryoshka
+    # prefix rerank — similarity.py): tail start, driver rows r16
+    "emb_sq8_topk",
+    "emb_prefix_rerank",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

@@ -4616,6 +4616,103 @@ FROM t
 """
 
 
+def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 scalar-quantized (SQ8) search: per-dim min/max training,
+    byte-code encoding, decode-then-cosine top-10 for the standard
+    query set (vec_id < 20) — the FAISS/Lucene SQ codec expressed as
+    one training aggregate + literal-array encode + the local-top-k
+    Arrow engine scoring exact-integer reconstructions."""
+    from genie_spark.analytics.similarity import sq8_topk
+
+    return sq8_topk(
+        _emb(spark, sf_dir), k=10, query_filter=F.col("vec_id") < 20
+    )
+
+
+SQ8_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+u AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+),
+mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+-- decode-then-score: d_i = 255*mn_i + code_i*(mx_i - mn_i), the
+-- exact-integer SQ8 reconstruction (code dot products alone would be
+-- order-broken by the affine min shift)
+dec AS (
+  SELECT vec_id,
+         list(CAST(255 * mn
+                   + (((x - mn) * 255) // greatest(1, mx - mn))
+                     * (mx - mn) AS BIGINT)
+              ORDER BY i) AS d
+  FROM u JOIN mm USING (i) GROUP BY vec_id
+),
+n AS (SELECT vec_id, d, CAST(list_dot_product(d, d) AS BIGINT) AS nn
+      FROM dec),
+s AS (
+  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         CAST(list_dot_product(qa.d, cb.d) AS BIGINT)
+             / (sqrt(qa.nn) * sqrt(cb.nn)) AS qcos
+  FROM n qa JOIN n cb ON qa.vec_id != cb.vec_id
+  WHERE qa.vec_id < 20
+)
+SELECT query_id, neighbor_id, rank, qcos FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def emb_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 Matryoshka two-stage retrieval: prefix-16 integer-dot
+    candidate pass (top-50), full-dim cosine rerank (top-10) — the
+    adaptive-retrieval funnel with an engine-reproducible candidate
+    set (exact integer stage-1 scores, pinned tie order)."""
+    from genie_spark.analytics.similarity import prefix_rerank_topk
+
+    return prefix_rerank_topk(
+        _emb(spark, sf_dir),
+        prefix_dim=16,
+        m=50,
+        k=10,
+        query_filter=F.col("vec_id") < 20,
+    )
+
+
+PREFIX_RERANK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+p AS (SELECT vec_id, list_slice(v, 1, 16) AS pv FROM q),
+s1 AS (
+  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         CAST(list_dot_product(qa.pv, cb.pv) AS BIGINT) AS pdot
+  FROM p qa JOIN p cb ON qa.vec_id != cb.vec_id
+  WHERE qa.vec_id < 20
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY pdot DESC, neighbor_id) AS r
+    FROM s1
+  ) WHERE r <= 50
+),
+n AS (SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM q),
+s2 AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT)
+             / (sqrt(a.nn) * sqrt(b.nn)) AS cosine
+  FROM cand c
+  JOIN n a ON a.vec_id = c.query_id
+  JOIN n b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s2
+) WHERE rank <= 10
+"""
+
+
 def ann_ivf_store_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X88 driver-hard (VERDICT r14 item 3): build the persistent IVF
     index store in a scratch dir INSIDE the query body, probe it with
@@ -4770,6 +4867,8 @@ ANALYTICS_QUERIES: dict = {
     "sketch_moments_sharded": sketch_moments_sharded,
     "ann_ivf_store_topk": ann_ivf_store_topk_q,
     "corpus_webdataset_roundtrip": corpus_webdataset_roundtrip,
+    "emb_sq8_topk": emb_sq8_topk,
+    "emb_prefix_rerank": emb_prefix_rerank,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "text_wordpiece_encode": text_wordpiece_encode,
     "text_wordpiece_coverage": text_wordpiece_coverage,
@@ -4869,6 +4968,8 @@ ANALYTICS_ORACLES: dict = {
     "sketch_moments_sharded": SKETCH_MOMENTS_SQL,
     "ann_ivf_store_topk": ANN_IVF_SQL,
     "corpus_webdataset_roundtrip": WDS_ROUNDTRIP_SQL,
+    "emb_sq8_topk": SQ8_SQL,
+    "emb_prefix_rerank": PREFIX_RERANK_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
     "text_wordpiece_encode": _wordpiece_sql(WP_VOCAB, WP_MAX_WORD),
     "text_wordpiece_coverage": _wordpiece_coverage_sql(WP_VOCAB, WP_MAX_WORD),

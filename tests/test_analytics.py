@@ -4565,6 +4565,118 @@ def test_ivf_store_build_query_append_parity(spark, tmp_path):
         assert math.isclose(top[q]["cosine"], 1.0, rel_tol=1e-12)
 
 
+def test_sq8_codes_bounds_and_screen(spark):
+    """X89: codes lie in 0..255; the trained-dim screen drops
+    mis-sized vectors instead of mis-encoding them."""
+    from genie_spark.analytics.similarity import sq8_codes, sq8_minmax
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    mn, mx = sq8_minmax(emb)
+    assert len(mn) == 64 and len(mx) == 64
+    assert all(a <= b for a, b in zip(mn, mx))
+    codes = sq8_codes(emb, mn, mx)
+    stats = codes.select(
+        F.min(F.array_min("code")).alias("lo"),
+        F.max(F.array_max("code")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 255
+    assert stats["n"] == emb.count()
+    # a mis-sized vector is screened out, not encoded
+    bad = spark.createDataFrame(
+        [(9001, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    assert sq8_codes(bad, mn, mx).count() == 0
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """X89 sanity: symmetric SQ8 search is an approximation, but on
+    real embeddings the byte codes must keep most of the exact
+    top-10 (recall@10 >= 0.6 corpus-wide here) — the property that
+    makes the codec usable, not just runnable."""
+    from genie_spark.analytics.similarity import cosine_topk, sq8_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    flt = F.col("vec_id") < 10
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=10, query_filter=flt).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk(emb, k=10, query_filter=flt).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_sq8_topk_query_size_guard(spark):
+    from genie_spark.analytics.similarity import sq8_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sq8_topk(emb, k=3, max_query_rows=5)
+
+
+def test_prefix_rerank_full_m_equals_exact(spark):
+    """X90 collapse law: with m >= corpus size stage 1 keeps every
+    candidate, so the rerank IS the exact brute-force ranking —
+    prefix_rerank_topk must equal cosine_topk row-for-row."""
+    from genie_spark.analytics.similarity import (
+        cosine_topk,
+        prefix_rerank_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    flt = F.col("vec_id") < 10
+    n = emb.count()
+    got = sorted(
+        tuple(r)
+        for r in prefix_rerank_topk(
+            emb, prefix_dim=16, m=n, k=10, query_filter=flt
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in cosine_topk(emb, k=10, query_filter=flt).collect()
+    )
+    assert got == want
+
+
+def test_prefix_rerank_candidate_discipline(spark):
+    """X90 funnel shape: with a small m every returned neighbor must
+    be a stage-1 candidate (rank <= k <= m rows per query), and the
+    guard rejects corpus-sized query sets."""
+    from genie_spark.analytics.similarity import prefix_rerank_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    flt = F.col("vec_id") < 5
+    out = prefix_rerank_topk(
+        emb, prefix_dim=16, m=12, k=10, query_filter=flt
+    )
+    per = (
+        out.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("rank").alias("mr"))
+        .collect()
+    )
+    assert per and all(r["n"] <= 10 and r["mr"] <= 10 for r in per)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        prefix_rerank_topk(emb, m=12, k=3, max_query_rows=2)
+
+
 def test_ivf_store_topk_query_size_guard(spark, tmp_path):
     """VERDICT r14 item 2: the store probe path collects the probe
     cells driver-side, so the query frame is small BY CONTRACT — the

@@ -1117,6 +1117,65 @@ def main() -> None:
 
     probe("ivf_store_build_query", run_ivf_store)
 
+    # X89 SQ8: train = one 2·dim-aggregate scan, encode = literal-array
+    # transform, search = the local-top-k Arrow engine — wall must be
+    # linear in the corpus at fixed query count
+    from genie_spark.analytics.similarity import prefix_rerank_topk, sq8_topk
+
+    probe(
+        "sq8_topk",
+        lambda n: sq8_topk(
+            embs(n), k=10, query_filter=F.col("vec_id") < 16
+        ),
+    )
+    # X90 Matryoshka funnel: prefix pass scans everything at 1/4 the
+    # dot width, rerank touches only queries × m candidate rows —
+    # linear with a smaller constant than the full brute pass
+    probe(
+        "prefix_rerank",
+        lambda n: prefix_rerank_topk(
+            embs(n), prefix_dim=16, m=50, k=10,
+            query_filter=F.col("vec_id") < 16,
+        ),
+    )
+
+    # W5-W7 event analytics: one user-keyed exchange each (plan-pinned
+    # in tests/test_sessions.py) — wall tracks the event count, and
+    # parallelism is user cardinality (n/50 users here)
+    from genie_spark.operators.sessions import (
+        funnel_times,
+        retention_matrix,
+        session_stats,
+    )
+
+    def synth_events(n):
+        types = F.array(
+            F.lit("view"), F.lit("click"), F.lit("purchase"),
+            F.lit("signup"), F.lit("error"),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.col("id"), F.lit(max(n // 50, 1))).alias("user_id"),
+            F.element_at(
+                types, (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int")
+            ).alias("event_type"),
+            # deterministic pseudo-times: spread each user's events
+            # over ~n minutes with md5-derived jitter
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % (n * 60_000_000)
+            ).alias("ts_us"),
+        ).repartition(32)
+
+    probe("sessionize_stats", lambda n: session_stats(synth_events(n)))
+    probe(
+        "funnel",
+        lambda n: funnel_times(
+            synth_events(n), steps=["view", "click", "purchase"]
+        ),
+    )
+    probe("retention", lambda n: retention_matrix(synth_events(n)))
+
     print(json.dumps({"size_ratio": big / small, "results": results}))
 
 
