@@ -649,6 +649,46 @@ FROM c ASOF LEFT JOIN v
 """
 
 
+def a18_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property analytics (functions/jsonx —
+    the events.props column, untouched until r15): extract ``$.k`` as
+    a long JVM-side (get_json_object + try_cast, no UDF) and reduce
+    per event type with exact integer stats (milli-mean via long
+    ``div`` — the engine-stability rule)."""
+    from genie_spark.functions.jsonx import json_long
+
+    ev = _events(spark, sf_dir).withColumn("k", json_long("props", "k"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .withColumn("avg_k_milli", F.expr("(sum_k * 1000) div n_k"))
+    )
+
+
+A18_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST((sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000)
+            // count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS avg_k_milli
+FROM events GROUP BY event_type
+"""
+
+
 def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization + per-session stats (W-family
     extension; see ``operators.sessions.session_stats``): 30-minute
@@ -1048,6 +1088,7 @@ _ALL_QUERIES: dict = {
     "w1_adjacent_events": w1_adjacent_events,
     "w2_latest_per_key": w2_latest_per_key,
     "w4_asof_join": w4_asof_join,
+    "a18_json_props_stats": a18_json_props_stats,
     "w5_sessionize": w5_sessionize,
     "w6_funnel_conversion": w6_funnel_conversion,
     "w7_retention_cohorts": w7_retention_cohorts,
@@ -1272,6 +1313,9 @@ _TAIL_QUERIES = [
     "w5_sessionize",
     "w6_funnel_conversion",
     "w7_retention_cohorts",
+    # r15 JSON-props newcomer (functions/jsonx): tail start, driver
+    # row r16
+    "a18_json_props_stats",
     # r15 X89/X90 newcomers (SQ8 scalar quantization; Matryoshka
     # prefix rerank — similarity.py): tail start, driver rows r16
     "emb_sq8_topk",
@@ -1306,6 +1350,7 @@ ORACLES: dict = {
     "w1_adjacent_events": W1_SQL,
     "w2_latest_per_key": W2_SQL,
     "w4_asof_join": W4_SQL,
+    "a18_json_props_stats": A18_SQL,
     "w5_sessionize": W5_SQL,
     "w6_funnel_conversion": W6_SQL,
     "w7_retention_cohorts": W7_SQL,

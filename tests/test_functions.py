@@ -128,3 +128,51 @@ def test_rank_bounded_order_and_max_rows_guard(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_jsonx_extract_and_malformed_null(spark):
+    """functions/jsonx: JVM-side JSON extraction — typed values out,
+    NULL (never an ANSI throw) on missing fields, malformed JSON, and
+    non-numeric values; parse_props parses ONCE and fans out typed
+    columns with the same null contract."""
+    from genie_spark.functions.jsonx import json_long, json_str, parse_props
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 42, "s": "x"}'),
+            (2, '{"s": "only"}'),
+            (3, "not json"),
+            (4, '{"k": "NaNish"}'),
+            (5, None),
+        ],
+        "id long, props string",
+    )
+    got = {
+        r["id"]: (r["k"], r["s"])
+        for r in df.select(
+            "id",
+            json_long("props", "k").alias("k"),
+            json_str("props", "s").alias("s"),
+        ).collect()
+    }
+    assert got == {
+        1: (42, "x"),
+        2: (None, "only"),
+        3: (None, None),
+        4: (None, None),
+        5: (None, None),
+    }
+    parsed = {
+        r["id"]: (r["k"], r["s"])
+        for r in parse_props(
+            df, fields={"k": "long", "s": "string"}
+        ).select("id", "k", "s").collect()
+    }
+    assert parsed[1] == (42, "x") and parsed[2] == (None, "only")
+    assert parsed[3] == (None, None) and parsed[5] == (None, None)
+    # the extraction stays codegen'd — no BatchEvalPython / UDF node
+    plan = (
+        df.select(json_long("props", "k"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -164,3 +164,81 @@ def test_retention_plan_two_exchanges(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_batch_stream_sessionize_parity(spark, tmp_path):
+    """W5 ↔ §2.12: the streaming gap sessionizer's CLOSED sessions
+    must equal the batch ``session_stats`` sessions over the same
+    events (every real session closed by a far-future sentinel event
+    per user) — (user, start, end, n_events) for (user, session_seq)
+    in time order.  The store≡batch discipline applied to sessions."""
+    from pyspark.sql import types as T
+
+    from genie_spark.operators.sessions import session_stats
+    from genie_spark.streaming.windows import sessionize as stream_sessionize
+
+    lines = ["user_id,ts"]
+    batch_rows = []
+    base = 1_700_000_000  # epoch seconds
+    evs = {
+        "A": [0, 600, 1800 + 1, 7200],       # gap==1800 stays; 1801 splits
+        "B": [100, 200, 10_000],
+        "C": [5],
+    }
+    sentinel = 10**6
+    import datetime as dt
+
+    eid = 0
+    for u, ts in evs.items():
+        for t in list(ts) + [sentinel]:
+            eid += 1
+            stamp = dt.datetime.fromtimestamp(base + t, dt.timezone.utc)
+            lines.append(f"{u},{stamp:%Y-%m-%d %H:%M:%S}")
+            batch_rows.append((u, eid, "e", (base + t) * 1_000_000))
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    (src / "s1.csv").write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("header", "true").csv(str(src))
+    )
+    q = (
+        stream_sessionize(stream, key_col="user_id", ts_col="ts", gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_parity").collect()
+    }
+    batch = spark.createDataFrame(
+        batch_rows, "user_id string, event_id long, event_type string, ts_us long"
+    )
+    stats = session_stats(batch, gap_us=1800 * 1_000_000).collect()
+    # drop each user's sentinel session (the open one in the stream)
+    last_seq = {}
+    for r in stats:
+        last_seq[r["user_id"]] = max(
+            last_seq.get(r["user_id"], 0), r["session_seq"]
+        )
+    want = {
+        (
+            r["user_id"],
+            r["start_us"] // 1_000_000,
+            r["end_us"] // 1_000_000,
+            r["n_events"],
+        )
+        for r in stats
+        if r["session_seq"] != last_seq[r["user_id"]]
+    }
+    assert got == want and len(got) == 5
