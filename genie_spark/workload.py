@@ -1313,6 +1313,11 @@ _TAIL_QUERIES = [
     "w5_sessionize",
     "w6_funnel_conversion",
     "w7_retention_cohorts",
+    # r15 classic-OLAP newcomers (native ROLLUP/CUBE grouping-flag
+    # totals; ranking-window battery): tail start, driver rows r16
+    "a19_rollup_totals",
+    "a20_cube_totals",
+    "w8_rank_battery",
     # r15 JSON-props newcomer (functions/jsonx): tail start, driver
     # row r16
     "a18_json_props_stats",

@@ -781,7 +781,128 @@ WHERE levenshtein(a.val, b.val) <= 1
 """
 
 
+def a19_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (the A1 counts-with-Total shape
+    generalized to the native multi-level operator): orders rolled up
+    over (status, priority) with per-level grouping flags — Spark
+    ``rollup`` plans ONE Expand + one aggregate (a single shuffle for
+    every level), not one union branch per level.  Exact integer
+    cents; grouping flags per column (engine-stable, unlike the
+    bit-packed grouping_id whose bit order is engine-defined)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.withColumn("__c", cents)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() is an aggregate-context expression — it must
+            # live in the agg list, not a downstream select
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__c").cast("long").alias("sum_total_cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n",
+            "sum_total_cents",
+        )
+    )
+
+
+A19_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def a20_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE cross-tab totals: every (status, priority) subtotal combo
+    in one Expand + one aggregate — the native form of the A3 pivot
+    matrix's margin totals."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )
+
+
+A20_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def w8_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window battery (§2.5 completion): dense_rank /
+    percent_rank / cume_dist / ntile(4) per customer over order value
+    — one window spec, one exchange, a TOTAL order (cents DESC,
+    orderkey ASC) so peer-sensitive functions are deterministic in
+    both engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("__c"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("__c", cents)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("__c").alias("total_cents"),
+            F.dense_rank().over(w).cast("long").alias("drank"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+    )
+
+
+W8_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey
+)
+"""
+
+
 EXTRA_QUERIES: dict = {
+    "a19_rollup_totals": a19_rollup_totals,
+    "a20_cube_totals": a20_cube_totals,
+    "w8_rank_battery": w8_rank_battery,
     "j5_feature_type": j5_feature_type,
     "a4_completeness": a4_completeness,
     "a6_release_diff": a6_release_diff,
@@ -803,6 +924,9 @@ EXTRA_QUERIES: dict = {
 }
 
 EXTRA_ORACLES: dict = {
+    "a19_rollup_totals": A19_SQL,
+    "a20_cube_totals": A20_SQL,
+    "w8_rank_battery": W8_SQL,
     "j5_feature_type": J5_SQL,
     "a4_completeness": A4_SQL,
     "a6_release_diff": A6_SQL,

@@ -893,3 +893,26 @@ def test_unigram_encode_zero_exchange(spark):
     assert n_ex == plan.count("Exchange RoundRobinPartitioning"), plan
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_rollup_cube_single_expand_single_exchange(spark):
+    """Native ROLLUP/CUBE must plan ONE Expand + one aggregate
+    exchange (every grouping level in a single shuffle) — not a union
+    branch per level."""
+    from genie_spark.workload_extra import a19_rollup_totals, a20_cube_totals
+
+    for q in (a19_rollup_totals, a20_cube_totals):
+        plan = plan_of(q(spark, SF))
+        assert plan.count("Expand") >= 1, plan
+        assert "Union" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rank_battery_one_window_exchange(spark):
+    """The four ranking functions share one window spec → one
+    exchange, one Window node."""
+    from genie_spark.workload_extra import w8_rank_battery
+
+    plan = plan_of(w8_rank_battery(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 1, plan
