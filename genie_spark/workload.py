@@ -1313,6 +1313,10 @@ _TAIL_QUERIES = [
     "w5_sessionize",
     "w6_funnel_conversion",
     "w7_retention_cohorts",
+    # r15 X35 merge-law newcomer (Count-Min sharded — the fourth
+    # sketch family's merge law made driver-hard): tail start,
+    # driver row r16
+    "sketch_cm_sharded",
     # r15 classic-OLAP newcomers (native ROLLUP/CUBE grouping-flag
     # totals; ranking-window battery): tail start, driver rows r16
     "a19_rollup_totals",

@@ -2293,6 +2293,60 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_cm_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 merge law, driver-hard (r15, the moments/KMV/HLL-sharded
+    pattern completed for the fourth mergeable sketch family): three
+    per-shard Count-Min tables (doc_id mod 3 — the streaming store's
+    per-batch shape) merged by per-(row, bucket) cnt SUM
+    (``count_min_merge``, associative+commutative), probe estimates
+    read from the MERGED table — while the oracle computes the GLOBAL
+    sketch directly, so value-hash equality IS the merge law checked
+    end-to-end against DuckDB.  Same projection as
+    ``sketch_count_min``."""
+    from genie_spark.analytics.sketches import (
+        count_min_lookup,
+        count_min_merge,
+        count_min_sketch,
+    )
+    from genie_spark.analytics.text import tokens
+
+    occ = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens("text")).alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    shards = [
+        count_min_sketch(
+            occ.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            "value",
+            width=CM_Q_WIDTH,
+            depth=CM_Q_DEPTH,
+        )
+        for i in range(3)
+    ]
+    merged = count_min_merge(count_min_merge(shards[0], shards[1]), shards[2])
+    probes = spark.createDataFrame([(p,) for p in CM_Q_PROBES], ["value"])
+    est = count_min_lookup(
+        merged, probes, "value", width=CM_Q_WIDTH, depth=CM_Q_DEPTH
+    )
+    truth = (
+        occ.join(F.broadcast(probes), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(truth, "value", "left")
+        .withColumn("true_count", F.coalesce("true_count", F.lit(0)))
+        .select(
+            "value",
+            "est_count",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias("bound_holds"),
+        )
+    )
+
+
 def sketch_hll_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X38 merge law, driver-hard (r14, the sketch_moments_sharded
     pattern): three per-shard HLL register tables (doc_id mod 3 —
@@ -4839,6 +4893,7 @@ ANALYTICS_QUERIES: dict = {
     "multimodal_features": multimodal_features,
     "sketch_count_min": sketch_count_min,
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_cm_sharded": sketch_cm_sharded,
     "sketch_hll_sharded": sketch_hll_sharded,
     "sketch_kmv_sharded": sketch_kmv_sharded,
     "multimodal_phash_dedup": multimodal_phash_dedup,
@@ -4939,6 +4994,7 @@ ANALYTICS_ORACLES: dict = {
     "sketch_count_min": _count_min_sql(),
     "sketch_hll_distinct": _hll_sql(),
     # sharded forms share the GLOBAL oracles: equality IS the merge law
+    "sketch_cm_sharded": _count_min_sql(),
     "sketch_hll_sharded": _hll_sql(),
     "sketch_kmv_sharded": SKETCH_KMV_SQL,
     "multimodal_phash_dedup": _phash_dedup_sql(),
