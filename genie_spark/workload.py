@@ -1313,6 +1313,9 @@ _TAIL_QUERIES = [
     "w5_sessionize",
     "w6_funnel_conversion",
     "w7_retention_cohorts",
+    # r15 X91 newcomer (exact-integer PageRank — analytics/graph.py):
+    # tail start, driver row r16
+    "graph_pagerank",
     # r15 X35 merge-law newcomer (Count-Min sharded — the fourth
     # sketch family's merge law made driver-hard): tail start,
     # driver row r16

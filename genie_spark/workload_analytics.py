@@ -4670,6 +4670,68 @@ FROM t
 """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 exact-integer PageRank (analytics/graph.py) over the
+    order⇄part co-purchase bipartite graph (both directions of every
+    lineitem, multigraph semantics): 3 synchronous iterations,
+    d=0.85 in milli units, every step a long ``div`` — the oracle
+    unrolls identical integer iterations, so the driver hash pins the
+    whole trajectory, not just the final ordering."""
+    from genie_spark.analytics.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    fwd = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        li.select(
+            (F.col("l_partkey") * 2 + 1).alias("src"),
+            (F.col("l_orderkey") * 2).alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=3, damping_milli=850)
+
+
+def _pagerank_sql() -> str:
+    steps = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        steps.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+  FROM e JOIN d USING (src) JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(150000 + (850 * coalesce(s.s, 0)) // 1000 AS BIGINT) AS r
+  FROM n LEFT JOIN s{i} s USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        """WITH e AS MATERIALIZED (
+  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+),
+n AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION SELECT dst AS node FROM e)
+),
+d AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+"""
+        + (",\n".join(steps))
+        + "\nSELECT node, r AS rank FROM r3"
+    )
+
+
 def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X89 scalar-quantized (SQ8) search: per-dim min/max training,
     byte-code encoding, decode-then-cosine top-10 for the standard
@@ -4922,6 +4984,7 @@ ANALYTICS_QUERIES: dict = {
     "sketch_moments_sharded": sketch_moments_sharded,
     "ann_ivf_store_topk": ann_ivf_store_topk_q,
     "corpus_webdataset_roundtrip": corpus_webdataset_roundtrip,
+    "graph_pagerank": graph_pagerank,
     "emb_sq8_topk": emb_sq8_topk,
     "emb_prefix_rerank": emb_prefix_rerank,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -5024,6 +5087,7 @@ ANALYTICS_ORACLES: dict = {
     "sketch_moments_sharded": SKETCH_MOMENTS_SQL,
     "ann_ivf_store_topk": ANN_IVF_SQL,
     "corpus_webdataset_roundtrip": WDS_ROUNDTRIP_SQL,
+    "graph_pagerank": _pagerank_sql(),
     "emb_sq8_topk": SQ8_SQL,
     "emb_prefix_rerank": PREFIX_RERANK_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,

@@ -4741,3 +4741,79 @@ def test_disjoint_union_tag_untag_exact_at_big_ids(spark):
         F.floor(F.col("x") / 4).cast("long").alias("y")
     ).collect()[0]["y"]
     assert bad != (1 << 52) + 1
+
+
+def _pr_model(edges, iters=3, dm=850, scale=1_000_000):
+    """Sequential reference model of analytics/graph.pagerank — the
+    same integer recurrence in plain Python."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: scale for n in nodes}
+    base = (scale * (1000 - dm)) // 1000
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {n: base + (dm * s[n]) // 1000 for n in nodes}
+    return r
+
+
+def test_pagerank_ring_uniform_and_star(spark):
+    """X91: on a directed ring every node keeps the uniform rank at
+    every iteration (rank is a fixed point there); on a star all mass
+    concentrates on the hub; both match the sequential integer model
+    exactly."""
+    from genie_spark.analytics.graph import pagerank
+
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(ring, "src long, dst long")
+        ).collect()
+    }
+    assert got == _pr_model(ring)
+    assert len(set(got.values())) == 1  # uniform fixed point
+
+    star = [(i, 0) for i in range(1, 6)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(star, "src long, dst long")
+        ).collect()
+    }
+    want = _pr_model(star)
+    assert got == want
+    assert got[0] == max(got.values()) and got[0] > got[1]
+    # leaves are sinks (dangling): their rank decays to the base floor
+    assert got[1] == min(got.values())
+
+
+def test_pagerank_matches_model_on_random_graph(spark):
+    """X91: exact trajectory parity with the sequential model on a
+    deterministic pseudo-random multigraph (duplicate edges kept)."""
+    from genie_spark.analytics.graph import pagerank
+
+    edges = [((i * 7) % 23, (i * 13 + 5) % 23) for i in range(80)]
+    edges += edges[:10]  # duplicates — multigraph semantics
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            iters=4,
+            damping_milli=850,
+        ).collect()
+    }
+    assert got == _pr_model(edges, iters=4)
+
+
+def test_pagerank_validation(spark):
+    from genie_spark.analytics.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_milli=1500)

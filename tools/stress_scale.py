@@ -1167,6 +1167,19 @@ def main() -> None:
             ).alias("ts_us"),
         ).repartition(32)
 
+    # X91 PageRank: per iteration one src-keyed join + one dst-keyed
+    # aggregate over node-sized state (localCheckpointed) — wall must
+    # be linear in edges at fixed iteration count
+    from genie_spark.analytics.graph import pagerank
+
+    def synth_edges(n):
+        return spark.range(n).select(
+            (F.pmod(F.col("id") * 7, F.lit(max(n // 10, 2)))).alias("src"),
+            (F.pmod(F.col("id") * 13 + 5, F.lit(max(n // 10, 2)))).alias("dst"),
+        ).repartition(32)
+
+    probe("pagerank", lambda n: pagerank(synth_edges(n), iters=3))
+
     probe("sessionize_stats", lambda n: session_stats(synth_events(n)))
     probe(
         "funnel",
