@@ -1720,6 +1720,141 @@ def cmd_corpus_quality(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Persistent IVF ANN index workflow (X88, `analytics.ann_store`):
+    ``build`` trains centroids + writes the cell-partitioned inverted
+    lists, ``append`` adds vectors against the STORED geometry (never
+    re-trains), ``query`` probes with partition-pruned cell reads and
+    prints/writes the top-k.  The CLI face of the FAISS
+    train-once/add/probe practice."""
+    from genie_spark.analytics.ann_store import (
+        ivf_store_append,
+        ivf_store_build,
+        ivf_store_topk,
+    )
+
+    vecs = spark.read.parquet(args.input)
+    for c in (args.id_col, args.vec_col):
+        if c not in vecs.columns:
+            print(f"ann-index: input lacks column {c!r}; found {vecs.columns}")
+            return 2
+    if args.action == "build":
+        meta = ivf_store_build(
+            vecs, args.store, id_col=args.id_col, vec_col=args.vec_col,
+            n_centroids=args.n_centroids,
+        )
+        print(
+            f"ann-index: built store at {args.store} "
+            f"(n_centroids={meta['n_centroids']}, dim={meta['dim']})"
+        )
+        return 0
+    if args.action == "append":
+        meta = ivf_store_append(
+            vecs, args.store, id_col=args.id_col, vec_col=args.vec_col
+        )
+        print(
+            f"ann-index: appended into {args.store} "
+            f"(n_centroids={meta['n_centroids']})"
+        )
+        return 0
+    out = ivf_store_topk(
+        spark, args.store, vecs, id_col=args.id_col, vec_col=args.vec_col,
+        k=args.k, n_probe=args.n_probe,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"ann-index: top-{args.k} written to {args.out}")
+    else:
+        for r in out.orderBy("query_id", "rank").collect():
+            print(
+                f"ann-index: {r['query_id']}	#{r['rank']}	"
+                f"{r['neighbor_id']}	cos={r['cosine']:.4f}"
+            )
+    return 0
+
+
+def cmd_events_report(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Event-analytics report (W5-W7, `operators.sessions`): gap-based
+    session stats, strict-sequence funnel conversion, and a cohort
+    retention matrix over an events parquet dir — three artifact
+    parquets under ``--output`` plus printed summary lines.  Accepts a
+    timestamp or epoch-µs long time column (branches on the observed
+    dtype, the ``workload._events`` discipline)."""
+    import os as _os
+
+    from genie_spark.operators.sessions import (
+        funnel_times,
+        retention_matrix,
+        session_stats,
+    )
+
+    ev = spark.read.parquet(args.input)
+    for c in (args.user_col, args.ts_col, args.type_col):
+        if c not in ev.columns:
+            print(f"events-report: input lacks column {c!r}; found {ev.columns}")
+            return 2
+    dt = dict(ev.dtypes)[args.ts_col]
+    if dt == "bigint":
+        # bigint means a TIMESTAMP(NANOS) column read under
+        # nanosAsLong (the session default) — integer div to µs, the
+        # workload._events rule
+        ev = ev.withColumn("__ts_us", F.expr(f"{args.ts_col} div 1000"))
+    elif dt == "timestamp_ntz":
+        ev = ev.withColumn(
+            "__ts_us",
+            F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {args.ts_col})"
+            ),
+        )
+    else:
+        ev = ev.withColumn("__ts_us", F.unix_micros(F.col(args.ts_col)))
+    order = ["__ts_us"]
+    if args.order_col and args.order_col in ev.columns:
+        order.append(args.order_col)
+    gap_us = int(args.gap_minutes) * 60 * 1_000_000
+
+    sess = session_stats(
+        ev, user_col=args.user_col, ts_col="__ts_us",
+        order_cols=order, gap_us=gap_us,
+    )
+    sess.write.mode("overwrite").parquet(_os.path.join(args.output, "sessions"))
+    n_sess = sess.count()
+
+    steps = [t.strip() for t in args.steps.split(",") if t.strip()]
+    fun = funnel_times(
+        ev, steps=steps, user_col=args.user_col, ts_col="__ts_us",
+        type_col=args.type_col,
+    )
+    fun.write.mode("overwrite").parquet(_os.path.join(args.output, "funnel"))
+    conv = {
+        r["steps_reached"]: r["n"]
+        for r in fun.groupBy("steps_reached")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    ret = retention_matrix(ev, user_col=args.user_col, ts_col="__ts_us")
+    ret.write.mode("overwrite").parquet(
+        _os.path.join(args.output, "retention")
+    )
+
+    print(f"events-report: {n_sess} sessions (gap {args.gap_minutes} min)")
+    entered = sum(conv.values())
+    for i in range(1, len(steps) + 1):
+        reached = sum(n for k, n in conv.items() if k >= i)
+        pct = (reached * 100 // entered) if entered else 0
+        print(
+            f"events-report: funnel step {i} ({steps[i - 1]}): "
+            f"{reached} users ({pct}%)"
+        )
+    print(
+        "events-report: retention matrix "
+        f"{ret.count()} (cohort, offset) cells -> {args.output}/retention"
+    )
+    return 0
+
+
 def cmd_ingest_correlate(spark: SparkSession, args: argparse.Namespace) -> int:
     """Correlate a center-upload event stream with a validation-result
     stream per (center, name) — the streaming analog of the batch
@@ -2089,6 +2224,39 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cq.set_defaults(fn=cmd_corpus_quality)
 
+    ai = sub.add_parser(
+        "ann-index",
+        help="persistent IVF ANN index: build / append / query (X88)",
+    )
+    ai.add_argument("action", choices=["build", "append", "query"])
+    ai.add_argument("--input", required=True, help="vectors parquet dir")
+    ai.add_argument("--store", required=True, help="index store dir")
+    ai.add_argument("--id-col", dest="id_col", default="vec_id")
+    ai.add_argument("--vec-col", dest="vec_col", default="embedding")
+    ai.add_argument("--n-centroids", dest="n_centroids", type=int, default=16)
+    ai.add_argument("--n-probe", dest="n_probe", type=int, default=4)
+    ai.add_argument("--k", type=int, default=10)
+    ai.add_argument("--out", help="write query results parquet here")
+    ai.set_defaults(fn=cmd_ann_index)
+    er = sub.add_parser(
+        "events-report",
+        help="session / funnel / retention report over an events parquet",
+    )
+    er.add_argument("--input", required=True, help="events parquet dir")
+    er.add_argument("--output", required=True, help="artifact output dir")
+    er.add_argument("--user-col", dest="user_col", default="user_id")
+    er.add_argument("--ts-col", dest="ts_col", default="ts")
+    er.add_argument("--type-col", dest="type_col", default="event_type")
+    er.add_argument(
+        "--order-col", dest="order_col", default="event_id",
+        help="tie-break column inside equal timestamps (blank to disable)",
+    )
+    er.add_argument("--gap-minutes", dest="gap_minutes", type=int, default=30)
+    er.add_argument(
+        "--steps", default="view,click,purchase",
+        help="comma-separated ordered funnel event types",
+    )
+    er.set_defaults(fn=cmd_events_report)
     ic = sub.add_parser(
         "ingest-correlate",
         help="correlate upload-event and validation-result streams "

@@ -1324,6 +1324,7 @@ _TAIL_QUERIES = [
     # totals; ranking-window battery): tail start, driver rows r16
     "a19_rollup_totals",
     "a20_cube_totals",
+    "a21_percentile_cont",
     "w8_rank_battery",
     # r15 JSON-props newcomer (functions/jsonx): tail start, driver
     # row r16

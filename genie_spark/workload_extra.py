@@ -857,6 +857,53 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def a21_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) percentiles per group — the exact
+    ``percentile()`` aggregate, deterministic here because both
+    engines compute position p·(n−1) and lo + frac·(hi − lo) in the
+    same IEEE doubles over integer cents inputs (exact below 2^52;
+    frac ∈ {0, .25, .5, .75} is a dyadic rational).  Complements A7's
+    exact lower-median with the continuous estimator the reference's
+    summary statistics use."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        o.withColumn("__c", cents)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile(__c, array(0.25D, 0.5D, 0.75D))"
+            ).alias("qs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        F.posexplode("qs").alias("pos", "est_cents"),
+    ).select(
+        "o_orderstatus",
+        "n",
+        (F.lit(25) + F.col("pos") * 25).cast("long").alias("phi_centi"),
+        "est_cents",
+    )
+
+
+A21_SQL = """
+WITH g AS (
+  SELECT o_orderstatus,
+         quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                       [0.25, 0.5, 0.75]) AS qs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       CAST(25 + (i - 1) * 25 AS BIGINT) AS phi_centi,
+       CAST(qs[i] AS DOUBLE) AS est_cents
+FROM g CROSS JOIN unnest(generate_series(1, 3)) AS t(i)
+"""
+
+
 def w8_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window battery (§2.5 completion): dense_rank /
     percent_rank / cume_dist / ntile(4) per customer over order value
@@ -902,6 +949,7 @@ WINDOW w AS (
 EXTRA_QUERIES: dict = {
     "a19_rollup_totals": a19_rollup_totals,
     "a20_cube_totals": a20_cube_totals,
+    "a21_percentile_cont": a21_percentile_cont,
     "w8_rank_battery": w8_rank_battery,
     "j5_feature_type": j5_feature_type,
     "a4_completeness": a4_completeness,
@@ -926,6 +974,7 @@ EXTRA_QUERIES: dict = {
 EXTRA_ORACLES: dict = {
     "a19_rollup_totals": A19_SQL,
     "a20_cube_totals": A20_SQL,
+    "a21_percentile_cont": A21_SQL,
     "w8_rank_battery": W8_SQL,
     "j5_feature_type": J5_SQL,
     "a4_completeness": A4_SQL,

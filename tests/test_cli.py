@@ -3274,3 +3274,71 @@ def test_dashboard_markdown_two_release_golden(spark, tmp_path):
     )
     with open(golden) as f:
         assert text == f.read()
+
+
+def test_ann_index_cli(spark, tmp_path, capsys):
+    """ann-index build → query → append → query: the CLI face of the
+    X88 store; appended exact copies surface at rank 1."""
+    from genie_spark.cli import build_parser
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    store = str(tmp_path / "annstore")
+    p = build_parser()
+
+    a = p.parse_args(["ann-index", "build", "--input", emb, "--store", store])
+    assert a.fn(spark, a) == 0
+    assert "built store" in capsys.readouterr().out
+
+    qdir = str(tmp_path / "queries")
+    spark.read.parquet(emb).where("vec_id < 3").write.parquet(qdir)
+    out = str(tmp_path / "topk")
+    a = p.parse_args(
+        ["ann-index", "query", "--input", qdir, "--store", store,
+         "--k", "5", "--out", out]
+    )
+    assert a.fn(spark, a) == 0
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert set(res.columns) == {"query_id", "neighbor_id", "rank", "cosine"}
+
+    newdir = str(tmp_path / "new")
+    spark.read.parquet(emb).where("vec_id = 5").selectExpr(
+        "vec_id + 9000 as vec_id", "embedding"
+    ).write.parquet(newdir)
+    a = p.parse_args(["ann-index", "append", "--input", newdir, "--store", store])
+    assert a.fn(spark, a) == 0
+    q5 = str(tmp_path / "q5")
+    spark.read.parquet(emb).where("vec_id = 5").write.parquet(q5)
+    a = p.parse_args(["ann-index", "query", "--input", q5, "--store", store])
+    assert a.fn(spark, a) == 0
+    top = capsys.readouterr().out.splitlines()
+    assert any("#1\t9005" in line for line in top)
+
+    # missing column → exit 2, no traceback
+    bad = str(tmp_path / "bad")
+    spark.range(3).write.parquet(bad)
+    a = p.parse_args(["ann-index", "build", "--input", bad, "--store", store])
+    assert a.fn(spark, a) == 2
+
+
+def test_events_report_cli(spark, tmp_path, capsys):
+    """events-report over the driver events parquet: three artifacts
+    land, funnel percentages print, session count matches the
+    registered w5 query."""
+    from genie_spark.cli import build_parser
+    from genie_spark.workload import w5_sessionize
+
+    outdir = str(tmp_path / "report")
+    p = build_parser()
+    a = p.parse_args(
+        ["events-report", "--input", "/root/testdata/sf0.001/events.parquet",
+         "--output", outdir]
+    )
+    assert a.fn(spark, a) == 0
+    out = capsys.readouterr().out
+    assert "sessions (gap 30 min)" in out
+    assert "funnel step 3 (purchase)" in out
+    sess = spark.read.parquet(outdir + "/sessions")
+    assert sess.count() == w5_sessionize(spark, "/root/testdata/sf0.001").count()
+    assert spark.read.parquet(outdir + "/funnel").count() > 0
+    assert spark.read.parquet(outdir + "/retention").count() > 0
