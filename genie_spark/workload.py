@@ -1316,6 +1316,7 @@ _TAIL_QUERIES = [
     # r15 X91 newcomer (exact-integer PageRank — analytics/graph.py):
     # tail start, driver row r16
     "graph_pagerank",
+    "graph_triangles",
     # r15 X35 merge-law newcomer (Count-Min sharded — the fourth
     # sketch family's merge law made driver-hard): tail start,
     # driver row r16

@@ -4732,6 +4732,55 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
     )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 degree-oriented triangle count (analytics/graph.py) over
+    the part co-purchase graph (parts linked when they share an
+    order): the count is orientation-invariant, so the oracle's plain
+    id-ordered 3-way join must agree with the skew-proof
+    degree-oriented Spark plan exactly."""
+    from genie_spark.analytics.graph import triangle_count
+
+    lp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = lp.withColumnRenamed("p", "src")
+    y = lp.withColumnRenamed("p", "dst")
+    edges = (
+        x.join(y, "o")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+TRIANGLES_SQL = """
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+),
+t AS (
+  SELECT count(*) AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+n AS (
+  SELECT count(DISTINCT node) AS nn FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+),
+m AS (SELECT count(*) AS ne FROM e0)
+SELECT CAST(nn AS BIGINT) AS n_nodes, CAST(ne AS BIGINT) AS n_edges,
+       CAST(c AS BIGINT) AS n_triangles
+FROM n, m, t
+"""
+
+
 def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X89 scalar-quantized (SQ8) search: per-dim min/max training,
     byte-code encoding, decode-then-cosine top-10 for the standard
@@ -4985,6 +5034,7 @@ ANALYTICS_QUERIES: dict = {
     "ann_ivf_store_topk": ann_ivf_store_topk_q,
     "corpus_webdataset_roundtrip": corpus_webdataset_roundtrip,
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
     "emb_sq8_topk": emb_sq8_topk,
     "emb_prefix_rerank": emb_prefix_rerank,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -5088,6 +5138,7 @@ ANALYTICS_ORACLES: dict = {
     "ann_ivf_store_topk": ANN_IVF_SQL,
     "corpus_webdataset_roundtrip": WDS_ROUNDTRIP_SQL,
     "graph_pagerank": _pagerank_sql(),
+    "graph_triangles": TRIANGLES_SQL,
     "emb_sq8_topk": SQ8_SQL,
     "emb_prefix_rerank": PREFIX_RERANK_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,

@@ -4817,3 +4817,31 @@ def test_pagerank_validation(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping_milli=1500)
+
+
+def test_triangle_count_known_graphs(spark):
+    """X92: K4 has 4 triangles; a path has 0; duplicate / reversed /
+    self-loop edges collapse before counting; node and edge counts
+    come from the canonical simple graph."""
+    from genie_spark.analytics.graph import triangle_count
+
+    def run(edges):
+        r = triangle_count(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).first()
+        return (r["n_nodes"], r["n_edges"], r["n_triangles"])
+
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    assert run(k4) == (4, 6, 4)
+    # noisy form of the same K4: reversed duplicates + self loops
+    noisy = k4 + [(j, i) for i, j in k4] + [(0, 0), (3, 3)]
+    assert run(noisy) == (4, 6, 4)
+    path = [(0, 1), (1, 2), (2, 3)]
+    assert run(path) == (4, 3, 0)
+    # two triangles sharing an edge (the "bowtie on an edge")
+    bow = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)]
+    assert run(bow) == (4, 5, 2)
+    # a skewed star (hub + leaves) has no triangles; hub degree must
+    # not blow the wedge set (degree orientation points AT the hub)
+    star = [(0, i) for i in range(1, 30)]
+    assert run(star) == (30, 29, 0)

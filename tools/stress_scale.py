@@ -1179,6 +1179,12 @@ def main() -> None:
         ).repartition(32)
 
     probe("pagerank", lambda n: pagerank(synth_edges(n), iters=3))
+    # X92 triangles: degree orientation caps per-vertex wedge fans at
+    # O(sqrt(E)) — wall must stay near-linear even on this
+    # multi-community synthetic graph
+    from genie_spark.analytics.graph import triangle_count
+
+    probe("triangles", lambda n: triangle_count(synth_edges(n)))
 
     probe("sessionize_stats", lambda n: session_stats(synth_events(n)))
     probe(
