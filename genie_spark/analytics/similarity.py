@@ -1514,42 +1514,28 @@ def prefix_rerank_topk(
         .where(F.col("__r") <= m)
         .select("query_id", "neighbor_id")
     )
+    # stage 2: all JVM-side broadcast joins — the candidate list and
+    # the (guarded, query-sized) query-vector table both broadcast;
+    # the corpus streams once for neighbor vectors.  (r15 code-review
+    # finding: the first cut re-emitted the collected query vectors as
+    # literal map expressions — queries × dim lit() calls, which
+    # breaks down long before the max_query_rows contract bound.)
     full = _with_norm(df, id_col, vec_col, "n").select(
         F.col("n").alias("__fid"), "n_v", "n_n"
     )
-    qfull = {
-        int(r["n"]): (list(r["n_v"]), int(r["n_n"]))
-        for r in _with_norm(
-            df.where(query_filter) if query_filter is not None else df,
-            id_col,
-            vec_col,
-            "n",
-        ).collect()
-    }
-    qv_map = F.map_from_arrays(
-        F.array(*[F.lit(i) for i in qfull]),
-        F.array(
-            *[
-                F.array(*[F.lit(int(x)) for x in qfull[i][0]])
-                for i in qfull
-            ]
-        ),
-    )
-    qn_map = F.create_map(
-        *[
-            c
-            for i in qfull
-            for c in (F.lit(i), F.lit(qfull[i][1]))
-        ]
+    qfull = _with_norm(
+        df.where(query_filter) if query_filter is not None else df,
+        id_col,
+        vec_col,
+        "q",
     )
     scored = (
         full.join(F.broadcast(cand), full["__fid"] == cand["neighbor_id"])
-        .withColumn("__qv", qv_map[F.col("query_id")])
-        .withColumn("__qn", qn_map[F.col("query_id")])
+        .join(F.broadcast(qfull), F.col("query_id") == F.col("q"))
         .withColumn(
             "cosine",
-            dot(F.col("__qv"), F.col("n_v"))
-            / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("n_n"))),
+            dot(F.col("q_v"), F.col("n_v"))
+            / (F.sqrt(F.col("q_n")) * F.sqrt(F.col("n_n"))),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

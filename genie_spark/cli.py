@@ -1795,10 +1795,17 @@ def cmd_events_report(spark: SparkSession, args: argparse.Namespace) -> int:
             return 2
     dt = dict(ev.dtypes)[args.ts_col]
     if dt == "bigint":
-        # bigint means a TIMESTAMP(NANOS) column read under
-        # nanosAsLong (the session default) — integer div to µs, the
-        # workload._events rule
-        ev = ev.withColumn("__ts_us", F.expr(f"{args.ts_col} div 1000"))
+        # an integer time column is ambiguous — honor --ts-unit
+        # explicitly instead of silently guessing (r15 code-review
+        # finding: the old nanos-only branch corrupted honest epoch-µs
+        # inputs 1000×).  Default ns matches the session's nanosAsLong
+        # read of TIMESTAMP(NANOS) parquet.
+        if args.ts_unit == "us":
+            ev = ev.withColumn("__ts_us", F.col(args.ts_col).cast("long"))
+        else:
+            ev = ev.withColumn(
+                "__ts_us", F.expr(f"{args.ts_col} div 1000")
+            )
     elif dt == "timestamp_ntz":
         ev = ev.withColumn(
             "__ts_us",
@@ -1816,7 +1823,7 @@ def cmd_events_report(spark: SparkSession, args: argparse.Namespace) -> int:
 
     sess = session_stats(
         ev, user_col=args.user_col, ts_col="__ts_us",
-        order_cols=order, gap_us=gap_us,
+        order_cols=order, gap_us=gap_us, type_col=args.type_col,
     )
     sess.write.mode("overwrite").parquet(_os.path.join(args.output, "sessions"))
     n_sess = sess.count()
@@ -2252,6 +2259,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="tie-break column inside equal timestamps (blank to disable)",
     )
     er.add_argument("--gap-minutes", dest="gap_minutes", type=int, default=30)
+    er.add_argument(
+        "--ts-unit", dest="ts_unit", choices=["ns", "us"], default="ns",
+        help="unit of an integer --ts-col (ns = TIMESTAMP(NANOS) read "
+        "under nanosAsLong, the session default; us = epoch microseconds)",
+    )
     er.add_argument(
         "--steps", default="view,click,purchase",
         help="comma-separated ordered funnel event types",

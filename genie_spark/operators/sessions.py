@@ -69,18 +69,21 @@ def session_stats(
     ts_col: str = "ts_us",
     order_cols: Sequence[str] = ("ts_us", "event_id"),
     gap_us: int = 1_800_000_000,
+    type_col: str = "event_type",
 ) -> DataFrame:
     """Per-session reduction of ``sessionize``: (user, session_seq) →
-    event count, start/end timestamps, duration, distinct event types.
-    The groupBy key extends the window's partition key, so the
-    aggregate is map-side-combinable on the already-shuffled data."""
+    event count, start/end timestamps, duration, distinct event types
+    (``type_col`` — parameterized so renamed schemas work, r15
+    code-review finding).  The groupBy key extends the window's
+    partition key, so the aggregate is map-side-combinable on the
+    already-shuffled data."""
     s = sessionize(df, user_col, ts_col, order_cols, gap_us)
     return s.groupBy(user_col, "session_seq").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.min(ts_col).alias("start_us"),
         F.max(ts_col).alias("end_us"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration_us"),
-        F.countDistinct("event_type").cast("long").alias("n_event_types"),
+        F.countDistinct(type_col).cast("long").alias("n_event_types"),
     )
 
 
@@ -146,7 +149,13 @@ def retention_matrix(
     two-phase count-distinct aggregate on (cohort, offset) — the
     post-window data is already user-partitioned, so the distinct's
     partial phase dedups locally before the final exchange."""
-    wk = F.expr(f"{ts_col} div {int(period_us)}").cast("long")
+    # FLOOR division, not trunc: bare `div` truncates toward zero, so
+    # a pre-1970 (negative-µs) outlier would bucket differently than
+    # DuckDB's floor `//` (r15 code-review finding).  pmod is
+    # nonnegative, so (a - pmod(a, b)) is an exact multiple of b and
+    # the div is exact floor on the whole long domain.
+    P = int(period_us)
+    wk = F.expr(f"({ts_col} - pmod({ts_col}, {P})) div {P}").cast("long")
     w = Window.partitionBy(user_col)
     anchored = df.select(
         F.col(user_col), wk.alias("__wk")

@@ -672,20 +672,24 @@ def a18_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A18_SQL = """
+WITH ev AS (
+  -- TRY_CAST mirrors the Spark side's try_cast NULL-on-malformed
+  -- contract (r15 code-review finding: a plain CAST would error the
+  -- oracle on exactly the inputs the contract is about)
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS n_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS sum_k,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS min_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS max_k,
-       CAST((sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000)
-            // count(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS avg_k_milli
-FROM events GROUP BY event_type
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST((sum(k) * 1000) // count(k) AS BIGINT) AS avg_k_milli
+FROM ev GROUP BY event_type
 """
 
 

@@ -3342,3 +3342,36 @@ def test_events_report_cli(spark, tmp_path, capsys):
     assert sess.count() == w5_sessionize(spark, "/root/testdata/sf0.001").count()
     assert spark.read.parquet(outdir + "/funnel").count() > 0
     assert spark.read.parquet(outdir + "/retention").count() > 0
+
+
+def test_events_report_cli_us_longs_and_type_col(spark, tmp_path, capsys):
+    """--ts-unit us honors honest epoch-µs BIGINT time columns (r15
+    code-review finding: the nanos-only branch shrank them 1000×), and
+    --type-col flows through to session stats."""
+    from genie_spark.cli import build_parser
+
+    M = 60 * 1_000_000
+    src = str(tmp_path / "ev_us")
+    spark.createDataFrame(
+        [
+            (1, 1, "view", 0 * M),
+            (1, 2, "click", 10 * M),
+            (1, 3, "view", 100 * M),
+        ],
+        "user_id long, event_id long, kind string, t long",
+    ).write.parquet(src)
+    outdir = str(tmp_path / "rep_us")
+    p = build_parser()
+    a = p.parse_args(
+        ["events-report", "--input", src, "--output", outdir,
+         "--ts-col", "t", "--ts-unit", "us", "--type-col", "kind"]
+    )
+    assert a.fn(spark, a) == 0
+    assert "2 sessions" in capsys.readouterr().out
+    sess = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["n_event_types"])
+        for r in spark.read.parquet(outdir + "/sessions").collect()
+    }
+    # µs honored: 0/10min same session (2 types), 100min a new one —
+    # under the broken ns reading everything would be one session
+    assert sess == {(1, 1): (2, 2), (1, 2): (1, 1)}

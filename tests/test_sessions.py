@@ -128,6 +128,16 @@ def test_retention_matrix_values(spark):
         for r in retention_matrix(_ev(spark, rows), period_us=P).collect()
     }
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 2, (1, 1): 1}
+    # FLOOR semantics on negative (pre-epoch) timestamps: ts -100 with
+    # period 100 is cohort -1, not 0 (r15 code-review finding — bare
+    # `div` truncates toward zero and would disagree with the oracle's
+    # floor `//`)
+    neg = [(9, 90, "view", -100), (9, 91, "view", 50)]
+    got_neg = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in retention_matrix(_ev(spark, neg), period_us=P).collect()
+    }
+    assert got_neg == {(-1, 0): 1, (-1, 1): 1}
 
 
 def test_session_plan_single_exchange(spark):
