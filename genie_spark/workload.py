@@ -165,6 +165,98 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-table join + top-k: BUILDING-segment
+    customers, orders before / lineitems shipped after the cutoff,
+    top-10 open orders by revenue.  The dims (filtered customer,
+    orders) broadcast under AQE; lineitem streams once; the top-k is
+    TakeOrdered, never a global sort."""
+    cutoff = "1998-06-30"
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(cutoff)
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    disc_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(orders.join(
+                    F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"],
+                ).select("o_orderkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(disc_cents).alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       CAST(sum({_CENTS_SQL.format(x='l_extendedprice * (1 - l_discount)')})
+            AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped group-having semi-pattern: orders whose summed
+    line quantity exceeds 200, joined back to orders + customer for
+    the report columns.  The having-aggregate is the big-side reducer;
+    the join-back sides broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("total_cents")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        big.join(
+            F.broadcast(orders), big["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .select(
+            "c_mktsegment", "o_custkey", "o_orderkey",
+            "total_qty", "total_cents",
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_mktsegment, o_custkey, o_orderkey,
+       CAST(total_qty AS DOUBLE) AS total_qty,
+       {_CENTS_SQL.format(x='o_totalprice')} AS total_cents
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+) b
+JOIN orders ON o_orderkey = b.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -1092,6 +1184,8 @@ _ALL_QUERIES: dict = {
     "w1_adjacent_events": w1_adjacent_events,
     "w2_latest_per_key": w2_latest_per_key,
     "w4_asof_join": w4_asof_join,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q18_large_orders": q18_large_orders,
     "a18_json_props_stats": a18_json_props_stats,
     "w5_sessionize": w5_sessionize,
     "w6_funnel_conversion": w6_funnel_conversion,
@@ -1325,6 +1419,10 @@ _TAIL_QUERIES = [
     # sketch family's merge law made driver-hard): tail start,
     # driver row r16
     "sketch_cm_sharded",
+    # r15 TPC-H-shape newcomers (Q3 join+top-k; Q18 group-having):
+    # tail start, driver rows r16
+    "q3_shipping_priority",
+    "q18_large_orders",
     # r15 classic-OLAP newcomers (native ROLLUP/CUBE grouping-flag
     # totals; ranking-window battery): tail start, driver rows r16
     "a19_rollup_totals",
@@ -1368,6 +1466,8 @@ ORACLES: dict = {
     "w1_adjacent_events": W1_SQL,
     "w2_latest_per_key": W2_SQL,
     "w4_asof_join": W4_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q18_large_orders": Q18_SQL,
     "a18_json_props_stats": A18_SQL,
     "w5_sessionize": W5_SQL,
     "w6_funnel_conversion": W6_SQL,

@@ -916,3 +916,27 @@ def test_rank_battery_one_window_exchange(spark):
     plan = plan_of(w8_rank_battery(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark):
+    """Q3: the filtered customer/orders dims must broadcast (lineitem
+    streams once, no shuffle join on the big side) and the top-10 is
+    TakeOrdered, never a global sort."""
+    from genie_spark.workload import q3_shipping_priority
+
+    plan = plan_of(q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q18_having_reduces_before_broadcast_joins(spark):
+    """Q18: the quantity-having aggregate reduces lineitem BEFORE the
+    join-backs; orders/customer broadcast."""
+    from genie_spark.workload import q18_large_orders
+
+    plan = plan_of(q18_large_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # partial agg below the exchange (map-side combine on the big side)
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
