@@ -125,6 +125,48 @@ def median(df: DataFrame, col: str):
     return F.expr(f"percentile({col}, 0.5)")
 
 
+def robust_outlier_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Median/MAD robust outlier report per group (r15 A-family
+    extension — the outlier screen the reference's mean/stddev checks
+    can't do robustly, since one wild value inflates a stddev but not
+    a median): per group, the interpolated median, the median absolute
+    deviation, and the count of values with |x − med| > 3·MAD (no
+    normal-consistency factor — documented plain-MAD rule).
+
+    Exactness: over integer inputs both engines' interpolated medians
+    are dyadic rationals (lo + frac·(hi − lo), frac ∈ {0, 0.5}) and
+    every derived comparison is the same IEEE double sequence.
+
+    Spark shape: three same-key rounds (median agg → deviation join →
+    MAD agg → flag join + final agg) — every exchange hashes the same
+    keys, so the later rounds reuse the first shuffle's layout."""
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5D)").alias("__med")
+    )
+    d = df.join(med, keys).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = d.groupBy(*keys).agg(
+        F.expr("percentile(__dev, 0.5D)").alias("__mad")
+    )
+    return (
+        d.join(mad, keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("__med").alias("median_value"),
+            F.max("__mad").alias("mad_value"),
+            F.sum(
+                F.when(F.col("__dev") > 3 * F.col("__mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
 def fill_count_algebra(
     df: DataFrame, depth: str, ref: str, alt: str
 ) -> DataFrame:

@@ -93,11 +93,15 @@ def funnel_times(
     user_col: str = "user_id",
     ts_col: str = "ts_us",
     type_col: str = "event_type",
+    within_us: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion per user: step 1's time is the user's
     earliest ``steps[0]`` event; step k's time is the earliest
     ``steps[k-1]`` event STRICTLY AFTER step k-1's time (the standard
     strict-sequence funnel rule — simultaneous events don't convert).
+    ``within_us`` adds a CONVERSION WINDOW: step k must also land at
+    most ``within_us`` after step k-1 (the product-analytics "convert
+    within N days" rule; step 1 is never window-bound).
     Returns one row per user who entered the funnel:
     (user, t_step1_us..t_stepN_us, steps_reached).
 
@@ -115,6 +119,10 @@ def funnel_times(
         cond = F.col(type_col) == F.lit(step)
         if prev_t is not None:
             cond = cond & prev_t.isNotNull() & (F.col(ts_col) > prev_t)
+            if within_us is not None:
+                cond = cond & (
+                    F.col(ts_col) <= prev_t + F.lit(int(within_us))
+                )
         name = f"t_step{i}_us"
         out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
         prev_t = F.col(name)

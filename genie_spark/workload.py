@@ -891,6 +891,89 @@ FROM a GROUP BY cohort_period, wk - cohort_period
 """
 
 
+def w9_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (W6 + conversion window): each step must land
+    within 24 hours of the previous one — the product-analytics
+    "convert within N" rule."""
+    from genie_spark.operators.sessions import funnel_times
+
+    return funnel_times(
+        _events(spark, sf_dir),
+        steps=list(FUNNEL_STEPS),
+        within_us=86_400_000_000,
+    )
+
+
+W9_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_step1_us
+  FROM ev GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.ts_us > s1.t_step1_us
+                       AND e.ts_us <= s1.t_step1_us + 86400000000
+                  THEN e.ts_us END) AS t_step2_us
+  FROM ev e JOIN s1 USING (user_id) GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s2.t_step2_us
+                       AND e.ts_us <= s2.t_step2_us + 86400000000
+                  THEN e.ts_us END) AS t_step3_us
+  FROM ev e JOIN s2 USING (user_id) GROUP BY e.user_id
+)
+SELECT s1.user_id, t_step1_us, t_step2_us, t_step3_us,
+       CAST((t_step1_us IS NOT NULL)::INT + (t_step2_us IS NOT NULL)::INT
+            + (t_step3_us IS NOT NULL)::INT AS BIGINT) AS steps_reached
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+WHERE t_step1_us IS NOT NULL
+"""
+
+
+def a22_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per order status
+    (``operators.aggregations.robust_outlier_stats``) over exact
+    integer cents."""
+    from genie_spark.operators.aggregations import robust_outlier_stats
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "total_cents", _cents("o_totalprice")
+    )
+    return robust_outlier_stats(o, ["o_orderstatus"], "total_cents")
+
+
+A22_SQL = f"""
+WITH v AS (
+  SELECT o_orderstatus, {_CENTS_SQL.format(x='o_totalprice')} AS c
+  FROM orders
+),
+m AS (
+  SELECT o_orderstatus, quantile_cont(c, 0.5) AS med
+  FROM v GROUP BY o_orderstatus
+),
+d AS (
+  SELECT v.o_orderstatus, c, med, abs(c - med) AS dev
+  FROM v JOIN m USING (o_orderstatus)
+),
+md AS (
+  SELECT o_orderstatus, quantile_cont(dev, 0.5) AS mad
+  FROM d GROUP BY o_orderstatus
+)
+SELECT d.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(d.med) AS DOUBLE) AS median_value,
+       CAST(max(md.mad) AS DOUBLE) AS mad_value,
+       CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM d JOIN md USING (o_orderstatus) GROUP BY d.o_orderstatus
+"""
+
+
 def a5_lag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-vs-prior-release difference via lag (reference A5
     ``update_sample_difference_table``): monthly event counts per type,
@@ -1190,6 +1273,8 @@ _ALL_QUERIES: dict = {
     "w5_sessionize": w5_sessionize,
     "w6_funnel_conversion": w6_funnel_conversion,
     "w7_retention_cohorts": w7_retention_cohorts,
+    "w9_funnel_windowed": w9_funnel_windowed,
+    "a22_robust_outliers": a22_robust_outliers,
     "j3_interval_join": j3_interval_join,
     "j3_interval_anti": j3_interval_anti,
     "j4_containment_join": j4_containment_join,
@@ -1411,6 +1496,8 @@ _TAIL_QUERIES = [
     "w5_sessionize",
     "w6_funnel_conversion",
     "w7_retention_cohorts",
+    "w9_funnel_windowed",
+    "a22_robust_outliers",
     # r15 X91 newcomer (exact-integer PageRank — analytics/graph.py):
     # tail start, driver row r16
     "graph_pagerank",
@@ -1472,6 +1559,8 @@ ORACLES: dict = {
     "w5_sessionize": W5_SQL,
     "w6_funnel_conversion": W6_SQL,
     "w7_retention_cohorts": W7_SQL,
+    "w9_funnel_windowed": W9_SQL,
+    "a22_robust_outliers": A22_SQL,
     "j3_interval_join": J3_SQL,
     "j3_interval_anti": J3_ANTI_SQL,
     "j4_containment_join": J4_SQL,

@@ -252,3 +252,46 @@ def test_batch_stream_sessionize_parity(spark, tmp_path):
         if r["session_seq"] != last_seq[r["user_id"]]
     }
     assert got == want and len(got) == 5
+
+
+def test_funnel_conversion_window(spark):
+    """w9 rule: a step landing after the window does NOT convert even
+    though a later in-window event of the same type never comes; the
+    boundary (exactly within_us later) still converts."""
+    from genie_spark.operators.sessions import funnel_times
+
+    W = 10 * M
+    rows = [
+        # user 1: click exactly at the window edge → converts
+        (1, 1, "view", 0),
+        (1, 2, "click", W),
+        # user 2: click just past the edge → stops at step 1
+        (2, 3, "view", 0),
+        (2, 4, "click", W + 1),
+        # user 3: first click out of window, but a second click inside
+        # it → the in-window one converts
+        (3, 5, "view", 0),
+        (3, 6, "click", W + 5),
+        (3, 7, "click", 2),
+    ]
+    got = {
+        r["user_id"]: (r["t_step2_us"], r["steps_reached"])
+        for r in funnel_times(
+            _ev(spark, rows), steps=["view", "click"], within_us=W
+        ).collect()
+    }
+    assert got == {1: (W, 2), 2: (None, 1), 3: (2, 2)}
+
+
+def test_robust_outlier_stats_values(spark):
+    """Median/MAD on a literal group: med and MAD interpolate halves
+    exactly; the single wild value is the only outlier."""
+    from genie_spark.operators.aggregations import robust_outlier_stats
+
+    rows = [("g", float(v)) for v in (10, 12, 14, 16, 1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    r = robust_outlier_stats(df, ["k"], "v").first()
+    # sorted: 10 12 14 16 1000 → med 14; dev 4 2 0 2 986 → MAD 2
+    assert (r["n"], r["median_value"], r["mad_value"], r["n_outliers"]) == (
+        5, 14.0, 2.0, 1,
+    )
