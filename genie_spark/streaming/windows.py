@@ -219,6 +219,82 @@ def sessionize(
     )
 
 
+def funnel_stream(
+    stream: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Streaming strict-sequence funnel (the W6 batch rule as an
+    ``applyInPandasWithState`` operator, the ``sessionize`` sibling):
+    per user the state is the step times reached so far; a user row is
+    EMITTED exactly once — when the final step converts — carrying
+    every step's epoch-second time.  Semantics match
+    ``operators.sessions.funnel_times``: step k converts only
+    STRICTLY after step k-1 (processing each micro-batch in time
+    order; cross-batch arrival is assumed time-ordered, the same
+    contract the gap sessionizer documents).
+
+    State per key is len(steps) scalars — O(users), independent of
+    event volume."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_steps = len(steps)
+    if n_steps < 1:
+        raise ValueError("funnel_stream: steps must be non-empty")
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType())]
+        + [
+            T.StructField(f"t_step{i}_s", T.LongType())
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.LongType()) for i in range(1, n_steps + 1)]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                (int(t), str(e)) for t, e in zip(pdf["__ts_s"], pdf["__et"])
+            )
+        rows.sort()
+        if state.exists:
+            times = list(state.get)
+        else:
+            times = [None] * n_steps
+        done_before = times[-1] is not None
+        for t, et in rows:
+            for i, step in enumerate(steps):
+                if et != step:
+                    continue
+                prev_ok = i == 0 or (
+                    times[i - 1] is not None and t > times[i - 1]
+                )
+                if times[i] is None and prev_ok:
+                    times[i] = t
+        state.update(tuple(times))
+        if times[-1] is not None and not done_before:
+            yield pd.DataFrame(
+                [[str(key[0]), *times]],
+                columns=["key"]
+                + [f"t_step{i}_s" for i in range(1, n_steps + 1)],
+            )
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(ts_col).cast("timestamp").cast("long").alias("__ts_s"),
+        F.col(type_col).cast("string").alias("__et"),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def near_dup_stream(
     stream: DataFrame,
     store_path: str,

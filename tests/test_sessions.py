@@ -295,3 +295,104 @@ def test_robust_outlier_stats_values(spark):
     assert (r["n"], r["median_value"], r["mad_value"], r["n_outliers"]) == (
         5, 14.0, 2.0, 1,
     )
+
+
+def test_batch_stream_funnel_parity(spark, tmp_path):
+    """w6 ↔ §2.12: the streaming funnel's completed conversions must
+    equal the batch ``funnel_times`` rows that reach the final step —
+    same users, same per-step times — including a conversion whose
+    steps STRADDLE micro-batches."""
+    from pyspark.sql import types as T
+
+    from genie_spark.operators.sessions import funnel_times
+    from genie_spark.streaming.windows import funnel_stream
+
+    base = 1_700_000_000
+    import datetime as dt
+
+    def stamp(t):
+        return f"{dt.datetime.fromtimestamp(base + t, dt.timezone.utc):%Y-%m-%d %H:%M:%S}"
+
+    # batch 1: A view+click; B full conversion; C click only (never
+    # views); D view+click at the SAME second (click must not count)
+    b1 = ["user_id,event_type,ts"]
+    b2 = ["user_id,event_type,ts"]
+    events = []
+
+    def ev(u, et, t, batch):
+        (b1 if batch == 1 else b2).append(f"{u},{et},{stamp(t)}")
+        events.append((u, len(events), et, (base + t) * 1_000_000))
+
+    ev("A", "view", 10, 1)
+    ev("A", "click", 20, 1)
+    ev("B", "view", 10, 1)
+    ev("B", "click", 30, 1)
+    ev("B", "purchase", 40, 1)
+    ev("C", "click", 5, 1)
+    ev("D", "view", 50, 1)
+    ev("D", "click", 50, 1)
+    # batch 2: A completes (straddling conversion); D's click arrives
+    # later and now counts; C still never views
+    ev("A", "purchase", 100, 2)
+    ev("D", "click", 60, 2)
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    (src / "b1.csv").write_text("\n".join(b1) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    out = str(tmp_path / "funnel_out")
+
+    def run_available():
+        # file sink (not memory): it supports checkpoint RECOVERY, so
+        # the second availableNow run resumes the per-user state from
+        # the first — the cross-batch contract under test
+        q = (
+            funnel_stream(
+                spark.readStream.schema(schema)
+                .option("header", "true")
+                .csv(str(src)),
+                steps=["view", "click", "purchase"],
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["key"]: (r["t_step1_s"], r["t_step2_s"], r["t_step3_s"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = run_available()
+    assert got1 == {"B": (base + 10, base + 30, base + 40)}
+    (src / "b2.csv").write_text("\n".join(b2) + "\n")
+    all2 = run_available()
+    got2 = {k: v for k, v in all2.items() if k not in got1}
+    # only the NEW completion is emitted (B emitted once, in batch 1)
+    assert got2 == {"A": (base + 10, base + 20, base + 100)}
+
+    # parity with the batch operator over the full event set
+    batch = spark.createDataFrame(
+        events, "user_id string, event_id long, event_type string, ts_us long"
+    )
+    want = {
+        r["user_id"]: (
+            r["t_step1_us"] // 1_000_000,
+            r["t_step2_us"] // 1_000_000,
+            r["t_step3_us"] // 1_000_000,
+        )
+        for r in funnel_times(batch, steps=["view", "click", "purchase"])
+        .where("steps_reached = 3")
+        .collect()
+    }
+    assert {**got1, **got2} == want
