@@ -1502,6 +1502,7 @@ _TAIL_QUERIES = [
     # tail start, driver row r16
     "graph_pagerank",
     "graph_triangles",
+    "basket_pair_mining",
     # r15 X35 merge-law newcomer (Count-Min sharded — the fourth
     # sketch family's merge law made driver-hard): tail start,
     # driver row r16

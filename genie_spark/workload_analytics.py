@@ -4732,6 +4732,45 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
     )
 
 
+def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 market-basket pair mining: top-25 co-purchased part pairs
+    with min support 2 — the classic co-occurrence reduction (the
+    frequent-itemset k=2 level, which at 100 TB is one per-basket
+    pair expansion bounded by basket size² + one count aggregate with
+    map-side partials; higher k levels compose by joining this
+    output back as the candidate filter, the a-priori shape)."""
+    lp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = lp.withColumnRenamed("p", "p1")
+    y = lp.withColumnRenamed("p", "p2")
+    return (
+        x.join(y, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        .where(F.col("n_baskets") >= 2)
+        .orderBy(F.desc("n_baskets"), F.asc("p1"), F.asc("p2"))
+        .limit(25)
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+c AS (
+  SELECT x.p AS p1, y.p AS p2, CAST(count(*) AS BIGINT) AS n_baskets
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+  GROUP BY x.p, y.p
+  HAVING count(*) >= 2
+)
+SELECT p1, p2, n_baskets FROM c
+ORDER BY n_baskets DESC, p1, p2
+LIMIT 25
+"""
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X92 degree-oriented triangle count (analytics/graph.py) over
     the part co-purchase graph (parts linked when they share an
@@ -5035,6 +5074,7 @@ ANALYTICS_QUERIES: dict = {
     "corpus_webdataset_roundtrip": corpus_webdataset_roundtrip,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "basket_pair_mining": basket_pair_mining,
     "emb_sq8_topk": emb_sq8_topk,
     "emb_prefix_rerank": emb_prefix_rerank,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -5139,6 +5179,7 @@ ANALYTICS_ORACLES: dict = {
     "corpus_webdataset_roundtrip": WDS_ROUNDTRIP_SQL,
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": TRIANGLES_SQL,
+    "basket_pair_mining": BASKET_PAIRS_SQL,
     "emb_sq8_topk": SQ8_SQL,
     "emb_prefix_rerank": PREFIX_RERANK_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
