@@ -974,6 +974,87 @@ FROM d JOIN md USING (o_orderstatus) GROUP BY d.o_orderstatus
 """
 
 
+def a24_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (the profiling op behind
+    every dashboard distribution panel): fixed 25k-cent buckets over
+    exact integer cents — bucket id = floor division, identical in
+    both engines; empty buckets are absent (see w10 for the
+    gap-filled pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = 2_500_000
+    return (
+        o.withColumn("__c", _cents("o_totalprice"))
+        .groupBy(F.expr(f"__c div {w}").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__c").alias("lo_cents"),
+            F.max("__c").alias("hi_cents"),
+        )
+    )
+
+
+A24_SQL = f"""
+SELECT {_CENTS_SQL.format(x='o_totalprice')} // 2500000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min({_CENTS_SQL.format(x='o_totalprice')}) AS lo_cents,
+       max({_CENTS_SQL.format(x='o_totalprice')}) AS hi_cents
+FROM orders GROUP BY 1
+"""
+
+
+def w10_zero_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily time series per event type (the resampling /
+    zero-fill op every monitoring query needs): one row per (type,
+    epoch-day) across the full observed range, missing days filled
+    with 0 — the day spine is a ``sequence`` + explode over the
+    GLOBAL min/max day (a broadcast-sized dim), cross-joined with the
+    type dim and left-joined to the counted facts.  Integer epoch
+    days (``ts_us div 86400e6``) — no calendar/timezone arithmetic to
+    diverge on."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.expr("ts_us div 86400000000").cast("long")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rng = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = rng.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+W10_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+),
+counts AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, day
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM ev),
+                                (SELECT max(day) FROM ev))) AS day
+),
+types AS (SELECT DISTINCT event_type FROM ev)
+SELECT t.event_type, s.day,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM types t CROSS JOIN spine s
+LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
+"""
+
+
 def a5_lag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-vs-prior-release difference via lag (reference A5
     ``update_sample_difference_table``): monthly event counts per type,
@@ -1275,6 +1356,8 @@ _ALL_QUERIES: dict = {
     "w7_retention_cohorts": w7_retention_cohorts,
     "w9_funnel_windowed": w9_funnel_windowed,
     "a22_robust_outliers": a22_robust_outliers,
+    "a24_histogram": a24_histogram,
+    "w10_zero_filled_daily": w10_zero_filled_daily,
     "j3_interval_join": j3_interval_join,
     "j3_interval_anti": j3_interval_anti,
     "j4_containment_join": j4_containment_join,
@@ -1498,6 +1581,8 @@ _TAIL_QUERIES = [
     "w7_retention_cohorts",
     "w9_funnel_windowed",
     "a22_robust_outliers",
+    "a24_histogram",
+    "w10_zero_filled_daily",
     # r15 X91 newcomer (exact-integer PageRank — analytics/graph.py):
     # tail start, driver row r16
     "graph_pagerank",
@@ -1562,6 +1647,8 @@ ORACLES: dict = {
     "w7_retention_cohorts": W7_SQL,
     "w9_funnel_windowed": W9_SQL,
     "a22_robust_outliers": A22_SQL,
+    "a24_histogram": A24_SQL,
+    "w10_zero_filled_daily": W10_SQL,
     "j3_interval_join": J3_SQL,
     "j3_interval_anti": J3_ANTI_SQL,
     "j4_containment_join": J4_SQL,
