@@ -1055,6 +1055,50 @@ LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
 """
 
 
+def j13_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue in exact
+    basis points — the percent-of-total report op, computed as the
+    nation aggregate cross-joined with its own broadcast 1-row total
+    (dim-sized; no unpartitioned window, the rank_bounded
+    discipline)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders")
+    per_nation = (
+        orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
+    )
+    total = per_nation.agg(
+        F.sum("revenue_cents").alias("total_cents")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "revenue_cents",
+            F.expr("(revenue_cents * 10000) div total_cents")
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )
+
+
+J13_SQL = f"""
+WITH per AS (
+  SELECT c_nationkey,
+         CAST(sum({_CENTS_SQL.format(x='o_totalprice')}) AS BIGINT)
+             AS revenue_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+),
+tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents FROM per)
+SELECT c_nationkey, revenue_cents,
+       CAST((revenue_cents * 10000) // total_cents AS BIGINT) AS share_bp
+FROM per, tot
+"""
+
+
 def a5_lag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-vs-prior-release difference via lag (reference A5
     ``update_sample_difference_table``): monthly event counts per type,
@@ -1357,6 +1401,7 @@ _ALL_QUERIES: dict = {
     "w9_funnel_windowed": w9_funnel_windowed,
     "a22_robust_outliers": a22_robust_outliers,
     "a24_histogram": a24_histogram,
+    "j13_revenue_share": j13_revenue_share,
     "w10_zero_filled_daily": w10_zero_filled_daily,
     "j3_interval_join": j3_interval_join,
     "j3_interval_anti": j3_interval_anti,
@@ -1583,6 +1628,8 @@ _TAIL_QUERIES = [
     "a22_robust_outliers",
     "a24_histogram",
     "w10_zero_filled_daily",
+    "j13_revenue_share",
+    "emb_vector_stats",
     # r15 X91 newcomer (exact-integer PageRank — analytics/graph.py):
     # tail start, driver row r16
     "graph_pagerank",
@@ -1648,6 +1695,7 @@ ORACLES: dict = {
     "w9_funnel_windowed": W9_SQL,
     "a22_robust_outliers": A22_SQL,
     "a24_histogram": A24_SQL,
+    "j13_revenue_share": J13_SQL,
     "w10_zero_filled_daily": W10_SQL,
     "j3_interval_join": J3_SQL,
     "j3_interval_anti": J3_ANTI_SQL,

@@ -4732,6 +4732,40 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
     )
 
 
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function battery (§2.8's array face): per
+    vector, min/max/sum/positive-count over the QUANTIZED elements —
+    aggregate/filter/size composed entirely inside whole-stage
+    codegen (zero UDF, zero exchange beyond the scan)."""
+    emb = _emb(spark, sf_dir)
+    q = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0"
+        " + 0.5) AS BIGINT))"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.array_min(q).alias("min_q"),
+        F.array_max(q).alias("max_q"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+        F.size(F.filter(q, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+VECTOR_STATS_SQL = f"""
+WITH q AS (SELECT vec_id, embedding, {_QUANT_SQL} AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(list_min(v) AS BIGINT) AS min_q,
+       CAST(list_max(v) AS BIGINT) AS max_q,
+       CAST(list_sum(v) AS BIGINT) AS sum_q,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos
+FROM q
+"""
+
+
 def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X93 market-basket pair mining: top-25 co-purchased part pairs
     with min support 2 — the classic co-occurrence reduction (the
@@ -5075,6 +5109,7 @@ ANALYTICS_QUERIES: dict = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "basket_pair_mining": basket_pair_mining,
+    "emb_vector_stats": emb_vector_stats,
     "emb_sq8_topk": emb_sq8_topk,
     "emb_prefix_rerank": emb_prefix_rerank,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -5180,6 +5215,7 @@ ANALYTICS_ORACLES: dict = {
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": TRIANGLES_SQL,
     "basket_pair_mining": BASKET_PAIRS_SQL,
+    "emb_vector_stats": VECTOR_STATS_SQL,
     "emb_sq8_topk": SQ8_SQL,
     "emb_prefix_rerank": PREFIX_RERANK_SQL,
     "corpus_ccnet_buckets": CCNET_SQL,
