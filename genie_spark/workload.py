@@ -1099,6 +1099,50 @@ FROM per, tot
 """
 
 
+def w11_retention_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 merge law, driver-hard (the sketch-sharded pattern applied
+    to event analytics): the event stream is cut into three TIME
+    shards (epoch-day mod 3 — users straddle shards, so the merge is
+    real), each reduced to its distinct (user, day) ACTIVITY MAP (the
+    per-batch artifact an ingest store would persist — activity-days-
+    sized, never event-sized), the maps merged by union-distinct, and
+    the retention matrix computed from the MERGED artifact — while
+    the oracle computes retention over the raw events globally.
+    Value-hash equality is the dedup-union merge law end-to-end."""
+    from genie_spark.operators.sessions import retention_matrix
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.expr("ts_us div 86400000000").cast("long")
+    )
+    shards = [
+        ev.where(F.pmod(F.col("day"), F.lit(3)) == i)
+        .select("user_id", "day")
+        .distinct()
+        for i in range(3)
+    ]
+    merged = shards[0].unionByName(shards[1]).unionByName(shards[2]).distinct()
+    # the merged activity map re-enters the standard operator with day
+    # units (period 1 day over the day column == epoch-day cohorts)
+    return retention_matrix(
+        merged.withColumn("ts_us", F.col("day")), period_us=1
+    )
+
+
+W11_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS wk FROM events
+),
+a AS (
+  SELECT user_id, wk,
+         min(wk) OVER (PARTITION BY user_id) AS cohort_period
+  FROM ev
+)
+SELECT cohort_period, wk - cohort_period AS period_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_period, wk - cohort_period
+"""
+
+
 def a5_lag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-vs-prior-release difference via lag (reference A5
     ``update_sample_difference_table``): monthly event counts per type,
@@ -1402,6 +1446,7 @@ _ALL_QUERIES: dict = {
     "a22_robust_outliers": a22_robust_outliers,
     "a24_histogram": a24_histogram,
     "j13_revenue_share": j13_revenue_share,
+    "w11_retention_sharded": w11_retention_sharded,
     "w10_zero_filled_daily": w10_zero_filled_daily,
     "j3_interval_join": j3_interval_join,
     "j3_interval_anti": j3_interval_anti,
@@ -1630,6 +1675,7 @@ _TAIL_QUERIES = [
     "w10_zero_filled_daily",
     "j13_revenue_share",
     "emb_vector_stats",
+    "w11_retention_sharded",
     # r15 X91 newcomer (exact-integer PageRank — analytics/graph.py):
     # tail start, driver row r16
     "graph_pagerank",
@@ -1696,6 +1742,7 @@ ORACLES: dict = {
     "a22_robust_outliers": A22_SQL,
     "a24_histogram": A24_SQL,
     "j13_revenue_share": J13_SQL,
+    "w11_retention_sharded": W11_SQL,
     "w10_zero_filled_daily": W10_SQL,
     "j3_interval_join": J3_SQL,
     "j3_interval_anti": J3_ANTI_SQL,
