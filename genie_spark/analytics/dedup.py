@@ -1213,9 +1213,15 @@ def duplicate_span_mask(
         .where(F.col("__c") >= min_count)
         .select("ah")
     )
-    # merge hints: both sides corpus-derived (see ngram_jaccard_pairs
-    # on Catalyst's static size misestimates after aggregates)
-    dup = anch.hint("merge").join(hot.hint("merge"), "ah", "left_semi")
+    # shuffle_hash, hot as build (BuildRight semi): a merge hint here
+    # SORTED the corpus-scale anchor stream before the semi join —
+    # measured as a dominant timed stage at sf0.1.  The build side is
+    # the deduplicated ≥min_count hash set (8-byte longs, one row per
+    # DISTINCT duplicated anchor), its shuffle partitions sized by
+    # AQE's advisory target, so each hash build is bounded; a
+    # broadcast stays off the table (aggregate-derived misestimates —
+    # see ngram_jaccard_pairs).
+    dup = anch.join(hot.hint("shuffle_hash"), "ah", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
         F.lit(1)
@@ -1506,7 +1512,14 @@ def _winnow_pairs_from_fps(
             .where(F.col("__d") > max_df)
             .select("fp")
         )
-        fps = fps.hint("merge").join(hot.hint("merge"), "fp", "left_anti")
+        # shuffle_hash, hot as build: the >max_df hot-fingerprint list
+        # is boilerplate-sized (tiny), but aggregate-derived estimates
+        # can't be trusted to broadcast it (see ngram_jaccard_pairs);
+        # the earlier merge hint instead SORTED the corpus-scale fps
+        # stream.  SHJ anti (BuildRight) streams fps unsorted; the
+        # build partitions hold 8-byte fp longs sized by AQE's
+        # advisory partition target, so no unspillable-build risk.
+        fps = fps.join(hot.hint("shuffle_hash"), "fp", "left_anti")
     a = fps.select(F.col(id_col).alias("a"), "fp")
     b = fps.select(F.col(id_col).alias("b"), "fp")
     return (

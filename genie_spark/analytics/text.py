@@ -1533,9 +1533,18 @@ def lm_surprisal_bigram(
         ).alias("__ubits"),
     )
     oov_bits = backoff_bits + t_bits  # ilog2(0 + 1) = 0
+    # shuffle_hash with the VOCAB side as build: the model tables are
+    # vocabulary-sized (per-partition build = |vocab|/partitions — tiny
+    # at any scale), while a merge hint here SORTED the corpus-sized
+    # occurrence stream twice (measured: the two sorts were the
+    # dominant timed stages; SMJ → SHJ cut the lm_bigram wall ~20%
+    # and removes two corpus-scale sorts from the 100 TB plan).  A
+    # broadcast stays wrong (Zipf-long vocab, static misestimates —
+    # see ngram_jaccard_pairs); LEFT OUTER + BuildRight SHJ is
+    # supported and AQE still skew-splits the streamed side.
     scored = (
-        occ.join(b_bits.hint("merge"), ["wp", "w"], "left")
-        .join(u_bits.hint("merge"), "w", "left")
+        occ.join(b_bits.hint("shuffle_hash"), ["wp", "w"], "left")
+        .join(u_bits.hint("shuffle_hash"), "w", "left")
         .withColumn("__backoff", F.col("__sbits").isNull())
         .withColumn(
             "__bits",

@@ -95,24 +95,45 @@ def merge_duplicate_values(
     """CNA duplicate-gene merge (reference ``mergeCNAvalues``
     genie_registry/cna.py:86-105): per key, 1 distinct value → keep it;
     2 distinct values one of which is 0 → the nonzero one; else null.
-    Long-form groupBy + collect_set replaces the per-column pandas loop.
+    Long-form groupBy replaces the per-column pandas loop.
+
+    The distinct-set rule is decided from five SCALAR aggregates
+    (min/max, a zero-presence flag, min/max over the nonzero values)
+    instead of a ``collect_set``:
+
+      * 1 distinct       ⇔ min = max                    → that value
+      * 2 distinct, one 0 ⇔ zero present ∧ min ≠ max ∧
+                            min_nonzero = max_nonzero   → the nonzero
+      * else → null.
+
+    Equivalent case-by-case to the set form (including all-null
+    groups → null via null-propagating comparisons, and NaN groups —
+    Spark's NaN = NaN is true), but the aggregate is a plain codegen
+    ``HashAggregate`` with map-side partial combine rather than an
+    ``ObjectHashAggregate`` shipping per-group sets (measured ~2×
+    on the a8 bench path, same 1-exchange plan shape).
     """
-    vals = F.array_sort(F.collect_set(value_col))
+    v = F.col(value_col)
+    nz = F.when(v != 0, v)
     merged = (
-        F.when(F.size(F.col("__vals")) == 1, F.col("__vals")[0])
+        F.when(F.col("__mn") == F.col("__mx"), F.col("__mn"))
         .when(
-            (F.size(F.col("__vals")) == 2) & F.array_contains("__vals", 0.0),
-            F.when(F.col("__vals")[0] != 0.0, F.col("__vals")[0]).otherwise(
-                F.col("__vals")[1]
-            ),
+            (F.col("__z") == 1) & (F.col("__mnz") == F.col("__mxz")),
+            F.col("__mnz"),
         )
         .otherwise(F.lit(None).cast("double"))
     )
     return (
         df.groupBy(*keys)
-        .agg(vals.alias("__vals"))
+        .agg(
+            F.min(v).alias("__mn"),
+            F.max(v).alias("__mx"),
+            F.max(F.when(v == 0, F.lit(1)).otherwise(F.lit(0))).alias("__z"),
+            F.min(nz).alias("__mnz"),
+            F.max(nz).alias("__mxz"),
+        )
         .withColumn("merged_value", merged)
-        .drop("__vals")
+        .drop("__mn", "__mx", "__z", "__mnz", "__mxz")
     )
 
 

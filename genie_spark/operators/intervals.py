@@ -269,10 +269,20 @@ def max_overlap_remap(
         cond = cond & (pts[k] == ivs[k])
     cond = cond & (pts[seg_start] <= ivs[gene_end]) & (pts[seg_end] >= ivs[gene_start])
     joined = pts.join(ivs, cond, "left").drop(ivs[_BIN]).drop(pts[_BIN])
-    overlap = (
+    # Guard on a REAL matched gene: the left join emits one null-gene
+    # row per (segment, bin) that met no interval, and least/greatest
+    # IGNORE nulls — unguarded, that phantom row computes overlap =
+    # segment length (ratio exactly 1.0) and poisons the max.  A hit
+    # is a matched gene row carrying a symbol (a matched gene with a
+    # null symbol cannot be remapped to and is treated as no hit);
+    # phantom and null-symbol rows contribute NULL to every aggregate
+    # below, so all three reductions see the identical hit set — the
+    # oracle's inner-join hits CTE semantics.
+    overlap = F.when(
+        F.col(gene_start).isNotNull() & F.col(gene_symbol).isNotNull(),
         F.least(F.col(seg_end), F.col(gene_end))
         - F.greatest(F.col(seg_start), F.col(gene_start))
-        + F.lit(1)
+        + F.lit(1),
     )
     ratio = overlap / (F.col(seg_end) - F.col(seg_start) + F.lit(1))
     # ONE shuffle: per segment collect the (ratio, symbol) hits (tens of
@@ -285,6 +295,11 @@ def max_overlap_remap(
     # max-ratio hit with the SMALLEST symbol — ambiguity ⇔ they differ.
     # Unlike collect_list this partial-aggregates map-side, so the
     # shuffle carries one row per (segment, partition) not one per hit.
+    # (r15 optimization note: struct-valued min/max buffers force a
+    # SortAggregate — a fixed-width string encoding of (overlap,
+    # symbol) was tried and also plans SortAggregate, since STRING
+    # buffers are not hash-aggregable either; measured a wash, so the
+    # clearer struct form stays.)
     r = F.col("__r")
     hi = F.max(F.when(r.isNotNull(), F.struct(r.alias("r"), F.col(gene_symbol).alias("s"))))
     lo = F.min(F.when(r.isNotNull(), F.struct((-r).alias("nr"), F.col(gene_symbol).alias("s"))))

@@ -124,6 +124,46 @@ def test_merge_duplicate_values(spark):
     assert got == {"g1": 1.0, "g2": 2.0, "g3": None, "g4": None}
 
 
+def test_merge_duplicate_values_scalar_rule_edges(spark):
+    # r15 internals change (collect_set → five scalar aggregates):
+    # pin the edge cases the set form decided structurally —
+    # negative-with-zero picks the nonzero, all-null → null,
+    # null-mixed groups ignore nulls, singleton zero stays zero
+    df = spark.createDataFrame(
+        [("n1", "s", -3.0), ("n1", "s", 0.0),          # {0,-3} → -3
+         ("n2", "s", None), ("n2", "s", None),         # all null → null
+         ("n3", "s", None), ("n3", "s", 5.0),          # {null,5} → 5
+         ("n4", "s", 0.0),                             # {0} → 0
+         ("n5", "s", 0.0), ("n5", "s", 1.0), ("n5", "s", 2.0)],  # 3 → null
+        "gene string, sample string, value double",
+    )
+    out = merge_duplicate_values(df, ["gene", "sample"], "value")
+    got = {r["gene"]: r["merged_value"] for r in out.collect()}
+    assert got == {"n1": -3.0, "n2": None, "n3": 5.0, "n4": 0.0, "n5": None}
+    # the optimization's point: plain codegen HashAggregate, no
+    # set-valued ObjectHashAggregate shipping per-group arrays
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_max_overlap_remap_unmatched_bin_phantom(spark):
+    # r15 regression pin: a segment spanning TWO bins whose only real
+    # hit (ratio < min_ratio) lies in one bin while the other bin is
+    # empty.  The left join emits a null-gene row for the empty bin,
+    # and least/greatest IGNORE nulls — unguarded, that phantom row
+    # scores overlap = segment length (ratio 1.0) and poisons the
+    # max.  Real hit 96..100 of seg 95..124 → ratio 6/30 < 0.9 → null.
+    segs = spark.createDataFrame([(1, 0, 95, 124)], ["seg_id", "g", "s", "e"])
+    genes = spark.createDataFrame([(0, 90, 100, "A")], ["g", "gs", "ge", "sym"])
+    out = max_overlap_remap(
+        segs, genes, ["g"], "s", "e", "gs", "ge", "sym", min_ratio=0.9,
+        bin_size=100, seg_id="seg_id",
+    )
+    got = {r["seg_id"]: r["remapped_symbol"] for r in out.collect()}
+    assert got == {1: None}
+
+
 def test_duplicate_keys(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
     assert rows(duplicate_keys(df, ["k", "v"]), "k", "n") == [(1, 2)]

@@ -753,17 +753,21 @@ def test_ivfpq_equijoin_candidates_broadcast_lut(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_lm_bigram_merge_joins_partial_counts(spark):
+def test_lm_bigram_shuffled_hash_scoring_partial_counts(spark):
     """X63: both model tables aggregate with map-side partial combine
-    and every vocabulary-keyed scoring join is a merge join — the
-    Zipf-long bigram vocabulary must never ride a static broadcast."""
+    and the vocabulary-keyed scoring joins are SHUFFLED HASH joins
+    building on the vocab side (r15 optimization: a merge join sorted
+    the corpus-scale occurrence stream twice; a static broadcast of
+    the Zipf-long vocabulary stays forbidden)."""
     from genie_spark.workload_analytics import text_lm_bigram
 
     plan = plan_of(text_lm_bigram(spark, SF))
     assert "partial_count" in plan, plan
-    assert "SortMergeJoin" in plan, plan
-    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan, plan
+    # the corpus-sized occurrence stream must never be the build side
+    # of a static broadcast
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_line_repetition_narrow_zero_shuffle(spark):
