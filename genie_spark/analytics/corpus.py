@@ -259,51 +259,88 @@ def bloom_decontaminate(
     re-checked exactly or dropped outright (the usual conservative
     policy — FPs only ever over-drop).
 
-    Spark shape: corpus n-grams explode to (doc, gram-hash, pos)
-    map-side — the n-gram travels as its 60-bit md5 hash
-    (``dedup.shingle_hash``), so the clean-count's distinct shuffle
-    carries 8-byte longs instead of n·5-word strings; a broadcast
-    ANTI join against the ≤ m_bits-row position set finds n-grams
-    with a MISSED position (= definitely clean), and per-doc counts
-    close the complement: flagged = distinct n-grams − clean n-grams.
-    Total shuffle = two doc-keyed count-aggs; the corpus is never
-    shuffled wide.  (A hash collision between two clean n-grams can
-    only LOWER n_clean — the zero-false-negative superset bound
-    survives, and the oracle hashes identically, so parity is exact
-    even through collisions.)
+    Spark shape (r15: ZERO corpus shuffle — the textbook Bloom
+    deployment, guide-§3.2 style): the ≤ m_bits-row position set is
+    packed ONCE into a dense ``m_bits/64``-word bitmask (one 1-row
+    aggregate over the artifact, m_bits/8 bytes ≤ 512 MB at the
+    2³²-bit cap, 128 KB at the default 2²⁰), cross-joined broadcast
+    to the corpus, and every per-gram membership probe is a pure
+    JVM bit test — the whole report is one narrow scan→project pass
+    with NO exchange, no join of corpus-sized sides, and no second
+    tokenize.  (The earlier form exploded a (doc, hash, position)
+    probe stream through an anti join plus two aggregates, re-scanned
+    the corpus for per-doc gram counts, and its final doc-keyed join
+    static-misestimate-BROADCAST the corpus-sized clean table — the
+    ngram_jaccard_pairs lesson.)
+
+    Per document: ``n_ngrams`` counts distinct gram strings; a gram
+    is definitely clean iff ANY of its bit positions is unset, and
+    ``n_clean`` counts distinct clean 60-bit gram hashes
+    (``dedup.shingle_hash``) — both exactly the set semantics of the
+    probe-stream form, hash collisions included (a hash bucket is
+    clean iff any member gram is clean ⇔ its hash appears among the
+    clean grams' hashes).
 
     Returns (id, n_ngrams, n_flagged, flagged_bp, is_flagged) — the
     ``decontaminate_ngram`` report shape with "maybe" semantics.
     """
     from genie_spark.analytics.dedup import shingle_hash
 
-    grams = F.explode(F.array_distinct(token_ngrams(text_col, n))).alias(
-        "ngram"
+    n_words = (m_bits + 63) // 64
+    words = bloom_pos.groupBy(F.expr("pos div 64").alias("__w")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+        ).alias("__m")
     )
-    corpus_grams = corpus.select(F.col(id_col), grams)
-    probes = corpus_grams.select(
-        id_col,
-        shingle_hash(F.col("ngram")).alias("gh"),
-        F.explode(
-            F.array_distinct(
-                bloom_bit_positions(F.col("ngram"), m_bits, k_hashes)
-            )
-        ).alias("pos"),
+    mask = words.agg(
+        F.map_from_arrays(
+            F.collect_list("__w"), F.collect_list("__m")
+        ).alias("__mm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), "
+            "i -> coalesce(try_element_at(__mm, CAST(i AS BIGINT)), "
+            "CAST(0 AS BIGINT)))"
+        ).alias("__mask")
     )
-    clean = (
-        probes.join(F.broadcast(bloom_pos), "pos", "left_anti")
-        .select(id_col, "gh")
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_clean"))
+    # bit i as a long (bit 63 via the sign bit — same AND semantics)
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
     )
-    per_doc = corpus.where(F.size(tokens(text_col)) >= n).select(
-        F.col(id_col),
-        F.size(F.array_distinct(token_ngrams(text_col, n))).alias("n_ngrams"),
+
+    def _unset(p):
+        word = F.element_at(
+            F.col("__mask"), F.shiftright(p, 6).cast("int") + F.lit(1)
+        )
+        bit = F.element_at(pow2, F.pmod(p, F.lit(64)).cast("int") + F.lit(1))
+        return word.bitwiseAND(bit) == F.lit(0)
+
+    clean_gram = lambda g: F.exists(  # noqa: E731
+        bloom_bit_positions(g, m_bits, k_hashes), _unset
     )
-    out = per_doc.join(clean, id_col, "left").withColumn(
-        "n_flagged",
-        F.col("n_ngrams") - F.coalesce("n_clean", F.lit(0)),
+    out = (
+        corpus.select(
+            F.col(id_col),
+            F.array_distinct(token_ngrams(text_col, n)).alias("__gs"),
+        )
+        .where(F.size("__gs") > 0)
+        .crossJoin(F.broadcast(mask))
+        .select(
+            id_col,
+            F.size("__gs").alias("n_ngrams"),
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.filter(F.col("__gs"), clean_gram),
+                        lambda g: shingle_hash(g),
+                    )
+                )
+            ).alias("__n_clean"),
+        )
+        .withColumn("n_flagged", F.col("n_ngrams") - F.col("__n_clean"))
     )
     bp = F.floor(
         (F.col("n_flagged") * SAMPLE_DENOM).cast("long") / F.col("n_ngrams")

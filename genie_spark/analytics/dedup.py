@@ -243,10 +243,17 @@ def lsh_candidate_pairs(
     banded = band_keys(signatures, id_col, n_perm, bands)
     left = banded.select(F.col(id_col).alias("a"), "bsig")
     right = banded.select(F.col(id_col).alias("b"), "bsig")
-    # merge hint: both sides are signature-table-sized; never let a
-    # bogus static estimate broadcast one (see ngram_jaccard_pairs)
+    # shuffle_hash: both sides are signature-table-sized (bands rows
+    # of (id, bsig) per doc — bounded by the signature store, never
+    # the pair volume), so the per-partition hash build is sized by
+    # AQE's advisory partition target; a merge hint here paid two
+    # sorts of the banded stream (r15: SMJ → SHJ measured faster at
+    # sf0.1 and drops both sorts from the 100 TB plan), and a static
+    # broadcast stays forbidden either way (aggregate-derived
+    # misestimates — see ngram_jaccard_pairs).  AQE skew-split
+    # handles hot band buckets for SHJ as it did for SMJ.
     return (
-        left.hint("merge").join(right, "bsig")
+        left.hint("shuffle_hash").join(right, "bsig")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -1522,8 +1529,13 @@ def _winnow_pairs_from_fps(
         fps = fps.join(hot.hint("shuffle_hash"), "fp", "left_anti")
     a = fps.select(F.col(id_col).alias("a"), "fp")
     b = fps.select(F.col(id_col).alias("b"), "fp")
+    # shuffle_hash: the fingerprint stream is ~2/(w+1) of the token
+    # stream per side (8-byte fps; signature-sized, not pair-sized),
+    # so the build partitions are AQE-bounded — the merge hint paid
+    # two sorts of that stream (same r15 SMJ → SHJ move as
+    # lsh_candidate_pairs; broadcast stays forbidden)
     return (
-        a.hint("merge").join(b, "fp")
+        a.hint("shuffle_hash").join(b, "fp")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
