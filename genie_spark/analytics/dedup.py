@@ -819,6 +819,7 @@ def setsim_prefix_pairs(
     text_col: str = "text",
     k: int = 20,
     threshold_pct: int = 50,
+    unique_ids: bool | None = None,
 ) -> DataFrame:
     """Shingle-set Jaccard ≥ threshold self-join via LOSSLESS prefix
     filtering (the PPJoin family: Chaudhuri et al. 2006, Xiao et al.
@@ -866,23 +867,40 @@ def setsim_prefix_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    # r15: per-document hash-distinct MAP-SIDE (array_distinct over the
+    # hashed shingle array) — a document's shingles all originate from
+    # its single input row, so this IS exact global (id, hash)
+    # distinctness with ZERO exchange, within-doc hash collisions
+    # included, PROVIDED one row per id — the `shingles()` contract and
+    # guard, mirrored here (the previous global ``.distinct()`` paid a
+    # full exchange of the hashed stream to re-derive the same rows).
+    if unique_ids is None:
+        chk = df.agg(
+            F.count(id_col).alias("n"),
+            F.approx_count_distinct(id_col, rsd=0.01).alias("nd"),
+        ).first()
+        if chk is not None and chk["n"] > (chk["nd"] or 0) * 1.05:
+            raise ValueError(
+                f"setsim_prefix_pairs: ~{chk['n'] - chk['nd']} of "
+                f"{chk['n']} rows share a duplicated {id_col!r} — the "
+                "map-side per-document dedup is exact only for one row "
+                "per id.  Collapse the corpus first (or pass "
+                "unique_ids=False for an exact global distinct, "
+                "unique_ids=True to promise the contract)"
+            )
     idxs = F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
-    sh = (
-        df.where(F.length(F.col(text_col)) >= k)
-        .select(
-            id_col,
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        idxs, lambda i: F.col(text_col).substr(i, F.lit(k))
-                    )
-                )
-            ).alias("__s"),
+    hashed = F.array_distinct(
+        F.transform(
+            idxs,
+            lambda i: shingle_hash(F.col(text_col).substr(i, F.lit(k))),
         )
-        .select(id_col, shingle_hash(F.col("__s")).alias("shingle"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sh = df.where(F.length(F.col(text_col)) >= k).select(
+        id_col, F.explode(hashed).alias("shingle")
+    )
+    if unique_ids is False:
+        sh = sh.distinct()
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # global document frequency via a window over the shingle
     # partitioning — one exchange, not an aggregate + self-join
     w = Window.partitionBy(id_col)
@@ -926,9 +944,14 @@ def setsim_prefix_pairs(
     )
     n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.col("na") + F.col("nb") - F.col("n_common")
+    # shuffle_hash with the SLIM pair side as build (the minhash
+    # _verify_pairs discipline): docsets rows carry the per-doc sorted
+    # hash array, so hashing the two-long pair side and STREAMING the
+    # fat docinfo avoids both a misestimate broadcast and a sort of
+    # the array-carrying rows; candidate volume is prefix-join-bounded
     out = (
-        cand.hint("merge").join(da, "a")
-        .hint("merge").join(db, "b")
+        cand.hint("shuffle_hash").join(da, "a")
+        .hint("shuffle_hash").join(db, "b")
         .withColumn("n_common", n_common)
         .where(F.col("n_common") * 100 >= union * threshold_pct)
         .withColumn("jaccard", F.col("n_common") / union)

@@ -1795,6 +1795,10 @@ def ccnet_buckets(
 
     if not (0 < qs_milli[0] < qs_milli[1] < 1000):
         raise ValueError(f"qs_milli must be 0 < a < b < 1000, got {qs_milli}")
+    from pyspark import StorageLevel
+
+    from genie_spark.analytics.dedup import _release_on_gc
+
     scored = lm_surprisal_bigram(
         df.where(F.col(lang_col).isNotNull()),
         model_df,
@@ -1803,6 +1807,13 @@ def ccnet_buckets(
         backoff_bits=backoff_bits,
         carry_cols=(lang_col,),
     ).select(id_col, lang_col, "n_bigrams", "total_bits", "bpt_centibits")
+    # scored feeds TWO consumers (the sample/threshold pass and the
+    # final bucket join) — unpersisted, Catalyst plans the whole X63
+    # scoring pipeline (occurrence explode + two vocab joins + the
+    # doc aggregate) TWICE (r15: measured ~2× the lm_bigram wall).
+    # The materialized row is doc-count-sized (5 narrow columns), the
+    # standard signature-table materialization point.
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     sample = scored
     if sample_bp < SAMPLE_DENOM:
         sample = sample.where(_uniform_bp(id_col) < sample_bp)
@@ -1850,15 +1861,18 @@ def ccnet_buckets(
         .when(F.col("bpt_centibits") <= F.col("t_mid_centibits"), "middle")
         .otherwise("tail")
     )
-    return out.select(
-        id_col,
-        lang_col,
-        "n_bigrams",
-        "total_bits",
-        "bpt_centibits",
-        "t_head_centibits",
-        "t_mid_centibits",
-        bucket.alias("bucket"),
+    return _release_on_gc(
+        out.select(
+            id_col,
+            lang_col,
+            "n_bigrams",
+            "total_bits",
+            "bpt_centibits",
+            "t_head_centibits",
+            "t_mid_centibits",
+            bucket.alias("bucket"),
+        ),
+        scored,
     )
 
 
