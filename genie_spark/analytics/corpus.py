@@ -1346,12 +1346,19 @@ def dsir_sample(
 
     from genie_spark.analytics.dedup import _release_on_gc
 
-    feats_raw = _dsir_features(raw, id_col, text_col, n_buckets)
+    # feats_raw feeds BOTH the raw model count and the scoring join —
+    # persist it so the raw corpus is tokenized+exploded ONCE per
+    # invocation instead of twice (r15; the published DSIR pipeline
+    # materializes the hashed features for the same reason).  Token-
+    # level rows of two longs — MEMORY_AND_DISK spills rather than
+    # recomputes at corpus scale.
+    feats_raw = _dsir_features(raw, id_col, text_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     feats_tgt = _dsir_features(target, id_col, text_col, n_buckets)
     # the model tables are <= n_buckets rows: persist them and derive
     # the totals from THEM (1-row aggs over B rows), so each corpus's
-    # feature stream is scanned once for the model (+ once more for
-    # raw in the scoring join — the bm25-style inherent second pass)
+    # feature stream is scanned once for the model
     cq = feats_raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__q")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -1398,7 +1405,9 @@ def dsir_sample(
         ranked, F.desc("score_bits"), F.asc("__h"), F.asc(id_col),
         max_rows=k,
     ).drop("__h")
-    return _release_on_gc(_release_on_gc(out, cq), cp)
+    return _release_on_gc(
+        _release_on_gc(_release_on_gc(out, cq), cp), feats_raw
+    )
 
 
 def domain_cap(

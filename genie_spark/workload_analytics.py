@@ -34,17 +34,21 @@ from genie_spark.analytics.multimodal import extract_features
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-row-group parquet → repartition for parallel fan-out
+    # single-row-group parquet → repartition for parallel fan-out.
+    # HASH on the id, not round-robin: a keyless repartition(n) pays a
+    # local binary sort of its input first (sortBeforeRepartition,
+    # retry determinism — guide §2.5); hashing the unique id spreads
+    # identically, skips the sort, and is retry-deterministic.
     return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
     )
 
 
@@ -1839,7 +1843,11 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash, not round-robin: skips sort-before-repartition (_docs)
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            F.col("l_orderkey"), F.col("l_linenumber"),
+        )
     )
     items = li.select(
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))

@@ -13,6 +13,19 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def no_operator_shuffle(plan: str) -> bool:
+    """True when every Exchange in the plan is the test-harness
+    repartition of the single-row-group testdata parquet (hash-keyed
+    since r15, tagged REPARTITION_BY_NUM) — i.e. the OPERATOR itself
+    introduces no shuffle."""
+    import re
+
+    return all(
+        "REPARTITION_BY_NUM" in e
+        for e in re.findall(r"Exchange [^\n]*", plan)
+    )
+
+
 def test_q1_scan_prunes_and_pushes_down(spark):
     from genie_spark.workload import q1_pricing_summary
 
@@ -636,7 +649,7 @@ def test_bpe_encode_map_side_only(spark):
     df = bpe_encode(docs, [("a", "b"), ("ab", "c")])
     plan = plan_of(df)
     assert "Join" not in plan, plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert no_operator_shuffle(plan), plan
     assert "HashAggregate" not in plan, plan
 
 
@@ -660,10 +673,14 @@ def test_semantic_decontaminate_zero_exchange(spark):
     from genie_spark.workload_analytics import corpus_decontaminate_semantic
 
     plan = plan_of(corpus_decontaminate_semantic(spark, SF))
-    # the only exchange is the test-harness round-robin repartition of
-    # the single-row-group testdata parquet (_emb), never a key-based
-    # shuffle of the operator itself
-    assert "Exchange hashpartitioning" not in plan, plan
+    # the only exchange is the test-harness repartition of the
+    # single-row-group testdata parquet (_emb; hash-keyed since r15 —
+    # tagged REPARTITION_BY_NUM), never a shuffle the OPERATOR itself
+    # introduces
+    import re
+
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert all("REPARTITION_BY_NUM" in e for e in exchanges), plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -708,7 +725,7 @@ def test_gopher_filter_narrow_zero_shuffle(spark):
     from genie_spark.workload_analytics import text_gopher_filter
 
     plan = plan_of(text_gopher_filter(spark, SF))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert no_operator_shuffle(plan), plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "MapInPandas" not in plan, plan
@@ -721,7 +738,7 @@ def test_pq_encode_fused_scan_zero_shuffle(spark):
     from genie_spark.workload_analytics import ann_pq_codes
 
     plan = plan_of(ann_pq_codes(spark, SF))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert no_operator_shuffle(plan), plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan, plan
@@ -777,7 +794,7 @@ def test_line_repetition_narrow_zero_shuffle(spark):
     from genie_spark.workload_analytics import text_line_repetition
 
     plan = plan_of(text_line_repetition(spark, SF))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert no_operator_shuffle(plan), plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
 
@@ -789,7 +806,7 @@ def test_char_entropy_and_blocklist_narrow(spark):
 
     for q in (text_char_entropy, text_blocklist):
         plan = plan_of(q(spark, SF))
-        assert "Exchange hashpartitioning" not in plan, plan
+        assert no_operator_shuffle(plan), plan
         assert "Exchange rangepartitioning" not in plan, plan
         assert "Join" not in plan, plan
 
@@ -888,13 +905,12 @@ def test_ivfpq_residual_all_broadcast_no_cartesian(spark):
 def test_unigram_encode_zero_exchange(spark):
     """X79: the Viterbi encoder is scan → project → MapInPandas — no
     operator exchange, no join (the X73 zero-exchange contract; the
-    one RoundRobin repartition is the documented single-row-group
-    scan fan-out from _docs, not operator work)."""
+    one repartition is the documented single-row-group scan fan-out
+    from _docs — hash-keyed since r15 — not operator work)."""
     from genie_spark.workload_analytics import text_unigram_encode
 
     plan = plan_of(text_unigram_encode(spark, SF))
-    n_ex = plan.count("Exchange")
-    assert n_ex == plan.count("Exchange RoundRobinPartitioning"), plan
+    assert no_operator_shuffle(plan), plan
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan, plan
 
