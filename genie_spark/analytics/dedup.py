@@ -205,6 +205,57 @@ def ngram_jaccard_pairs(
     return _release_on_gc(out, sh)
 
 
+def _doc_hash_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, __hs0, __n0): the per-document sorted distinct shingle-hash
+    array and the distinct shingle-STRING count, computed ENTIRELY
+    map-side — a document's shingles all originate from its single
+    input row, so per-row array expressions reproduce the exploded
+    groupBy exactly (set semantics, within-doc hash collisions
+    included: ``__n0`` counts distinct strings like the exploded
+    stream's count(*), ``__hs0`` holds distinct hash VALUES like
+    collect_set).  Documents shorter than ``k`` yield no row, the
+    explode-path contract.  Valid ONLY under one-row-per-id (callers
+    run the ``shingles`` guard)."""
+    t = F.col(text_col)
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+    base = df.where(F.length(t) >= k).select(id_col, arr.alias("__sarr"))
+    return base.select(
+        id_col,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.col("__sarr"), lambda s: shingle_hash(s) % MERSENNE_P
+                )
+            )
+        ).alias("__hs0"),
+        F.size("__sarr").cast("long").alias("__n0"),
+    )
+
+
+def _mh_cols(n_perm: int) -> list[Column]:
+    """The n_perm permutation minima as per-row array reductions over
+    the bound ``__hs0`` attribute (no re-evaluation trap: ``__hs0`` is
+    a projected column, and CollapseProject never inlines a non-cheap
+    alias referenced this many times)."""
+    def _perm(a: int, b: int):
+        # closure factory, NOT a default-arg lambda: a two-arg lambda
+        # is parsed as the (element, index) HOF form and would bind
+        # the permutation constant to the array index
+        return lambda h: (h * a + b) % MERSENNE_P
+
+    return [
+        F.array_min(F.transform(F.col("__hs0"), _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perm_params(n_perm))
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -213,18 +264,49 @@ def minhash_signatures(
     n_perm: int = 16,
     unique_ids: bool | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: n_perm min-aggregates over the
-    permuted shingle hashes — one groupBy, partial-aggregated map-side
-    (each doc's signature never exceeds n_perm longs in flight).
-    ``unique_ids`` names the one-row-per-id contract (see ``shingles``)."""
-    sh = shingles(df, id_col, text_col, k, unique_ids).withColumn(
-        "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
+    """MinHash signature per document.
+
+    r15: computed ENTIRELY map-side (``_doc_hash_sets`` + per-row
+    array minima) — zero exchange, no aggregate at all; the previous
+    explode + groupBy paid a full shuffle of the shingle stream to
+    reassemble per-document state that never left its input row.
+    ``unique_ids`` names the one-row-per-id contract (see
+    ``shingles``): None runs the cheap sketch guard, True skips it,
+    False falls back to the exploded global-distinct aggregate (the
+    only form that merges duplicated ids).
+    """
+    if unique_ids is False:
+        sh = shingles(df, id_col, text_col, k, False).withColumn(
+            "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
+        )
+        aggs = [
+            F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(perm_params(n_perm))
+        ]
+        return sh.groupBy(id_col).agg(*aggs)
+    if unique_ids is None:
+        _check_unique_ids(df, id_col, "minhash_signatures")
+    return _doc_hash_sets(df, id_col, text_col, k).select(
+        id_col, *_mh_cols(n_perm)
     )
-    aggs = [
-        F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(perm_params(n_perm))
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _check_unique_ids(df: DataFrame, id_col: str, who: str) -> None:
+    """The ``shingles`` one-row-per-id sketch guard, shared by the
+    map-side signature paths."""
+    chk = df.agg(
+        F.count(id_col).alias("n"),
+        F.approx_count_distinct(id_col, rsd=0.01).alias("nd"),
+    ).first()
+    if chk is not None and chk["n"] > (chk["nd"] or 0) * 1.05:
+        raise ValueError(
+            f"{who}: ~{chk['n'] - chk['nd']} of {chk['n']} rows share "
+            f"a duplicated {id_col!r} — the map-side per-document "
+            "signature is exact only for one row per id.  Collapse "
+            "the corpus first (or pass unique_ids=False for the "
+            "exploded global-distinct aggregate, unique_ids=True to "
+            "promise the contract and skip this check)"
+        )
 
 
 def lsh_candidate_pairs(
@@ -268,25 +350,49 @@ def minhash_docinfo(
     n_perm: int = 16,
     unique_ids: bool | None = None,
 ) -> DataFrame:
-    """Per-document dedup state, computed in ONE shingle shuffle: the
-    ``n_perm`` minhash columns (for banding) plus the sorted 60-bit
-    shingle-hash array and its size (for exact candidate
-    verification).  This is the SIGNATURE-STORE row format: persist it
-    once per corpus and both batch (``minhash_dedup_pairs``) and
-    incremental (``incremental_minhash_pairs``) dedup run from it
-    without ever re-shingling old documents.  ``unique_ids`` names the
-    one-row-per-id contract (see ``shingles``)."""
-    sh = shingles(df, id_col, text_col, k, unique_ids).withColumn(
-        "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
-    )
-    mh_aggs = [
-        F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(perm_params(n_perm))
-    ]
-    return sh.groupBy(id_col).agg(
-        *mh_aggs,
-        F.sort_array(F.collect_set("__h")).alias("__hs"),
-        F.count(F.lit(1)).alias("__n"),
+    """Per-document dedup state: the ``n_perm`` minhash columns (for
+    banding) plus the sorted 60-bit shingle-hash array and its size
+    (for exact candidate verification).  This is the SIGNATURE-STORE
+    row format: persist it once per corpus and both batch
+    (``minhash_dedup_pairs``) and incremental
+    (``incremental_minhash_pairs``) dedup run from it without ever
+    re-shingling old documents.
+
+    r15: computed ENTIRELY map-side with ZERO exchange — a document's
+    shingles all originate from its single input row, so the sorted
+    distinct hash array, the string count, and every permutation
+    minimum are per-row array reductions; the previous explode +
+    groupBy shuffled the whole shingle stream into an
+    ObjectHashAggregate (collect_set) to reassemble state that never
+    needed to leave its row (the dominant minhash CPU stage at sf0.1,
+    and a corpus-sized shuffle at 100 TB).  Row-for-row equal to the
+    aggregate form under the one-row-per-id contract, within-doc hash
+    collisions included (``__n`` = distinct strings, ``__hs`` =
+    distinct hash values — exactly count(*) / collect_set over the
+    exploded distinct stream).  ``unique_ids``: None runs the cheap
+    sketch guard, True skips it, False falls back to the exploded
+    global-distinct aggregate (the only form that merges duplicated
+    ids)."""
+    if unique_ids is False:
+        sh = shingles(df, id_col, text_col, k, False).withColumn(
+            "__h", shingle_hash(F.col("shingle")) % MERSENNE_P
+        )
+        mh_aggs = [
+            F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(perm_params(n_perm))
+        ]
+        return sh.groupBy(id_col).agg(
+            *mh_aggs,
+            F.sort_array(F.collect_set("__h")).alias("__hs"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    if unique_ids is None:
+        _check_unique_ids(df, id_col, "minhash_docinfo")
+    return _doc_hash_sets(df, id_col, text_col, k).select(
+        id_col,
+        *_mh_cols(n_perm),
+        F.col("__hs0").alias("__hs"),
+        F.col("__n0").alias("__n"),
     )
 
 
@@ -1158,10 +1264,9 @@ def winnow_pair_cap_audit(
 ) -> DataFrame:
     """How much ``winnow_dup_pairs``' ``max_df`` guard drops: 1 row
     (n_fingerprints_capped, n_postings_capped) over the same
-    doc-distinct fingerprint stream the pair join consumes."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        id_col, "fp"
-    ).distinct()
+    doc-distinct fingerprint stream the pair join consumes
+    (``_winnow_doc_fps`` — lockstep with ``winnow_dup_pairs``)."""
+    fps = _winnow_doc_fps(df, id_col, text_col, k, w)
     return _df_cap_audit(
         fps, "fp", id_col, max_df, "n_fingerprints_capped",
         "n_postings_capped",
@@ -1471,6 +1576,36 @@ def winnow_fingerprints(
     trap: closing over the expression tree would recompute the hash
     array per window).
     """
+    base = _winnow_sel_array(df, id_col, text_col, k, w)
+    return (
+        base.select(id_col, F.explode("__sels").alias("__s"))
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+    )
+
+
+def _winnow_doc_fps(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Doc-distinct (id, fp) fingerprint stream, reduced MAP-SIDE from
+    the per-row selection array — zero exchange; exactly the exploded
+    stream's ``select(id, fp).distinct()`` under one-row-per-id."""
+    base = _winnow_sel_array(df, id_col, text_col, k, w)
+    return base.select(
+        id_col,
+        F.explode(
+            F.array_distinct(F.transform(F.col("__sels"), lambda s: s["fp"]))
+        ).alias("fp"),
+    )
+
+
+def _winnow_sel_array(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """(id, __sels): the deduplicated winnowing selections of each
+    document as ONE per-row array<struct<pos,fp>> — the shared
+    map-side core of ``winnow_fingerprints`` (which explodes it) and
+    ``winnow_dup_pairs`` (which reduces it to the per-doc fp set
+    without any exchange)."""
     from genie_spark.analytics.corpus import token_ngrams
     from genie_spark.analytics.text import tokens
 
@@ -1480,28 +1615,35 @@ def winnow_fingerprints(
     hashes = F.transform(grams, lambda g: shingle_hash(g))
     # rightmost minimum of H[i-1 .. i+w-2] (1-based window start i):
     # reverse the slice, find the FIRST position of the min there —
-    # rightmost in the original — and dedup selections map-side
+    # rightmost in the original — and dedup selections map-side.
+    # The when-guard makes the expression TOTAL (empty selections for
+    # docs with fewer than w k-grams): Catalyst may infer a
+    # size(__sels) > 0 filter from a downstream explode and reorder
+    # it BELOW the token-length filter, evaluating the selection
+    # expression on short rows — an unguarded sequence(1, n−w+1)
+    # there is descending through 0 and slice() throws.
     sels = F.transform(
         F.array(hashes),
-        lambda h: F.transform(
-            F.sequence(F.lit(1), F.size(h) - (w - 1)),
-            lambda i: F.struct(
-                (
-                    i
-                    + F.lit(w)
-                    - F.array_position(
-                        F.reverse(F.slice(h, i, w)),
-                        F.array_min(F.slice(h, i, w)),
-                    )
-                ).cast("long").alias("pos"),
-                F.array_min(F.slice(h, i, w)).alias("fp"),
+        lambda h: F.when(
+            F.size(h) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - (w - 1)),
+                lambda i: F.struct(
+                    (
+                        i
+                        + F.lit(w)
+                        - F.array_position(
+                            F.reverse(F.slice(h, i, w)),
+                            F.array_min(F.slice(h, i, w)),
+                        )
+                    ).cast("long").alias("pos"),
+                    F.array_min(F.slice(h, i, w)).alias("fp"),
+                ),
             ),
-        ),
+        ).otherwise(F.array().cast("array<struct<pos:bigint,fp:bigint>>")),
     )[0]
-    return (
-        df.where(F.size(tokens(text_col)) >= k + w - 1)
-        .select(id_col, F.explode(F.array_distinct(sels)).alias("__s"))
-        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+    return df.where(F.size(tokens(text_col)) >= k + w - 1).select(
+        id_col, F.array_distinct(sels).alias("__sels")
     )
 
 
@@ -1521,10 +1663,14 @@ def winnow_dup_pairs(
     stream (``duplicate_span_pairs``).  ``max_df`` drops
     corpus-ubiquitous fingerprints before the self-join (the same
     lossy boilerplate guard as every pair-form operator here).
-    Returns (a, b, n_shared) with a < b."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        id_col, "fp"
-    ).distinct()
+    Returns (a, b, n_shared) with a < b.
+
+    r15: the per-doc fp set is reduced MAP-SIDE from the selection
+    array (``_winnow_doc_fps`` — a doc's selections live in its single
+    row), so the previous global ``.distinct()`` exchange of the
+    fingerprint stream is gone; exact under the one-row-per-id
+    contract the pair operators assume throughout."""
+    fps = _winnow_doc_fps(df, id_col, text_col, k, w)
     return _winnow_pairs_from_fps(fps, id_col, min_shared, max_df)
 
 
@@ -1579,12 +1725,21 @@ def winnow_fp_docinfo(
     the rows of the X47 anchor stream).  Documents shorter than
     ``k + w − 1`` tokens yield no row (they carry no fingerprints);
     the store keeps a manifest-only null row for them, exactly the
-    minhash short-doc convention."""
-    return (
-        winnow_fingerprints(df, id_col, text_col, k, w)
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(F.collect_set("fp")).alias("__fps"),
-            F.count_distinct("fp").cast("long").alias("__nfp"),
-        )
+    minhash short-doc convention.
+
+    r15: reduced MAP-SIDE from the per-row selection array (a doc's
+    selections live in its single row) — the exploded groupBy +
+    collect_set paid a full exchange of the fingerprint stream to
+    reassemble per-row state; exactly sort_array(collect_set(fp)) /
+    count_distinct(fp) under the store's one-row-per-id contract."""
+    base = _winnow_sel_array(df, id_col, text_col, k, w)
+    # two-step select: __fps is a bound attribute when __nfp reads it,
+    # so the sort/distinct work is evaluated once per row
+    return base.select(
+        id_col,
+        F.array_sort(
+            F.array_distinct(F.transform(F.col("__sels"), lambda s: s["fp"]))
+        ).alias("__fps"),
+    ).select(
+        id_col, "__fps", F.size("__fps").cast("long").alias("__nfp")
     )

@@ -2104,6 +2104,75 @@ def test_shingles_unique_id_contract_guard(spark):
     } == clean
 
 
+def test_minhash_map_side_equals_aggregate_form(spark):
+    """r15 map-side minhash: the per-row array form of
+    ``minhash_signatures`` / ``minhash_docinfo`` must equal the
+    exploded global-distinct aggregate form (``unique_ids=False``)
+    row-for-row on a clean corpus — permutation minima, sorted hash
+    sets, and distinct-string counts included — and the duplicated-id
+    guard must fire like the ``shingles`` one."""
+    from genie_spark.analytics.dedup import minhash_docinfo, minhash_signatures
+
+    docs = _docs(spark)
+    k, n_perm = 5, 8
+    sig_map = sorted(
+        tuple(r) for r in minhash_signatures(docs, k=k, n_perm=n_perm).collect()
+    )
+    sig_agg = sorted(
+        tuple(r)
+        for r in minhash_signatures(
+            docs, k=k, n_perm=n_perm, unique_ids=False
+        ).collect()
+    )
+    assert sig_map == sig_agg and len(sig_map) == 5
+    info_map = sorted(
+        tuple(r) for r in minhash_docinfo(docs, k=k, n_perm=n_perm).collect()
+    )
+    info_agg = sorted(
+        tuple(r)
+        for r in minhash_docinfo(
+            docs, k=k, n_perm=n_perm, unique_ids=False
+        ).collect()
+    )
+    assert info_map == info_agg
+    # short-doc convention: a doc below k chars yields no row either way
+    short = docs.unionByName(
+        spark.createDataFrame([(9, "abc")], ["doc_id", "text"])
+    )
+    assert minhash_docinfo(short, k=k, n_perm=n_perm).count() == 5
+    with pytest.raises(ValueError, match="duplicated 'doc_id'"):
+        minhash_docinfo(docs.unionByName(docs), k=k, n_perm=n_perm)
+
+
+def test_winnow_doc_fps_equals_exploded_distinct(spark):
+    """r15 map-side winnow: ``winnow_fp_docinfo`` and the internal
+    doc-fp set reduction must equal the exploded
+    ``winnow_fingerprints`` stream's groupBy/distinct forms exactly."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.dedup import (
+        winnow_fingerprints,
+        winnow_fp_docinfo,
+    )
+
+    docs = _docs(spark)
+    k, w = 4, 3
+    agg = sorted(
+        tuple(r)
+        for r in winnow_fingerprints(docs, k=k, w=w)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_set("fp")).alias("__fps"),
+            F.count_distinct("fp").cast("long").alias("__nfp"),
+        )
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in winnow_fp_docinfo(docs, k=k, w=w).collect()
+    )
+    assert got == agg and len(got) == 5
+
+
 def test_duplicate_span_mask_semantics(spark):
     """X47 mask form on a hand-built corpus: a 12-token license block
     shared by two documents (with distinct prefixes/suffixes) yields

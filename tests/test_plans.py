@@ -565,6 +565,20 @@ def test_winnow_fingerprints_map_side_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_minhash_docinfo_map_side_zero_exchange(spark):
+    """r15: the signature-store build (minhash docinfo — the dedup CPU
+    floor) must be entirely map-side under the one-row-per-id promise:
+    no Exchange, no aggregate of any kind in the plan (the per-doc
+    hash set and every permutation minimum are per-row array
+    reductions)."""
+    from genie_spark.analytics.dedup import minhash_docinfo
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_docinfo(docs, unique_ids=True))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
 def test_winnow_pairs_no_cartesian(spark):
     from genie_spark.workload_analytics import dedup_winnow_pairs
 
