@@ -117,6 +117,22 @@ def main() -> None:
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
+                # Release THIS run's result before the next one is
+                # CONSTRUCTED (r15 measurement fix, declared in
+                # OPTIMIZATION_r15.md): queries that persist a shared
+                # intermediate tie its unpersist to the result's GC
+                # (dedup._release_on_gc), and Spark's CacheManager
+                # dedups persist calls by canonical plan — so the old
+                # `df = fn(...)` rebinding dropped run N's result
+                # AFTER run N+1's identical persist had re-registered
+                # the same entry, and the finalizer unpersisted the
+                # entry out from under run N+1 (repeats then re-ran
+                # the cached subtree once per consumer: minhash
+                # measured 3.3/3.7/3.0 s bench-style vs 1.4/1.5/1.7 s
+                # with the real construct→execute→release lifecycle,
+                # same session).  Dropping the reference here lets the
+                # refcount finalizer fire before the next construction.
+                df = None  # noqa: F841 — release before next construct
                 gc_nudge()
             runs_log[name] = runs
             timings[name] = sorted(runs)[len(runs) // 2]  # median
