@@ -974,3 +974,42 @@ def test_q18_having_reduces_before_broadcast_joins(spark):
     assert "SortMergeJoin" not in plan, plan
     # partial agg below the exchange (map-side combine on the big side)
     assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_j5_classifies_without_point_shuffle(spark):
+    """j5 r15 rewrite: each point classifies itself against a
+    BROADCAST per-(grp, bin) gene-interval array with short-circuit
+    exists — the point stream must never be shuffled, aggregated, or
+    joined back (the old shape paid an interval_join fan-out, a
+    point-scale groupBy, and a SortMergeJoin join-back)."""
+    from genie_spark.workload_extra import j5_feature_type
+
+    plan = plan_of(j5_feature_type(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # the only hash-partitioned exchange is the dimension-sized
+    # gene-bin rollup, keyed (grp, __bin) — never the point stream
+    import re
+
+    hash_ex = [
+        e
+        for e in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        if "REPARTITION" not in e
+    ]
+    assert all("__bin" in e for e in hash_ex), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_j5_empty_bin_is_intergenic(spark):
+    """A point whose (grp, bin) holds no gene gets a NULL interval
+    array; both exists() probes yield NULL and the row must land on
+    'intergenic' (the old left-join-miss path), never NULL or a
+    misclassification."""
+    from genie_spark.workload_extra import j5_feature_type
+
+    rows = j5_feature_type(spark, SF).collect()
+    assert rows, "j5 returned no rows"
+    kinds = {r["feature_type"] for r in rows}
+    assert kinds <= {"exon", "intron", "intergenic"}, kinds
+    assert all(r["feature_type"] is not None for r in rows)
+    assert "intergenic" in kinds, kinds
