@@ -35,6 +35,7 @@ growth) is answered by ``kmv_merge`` over k-row artifacts.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -739,10 +740,16 @@ def quantile_level_sketch(
     and n_items constant columns, so the artifact is self-contained
     (<= k_max rows; merge-ready, journal-ready).
 
-    Scale shape: one narrow projection + a <= 61-row tz histogram
-    (map-side partial combine, driver-side exact level pick — the
-    dim-sized-collect policy), then a narrow survivor filter on the
-    rescan.  Two scan passes, zero corpus-keyed shuffles, no sort.
+    Scale shape: ONE scan+hash pass (the narrow (v, h60, tz)
+    projection is persisted MEMORY_AND_DISK for the build's duration:
+    the <= 61-row tz histogram with map-side partial combine and the
+    survivor filter both read the cached stream, and the persist is
+    released synchronously before returning), driver-side exact level
+    pick (the dim-sized-collect policy), zero corpus-keyed shuffles,
+    no sort.  The <= k_max survivor set is eagerly localCheckpointed,
+    so every downstream consumer (estimates, merges, audits) operates
+    on the sketch-sized artifact instead of re-running the corpus
+    scan+hash subtree per action.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     base = df.where(F.col(value_col).isNotNull()).select(
@@ -751,18 +758,29 @@ def quantile_level_sketch(
         .cast("long")
         .alias("h60"),
     )
-    base = base.withColumn("tz", _tz_bits(F.col("h60")))
-    hist = {
-        r["tz"]: r["c"]
-        for r in base.groupBy("tz").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    level, n_items = _qs_pick_level(hist, k_max)
-    return base.where(F.col("tz") >= level).withColumns(
-        {
-            "level": F.lit(level).cast("long"),
-            "n_items": F.lit(n_items).cast("long"),
-        }
+    base = base.withColumn("tz", _tz_bits(F.col("h60"))).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        hist = {
+            r["tz"]: r["c"]
+            for r in base.groupBy("tz")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        level, n_items = _qs_pick_level(hist, k_max)
+        return (
+            base.where(F.col("tz") >= level)
+            .withColumns(
+                {
+                    "level": F.lit(level).cast("long"),
+                    "n_items": F.lit(n_items).cast("long"),
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
 
 
 def quantile_sketch_merge(
@@ -900,10 +918,13 @@ def quantile_level_sketch_by(
     ``_quantile_store_merge_by`` in streaming.windows is the n-ary
     store form).
 
-    Spark shape: one narrow projection + ONE (group, tz)-keyed
-    dim-sized aggregate (map-side partials), then a narrow survivor
-    filter against the broadcast level table on the rescan — zero
-    corpus sorts, zero corpus-keyed shuffles.
+    Spark shape: ONE scan+hash pass (the narrow projection persisted
+    MEMORY_AND_DISK for the build, released synchronously) feeding a
+    (group, tz)-keyed dim-sized aggregate (map-side partials) and the
+    survivor filter against the broadcast level table — zero corpus
+    sorts, zero corpus-keyed shuffles.  The <= groups*k_max survivor
+    set is eagerly localCheckpointed so downstream estimate windows
+    and merges never re-run the corpus subtree.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     base = df.where(
@@ -915,27 +936,35 @@ def quantile_level_sketch_by(
         .cast("long")
         .alias("h60"),
     )
-    base = base.withColumn("tz", _tz_bits(F.col("h60")))
-    hist_rows = (
-        base.groupBy("g", "tz").agg(F.count(F.lit(1)).alias("c")).collect()
+    base = base.withColumn("tz", _tz_bits(F.col("h60"))).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    hists: dict[str, dict[int, int]] = {}
-    for r in hist_rows:
-        hists.setdefault(r["g"], {})[r["tz"]] = r["c"]
-    meta = []
-    for g, hist in sorted(hists.items()):
-        level, n_items = _qs_pick_level(hist, k_max)
-        meta.append((g, level, n_items))
-    if not meta:
-        return base.sparkSession.createDataFrame(
-            [], "g string, v long, h60 long, tz long, level long, n_items long"
+    try:
+        hist_rows = (
+            base.groupBy("g", "tz").agg(F.count(F.lit(1)).alias("c")).collect()
         )
-    levels = base.sparkSession.createDataFrame(
-        meta, "g string, level long, n_items long"
-    )
-    return base.join(F.broadcast(levels), "g").where(
-        F.col("tz") >= F.col("level")
-    )
+        hists: dict[str, dict[int, int]] = {}
+        for r in hist_rows:
+            hists.setdefault(r["g"], {})[r["tz"]] = r["c"]
+        meta = []
+        for g, hist in sorted(hists.items()):
+            level, n_items = _qs_pick_level(hist, k_max)
+            meta.append((g, level, n_items))
+        if not meta:
+            return base.sparkSession.createDataFrame(
+                [],
+                "g string, v long, h60 long, tz long, level long, n_items long",
+            )
+        levels = base.sparkSession.createDataFrame(
+            meta, "g string, level long, n_items long"
+        )
+        return (
+            base.join(F.broadcast(levels), "g")
+            .where(F.col("tz") >= F.col("level"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
 
 
 def quantile_sketch_estimates_by(
