@@ -660,13 +660,26 @@ def pq_train(
     final ``[(cid, vector), ...]``.
 
     The dimension must divide evenly by ``m`` (PQ's standard
-    contract).  Training cost is m × iters bounded-size update
-    aggregates (k·sub_dim rows each — sketch-sized shuffles) but each
-    subspace run SCANS the corpus iters+1 times; at real scale pass a
-    deterministic training sample as ``df`` (the standard PQ practice
-    — FAISS trains codebooks on ~100k·k vectors, not the corpus; the
-    md5-uniform ``corpus._uniform_bp`` sampler keeps it reproducible)
-    and encode the full corpus via ``pq_encode(..., codebooks=...)``.
+    contract).  The m subspace trainings are FUSED into one run: the
+    quantized corpus is persisted once, the md5 seed rule picks the
+    same k ids for every subspace (it orders by (md5(id), id), never
+    by vector content), so ONE TakeOrdered collects the k seed
+    vectors and each subspace's seed centroids are driver-side
+    slices; each Lloyd iteration is ONE Arrow scan emitting
+    per-subspace bincount partials into a single (sub, cid, pos)
+    aggregate — iters+1 corpus passes total instead of
+    m × (iters+1), and 1+iters jobs instead of m × (1+iters).
+    Per-subspace argmins, integer sums and the floor-mean update are
+    the exact ``kmeans_fit`` computations (associative integer
+    partials, same ascending-cid tie-break), so codebooks are
+    bit-identical to the per-slice runs on the fixed-dim finite
+    contract domain — pinned by
+    ``test_pq_encode_codes_and_reconstruction``.  At real scale pass
+    a deterministic training sample as ``df`` (the standard PQ
+    practice — FAISS trains codebooks on ~100k·k vectors, not the
+    corpus; the md5-uniform ``corpus._uniform_bp`` sampler keeps it
+    reproducible) and encode the full corpus via
+    ``pq_encode(..., codebooks=...)``.
     """
     # infer dim from a small sample of NON-null vectors and demand they
     # agree — a degenerate/wrong-length leading row must fail loudly
@@ -691,18 +704,155 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    codebooks = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("__sub"),
+    if seed not in ("md5", "first"):
+        raise ValueError(f"unknown seed rule: {seed!r}")
+    from pyspark import StorageLevel
+
+    vq = (
+        F.col(vec_col).cast("array<long>")
+        if pre_quantized
+        else quantized(vec_col)
+    )
+    q = (
+        df.select(F.col(id_col).alias("__id"), vq.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        # same seed screen as kmeans_fit: a vector with a null ELEMENT
+        # never seeds (slice-of-non-null == non-null-of-slice, and the
+        # id ordering is content-independent, so the k seed ids are
+        # the ones every per-subspace run would pick)
+        cand = q.where(~F.exists("__v", lambda x: x.isNull()))
+        if seed == "md5":
+            order = [
+                F.md5(F.col("__id").cast("string")).asc(),
+                F.col("__id").asc(),
+            ]
+        else:
+            order = [F.col("__id").asc()]
+        init = cand.orderBy(*order).limit(k).collect()
+        if not init:
+            # all-null-element corpus: every per-subspace kmeans_fit
+            # would return an empty codebook
+            return [[] for _ in range(m)], sub_dim
+        codebooks = [
+            [
+                (i, list(r["__v"])[s * sub_dim:(s + 1) * sub_dim])
+                for i, r in enumerate(init)
+            ]
+            for s in range(m)
+        ]
+        sc = df.sparkSession.sparkContext
+        for _ in range(iters):
+            bc = _pq_broadcast_all_codebooks(sc, codebooks)
+            part = _pq_update_partials_arrow(q, bc, sub_dim)
+            # k·m·sub_dim (sub, cid, pos) rows -> per-(sub, cid)
+            # position-sorted mean arrays, one dim-sized collect (the
+            # kmeans_fit driver round-trip, all m subspaces at once)
+            sums = (
+                part.groupBy("sub", "cid", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
+                .groupBy("sub", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda x: x["m"],
+                    ).alias("mv")
+                )
+                .collect()
+            )
+            bc.unpersist()
+            by_sub: dict[int, dict[int, list[int]]] = {}
+            for r in sums:
+                by_sub.setdefault(r["sub"], {})[r["cid"]] = (
+                    list(r["mv"]) + [0] * sub_dim
+                )[:sub_dim]
+            codebooks = [
+                [
+                    (cid, by_sub.get(s, {}).get(cid, old))
+                    for cid, old in codebooks[s]
+                ]
+                for s in range(m)
+            ]
+        return codebooks, sub_dim
+    finally:
+        q.unpersist()
+
+
+def _pq_broadcast_all_codebooks(sc, codebooks):
+    """All m subspace centroid matrices in ONE broadcast: per subspace
+    (cids, Cf float64 (k×sub_dim, integer-valued), cn2 int64, cmax) —
+    the ``_broadcast_centroids`` payload, batched."""
+    import numpy as np
+
+    payload = []
+    for cb in codebooks:
+        cids = np.array([c for c, _ in cb], dtype=np.int64)
+        C = np.array([v for _, v in cb], dtype=np.int64)
+        payload.append(
+            (
+                cids,
+                C.astype(np.float64),
+                (C * C).sum(axis=1),
+                float(np.abs(C).max()) if C.size else 0.0,
+            )
         )
-        _, cb = kmeans_fit(
-            sub, id_col=id_col, vec_col="__sub", k=k, iters=iters,
-            seed=seed, pre_quantized=pre_quantized,
-        )
-        codebooks.append(cb)
-    return codebooks, sub_dim
+    return sc.broadcast(payload)
+
+
+def _pq_update_partials_arrow(q: DataFrame, bc, sub_dim: int) -> DataFrame:
+    """One FUSED Lloyd update scan over all m subspaces: per batch,
+    for each subspace, the exact ``_update_partials_arrow`` argmin +
+    bincount combine over the vector's sub-slice — the shuffle carries
+    m·k·sub_dim rows per batch, and the corpus is read once per
+    iteration instead of once per (subspace, iteration)."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        payload = bc.value
+        m = len(payload)
+        dim = m * sub_dim
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep, V = _finite_int64_batch(np, pdf["__v"].tolist(), dim)
+            if not keep:
+                continue
+            subs, cids_o, pos_o, s_o, n_o = [], [], [], [], []
+            for s, (cids, Cf, cn2, cmax) in enumerate(payload):
+                Vs = V[:, s * sub_dim:(s + 1) * sub_dim]
+                cross = _cross_term(np, Vs, Cf, cmax, sub_dim)
+                d2 = (Vs * Vs).sum(axis=1)[:, None] - 2 * cross + cn2[None, :]
+                j = np.argmin(d2, axis=1)
+                kk = Cf.shape[0]
+                n_by = np.bincount(j, minlength=kk)
+                s_by = np.zeros((kk, sub_dim), dtype=np.int64)
+                np.add.at(s_by, j, Vs)
+                live = np.flatnonzero(n_by)
+                subs.append(
+                    np.full(len(live) * sub_dim, s, dtype=np.int64)
+                )
+                cids_o.append(np.repeat(cids[live], sub_dim))
+                pos_o.append(np.tile(np.arange(sub_dim), len(live)))
+                s_o.append(s_by[live].ravel())
+                n_o.append(np.repeat(n_by[live], sub_dim))
+            yield pd.DataFrame(
+                {
+                    "sub": np.concatenate(subs),
+                    "cid": np.concatenate(cids_o),
+                    "pos": np.concatenate(pos_o),
+                    "s": np.concatenate(s_o),
+                    "n": np.concatenate(n_o),
+                }
+            )
+
+    return q.mapInPandas(
+        partials, schema="sub int, cid long, pos int, s long, n long"
+    )
 
 
 def _pq_codebook_broadcast(sc, codebooks, sub_dim: int):
@@ -868,7 +1018,7 @@ def pq_topk(
     codes = pq_encode(
         df, id_col, vec_col, m=m, codebooks=codebooks, sub_dim=sub_dim
     )
-    lut = _pq_query_lut(
+    lut, _n_q = _pq_query_lut(
         df, query_filter, codebooks, sub_dim, id_col, vec_col, max_queries
     )
     unpivot = codes.select(
@@ -908,7 +1058,9 @@ def _pq_query_lut(
     SUB-vector to every codeword — queries × m × k rows, built
     driver-side from the (guarded-bounded) collected query set and
     consumed as a broadcast.  Shared by ``pq_topk`` and
-    ``ivfpq_topk``."""
+    ``ivfpq_topk``.  Returns (lut_df, n_query_rows) — the count comes
+    free with the guarded collect, so callers never pay a second
+    corpus scan to size the candidate estimate."""
     import numpy as np
 
     from genie_spark.analytics.similarity import QUANT_SCALE
@@ -943,8 +1095,11 @@ def _pq_query_lut(
                 lut_rows.append(
                     (int(r[id_col]), s + 1, int(cid), int((d * d).sum()))
                 )
-    return df.sparkSession.createDataFrame(
-        lut_rows, "query_id long, s int, cid long, d2 long"
+    return (
+        df.sparkSession.createDataFrame(
+            lut_rows, "query_id long, s int, cid long, d2 long"
+        ),
+        len(q_rows),
     )
 
 
@@ -1020,7 +1175,7 @@ def ivfpq_topk(
     codes = pq_encode(
         df, id_col, vec_col, m=m, codebooks=codebooks, sub_dim=sub_dim
     )
-    lut = _pq_query_lut(
+    lut, n_q = _pq_query_lut(
         df, query_filter, codebooks, sub_dim, id_col, vec_col, max_queries
     )
     # a corpus vector sits in exactly ONE cell (n_probe=1 assignment)
@@ -1051,9 +1206,6 @@ def ivfpq_topk(
     # picks the strategy from the REAL size instead of an unconditional
     # hint blowing past the BroadcastExchange limit.
     n_total = df.select(id_col).count()
-    n_q = (
-        df.where(query_filter).select(id_col).limit(max_queries + 1).count()
-    )
     est = n_q * n_probe * max(1, -(-n_total // max(1, len(cent_rows))))
     cand_side = F.broadcast(cand) if est <= max_candidate_rows else cand
     scored = (
