@@ -652,19 +652,26 @@ def connected_components(
     min-label propagation — the survivor-selection step that turns
     dedup PAIRS into a drop list.
 
-    Each node's label starts as itself; every round each node takes the
-    min of its own label and its neighbors' labels, then pointer-jumps
-    (``label := label(label)``), until a fixpoint.  The pointer-jump
-    halves the remaining distance to the component minimum every round,
-    so convergence is O(log diameter) rounds — a chain would need more
-    than 2**max_iter hops to exhaust the cap.  Near-dup components are
-    dense (almost cliques), so 2–3 rounds in practice.  Each round is
-    two equi-joins + one groupBy — the standard large-graph formulation
-    (no driver-side graph).
+    Each node's label starts as itself; every propagation step each
+    node takes the min of its own label and its neighbors' labels,
+    then pointer-jumps (``label := label(label)``), until a fixpoint.
+    The pointer-jump halves the remaining distance to the component
+    minimum every step, so convergence is O(log diameter) steps — a
+    chain would need more than 4**max_iter hops to exhaust the cap.
+    Each round of the loop FUSES TWO propagation steps into one
+    materialized job and carries the round's starting label through
+    as a column, so the convergence check is a filter on the
+    checkpointed label table instead of a join — labels only ever
+    decrease (min-propagation is monotone), so a round with zero net
+    change means both of its steps were no-ops, i.e. the fixpoint.
+    This halves the per-round fixed cost (one lineage-truncating
+    action + one tiny count per TWO steps) that dominates the loop on
+    anything but enormous graphs.
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iter`` rounds rather than silently returning a partial
-    clustering (which would report one component as several).
+    ``max_iter`` rounds (= 2·max_iter propagation steps) rather than
+    silently returning a partial clustering (which would report one
+    component as several).
 
     Returns (node, cluster_id) where cluster_id = min node id in the
     component, i.e. the survivor; rows with node != cluster_id are the
@@ -681,59 +688,66 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.y == labels.node)
-            .groupBy("x")
-            .agg(F.min("label").alias("nbr_label"))
+        cur = labels.select(
+            "node", "label", F.col("label").alias("__label0")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+        for _step in range(2):
+            neighbor_min = (
+                edges.join(
+                    cur.select("node", "label"), edges.y == F.col("node")
+                )
+                .groupBy("x")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        )
-        # pointer jump: label := label(label).  Labels are themselves
-        # node ids, so chase one level through the label table; this is
-        # what turns O(diameter) propagation into O(log diameter).
-        ptr = new_labels.select(
-            F.col("node").alias("__pn"), F.col("label").alias("__pl")
-        )
-        new_labels = (
-            new_labels.join(ptr, new_labels.label == ptr.__pn, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("__pl"), F.col("label"))
-                ).alias("label"),
+            cur = (
+                cur.join(neighbor_min, cur.node == neighbor_min.x, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                    "__label0",
+                )
             )
-        )
+            # pointer jump: label := label(label).  Labels are
+            # themselves node ids, so chase one level through the
+            # label table; this is what turns O(diameter) propagation
+            # into O(log diameter).
+            ptr = cur.select(
+                F.col("node").alias("__pn"), F.col("label").alias("__pl")
+            )
+            cur = (
+                cur.join(ptr, cur.label == ptr.__pn, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__pl"), F.col("label")),
+                    ).alias("label"),
+                    "__label0",
+                )
+            )
         # truncate lineage every round — without this the lazy plan
         # doubles per iteration (the classic iterative-algorithm trap);
         # on a cluster with flaky executors use checkpoint() with a
         # checkpoint dir instead of localCheckpoint
-        new_labels = new_labels.localCheckpoint(eager=True)
+        cur = cur.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            cur.where(F.col("label") != F.col("__label0")).limit(1).count()
         )
-        labels = new_labels
+        labels = cur.select("node", "label")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the pair graph has a component with diameter on the order of "
-            "2**max_iter (convergence is only detected by a final "
-            "zero-change round, so a diameter-d chain needs about "
-            "ceil(log2(d))+1 rounds) — raise max_iter"
+            f"connected_components did not converge in {max_iter} rounds "
+            "(2 min-propagation + pointer-jump steps per round); the pair "
+            "graph has a component with diameter on the order of "
+            "4**max_iter (convergence is only detected by a final "
+            "zero-change round) — raise max_iter"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 

@@ -200,6 +200,25 @@ def test_connected_components_doubling_and_nonconvergence(spark):
         connected_components(chain, max_iter=2)
 
 
+def test_connected_components_fused_round_reach(spark):
+    """Each round fuses TWO propagate+jump steps, so a diameter-60
+    chain converges within 4 rounds (8 steps; the unfused form's
+    2**4 = 16-hop reach would raise here) while 3 rounds (6 steps)
+    still exhaust the cap and raise."""
+    import pytest
+
+    from genie_spark.analytics.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], ["a", "b"])
+    labels = {
+        r["cluster_id"] for r in connected_components(chain, max_iter=4).collect()
+    }
+    assert labels == {0}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+
+
 def _ppm(w, h, rgb):
     return (
         b"P6\n# test\n" + f"{w} {h}\n255\n".encode()
