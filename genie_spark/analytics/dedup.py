@@ -681,8 +681,17 @@ def connected_components(
     # endpoints keep their own label
     fwd = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     rev = pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
-    edges = fwd.unionByName(rev).distinct()
-    edges.cache()
+    # Materialize the edge table ONCE, eagerly, BEFORE the loop.  The
+    # previous lazy ``.cache()`` left the first round's job referencing
+    # the un-materialized edges subtree three times (two fused
+    # propagation steps + the label init), and cache population is
+    # per-partition and racy across a job's stages — an expensive
+    # upstream pair pipeline (IVF candidates + cosine verify, MinHash
+    # band join) was measured computing ~3x inside round 0
+    # (dedup_embedding_drop round-0 wall ≈ 3x the one-shot pipeline
+    # wall).  The eager localCheckpoint runs that pipeline exactly once
+    # and every round then scans edge-sized checkpoint blocks.
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -740,7 +749,9 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+    # edges' checkpoint blocks are freed when the DataFrame is GC'd
+    # (the localCheckpoint discipline used by every iterative operator
+    # here — pagerank, triangle_count, the quantile sketch)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

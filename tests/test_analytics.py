@@ -182,6 +182,39 @@ def test_connected_components(spark):
     assert labels == {0}
 
 
+def test_connected_components_materializes_pairs_once(spark):
+    """r15 optimization pin: the edge table is eagerly checkpointed
+    BEFORE the propagation loop, so the (possibly expensive) upstream
+    pair pipeline is evaluated exactly once — the edge build references
+    the pair source twice (forward + reverse direction), so an
+    accumulator counting pair-pipeline row evaluations must read
+    exactly 2 x n_pairs.  The old lazy ``.cache()`` let round 0's job
+    reference the un-materialized edges subtree three times (racy cache
+    population → up to 3 evaluations of the pair pipeline, measured 3x
+    on dedup_embedding_drop's IVF+verify subtree)."""
+    from pyspark.sql import functions as F
+
+    from genie_spark.analytics.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    pairs = base.mapInPandas(count_rows, "a long, b long")
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert acc.value == 2 * 3, (
+        f"pair pipeline evaluated {acc.value / 3:.1f}x (expected exactly "
+        "2x: forward + reverse edge branch of ONE eager materialization)"
+    )
+
+
 def test_connected_components_doubling_and_nonconvergence(spark):
     """Pointer-jumping converges a diameter-60 chain in O(log d) rounds
     (plain one-hop propagation would need 60); exhausting max_iter
