@@ -678,11 +678,27 @@ def connected_components(
     removal list.
     """
     # undirected: both directions, plus self-loops so isolated pair
-    # endpoints keep their own label
-    fwd = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-    rev = pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
-    # Materialize the edge table ONCE, eagerly, BEFORE the loop.  The
-    # previous lazy ``.cache()`` left the first round's job referencing
+    # endpoints keep their own label.
+    #
+    # Both directions come from ONE per-row explode, not a
+    # fwd ∪ rev union of two selects: the union references the
+    # (possibly very expensive, un-materialized) pair pipeline TWICE
+    # inside the materializing job below, so IVF+cosine-verify or
+    # band-join candidate generation ran twice before the loop even
+    # started (measured at sf0.1: dedup_embedding_drop's edge
+    # materialization 67 s under the doubled union vs 16 s for a
+    # single evaluation; the explode form evaluates the pipeline
+    # exactly once for the identical pre-distinct edge multiset).
+    both_dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("x"), F.col(b_col).alias("y")),
+                F.struct(F.col(b_col).alias("x"), F.col(a_col).alias("y")),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.x").alias("x"), F.col("__e.y").alias("y"))
+    # Materialize the edge table ONCE, eagerly, BEFORE the loop.  A
+    # lazy ``.cache()`` would leave the first round's job referencing
     # the un-materialized edges subtree three times (two fused
     # propagation steps + the label init), and cache population is
     # per-partition and racy across a job's stages — an expensive
@@ -691,7 +707,7 @@ def connected_components(
     # (dedup_embedding_drop round-0 wall ≈ 3x the one-shot pipeline
     # wall).  The eager localCheckpoint runs that pipeline exactly once
     # and every round then scans edge-sized checkpoint blocks.
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    edges = both_dirs.distinct().localCheckpoint(eager=True)
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

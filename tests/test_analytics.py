@@ -184,14 +184,16 @@ def test_connected_components(spark):
 
 def test_connected_components_materializes_pairs_once(spark):
     """r15 optimization pin: the edge table is eagerly checkpointed
-    BEFORE the propagation loop, so the (possibly expensive) upstream
-    pair pipeline is evaluated exactly once — the edge build references
-    the pair source twice (forward + reverse direction), so an
-    accumulator counting pair-pipeline row evaluations must read
-    exactly 2 x n_pairs.  The old lazy ``.cache()`` let round 0's job
-    reference the un-materialized edges subtree three times (racy cache
-    population → up to 3 evaluations of the pair pipeline, measured 3x
-    on dedup_embedding_drop's IVF+verify subtree)."""
+    BEFORE the propagation loop AND both edge directions come from one
+    per-row explode, so the (possibly expensive) upstream pair pipeline
+    is evaluated exactly ONCE — an accumulator counting pair-pipeline
+    row evaluations must read exactly n_pairs.  History: the old lazy
+    ``.cache()`` let round 0's job reference the un-materialized edges
+    subtree three times (racy cache population → up to 3 evaluations,
+    measured 3x on dedup_embedding_drop's IVF+verify subtree); the
+    first fix's fwd ∪ rev union still evaluated the pipeline twice
+    inside the checkpoint job (measured 86 s vs 12 s median on the
+    same subtree at sf0.1)."""
     from pyspark.sql import functions as F
 
     from genie_spark.analytics.dedup import connected_components
@@ -209,9 +211,10 @@ def test_connected_components_materializes_pairs_once(spark):
         r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
-    assert acc.value == 2 * 3, (
+    assert acc.value == 3, (
         f"pair pipeline evaluated {acc.value / 3:.1f}x (expected exactly "
-        "2x: forward + reverse edge branch of ONE eager materialization)"
+        "1x: both edge directions explode from ONE evaluation inside "
+        "ONE eager materialization)"
     )
 
 
