@@ -708,6 +708,15 @@ def connected_components(
     # wall).  The eager localCheckpoint runs that pipeline exactly once
     # and every round then scans edge-sized checkpoint blocks.
     edges = both_dirs.distinct().localCheckpoint(eager=True)
+    # Release the (now unreachable) pair-pipeline shuffle state before
+    # the loop: ContextCleaner frees it only on driver GC, and the
+    # first propagation round otherwise runs against the leftover
+    # blocks of a corpus-scale job (measured at sf0.1 on the
+    # embedding-drop pipeline: round 1 = 28.6 s without the nudge vs
+    # 3.8 s with it; rounds 2+ were always ~2 s).
+    from genie_spark.session import gc_nudge
+
+    gc_nudge(pairs.sparkSession)
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -204,6 +204,13 @@ def triangle_count(
     closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     n_tri = wedges.join(closing.hint("shuffle_hash"), ["v1", "v2"], "semi").count()
     spark = edges.sparkSession
+    # the wedge job shuffles O(E^1.5) rows; release its state before
+    # any follow-up job runs (ContextCleaner frees shuffle blocks only
+    # on driver GC — without this the next action, even a 1-row write
+    # of the result, measured 31 s at sf0.1 against the leftovers)
+    from genie_spark.session import gc_nudge
+
+    gc_nudge(spark)
     n_nodes = deg.count()
     n_edges = e.count()
     return spark.createDataFrame(

@@ -157,3 +157,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in TESTDATA_TABLES
     }
+
+
+def gc_nudge(spark: SparkSession) -> None:
+    """Nudge the driver JVM's garbage collector after a heavy
+    materialization whose lineage has just been truncated
+    (``localCheckpoint`` / store write) and BEFORE follow-up jobs in
+    the same operator.
+
+    Spark's ContextCleaner only releases the shuffle state of
+    no-longer-reachable stages when the driver JVM garbage-collects —
+    piled-up shuffle blocks from a just-checkpointed corpus-scale
+    pipeline degrade the next jobs badly (measured in
+    ``connected_components`` at sf0.1: the first propagation round ran
+    28.6 s against the leftover state of the edge-pipeline job vs
+    3.8 s after a 3 s explicit GC; Spark ships
+    ``spark.cleaner.periodicGC.interval=30min`` for the same reason,
+    far too coarse for within-query effect).  No-op where the private
+    ``_jvm`` handle is absent (Spark Connect)."""
+    try:
+        jvm = spark.sparkContext._jvm
+    except Exception:  # Connect: sparkContext property itself raises
+        return
+    if jvm is not None:
+        jvm.System.gc()
