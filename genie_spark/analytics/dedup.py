@@ -170,7 +170,11 @@ def ngram_jaccard_pairs(
     sh = shingles(df, id_col, text_col, k, unique_ids)
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
-        sh = sh.join(hot, "shingle", "left_anti")
+        # shuffle_hash: build the tiny >max_df hot-shingle set, stream
+        # the corpus-scale shingle stream unsorted (the
+        # duplicate_span_mask discipline, guide §3.1 — sort-merge would
+        # sort the whole stream just to probe a handful of hot keys)
+        sh = sh.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
     # sh feeds sizes + both self-join sides (and the hot filter doubles
     # each consumer's subtree — 8 FileScans measured unpersisted);
     # materialize the tokenize+filter work once
@@ -195,9 +199,16 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # shuffle_hash with the slim doc-count-sized sizes table as build
+    # (two fixed-width longs per doc; n_docs/P per partition, AQE grows
+    # P with volume): sort-merge was sorting the PAIR-sized ``common``
+    # stream twice just to attach per-doc set sizes (guide §3.1).  The
+    # sizes side still must never broadcast on a static misestimate
+    # (aggregate-derived size estimates are untrustworthy — see the
+    # hint note above).
     out = (
-        common.join(na.hint("merge"), "a")
-        .join(nb.hint("merge"), "b")
+        common.join(na.hint("shuffle_hash"), "a")
+        .join(nb.hint("shuffle_hash"), "b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "n_common", "jaccard")
@@ -707,6 +718,15 @@ def connected_components(
     # (dedup_embedding_drop round-0 wall ≈ 3x the one-shot pipeline
     # wall).  The eager localCheckpoint runs that pipeline exactly once
     # and every round then scans edge-sized checkpoint blocks.
+    #
+    # NO pre-checkpoint repartition by the propagation key: under AQE
+    # ``localCheckpoint`` captures UnknownPartitioning (the LogicalRDD
+    # partitioning-preservation path is defeated by
+    # AdaptiveSparkPlanExec), so a repartition here would NOT let the
+    # loop's y-keyed joins skip their exchange — it would only add an
+    # edge-sized shuffle to the build (verified in the captured round
+    # plan: the edge scan reports UnknownPartitioning(0) and
+    # ENSURE_REQUIREMENTS re-exchanges it either way).
     edges = both_dirs.distinct().localCheckpoint(eager=True)
     # Release the (now unreachable) pair-pipeline shuffle state before
     # the loop: ContextCleaner frees it only on driver GC, and the
@@ -726,15 +746,27 @@ def connected_components(
             "node", "label", F.col("label").alias("__label0")
         )
         for _step in range(2):
+            # shuffle_hash with the NODE-sized side as build (the
+            # pagerank discipline, guide §3.1): sort-merge would sort
+            # the edge-sized stream every step just to meet the
+            # node-sized label table; the build is n_nodes/P per
+            # partition and AQE grows P with edge volume, so it stays
+            # bounded at scale.  The edge side is already partitioned
+            # by ``y`` (checkpoint above) and streams in place.
             neighbor_min = (
                 edges.join(
-                    cur.select("node", "label"), edges.y == F.col("node")
+                    cur.select("node", "label").hint("shuffle_hash"),
+                    edges.y == F.col("node"),
                 )
                 .groupBy("x")
                 .agg(F.min("label").alias("nbr_label"))
             )
             cur = (
-                cur.join(neighbor_min, cur.node == neighbor_min.x, "left")
+                cur.join(
+                    neighbor_min.hint("shuffle_hash"),
+                    cur.node == neighbor_min.x,
+                    "left",
+                )
                 .select(
                     "node",
                     F.least(
@@ -752,7 +784,7 @@ def connected_components(
                 F.col("node").alias("__pn"), F.col("label").alias("__pl")
             )
             cur = (
-                cur.join(ptr, cur.label == ptr.__pn, "left")
+                cur.join(ptr.hint("shuffle_hash"), cur.label == ptr.__pn, "left")
                 .select(
                     "node",
                     F.least(

@@ -69,16 +69,16 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # edges annotated with the sender's out-degree once — reused every
-    # iteration (degree never changes).  HASH-partition by src BEFORE
-    # the checkpoint (r15, guide §2.4): LogicalRDD preserves the
-    # checkpoint's output partitioning, so every iteration's src-keyed
-    # join consumes the edge table IN PLACE — the edge-sized exchange
-    # happens once, not once per iteration.
-    ed = (
-        e.join(deg, "src")
-        .repartition(e.sparkSession.sparkContext.defaultParallelism, "src")
-        .localCheckpoint(eager=True)
-    )
+    # iteration (degree never changes).  NO pre-checkpoint repartition
+    # by src: under AQE ``localCheckpoint`` captures UnknownPartitioning
+    # (AdaptiveSparkPlanExec defeats LogicalRDD's
+    # partitioning-preservation path — the committed after-plan's edge
+    # scan reads ``UnknownPartitioning(0)`` and ENSURE_REQUIREMENTS
+    # re-exchanges it every iteration regardless), so the repartition
+    # the first r15 pass added was one extra edge-sized shuffle in the
+    # build job for zero loop benefit (A/B at sf0.1: build 3.2 s with
+    # it, 2.4 s without; iteration plans identical).
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
     base = (int(scale) * (1000 - int(damping_milli))) // 1000
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     for _ in range(iters):
