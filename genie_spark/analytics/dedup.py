@@ -1083,28 +1083,72 @@ def setsim_prefix_pairs(
             lambda i: shingle_hash(F.col(text_col).substr(i, F.lit(k))),
         )
     )
-    sh = df.where(F.length(F.col(text_col)) >= k).select(
-        id_col, F.explode(hashed).alias("shingle")
-    )
     if unique_ids is False:
-        sh = sh.distinct()
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # exact-global-distinct path: duplicated ids merge in the
+        # exploded stream, so per-doc facts must come from aggregates
+        sh = (
+            df.where(F.length(F.col(text_col)) >= k)
+            .select(id_col, F.explode(hashed).alias("shingle"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stream = sh.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        docsets = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("sset"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cached = sh
+    else:
+        # contract path (one row per id, guarded above): the per-doc
+        # sorted set and its size come MAP-SIDE from the single input
+        # row (the `_doc_hash_sets` pattern) — the old exploded
+        # groupBy re-derived exactly this with a corpus-stream
+        # exchange + ObjectHashAggregate, and the per-doc count window
+        # is gone too.  docsets is the ONE persisted artifact (the
+        # scan+md5 pass happens once; every consumer — the exploded
+        # ranking stream and both verify sides — reads the compact
+        # array cache).  A/B at sf0.1: wall flat (3.9 vs 4.0 s median
+        # interleaved) — this is a 100 TB shape fix, not a bench shave.
+        docsets = (
+            df.where(F.length(F.col(text_col)) >= k)
+            .select(
+                id_col,
+                F.sort_array(hashed).alias("sset"),
+                F.size(hashed).alias("n"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stream = docsets.select(
+            id_col, F.explode("sset").alias("shingle"), "n"
+        )
+        cached = docsets
     # global document frequency via a window over the shingle
     # partitioning — one exchange, not an aggregate + self-join
-    w = Window.partitionBy(id_col)
-    ranked = (
-        sh.withColumn(
-            "df_cnt", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
-        .withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "r",
-            F.row_number().over(w.orderBy("df_cnt", "shingle")),
-        )
+    ranked = stream.withColumn(
+        "df_cnt", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df_cnt", "shingle")
+        ),
     )
-    # prefix_len = n − ceil(t·n) + 1, all-integer arithmetic
+    # prefix_len = n − ceil(t·n) + 1, all-integer arithmetic.
+    #
+    # The prefix deliberately stays LAZY even though both candidate
+    # self-join sides re-run the ranked windows: an eager
+    # persist+count of it was A/B-measured SLOWER at sf0.1 (7.2 vs
+    # 4.9 s median, interleaved 4×) — the synchronous
+    # materialize-store-rescan barrier costs more wall than the
+    # concurrent duplicate window pass on idle cores, and the
+    # duplicate reads the (small, cached) docsets arrays, not the
+    # corpus.
     prefix = ranked.where(
-        F.col("r") <= F.col("n") - F.floor((F.col("n") * threshold_pct + F.lit(99)) / 100) + 1
+        F.col("r")
+        <= F.col("n")
+        - F.floor((F.col("n") * threshold_pct + F.lit(99)) / 100)
+        + 1
     ).select(id_col, "shingle", "n")
     a = prefix.select(F.col(id_col).alias("a"), "shingle", F.col("n").alias("n_a"))
     b = prefix.select(F.col(id_col).alias("b"), "shingle", F.col("n").alias("n_b"))
@@ -1119,10 +1163,6 @@ def setsim_prefix_pairs(
         )
         .select("a", "b")
         .distinct()
-    )
-    docsets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("sset"),
-        F.count(F.lit(1)).alias("n"),
     )
     da = docsets.select(
         F.col(id_col).alias("a"), F.col("sset").alias("sa"), F.col("n").alias("na")
@@ -1145,7 +1185,7 @@ def setsim_prefix_pairs(
         .withColumn("jaccard", F.col("n_common") / union)
         .select("a", "b", "n_common", "jaccard")
     )
-    return _release_on_gc(out, sh)
+    return _release_on_gc(out, cached)
 
 
 def edit_near_miss_pairs(
