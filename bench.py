@@ -9,6 +9,7 @@ Timing uses the noop sink so we measure the full distributed compute
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -88,13 +89,25 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, object] = {}
     runs_log: dict[str, list] = {}
+    construct_log: dict[str, list] = {}
 
     def gc_nudge() -> None:
-        # nudge the ContextCleaner: old executions' shuffle state is
-        # only released on driver GC; letting it pile up degrades
-        # later queries (observed 30×: high sys-CPU, shuffle-file
-        # churn).  _jvm is a classic-mode private handle — absent
-        # under Spark Connect, where the nudge simply doesn't apply.
+        # Python first: the persist-carrying queries tie their cache
+        # release to the RESULT DataFrame's collection
+        # (dedup._release_on_gc weakref finalizers).  Refcounting
+        # normally fires that the moment ``df = None`` runs, but any
+        # reference that survives into a cycle defers it to the cyclic
+        # collector, whose schedule is allocation-driven — i.e. it can
+        # fire MID-RUN and unpersist the cache entry the in-flight run
+        # just re-registered (CacheManager dedups by canonical plan —
+        # the r15 repeat-lifecycle bug's mechanism).  An explicit
+        # collect() here pins every finalizer to this inter-run point.
+        gc.collect()
+        # then the JVM: old executions' shuffle state is only released
+        # on driver GC; letting it pile up degrades later queries
+        # (observed 30×: high sys-CPU, shuffle-file churn).  _jvm is a
+        # classic-mode private handle — absent under Spark Connect,
+        # where the nudge simply doesn't apply.
         try:
             jvm = spark.sparkContext._jvm
         except Exception:  # Connect: sparkContext property itself raises
@@ -111,9 +124,20 @@ def main() -> None:
         # AnalysisException with no per-query handling).
         try:
             runs: list[float] = []
+            constructs: list[float] = []
             for _ in range(repeats):
+                # construction is timed SEPARATELY (additions-only,
+                # VERDICT r15 item 4): queries whose construction runs
+                # Spark jobs (contract-guard sketches, eager
+                # localCheckpoints) surface that cost in
+                # queries_construct_sec instead of it being invisible —
+                # so eager materialization can never silently migrate
+                # cost out of the measured region.  The timed region
+                # below (noop save) is UNCHANGED.
+                c0 = time.time()
                 df = fn(spark, sf_dir)  # fresh plan — no reuse of a
                 _ = df.schema           # previously-executed DataFrame
+                constructs.append(round(time.time() - c0, 3))
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
@@ -135,6 +159,7 @@ def main() -> None:
                 df = None  # noqa: F841 — release before next construct
                 gc_nudge()
             runs_log[name] = runs
+            construct_log[name] = constructs
             timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
@@ -172,6 +197,15 @@ def main() -> None:
                 "first_run_total": first,
                 "legacy17_first_run": legacy_first,
                 "queries_runs": runs_log,
+                # per-run CONSTRUCTION walls (additions-only field,
+                # VERDICT r15 item 4): fn(spark, sf_dir) + .schema,
+                # i.e. driver-side work incl. any contract-guard jobs
+                # and eager localCheckpoints that run before the timed
+                # noop save
+                "queries_construct_sec": {
+                    k: sorted(v)[len(v) // 2] for k, v in construct_log.items() if v
+                },
+                "queries_construct_runs": construct_log,
                 "sf": sf,
             }
         )

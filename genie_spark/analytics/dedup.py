@@ -751,8 +751,14 @@ def connected_components(
             # the edge-sized stream every step just to meet the
             # node-sized label table; the build is n_nodes/P per
             # partition and AQE grows P with edge volume, so it stays
-            # bounded at scale.  The edge side is already partitioned
-            # by ``y`` (checkpoint above) and streams in place.
+            # bounded at scale.  The edge side IS re-shuffled each
+            # step — the localCheckpoint above captures
+            # UnknownPartitioning under AQE (see the checkpoint note),
+            # so ENSURE_REQUIREMENTS re-exchanges it; the win here is
+            # only that the edge stream is never SORTED.  Do not
+            # re-add a pre-checkpoint repartition expecting an
+            # in-place stream — it was measured as one wasted
+            # edge-sized shuffle (the pagerank r15 correction).
             neighbor_min = (
                 edges.join(
                     cur.select("node", "label").hint("shuffle_hash"),
@@ -797,11 +803,26 @@ def connected_components(
         # truncate lineage every round — without this the lazy plan
         # doubles per iteration (the classic iterative-algorithm trap);
         # on a cluster with flaky executors use checkpoint() with a
-        # checkpoint dir instead of localCheckpoint
-        cur = cur.localCheckpoint(eager=True)
-        changed = (
-            cur.where(F.col("label") != F.col("__label0")).limit(1).count()
+        # checkpoint dir instead of localCheckpoint.
+        #
+        # The convergence check rides the SAME job as the checkpoint
+        # (r16, VERDICT r15 item 6): an Observation on the label table
+        # counts changed rows during the checkpoint's materialization
+        # pass, so the separate per-round `.count()` job (and its
+        # scheduling round-trip) is gone — the loop runs exactly ONE
+        # job per round.  sum() over an empty table observes null →
+        # treated as 0 changed (an empty graph is trivially converged).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        cur = cur.observe(
+            obs,
+            F.sum(
+                (F.col("label") != F.col("__label0")).cast("long")
+            ).alias("changed"),
         )
+        cur = cur.localCheckpoint(eager=True)
+        changed = int(obs.get["changed"] or 0)
         labels = cur.select("node", "label")
         if changed == 0:
             converged = True
@@ -1035,9 +1056,10 @@ def setsim_prefix_pairs(
     boundary compare; the reported ``jaccard`` double is a single
     IEEE divide, engine-portable).  Reference parity: the reference
     has no set-similarity join; this is the §2.13 extension surface
-    (SURVEY.md X41).  Shape at scale: one shingle shuffle (distinct),
-    one df-count aggregate, one per-doc window, a rare-key candidate
-    join, and two docinfo joins on candidates only.
+    (SURVEY.md X41).  Shape at scale: the df-count window, the per-doc
+    rank window, one shingle-keyed groupBy with map-side pair
+    expansion (r16 — replaces the prefix self-join, so the window
+    pipeline runs once), and two docinfo joins on candidates only.
 
     The shingle stream is carried as 60-bit md5 HASHES end to end:
     per-doc dedup happens map-side on the string array, so the global
@@ -1136,32 +1158,68 @@ def setsim_prefix_pairs(
     )
     # prefix_len = n − ceil(t·n) + 1, all-integer arithmetic.
     #
-    # The prefix deliberately stays LAZY even though both candidate
-    # self-join sides re-run the ranked windows: an eager
-    # persist+count of it was A/B-measured SLOWER at sf0.1 (7.2 vs
-    # 4.9 s median, interleaved 4×) — the synchronous
-    # materialize-store-rescan barrier costs more wall than the
-    # concurrent duplicate window pass on idle cores, and the
-    # duplicate reads the (small, cached) docsets arrays, not the
-    # corpus.
+    # The prefix stays LAZY: since r16 the candidate step below is a
+    # single-consumer chain (one groupBy over the prefix stream), so
+    # the ranked windows execute exactly once with no materialization
+    # barrier — the r15 eager persist+count experiment (A/B-measured
+    # SLOWER, 7.2 vs 4.9 s) is moot.
     prefix = ranked.where(
         F.col("r")
         <= F.col("n")
         - F.floor((F.col("n") * threshold_pct + F.lit(99)) / 100)
         + 1
     ).select(id_col, "shingle", "n")
-    a = prefix.select(F.col(id_col).alias("a"), "shingle", F.col("n").alias("n_a"))
-    b = prefix.select(F.col(id_col).alias("b"), "shingle", F.col("n").alias("n_b"))
-    # merge hints: both sides are corpus-derived (see ngram_jaccard_pairs
-    # note on Catalyst's static size estimate after aggregates)
+    # Candidate pairs via ONE shingle-keyed exchange + map-side pair
+    # expansion (r16, VERDICT r15 item 5): the previous prefix
+    # SELF-join planned the whole ranked-window pipeline TWICE — once
+    # per join side; runtime exchange reuse does not collapse the two
+    # differently-projected subtrees, so the df-count and rank windows
+    # each executed twice.  Grouping the prefix stream by shingle and
+    # expanding the (sorted) member list map-side makes the window
+    # pipeline a single-consumer chain — the windows run ONCE by
+    # construction.  Interleaved A/B at sf0.1 (4× each): 4.70 s median
+    # vs 7.46 s for the self-join, identical 256-row output.
+    #
+    # Expansion is two chained Generates (posexplode of the member
+    # list, then explode of the tail slice), so no single row ever
+    # materializes a d² array — memory per generated row is bounded by
+    # the group size d.  Skew posture: a prefix shingle shared by d
+    # documents concentrates its d²/2 expansion in one task (a single
+    # join KEY is equally unsplittable for AQE, which can only clone
+    # the other side), but prefix membership selects each document's
+    # RAREST shingles by construction, so d concentrates near 1 — and
+    # a corpus where some prefix shingle is shared by a large d has an
+    # output that is itself Θ(d²) pairs (every such pair passes the
+    # length filter when docs are near-identical), so the expansion
+    # matches the inherent output volume.  sort_array orders members
+    # by id, so x.i < y.i for every tail element — the a < b contract
+    # without a filter.
+    members = prefix.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("n").alias("nn"))
+            )
+        ).alias("ms")
+    ).where(F.size("ms") >= 2)
+    lefts = members.select(
+        F.posexplode("ms").alias("pos", "x"), F.col("ms")
+    )
+    pairs = lefts.select(
+        F.col("x"),
+        F.explode(
+            F.slice(
+                F.col("ms"),
+                F.col("pos") + 2,
+                F.greatest(F.size("ms") - F.col("pos") - 1, F.lit(0)),
+            )
+        ).alias("y"),
+    )
     cand = (
-        a.hint("merge").join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .where(
-            (F.col("n_b") * 100 >= F.col("n_a") * threshold_pct)
-            & (F.col("n_a") * 100 >= F.col("n_b") * threshold_pct)
+        pairs.where(
+            (F.col("y.nn") * 100 >= F.col("x.nn") * threshold_pct)
+            & (F.col("x.nn") * 100 >= F.col("y.nn") * threshold_pct)
         )
-        .select("a", "b")
+        .select(F.col("x.i").alias("a"), F.col("y.i").alias("b"))
         .distinct()
     )
     da = docsets.select(

@@ -174,7 +174,22 @@ def gc_nudge(spark: SparkSession) -> None:
     3.8 s after a 3 s explicit GC; Spark ships
     ``spark.cleaner.periodicGC.interval=30min`` for the same reason,
     far too coarse for within-query effect).  No-op where the private
-    ``_jvm`` handle is absent (Spark Connect)."""
+    ``_jvm`` handle is absent (Spark Connect).
+
+    Shared-driver caveat (r15 advisory): ``System.gc()`` is a
+    driver-WIDE stop-the-world pause — in a driver running concurrent
+    queries it stalls unrelated jobs, and on small inputs the GC can
+    cost more wall than the leftover shuffle state would.  Such
+    deployments should disable the nudge via
+    ``spark.genie.gcNudge=false`` (session conf, checked here on
+    every call so it can be toggled at runtime); the operators keep
+    their correctness either way — the nudge only affects when
+    ContextCleaner reclaims dead shuffle state."""
+    try:
+        if str(spark.conf.get("spark.genie.gcNudge", "true")).lower() == "false":
+            return
+    except Exception:  # conf API unavailable — keep the default
+        pass
     try:
         jvm = spark.sparkContext._jvm
     except Exception:  # Connect: sparkContext property itself raises

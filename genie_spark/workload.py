@@ -1557,57 +1557,98 @@ _ALL_QUERIES: dict = {
 # j11_containment_check, corpus_passage_dedup) — each keeps its
 # r7-green row and the local sf0.01 sweep.
 _TAIL_QUERIES = [
-    # Round-15 rotation (VERDICT r14 items 1+2): the window takes the
-    # 2 late-r14 merge-law newcomers with no driver row yet
-    # (sketch_kmv_sharded, sketch_hll_sharded — local sf0.001+sf0.01
-    # oracle sweeps green in r14 AND re-verified this session) plus 48
-    # of the 50 queries whose freshest driver row is r12 (3 rounds
-    # stale after this round otherwise).  The r12 cohort is 50, not
-    # the 48 the r14 VERDICT tallied, so 2 + 50 overfills the 50-slot
-    # window by exactly two: the two DEFERRED r12 queries are the two
-    # whose engines are fully exercised by in-window siblings —
-    # ann_ivfpq_residual_topk (the IVF+PQ engine rides in-window
-    # ann_ivfpq_topk; the residual variant differs only in the code
-    # the PQ quantizes) and sketch_kll_grouped (the KLL engine rides
-    # in-window sketch_kll_quantiles; grouped differs only in the
-    # partition spec).  Both were locally oracle-verified at sf0.001 +
-    # sf0.01 this session and rotate IN first thing in r16.  The 50
-    # freed slots come from the r14 window (all 50 green in
-    # CORRECTNESS_r14.json, rows+schema+hash, 0 err) — those move to
-    # the tail below, each keeping its r14-green driver row AND this
-    # session's local sf0.01 oracle sweep.
-    #
-    # r14-green cohort rotated out this round (each keeps its
-    # r14-green driver row):
+    # Round-16 rotation (VERDICT r15 item 2 + the r15 rotation plan):
+    # the 50-slot window takes (a) the two r12-cohort queries DEFERRED
+    # in r15 (ann_ivfpq_residual_topk, sketch_kll_grouped), (b) the 25
+    # r15 newcomers with no driver row yet (W-family, OLAP battery,
+    # TPC-H shapes, graph, sharded CM, X87/X88/X89/X90 — each with
+    # local sf0.001+sf0.01 sweep evidence), (c) the 12 r15-REWRITTEN
+    # queries the r15 driver window happened to miss (map-side
+    # signatures, fused components, SHJ graph/j5/j6, PQ training,
+    # setsim, ngram_jaccard strategy hints) — the VERDICT r15 item-2
+    # list verbatim — and (d) 11 of the stalest (r13-green) cohort
+    # (substring pairs/clean share r15's rewritten span mask; the
+    # multimodal/ANN/text retrieval families are 3 rounds stale).
+    # The 50 freed slots are the r15 window — all 50 green in
+    # CORRECTNESS_r15.json (rows+schema+hash, 0 err) — which moves
+    # to the tail below, each keeping that driver row and the local
+    # oracle sweeps.  No query is added or removed: same 162
+    # registered queries, same oracles, only window membership moves.
     "q1_pricing_summary",
     "s12_pushdown_scan",
+    "j1_revenue_per_nation",
     "j9_code_remap",
     "j11_containment_check",
+    "p3_semi_filter",
     "p4_anti_filter",
+    "p6_greatest_threshold",
     "p12_date_window_filter",
     "p14_group_count_filter",
+    "p15_retract_cascade",
+    "a1_counts_with_total",
     "a2_distinct_counts",
+    "a3_pivot_counts",
     "a5_lag_difference",
     "a7_median",
+    "a8_merge_duplicates",
     "a9_duplicate_keys",
     "a11_fill_count_algebra",
     "a13_group_concat",
+    "j7_upsert_diff",
+    "w1_adjacent_events",
     "w2_latest_per_key",
     "w4_asof_join",
+    "j3_interval_join",
     "j3_interval_anti",
     "j4_containment_join",
-    "j6_max_overlap_remap",
     "phi_redaction",
-    "dedup_setsim_prefix",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_drop",
+    "ann_ivf_topk",
     "ann_lsh_buckets",
+    "ann_lsh_banded",
     "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
     "text_repetition",
+    "text_lm_surprisal",
+    "corpus_bloom_decontaminate",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_split_shuffle",
+    "cluster_kmeans",
+    "cluster_balanced_sample",
     "dedup_semantic",
+    "sketch_kmv_jaccard",
+    "sketch_quantiles",
+    "corpus_chunk_overlap",
+    "text_pii_scrub",
+    "corpus_keep_list",
     "multimodal_features",
+    "sketch_count_min",
     "sketch_hll_distinct",
+    "sketch_hll_sharded",
+    "sketch_kmv_sharded",
     "corpus_token_budget",
+    "corpus_priority_sample",
     "sketch_heavy_hitters",
+    "text_quality_classifier",
+    "corpus_dsir_sample",
+    "text_bpe_merges",
+    "dedup_substring_clean_min50",
+    "text_bpe_encode",
+    "text_normalize_nfc",
+    "text_token_drift",
+    "corpus_domain_cap",
+    "corpus_temperature_mix",
+    "sketch_kll_quantiles",
+    "sketch_moments",
     "sketch_moments_sharded",
+    "corpus_ccnet_buckets",
+    "text_wordpiece_encode",
+    "text_wordpiece_coverage",
     "text_wordpiece_train",
     "text_unigram_encode",
     "text_unigram_seed",
@@ -1618,102 +1659,33 @@ _TAIL_QUERIES = [
     "corpus_epoch_allocation",
     "sketch_kmv_setops",
     "sketch_kmv_containment",
-    "ann_pq_codes",
+    "corpus_decontaminate_semantic",
+    "corpus_soft_dedup",
+    "text_bpe_fertility",
+    "text_gopher_filter",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "text_lm_bigram",
+    "text_line_repetition",
+    "text_char_entropy",
     "text_blocklist",
-    "j5_feature_type",
     "a4_completeness",
+    "a6_release_diff",
     "set_except_distinct",
     "scalar_battery",
     "s15_apply_upsert",
     "a15_case_lists",
+    "a14_distinct_union",
     "a16_filtered_counts",
+    "p7_contains_filter",
+    "j8_broadcast_lookup",
     "j10_symbol_remap",
-    "layout_hilbert_3d",
-    # r13-green tail cohort (unchanged; each keeps its r13-green
-    # driver row + local sweeps):
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "ann_cosine_pairs",
-    "ann_topk",
-    "text_tfidf_topk",
-    "text_lm_surprisal",
-    "corpus_decontaminate",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_passage_dedup",
-    "dedup_quality_survivors",
-    "dedup_incremental_minhash",
-    "sketch_kmv_distinct",
-    "sketch_kmv_jaccard",
-    "sketch_quantiles",
-    "corpus_chunk_overlap",
-    "multimodal_phash_dedup",
-    "multimodal_audio_dedup",
-    "dedup_substring_spans",
-    "dedup_substring_pairs",
-    "dedup_substring_clean",
-    "text_bm25_topk",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "text_quality_classifier",
     "a17_value_decreases",
+    "layout_zorder",
+    "layout_hilbert",
+    "layout_hilbert_3d",
     "layout_zorder_str",
     "dedup_edit_near",
-    "p7_contains_filter",
-    "corpus_keep_list",
-    "corpus_split_shuffle",
-    "text_pii_scrub",
-    "text_fingerprint",
-    "text_lang_id",
-    # the two deferred r12-cohort queries (see rotation note above;
-    # first slots in the r16 window):
-    "ann_ivfpq_residual_topk",
-    "sketch_kll_grouped",
-    # r15 newcomers (VERDICT r14 items 3+6 — the X88 store and the
-    # X87 WebDataset byte contract made driver-hard): start in the
-    # tail with local sf0.001+sf0.01 sweep evidence, the established
-    # newcomer practice; first driver rows in the r16 rotation
-    "ann_ivf_store_topk",
-    "corpus_webdataset_roundtrip",
-    # r15 W-family extension newcomers (sessionize / funnel /
-    # retention — operators/sessions.py): tail start, driver rows r16
-    "w5_sessionize",
-    "w6_funnel_conversion",
-    "w7_retention_cohorts",
-    "w9_funnel_windowed",
-    "a22_robust_outliers",
-    "a24_histogram",
-    "w10_zero_filled_daily",
-    "j13_revenue_share",
-    "emb_vector_stats",
-    "w11_retention_sharded",
-    # r15 X91 newcomer (exact-integer PageRank — analytics/graph.py):
-    # tail start, driver row r16
-    "graph_pagerank",
-    "graph_triangles",
-    "basket_pair_mining",
-    # r15 X35 merge-law newcomer (Count-Min sharded — the fourth
-    # sketch family's merge law made driver-hard): tail start,
-    # driver row r16
-    "sketch_cm_sharded",
-    # r15 TPC-H-shape newcomers (Q3 join+top-k; Q18 group-having):
-    # tail start, driver rows r16
-    "q3_shipping_priority",
-    "q18_large_orders",
-    # r15 classic-OLAP newcomers (native ROLLUP/CUBE grouping-flag
-    # totals; ranking-window battery): tail start, driver rows r16
-    "a19_rollup_totals",
-    "a20_cube_totals",
-    "a21_percentile_cont",
-    "w8_rank_battery",
-    # r15 JSON-props newcomer (functions/jsonx): tail start, driver
-    # row r16
-    "a18_json_props_stats",
-    # r15 X89/X90 newcomers (SQ8 scalar quantization; Matryoshka
-    # prefix rerank — similarity.py): tail start, driver rows r16
-    "emb_sq8_topk",
-    "emb_prefix_rerank",
 ]
 
 QUERIES: dict = {k: v for k, v in _ALL_QUERIES.items() if k not in _TAIL_QUERIES}

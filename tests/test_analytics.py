@@ -2019,6 +2019,40 @@ def test_setsim_prefix_identical_docs_jaccard_one(spark):
     assert len(out) == 1 and out[0]["jaccard"] == 1.0
 
 
+def test_setsim_prefix_unique_ids_false_merges_duplicated_ids(spark):
+    """r15 advisory: the ``unique_ids=False`` branch is a structurally
+    separate pipeline (global distinct + window n + groupBy docsets) —
+    pin it the way the minhash equivalence test does: a corpus with
+    duplicated ids under ``unique_ids=False`` must equal the
+    single-row-per-id result, the duplicated-id guard must fire on the
+    default path, and ``unique_ids=True`` must skip the guard."""
+    import pytest
+
+    from genie_spark.analytics.dedup import setsim_prefix_pairs
+
+    docs = _docs(spark)
+    dup = docs.unionByName(docs)  # corpus accidentally unioned with itself
+    clean = sorted(
+        map(tuple, setsim_prefix_pairs(docs, k=8, threshold_pct=60).collect())
+    )
+    merged = sorted(
+        map(
+            tuple,
+            setsim_prefix_pairs(
+                dup, k=8, threshold_pct=60, unique_ids=False
+            ).collect(),
+        )
+    )
+    assert merged == clean and len(clean) >= 1
+    with pytest.raises(ValueError, match="duplicated 'doc_id'"):
+        setsim_prefix_pairs(dup, k=8, threshold_pct=60)
+    # promise path: no guard job, runs (under-merges — caller's contract)
+    assert (
+        setsim_prefix_pairs(docs, k=8, threshold_pct=60, unique_ids=True).count()
+        == len(clean)
+    )
+
+
 def test_setsim_prefix_threshold_boundary_integer_exact(spark):
     """A pair at exactly Jaccard == t is kept (>= via integer
     cross-multiply, no float boundary loss)."""

@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for headline (or named) queries into
-plans/r15/<query>_<tag>.txt, plus a one-line plan-shape summary
+plans/r16/<query>_<tag>.txt, plus a one-line plan-shape summary
 (Exchange count, join strategies, Python-eval nodes, scans) per query.
 
 Usage:
@@ -57,7 +57,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        "r16",
     )
     os.makedirs(out_dir, exist_ok=True)
 
