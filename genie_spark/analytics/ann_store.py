@@ -40,6 +40,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from genie_spark.session import local_rows_df
 from genie_spark.analytics.similarity import (
     N_CENTROIDS,
     N_PROBE,
@@ -80,7 +81,8 @@ def ivf_store_build(
     if not cent_rows:
         raise ValueError("ivf_store_build: no usable vectors to train on")
     os.makedirs(store_path, exist_ok=True)
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(r["cid"]), list(r["v"])) for r in cent_rows],
         "cid long, v array<long>",
     ).coalesce(1).write.mode("overwrite").parquet(

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from genie_spark.session import local_rows_df
+
 from genie_spark.analytics.similarity import _cross_term, quantized
 
 # flat-Lloyd SemDeDup's compute envelope (see semantic_dedup docstring)
@@ -1096,8 +1098,10 @@ def _pq_query_lut(
                     (int(r[id_col]), s + 1, int(cid), int((d * d).sum()))
                 )
     return (
-        df.sparkSession.createDataFrame(
-            lut_rows, "query_id long, s int, cid long, d2 long"
+        local_rows_df(
+            df.sparkSession,
+            lut_rows,
+            "query_id long, s int, cid long, d2 long",
         ),
         len(q_rows),
     )
@@ -1325,7 +1329,8 @@ def ivfpq_residual_topk(
         c: np.array([d[p] for p in range(dim)], dtype=np.int64)
         for c, d in cmeans.items()
     }
-    cmean_df = spark.createDataFrame(
+    cmean_df = local_rows_df(
+        spark,
         [(c, [int(x) for x in v]) for c, v in sorted(cmeans.items())],
         "cell long, cv array<long>",
     )
@@ -1389,8 +1394,8 @@ def ivfpq_residual_topk(
                 lut_rows.append(
                     (qid, cell, s + 1, int(cid), int((d * d).sum()))
                 )
-    lut = spark.createDataFrame(
-        lut_rows, "query_id long, cell long, s int, cid long, d2 long"
+    lut = local_rows_df(
+        spark, lut_rows, "query_id long, cell long, s int, cid long, d2 long"
     )
 
     cand = (

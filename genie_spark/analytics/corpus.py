@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from genie_spark.session import local_rows_df
+
 from genie_spark.analytics.text import tokens
 
 # sampling granularity: basis points of 1/10_000 on a md5-uniform
@@ -1026,8 +1028,8 @@ def epoch_allocation(
         .groupBy("domain")
         .agg(F.sum("__t").alias("unique_tokens"))
     )
-    weights = spark.createDataFrame(
-        [(k + 1, w) for k, w in enumerate(ws)], "epoch int, w_milli long"
+    weights = local_rows_df(
+        spark, [(k + 1, w) for k, w in enumerate(ws)], "epoch int, w_milli long"
     )
     cand = domains.crossJoin(F.broadcast(weights)).select(
         "domain",

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from genie_spark.session import local_rows_df
+
 PR_SCALE = 1_000_000
 
 
@@ -213,7 +215,8 @@ def triangle_count(
     gc_nudge(spark)
     n_nodes = deg.count()
     n_edges = e.count()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(int(n_nodes), int(n_edges), int(n_tri))],
         "n_nodes long, n_edges long, n_triangles long",
     )

@@ -39,6 +39,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from genie_spark.session import local_rows_df
+
 KMV_BITS = 60
 KMV_DENOM = float(1 << KMV_BITS)
 DEFAULT_K = 64
@@ -303,7 +305,7 @@ def sampled_quantiles(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).withColumn("rn", F.row_number().over(w))
     counts = ranked.groupBy("g").agg(F.max("rn").cast("long").alias("n_sample"))
-    qdf = ranked.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    qdf = local_rows_df(ranked.sparkSession, [(float(q),) for q in qs], ["q"])
     targets = (
         counts.select(F.col("g").alias("tg"), "n_sample")
         .crossJoin(F.broadcast(qdf))
@@ -857,8 +859,8 @@ def quantile_sketch_estimates(
     counted = ranked.withColumn(
         "k_kept", F.lit(int(ranked.count())).cast("long")
     )
-    phis = sketch.sparkSession.createDataFrame(
-        [(int(p),) for p in phis_milli], "phi_milli long"
+    phis = local_rows_df(
+        sketch.sparkSession, [(int(p),) for p in phis_milli], "phi_milli long"
     )
     # ADVICE r12: pure LONG `div` (operands nonnegative, so trunc ==
     # floor) — `/` + floor routes through float64, which can round a
@@ -955,8 +957,8 @@ def quantile_level_sketch_by(
                 [],
                 "g string, v long, h60 long, tz long, level long, n_items long",
             )
-        levels = base.sparkSession.createDataFrame(
-            meta, "g string, level long, n_items long"
+        levels = local_rows_df(
+            base.sparkSession, meta, "g string, level long, n_items long"
         )
         return (
             base.join(F.broadcast(levels), "g")
@@ -985,8 +987,8 @@ def quantile_sketch_estimates_by(
     counted = ranked.withColumn(
         "k_kept", F.max("rk").over(Window.partitionBy("g"))
     )
-    phis = sketch.sparkSession.createDataFrame(
-        [(int(p),) for p in phis_milli], "phi_milli long"
+    phis = local_rows_df(
+        sketch.sparkSession, [(int(p),) for p in phis_milli], "phi_milli long"
     )
     targets = counted.select("g", "level", "n_items", "k_kept").distinct()
     targets = (

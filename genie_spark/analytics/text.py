@@ -11,6 +11,8 @@ deterministic across engines, so the DuckDB oracle hash-matches.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from genie_spark.session import local_rows_df
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -496,7 +498,8 @@ def hashed_linear_classify(
         scored = exploded.select(id_col, "__nt", wcol)
     else:
         spark = df.sparkSession
-        model = spark.createDataFrame(
+        model = local_rows_df(
+            spark,
             [(int(b), int(w)) for b, w in weights.items()],
             "__b long, __w long",
         )
@@ -744,8 +747,8 @@ def bpe_train(
         hist = [
             (r["__w"], int(r["__f"])) for r in word_counts.collect()
         ]
-        return spark.createDataFrame(
-            _bpe_train_histogram(hist, n_merges), out_schema
+        return local_rows_df(
+            spark, _bpe_train_histogram(hist, n_merges), out_schema
         )
     words = word_counts.select(
         # one leading space per symbol: unambiguous, run-safe
@@ -901,7 +904,8 @@ def bpe_train(
         state = state.select(new_s.alias("__s"), "__f").localCheckpoint(
             eager=True
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         merges,
         "step bigint, lhs string, rhs string, merged string, "
         "pair_count bigint",
@@ -2301,8 +2305,8 @@ def wordpiece_train(
                 "raise the cap or use engine='spark'"
             )
         hist = [(r["__w"], int(r["__f"])) for r in words.collect()]
-        return spark.createDataFrame(
-            _wordpiece_train_histogram(hist, n_merges), out_schema
+        return local_rows_df(
+            spark, _wordpiece_train_histogram(hist, n_merges), out_schema
         )
     words = words.select(
         # " c ##h ##a ##t": head char plain, continuations ##
@@ -2385,7 +2389,8 @@ def wordpiece_train(
             ).alias("__s"),
             "__f",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         merges,
         "step bigint, lhs string, rhs string, merged string, "
         "pair_count bigint, score_q bigint",

@@ -137,6 +137,40 @@ def get_spark(
     return spark
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Driver-local rows → DataFrame as a JVM ``LocalRelation`` via one
+    Arrow batch, instead of the default pickle ``parallelize`` path.
+
+    ``spark.createDataFrame(list, schema)`` plans a LogicalRDD whose
+    partitions are PYTHON tasks — and those tasks re-execute inside
+    EVERY consumer job of the table (each join build, broadcast,
+    write).  Measured r16 (guide §4 — the Python boundary): writing a
+    16-row centroid table sourced from a list cost 4.8-7.5 s PER
+    downstream job (32 pickle-path Python worker tasks each time); the
+    same table via a pandas/Arrow batch plans a ``LocalRelation`` —
+    a JVM literal, zero Python anywhere downstream — and the job cost
+    0.18 s.  Every small driver-built lookup/probe/model table in the
+    package routes through here.
+
+    Semantics are identical for the simple types these tables use
+    (longs/ints/doubles/strings/arrays of longs) — verified
+    row-and-schema-exact against the pickle path; Arrow-unsupported
+    types fall back to the plain path automatically
+    (``spark.sql.execution.arrow.pyspark.fallback.enabled``).  An
+    empty ``rows`` keeps the plain path (already a no-task empty
+    relation)."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame.from_records(rows)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:  # pandas/Arrow unavailable or shape mismatch
+        return spark.createDataFrame(rows, schema)
+
+
 TESTDATA_TABLES = (
     "region",
     "nation",

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from genie_spark.session import local_rows_df
+
 
 def stream_stream_join(
     left: DataFrame,
@@ -1021,8 +1023,8 @@ def _quantile_store_merge_by(df: DataFrame, k_max: int) -> DataFrame:
         return df.sparkSession.createDataFrame(
             [], "g string, v long, h60 long, tz long, level long, n_items long"
         )
-    floors = df.sparkSession.createDataFrame(
-        sorted(floor_by_g.items()), "g string, __floor long"
+    floors = local_rows_df(
+        df.sparkSession, sorted(floor_by_g.items()), "g string, __floor long"
     )
     hist_rows = (
         df.join(F.broadcast(floors), "g")
@@ -1039,8 +1041,8 @@ def _quantile_store_merge_by(df: DataFrame, k_max: int) -> DataFrame:
         level, _ = _qs_pick_level(hists.get(g, {}), k_max)
         level = max(level, floor_by_g[g])
         meta.append((g, level, n_by_g[g]))
-    levels = df.sparkSession.createDataFrame(
-        meta, "g string, __level long, __n long"
+    levels = local_rows_df(
+        df.sparkSession, meta, "g string, __level long, __n long"
     )
     return (
         df.select("g", "v", "h60", "tz")
