@@ -4787,12 +4787,35 @@ def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    x = lp.withColumnRenamed("p", "p1")
-    y = lp.withColumnRenamed("p", "p2")
+    # r16: per-basket pair expansion via ONE order-keyed groupBy +
+    # two chained Generates (the setsim_prefix_pairs candidate form)
+    # instead of the equi-self-join — one exchange of the
+    # (order, part) stream rather than two join sides plus the same
+    # pair-stream aggregate.  Basket size bounds the per-group fan-out
+    # (the docstring's size² bound, unchanged); sort_array gives
+    # p1 < p2 by construction.  Interleaved A/B at sf0.1: 1.65 vs
+    # 1.73 s median (wash — adopted as the shape fix), identical
+    # 25-row output.  (The r15 rejection was the nested-transform
+    # struct-building form, measured 15% slower; the streamed
+    # posexplode + tail-slice form has no per-element struct tower.)
+    baskets = (
+        lp.groupBy("o")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    lefts = baskets.select(F.posexplode("ps").alias("pos", "p1"), F.col("ps"))
+    pairs = lefts.select(
+        "p1",
+        F.explode(
+            F.slice(
+                F.col("ps"),
+                F.col("pos") + 2,
+                F.greatest(F.size("ps") - F.col("pos") - 1, F.lit(0)),
+            )
+        ).alias("p2"),
+    )
     return (
-        x.join(y, "o")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
+        pairs.groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
         .where(F.col("n_baskets") >= 2)
         .orderBy(F.desc("n_baskets"), F.asc("p1"), F.asc("p2"))
@@ -4827,12 +4850,27 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    x = lp.withColumnRenamed("p", "src")
-    y = lp.withColumnRenamed("p", "dst")
+    # r16: same streamed per-basket expansion as basket_pair_mining
+    # (one order-keyed exchange instead of the equi-self-join; edge
+    # multiset identical, 1 196 000 rows asserted in the A/B —
+    # 1.47 vs 1.55 s median, a wash adopted as the shape fix)
+    baskets = (
+        lp.groupBy("o")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    lefts = baskets.select(F.posexplode("ps").alias("pos", "src"), F.col("ps"))
     edges = (
-        x.join(y, "o")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        lefts.select(
+            "src",
+            F.explode(
+                F.slice(
+                    F.col("ps"),
+                    F.col("pos") + 2,
+                    F.greatest(F.size("ps") - F.col("pos") - 1, F.lit(0)),
+                )
+            ).alias("dst"),
+        )
         .distinct()
     )
     return triangle_count(edges)
