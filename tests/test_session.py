@@ -59,3 +59,36 @@ def test_session_scale_confs(spark):
         )
         == "65536"
     )
+
+
+def test_local_rows_df_plans_local_relation_and_matches_pickle_path(spark):
+    """r16: driver-built lookup tables must enter as ONE Arrow batch —
+    a JVM LocalRelation with zero Python tasks downstream — and be
+    row-and-schema-identical to the plain createDataFrame path for
+    every shape the package uses (guide §4: the pickle parallelize
+    path re-runs Python worker tasks inside EVERY consumer job;
+    measured 4.8-7.5 s per downstream job for a 16-row table vs
+    0.18 s via Arrow)."""
+    from genie_spark.session import local_rows_df
+
+    cases = [
+        ([(1,), (2,)], ["value"]),
+        ([(1, [1, 2, 3]), (2, [4, 5, 6])], "cid long, v array<long>"),
+        ([(1, "ab"), (2, None)], "k long, s string"),
+        ([(0.5,), (0.25,)], ["q"]),
+        ([(1, 2, 3, 4, 5)], "query_id long, cell long, s int, cid long, d2 long"),
+    ]
+    for rows, schema in cases:
+        plain = spark.createDataFrame(rows, schema)
+        arrow = local_rows_df(spark, rows, schema)
+        assert arrow.schema == plain.schema
+        assert sorted(map(tuple, arrow.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        assert (
+            arrow._jdf.queryExecution().optimizedPlan().nodeName()
+            == "LocalRelation"
+        )
+    # empty input keeps the plain path (already a no-task relation)
+    empty = local_rows_df(spark, [], "a long, b string")
+    assert empty.count() == 0 and len(empty.schema) == 2
